@@ -1,0 +1,634 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The delegated relational surface (SURVEY.md §2B): the reference shipped
+  * arbitrary SELECT text to MySQL (`/root/reference/src/loader.py:231`); here
+  * the same capability is the Spark SQL / DataFrame surface itself. Each
+  * query is a named, oracle-checked exercise of one operator family over the
+  * fixture tables.
+  *
+  * Conventions (driver compare contract):
+  *  - every computed column is aliased identically here and in the oracle SQL
+  *  - double aggregates sum through DECIMAL(38,6) then cast to double (see
+  *    dsum below) so Spark vs DuckDB summation order cannot drift
+  *  - ties in any top-k / rank are broken by a unique key so results are
+  *    deterministic under any partitioning
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact decimal sum, surfaced as double.
+    *
+    * Why not `round(sum(x), 2)`: summation order differs between Spark
+    * partitions and the DuckDB oracle, and Spark's `round` (HALF_UP on the
+    * shortest decimal repr) disagrees with DuckDB's (binary) exactly at half
+    * boundaries. The fixture money/qty columns are exact 2-4dp decimals, so
+    * summing through DECIMAL(38,6) is exact and order-independent, and the
+    * final double cast is the same nearest-double on both engines. This also
+    * scales: Spark decimal sums are partial-aggregated map-side like any sum.
+    */
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+  private def davg(c: Column): Column = sum(c.cast(dec)).cast("double") / count(c)
+  /** Oracle-side twin of [[dsum]]. */
+  private def osum(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+  private def oavg(e: String): String = s"${osum(e)} / count($e)"
+
+  // ---------------------------------------------------------------- scans/agg
+
+  /** TPC-H Q1 shape: scan + filter + hash aggregate + sort. The filter and
+    * the 4-column projection reach the parquet scan (PushedFilters/ReadSchema);
+    * partial aggregation happens map-side, so the shuffle carries only
+    * |groups| x partitions rows — the pattern that holds at 100 TB.
+    */
+  def q01_pricing_summary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + conjunctive filter, all pushed to the scan; no shuffle at
+    * all — the plan is a single WholeStageCodegen over the file scan.
+    */
+  def q02_filter_project(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 30 &&
+        col("l_discount") > 0.05)
+      // raw product, no rounding: a single IEEE multiply is bit-identical
+      // across engines; rounding would reintroduce half-boundary drift
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+
+  def q09_distinct_agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+
+  def q28_having(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_items"))
+      .filter(col("total_qty") > 1000) // HAVING == post-agg filter in Catalyst
+
+  // ---------------------------------------------------------------- joins
+
+  /** Star join: both dims are small → broadcast-hash joins (no shuffle of the
+    * fact side); at 100 TB the lineitem scan stays shuffle-free until the
+    * final 5-group aggregate.
+    */
+  def q03_join_agg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  def q04_left_join(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        coalesce(dsum(col("c_acctbal")), lit(0.0)).as("total_bal"))
+  }
+
+  /** Full-outer join of two aggregates (some nations have customers but no
+    * suppliers and vice versa → both null sides exercised).
+    */
+  def q05_full_join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, c("nationkey") === su("s_nk"), "full")
+      .select(coalesce(col("nationkey"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** EXISTS → left-semi join: no payload columns from the right side ever
+    * cross the shuffle.
+    */
+  def q06_semi_join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val bigOrders = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey"))
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** NOT EXISTS → left-anti join (also the idiom behind the reference sink's
+    * name-existence probe, `/root/reference/src/loader.py:159-163`).
+    */
+  def q07_anti_join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Theta/band join against a tiny literal dimension: broadcast nested loop
+    * over 4 rows — the scalable shape for range-bucketing a 100 TB fact table.
+    */
+  def q08_band_join(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("small", 0.0, 100000.0),
+      ("medium", 100000.0, 250000.0),
+      ("large", 250000.0, 400000.0),
+      ("jumbo", 400000.0, 1000000.0)).toDF("band", "lo", "hi")
+    val o = Tables.orders(s, d)
+    o.join(broadcast(bands),
+        o("o_totalprice") >= bands("lo") && o("o_totalprice") < bands("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+  }
+
+  // ------------------------------------------------- grouping sets / windows
+
+  def q10_rollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("volume"), count(lit(1)).as("n_orders"))
+  }
+
+  def q11_cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+
+  /** Ranking window: top-3 orders per market segment. The window shuffles
+    * once on the partition key; ties broken by o_orderkey for determinism.
+    */
+  def q12_window_rank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Running-total frame (rows unbounded-preceding..current). */
+  def q13_window_running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_spend", sum(col("o_totalprice").cast(dec)).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+  }
+
+  /** lag/lead analytics: gap in days between consecutive orders per customer. */
+  def q14_window_lag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("gap_days"))
+  }
+
+  // ------------------------------------------------------- sort/topk/set ops
+
+  /** ORDER BY .. LIMIT k → Catalyst TakeOrderedAndProject: each partition
+    * keeps a k-heap, the driver merges k*partitions rows — no global sort.
+    */
+  def q15_topk(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  def q16_union(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+      .withColumn("side", lit("customer"))
+    val su = Tables.supplier(s, d)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+      .withColumn("side", lit("supplier"))
+    c.unionByName(su).groupBy(col("nationkey"), col("side"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def q17_intersect(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersect(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+
+  def q18_except(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .except(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+
+  // ---------------------------------------------------- SQL-surface queries
+  // These go through spark.sql(...) on temp views — the exact entry point the
+  // reference exposed to its users (raw SELECT text, src/loader.py:231).
+
+  private def withViews(s: SparkSession, d: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => Tables.table(s, d, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** IN-subquery (decorrelated by Catalyst into a semi join). */
+  def q19_subquery_in(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders", "customer")(
+      """SELECT o_orderstatus, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY o_orderstatus""".stripMargin)
+
+  /** Scalar subquery → broadcast of a 1-row aggregate. */
+  def q20_scalar_subquery(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "part")(
+      """SELECT p_brand, count(*) AS n_pricey
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand""".stripMargin)
+
+  /** CTE + derived table + join, all in SQL. */
+  def q21_cte(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders", "lineitem")(
+      """WITH order_rev AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT o.o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(r.rev AS DECIMAL(38,6))) AS DOUBLE) AS total_rev
+        |FROM orders o JOIN order_rev r ON o.o_orderkey = r.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin)
+
+  def q31_grouping_sets(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+
+  // ------------------------------------------------------- scalar functions
+
+  def q22_string_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        lower(col("p_type")).as("type_lc"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        trim(concat(lit(" "), col("p_brand"), lit(" "))).as("brand_trim"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devowel"),
+        length(col("p_name")).cast("long").as("name_len"))
+
+  def q23_date_funcs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("volume"))
+
+  def q24_math_case(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 0).as("price_r0"),
+        floor(col("l_discount") * 100).as("disc_pct"),
+        ceil(col("l_tax") * 100).as("tax_pct"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 35, "mid")
+          .otherwise("high").as("qty_bucket"))
+      .filter(col("l_orderkey") % 100 === 0)
+
+  def q25_conditional_null(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("prev_price"), lit(0.0)).as("prev_or_zero"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+        when(col("prev_price").isNull, lit("first"))
+          .otherwise(lit("repeat")).as("order_seq"))
+  }
+
+  /** JSON extraction over events.props (MySQL JSON_EXTRACT parity). */
+  def q26_json(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        davg(col("k")).as("avg_k"),
+        max(col("k")).as("max_k"))
+
+  /** GROUP_CONCAT parity: deterministic ordered string agg. */
+  def q27_group_concat(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val su = Tables.supplier(s, d)
+    n.join(su, n("n_nationkey") === su("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+  }
+
+  /** Pivot: per-user event-type totals (wide schema from groupBy.pivot). */
+  def q29_pivot(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(dsum(col("value")))
+
+  /** As-of join, the scalable way: instead of a per-row theta join
+    * (quadratic in events-per-user), union the two sides and take a running
+    * `last(click_ts)` window — one shuffle, O(n log n) per user. For each
+    * 'error' event: timestamp of the latest 'click' by the same user at-or-
+    * before it.
+    */
+  def q30_asof_join(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin("click", "error"))
+      // clicks sort before errors at equal ts (is_probe 0<1) → ties count as
+      // "at-or-before", matching the oracle's c.ts <= e.ts
+      .withColumn("is_probe", when(col("event_type") === "error", 1).otherwise(0))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_s"))
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> (q01_pricing_summary _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_join_agg" -> (q03_join_agg _),
+    "q04_left_join" -> (q04_left_join _),
+    "q05_full_join" -> (q05_full_join _),
+    "q06_semi_join" -> (q06_semi_join _),
+    "q07_anti_join" -> (q07_anti_join _),
+    "q08_band_join" -> (q08_band_join _),
+    "q09_distinct_agg" -> (q09_distinct_agg _),
+    "q10_rollup" -> (q10_rollup _),
+    "q11_cube" -> (q11_cube _),
+    "q12_window_rank" -> (q12_window_rank _),
+    "q13_window_running" -> (q13_window_running _),
+    "q14_window_lag" -> (q14_window_lag _),
+    "q15_topk" -> (q15_topk _),
+    "q16_union" -> (q16_union _),
+    "q17_intersect" -> (q17_intersect _),
+    "q18_except" -> (q18_except _),
+    "q19_subquery_in" -> (q19_subquery_in _),
+    "q20_scalar_subquery" -> (q20_scalar_subquery _),
+    "q21_cte" -> (q21_cte _),
+    "q22_string_funcs" -> (q22_string_funcs _),
+    "q23_date_funcs" -> (q23_date_funcs _),
+    "q24_math_case" -> (q24_math_case _),
+    "q25_conditional_null" -> (q25_conditional_null _),
+    "q26_json" -> (q26_json _),
+    "q27_group_concat" -> (q27_group_concat _),
+    "q28_having" -> (q28_having _),
+    "q29_pivot" -> (q29_pivot _),
+    "q30_asof_join" -> (q30_asof_join _),
+    "q31_grouping_sets" -> (q31_grouping_sets _),
+  )
+
+  /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |       CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / count(l_discount) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       l_extendedprice * (1 - l_discount) AS net_price
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_discount > 0.05""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_left_join" ->
+      """SELECT n_name, count(c_custkey) AS n_customers,
+        |       coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_bal
+        |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q05_full_join" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS s_nk, count(*) AS n_suppliers
+        |           FROM supplier GROUP BY 1)
+        |SELECT coalesce(nationkey, s_nk) AS nationkey,
+        |       coalesce(n_customers, 0) AS n_customers,
+        |       coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.s_nk""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q08_band_join" ->
+      """SELECT band, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders
+        |JOIN (VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0),
+        |             ('large', 250000.0, 400000.0), ('jumbo', 400000.0, 1000000.0))
+        |     AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q10_rollup" ->
+      """SELECT n_name, o_orderstatus,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderstatus)""".stripMargin,
+    "q11_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3""".stripMargin,
+    "q13_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders""".stripMargin,
+    "q14_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |       datediff('day',
+        |         CAST(lag(o_orderdate, 1) OVER (
+        |           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |         CAST(o_orderdate AS DATE)) AS gap_days
+        |FROM orders""".stripMargin,
+    "q15_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 10""".stripMargin,
+    "q16_union" ->
+      """SELECT nationkey, side, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS side FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS side FROM supplier
+        |) u GROUP BY nationkey, side""".stripMargin,
+    "q17_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin,
+    "q18_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier""".stripMargin,
+    "q19_subquery_in" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q20_scalar_subquery" ->
+      """SELECT p_brand, count(*) AS n_pricey
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |GROUP BY p_brand""".stripMargin,
+    "q21_cte" ->
+      """WITH order_rev AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT o.o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(r.rev AS DECIMAL(38,6))) AS DOUBLE) AS total_rev
+        |FROM orders o JOIN order_rev r ON o.o_orderkey = r.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+    "q22_string_funcs" ->
+      """SELECT p_partkey,
+        |       upper(p_brand) AS brand_uc,
+        |       lower(p_type) AS type_lc,
+        |       substring(p_name, 1, 5) AS name_pfx,
+        |       trim(' ' || p_brand || ' ') AS brand_trim,
+        |       regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+        |       CAST(length(p_name) AS BIGINT) AS name_len
+        |FROM part WHERE p_name LIKE '%a%'""".stripMargin,
+    "q23_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q24_math_case" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_extendedprice, 0) AS price_r0,
+        |       CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+        |       CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+        |       abs(l_quantity - 25) AS qty_dev,
+        |       l_orderkey % 7 AS key_mod7,
+        |       pow(l_quantity, 2) AS qty_sq,
+        |       CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 35 THEN 'mid'
+        |            ELSE 'high' END AS qty_bucket
+        |FROM lineitem WHERE l_orderkey % 100 = 0""".stripMargin,
+    "q25_conditional_null" ->
+      """SELECT o_orderkey,
+        |       coalesce(prev_price, 0.0) AS prev_or_zero,
+        |       nullif(o_orderstatus, 'O') AS status_nz,
+        |       CASE WHEN prev_price IS NULL THEN 'first' ELSE 'repeat' END AS order_seq
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |             lag(o_totalprice, 1) OVER (
+        |               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |      FROM orders) t""".stripMargin,
+    "q26_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(k AS DECIMAL(38,6))) AS DOUBLE) / count(k) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events) t
+        |GROUP BY event_type""".stripMargin,
+    "q27_group_concat" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q28_having" ->
+      """SELECT l_suppkey, CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+        |       count(*) AS n_items
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 1000""".stripMargin,
+    "q29_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS click,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "view",
+        |       CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS purchase,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q30_asof_join" ->
+      """SELECT e.event_id,
+        |       strftime((SELECT max(c.ts) FROM events c
+        |                 WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |                   AND c.ts <= e.ts), '%Y-%m-%d %H:%M:%S') AS last_click_s
+        |FROM events e WHERE e.event_type = 'error'""".stripMargin,
+    "q31_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+  )
+}
