@@ -43,6 +43,9 @@ object Sessions {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.adaptive.enabled", "true")
+    // engine-native functions, reachable from raw SQL text (idempotent)
+    graft.functions.VectorFunctions.register(s)
+    graft.functions.TextFunctions.register(s)
     s
   }
 }

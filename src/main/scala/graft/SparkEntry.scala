@@ -18,7 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val all =
-      operators.RelationalQueries.queries
+      operators.RelationalQueries.queries ++
+        operators.DedupQueries.queries ++
+        operators.SimilarityQueries.queries ++
+        operators.TextQueries.queries ++
+        operators.MultimodalQueries.queries ++
+        operators.StreamingQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
     }
@@ -29,5 +34,10 @@ object SparkEntry {
     * rows-only check (non-SQL-expressible ops).
     */
   def oracleSql: Map[String, String] =
-    operators.RelationalQueries.oracles
+    operators.RelationalQueries.oracles ++
+      operators.DedupQueries.oracles ++
+      operators.SimilarityQueries.oracles ++
+      operators.TextQueries.oracles ++
+      operators.MultimodalQueries.oracles ++
+      operators.StreamingQueries.oracles
 }

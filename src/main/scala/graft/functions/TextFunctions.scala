@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for document fingerprinting (SURVEY.md §2C: near-dup
+  * text dedup, document fingerprinting).
+  *
+  * Both are single-pass per-row kernels over a token array. They use Spark's
+  * own XxHash64 (`XxHash64Function`, seed 42) so token hashes agree with the
+  * built-in `xxhash64()` SQL function. CodegenFallback is acceptable here:
+  * the per-row cost is dominated by the O(tokens * k) arithmetic, not the
+  * eval boxing; the surrounding plan stays columnar and the heavy pairwise
+  * phases downstream (LSH banding joins) are pure built-in operators.
+  */
+
+/** 64-bit SimHash over an `array<string>` of tokens.
+  *
+  * For each token t: h = xxhash64(t); each bit of h votes +1/-1 on the
+  * corresponding output bit; the sign of the tally gives the final bit
+  * (tie counts as 1, fixed for determinism). Documents with similar token
+  * multisets land within small Hamming distance.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (k independent permutations) over an `array<string>` of
+  * shingles: sig_j = min over shingles of ((a_j * (xxhash64(s) mod p) + b_j) mod p),
+  * p = 2^31 - 1. Returns `array<long>` of length k. Banding the signature
+  * (see DedupQueries) gives the standard LSH candidate generation whose
+  * collision probability per band is J(A,B)^r.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val p = MinHashSignature.Prime
+    val as = MinHashSignature.coeffA(k)
+    val bs = MinHashSignature.coeffB(k)
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = java.lang.Math.floorMod(h0, p)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // empty shingle set -> all-MaxValue signature (never collides with real docs)
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  val Prime: Long = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Deterministic permutation coefficients: a odd-ish nonzero, b arbitrary,
+    * both from a fixed LCG so every executor and every round agrees.
+    */
+  private def lcgStream(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+
+  def coeffA(k: Int): Array[Long] =
+    lcgStream(0x9E3779B97F4A7C15L).map(x => java.lang.Math.floorMod(x, Prime - 1) + 1)
+      .take(k).toArray
+  def coeffB(k: Int): Array[Long] =
+    lcgStream(0xC2B2AE3D27D4EB4FL).map(x => java.lang.Math.floorMod(x, Prime))
+      .take(k).toArray
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def simhash64(tokens: Column): Column =
+    column(SimHash64(expression(tokens)))
+
+  def minhash_signature(shingles: Column, k: Int = 16): Column =
+    column(MinHashSignature(expression(shingles), k))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinHashSignature(exprs.head, 16), "built-in")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expression for cosine similarity over embedding columns
+  * (`ArrayType(FloatType|DoubleType)`).
+  *
+  * Why an `Expression` and not a UDF (SURVEY.md §2C): this sits in the inner
+  * loop of similarity search / near-dup scans — at 100 TB it runs per
+  * candidate pair. `doGenCode` emits a tight primitive loop that stays inside
+  * WholeStageCodegen (no boxing, no Row conversion, no serde), which a Scala
+  * UDF cannot.
+  *
+  * Numerics: elements are widened to double and accumulated sequentially in
+  * index order — bit-identical to the DuckDB oracle formulation
+  * `list_sum(list_transform(list_zip(a::DOUBLE[], b::DOUBLE[]), x -> x[1]*x[2]))`,
+  * so correctness checks need no rounding tolerance at all.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if (lt == FloatType || lt == DoubleType) && lt == rt =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity needs two array<float> or two array<double> args, " +
+        s"got ${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+    } else {
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+      }
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xv = (double) $a.$getter($i);
+        |  double $yv = (double) $b.$getter($i);
+        |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+        |}
+        |double $denom = Math.sqrt($na) * Math.sqrt($nb);
+        |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product twin of [[CosineSimilarity]] (same accumulation contract). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if (lt == FloatType || lt == DoubleType) && lt == rt =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs two array<float> or two array<double> args")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    if (isFloat) {
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) $a.$getter($i) * (double) $b.$getter($i);
+        |}
+        |${ev.value} = $dot;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  // Spark 4 unified-Column API: Expression <-> Column bridging lives in the
+  // (private[sql]) classic module; reached via our graftbridge subpackage.
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Column-API entry points. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** SQL registration so `spark.sql("SELECT cosine_similarity(...)")` works
+    * — the reference's users wrote raw SQL, so engine extensions must be
+    * reachable from SQL text too.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.minhash_signature
+import graft.functions.TextFunctions.simhash64
+import graft.functions.VectorFunctions.cosine_similarity
+
+/** Deduplication operators for a training-data pipeline (brief §extended;
+  * SURVEY.md §2C). Five families: exact (hash-groupBy), MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *  - exact dedup is a single hash aggregate — map-side partials, then a
+  *    shuffle carrying one row per distinct key;
+  *  - MinHash/SimHash candidate generation explodes each doc into a few
+  *    (band, hash) rows and self-joins on them — the shuffle key is the
+  *    band hash, so only colliding docs ever meet; no quadratic pass;
+  *  - verification joins candidate ID pairs back to the doc table (ids-only
+  *    shuffle for the distinct, then two key joins) instead of carrying
+  *    shingle arrays through the pair-dedup shuffle;
+  *  - embedding near-dup restricts pairs to a bucket key (label here; the
+  *    ANN buckets of SimilarityQueries in general) before the O(pairs)
+  *    cosine kernel runs.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokenized docs with distinct 3-word shingles (docs with <3 tokens drop). */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Exact dedup by key: keep-first (min id) + multiplicity per
+    * (user_id, event_type) — `dropDuplicates` semantics made deterministic
+    * (dropDuplicates keeps an arbitrary row; min-per-group survives any
+    * partitioning).
+    */
+  def d01_dedup_exact(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_dupes"))
+
+  /** Exact content dedup via cryptographic hash of the payload — the
+    * 100 TB-safe form (the 256-bit key shuffles, the document bodies don't).
+    */
+  def d02_dedup_content_hash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup: 16-hash signature, 4 bands x 4 rows.
+    * Candidates = docs colliding in any band; verified with exact shingle
+    * Jaccard. Collision probability per band is J^4, so threshold-quality
+    * pairs are caught with high recall while the join only ever touches
+    * hash-colliding rows.
+    */
+  def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles")))
+    val bands = docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band_no, " +
+        "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+        "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS band_hash))"))
+      .as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col("doc_id"), col("shingles"))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
+  /** SimHash near-dup: 64-bit signature; LSH over four 16-bit chunks
+    * (two docs within Hamming distance h collide on some chunk unless all
+    * h differing bits spread across every chunk); verified by exact
+    * Hamming distance.
+    */
+  def d04_dedup_simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), simhash64(col("toks")).as("sh"))
+    val chunks = docs.select(col("doc_id"), col("sh"), explode(expr(
+      "transform(sequence(0, 3), c -> struct(c AS chunk_no, " +
+        "(sh DIV CAST(pow(2, 16*c) AS LONG)) % 65536 AS chunk_val))")).as("ch"))
+      .select(col("doc_id"), col("sh"), col("ch.chunk_no"), col("ch.chunk_val"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk_no") === col("y.chunk_no") &&
+          col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+  }
+
+  /** Bucketed n-gram Jaccard near-dup, fully SQL-expressible (the
+    * oracle-checked member of the near-dup family): 3-gram token shingles,
+    * pairs restricted to a (lang, source) bucket key.
+    */
+  def d05_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
+    val t = docShingles(s, d).select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"),
+        jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+  }
+
+  /** Embedding-cosine near-dup over a bucket key. The cosine kernel is the
+    * codegen'd native expression; candidate pairs are bounded by the bucket
+    * (label) join key, never all-pairs.
+    */
+  def d06_embed_neardup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") > 0.35)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> (d01_dedup_exact _),
+    "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
+    "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
+    "d04_dedup_simhash" -> (d04_dedup_simhash _),
+    "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
+    "d06_embed_neardup" -> (d06_embed_neardup _),
+  )
+
+  /** d03/d04 rely on xxhash64-derived signatures (not reproducible in
+    * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
+    */
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+        |       count(*) AS n_dupes
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "d02_dedup_content_hash" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "d05_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        |       len(list_intersect(a.shingles, b.shingles))
+        |         / (len(a.shingles) + len(b.shingles)
+        |            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles))
+        |        / (len(a.shingles) + len(b.shingles)
+        |           - len(list_intersect(a.shingles, b.shingles))) >= 0.1""".stripMargin,
+    "d06_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |         list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, label, sim FROM p WHERE sim > 0.35""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Row carried into the partition-level "decode" kernel (m03). */
+case class MediaBytes(doc_id: Long, media: Array[Byte])
+
+/** Multimodal-column plumbing (brief §extended): media as opaque `binary`
+  * columns with typed metadata, decode / feature-extract / frame-sample as
+  * batch kernels.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`fakeDecodeFeatures`); everything
+  * around it — binary column handling, schema, partition-iterator batch
+  * shape (the Scala twin of `mapInPandas`), explode-based frame sampling —
+  * is real and oracle-checked. Swapping the stub for a JNI/codec call
+  * changes no plumbing.
+  *
+  * Scale shape: all three queries are per-row/per-partition map work over
+  * the scan — zero shuffles; the binary payload never crosses the network.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents.text re-encoded as a stand-in media payload + derived typed
+    * metadata (width/height/frame-count a real decoder would read from the
+    * container header).
+    */
+  private def media(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .withColumn("byte_len", octet_length(col("media")).cast("long"))
+      .withColumn("width", lit(1L) + col("byte_len") % 64)
+      .withColumn("height", lit(1L) + col("byte_len") % 48)
+      .withColumn("n_frames", lit(1L) + col("byte_len") % 7)
+
+  /** Metadata extraction over the binary column. */
+  def m01_media_meta(s: SparkSession, d: String): DataFrame =
+    media(s, d).select(col("doc_id"), col("byte_len"), col("width"),
+      col("height"), col("n_frames"))
+
+  /** Frame sampling: one output row per sampled frame, offset into the
+    * payload — `explode(sequence(...))`, the distributed row-generator.
+    */
+  def m02_frame_sample(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(expr("sequence(0L, n_frames - 1)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("byte_len DIV n_frames")).as("frame_offset"))
+
+  /** STUB "decoder": deterministic byte-residue histogram standing in for a
+    * real image/audio feature extractor. A production build would replace
+    * only the body of this function with the codec call.
+    */
+  private def fakeDecodeFeatures(bytes: Array[Byte]): Array[Long] = {
+    val f = new Array[Long](4)
+    var i = 0
+    while (i < bytes.length) { f((bytes(i) & 0xff) % 4) += 1; i += 1 }
+    f
+  }
+
+  /** Partition-iterator feature extraction — the Scala equivalent of
+    * `mapInPandas`: the kernel sees a whole partition as an iterator (so a
+    * real decoder could batch, reuse buffers, or pin an accelerator), and
+    * output rows are independent of partitioning.
+    */
+  def m03_byte_features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).select(col("doc_id"), col("media")).as[MediaBytes]
+      .mapPartitions { it =>
+        it.map { r =>
+          val f = fakeDecodeFeatures(r.media)
+          (r.doc_id, f(0), f(1), f(2), f(3))
+        }
+      }
+      .toDF("doc_id", "f0", "f1", "f2", "f3")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_meta" -> (m01_media_meta _),
+    "m02_frame_sample" -> (m02_frame_sample _),
+    "m03_byte_features" -> (m03_byte_features _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |       1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |       1 + CAST(octet_length(encode(text)) AS BIGINT) % 48 AS height,
+        |       1 + CAST(octet_length(encode(text)) AS BIGINT) % 7 AS n_frames
+        |FROM documents""".stripMargin,
+    "m02_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 7 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id,
+        |       unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+        |       unnest(generate_series(0, n_frames - 1)) * (byte_len // n_frames)
+        |         AS frame_offset
+        |FROM m""".stripMargin,
+    "m03_byte_features" ->
+      """WITH c AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), ch -> ord(ch)) AS cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(cs, x -> x % 4 = 0)) AS BIGINT) AS f0,
+        |       CAST(len(list_filter(cs, x -> x % 4 = 1)) AS BIGINT) AS f1,
+        |       CAST(len(list_filter(cs, x -> x % 4 = 2)) AS BIGINT) AS f2,
+        |       CAST(len(list_filter(cs, x -> x % 4 = 3)) AS BIGINT) AS f3
+        |FROM c""".stripMargin,
+  )
+}

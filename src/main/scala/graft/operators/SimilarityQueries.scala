@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
+
+/** Approximate / exact nearest-neighbor search over the `embeddings` table
+  * (brief §extended: similarity search). Two paths:
+  *
+  *  - brute-force top-k (the correctness baseline): broadcast the query
+  *    vectors, one scan of the corpus, codegen'd cosine kernel, per-query
+  *    top-k via a rank window. At 100 TB the corpus scan is embarrassingly
+  *    parallel and the only shuffle carries |queries| x k candidate rows.
+  *  - sign-LSH bucketed ANN (the scale path): 16 random-hyperplane buckets
+  *    computed in the scan, bucket-equality join prunes the candidate set to
+  *    ~1/16 of the corpus per query before the cosine kernel runs. Same
+  *    structure generalizes to IVF with learned centroids.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NQueries = 10
+
+  private def queriesSide(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact top-k cosine for each of the 10 query vectors. */
+  def s01_knn_bruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = queriesSide(s, d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
+  /** Deterministic +-1 hyperplanes for sign-LSH (fixed LCG — every executor,
+    * session and round derives the same planes; no RNG state shipped).
+    */
+  private[operators] def planes(nPlanes: Int = 4, dim: Int = 64): Array[Array[Float]] = {
+    var x = 0x51AF3B72C9D4E815L
+    Array.fill(nPlanes, dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (x > 0) 1.0f else -1.0f
+    }
+  }
+
+  private def bucketOf(emb: Column): Column = {
+    val ps = planes()
+    ps.zipWithIndex.map { case (p, j) =>
+      val planeLit = typedLit(p.toSeq)
+      when(dot_product(emb, planeLit) > 0, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+  }
+
+  /** ANN via sign-LSH: candidates share the query's 4-bit sign bucket.
+    * Returns per-query in-bucket top-k (approximate by construction —
+    * that's the trade: touch ~6% of the corpus instead of 100%).
+    */
+  def s02_ann_lsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val q = queriesSide(s, d)
+      .withColumn("q_bucket", bucketOf(col("q_emb")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
+  /** Dot-product scoring against a single broadcast query vector via the
+    * native kernel — the "rank corpus by relevance" shape; top-20 overall
+    * (TakeOrderedAndProject, no global sort).
+    */
+  def s03_dot_topk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        dot_product(col("q_emb"), col("embedding")).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
+    "s02_ann_lsh" -> (s02_ann_lsh _),
+    "s03_dot_topk" -> (s03_dot_topk _),
+  )
+
+  /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual
+    * DuckDB double formulation below is bit-identical to the codegen'd
+    * sequential-double kernel (verified, see VectorFunctions scaladoc).
+    */
+  val oracles: Map[String, String] = Map(
+    "s01_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "s03_dot_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                               x -> x[1] * x[2])) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+  )
+}

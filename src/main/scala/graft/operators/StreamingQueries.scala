@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing over the `events` table. The same `window()` /
+  * `session_window()` groupings run identically under Structured Streaming
+  * (`readStream` + watermark — exercised in StreamingSpec); registered here
+  * in batch mode so the driver's DuckDB oracle can check the semantics.
+  *
+  * Timestamps are formatted to whole seconds at the output boundary: the
+  * parquet carries ns, Spark computes in µs, DuckDB in ns — second
+  * granularity is the shared precision (see Tables.events).
+  */
+object StreamingQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def st01_tumbling_window(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("volume"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("volume"))
+
+  /** Session windows (30-minute inactivity gap) per user. The oracle
+    * reproduces merge semantics with the classic lag + running-sum
+    * sessionization, which is also the scalable pure-SQL fallback on
+    * engines without a native session window.
+    */
+  def st02_session_window(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+
+  /** Sliding windows (1 hour every 15 min): each event lands in 4 windows —
+    * the windowed-rate shape used for stream monitoring.
+    */
+  def st03_sliding_window(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_errors"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("n_errors"))
+
+  val queries: Map[String, Q] = Map(
+    "st01_tumbling_window" -> (st01_tumbling_window _),
+    "st02_session_window" -> (st02_session_window _),
+    "st03_sliding_window" -> (st03_sliding_window _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "st01_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st02_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events
+        |FROM y GROUP BY user_id, sid""".stripMargin,
+    "st03_sliding_window" ->
+      """WITH e AS (SELECT ts FROM events WHERE event_type = 'error'),
+        |w AS (
+        |  SELECT date_trunc('minute', ts)
+        |           - (EXTRACT(minute FROM ts)::INT % 15) * INTERVAL 1 MINUTE
+        |           - (k * 15) * INTERVAL 1 MINUTE AS win_start
+        |  FROM e, unnest([0, 1, 2, 3]) AS t(k))
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       count(*) AS n_errors
+        |FROM w GROUP BY 1""".stripMargin,
+  )
+}

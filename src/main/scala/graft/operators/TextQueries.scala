@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (brief §extended):
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All are single-pass, codegen'd expression pipelines over
+  * the scan — no shuffle at all until an (optional) aggregate, so they
+  * stream at parquet-scan speed regardless of corpus size.
+  *
+  * Every query here is oracle-checked: the expression trees are written
+  * identically on both engines (same op order), so double results match
+  * bit-for-bit without tolerance.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** N-gram/stopword language-ID heuristic. The fixture text is synthetic
+    * word soup, so the interesting output is the deterministic score
+    * pipeline, not classifier accuracy; `agrees_label` records agreement
+    * with the labeled lang for audit.
+    */
+  def t01_lang_id(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("en_stop_ratio", expr(
+        "size(filter(toks, x -> array_contains(array('the', 'a', 'of', 'and'), x)))") /
+        col("n_tokens"))
+      .withColumn("predicted_lang",
+        when(col("en_stop_ratio") >= 0.04, "en").otherwise("other"))
+      .select(col("doc_id"), col("n_tokens"), col("en_stop_ratio"),
+        col("predicted_lang"),
+        (col("predicted_lang") === col("lang")).as("agrees_label"))
+
+  /** Quality scoring: length/stopword/short-token ratios folded into a
+    * deterministic score + bucket.
+    */
+  def t02_quality_score(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("short_ratio",
+        expr("size(filter(toks, x -> length(x) <= 2))") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+      // sqrt, not ln: Math.log and libm log can differ by 1 ulp, sqrt is
+      // correctly-rounded everywhere -> bit-identical scores cross-engine
+      .withColumn("score",
+        sqrt(col("n_tokens")) - col("short_ratio") * 2.0 +
+          col("avg_token_len") * 0.1)
+      .select(col("doc_id"), col("n_tokens"), col("short_ratio"),
+        col("avg_token_len"), col("score"),
+        when(col("score") >= 7.5, "keep").otherwise("drop").as("verdict"))
+
+  /** Token counting three ways: whitespace split, alpha-run regex, and a
+    * BPE-ish bounded-piece regex (greedy 1-4 char pieces — the token-budget
+    * estimator shape).
+    */
+  def t03_token_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+")).cast("long").as("n_alpha_runs"),
+        regexp_count(col("text"), lit("[a-z]{1,4}")).cast("long").as("n_bpeish"))
+
+  /** Polynomial rolling-hash fingerprint over the character stream
+    * (mod 1e9+7, base 31) — built from `aggregate`/`transform` HOFs so the
+    * whole thing stays inside codegen; identical fold on the DuckDB side via
+    * list_reduce with a prepended zero accumulator.
+    */
+  def t04_fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(
+        "aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS LONG)), " +
+          "0L, (acc, c) -> (acc * 31 + c) % 1000000007)").as("fingerprint"))
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> (t01_lang_id _),
+    "t02_quality_score" -> (t02_quality_score _),
+    "t03_token_stats" -> (t03_token_stats _),
+    "t04_fingerprint" -> (t04_fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))
+        |           / len(toks) AS en_stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, en_stop_ratio,
+        |       CASE WHEN en_stop_ratio >= 0.04 THEN 'en' ELSE 'other' END AS predicted_lang,
+        |       (CASE WHEN en_stop_ratio >= 0.04 THEN 'en' ELSE 'other' END) = lang
+        |         AS agrees_label
+        |FROM u""".stripMargin,
+    "t02_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         len(list_filter(toks, x -> length(x) <= 2)) / len(toks) AS short_ratio,
+        |         (n_chars - len(toks) + 1) / len(toks) AS avg_token_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, short_ratio, avg_token_len,
+        |       sqrt(n_tokens) - short_ratio * 2.0 + avg_token_len * 0.1 AS score,
+        |       CASE WHEN sqrt(n_tokens) - short_ratio * 2.0 + avg_token_len * 0.1 >= 7.5
+        |            THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM u""".stripMargin,
+    "t03_token_stats" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_bpeish
+        |FROM documents""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(text) + 1),
+        |             i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+        |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+  )
+}

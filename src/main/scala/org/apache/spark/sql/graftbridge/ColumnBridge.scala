@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column <-> Expression conversions.
+  *
+  * Spark 4's unified Column API hides `Column.expr`/`new Column(expr)`
+  * behind `org.apache.spark.sql.classic.ExpressionUtils`. Living in a
+  * subpackage of `org.apache.spark.sql` grants this object that access —
+  * the customary pattern for third-party libraries that ship native
+  * Catalyst expressions (the supported alternative, FunctionRegistry +
+  * `call_function`, requires a live session at call-composition time).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
