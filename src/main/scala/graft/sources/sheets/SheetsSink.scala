@@ -1,0 +1,210 @@
+package graft.sources.sheets
+
+import java.io.{BufferedWriter, FileWriter}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicReference
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, DateTimeUtils, MapData}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** "Sheets"-shaped DataSource V2 sink (SURVEY.md §7 step 3): the one
+  * genuinely custom connector in the reference's pipeline, re-expressed as a
+  * Spark `TableProvider` + `SupportsWrite`.
+  *
+  * Semantics carried over from `/root/reference/src/loader.py`:
+  *  - upsert-by-name: one logical spreadsheet per `name` option; an existing
+  *    sheet with that name is replaced in place, else created
+  *    (`src/loader.py:159-179`) — here `<dest>/<name>.csv` with an atomic
+  *    temp-file + move;
+  *  - all-string coercion: the reference spools through `csv.writer`
+  *    (`src/loader.py:239-245`), so values are stringified at the sink
+  *    boundary (timestamps UTC, null -> empty, minimal CSV quoting like
+  *    Python's csv module);
+  *  - 2,000,000-cell guard incl. header row: over-limit results are
+  *    SKIPPED, not truncated (`src/loader.py:250-253`) — enforced in
+  *    `BatchWrite.commit` from per-task row counts, so no second count job
+  *    runs and no partial sheet is ever visible;
+  *  - zero-egress: a local destination directory emulates the Drive folder;
+  *    a production build would swap the file move in `commit` for the
+  *    resumable-upload client (`src/loader.py:180-183`) behind the same
+  *    interface.
+  *
+  * Scale notes: tasks write CSV parts in parallel (no driver bottleneck);
+  * `commit` concatenates parts in partition order — safe here because the
+  * cell cap bounds every committed sheet to <2M cells, i.e. the merge is
+  * O(bounded) regardless of cluster size. Oversize results are detected
+  * from commit-message counts BEFORE any merge work happens.
+  */
+class SheetsSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sheets"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // write-only source: schema comes from the query
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new SheetsTable(schema)
+}
+
+final class SheetsTable(writeSchema: StructType) extends Table with SupportsWrite {
+  override def name(): String = "sheets"
+  override def schema(): StructType = writeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // upsert-by-name IS the overwrite
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          val opts = info.options()
+          val dest = Option(opts.get("path")).getOrElse(
+            throw new IllegalArgumentException("sheets sink: missing path"))
+          val sheet = Option(opts.get("name")).getOrElse(
+            throw new IllegalArgumentException("sheets sink: missing 'name' option"))
+          val limit = Option(opts.get("cellLimit")).map(_.toLong)
+            .getOrElse(graft.etl.CellGuard.DefaultLimit)
+          new SheetsBatchWrite(dest, sheet, limit, info.schema())
+        }
+      }
+    }
+}
+
+final case class SheetsCommitMessage(partPath: String, rows: Long)
+  extends WriterCommitMessage
+
+final case class CommitMeta(name: String, rows: Long, cells: Long, skipped: Boolean)
+
+object SheetsSink {
+  /** Driver-side record of the last commit (read by EtlRunner to
+    * distinguish loaded vs cell-guard-skipped — the reference logged and
+    * continued, `src/loader.py:250-253`).
+    */
+  val lastCommit = new AtomicReference[CommitMeta]()
+}
+
+final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
+    schema: StructType) extends BatchWrite {
+
+  private val staging = Paths.get(dest, s".staging-$sheet-${java.util.UUID.randomUUID()}")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(staging)
+    new SheetsWriterFactory(staging.toString, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[SheetsCommitMessage])
+    val rows = msgs.map(_.rows).sum
+    val cells = graft.etl.CellGuard.cells(rows, schema.length)
+    if (cells >= cellLimit) {
+      // reference behavior: log error, skip the upload entirely (:250-253)
+      cleanup()
+      SheetsSink.lastCommit.set(CommitMeta(sheet, rows, cells, skipped = true))
+      return
+    }
+    val target = Paths.get(dest, s"$sheet.csv")
+    val tmp = Paths.get(dest, s".$sheet.csv.tmp")
+    Files.createDirectories(Paths.get(dest))
+    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try {
+      out.write(schema.fieldNames.map(CsvFormat.quote).mkString(",")) // header, src/loader.py:240
+      out.write("\n")
+      msgs.sortBy(_.partPath).foreach { m =>
+        val p = Paths.get(m.partPath)
+        if (Files.exists(p)) {
+          val in = Files.newBufferedReader(p, StandardCharsets.UTF_8)
+          try {
+            val buf = new Array[Char](64 * 1024)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    } finally out.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE) // update-in-place upsert (:168-174)
+    cleanup()
+    SheetsSink.lastCommit.set(CommitMeta(sheet, rows, cells, skipped = false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    if (Files.exists(staging)) {
+      Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staging)
+    }
+}
+
+final class SheetsWriterFactory(stagingDir: String, schema: StructType)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SheetsDataWriter(stagingDir, partitionId, taskId, schema)
+}
+
+/** Per-task CSV part writer: row-streamed like the reference's temp-file
+  * spool (`src/loader.py:236-246`) — O(1) memory in rows.
+  */
+final class SheetsDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
+    schema: StructType) extends DataWriter[InternalRow] {
+
+  // part file named so commit-time sort restores partition order
+  private val path = Paths.get(stagingDir, f"part-$partitionId%05d-$taskId")
+  private val out = new BufferedWriter(new FileWriter(path.toFile, StandardCharsets.UTF_8))
+  private var rows = 0L
+  private val converters: Array[Any => String] =
+    schema.fields.map(f => CsvFormat.converter(f.dataType))
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      if (!row.isNullAt(i)) // null -> empty cell, like csv.writer on None
+        sb.append(CsvFormat.quote(converters(i)(row.get(i, schema(i).dataType))))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    SheetsCommitMessage(path.toString, rows)
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(path) }
+  override def close(): Unit = ()
+}
+
+/** String coercion + minimal quoting emulating Python's `csv.writer`
+  * defaults (quote only when needed; embedded quotes doubled).
+  */
+object CsvFormat {
+  def quote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  def converter(dt: DataType): Any => String = dt match {
+    case StringType => v => v.asInstanceOf[UTF8String].toString
+    case TimestampType => v =>
+      DateTimeUtils.microsToInstant(v.asInstanceOf[Long]).toString // UTC ISO-8601
+    case DateType => v =>
+      DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int]).toString
+    case _: DecimalType => v =>
+      v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
+    case BinaryType => v =>
+      java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
+    case _ => v => v.toString // numeric / boolean primitives
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.etl._
+
+class CellGuardSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("cells counts header row like the reference (src/loader.py:241-246)") {
+    // 1 data row x 2 cols -> 4 cells (incl. header)
+    assert(CellGuard.cells(1, 2) == 4)
+    assert(CellGuard.cells(0, 3) == 3) // header only
+  }
+  test("skip is >= limit, not > (src/loader.py:250)") {
+    assert(CellGuard.exceeds(1999999, 1, 2000000L))
+    assert(!CellGuard.exceeds(1999998, 1, 2000000L))
+  }
+  test("property: cells = (rows+1)*cols across random inputs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val r = rnd.nextLong(1000000L)
+      val c = 1 + rnd.nextInt(100)
+      assert(CellGuard.cells(r, c) == (r + 1) * c)
+      assert(CellGuard.exceeds(r, c, (r + 1) * c)) // boundary: >= skips
+    }
+  }
+}
+
+class HumanSizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("log-1024 bucketing mirrors convert_size (src/loader.py:61-75)") {
+    assert(HumanSize.convertSize(0) == "0B")
+    assert(HumanSize.convertSize(512) == "512.0B")
+    assert(HumanSize.convertSize(1024) == "1.0KB")
+    assert(HumanSize.convertSize(1536) == "1.5KB")
+    assert(HumanSize.convertSize(1048576) == "1.0MB")
+  }
+}
+
+class EtlRunnerSpec extends SparkTestBase {
+  test("discover filters to .sql and strips suffix (src/loader.py:200,153)") {
+    val dir = Files.createTempDirectory("sqlsrc")
+    Files.writeString(dir.resolve("b_query.sql"), "SELECT 1 AS one")
+    Files.writeString(dir.resolve("a_query.sql"), "SELECT 2 AS two")
+    Files.writeString(dir.resolve("notes.txt"), "not sql")
+    val specs = SqlFolderSource.discover(dir.toString)
+    assert(specs.map(_.name) == Seq("a_query", "b_query"))
+    assert(specs.head.sql.contains("SELECT 2"))
+  }
+
+  test("run: executes, isolates failures, enforces cell guard, upserts by name") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v").createOrReplaceTempView("t_src")
+    val src = Files.createTempDirectory("sqlsrc")
+    val dest = Files.createTempDirectory("sheets")
+    Files.writeString(src.resolve("good.sql"), "SELECT k, v FROM t_src ORDER BY k")
+    Files.writeString(src.resolve("broken.sql"), "SELEC k FROM") // parse error
+    Files.writeString(src.resolve("too_big.sql"), "SELECT * FROM t_src CROSS JOIN t_src")
+    // cellLimit 10: good = (3+1)*2 = 8 cells < 10; too_big = (9+1)*2 = 20 >= 10
+    val out = EtlRunner.run(spark, src.toString, dest.toString, cellLimit = 10)
+    val byName = out.map(o => o.name -> o).toMap
+    assert(byName("good").isInstanceOf[EtlLoaded])
+    assert(byName("broken").asInstanceOf[EtlSkipped].reason.startsWith("SQL error"))
+    assert(byName("too_big").asInstanceOf[EtlSkipped].reason.startsWith("cell limit"))
+    // loaded sheet: header + rows, no file for skipped queries
+    val good = Files.readString(dest.resolve("good.csv"))
+    assert(good == "k,v\n1,x\n2,y\n3,z\n")
+    assert(!Files.exists(dest.resolve("too_big.csv")))
+    assert(!Files.exists(dest.resolve("broken.csv")))
+    // upsert-by-name: re-run overwrites in place (src/loader.py:159-179)
+    Files.writeString(src.resolve("good.sql"), "SELECT k FROM t_src WHERE k = 1")
+    EtlRunner.run(spark, src.toString, dest.toString, cellLimit = 10)
+    assert(Files.readString(dest.resolve("good.csv")) == "k\n1\n")
+  }
+
+  test("csv quoting matches python csv.writer minimal style") {
+    assert(etl.CellGuard.cells(0, 1) == 1)
+    import graft.sources.sheets.CsvFormat
+    assert(CsvFormat.quote("plain") == "plain")
+    assert(CsvFormat.quote("a,b") == "\"a,b\"")
+    assert(CsvFormat.quote("say \"hi\"") == "\"say \"\"hi\"\"\"")
+  }
+}

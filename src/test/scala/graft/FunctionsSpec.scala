@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions._
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_similarity: orthogonal=0, identical=1, opposite=-1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))) // zero vector -> 0 by convention
+      .toDF("a", "b")
+    val got = df.select(cosine_similarity($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-15)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+    assert(math.abs(got(2) + 1.0) < 1e-15)
+    assert(got(3) == 0.0)
+  }
+
+  test("dot_product matches hand computation, double arrays too") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(dot_product($"a", $"b")).as[Double].head() == 32.0)
+  }
+
+  test("registered in SQL: raw query text can call the engine functions") {
+    Sessions.tune(spark)
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c").head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-15)
+  }
+
+  test("codegen and interpreted eval agree on real embeddings") {
+    val e = Tables.embeddings(spark, sf).limit(20).cache()
+    val q = e.select($"embedding".as("q")).limit(1)
+    val viaCodegen = e.crossJoin(broadcast(q))
+      .select(cosine_similarity($"q", $"embedding").as("c")).as[Double].collect()
+    // WholeStageCodegen off -> interpreted eval path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = e.crossJoin(broadcast(q))
+        .select(cosine_similarity($"q", $"embedding").as("c")).as[Double].collect()
+      assert(viaCodegen.toSeq == viaEval.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("simhash64 is deterministic and token-order independent") {
+    val df = Seq(
+      Seq("spark", "fast", "table"),
+      Seq("table", "spark", "fast"),
+      Seq("entirely", "different", "words")).toDF("toks")
+    val hs = df.select(simhash64($"toks")).as[Long].collect()
+    assert(hs(0) == hs(1)) // bag-of-tokens semantics
+    assert(hs(0) != hs(2))
+  }
+
+  test("minhash_signature: 16 hashes; equal sets equal sigs; similar sets share components") {
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e", "d e f"),
+      Seq("a b c", "b c d", "c d e", "d e f"),
+      Seq("a b c", "b c d", "c d e", "x y z"), // jaccard 3/5
+      Seq("p q r", "q r s", "r s t", "s t u")) // disjoint
+      .toDF("sh")
+    val sigs = df.select(minhash_signature($"sh")).as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    def shared(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).count { case (x, y) => x == y }
+    // signature agreement estimates jaccard: similar >> disjoint
+    assert(shared(sigs(0), sigs(2)) > shared(sigs(0), sigs(3)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity on the smoke fixture (the DuckDB oracle at sf0.01 is
+  * the authoritative gate — see scripts/precheck.py; these specs pin shapes
+  * and a few exact values so regressions fail fast in `sbt test`.
+  */
+class QueriesSpec extends SparkTestBase {
+
+  test("every registered query runs and returns a non-empty schema on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without query: $orphans")
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q15 top-k returns exactly k rows, sorted") {
+    val rows = SparkEntry.queries("q15_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("l_extendedprice"))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+  }
+
+  test("q05 full join covers nations missing from either side") {
+    val df = SparkEntry.queries("q05_full_join")(spark, sf)
+    val withNoSupp = df.filter(col("n_suppliers") === 0).count()
+    assert(withNoSupp > 0) // 25 nations, 10 suppliers -> some nations lack suppliers
+  }
+
+  test("s01 knn: k results per query, self excluded, sim within [-1,1]") {
+    val rows = SparkEntry.queries("s01_knn_bruteforce")(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries x k=5
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("sim")) <= 1.0))
+  }
+
+  test("d03 minhash-lsh finds the corpus's true near-duplicates") {
+    val rows = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("st02 session windows: every session has >= 1 event") {
+    val df = SparkEntry.queries("st02_session_window")(spark, sf)
+    assert(df.filter(col("n_events") < 1).count() == 0)
+    assert(df.count() > 0)
+  }
+}

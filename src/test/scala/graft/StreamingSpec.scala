@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Real Structured Streaming runs (readStream -> watermark -> windowed agg
+  * -> memory sink), checked against the batch twins in StreamingQueries.
+  * The parquet fixture drives the stream (one file = one micro-batch via
+  * processAllAvailable).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private def eventsStreamDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"), dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("tumbling window with watermark over the stream == batch result") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val normalized = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val agg = normalized
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_tumbling")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_tumbling")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = operators.StreamingQueries.st01_tumbling_window(spark, sf)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful stream: running per-user event count via groupBy on keys") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val counts = stream.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_counts")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_counts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("user_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+}
