@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
+    // warmup: JIT + codegen-cache + parquet footer caches on the tiny SF so
+    // per-query timings measure the operator, not first-run JVM effects
+    try SparkEntry.queries.values.foreach(f =>
+      f(spark, "/root/testdata/sf0.001").count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -205,6 +205,10 @@ object CsvFormat {
       v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
     case BinaryType => v =>
       java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
-    case _ => v => v.toString // numeric / boolean primitives
+    case DoubleType | FloatType => v =>
+      // plain decimal, not scientific: python csv.writer writes str(float)
+      // ("101849260.91", never "1.0184926091E8"); keep shortest-repr digits
+      new java.math.BigDecimal(v.toString).toPlainString
+    case _ => v => v.toString // integral / boolean primitives
   }
 }
