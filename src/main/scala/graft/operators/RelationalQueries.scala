@@ -390,6 +390,17 @@ object RelationalQueries {
         date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_s"))
   }
 
+  /** HLL++ approximate distinct next to the exact count (no oracle: sketch
+    * estimates are engine-specific). At 100 TB this is the only affordable
+    * way to count distincts per group — mergeable sketches, no exact-distinct
+    * shuffle expansion.
+    */
+  def q32_approx_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -424,6 +435,7 @@ object RelationalQueries {
     "q29_pivot" -> (q29_pivot _),
     "q30_asof_join" -> (q30_asof_join _),
     "q31_grouping_sets" -> (q31_grouping_sets _),
+    "q32_approx_distinct" -> (q32_approx_distinct _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */

@@ -93,10 +93,38 @@ object SimilarityQueries {
       .limit(20)
   }
 
+  /** IVF-style ANN: coarse-quantize the corpus into cells (centroid = typed
+    * VectorMean UDAF per label — stand-in for k-means iterations, same
+    * shapes), route each query to its nearest centroid, then search only
+    * that cell. Two broadcast joins + one rank window; the corpus is
+    * scanned once and only the probed cell's vectors hit the cosine kernel.
+    */
+  def s04_ivf_ann(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorMean.vector_mean
+    val e = Tables.embeddings(s, d)
+    val cells = e.groupBy(col("label").as("cell"))
+      .agg(vector_mean(col("embedding")).as("centroid"))
+    val q = queriesSide(s, d)
+      .crossJoin(broadcast(cells))
+      .withColumn("c_sim",
+        cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
+      .filter(col("c_rk") === 1) // nearest cell per query (nprobe = 1)
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),
+    "s04_ivf_ann" -> (s04_ivf_ann _),
   )
 
   /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual

@@ -43,6 +43,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("custom state: mapGroupsWithState running per-user max value") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .as[(Long, Double)]
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val hi = (rows.map(_._2) ++ state.getOption.iterator).max
+          state.update(hi)
+          (user, hi)
+      }
+    val q = updated.toDF("user_id", "max_value").writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("stream_state")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_state").groupBy(col("user_id"))
+      .agg(max(col("max_value")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(max(col("value")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
