@@ -117,15 +117,28 @@ object DedupQueries {
   /** Bucketed n-gram Jaccard near-dup, fully SQL-expressible (the
     * oracle-checked member of the near-dup family): 3-gram token shingles,
     * pairs restricted to a (lang, source) bucket key.
+    *
+    * Inverted-index formulation: explode shingles, self-join on the shingle
+    * (within the bucket), count common shingles per pair, then jaccard from
+    * the per-doc set sizes. Cost is O(shingle occurrences x bucket
+    * co-occurrence), never O(doc-pairs x array-intersect) — pairs with zero
+    * overlap are never materialized, which is what survives a 100x corpus
+    * (a production run would also drop ultra-common shingles by document
+    * frequency before the join to cap key skew).
     */
   def d05_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val t = docShingles(s, d).select(col("doc_id"), col("lang"), col("source"), col("shingles"))
-    t.as("a").join(t.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+    val ex = docShingles(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
+    ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.lang").as("lang"),
-        jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"), col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= 0.1)
   }
 
@@ -171,16 +184,20 @@ object DedupQueries {
         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
         |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
         |        FROM documents)
-        |  WHERE len(toks) >= 3)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-        |       len(list_intersect(a.shingles, b.shingles))
-        |         / (len(a.shingles) + len(b.shingles)
-        |            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-        |FROM t a JOIN t b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.shingles, b.shingles))
-        |        / (len(a.shingles) + len(b.shingles)
-        |           - len(list_intersect(a.shingles, b.shingles))) >= 0.1""".stripMargin,
+        |  WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n,
+        |         unnest(shingles) AS shingle
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        |         a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM e a JOIN e b
+        |    ON a.shingle = b.shingle AND a.lang = b.lang
+        |   AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
     "d06_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
