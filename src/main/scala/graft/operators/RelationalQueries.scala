@@ -401,6 +401,21 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** q12's semantics on the native two-phase heap operator
+    * (graft.plans.TopKPerGroup) instead of a window sort — oracle-checked
+    * against the same SQL, proving the custom SparkPlan is correct.
+    */
+  def q33_topk_native(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.TopKPerGroup.topK(joined,
+      Seq("c_mktsegment"),
+      Seq(graft.plans.TopKPerGroup.Ord("o_totalprice", desc = true),
+        graft.plans.TopKPerGroup.Ord("o_orderkey")), 3)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -436,6 +451,7 @@ object RelationalQueries {
     "q30_asof_join" -> (q30_asof_join _),
     "q31_grouping_sets" -> (q31_grouping_sets _),
     "q32_approx_distinct" -> (q32_approx_distinct _),
+    "q33_topk_native" -> (q33_topk_native _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -642,5 +658,12 @@ object RelationalQueries {
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q33_topk_native" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rk <= 3""".stripMargin,
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{TopKPerGroup, TopKPerGroupExec}
+import graft.plans.TopKPerGroup.Ord
+
+class TopKPlanSpec extends SparkTestBase {
+
+  private def joined = {
+    val o = Tables.orders(spark, sf)
+    val c = Tables.customer(spark, sf)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  test("native top-k matches the window formulation exactly") {
+    val native = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
+      Seq(Ord("o_totalprice", desc = true), Ord("o_orderkey")), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val window = SparkEntry.queries("q12_window_rank")(spark, sf)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(native == window)
+  }
+
+  test("plan has partial + final heap phases with one exchange between") {
+    val df = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
+      Seq(Ord("o_totalprice", desc = true), Ord("o_orderkey")), 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // AQE wrapper hides the real operators from collect
+      case p => p
+    }
+    val execs = plan.collect { case t: TopKPerGroupExec => t }
+    assert(execs.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final TopKPerGroupExec, got:\n$plan")
+  }
+
+  test("k larger than any group returns everything; k=1 returns group maxima") {
+    val all = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
+      Seq(Ord("o_orderkey")), 1000000).count()
+    assert(all == joined.count())
+    val tops = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
+      Seq(Ord("o_totalprice", desc = true), Ord("o_orderkey")), 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val expect = joined.groupBy(col("c_mktsegment")).agg(max(col("o_totalprice")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tops == expect)
+  }
+}
