@@ -129,11 +129,55 @@ object MinHashSignature {
       .take(k).toArray
 }
 
+/** Distinct n-word shingles from a token array, in one native pass.
+  *
+  * The composable form (`transform(sequence(...), i -> concat_ws(...))` +
+  * `array_distinct`) runs as interpreted lambda evals per element (Spark
+  * HOFs are CodegenFallback) and gets duplicated wherever the column is
+  * referenced (size + explode) — measured as the dominant cost of the
+  * near-dup pipeline. This expression builds the distinct shingle set in a
+  * single tight loop over UTF8Strings.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles needs array<string> (and n >= 1), got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
+
+  def word_shingles(tokens: Column, n: Int = 3): Column =
+    column(WordShingles(expression(tokens), n))
 
   def minhash_signature(shingles: Column, k: Int = 16): Column =
     column(MinHashSignature(expression(shingles), k))
@@ -144,5 +188,7 @@ object TextFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature", exprs => MinHashSignature(exprs.head, 16), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")
   }
 }

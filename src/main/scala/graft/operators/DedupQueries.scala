@@ -27,14 +27,22 @@ import graft.functions.VectorFunctions.cosine_similarity
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Tokenized docs with distinct 3-word shingles (docs with <3 tokens drop). */
+  /** Tokenized docs with distinct 3-word shingles (docs with <3 tokens drop).
+    *
+    * The repartition decouples compute parallelism from input splits: a
+    * small parquet file arrives as ONE partition, which would serialize the
+    * CPU-heavy shingle/hash pipeline onto a single core (measured 8s -> <2s
+    * at sf0.1 on local[32]). The shuffled payload is just the raw text —
+    * cheap relative to the per-row work it unlocks; at real corpus scale the
+    * scan already has many splits and AQE coalesces any excess.
+    */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .withColumn("shingles",
+        graft.functions.TextFunctions.word_shingles(col("toks"), 3))
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

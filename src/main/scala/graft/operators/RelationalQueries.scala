@@ -416,6 +416,39 @@ object RelationalQueries {
         graft.plans.TopKPerGroup.Ord("o_orderkey")), 3)
   }
 
+  /** UDTF surface: LATERAL VIEW explode in raw SQL (generator in a SELECT). */
+  def q34_lateral_explode(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "documents")(
+      """SELECT tok, count(*) AS n
+        |FROM documents LATERAL VIEW explode(split(text, ' ')) AS tok
+        |GROUP BY tok""".stripMargin)
+
+  /** Map explode over parsed JSON (MySQL JSON_EXTRACT-era parity, arrays/
+    * maps beyond it).
+    */
+  def q35_map_explode(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType))).as(Seq("k_name", "k_val")))
+      .groupBy(col("k_name"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("total"))
+
+  /** RANGE window frame: per-user trailing-1-hour event-value sum, anchored
+    * on epoch seconds so the frame bound is a plain numeric range (shared
+    * precision with the oracle).
+    */
+  def q36_range_frame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    graft.Tables.events(s, d)
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("trailing_hour_value",
+        sum(col("value").cast(dec)).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("trailing_hour_value"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -452,6 +485,9 @@ object RelationalQueries {
     "q31_grouping_sets" -> (q31_grouping_sets _),
     "q32_approx_distinct" -> (q32_approx_distinct _),
     "q33_topk_native" -> (q33_topk_native _),
+    "q34_lateral_explode" -> (q34_lateral_explode _),
+    "q35_map_explode" -> (q35_map_explode _),
+    "q36_range_frame" -> (q36_range_frame _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -665,5 +701,21 @@ object RelationalQueries {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders JOIN customer ON o_custkey = c_custkey) t
         |WHERE rk <= 3""".stripMargin,
+    "q34_lateral_explode" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok""".stripMargin,
+    "q35_map_explode" ->
+      """SELECT 'k' AS k_name, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS total -- duckdb sum(BIGINT) is HUGEINT
+        |FROM events""".stripMargin,
+    "q36_range_frame" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS trailing_hour_value
+        |FROM events""".stripMargin,
   )
 }

@@ -55,6 +55,23 @@ class ScaleSpec extends SparkTestBase {
       s"bucketed join still shuffles:\n$plan")
   }
 
+  test("partition pruning: day-partitioned layout reads only the probed partition") {
+    val dir = java.nio.file.Files.createTempDirectory("events_part").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val days = ev.select(col("day")).distinct().count()
+    assert(days > 1)
+    val probe = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-02")
+      .groupBy(col("event_type")).count()
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.toString
+    // the partition filter must prune at planning, not scan-then-filter
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(scan.contains("2024-01-02"), scan)
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val o = Tables.orders(spark, sf)
     val top = Scale.topKPerGroup(o, Seq("o_orderpriority"),
