@@ -247,6 +247,19 @@ object RelationalQueries {
       .except(
         Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
 
+  /** Bag-semantics set ops (ALL variants keep multiplicity). */
+  def q37_intersect_all(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+
+  def q38_except_all(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").cast("int").as("nationkey"))
+      .exceptAll(
+        Tables.supplier(s, d).select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+
   // ---------------------------------------------------- SQL-surface queries
   // These go through spark.sql(...) on temp views — the exact entry point the
   // reference exposed to its users (raw SELECT text, src/loader.py:231).
@@ -486,6 +499,8 @@ object RelationalQueries {
     "q32_approx_distinct" -> (q32_approx_distinct _),
     "q33_topk_native" -> (q33_topk_native _),
     "q34_lateral_explode" -> (q34_lateral_explode _),
+    "q37_intersect_all" -> (q37_intersect_all _),
+    "q38_except_all" -> (q38_except_all _),
     "q35_map_explode" -> (q35_map_explode _),
     "q36_range_frame" -> (q36_range_frame _),
   )
@@ -705,6 +720,18 @@ object RelationalQueries {
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
         |GROUP BY tok""".stripMargin,
+    "q37_intersect_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |GROUP BY nationkey""".stripMargin,
+    "q38_except_all" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier) t
+        |GROUP BY nationkey""".stripMargin,
     "q35_map_explode" ->
       """SELECT 'k' AS k_name, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

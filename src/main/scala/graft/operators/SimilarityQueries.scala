@@ -120,11 +120,34 @@ object SimilarityQueries {
       .filter(col("rk") <= K)
   }
 
+  /** Cosine via built-in HOFs (`zip_with` + `aggregate`) instead of the
+    * native expression — the compose-first variant on the brief's preference
+    * ladder, kept registered so bench compares it against s01's codegen'd
+    * kernel on identical work. Results are bit-identical (sequential double
+    * fold on both paths).
+    */
+  def s05_zipwith_cosine(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = queriesSide(s, d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    def fold(c: String): String =
+      s"aggregate($c, 0D, (acc, v) -> acc + v)"
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", expr(
+        s"${fold("zip_with(CAST(q_emb AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y)")} / " +
+          s"(sqrt(${fold("transform(CAST(q_emb AS ARRAY<DOUBLE>), v -> v * v)")}) * " +
+          s"sqrt(${fold("transform(CAST(embedding AS ARRAY<DOUBLE>), v -> v * v)")}))"))
+      .select(col("q_id"), col("vec_id"), col("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),
     "s04_ivf_ann" -> (s04_ivf_ann _),
+    "s05_zipwith_cosine" -> (s05_zipwith_cosine _),
   )
 
   /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual
@@ -133,6 +156,20 @@ object SimilarityQueries {
     */
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "s05_zipwith_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |p AS (

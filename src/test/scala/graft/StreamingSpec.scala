@@ -43,6 +43,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup: dropDuplicates with watermark matches batch distinct") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_dedup")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("custom state: mapGroupsWithState running per-user max value") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
