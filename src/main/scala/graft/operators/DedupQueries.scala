@@ -164,8 +164,25 @@ object DedupQueries {
       .filter(col("sim") > 0.35)
   }
 
+  /** Embedding near-dup with sign-LSH candidate buckets instead of the
+    * label key — the general form when no bucket column exists: candidates
+    * share a 4-bit hyperplane-sign bucket (~1/16 of all pairs), then the
+    * codegen'd cosine verifies. This is d06's shape decoupled from labels
+    * and the one that scales to an unlabeled 100 TB corpus.
+    */
+  def d07_embed_neardup_lsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", SimilarityQueries.bucketOf(col("embedding")))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") > 0.3)
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> (d01_dedup_exact _),
+    "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
     "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
     "d04_dedup_simhash" -> (d04_dedup_simhash _),

@@ -51,7 +51,7 @@ object SimilarityQueries {
     }
   }
 
-  private def bucketOf(emb: Column): Column = {
+  private[operators] def bucketOf(emb: Column): Column = {
     val ps = planes()
     ps.zipWithIndex.map { case (p, j) =>
       val planeLit = typedLit(p.toSeq)

@@ -43,6 +43,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery: restart processes only new files, exactly once") {
+    Sessions.tune(spark)
+    val src = Files.createTempDirectory("ckpt_src")
+    val out = Files.createTempDirectory("ckpt_out").toString
+    val ckpt = Files.createTempDirectory("ckpt_meta").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"), src.resolve("batch1.parquet"))
+    val schema = spark.read.parquet(src.toString).schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(src.toString)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    runOnce()
+    assert(spark.read.parquet(out).count() == n)
+    // new file arrives; restart from the same checkpoint
+    Files.copy(Paths.get(s"$sf/events.parquet"), src.resolve("batch2.parquet"))
+    runOnce()
+    // old file not reprocessed, new file processed exactly once
+    assert(spark.read.parquet(out).count() == 2 * n)
+  }
+
   test("streaming dedup: dropDuplicates with watermark matches batch distinct") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
