@@ -31,10 +31,14 @@ object SqlFolderSource {
   def discover(dir: String): Seq[QuerySpec] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator().asScala
-      .filter(f => Files.isRegularFile(f))
-      .filter(_.getFileName.toString.endsWith(".sql")) // src/loader.py:200
-      .toSeq.sortBy(_.getFileName.toString)
+    val stream = Files.list(p)
+    val files =
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f))
+        .filter(_.getFileName.toString.endsWith(".sql")) // src/loader.py:200
+        .toSeq
+      finally stream.close() // directory streams hold an fd until closed
+    files.sortBy(_.getFileName.toString)
       .map { f =>
         val name = f.getFileName.toString.stripSuffix(".sql") // src/loader.py:153
         QuerySpec(f.toString, name, Files.readString(f))
@@ -93,12 +97,12 @@ object EtlRunner {
               .save(destDir)
           } match {
             case Success(_) =>
-              val meta = graft.sources.sheets.SheetsSink.lastCommit.get()
-              if (meta != null && meta.name == q.name && meta.skipped)
-                EtlSkipped(q.name, s"cell limit: ${meta.cells} >= $cellLimit")
-              else
-                EtlLoaded(q.name, if (meta == null) -1 else meta.rows,
-                  if (meta == null) -1 else meta.cells)
+              graft.sources.sheets.SheetsSink.takeCommit(q.name) match {
+                case Some(meta) if meta.skipped =>
+                  EtlSkipped(q.name, s"cell limit: ${meta.cells} >= $cellLimit")
+                case Some(meta) => EtlLoaded(q.name, meta.rows, meta.cells)
+                case None => EtlLoaded(q.name, -1, -1) // committed, counts unknown
+              }
             case Failure(e) =>
               EtlSkipped(q.name, s"write error: ${e.getMessage.linesIterator.next()}")
           }

@@ -159,8 +159,15 @@ case class WordShingles(child: Expression, n: Int)
     var i = 0
     while (i <= m - n) {
       var j = 0
-      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
+      var ok = true
+      while (j < n) {
+        if (arr.isNullAt(i + j)) ok = false
+        else parts(j) = arr.getUTF8String(i + j)
+        j += 1
+      }
+      // windows containing null tokens are skipped, not silently shortened
+      // (concatWs drops nulls, which would emit an (n-1)-gram into the set)
+      if (ok) seen.add(UTF8String.concatWs(sep, parts: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

@@ -42,7 +42,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // error, don't truncate: a 64-vs-32-dim pair would otherwise yield a
+    // plausible-looking but wrong similarity
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     if (isFloat) {
@@ -72,7 +77,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val denom = ctx.freshName("denom")
       s"""
-        |int $n = Math.min($a.numElements(), $b.numElements());
+        |if ($a.numElements() != $b.numElements())
+        |  throw new IllegalArgumentException("cosine_similarity: dimension mismatch "
+        |    + $a.numElements() + " vs " + $b.numElements());
+        |int $n = $a.numElements();
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  double $xv = (double) $a.$getter($i);
@@ -110,7 +118,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     var dot = 0.0
     var i = 0
     if (isFloat) {
@@ -128,7 +139,10 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-        |int $n = Math.min($a.numElements(), $b.numElements());
+        |if ($a.numElements() != $b.numElements())
+        |  throw new IllegalArgumentException("dot_product: dimension mismatch "
+        |    + $a.numElements() + " vs " + $b.numElements());
+        |int $n = $a.numElements();
         |double $dot = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  $dot += (double) $a.$getter($i) * (double) $b.$getter($i);

@@ -18,6 +18,7 @@ class VectorMean(dim: Int) extends Aggregator[Seq[Float], VecMeanBuf, Seq[Double
   override def zero: VecMeanBuf = VecMeanBuf(new Array[Double](dim), 0L)
 
   override def reduce(b: VecMeanBuf, a: Seq[Float]): VecMeanBuf = {
+    if (a == null) return b // skip null vectors like built-in aggregates do
     val n = math.min(dim, a.length)
     var i = 0
     while (i < n) { b.sums(i) += a(i); i += 1 }

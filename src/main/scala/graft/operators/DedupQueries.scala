@@ -108,9 +108,12 @@ object DedupQueries {
   def d04_dedup_simhash(s: SparkSession, d: String): DataFrame = {
     val docs = docShingles(s, d)
       .select(col("doc_id"), simhash64(col("toks")).as("sh"))
+    // unsigned shift + mask, NOT DIV/%: sh is a full-range signed long (bit
+    // 63 set for ~half of docs) and truncating division would decompose
+    // negative hashes into values that never collide with positive ones
     val chunks = docs.select(col("doc_id"), col("sh"), explode(expr(
       "transform(sequence(0, 3), c -> struct(c AS chunk_no, " +
-        "(sh DIV CAST(pow(2, 16*c) AS LONG)) % 65536 AS chunk_val))")).as("ch"))
+        "shiftrightunsigned(sh, 16*c) & 65535 AS chunk_val))")).as("ch"))
       .select(col("doc_id"), col("sh"), col("ch.chunk_no"), col("ch.chunk_val"))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk_no") === col("y.chunk_no") &&

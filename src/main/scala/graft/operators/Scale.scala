@@ -25,6 +25,11 @@ object Scale {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full would duplicate unmatched build-side rows once per salt
+    // replica; only probe-side-preserving join types are sound here
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports probe-side-preserving join types only, got $joinType")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val replicatedSmall = small.withColumn("__salt",

@@ -67,7 +67,7 @@ object StreamingQueries {
       """WITH x AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -29,6 +29,12 @@ import org.apache.spark.sql.execution.SparkStrategy
   * scan + k-rows-per-group shuffle. Output rows within each group are emitted
   * in `ordering` order; callers must include a unique tie-break (same
   * contract as every rank query in this engine).
+  *
+  * Memory bound: each phase holds groups-per-partition x k rows on heap with
+  * no spill path (unlike hash aggregate). Fine for the dimension-like group
+  * cardinalities it targets; for ultra-high-cardinality groups where k rows
+  * x groups outgrows executor memory, use the window formulation (q12) or
+  * pre-partition on the group key so each partition sees fewer groups.
   */
 case class TopKPerGroupNode(groupCols: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {

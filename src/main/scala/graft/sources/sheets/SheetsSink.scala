@@ -3,7 +3,6 @@ package graft.sources.sheets
 import java.io.{BufferedWriter, FileWriter}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.concurrent.atomic.AtomicReference
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -84,11 +83,15 @@ final case class SheetsCommitMessage(partPath: String, rows: Long)
 final case class CommitMeta(name: String, rows: Long, cells: Long, skipped: Boolean)
 
 object SheetsSink {
-  /** Driver-side record of the last commit (read by EtlRunner to
+  /** Driver-side per-sheet commit records (read-and-removed by EtlRunner to
     * distinguish loaded vs cell-guard-skipped — the reference logged and
-    * continued, `src/loader.py:250-253`).
+    * continued, `src/loader.py:250-253`). Keyed by sheet name so concurrent
+    * or interleaved writes cannot misattribute another sheet's counts.
     */
-  val lastCommit = new AtomicReference[CommitMeta]()
+  private val commits =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitMeta]()
+  private[sheets] def recordCommit(m: CommitMeta): Unit = commits.put(m.name, m)
+  def takeCommit(name: String): Option[CommitMeta] = Option(commits.remove(name))
 }
 
 final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
@@ -108,7 +111,7 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
     if (cells >= cellLimit) {
       // reference behavior: log error, skip the upload entirely (:250-253)
       cleanup()
-      SheetsSink.lastCommit.set(CommitMeta(sheet, rows, cells, skipped = true))
+      SheetsSink.recordCommit(CommitMeta(sheet, rows, cells, skipped = true))
       return
     }
     val target = Paths.get(dest, s"$sheet.csv")
@@ -133,14 +136,16 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
     Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE) // update-in-place upsert (:168-174)
     cleanup()
-    SheetsSink.lastCommit.set(CommitMeta(sheet, rows, cells, skipped = false))
+    SheetsSink.recordCommit(CommitMeta(sheet, rows, cells, skipped = false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
 
   private def cleanup(): Unit =
     if (Files.exists(staging)) {
-      Files.list(staging).iterator().asScala.foreach(Files.deleteIfExists(_))
+      val stream = Files.list(staging)
+      try stream.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally stream.close()
       Files.deleteIfExists(staging)
     }
 }
@@ -205,10 +210,18 @@ object CsvFormat {
       v.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal.toPlainString
     case BinaryType => v =>
       java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]])
-    case DoubleType | FloatType => v =>
+    case DoubleType | FloatType => v => {
       // plain decimal, not scientific: python csv.writer writes str(float)
-      // ("101849260.91", never "1.0184926091E8"); keep shortest-repr digits
-      new java.math.BigDecimal(v.toString).toPlainString
+      // ("101849260.91", never "1.0184926091E8"); keep shortest-repr digits.
+      // NaN/Infinity have no BigDecimal form -> python-style literals
+      val str = v.toString
+      str match {
+        case "NaN" => "nan"
+        case "Infinity" => "inf"
+        case "-Infinity" => "-inf"
+        case _ => new java.math.BigDecimal(str).toPlainString
+      }
+    }
     case _ => v => v.toString // integral / boolean primitives
   }
 }
