@@ -183,9 +183,27 @@ object DedupQueries {
       .filter(col("sim") > 0.3)
   }
 
+  /** The APPLY step: produce the deduplicated corpus, not just the pair
+    * report. Keep-smallest-id greedy resolution: any doc appearing as the
+    * larger id of a verified near-dup pair is dropped (left-anti join
+    * against the pair set). One-hop greedy — transitive clusters keep one
+    * doc per chain link rather than one per full cluster, the standard
+    * trade against iterative connected components at corpus scale.
+    */
+  def d08_dedup_apply(s: SparkSession, d: String): DataFrame = {
+    val pairs = d03_dedup_minhash_lsh(s, d).filter(col("jaccard") >= 0.8)
+      .select(col("doc_b").as("drop_id"))
+      .distinct()
+    val docs = Tables.documents(s, d)
+    docs.join(pairs, docs("doc_id") === pairs("drop_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
+    "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
     "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
     "d04_dedup_simhash" -> (d04_dedup_simhash _),

@@ -1,0 +1,53 @@
+package graft
+
+/** Pins the physical-plan properties the 100 TB design depends on, so a
+  * refactor that silently degrades a plan (broadcast -> shuffle join, lost
+  * pushdown, full sort instead of top-k) fails `sbt test`, not a cluster
+  * run. Assertions read the executed plan string after an action (AQE
+  * final plan).
+  */
+class PlanInvariantsSpec extends SparkTestBase {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02 filter+project: predicates pushed to the scan, no exchange") {
+    val p = finalPlan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p.take(800))
+    assert(!p.contains("Exchange"), "projection/filter query must not shuffle")
+  }
+
+  test("q01 agg: filter pushed; scan reads only the 6 needed columns") {
+    val p = finalPlan("q01_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(800))
+    // pruned scan: key columns the query never touches must not be read
+    assert(!p.contains("l_orderkey") && !p.contains("l_partkey") &&
+      !p.contains("l_suppkey"), "column pruning regressed")
+  }
+
+  test("q03 star join: dimension joins broadcast, fact side never shuffles pre-agg") {
+    val p = finalPlan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "star join degraded to sort-merge")
+  }
+
+  test("q15 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("s01 knn: query vectors broadcast; corpus scanned once") {
+    val p = finalPlan("s01_knn_bruteforce")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "knn join degraded from broadcast")
+  }
+
+  test("q06 semi join: planned as a semi join, not inner + dedup") {
+    val p = finalPlan("q06_semi_join")
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+}
