@@ -462,6 +462,34 @@ object RelationalQueries {
       .select(col("event_id"), col("user_id"), col("trailing_hour_value"))
   }
 
+  /** Statistical aggregates from exact decimal sums: stddev and correlation
+    * assembled from sum/sum-of-squares/cross-sum, all summed as
+    * DECIMAL(38,6) then combined in double with an identical expression on
+    * both engines — deterministic, unlike built-in stddev/corr whose
+    * accumulation formulas (Welford vs naive) differ per engine. corr is
+    * rounded to 9dp: the composite mul-sub expression drifts by 1 ulp
+    * across engines (compiler FMA fusion), ~1e-19 — far below 0.5e-9. The SQL
+    * text below IS the oracle text (ANSI subset both engines parse).
+    */
+  private val q39Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |       sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |       round((n * sxy - sx * sy)
+      |         / sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9) AS corr_qty_price
+      |FROM s""".stripMargin
+
+  def q39_stats(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q39Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -503,6 +531,7 @@ object RelationalQueries {
     "q38_except_all" -> (q38_except_all _),
     "q35_map_explode" -> (q35_map_explode _),
     "q36_range_frame" -> (q36_range_frame _),
+    "q39_stats" -> (q39_stats _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -737,6 +766,7 @@ object RelationalQueries {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |            AS BIGINT) AS total -- duckdb sum(BIGINT) is HUGEINT
         |FROM events""".stripMargin,
+    "q39_stats" -> q39Sql,
     "q36_range_frame" ->
       """SELECT event_id, user_id,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
