@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   */
 final case class QuerySpec(id: String, name: String, sql: String)
 
-/** P1-P3: folder listing + `.sql` predicate + content read.
+/** P1-P3: folder listing + `.sql` predicate + content read (driver-side,
+  * since the runner dispatches SQL text from the driver anyway).
   * The Drive variant's server-side pushdown (`q=` filter, `fields=`
-  * projection, `src/loader.py:114-116`) maps to the listing filter here;
-  * for a DSv2 manifest source the same idea is SupportsPushDownFilters.
+  * projection, `src/loader.py:114-116`) is realized as a full DSv2 read
+  * source in [[graft.sources.sqlfolder.SqlFolderDataSource]]
+  * (`format("sqlfolder")`): SupportsPushDownFilters on the name,
+  * SupportsPushDownRequiredColumns skipping content IO.
   */
 object SqlFolderSource {
   def discover(dir: String): Seq[QuerySpec] = {

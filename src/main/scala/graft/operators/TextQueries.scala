@@ -77,7 +77,35 @@ object TextQueries {
         "aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS LONG)), " +
           "0L, (acc, c) -> (acc * 31 + c) % 1000000007)").as("fingerprint"))
 
+  /** TF-IDF top terms per document: tokenize -> term frequencies ->
+    * document frequencies -> idf join -> rank window. The inverted-index
+    * shape again (explode + two hash aggregates + broadcast of the tiny
+    * term-df side); corpus size N arrives via a broadcast 1-row aggregate
+    * (scalar-subquery shape). idf is rounded to 9dp before the multiply:
+    * ln() differs by 1 ulp across libm implementations (~1e-16, far below
+    * the 0.5e-9 boundary), and long * exact-rounded-double is then
+    * bit-identical on both engines.
+    */
+  def t05_tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * round(log(col("n_docs") / col("df")), 9))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t05_tfidf" -> (t05_tfidf _),
     "t01_lang_id" -> (t01_lang_id _),
     "t02_quality_score" -> (t02_quality_score _),
     "t03_token_stats" -> (t03_token_stats _),
@@ -85,6 +113,23 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t05_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         tf.tf * round(ln((SELECT count(*) FROM documents) / dfreq.df), 9)
+        |           AS tfidf
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, rk, term, tf, tfidf FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 3""".stripMargin,
     "t01_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
