@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session-extension entry point for deployments:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * installs the engine's planner strategy (native per-group top-k) and all
+  * SQL-callable native functions at session build time — the supported way
+  * to extend every session of a cluster without code changes. Local code
+  * paths get the same setup lazily via [[Sessions.tune]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => plans.TopKStrategy)
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.CosineSimilarity].getName, "cosine_similarity"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.DotProduct].getName, "dot_product"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.SimHash64].getName, "simhash64"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.SimHash64(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.MinHashSignature].getName, "minhash_signature"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.MinHashSignature(exprs.head, 16)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.WordShingles].getName, "word_shingles"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          functions.WordShingles(exprs.head, 3)))
+  }
+}

@@ -142,7 +142,35 @@ object SimilarityQueries {
       .filter(col("rk") <= K)
   }
 
+  /** IVF with TRAINED centroids: 3 deterministic Lloyd iterations
+    * (graft.functions.KMeans) build an 8-cell coarse quantizer, queries
+    * route to their nearest learned cell, search happens in-cell only.
+    * The full two-stage ANN pipeline: train -> assign -> probe.
+    */
+  def s06_ivf_kmeans(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KMeans
+    val e = Tables.embeddings(s, d)
+    val cells = KMeans.fit(s, e, "vec_id", "embedding", k = 8, iterations = 3)
+    val assigned = KMeans.assign(e, cells, "embedding")
+    val q = queriesSide(s, d)
+      .crossJoin(broadcast(cells))
+      .withColumn("c_sim",
+        cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cluster"))))
+      .filter(col("c_rk") === 1)
+      .select(col("q_id"), col("q_emb"), col("cluster").as("q_cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= K)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),
