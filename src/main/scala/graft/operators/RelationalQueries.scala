@@ -490,6 +490,33 @@ object RelationalQueries {
   def q39_stats(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q39Sql)
 
+  /** Exact median / quartiles per group: Spark `percentile` and DuckDB
+    * `quantile_cont` both do linear interpolation on the sorted values —
+    * midpoint arithmetic on identical doubles is identical.
+    */
+  def q40_median(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderstatus,
+        |       percentile(o_totalprice, 0.5) AS median_price,
+        |       percentile(o_totalprice, 0.25) AS p25,
+        |       percentile(o_totalprice, 0.75) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+
+  /** Deterministic systematic sampling — the reproducible corpus-subsample
+    * op (every engine/run picks the same rows, unlike seeded RNG sampling
+    * whose stream is engine-specific). Knuth multiplicative hash on the key
+    * in plain 64-bit arithmetic, expressible identically on both engines;
+    * keeps ~5%.
+    */
+  def q41_systematic_sample(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+        |        < 214748365
+        |""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -532,6 +559,8 @@ object RelationalQueries {
     "q35_map_explode" -> (q35_map_explode _),
     "q36_range_frame" -> (q36_range_frame _),
     "q39_stats" -> (q39_stats _),
+    "q40_median" -> (q40_median _),
+    "q41_systematic_sample" -> (q41_systematic_sample _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -767,6 +796,19 @@ object RelationalQueries {
         |            AS BIGINT) AS total -- duckdb sum(BIGINT) is HUGEINT
         |FROM events""".stripMargin,
     "q39_stats" -> q39Sql,
+    "q40_median" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.75) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q41_systematic_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+        |        < 214748365
+        |""".stripMargin,
     "q36_range_frame" ->
       """SELECT event_id, user_id,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER (
