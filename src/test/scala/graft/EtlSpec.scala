@@ -70,6 +70,27 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(Files.readString(dest.resolve("good.csv")) == "k\n1\n")
   }
 
+  test("concurrent sheet writes to different names don't cross-attribute commits") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_conc").toString
+    val dfs = (1 to 4).map(i =>
+      i -> (1 to i * 10).map(k => (k, s"v$k")).toDF("k", "v"))
+    // parallel writes, one sheet name per thread
+    val threads = dfs.map { case (i, df) =>
+      val t = new Thread(() => df.write.format("sheets")
+        .option("name", s"sheet_$i").mode("overwrite").save(dest))
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    dfs.foreach { case (i, _) =>
+      val meta = graft.sources.sheets.SheetsSink.takeCommit(s"sheet_$i")
+      assert(meta.isDefined && meta.get.rows == i * 10,
+        s"sheet_$i commit meta wrong: $meta")
+      val lines = Files.readAllLines(Paths.get(dest, s"sheet_$i.csv"))
+      assert(lines.size == i * 10 + 1) // header + rows
+    }
+  }
+
   test("csv quoting matches python csv.writer minimal style") {
     assert(etl.CellGuard.cells(0, 1) == 1)
     import graft.sources.sheets.CsvFormat
