@@ -11,7 +11,7 @@ object Bench {
     catch { case _: Throwable => () }
     // best-of-N (default 2): steady-state timing, damps page-cache/load
     // variance between rounds without hiding real regressions
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

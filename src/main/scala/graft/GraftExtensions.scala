@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * paths get the same setup lazily via [[Sessions.tune]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.arity
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectFunction(
@@ -21,30 +23,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.CosineSimilarity].getName, "cosine_similarity"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.CosineSimilarity(exprs(0), exprs(1))))
+          { arity("cosine_similarity", 2, exprs); functions.CosineSimilarity(exprs(0), exprs(1)) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.DotProduct].getName, "dot_product"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.DotProduct(exprs(0), exprs(1))))
+          { arity("dot_product", 2, exprs); functions.DotProduct(exprs(0), exprs(1)) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.SimHash64].getName, "simhash64"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.SimHash64(exprs.head)))
+          { arity("simhash64", 1, exprs); functions.SimHash64(exprs.head) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.MinHashSignature].getName, "minhash_signature"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.MinHashSignature(exprs.head, 16)))
+          { arity("minhash_signature", 1, exprs); functions.MinHashSignature(exprs.head, 16) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.WordShingles].getName, "word_shingles"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          functions.WordShingles(exprs.head, 3)))
+          { arity("word_shingles", 1, exprs); functions.WordShingles(exprs.head, 3) }))
   }
+}
+
+object GraftExtensions {
+  /** Wrong arity must be a clear analysis-time error, not a silent arg drop
+    * or an IndexOutOfBounds at plan time.
+    */
+  private[graft] def arity(name: String, n: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
 }

@@ -192,10 +192,10 @@ object TextFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash64", exprs => { graft.GraftExtensions.arity("simhash64", 1, exprs); SimHash64(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinHashSignature(exprs.head, 16), "built-in")
+      "minhash_signature", exprs => { graft.GraftExtensions.arity("minhash_signature", 1, exprs); MinHashSignature(exprs.head, 16) }, "built-in")
     reg.createOrReplaceTempFunction(
-      "word_shingles", exprs => WordShingles(exprs.head, 3), "built-in")
+      "word_shingles", exprs => { graft.GraftExtensions.arity("word_shingles", 1, exprs); WordShingles(exprs.head, 3) }, "built-in")
   }
 }

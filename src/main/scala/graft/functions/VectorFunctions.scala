@@ -175,8 +175,8 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_similarity", exprs => { graft.GraftExtensions.arity("cosine_similarity", 2, exprs); CosineSimilarity(exprs(0), exprs(1)) }, "built-in")
     reg.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => { graft.GraftExtensions.arity("dot_product", 2, exprs); DotProduct(exprs(0), exprs(1)) }, "built-in")
   }
 }

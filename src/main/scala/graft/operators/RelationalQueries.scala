@@ -507,14 +507,16 @@ object RelationalQueries {
     * op (every engine/run picks the same rows, unlike seeded RNG sampling
     * whose stream is engine-specific). Knuth multiplicative hash on the key
     * in plain 64-bit arithmetic, expressible identically on both engines;
-    * keeps ~5%.
+    * keeps ~5%. The key is reduced mod a prime BEFORE the multiply so the
+    * product stays far from Long overflow at any corpus key range (ANSI
+    * mode would otherwise error at ~3.5e9 keys).
     */
   def q41_systematic_sample(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
-        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
-        |        < 214748365
+        |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 40503)
+        |        % 4294967296 < 214748365
         |""".stripMargin)
 
   // ---------------------------------------------------------------- registry
@@ -806,8 +808,8 @@ object RelationalQueries {
     "q41_systematic_sample" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
-        |WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
-        |        < 214748365
+        |WHERE ((l_orderkey % 1000003) * 2654435761 + l_linenumber * 40503)
+        |        % 4294967296 < 214748365
         |""".stripMargin,
     "q36_range_frame" ->
       """SELECT event_id, user_id,

@@ -150,7 +150,7 @@ object SimilarityQueries {
   def s06_ivf_kmeans(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KMeans
     val e = Tables.embeddings(s, d)
-    val cells = KMeans.fit(s, e, "vec_id", "embedding", k = 8, iterations = 3)
+    val cells = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 3)
     val assigned = KMeans.assign(e, cells, "embedding")
     val q = queriesSide(s, d)
       .crossJoin(broadcast(cells))

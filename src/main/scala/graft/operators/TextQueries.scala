@@ -79,8 +79,9 @@ object TextQueries {
 
   /** TF-IDF top terms per document: tokenize -> term frequencies ->
     * document frequencies -> idf join -> rank window. The inverted-index
-    * shape again (explode + two hash aggregates + broadcast of the tiny
-    * term-df side); corpus size N arrives via a broadcast 1-row aggregate
+    * shape again (explode + two hash aggregates + a shuffle join on the
+    * term-df side, AQE-broadcast when small); corpus size N arrives via a
+    * broadcast 1-row aggregate
     * (scalar-subquery shape). idf is rounded to 9dp before the multiply:
     * ln() differs by 1 ulp across libm implementations (~1e-16, far below
     * the 0.5e-9 boundary), and long * exact-rounded-double is then
@@ -93,10 +94,12 @@ object TextQueries {
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    // no broadcast hint on dfreq: vocabulary grows with the corpus (Heaps'
+    // law) — let AQE pick broadcast only when the df side is actually small
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") * round(log(col("n_docs") / col("df")), 9))
       .withColumn("rk", row_number().over(w).cast("long"))

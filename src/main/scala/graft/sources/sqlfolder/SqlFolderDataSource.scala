@@ -133,8 +133,11 @@ final class SqlFolderReaderFactory(columns: Array[String])
     val file = partition.asInstanceOf[SqlFilePartition].file
     new PartitionReader[InternalRow] {
       private var done = false
-      override def next(): Boolean = !done
-      override def get(): InternalRow = {
+      private var row: InternalRow = _
+      // all IO happens in next(); get() is a pure accessor (the DSv2
+      // contract allows repeated get() calls per next())
+      override def next(): Boolean = {
+        if (done) return false
         done = true
         val name = Paths.get(file).getFileName.toString.stripSuffix(".sql")
         val values: Array[Any] = columns.map {
@@ -144,8 +147,10 @@ final class SqlFolderReaderFactory(columns: Array[String])
             SqlFolderDataSource.contentReads.incrementAndGet()
             UTF8String.fromString(Files.readString(Paths.get(file)))
         }
-        InternalRow.fromSeq(values.toIndexedSeq)
+        row = InternalRow.fromSeq(values.toIndexedSeq)
+        true
       }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
   }

@@ -33,6 +33,18 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(r - 1.0) < 1e-15)
   }
 
+  test("wrong arity in SQL raises an analysis error, not a crash or silent drop") {
+    Sessions.tune(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0F))").collect()
+    }
+    assert(e.getMessage.contains("cosine_similarity"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array('a'), 5)").collect()
+    }
+    assert(e2.getMessage.contains("simhash64"))
+  }
+
   test("codegen and interpreted eval agree on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20).cache()
     val q = e.select($"embedding".as("q")).limit(1)

@@ -7,9 +7,9 @@ class KMeansSpec extends SparkTestBase {
 
   test("fit returns k centroids of the right dimension, deterministically") {
     val e = Tables.embeddings(spark, sf)
-    val c1 = KMeans.fit(spark, e, "vec_id", "embedding", k = 4, iterations = 2)
+    val c1 = KMeans.fit(e, "vec_id", "embedding", k = 4, iterations = 2)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    val c2 = KMeans.fit(spark, e, "vec_id", "embedding", k = 4, iterations = 2)
+    val c2 = KMeans.fit(e, "vec_id", "embedding", k = 4, iterations = 2)
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(c1.keySet == Set(0, 1, 2, 3))
     assert(c1.values.forall(_.length == 64))
@@ -18,7 +18,7 @@ class KMeansSpec extends SparkTestBase {
 
   test("assign covers every vector exactly once") {
     val e = Tables.embeddings(spark, sf)
-    val cells = KMeans.fit(spark, e, "vec_id", "embedding", k = 4, iterations = 1)
+    val cells = KMeans.fit(e, "vec_id", "embedding", k = 4, iterations = 1)
     val assigned = KMeans.assign(e, cells, "embedding")
     assert(assigned.count() == e.count())
     assert(assigned.select(col("cluster")).distinct().count() <= 4)
