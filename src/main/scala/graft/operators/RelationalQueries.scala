@@ -519,6 +519,23 @@ object RelationalQueries {
         |        % 4294967296 < 214748365
         |""".stripMargin)
 
+  /** Remaining ranking/analytic window family (dense_rank, ntile,
+    * first/last value, percent_rank/cume_dist — all rank-derived, so
+    * cross-engine exact) + an RE2-and-Java-compatible regexp filter.
+    */
+  def q42_window_misc(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer")(
+      """SELECT c_custkey,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       first_value(c_custkey) OVER w AS richest_key,
+        |       round(percent_rank() OVER w, 9) AS prk,
+        |       round(cume_dist() OVER w, 9) AS cd
+        |FROM customer
+        |WHERE c_name RLIKE '^Customer#[0-9]+$'
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -563,6 +580,7 @@ object RelationalQueries {
     "q39_stats" -> (q39_stats _),
     "q40_median" -> (q40_median _),
     "q41_systematic_sample" -> (q41_systematic_sample _),
+    "q42_window_misc" -> (q42_window_misc _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -798,6 +816,17 @@ object RelationalQueries {
         |            AS BIGINT) AS total -- duckdb sum(BIGINT) is HUGEINT
         |FROM events""".stripMargin,
     "q39_stats" -> q39Sql,
+    "q42_window_misc" ->
+      """SELECT c_custkey,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       first_value(c_custkey) OVER w AS richest_key,
+        |       round(percent_rank() OVER w, 9) AS prk,
+        |       round(cume_dist() OVER w, 9) AS cd
+        |FROM customer
+        |WHERE regexp_matches(c_name, '^Customer#[0-9]+$')
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
     "q40_median" ->
       """SELECT o_orderstatus,
         |       quantile_cont(o_totalprice, 0.5) AS median_price,
