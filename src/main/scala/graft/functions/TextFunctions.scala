@@ -11,13 +11,33 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native expressions for document fingerprinting (SURVEY.md §2C: near-dup
   * text dedup, document fingerprinting).
   *
-  * Both are single-pass per-row kernels over a token array. They use Spark's
+  * All are single-pass per-row kernels over a token array. They use Spark's
   * own XxHash64 (`XxHash64Function`, seed 42) so token hashes agree with the
-  * built-in `xxhash64()` SQL function. CodegenFallback is acceptable here:
-  * the per-row cost is dominated by the O(tokens * k) arithmetic, not the
-  * eval boxing; the surrounding plan stays columnar and the heavy pairwise
-  * phases downstream (LSH banding joins) are pure built-in operators.
+  * built-in `xxhash64()` SQL function.
   */
+
+/** Codegen that keeps the expression inside WholeStageCodegen by emitting a
+  * direct call to the kernel's `nullSafeEval` via an object reference —
+  * unlike `CodegenFallback`, the CHILD expression (typically `split(text)`)
+  * is still compiled, and the surrounding operator pipeline stays fused;
+  * only the O(tokens) kernel body itself runs as a JVM method call, which
+  * it would anyway.
+  */
+trait KernelCodegen extends UnaryExpression {
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[KernelCodegen].getName)
+    val javaType = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+    val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .boxedType(dataType)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ($javaType)($boxed) $ref.evalKernel($c);")
+  }
+  /** Public bridge for generated code (nullSafeEval itself is protected). */
+  final def evalKernel(input: Any): Any = nullSafeEval(input)
+}
 
 /** 64-bit SimHash over an `array<string>` of tokens.
   *
@@ -27,7 +47,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * multisets land within small Hamming distance.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = LongType
 
@@ -73,7 +93,7 @@ case class SimHash64(child: Expression)
   * collision probability per band is J(A,B)^r.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -139,7 +159,7 @@ object MinHashSignature {
   * single tight loop over UTF8Strings.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with KernelCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
