@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Scale evidence: synthesizes a 10x documents corpus (~50k docs from
+  * sf0.1 x 10 with distinct doc_ids) in /tmp, then times the near-dup
+  * pipelines on 1x vs 10x to show the growth curve is the candidate-pair
+  * count (by construction every doc now has 9 perfect duplicates, so the
+  * LSH join output scales ~100x while the scan scales 10x).
+  *   runMain graft.tools.ScaleProbe
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get()
+    val base = "/root/testdata/sf0.1"
+    val big = java.nio.file.Files.createTempDirectory("sf1x10").toString
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val n = docs.count()
+    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
+    // embeddings table unchanged (not probed here) but copy for loaders
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs ($rows rows)")
+    }
+    println(s"[probe] corpus 1x = $n docs, 10x = ${n * 10} docs")
+    for (sf <- Seq(base, big)) {
+      val tag = if (sf == base) "1x " else "10x"
+      time(s"$tag d02_content_hash")(
+        graft.operators.DedupQueries.d02_dedup_content_hash(spark, sf).count())
+      time(s"$tag d03_minhash_lsh")(
+        graft.operators.DedupQueries.d03_dedup_minhash_lsh(spark, sf).count())
+      time(s"$tag d05_ngram_jaccard")(
+        graft.operators.DedupQueries.d05_ngram_jaccard(spark, sf).count())
+    }
+    spark.stop()
+  }
+}
