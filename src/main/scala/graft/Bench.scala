@@ -1,29 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line per run (driver contract). Timing
+  * discipline after round 1's n=1 noise (identical window queries timed
+  * 0.18s vs 4.27s): per-query warmup isolation, median-of-N (default 3),
+  * and explicit error markers — a query that throws must never be reported
+  * as a (fast) time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
     // warmup: JIT + codegen-cache + parquet footer caches on the tiny SF so
-    // per-query timings measure the operator, not first-run JVM effects
-    try SparkEntry.queries.values.foreach(f =>
-      f(spark, "/root/testdata/sf0.001").count())
-    catch { case _: Throwable => () }
-    // best-of-N (default 2): steady-state timing, damps page-cache/load
-    // variance between rounds without hiding real regressions
-    val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt).getOrElse(2).max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    // per-query timings measure the operator, not first-run JVM effects.
+    // try INSIDE the loop: one broken query must not void the others' warmup
+    SparkEntry.queries.values.foreach(f =>
+      try f(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () })
+    val reps = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).linesIterator.next().take(120))
+          None
+        }
       }
-      name -> times.min
+      // median damps one-off page-cache/GC outliers; min would hide them,
+      // mean would double-count them
+      if (times.isEmpty) None
+      else Some(name -> times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // slowest first: the queries worth reading are at the front
+    val qs = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

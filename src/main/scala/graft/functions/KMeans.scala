@@ -2,27 +2,35 @@ package graft.functions
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.cosine_similarity
 import graft.functions.VectorMean.vector_mean
 
 /** Lloyd's k-means over an embedding column, DataFrame-native — the IVF
   * coarse-quantizer trainer.
   *
-  * Spark shapes per iteration: broadcast the k centroids (tiny), one corpus
-  * scan assigns each vector to its nearest centroid (codegen'd cosine
-  * kernel + rank window over k rows per vector), then one hash aggregate
-  * (the mergeable [[VectorMean]] UDAF) recomputes centroids — so an
-  * iteration is scan + broadcast-join + groupBy, no quadratic step, and the
-  * driver only ever holds k vectors (init collects exactly k rows via a
-  * distributed TakeOrdered, never a global single-partition window).
+  * Spark shapes per iteration: the k centroids live on the DRIVER (k
+  * vectors, tiny) and enter the plan as literals — nearest-centroid is a
+  * pure per-row argmax projection inside the scan stage (codegen'd cosine
+  * kernel against each literal centroid, `array_position(sims,
+  * array_max(sims))`), so assignment costs ZERO shuffle and ZERO row
+  * replication; the only exchange per iteration is the k-row hash
+  * aggregate (the mergeable [[VectorMean]] UDAF) that recomputes
+  * centroids. Collecting the k centroid rows per iteration also truncates
+  * the lineage — iteration i's plan does not re-execute iterations 0..i-1.
+  *
+  * (The previous formulation — crossJoin with broadcast centroids + a
+  * row_number window partitioned by a per-row id — shuffled the k-times
+  * replicated corpus once per iteration with one-row windows. The argmin
+  * projection is the same math with no exchange at all.)
   *
   * Empty clusters keep their previous centroid (k rows always come back).
   *
   * Determinism: init = the vectors with the k smallest ids (no RNG); ties
-  * in assignment break on cluster id. Note the ulp-level caveat: centroid
-  * means merge double partial sums in shuffle-fetch order, so on a
-  * multi-node cluster two runs can differ in the last bit and flip a
+  * in assignment break on cluster id (`array_position` returns the FIRST
+  * index of the max — lowest cluster id, same contract as the old
+  * (sim desc, cluster asc) window order). Note the ulp-level caveat:
+  * centroid means merge double partial sums in shuffle-fetch order, so on
+  * a multi-node cluster two runs can differ in the last bit and flip a
   * boundary vector — fine for ANN recall, not a bit-replay guarantee
   * (single-JVM local mode, as tested here, is stable).
   */
@@ -33,36 +41,49 @@ object KMeans {
     val spark = vectors.sparkSession
     import spark.implicits._
     // distributed top-k by id, then k rows to the driver (k is tiny)
-    val init: Seq[(Int, Seq[Double])] = vectors
+    var centroids: Seq[(Int, Seq[Double])] = vectors
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().toSeq.zipWithIndex
       .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
-    var centroids = init.toDF("cluster", "centroid")
     var i = 0
     while (i < iterations) {
-      val updated = assign(vectors, centroids, vecCol)
+      // one scan: argmin projection + k-row hash aggregate, then k rows back
+      val updated: Map[Int, Seq[Double]] = assignLocal(vectors, centroids, vecCol)
         .groupBy(col("cluster"))
         .agg(vector_mean(col(vecCol), dim).as("c_new"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       // empty clusters would vanish from the groupBy: keep the old centroid
-      centroids = centroids.alias("p")
-        .join(updated.alias("u"), Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("c_new"), col("centroid")).as("centroid"))
+      centroids = centroids.map { case (c, old) => (c, updated.getOrElse(c, old)) }
       i += 1
     }
-    centroids
+    centroids.toDF("cluster", "centroid")
   }
 
-  /** Nearest-centroid assignment: adds a `cluster` column. */
+  /** Nearest-centroid assignment: adds a `cluster` column. Zero shuffle —
+    * `centroids` (k rows) is collected to the driver and becomes literal
+    * vectors in a per-row argmax projection.
+    */
   def assign(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__vid")).orderBy(col("__sim").desc, col("cluster"))
+    val cents = centroids
+      .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assignLocal(vectors, cents, vecCol)
+  }
+
+  /** The argmin projection itself. `cents` must be sorted by cluster id so
+    * the first-max tie-break resolves to the lowest id.
+    */
+  private def assignLocal(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
+                          vecCol: String): DataFrame = {
+    val sims = array(cents.map { case (_, c) =>
+      cosine_similarity(col(vecCol).cast("array<double>"), typedLit(c))
+    }: _*)
+    val ids = typedLit(cents.map(_._1))
     vectors
-      .withColumn("__vid", monotonically_increasing_id())
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim",
-        cosine_similarity(col(vecCol).cast("array<double>"), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__vid", "__sim", "__rk", "centroid")
+      .withColumn("__sims", sims)
+      .withColumn("cluster",
+        element_at(ids, array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+      .drop("__sims")
   }
 }

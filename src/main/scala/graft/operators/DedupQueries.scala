@@ -36,13 +36,16 @@ object DedupQueries {
     * cheap relative to the per-row work it unlocks; at real corpus scale the
     * scan already has many splits and AQE coalesces any excess.
     */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  private[operators] def shingled(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
         graft.functions.TextFunctions.word_shingles(col("toks"), 3))
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    shingled(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -76,9 +79,17 @@ object DedupQueries {
     * hash-colliding rows.
     */
   def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    // The (shingles, sig) projection feeds FOUR subtrees (bands.x, bands.y,
+    // sa, sb); without materialization Spark re-runs the CPU-heavy
+    // shingle+minhash kernel for each (measured 4x kernel cost, d08 at 14s
+    // vs d03 at 0.75s in round 1). Eager localCheckpoint runs the kernel
+    // once and truncates the lineage, so every downstream use reads the
+    // stored (doc_id, shingles, sig) blocks — the same trade a 100 TB run
+    // makes (persist one slim projection vs four full kernel passes).
     val docs = docShingles(s, d)
       .select(col("doc_id"), col("shingles"))
       .withColumn("sig", minhash_signature(col("shingles")))
+      .localCheckpoint()
     val bands = docs.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band_no, " +
         "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
@@ -133,15 +144,37 @@ object DedupQueries {
     * (within the bucket), count common shingles per pair, then jaccard from
     * the per-doc set sizes. Cost is O(shingle occurrences x bucket
     * co-occurrence), never O(doc-pairs x array-intersect) — pairs with zero
-    * overlap are never materialized, which is what survives a 100x corpus
-    * (a production run would also drop ultra-common shingles by document
-    * frequency before the join to cap key skew).
+    * overlap are never materialized.
+    *
+    * Hot-shingle guard: a single ultra-common shingle (boilerplate, a stock
+    * phrase) makes the self-join quadratic within that one key — df docs
+    * sharing it meet as df^2/2 pairs in ONE reducer, which no cluster size
+    * fixes. Shingles whose document frequency exceeds [[DfCap]] are dropped
+    * from the index before the join (broadcast anti-join; the hot set is by
+    * definition small). `n` is still the FULL shingle-set size, so retained
+    * pairs' jaccard only ever under-counts — the standard recall-for-bound
+    * trade every production near-dup pipeline makes. The df aggregation
+    * itself is skew-safe: map-side partial counts, one row per shingle
+    * crosses the shuffle.
     */
-  def d05_ngram_jaccard(s: SparkSession, d: String): DataFrame = {
-    val ex = docShingles(s, d)
+  private[operators] val DfCap = 64
+
+  /** The pair generator behind d05/d09, parameterized on the input corpus
+    * and the df cap so the hot-shingle bound is testable on a synthetic
+    * skewed corpus (DedupScaleSpec). `docs` needs (doc_id, lang, source,
+    * text). Emits all co-bucketed pairs with inter > 0 and their jaccard —
+    * thresholding is the caller's.
+    */
+  private[operators] def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
+    val ex = shingled(docs)
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
-    ex.as("a").join(ex.as("b"),
+    val hot = ex.groupBy(col("lang"), col("source"), col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("lang"), col("source"), col("shingle"))
+    val pruned = ex.join(hot, Seq("lang", "source", "shingle"), "left_anti")
+    pruned.as("a").join(pruned.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -150,8 +183,13 @@ object DedupQueries {
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("lang"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.1)
   }
+
+  def d05_ngram_jaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+      DfCap)
+      .filter(col("jaccard") >= 0.1)
 
   /** Embedding-cosine near-dup over a bucket key. The cosine kernel is the
     * codegen'd native expression; candidate pairs are bounded by the bucket
@@ -200,8 +238,26 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** The apply step again, but driven by d05's fully SQL-expressible
+    * jaccard pairs instead of d03's minhash candidates — which puts the
+    * whole candidate -> verify -> apply chain under the DuckDB hash gate
+    * (d08's chain is rows-only because xxhash64 signatures aren't
+    * reproducible in SQL). Same greedy keep-smallest-id resolution, same
+    * anti-join shape.
+    */
+  def d09_dedup_apply_exact(s: SparkSession, d: String): DataFrame = {
+    val drops = d05_ngram_jaccard(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_b").as("drop_id"))
+      .distinct()
+    val docs = Tables.documents(s, d)
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> (d01_dedup_exact _),
+    "d09_dedup_apply_exact" -> (d09_dedup_apply_exact _),
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
@@ -235,15 +291,53 @@ object DedupQueries {
         |  SELECT doc_id, lang, source, len(shingles) AS n,
         |         unnest(shingles) AS shingle
         |  FROM t),
+        |hot AS (
+        |  SELECT lang, source, shingle FROM e
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
+        |f AS (
+        |  SELECT e.* FROM e ANTI JOIN hot
+        |    USING (lang, source, shingle)),
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
         |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM e a JOIN e b
+        |  FROM f a JOIN f b
         |    ON a.shingle = b.shingle AND a.lang = b.lang
         |   AND a.source = b.source AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
+    "d09_dedup_apply_exact" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n,
+        |         unnest(shingles) AS shingle
+        |  FROM t),
+        |hot AS (
+        |  SELECT lang, source, shingle FROM e
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
+        |f AS (
+        |  SELECT e.* FROM e ANTI JOIN hot
+        |    USING (lang, source, shingle)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM f a JOIN f b
+        |    ON a.shingle = b.shingle AND a.lang = b.lang
+        |   AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |drops AS (
+        |  SELECT DISTINCT doc_b AS drop_id FROM p
+        |  WHERE inter / (na + nb - inter) >= 0.5)
+        |SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents ANTI JOIN drops ON doc_id = drop_id
+        |GROUP BY lang""".stripMargin,
     "d06_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -103,14 +103,23 @@ object MultimodalQueries {
         |         AS frame_offset
         |FROM m""".stripMargin,
     "m03_byte_features" ->
+      // byte-based like the Spark kernel (UTF-8 bytes, not codepoints — the
+      // two diverge on any non-ASCII text): DuckDB has no byte accessor for
+      // BLOBs, but byte % 4 == (low hex nibble) % 4, so index the hex dump
       """WITH c AS (
-        |  SELECT doc_id, list_transform(string_split(text, ''), ch -> ord(ch)) AS cs
-        |  FROM documents)
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, nb + 1),
+        |           i -> (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1) % 4) AS cs
+        |  FROM c)
         |SELECT doc_id,
-        |       CAST(len(list_filter(cs, x -> x % 4 = 0)) AS BIGINT) AS f0,
-        |       CAST(len(list_filter(cs, x -> x % 4 = 1)) AS BIGINT) AS f1,
-        |       CAST(len(list_filter(cs, x -> x % 4 = 2)) AS BIGINT) AS f2,
-        |       CAST(len(list_filter(cs, x -> x % 4 = 3)) AS BIGINT) AS f3
-        |FROM c""".stripMargin,
+        |       CAST(len(list_filter(cs, x -> x = 0)) AS BIGINT) AS f0,
+        |       CAST(len(list_filter(cs, x -> x = 1)) AS BIGINT) AS f1,
+        |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
+        |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
+        |FROM b""".stripMargin,
   )
 }

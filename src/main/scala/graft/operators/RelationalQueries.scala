@@ -277,12 +277,17 @@ object RelationalQueries {
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
         |GROUP BY o_orderstatus""".stripMargin)
 
-  /** Scalar subquery → broadcast of a 1-row aggregate. */
+  /** Scalar subquery → broadcast of a 1-row aggregate. The threshold goes
+    * through the decimal dsum/davg pattern (not a plain double avg) so both
+    * engines compute the identical boundary — summation-order ulp drift in
+    * a double avg could flip rows sitting exactly at the threshold.
+    */
   def q20_scalar_subquery(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "part")(
       """SELECT p_brand, count(*) AS n_pricey
         |FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |                              / count(p_retailprice) FROM part)
         |GROUP BY p_brand""".stripMargin)
 
   /** CTE + derived table + join, all in SQL. */
@@ -536,6 +541,37 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY c_mktsegment
         |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin)
 
+  /** Right-outer equi join (the §2B inventory's fourth join type; mirror of
+    * q04 with the preserved side on the right). Catalyst plans it as the
+    * mirrored left join — the small preserved side still broadcasts.
+    */
+  def q43_right_join(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(n, c("c_nationkey") === n("n_nationkey"), "right")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        coalesce(dsum(col("c_acctbal")), lit(0.0)).as("total_bal"))
+  }
+
+  /** lead + lag + last_value in one window family (completes the §2B
+    * offset/value window inventory; q14 covers lag-only, q42 first_value).
+    * last_value needs the explicit unbounded frame — the default frame ends
+    * at CURRENT ROW, where last_value degenerates to the row itself (both
+    * engines agree on that trap, but the unbounded form is the useful op).
+    */
+  def q44_window_lead_last(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderkey, o_custkey,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       last_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS final_order_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -581,6 +617,8 @@ object RelationalQueries {
     "q40_median" -> (q40_median _),
     "q41_systematic_sample" -> (q41_systematic_sample _),
     "q42_window_misc" -> (q42_window_misc _),
+    "q43_right_join" -> (q43_right_join _),
+    "q44_window_lead_last" -> (q44_window_lead_last _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -705,7 +743,8 @@ object RelationalQueries {
     "q20_scalar_subquery" ->
       """SELECT p_brand, count(*) AS n_pricey
         |FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE)
+        |                              / count(p_retailprice) FROM part)
         |GROUP BY p_brand""".stripMargin,
     "q21_cte" ->
       """WITH order_rev AS (
@@ -847,5 +886,20 @@ object RelationalQueries {
         |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |         AS trailing_hour_value
         |FROM events""".stripMargin,
+    "q43_right_join" ->
+      """SELECT n_name, count(c_custkey) AS n_customers,
+        |       coalesce(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS total_bal
+        |FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q44_window_lead_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       last_value(o_orderkey) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS final_order_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
   )
 }

@@ -2,17 +2,22 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
+import graft.plans.TopKPerGroup
+import graft.plans.TopKPerGroup.Ord
 
 /** Approximate / exact nearest-neighbor search over the `embeddings` table
   * (brief §extended: similarity search). Two paths:
   *
   *  - brute-force top-k (the correctness baseline): broadcast the query
   *    vectors, one scan of the corpus, codegen'd cosine kernel, per-query
-  *    top-k via a rank window. At 100 TB the corpus scan is embarrassingly
-  *    parallel and the only shuffle carries |queries| x k candidate rows.
+  *    top-k via the native [[graft.plans.TopKPerGroup]] operator. At 100 TB
+  *    the corpus scan is embarrassingly parallel and the only shuffle
+  *    carries at most |queries| x k candidate rows per partition — the
+  *    partial per-partition heaps mean NO single reducer ever sees all of a
+  *    query's candidates (a rank window would funnel the whole corpus
+  *    through one task per query id).
   *  - sign-LSH bucketed ANN (the scale path): 16 random-hyperplane buckets
   *    computed in the scan, bucket-equality join prunes the candidate set to
   *    ~1/16 of the corpus per query before the cosine kernel runs. Same
@@ -28,16 +33,22 @@ object SimilarityQueries {
     Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Score candidates then keep per-query top-k via partial-heap shuffles
+    * (k rows per (query, partition) enter the exchange — never the full
+    * candidate set of a query through one reducer).
+    */
+  private def perQueryTopK(scored: DataFrame): DataFrame =
+    TopKPerGroup.topK(scored.select(col("q_id"), col("vec_id"), col("sim")),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
+
   /** Exact top-k cosine for each of the 10 query vectors. */
   def s01_knn_bruteforce(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = queriesSide(s, d)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= K)
+    perQueryTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
   /** Deterministic +-1 hyperplanes for sign-LSH (fixed LCG — every executor,
@@ -68,13 +79,11 @@ object SimilarityQueries {
       .withColumn("bucket", bucketOf(col("embedding")))
     val q = queriesSide(s, d)
       .withColumn("q_bucket", bucketOf(col("q_emb")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= K)
+    perQueryTopK(
+      e.join(broadcast(q),
+          col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
   /** Dot-product scoring against a single broadcast query vector via the
@@ -95,29 +104,26 @@ object SimilarityQueries {
 
   /** IVF-style ANN: coarse-quantize the corpus into cells (centroid = typed
     * VectorMean UDAF per label — stand-in for k-means iterations, same
-    * shapes), route each query to its nearest centroid, then search only
-    * that cell. Two broadcast joins + one rank window; the corpus is
-    * scanned once and only the probed cell's vectors hit the cosine kernel.
+    * shapes), route each query to its nearest centroid (TopKPerGroup k=1,
+    * scales with query count), then search only that cell.
     */
   def s04_ivf_ann(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorMean.vector_mean
     val e = Tables.embeddings(s, d)
     val cells = e.groupBy(col("label").as("cell"))
       .agg(vector_mean(col("embedding")).as("centroid"))
-    val q = queriesSide(s, d)
-      .crossJoin(broadcast(cells))
-      .withColumn("c_sim",
-        cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cell"))))
-      .filter(col("c_rk") === 1) // nearest cell per query (nprobe = 1)
+    val routed = TopKPerGroup.topK(
+      queriesSide(s, d)
+        .crossJoin(broadcast(cells))
+        .withColumn("c_sim",
+          cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+        .select(col("q_id"), col("q_emb"), col("cell"), col("c_sim")),
+      Seq("q_id"), Seq(Ord("c_sim", desc = true), Ord("cell")), 1) // nprobe = 1
       .select(col("q_id"), col("q_emb"), col("cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= K)
+    perQueryTopK(
+      e.join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
   /** Cosine via built-in HOFs (`zip_with` + `aggregate`) instead of the
@@ -129,22 +135,21 @@ object SimilarityQueries {
   def s05_zipwith_cosine(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val q = queriesSide(s, d)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     def fold(c: String): String =
       s"aggregate($c, 0D, (acc, v) -> acc + v)"
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", expr(
-        s"${fold("zip_with(CAST(q_emb AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y)")} / " +
-          s"(sqrt(${fold("transform(CAST(q_emb AS ARRAY<DOUBLE>), v -> v * v)")}) * " +
-          s"sqrt(${fold("transform(CAST(embedding AS ARRAY<DOUBLE>), v -> v * v)")}))"))
-      .select(col("q_id"), col("vec_id"), col("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= K)
+    perQueryTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(
+          s"${fold("zip_with(CAST(q_emb AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>), (x, y) -> x * y)")} / " +
+            s"(sqrt(${fold("transform(CAST(q_emb AS ARRAY<DOUBLE>), v -> v * v)")}) * " +
+            s"sqrt(${fold("transform(CAST(embedding AS ARRAY<DOUBLE>), v -> v * v)")}))"))
+        .select(col("q_id"), col("vec_id"), col("sim")))
   }
 
   /** IVF with TRAINED centroids: 3 deterministic Lloyd iterations
     * (graft.functions.KMeans) build an 8-cell coarse quantizer, queries
-    * route to their nearest learned cell, search happens in-cell only.
+    * route to their nearest learned cell via the same zero-shuffle argmin
+    * projection that assigns the corpus, search happens in-cell only.
     * The full two-stage ANN pipeline: train -> assign -> probe.
     */
   def s06_ivf_kmeans(s: SparkSession, d: String): DataFrame = {
@@ -152,21 +157,13 @@ object SimilarityQueries {
     val e = Tables.embeddings(s, d)
     val cells = KMeans.fit(e, "vec_id", "embedding", k = 8, iterations = 3)
     val assigned = KMeans.assign(e, cells, "embedding")
-    val q = queriesSide(s, d)
-      .crossJoin(broadcast(cells))
-      .withColumn("c_sim",
-        cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
-      .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("cluster"))))
-      .filter(col("c_rk") === 1)
-      .select(col("q_id"), col("q_emb"), col("cluster").as("q_cluster"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(q),
-        col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= K)
+    val q = KMeans.assign(queriesSide(s, d), cells, "q_emb")
+      .withColumnRenamed("cluster", "q_cluster")
+    perQueryTopK(
+      assigned.join(broadcast(q),
+          col("cluster") === col("q_cluster") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
   val queries: Map[String, Q] = Map(
@@ -181,6 +178,9 @@ object SimilarityQueries {
   /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual
     * DuckDB double formulation below is bit-identical to the codegen'd
     * sequential-double kernel (verified, see VectorFunctions scaladoc).
+    * The oracles rank with a row_number window (fine at oracle scale);
+    * the Spark side uses TopKPerGroup — same top-k set, same (sim desc,
+    * vec_id) order contract, no rank column in either output.
     */
   val oracles: Map[String, String] = Map(
     "s01_knn_bruteforce" ->
@@ -193,9 +193,9 @@ object SimilarityQueries {
         |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
         |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-        |SELECT q_id, vec_id, sim, rk FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |              ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM p) t
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
         |WHERE rk <= 5""".stripMargin,
     "s05_zipwith_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
@@ -207,9 +207,9 @@ object SimilarityQueries {
         |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
         |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-        |SELECT q_id, vec_id, sim, rk FROM (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
-        |              ORDER BY sim DESC, vec_id) AS BIGINT) AS rk FROM p) t
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
         |WHERE rk <= 5""".stripMargin,
     "s03_dot_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -1,15 +1,18 @@
 package graft.plans
 
 import scala.collection.mutable
+import org.apache.spark.SparkEnv
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Native per-group top-k operator (custom LogicalPlan + Strategy +
   * SparkPlan — SURVEY.md preference ladder (c)).
@@ -30,11 +33,14 @@ import org.apache.spark.sql.execution.SparkStrategy
   * in `ordering` order; callers must include a unique tie-break (same
   * contract as every rank query in this engine).
   *
-  * Memory bound: each phase holds groups-per-partition x k rows on heap with
-  * no spill path (unlike hash aggregate). Fine for the dimension-like group
-  * cardinalities it targets; for ultra-high-cardinality groups where k rows
-  * x groups outgrows executor memory, use the window formulation (q12) or
-  * pre-partition on the group key so each partition sees fewer groups.
+  * Memory bound: each phase holds at most `spark.graft.topk.inMemoryRowLimit`
+  * retained rows (groups-per-partition x k, default 4M) in heaps; when a
+  * partition's group cardinality pushes past that, the partition falls back
+  * to a disk-spilling sort (`UnsafeExternalRowSorter`, the engine behind
+  * SortExec) ordered by (group keys, ordering) and streams out the first k
+  * rows of each group — same output, bounded memory, like hash aggregate's
+  * own sort-based fallback. The sort path needs orderable group keys (true
+  * for every sane group-by column).
   */
 case class TopKPerGroupNode(groupCols: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -57,26 +63,93 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], ordering: Seq[SortOrder]
     val gCols = groupCols
     val ord = ordering
     val kk = k
+    val rowLimit = conf.getConfString("spark.graft.topk.inMemoryRowLimit",
+      "4194304").toInt
+    val structType = DataTypeUtils.fromAttributes(schema)
     child.execute().mapPartitions({ it =>
       val grouping = UnsafeProjection.create(gCols, schema)
       val cmp = new LazilyGeneratedOrdering(ord, schema)
       // max-heap on the WORST retained row so the k best (cmp-smallest) stay
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
-        val key = grouping(row.asInstanceOf[InternalRow])
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          new java.util.PriorityQueue[UnsafeRow](kk + 1, cmp.reversed()))
-        if (heap.size < kk) {
-          heap.add(row.copy().asInstanceOf[UnsafeRow])
-        } else if (cmp.compare(row.asInstanceOf[UnsafeRow], heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy().asInstanceOf[UnsafeRow])
+      var retained = 0
+      var sorter: UnsafeExternalRowSorter = null
+
+      // spill fallback: (group keys asc, ordering) sort via the SortExec
+      // machinery — memory-managed pages, disk spill, no OOM
+      def newSorter(): UnsafeExternalRowSorter = {
+        val fullOrd = gCols.map(e => SortOrder(e, Ascending)) ++ ord
+        val fullCmp = new LazilyGeneratedOrdering(fullOrd, schema)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow) = { p.value = 0L; p.isNull = false; p }
+        }
+        UnsafeExternalRowSorter.create(structType, fullCmp, PrefixComparators.LONG,
+          prefixComputer, SparkEnv.get.memoryManager.pageSizeBytes, false)
+      }
+
+      it.foreach { r =>
+        val row = r.asInstanceOf[UnsafeRow]
+        if (sorter != null) {
+          sorter.insertRow(row)
+        } else {
+          val key = grouping(row)
+          val existing = heaps.get(key)
+          val grows = existing.forall(_.size < kk) // new group or non-full heap
+          if (grows && retained >= rowLimit) {
+            // this row would exceed the in-memory bound: drain the heaps
+            // into the external sorter and continue sort-based
+            sorter = newSorter()
+            heaps.valuesIterator.foreach(h => h.forEach(sorter.insertRow(_)))
+            heaps.clear()
+            sorter.insertRow(row)
+          } else existing match {
+            case Some(heap) =>
+              if (heap.size < kk) {
+                heap.add(row.copy().asInstanceOf[UnsafeRow])
+                retained += 1
+              } else if (cmp.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.copy().asInstanceOf[UnsafeRow])
+              }
+            case None =>
+              val heap = new java.util.PriorityQueue[UnsafeRow](kk + 1, cmp.reversed())
+              heap.add(row.copy().asInstanceOf[UnsafeRow])
+              heaps.put(key.copy(), heap)
+              retained += 1
+          }
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        val arr = heap.toArray(new Array[UnsafeRow](heap.size))
-        java.util.Arrays.sort(arr, cmp)
-        arr.iterator
+
+      if (sorter == null) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+          java.util.Arrays.sort(arr, cmp)
+          arr.iterator
+        }
+      } else {
+        // stream first-k-per-group off the sorted run; rows from the sorter
+        // are volatile buffers — emit each before pulling the next, copy
+        // only the group key
+        val sorted = sorter.sort()
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var emitted = 0
+          private var nextRow: UnsafeRow = null
+          override def hasNext: Boolean = {
+            if (nextRow != null) return true
+            while (sorted.hasNext) {
+              val r = sorted.next().asInstanceOf[UnsafeRow]
+              val key = grouping(r)
+              if (curKey == null || key != curKey) { curKey = key.copy(); emitted = 0 }
+              if (emitted < kk) { emitted += 1; nextRow = r; return true }
+            }
+            false
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = nextRow; nextRow = null; r
+          }
+        }
       }
     }, preservesPartitioning = true)
   }

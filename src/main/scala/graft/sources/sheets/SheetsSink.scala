@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -46,18 +47,34 @@ import org.apache.spark.unsafe.types.UTF8String
 class SheetsSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sheets"
   override def supportsExternalMetadata(): Boolean = true
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType() // write-only source: schema comes from the query
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // write path: schema comes from the query (empty here); read path:
+    // all-string schema from the sheet header(s) under `path`
+    val path = Option(options.get("path"))
+    val name = Option(options.get("name"))
+    path.filter(p => SheetsRead.sheetFiles(p, None).nonEmpty || name.nonEmpty)
+      .map(p => SheetsRead.inferSchema(p, name))
+      .getOrElse(new StructType())
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new SheetsTable(schema)
+    new SheetsTable(schema,
+      Option(properties.get("path")), Option(properties.get("name")))
 }
 
-final class SheetsTable(writeSchema: StructType) extends Table with SupportsWrite {
+final class SheetsTable(tblSchema: StructType, dir: Option[String],
+    sheetName: Option[String]) extends Table with SupportsWrite with SupportsRead {
   override def name(): String = "sheets"
-  override def schema(): StructType = writeSchema
+  override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val d = Option(options.get("path")).orElse(dir).getOrElse(
+      throw new IllegalArgumentException("sheets read: missing path"))
+    new SheetsScanBuilder(d, Option(options.get("name")).orElse(sheetName), tblSchema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Pins the d05 hot-shingle guard: one ultra-common shingle must not make
+  * the inverted-index self-join quadratic (df docs sharing a shingle meet
+  * as df^2/2 pairs in a single reducer — no cluster size fixes that).
+  */
+class DedupScaleSpec extends SparkTestBase {
+
+  // 120 docs, ALL sharing the hot leading trigram; every other shingle is
+  // unique to its doc, so any surviving pair owes its existence to a
+  // hot-or-boundary shingle
+  private def skewedCorpus = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      (i.toLong, "en", "web", s"the quick fox u${i}a u${i}b u${i}c u${i}d")
+    }.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("df cap bounds the pair-join output on a hot-shingle corpus") {
+    val capped = DedupQueries.ngramJaccardPairs(skewedCorpus, dfCap = 8).count()
+    val uncapped = DedupQueries.ngramJaccardPairs(skewedCorpus, dfCap = 1000000).count()
+    // without the cap every one of the 120C2 pairs materializes through the
+    // hot key; with it the join only ever sees per-doc-unique shingles
+    assert(uncapped == 120L * 119 / 2, s"uncapped=$uncapped")
+    assert(capped == 0, s"capped=$capped — hot shingle leaked through the join")
+  }
+
+  test("capped jaccard under-counts but never invents pairs") {
+    import spark.implicits._
+    // two genuine near-dups (7 of 8 shingles shared) + 50 boilerplate docs
+    // sharing a hot trigram; the cap must keep the true pair, drop the rest
+    val docs = (
+      Seq((1000L, "en", "web", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (1001L, "en", "web", "alpha beta gamma delta epsilon zeta eta theta iota lambda")) ++
+      (0 until 50).map(i => (i.toLong, "en", "web", s"terms of service v$i x$i y$i z$i"))
+    ).toDF("doc_id", "lang", "source", "text")
+    val pairs = DedupQueries.ngramJaccardPairs(docs, dfCap = 8)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1000L, 1001L)), pairs.mkString(", "))
+  }
+}

@@ -50,4 +50,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p = finalPlan("q06_semi_join")
     assert(p.contains("LeftSemi"), p.take(800))
   }
+
+  test("s01 knn top-k: native partial-heap operator, no rank window") {
+    // a row_number window partitioned by q_id funnels ALL of a query's
+    // candidates through one reducer — the round-1 scale-killer; the plan
+    // must show the two-phase TopKPerGroup instead
+    val p = finalPlan("s01_knn_bruteforce")
+    assert(!p.contains("Window"), s"rank window back in s01:\n${p.take(1200)}")
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+  }
+
+  test("kmeans assignment: pure projection, zero exchanges") {
+    import graft.functions.KMeans
+    val e = Tables.embeddings(spark, sf)
+    val cells = KMeans.fit(e, "vec_id", "embedding", k = 4, iterations = 1)
+    val assigned = KMeans.assign(e, cells, "embedding")
+    assigned.count()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"nearest-centroid assignment must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "assignment must not use a per-row window")
+  }
 }

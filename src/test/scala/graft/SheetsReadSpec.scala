@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Round-trip coverage for the sheets READ path (connector symmetry with
+  * the write-only reference sink): write via `format("sheets")`, read the
+  * directory back, values and per-sheet partitioning must hold.
+  */
+class SheetsReadSpec extends SparkTestBase {
+
+  test("write -> read round-trip preserves values incl. CSV-hostile strings") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_rt").toString
+    val df = Seq(
+      (1L, "plain", 1.5),
+      (2L, "comma, inside", -3.0),
+      (3L, "quote \" inside", 0.25),
+      (4L, "multi\nline", 101849260.91),
+      (5L, null.asInstanceOf[String], 7.0)
+    ).toDF("id", "note", "score")
+    df.write.format("sheets").option("path", dest).option("name", "rt")
+      .mode("overwrite").save()
+    val back = spark.read.format("sheets").option("path", dest).load()
+    assert(back.schema.fieldNames.toSeq == Seq("id", "note", "score"))
+    assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+    val got = back.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = Set(
+      ("1", "plain", "1.5"),
+      ("2", "comma, inside", "-3.0"),
+      ("3", "quote \" inside", "0.25"),
+      ("4", "multi\nline", "101849260.91"),
+      ("5", null, "7.0"))
+    assert(got == want)
+  }
+
+  test("one partition per sheet; name option narrows to a single sheet") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_parts").toString
+    Seq((1, "a")).toDF("k", "v").write.format("sheets")
+      .option("path", dest).option("name", "s1").mode("overwrite").save()
+    Seq((2, "b")).toDF("k", "v").write.format("sheets")
+      .option("path", dest).option("name", "s2").mode("overwrite").save()
+    val all = spark.read.format("sheets").option("path", dest).load()
+    assert(all.rdd.getNumPartitions == 2)
+    assert(all.count() == 2)
+    val one = spark.read.format("sheets").option("path", dest)
+      .option("name", "s2").load()
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
+  test("column pruning reaches the scan (pruned columns never materialize)") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_prune").toString
+    Seq((1, "a", "x"), (2, "b", "y")).toDF("k", "v", "w")
+      .write.format("sheets").option("path", dest).option("name", "p")
+      .mode("overwrite").save()
+    val pruned = spark.read.format("sheets").option("path", dest).load()
+      .select(col("v"))
+    assert(pruned.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    pruned.queryExecution.executedPlan.collectLeaves().foreach { leaf =>
+      assert(leaf.output.map(_.name) == Seq("v"),
+        s"scan did not prune: ${leaf.output}")
+    }
+  }
+
+  test("header mismatch across sheets fails loudly") {
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_mix").toString
+    Seq((1, "a")).toDF("k", "v").write.format("sheets")
+      .option("path", dest).option("name", "s1").mode("overwrite").save()
+    Seq((2, "b")).toDF("k", "OTHER").write.format("sheets")
+      .option("path", dest).option("name", "s2").mode("overwrite").save()
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("sheets").option("path", dest).load()
+    }
+    assert(e.getMessage.contains("header mismatch"))
+  }
+}

@@ -89,6 +89,48 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming LSH near-dup dedup: band-signature dropDuplicates == batch band buckets") {
+    // the streaming member of the d03 family: explode each incoming doc
+    // into its 4 minhash band signatures, keep only first-seen buckets
+    // (later docs colliding in a band are the near-dup candidates d03
+    // pairs up in batch); watermark bounds the dedup state
+    Sessions.tune(spark)
+    val dir = Files.createTempDirectory("docs_stream")
+    Files.copy(Paths.get(s"$sf/documents.parquet"), dir.resolve("documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    def bandsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sig", expr("minhash_signature(word_shingles(toks))"))
+        .select(col("doc_id"), col("ts"), explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band_no, " +
+            "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+            "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS band_hash))"))
+          .as("band"))
+        .select(col("doc_id"), col("ts"), col("band.band_no"), col("band.band_hash"))
+    // synthetic deterministic event time (documents carry none)
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr(
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,CAST(doc_id AS INT))"))
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = bandsOf(withTs(spark.readStream.schema(schema).parquet(dir.toString)))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("band_no", "band_hash")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_lsh_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("stream_lsh_dedup")
+      .select(col("band_no"), col("band_hash")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val batch = bandsOf(withTs(spark.read.parquet(dir.toString)))
+      .select(col("band_no"), col("band_hash")).distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("custom state: mapGroupsWithState running per-user max value") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -37,6 +37,21 @@ class TopKPlanSpec extends SparkTestBase {
       s"expected partial+final TopKPerGroupExec, got:\n$plan")
   }
 
+  test("spill fallback: tiny in-memory row limit gives identical results") {
+    // rowLimit=4 forces every partition past the heap bound into the
+    // external-sorter path (5 segments x k=3 = 15 retained rows otherwise)
+    spark.conf.set("spark.graft.topk.inMemoryRowLimit", "4")
+    try {
+      val spilled = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
+        Seq(Ord("o_totalprice", desc = true), Ord("o_orderkey")), 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val window = SparkEntry.queries("q12_window_rank")(spark, sf)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(spilled == window)
+    } finally spark.conf.unset("spark.graft.topk.inMemoryRowLimit")
+  }
+
   test("k larger than any group returns everything; k=1 returns group maxima") {
     val all = TopKPerGroup.topK(joined, Seq("c_mktsegment"),
       Seq(Ord("o_orderkey")), 1000000).count()
