@@ -255,9 +255,52 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Transitive dedup CLUSTERS over d05's verified pairs — the full
+    * connected-components resolution the greedy one-hop apply (d08/d09)
+    * trades away: every doc in a near-dup component maps to the component's
+    * min doc_id.
+    *
+    * Spark shape: iterative min-label propagation. Each round is one
+    * key-join + hash-agg (neighbor-min) + a label merge, with
+    * localCheckpoint truncating the lineage so round i never re-executes
+    * rounds 0..i-1; early-exit when no label changes. Rounds needed =
+    * component diameter — near-dup clusters are shallow (dups of dups of
+    * the same source), so this converges in a handful of rounds; a 100 TB
+    * run with adversarial chain-shaped components would switch to the
+    * large-star/small-star contraction, same per-round join shapes.
+    * Singleton docs (no near-dup pair) are not emitted.
+    */
+  def d10_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d05_ngram_jaccard(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds every iteration; compute the pair join once
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d09_dedup_apply_exact" -> (d09_dedup_apply_exact _),
+    "d10_dedup_clusters" -> (d10_dedup_clusters _),
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
@@ -306,6 +349,46 @@ object DedupQueries {
         |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
+    "d10_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n,
+        |         unnest(shingles) AS shingle
+        |  FROM t),
+        |hot AS (
+        |  SELECT lang, source, shingle FROM e
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
+        |f AS (
+        |  SELECT e.* FROM e ANTI JOIN hot
+        |    USING (lang, source, shingle)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM f a JOIN f b
+        |    ON a.shingle = b.shingle AND a.lang = b.lang
+        |   AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE inter / (na + nb - inter) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e.dst AS doc_id, r.lbl
+        |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+        |SELECT doc_id, min(lbl) AS cluster_rep
+        |FROM reach GROUP BY doc_id""".stripMargin,
     "d09_dedup_apply_exact" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,

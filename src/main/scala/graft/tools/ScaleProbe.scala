@@ -37,6 +37,10 @@ object ScaleProbe {
         graft.operators.DedupQueries.d03_dedup_minhash_lsh(spark, sf).count())
       time(s"$tag d05_ngram_jaccard")(
         graft.operators.DedupQueries.d05_ngram_jaccard(spark, sf).count())
+      // d08 = d03 + anti-join + agg; with the localCheckpoint fix its cost
+      // should track d03's (round 1: 14.3s vs 0.75s from the 4x recompute)
+      time(s"$tag d08_dedup_apply")(
+        graft.operators.DedupQueries.d08_dedup_apply(spark, sf).count())
     }
     spark.stop()
   }
