@@ -40,16 +40,22 @@ object KMeans {
           k: Int, iterations: Int = 3, dim: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // materialize the (id, vec) training projection once — every Lloyd
+    // iteration re-reads these blocks instead of re-scanning the source.
+    // (At 100 TB you'd also train the coarse quantizer on a SAMPLE of the
+    // corpus — quantizer quality saturates long before full-corpus size —
+    // and only the final assign pass would touch every vector.)
+    val training = vectors.select(col(idCol), col(vecCol)).localCheckpoint()
     // distributed top-k by id, then k rows to the driver (k is tiny)
-    var centroids: Seq[(Int, Seq[Double])] = vectors
+    var centroids: Seq[(Int, Seq[Double])] = training
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol).cast("array<double>"))
       .collect().toSeq.zipWithIndex
       .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
     var i = 0
     while (i < iterations) {
-      // one scan: argmin projection + k-row hash aggregate, then k rows back
-      val updated: Map[Int, Seq[Double]] = assignLocal(vectors, centroids, vecCol)
+      // one pass: argmin projection + k-row hash aggregate, then k rows back
+      val updated: Map[Int, Seq[Double]] = assignLocal(training, centroids, vecCol)
         .groupBy(col("cluster"))
         .agg(vector_mean(col(vecCol), dim).as("c_new"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap

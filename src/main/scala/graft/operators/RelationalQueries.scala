@@ -572,6 +572,21 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)
 
+  /** UNPIVOT / melt (inverse of q29's pivot): wide metric columns to
+    * (metric, value) rows via the native `Dataset.unpivot` (planned as an
+    * Expand — each input row fans out in the map stage, no shuffle until
+    * the aggregate).
+    */
+  def q45_unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -619,6 +634,7 @@ object RelationalQueries {
     "q42_window_misc" -> (q42_window_misc _),
     "q43_right_join" -> (q43_right_join _),
     "q44_window_lead_last" -> (q44_window_lead_last _),
+    "q45_unpivot" -> (q45_unpivot _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -901,5 +917,13 @@ object RelationalQueries {
         |         AS final_order_key
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin,
+    "q45_unpivot" ->
+      """SELECT metric, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem)
+        |  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+        |                                l_discount, l_tax))
+        |GROUP BY metric""".stripMargin,
   )
 }

@@ -60,6 +60,21 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("TopKPerGroup"), p.take(1200))
   }
 
+  test("s04/s06 ivf: no rank windows anywhere in the ANN family") {
+    Seq("s04_ivf_ann", "s06_ivf_kmeans").foreach { q =>
+      val p = finalPlan(q)
+      assert(!p.contains("Window"), s"$q grew a rank window:\n${p.take(1200)}")
+    }
+  }
+
+  test("d05: hot-shingle guard is an anti join; df agg is partial/final") {
+    val p = finalPlan("d05_ngram_jaccard")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    // the df count must partial-aggregate map-side (skew-safe), never
+    // sort the exploded shingles globally
+    assert(p.contains("HashAggregate"), p.take(1200))
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
