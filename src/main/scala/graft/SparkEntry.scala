@@ -23,7 +23,8 @@ object SparkEntry {
         operators.SimilarityQueries.queries ++
         operators.TextQueries.queries ++
         operators.MultimodalQueries.queries ++
-        operators.StreamingQueries.queries
+        operators.StreamingQueries.queries ++
+        operators.CurationQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
     }
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.SimilarityQueries.oracles ++
       operators.TextQueries.oracles ++
       operators.MultimodalQueries.oracles ++
-      operators.StreamingQueries.oracles
+      operators.StreamingQueries.oracles ++
+      operators.CurationQueries.oracles
 }

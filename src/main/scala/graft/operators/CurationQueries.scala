@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.TopKPerGroup
+import graft.plans.TopKPerGroup.Ord
+
+/** Dataset-curation operators for a training-data pipeline (brief
+  * §extended): the selection steps that run BETWEEN dedup/scoring and
+  * training — stratified sampling and quality-threshold budgeting.
+  * Both are oracle-checked end to end.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic stratified sample: k docs per language, chosen by a
+    * Knuth-style multiplicative hash of doc_id (uniform, engine-agnostic
+    * 64-bit arithmetic — no RNG state, no sampling seed to ship).
+    *
+    * Spark shape: the native TopKPerGroup operator — per-partition heaps
+    * keep k rows per (partition, lang), so the shuffle carries at most
+    * k x partitions x strata rows; no per-stratum reducer ever sees a full
+    * stratum (the rank-window formulation would).
+    */
+  def c01_stratified_sample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        ((col("doc_id") * 2654435761L + 40503L) % 1000000007L).as("h"))
+    TopKPerGroup.topK(docs, Seq("lang"), Seq(Ord("h"), Ord("doc_id")), 20)
+  }
+
+  /** Token-budget selection by quality quantile: keep the top 20% of docs
+    * by the t02 quality score, report kept docs + token volume per lang.
+    *
+    * Scale shape: the threshold is ONE number from a percentile aggregate
+    * (broadcast back as a 1-row cross join) — no global sort, no running
+    * sum through a single reducer, which is how the naive "sort by quality,
+    * take until budget" formulation dies at 100 TB. Exact interpolated
+    * percentile matches DuckDB quantile_cont bit-for-bit (proven by q40);
+    * scores are bit-identical cross-engine (t02).
+    */
+  def c02_token_budget(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("short_ratio",
+        expr("size(filter(toks, x -> length(x) <= 2))") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+      .withColumn("score",
+        sqrt(col("n_tokens")) - col("short_ratio") * 2.0 +
+          col("avg_token_len") * 0.1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+    val thr = scored.agg(expr("percentile(score, 0.8D)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c01_stratified_sample" -> (c01_stratified_sample _),
+    "c02_token_budget" -> (c02_token_budget _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         (doc_id * 2654435761 + 40503) % 1000000007 AS h
+        |  FROM documents)
+        |SELECT lang, doc_id, h FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |              ORDER BY h, doc_id) AS rk FROM h) t
+        |WHERE rk <= 20""".stripMargin,
+    "c02_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         sqrt(len(toks))
+        |           - len(list_filter(toks, x -> length(x) <= 2)) / len(toks) * 2.0
+        |           + (n_chars - len(toks) + 1) / len(toks) * 0.1 AS score
+        |  FROM t)
+        |SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM u
+        |WHERE score >= (SELECT quantile_cont(score, 0.8) FROM u)
+        |GROUP BY lang""".stripMargin,
+  )
+}

@@ -166,8 +166,40 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** int8 scalar-quantized KNN — the storage-bound scale path: at 100 TB
+    * of float32 embeddings, quantizing to int8 cuts the scanned bytes 4x
+    * and turns the kernel into exact integer arithmetic. Per-vector
+    * symmetric quantization (scale = 127/max|x|), integer dot product,
+    * norm correction in double — every step is deterministic arithmetic
+    * both engines implement identically, so unlike s02/s04's
+    * LSH/k-means variants this APPROXIMATE method is still fully
+    * oracle-checkable. Top-k via the native partial-heap operator.
+    */
+  def s07_quantized_cosine(s: SparkSession, d: String): DataFrame = {
+    def quantized(df: DataFrame, vecCol: String, out: String): DataFrame =
+      df.withColumn("__amax",
+          expr(s"array_max(transform(CAST($vecCol AS ARRAY<DOUBLE>), v -> abs(v)))"))
+        .withColumn(out, expr(
+          s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(round(x * (127.0D / __amax)) AS BIGINT))"))
+        .drop("__amax", vecCol)
+    val e = quantized(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "embedding", "qv")
+    val q = quantized(
+      Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("embedding")),
+      "embedding", "q_qv")
+    perQueryTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(
+          "CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+            " / (sqrt(CAST(aggregate(transform(q_qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE))" +
+            " * sqrt(CAST(aggregate(transform(qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE)))"))
+        .select(col("q_id"), col("vec_id"), col("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
+    "s07_quantized_cosine" -> (s07_quantized_cosine _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),
@@ -207,6 +239,24 @@ object SimilarityQueries {
         |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
         |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "s07_quantized_cosine" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CAST(round(x * (127.0 /
+        |           list_max(list_transform(v, y -> abs(y))))) AS BIGINT)) AS qv
+        |  FROM emb),
+        |q AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         CAST(list_sum(list_transform(list_zip(q.q_qv, e.qv), x -> x[1] * x[2])) AS DOUBLE)
+        |           / (sqrt(CAST(list_sum(list_transform(q.q_qv, v -> v * v)) AS DOUBLE))
+        |              * sqrt(CAST(list_sum(list_transform(e.qv, v -> v * v)) AS DOUBLE))) AS sim
+        |  FROM q JOIN qz e ON e.vec_id <> q.q_id)
         |SELECT q_id, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM p) t

@@ -107,8 +107,33 @@ object TextQueries {
       .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** PII-style redaction: emails, long digit runs, and (so the synthetic
+    * word-soup fixture actually exercises a rewrite) 12+-char words, each
+    * replaced by a tag. Pure per-row regexp projection — scan-speed, no
+    * shuffle; patterns are deliberately RE2-and-Java compatible (character
+    * classes + bounded repetition only) so both engines rewrite
+    * identically, letting the oracle compare the redacted TEXT, not just
+    * the counts.
+    */
+  def t06_redact(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val num = "[0-9]{6,}"
+    val longw = "[a-z]{12,}"
+    Tables.documents(s, d)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "[EMAIL]"), num, "[NUM]"), longw, "[LONG]"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(num)).cast("long").as("n_longnums"),
+        regexp_count(col("text"), lit(longw)).cast("long").as("n_longwords"),
+        col("redacted"),
+        length(col("redacted")).cast("long").as("redacted_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t05_tfidf" -> (t05_tfidf _),
+    "t06_redact" -> (t06_redact _),
     "t01_lang_id" -> (t01_lang_id _),
     "t02_quality_score" -> (t02_quality_score _),
     "t03_token_stats" -> (t03_token_stats _),
@@ -116,6 +141,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t06_redact" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |       CAST(len(regexp_extract_all(text, '[a-z]{12,}')) AS BIGINT) AS n_longwords,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |         '[0-9]{6,}', '[NUM]', 'g'),
+        |         '[a-z]{12,}', '[LONG]', 'g') AS redacted,
+        |       length(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |         '[0-9]{6,}', '[NUM]', 'g'),
+        |         '[a-z]{12,}', '[LONG]', 'g')) AS redacted_chars
+        |FROM documents""".stripMargin,
     "t05_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
