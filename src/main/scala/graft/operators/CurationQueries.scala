@@ -59,9 +59,42 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
   }
 
+  /** Deterministic train/val/test split (80/10/10) by doc_id hash — no
+    * sampling seed, no RNG: the same doc lands in the same split on every
+    * engine, every run, every cluster size. Pure projection + 3-row agg.
+    */
+  def c03_hash_split(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", (col("doc_id") * 2654435761L + 97L) % 1000L)
+      .withColumn("split",
+        when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Leakage-safe split: near-duplicate documents must land in the SAME
+    * split or eval contamination follows — so hash the d10 cluster
+    * representative, not the doc itself (singletons fall back to their own
+    * id). The join is keys-only; component resolution comes from the
+    * iterative min-label propagation, so the whole thing stays
+    * oracle-checkable via the recursive-CTE twin.
+    */
+  def c04_split_by_cluster(s: SparkSession, d: String): DataFrame = {
+    val clusters = DedupQueries.d10_dedup_clusters(s, d)
+    Tables.documents(s, d)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("h", (col("rep") * 2654435761L + 97L) % 1000L)
+      .withColumn("split",
+        when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
+    "c03_hash_split" -> (c03_hash_split _),
+    "c04_split_by_cluster" -> (c04_split_by_cluster _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +107,66 @@ object CurationQueries {
         |  SELECT *, row_number() OVER (PARTITION BY lang
         |              ORDER BY h, doc_id) AS rk FROM h) t
         |WHERE rk <= 20""".stripMargin,
+    "c03_hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id * 2654435761 + 97) % 1000 AS h
+        |  FROM documents)
+        |SELECT CASE WHEN h < 800 THEN 'train'
+        |            WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM h GROUP BY 1""".stripMargin,
+    "c04_split_by_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |e AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n,
+        |         unnest(shingles) AS shingle
+        |  FROM t),
+        |hot AS (
+        |  SELECT lang, source, shingle FROM e
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
+        |f AS (
+        |  SELECT e.* FROM e ANTI JOIN hot
+        |    USING (lang, source, shingle)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n AS na, b.n AS nb, count(*) AS inter
+        |  FROM f a JOIN f b
+        |    ON a.shingle = b.shingle AND a.lang = b.lang
+        |   AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM p
+        |  WHERE inter / (na + nb - inter) >= 0.1),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS lbl FROM nodes
+        |  UNION
+        |  SELECT e2.dst AS doc_id, r.lbl
+        |  FROM reach r JOIN edges e2 ON e2.src = r.doc_id),
+        |cc AS (
+        |  SELECT doc_id, min(lbl) AS cluster_rep
+        |  FROM reach GROUP BY doc_id),
+        |s AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |         (coalesce(cc.cluster_rep, d.doc_id) * 2654435761 + 97) % 1000 AS h
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+        |SELECT CASE WHEN h < 800 THEN 'train'
+        |            WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM s GROUP BY 1""".stripMargin,
     "c02_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks

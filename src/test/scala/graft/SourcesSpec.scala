@@ -42,6 +42,18 @@ class SourcesSpec extends SparkTestBase {
     assert(total == expect && total > 0)
   }
 
+  test("orc round-trip preserves values and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("orc_src").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("event_type") === "click")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"), plan.take(600))
+    assert(back.count() == ev.filter(col("event_type") === "click").count())
+  }
+
   test("jdbc whole-query plumbing reaches the JDBC layer (no live DB here)") {
     val ex = intercept[Exception] {
       graft.sources.JdbcWholeQuery.load(spark,
