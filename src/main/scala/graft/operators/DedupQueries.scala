@@ -297,10 +297,50 @@ object DedupQueries {
     labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 
+  /** Incremental-ingest dedup: a NEW batch of documents probes the
+    * EXISTING corpus's inverted shingle index — the shape a 100 TB
+    * pipeline actually runs daily (only the batch's shingles ever probe;
+    * the corpus side is a bucketed table that never rescans itself, and
+    * batch-internal dups are d05's job on the batch alone). Here the
+    * batch is the top 20% of doc_ids, the corpus the rest; emits each new
+    * doc's verdict with its best corpus match.
+    */
+  def d11_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    // bigram index (denser than d05's trigrams — an ingest probe wants
+    // recall); the batch is doc_id % 7 (deliberately coprime with the
+    // fixture's source = doc_id % 10 so the split crosses source buckets)
+    val all = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
+    val batch = all.filter(col("doc_id") % 7 === 0)
+    val corpus = all.filter(col("doc_id") % 7 =!= 0)
+    val scores = batch.as("b").join(corpus.as("c"),
+        col("b.shingle") === col("c.shingle") &&
+          col("b.lang") === col("c.lang") && col("b.source") === col("c.source"))
+      .groupBy(col("b.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"),
+        col("b.n").as("nb"), col("c.n").as("nc"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("new_doc"), col("corpus_doc"),
+        (col("inter") / (col("nb") + col("nc") - col("inter"))).as("jaccard"))
+    // best corpus match per new doc via the native top-k (k=1)
+    graft.plans.TopKPerGroup.topK(scores, Seq("new_doc"),
+      Seq(graft.plans.TopKPerGroup.Ord("jaccard", desc = true),
+        graft.plans.TopKPerGroup.Ord("corpus_doc")), 1)
+      .select(col("new_doc"), col("corpus_doc"), col("jaccard"),
+        when(col("jaccard") >= 0.5, "duplicate").otherwise("novel").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d09_dedup_apply_exact" -> (d09_dedup_apply_exact _),
     "d10_dedup_clusters" -> (d10_dedup_clusters _),
+    "d11_incremental_dedup" -> (d11_incremental_dedup _),
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
@@ -349,6 +389,34 @@ object DedupQueries {
         |  GROUP BY 1, 2, 3, 4, 5)
         |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
         |FROM p WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
+    "d11_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS shingles
+        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 2),
+        |e AS (
+        |  SELECT doc_id, lang, source, len(shingles) AS n,
+        |         unnest(shingles) AS shingle
+        |  FROM t),
+        |scores AS (
+        |  SELECT b.doc_id AS new_doc, c.doc_id AS corpus_doc,
+        |         b.n AS nb, c.n AS nc, count(*) AS inter
+        |  FROM e b JOIN e c
+        |    ON b.shingle = c.shingle AND b.lang = c.lang AND b.source = c.source
+        |  WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT new_doc, corpus_doc,
+        |         inter / (nb + nc - inter) AS jaccard
+        |  FROM scores)
+        |SELECT new_doc, corpus_doc, jaccard,
+        |       CASE WHEN jaccard >= 0.5 THEN 'duplicate' ELSE 'novel' END AS verdict
+        |FROM (SELECT *, row_number() OVER (PARTITION BY new_doc
+        |        ORDER BY jaccard DESC, corpus_doc) AS rk FROM j) t
+        |WHERE rk <= 1""".stripMargin,
     "d10_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, source,

@@ -572,6 +572,21 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin)
 
+  /** Approximate percentiles (t-digest-style sketch) — the 100 TB scale
+    * path for q40's exact quantiles: mergeable per-partition sketches, one
+    * tiny row per group crosses the shuffle, bounded error. Sketch
+    * internals are engine-specific → rows-only check (like q32's HLL),
+    * with q40 as the exact twin the small-SF numbers are sanity-checked
+    * against in QueriesSpec.
+    */
+  def q46_approx_percentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
+        expr("approx_percentile(o_totalprice, array(0.25, 0.75), 10000)").as("approx_quartiles"),
+        count(lit(1)).as("n"))
+
   /** UNPIVOT / melt (inverse of q29's pivot): wide metric columns to
     * (metric, value) rows via the native `Dataset.unpivot` (planned as an
     * Expand — each input row fans out in the map stage, no shuffle until
@@ -635,6 +650,7 @@ object RelationalQueries {
     "q43_right_join" -> (q43_right_join _),
     "q44_window_lead_last" -> (q44_window_lead_last _),
     "q45_unpivot" -> (q45_unpivot _),
+    "q46_approx_percentile" -> (q46_approx_percentile _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */

@@ -197,9 +197,36 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), col("sim")))
   }
 
+  /** IVF with nprobe=2 — the recall knob on s04's nprobe=1: each query
+    * probes its TWO nearest cells (TopKPerGroup k=2 on the routing side),
+    * the in-cell searches union before the final top-k. Cost scales
+    * linearly in nprobe while recall approaches brute force; the plan
+    * shape (broadcast routed queries, one corpus scan, partial-heap
+    * top-k) is unchanged.
+    */
+  def s08_ivf_nprobe(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorMean.vector_mean
+    val e = Tables.embeddings(s, d)
+    val cells = e.groupBy(col("label").as("cell"))
+      .agg(vector_mean(col("embedding")).as("centroid"))
+    val routed = TopKPerGroup.topK(
+      queriesSide(s, d)
+        .crossJoin(broadcast(cells))
+        .withColumn("c_sim",
+          cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+        .select(col("q_id"), col("q_emb"), col("cell"), col("c_sim")),
+      Seq("q_id"), Seq(Ord("c_sim", desc = true), Ord("cell")), 2) // nprobe = 2
+      .select(col("q_id"), col("q_emb"), col("cell"))
+    perQueryTopK(
+      e.join(broadcast(routed), col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
+    "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),

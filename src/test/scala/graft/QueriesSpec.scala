@@ -51,6 +51,17 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("q46 approx percentiles track q40's exact quantiles") {
+    val exact = SparkEntry.queries("q40_median")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("median_price")).toMap
+    val approx = SparkEntry.queries("q46_approx_percentile")(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("approx_median")).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, v) =>
+      assert(math.abs(v - exact(k)) / exact(k) < 0.02, s"$k: approx $v vs exact ${exact(k)}")
+    }
+  }
+
   test("st02 session windows: every session has >= 1 event") {
     val df = SparkEntry.queries("st02_session_window")(spark, sf)
     assert(df.filter(col("n_events") < 1).count() == 0)
