@@ -36,7 +36,10 @@ object Bench {
       if (times.isEmpty) None
       else Some(name -> times.sorted.apply(times.size / 2))
     }
+    // control chars (tabs in Spark plan fragments etc.) are illegal in JSON
+    // strings — blank them so the one-line contract always parses
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .map(c => if (c < ' ') ' ' else c)
     // slowest first: the queries worth reading are at the front
     val qs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

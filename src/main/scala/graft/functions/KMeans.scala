@@ -78,7 +78,11 @@ object KMeans {
   }
 
   /** The argmin projection itself. `cents` must be sorted by cluster id so
-    * the first-max tie-break resolves to the lowest id.
+    * the first-max tie-break resolves to the lowest id. A null vector
+    * (all sims null) falls back to the lowest cluster id — the same
+    * deterministic assignment the old (sim desc nulls-last, cluster asc)
+    * window ordering produced, and it keeps `cluster` non-null so fit's
+    * k-row collect never sees a null group.
     */
   private def assignLocal(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
                           vecCol: String): DataFrame = {
@@ -89,7 +93,9 @@ object KMeans {
     vectors
       .withColumn("__sims", sims)
       .withColumn("cluster",
-        element_at(ids, array_position(col("__sims"), array_max(col("__sims"))).cast("int")))
+        coalesce(
+          element_at(ids, array_position(col("__sims"), array_max(col("__sims"))).cast("int")),
+          lit(cents.head._1)))
       .drop("__sims")
   }
 }

@@ -24,9 +24,13 @@ object CurationQueries {
     * stratum (the rank-window formulation would).
     */
   def c01_stratified_sample(s: SparkSession, d: String): DataFrame = {
+    // doc_id is mod-reduced BEFORE the multiply (q41's pattern): the raw
+    // product overflows Long past doc_id ~3.5e9, where Spark would wrap
+    // silently while the DuckDB twin errors — mod-first keeps the product
+    // under 2^62 and both engines exact at any id
     val docs = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
-        ((col("doc_id") * 2654435761L + 40503L) % 1000000007L).as("h"))
+        (((col("doc_id") % 1000003L) * 2654435761L + 40503L) % 1000000007L).as("h"))
     TopKPerGroup.topK(docs, Seq("lang"), Seq(Ord("h"), Ord("doc_id")), 20)
   }
 
@@ -65,7 +69,7 @@ object CurationQueries {
     */
   def c03_hash_split(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h", (col("doc_id") * 2654435761L + 97L) % 1000L)
+      .withColumn("h", ((col("doc_id") % 1000003L) * 2654435761L + 97L) % 1000L)
       .withColumn("split",
         when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
       .groupBy(col("split"))
@@ -83,7 +87,7 @@ object CurationQueries {
     Tables.documents(s, d)
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-      .withColumn("h", (col("rep") * 2654435761L + 97L) % 1000L)
+      .withColumn("h", ((col("rep") % 1000003L) * 2654435761L + 97L) % 1000L)
       .withColumn("split",
         when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
       .groupBy(col("split"))
@@ -101,7 +105,7 @@ object CurationQueries {
     "c01_stratified_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,
-        |         (doc_id * 2654435761 + 40503) % 1000000007 AS h
+        |         ((doc_id % 1000003) * 2654435761 + 40503) % 1000000007 AS h
         |  FROM documents)
         |SELECT lang, doc_id, h FROM (
         |  SELECT *, row_number() OVER (PARTITION BY lang
@@ -110,7 +114,7 @@ object CurationQueries {
     "c03_hash_split" ->
       """WITH h AS (
         |  SELECT doc_id, n_chars,
-        |         (doc_id * 2654435761 + 97) % 1000 AS h
+        |         ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
         |  FROM documents)
         |SELECT CASE WHEN h < 800 THEN 'train'
         |            WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
@@ -118,55 +122,17 @@ object CurationQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM h GROUP BY 1""".stripMargin,
     "c04_split_by_cluster" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(list_transform(range(1, len(toks)-1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, lang, source, len(shingles) AS n,
-        |         unnest(shingles) AS shingle
-        |  FROM t),
-        |hot AS (
-        |  SELECT lang, source, shingle FROM e
-        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
-        |f AS (
-        |  SELECT e.* FROM e ANTI JOIN hot
-        |    USING (lang, source, shingle)),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM f a JOIN f b
-        |    ON a.shingle = b.shingle AND a.lang = b.lang
-        |   AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  WHERE inter / (na + nb - inter) >= 0.1),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS lbl FROM nodes
-        |  UNION
-        |  SELECT e2.dst AS doc_id, r.lbl
-        |  FROM reach r JOIN edges e2 ON e2.src = r.doc_id),
-        |cc AS (
-        |  SELECT doc_id, min(lbl) AS cluster_rep
-        |  FROM reach GROUP BY doc_id),
-        |s AS (
-        |  SELECT d.doc_id, d.n_chars,
-        |         (coalesce(cc.cluster_rep, d.doc_id) * 2654435761 + 97) % 1000 AS h
-        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
-        |SELECT CASE WHEN h < 800 THEN 'train'
-        |            WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
-        |       count(*) AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM s GROUP BY 1""".stripMargin,
+      s"""WITH RECURSIVE ${DedupQueries.ClustersCte},
+         |s AS (
+         |  SELECT d.doc_id, d.n_chars,
+         |         ((coalesce(cc.cluster_rep, d.doc_id) % 1000003) * 2654435761 + 97)
+         |           % 1000 AS h
+         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id)
+         |SELECT CASE WHEN h < 800 THEN 'train'
+         |            WHEN h < 900 THEN 'val' ELSE 'test' END AS split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY 1""".stripMargin,
     "c02_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks

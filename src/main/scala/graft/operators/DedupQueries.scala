@@ -302,8 +302,8 @@ object DedupQueries {
     * pipeline actually runs daily (only the batch's shingles ever probe;
     * the corpus side is a bucketed table that never rescans itself, and
     * batch-internal dups are d05's job on the batch alone). Here the
-    * batch is the top 20% of doc_ids, the corpus the rest; emits each new
-    * doc's verdict with its best corpus match.
+    * batch is the ~1/7 of docs with doc_id % 7 == 0, the corpus the rest;
+    * emits each new doc's verdict with its best corpus match.
     */
   def d11_incremental_dedup(s: SparkSession, d: String): DataFrame = {
     // bigram index (denser than d05's trigrams — an ingest probe wants
@@ -318,6 +318,7 @@ object DedupQueries {
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
+      .localCheckpoint() // batch + corpus both derive from this: one kernel pass
     val batch = all.filter(col("doc_id") % 7 === 0)
     val corpus = all.filter(col("doc_id") % 7 =!= 0)
     val scores = batch.as("b").join(corpus.as("c"),
@@ -350,6 +351,61 @@ object DedupQueries {
     "d06_embed_neardup" -> (d06_embed_neardup _),
   )
 
+  /** Shared oracle CTE prefixes. Every oracle string must be self-contained
+    * SQL for the driver, so the common trigram-index chain is interpolated
+    * (with [[DfCap]]) rather than copy-pasted — d05/d09/d10 here and c04 in
+    * CurationQueries can then never drift from the Spark-side parameters.
+    */
+  private[operators] val ShingleIndexCte: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, source,
+       |         list_distinct(list_transform(range(1, len(toks)-1),
+       |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 3),
+       |e AS (
+       |  SELECT doc_id, lang, source, len(shingles) AS n,
+       |         unnest(shingles) AS shingle
+       |  FROM t),
+       |hot AS (
+       |  SELECT lang, source, shingle FROM e
+       |  GROUP BY 1, 2, 3 HAVING count(*) > $DfCap),
+       |f AS (
+       |  SELECT e.* FROM e ANTI JOIN hot
+       |    USING (lang, source, shingle))""".stripMargin
+
+  /** Index + per-pair intersection counts (lang-less pair key). */
+  private[operators] val PairScoresCte: String =
+    s"""$ShingleIndexCte,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.n AS na, b.n AS nb, count(*) AS inter
+       |  FROM f a JOIN f b
+       |    ON a.shingle = b.shingle AND a.lang = b.lang
+       |   AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Pairs -> connected components (recursive; must follow WITH RECURSIVE). */
+  private[operators] val ClustersCte: String =
+    s"""$PairScoresCte,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE inter / (na + nb - inter) >= 0.1),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach AS (
+       |  SELECT doc_id, doc_id AS lbl FROM nodes
+       |  UNION
+       |  SELECT e2.dst AS doc_id, r.lbl
+       |  FROM reach r JOIN edges e2 ON e2.src = r.doc_id),
+       |cc AS (
+       |  SELECT doc_id, min(lbl) AS cluster_rep
+       |  FROM reach GROUP BY doc_id)""".stripMargin
+
   /** d03/d04 rely on xxhash64-derived signatures (not reproducible in
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
@@ -363,32 +419,16 @@ object DedupQueries {
         |       count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,
     "d05_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(list_transform(range(1, len(toks)-1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, lang, source, len(shingles) AS n,
-        |         unnest(shingles) AS shingle
-        |  FROM t),
-        |hot AS (
-        |  SELECT lang, source, shingle FROM e
-        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
-        |f AS (
-        |  SELECT e.* FROM e ANTI JOIN hot
-        |    USING (lang, source, shingle)),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-        |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM f a JOIN f b
-        |    ON a.shingle = b.shingle AND a.lang = b.lang
-        |   AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4, 5)
-        |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
-        |FROM p WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
+      s"""WITH $ShingleIndexCte,
+         |pl AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         |         a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM f a JOIN f b
+         |    ON a.shingle = b.shingle AND a.lang = b.lang
+         |   AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT doc_a, doc_b, lang, inter / (na + nb - inter) AS jaccard
+         |FROM pl WHERE inter / (na + nb - inter) >= 0.1""".stripMargin,
     "d11_incremental_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
@@ -418,77 +458,17 @@ object DedupQueries {
         |        ORDER BY jaccard DESC, corpus_doc) AS rk FROM j) t
         |WHERE rk <= 1""".stripMargin,
     "d10_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(list_transform(range(1, len(toks)-1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, lang, source, len(shingles) AS n,
-        |         unnest(shingles) AS shingle
-        |  FROM t),
-        |hot AS (
-        |  SELECT lang, source, shingle FROM e
-        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
-        |f AS (
-        |  SELECT e.* FROM e ANTI JOIN hot
-        |    USING (lang, source, shingle)),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM f a JOIN f b
-        |    ON a.shingle = b.shingle AND a.lang = b.lang
-        |   AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM p
-        |  WHERE inter / (na + nb - inter) >= 0.1),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS lbl FROM nodes
-        |  UNION
-        |  SELECT e.dst AS doc_id, r.lbl
-        |  FROM reach r JOIN edges e ON e.src = r.doc_id)
-        |SELECT doc_id, min(lbl) AS cluster_rep
-        |FROM reach GROUP BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ClustersCte
+         |SELECT doc_id, cluster_rep FROM cc""".stripMargin,
     "d09_dedup_apply_exact" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, source,
-        |         list_distinct(list_transform(range(1, len(toks)-1),
-        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
-        |  FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |e AS (
-        |  SELECT doc_id, lang, source, len(shingles) AS n,
-        |         unnest(shingles) AS shingle
-        |  FROM t),
-        |hot AS (
-        |  SELECT lang, source, shingle FROM e
-        |  GROUP BY 1, 2, 3 HAVING count(*) > 64),
-        |f AS (
-        |  SELECT e.* FROM e ANTI JOIN hot
-        |    USING (lang, source, shingle)),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         a.n AS na, b.n AS nb, count(*) AS inter
-        |  FROM f a JOIN f b
-        |    ON a.shingle = b.shingle AND a.lang = b.lang
-        |   AND a.source = b.source AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4),
-        |drops AS (
-        |  SELECT DISTINCT doc_b AS drop_id FROM p
-        |  WHERE inter / (na + nb - inter) >= 0.5)
-        |SELECT lang, count(*) AS n_kept,
-        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
-        |FROM documents ANTI JOIN drops ON doc_id = drop_id
-        |GROUP BY lang""".stripMargin,
+      s"""WITH $PairScoresCte,
+         |drops AS (
+         |  SELECT DISTINCT doc_b AS drop_id FROM p
+         |  WHERE inter / (na + nb - inter) >= 0.5)
+         |SELECT lang, count(*) AS n_kept,
+         |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         |FROM documents ANTI JOIN drops ON doc_id = drop_id
+         |GROUP BY lang""".stripMargin,
     "d06_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

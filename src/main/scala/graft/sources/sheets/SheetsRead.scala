@@ -78,31 +78,31 @@ object CsvRecordReader {
     val cur = new java.lang.StringBuilder
     var quoted = false   // currently inside a quoted cell
     var wasQuoted = false // current cell used quotes (""=empty string, not null)
-    var sawAny = false
     var c = in.read()
-    if (c == -1) return null
+    if (c == -1) return null // true EOF — the writer ends every record with \n
     var done = false
     while (!done) {
       if (c == -1) {
         done = true
       } else if (quoted) {
-        sawAny = true
         if (c == '"') {
           val n = in.read()
           if (n == '"') { cur.append('"'); c = in.read() }
           else { quoted = false; c = n }
         } else { cur.append(c.toChar); c = in.read() }
       } else c match {
-        case '"' => quoted = true; wasQuoted = true; sawAny = true; c = in.read()
+        case '"' => quoted = true; wasQuoted = true; c = in.read()
         case ',' =>
           fields += (if (cur.length == 0 && !wasQuoted) null else cur.toString)
-          cur.setLength(0); wasQuoted = false; sawAny = true; c = in.read()
+          cur.setLength(0); wasQuoted = false; c = in.read()
         case '\r' => c = in.read() // writer never emits bare \r; swallow
         case '\n' => done = true
-        case ch => cur.append(ch.toChar); sawAny = true; c = in.read()
+        case ch => cur.append(ch.toChar); c = in.read()
       }
     }
-    if (!sawAny && fields.isEmpty && cur.length == 0) return null // trailing blank line
+    // NB: an empty line is a legitimate record — a single-column NULL row
+    // writes as one (empty cell + newline); treating it as EOF would drop
+    // that row and everything after it
     fields += (if (cur.length == 0 && !wasQuoted) null else cur.toString)
     fields.toArray
   }

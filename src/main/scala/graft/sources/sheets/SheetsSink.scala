@@ -48,13 +48,12 @@ class SheetsSink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sheets"
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // write path: schema comes from the query (empty here); read path:
-    // all-string schema from the sheet header(s) under `path`
-    val path = Option(options.get("path"))
-    val name = Option(options.get("name"))
-    path.filter(p => SheetsRead.sheetFiles(p, None).nonEmpty || name.nonEmpty)
-      .map(p => SheetsRead.inferSchema(p, name))
-      .getOrElse(new StructType())
+    // only reads reach this (supportsExternalMetadata=true routes the
+    // query's schema straight to getTable on writes), so a path with no
+    // sheets must fail loudly here — not degrade to a 0-column frame
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("sheets read: missing path"))
+    SheetsRead.inferSchema(path, Option(options.get("name")))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =

@@ -65,6 +65,27 @@ class SheetsReadSpec extends SparkTestBase {
     }
   }
 
+  test("single-column null rows (blank CSV lines) don't truncate the read") {
+    // a 1-column null row writes as an empty line; the parser must treat it
+    // as a record, not EOF — or the row AND everything after it vanish
+    import spark.implicits._
+    val dest = Files.createTempDirectory("sheets_nulls").toString
+    Seq(Some("a"), None, Some("b")).toDF("v")
+      .write.format("sheets").option("path", dest).option("name", "n")
+      .mode("overwrite").save()
+    val got = spark.read.format("sheets").option("path", dest).load()
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got.sorted == Seq(None, Some("a"), Some("b")).sorted, got.toString)
+  }
+
+  test("reading a directory with no sheets fails loudly, not as 0 columns") {
+    val empty = Files.createTempDirectory("sheets_none").toString
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("sheets").option("path", empty).load()
+    }
+    assert(e.getMessage.contains("no sheets"), e.getMessage)
+  }
+
   test("header mismatch across sheets fails loudly") {
     import spark.implicits._
     val dest = Files.createTempDirectory("sheets_mix").toString
