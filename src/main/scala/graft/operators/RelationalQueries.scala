@@ -602,6 +602,32 @@ object RelationalQueries {
       .groupBy(col("metric"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
 
+  /** CORRELATED scalar subquery (q20 is the uncorrelated form): per-order
+    * lineitem count. Catalyst decorrelates this into a left outer join
+    * against the pre-aggregated subquery — no per-row re-execution, which
+    * is exactly why the SQL surface can afford to offer it at 100 TB.
+    */
+  def q47_correlated_subquery(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders", "lineitem")(
+      """SELECT o_orderkey, o_orderstatus,
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders
+        |WHERE o_totalprice > 500000""".stripMargin)
+
+  /** Bounded sliding ROWS frame (q13 = running unbounded, q36 = RANGE):
+    * centered moving average over each customer's order history.
+    */
+  def q48_moving_average(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS moving_avg,
+        |       CAST(count(*) OVER w AS BIGINT) AS frame_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -651,6 +677,8 @@ object RelationalQueries {
     "q44_window_lead_last" -> (q44_window_lead_last _),
     "q45_unpivot" -> (q45_unpivot _),
     "q46_approx_percentile" -> (q46_approx_percentile _),
+    "q47_correlated_subquery" -> (q47_correlated_subquery _),
+    "q48_moving_average" -> (q48_moving_average _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -941,5 +969,19 @@ object RelationalQueries {
         |  UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
         |                                l_discount, l_tax))
         |GROUP BY metric""".stripMargin,
+    "q47_correlated_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey = o_orderkey) AS n_items
+        |FROM orders
+        |WHERE o_totalprice > 500000""".stripMargin,
+    "q48_moving_average" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |         / count(*) OVER w AS moving_avg,
+        |       CAST(count(*) OVER w AS BIGINT) AS frame_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
   )
 }

@@ -131,6 +131,48 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream join: clicks pair with same-user errors within 30 minutes") {
+    // both sides watermarked + a time-range condition so the join state is
+    // evictable — the only stream-stream join shape that survives unbounded
+    // streams
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    def src() = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val errors = src().filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    def cond(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      c("c_user") === e("e_user") && e("e_ts") >= c("c_ts") &&
+        e("e_ts") <= c("c_ts") + expr("INTERVAL 30 MINUTES")
+    val q = clicks.join(errors, cond(clicks, errors))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join").select(col("c_id"), col("e_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.events(spark, sf)
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val be = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+    val batch = bc.join(be, cond(bc, be))
+      .select(col("c_id"), col("e_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("custom state: mapGroupsWithState running per-user max value") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
