@@ -94,11 +94,31 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** Mixture sampling: downsample each source to a TARGET proportion
+    * (keep-all / half / fifth here) via a hash threshold — the "rebalance
+    * the corpus mix before training" op. Seedless and exact: keep iff
+    * h < frac * M, so the same doc survives on every engine and the kept
+    * fraction concentrates tightly around the target. Pure scan-side
+    * filter + aggregate; no sampling shuffle, no RNG state.
+    */
+  def c05_mixture_sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        (((col("doc_id") % 1000003L) * 2654435761L + 12289L) % 1000000007L))
+      .withColumn("keep_frac",
+        when(col("source").isin("src0", "src1"), 1.0)
+          .when(col("source").isin("src2", "src3", "src4"), 0.5)
+          .otherwise(0.2))
+      .filter(col("h") < col("keep_frac") * 1000000007L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+
   val queries: Map[String, Q] = Map(
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
     "c03_hash_split" -> (c03_hash_split _),
     "c04_split_by_cluster" -> (c04_split_by_cluster _),
+    "c05_mixture_sample" -> (c05_mixture_sample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,6 +153,18 @@ object CurationQueries {
          |       count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM s GROUP BY 1""".stripMargin,
+    "c05_mixture_sample" ->
+      """WITH h AS (
+        |  SELECT source, n_chars,
+        |         ((doc_id % 1000003) * 2654435761 + 12289) % 1000000007 AS h,
+        |         CASE WHEN source IN ('src0', 'src1') THEN 1.0
+        |              WHEN source IN ('src2', 'src3', 'src4') THEN 0.5
+        |              ELSE 0.2 END AS keep_frac
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM h WHERE h < keep_frac * 1000000007
+        |GROUP BY source""".stripMargin,
     "c02_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks

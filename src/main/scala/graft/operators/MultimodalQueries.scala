@@ -79,13 +79,44 @@ object MultimodalQueries {
       .toDF("doc_id", "f0", "f1", "f2", "f3")
   }
 
+  /** Patch extraction plumbing: tile each medium's (width x height) grid
+    * into 8x8 patches and emit one row per patch with its byte offset —
+    * the 2D analogue of m02's frame sampling (vision-model preprocessing
+    * emits exactly this row shape before the decode kernel fills pixels).
+    * A doubly-nested `explode(sequence)` — the distributed 2D row
+    * generator; zero shuffle.
+    */
+  def m04_patch_grid(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(expr("sequence(0L, (height - 1) DIV 8)")).as("py"))
+      .select(col("doc_id"), col("width"), col("py"),
+        explode(expr("sequence(0L, (width - 1) DIV 8)")).as("px"))
+      .select(col("doc_id"), col("py"), col("px"),
+        (col("py") * 8 * col("width") + col("px") * 8).as("patch_offset"))
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> (m01_media_meta _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_byte_features" -> (m03_byte_features _),
+    "m04_patch_grid" -> (m04_patch_grid _),
   )
 
   val oracles: Map[String, String] = Map(
+    "m04_patch_grid" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 48 AS height
+        |  FROM documents),
+        |py AS (
+        |  SELECT doc_id, width, unnest(generate_series(0, (height - 1) // 8)) AS py
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id, width, py, unnest(generate_series(0, (width - 1) // 8)) AS px
+        |  FROM py)
+        |SELECT doc_id, py, px, py * 8 * width + px * 8 AS patch_offset
+        |FROM px""".stripMargin,
     "m01_media_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |       1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,

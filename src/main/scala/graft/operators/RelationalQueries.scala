@@ -628,6 +628,20 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin)
 
+  /** LATERAL correlated derived table (top-2 customers per nation) — the
+    * SQL-standard form of per-row subquery iteration; Catalyst plans it as
+    * a correlated join with the limit pushed inside, not a per-row loop.
+    * (q34's LATERAL VIEW explode is the array flavor; this is the
+    * subquery flavor.)
+    */
+  def q49_lateral_join(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "nation", "customer")(
+      """SELECT n_name, top_c.c_name, top_c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS top_c""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -679,6 +693,7 @@ object RelationalQueries {
     "q46_approx_percentile" -> (q46_approx_percentile _),
     "q47_correlated_subquery" -> (q47_correlated_subquery _),
     "q48_moving_average" -> (q48_moving_average _),
+    "q49_lateral_join" -> (q49_lateral_join _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -983,5 +998,11 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+    "q49_lateral_join" ->
+      """SELECT n_name, top_c.c_name, top_c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS top_c""".stripMargin,
   )
 }
