@@ -14,6 +14,18 @@ import graft.plans.TopKPerGroup.Ord
 object CurationQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  import org.apache.spark.sql.Column
+
+  /** Knuth-style multiplicative hash, mod-reduced BEFORE the multiply: the
+    * raw product overflows Long past id ~3.5e9, where Spark would wrap
+    * silently while the DuckDB twin errors — mod-first keeps the product
+    * under 2^62 and both engines exact at any id. Every sampling/split
+    * query derives its hash from here so the invariant lives in one place
+    * (the oracle SQL strings stay inline but mirror this exact shape).
+    */
+  private def hashCol(id: Column, salt: Long, mod: Long): Column =
+    ((id % 1000003L) * 2654435761L + salt) % mod
+
   /** Deterministic stratified sample: k docs per language, chosen by a
     * Knuth-style multiplicative hash of doc_id (uniform, engine-agnostic
     * 64-bit arithmetic — no RNG state, no sampling seed to ship).
@@ -24,13 +36,9 @@ object CurationQueries {
     * stratum (the rank-window formulation would).
     */
   def c01_stratified_sample(s: SparkSession, d: String): DataFrame = {
-    // doc_id is mod-reduced BEFORE the multiply (q41's pattern): the raw
-    // product overflows Long past doc_id ~3.5e9, where Spark would wrap
-    // silently while the DuckDB twin errors — mod-first keeps the product
-    // under 2^62 and both engines exact at any id
     val docs = Tables.documents(s, d)
       .select(col("lang"), col("doc_id"),
-        (((col("doc_id") % 1000003L) * 2654435761L + 40503L) % 1000000007L).as("h"))
+        hashCol(col("doc_id"), 40503L, 1000000007L).as("h"))
     TopKPerGroup.topK(docs, Seq("lang"), Seq(Ord("h"), Ord("doc_id")), 20)
   }
 
@@ -69,7 +77,7 @@ object CurationQueries {
     */
   def c03_hash_split(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h", ((col("doc_id") % 1000003L) * 2654435761L + 97L) % 1000L)
+      .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
       .withColumn("split",
         when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
       .groupBy(col("split"))
@@ -87,7 +95,7 @@ object CurationQueries {
     Tables.documents(s, d)
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
-      .withColumn("h", ((col("rep") % 1000003L) * 2654435761L + 97L) % 1000L)
+      .withColumn("h", hashCol(col("rep"), 97L, 1000L))
       .withColumn("split",
         when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
       .groupBy(col("split"))
@@ -103,8 +111,7 @@ object CurationQueries {
     */
   def c05_mixture_sample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("h",
-        (((col("doc_id") % 1000003L) * 2654435761L + 12289L) % 1000000007L))
+      .withColumn("h", hashCol(col("doc_id"), 12289L, 1000000007L))
       .withColumn("keep_frac",
         when(col("source").isin("src0", "src1"), 1.0)
           .when(col("source").isin("src2", "src3", "src4"), 0.5)

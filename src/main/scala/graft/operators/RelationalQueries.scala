@@ -613,7 +613,7 @@ object RelationalQueries {
         |       (SELECT count(*) FROM lineitem
         |        WHERE l_orderkey = o_orderkey) AS n_items
         |FROM orders
-        |WHERE o_totalprice > 500000""".stripMargin)
+        |WHERE o_totalprice > 400000""".stripMargin)
 
   /** Bounded sliding ROWS frame (q13 = running unbounded, q36 = RANGE):
     * centered moving average over each customer's order history.
@@ -989,7 +989,7 @@ object RelationalQueries {
         |       (SELECT count(*) FROM lineitem
         |        WHERE l_orderkey = o_orderkey) AS n_items
         |FROM orders
-        |WHERE o_totalprice > 500000""".stripMargin,
+        |WHERE o_totalprice > 400000""".stripMargin,
     "q48_moving_average" ->
       """SELECT o_orderkey, o_custkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)

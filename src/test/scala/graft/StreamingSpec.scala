@@ -140,17 +140,17 @@ class StreamingSpec extends SparkTestBase {
     val schema = spark.read.parquet(dir).schema
     def src() = spark.readStream.schema(schema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
-    val clicks = src().filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("c_id"))
-      .withWatermark("c_ts", "1 hour")
-    val errors = src().filter(col("event_type") === "error")
-      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
-        col("event_id").as("e_id"))
-      .withWatermark("e_ts", "1 hour")
+    // identical shaping on both sides so the equality compares the JOIN, not
+    // two accidentally-different queries
+    def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
+      df.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
     def cond(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
       c("c_user") === e("e_user") && e("e_ts") >= c("c_ts") &&
         e("e_ts") <= c("c_ts") + expr("INTERVAL 30 MINUTES")
+    val clicks = side(src(), "click", "c").withWatermark("c_ts", "1 hour")
+    val errors = side(src(), "error", "e").withWatermark("e_ts", "1 hour")
     val q = clicks.join(errors, cond(clicks, errors))
       .writeStream.outputMode("append")
       .format("memory").queryName("ss_join")
@@ -160,12 +160,7 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("ss_join").select(col("c_id"), col("e_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ev = Tables.events(spark, sf)
-    val bc = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("c_id"))
-    val be = ev.filter(col("event_type") === "error")
-      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
-        col("event_id").as("e_id"))
+    val (bc, be) = (side(ev, "click", "c"), side(ev, "error", "e"))
     val batch = bc.join(be, cond(bc, be))
       .select(col("c_id"), col("e_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
