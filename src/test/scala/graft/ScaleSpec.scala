@@ -72,6 +72,53 @@ class ScaleSpec extends SparkTestBase {
     assert(scan.contains("2024-01-02"), scan)
   }
 
+  test("range-sharded sorted export: disjoint quality ranges per shard file") {
+    // the training-data export shape: repartitionByRange gives each shard a
+    // disjoint key range (global order across files without a global sort on
+    // one reducer), sortWithinPartitions orders inside each shard
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    o.repartitionByRange(4, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, files.mkString(", "))
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min(col("o_totalprice")), max(col("o_totalprice"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"shard ranges overlap: $hi > $lo")
+    }
+    assert(spark.read.parquet(dir).count() == o.count())
+  }
+
+  test("streaming foreachBatch drives the sheets sink (stream -> connector)") {
+    // foreachBatch bridges a stream to any batch writer — here the repo's
+    // own DSv2 sheets connector, one upserted sheet per micro-batch run
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("fb_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/nation.parquet"), src.resolve("nation.parquet"))
+    val dest = java.nio.file.Files.createTempDirectory("fb_sheets").toString
+    val schema = spark.read.parquet(src.toString).schema
+    val q = spark.readStream.schema(schema).parquet(src.toString)
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.select(col("n_nationkey"), col("n_name"))
+          .write.format("sheets").option("path", dest)
+          .option("name", "nations").mode("overwrite").save()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("sheets").option("path", dest).load()
+    assert(back.count() == spark.read.parquet(src.toString).count())
+    assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val o = Tables.orders(spark, sf)
     val top = Scale.topKPerGroup(o, Seq("o_orderpriority"),

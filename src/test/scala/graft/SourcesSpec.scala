@@ -54,6 +54,43 @@ class SourcesSpec extends SparkTestBase {
     assert(back.count() == ev.filter(col("event_type") === "click").count())
   }
 
+  test("corrupt JSON records are quarantined, not fatal (PERMISSIVE + corrupt column)") {
+    val dir = Files.createTempDirectory("json_bad")
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |this is not json
+        |{"id": 2, "v": "also ok"}
+        |{"id": "NaN-ish", "v": 3}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows filtering the corrupt column straight off the raw
+    // scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull).count()
+      val bad = df.filter(col("_corrupt_record").isNotNull).count()
+      assert(good == 2 && bad == 2, s"good=$good bad=$bad")
+    } finally df.unpersist()
+  }
+
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val dir = Files.createTempDirectory("pq_evolve").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/p=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.toSet == Set("id", "v", "score", "p"))
+    // old rows surface the new column as null, not as an error
+    assert(merged.filter(col("score").isNull).count() == 1)
+    assert(merged.count() == 2)
+  }
+
   test("jdbc whole-query plumbing reaches the JDBC layer (no live DB here)") {
     val ex = intercept[Exception] {
       graft.sources.JdbcWholeQuery.load(spark,
