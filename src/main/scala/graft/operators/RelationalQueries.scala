@@ -642,6 +642,20 @@ object RelationalQueries {
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS top_c""".stripMargin)
 
+  /** Pagination (ORDER BY + LIMIT/OFFSET) + plain LIKE prefix match — the
+    * two most common raw-MySQL idioms the reference's users would ship
+    * verbatim. Deterministic because the sort key is unique; Spark plans
+    * OFFSET+LIMIT as a single take-ordered over (offset+limit) rows, not a
+    * global sort.
+    */
+  def q50_pagination(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer")(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%'
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 20 OFFSET 10""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -694,6 +708,7 @@ object RelationalQueries {
     "q47_correlated_subquery" -> (q47_correlated_subquery _),
     "q48_moving_average" -> (q48_moving_average _),
     "q49_lateral_join" -> (q49_lateral_join _),
+    "q50_pagination" -> (q50_pagination _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1004,5 +1019,11 @@ object RelationalQueries {
         |  SELECT c_name, c_acctbal FROM customer
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) AS top_c""".stripMargin,
+    "q50_pagination" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#0000001%'
+        |ORDER BY c_acctbal DESC, c_custkey
+        |LIMIT 20 OFFSET 10""".stripMargin,
   )
 }
