@@ -119,6 +119,62 @@ class ScaleSpec extends SparkTestBase {
     assert(back.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name"))
   }
 
+  test("AQE skew join: the hot key's partition is split at runtime") {
+    // one key owning most rows would serialize a sort-merge join onto one
+    // task; AQE must detect and split it (the runtime answer to skew when
+    // salting isn't wired in). Thresholds lowered so test-sized data skews.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      import spark.implicits._
+      // 90% of fact rows land on key 1 -> one shuffle partition dwarfs the
+      // rest. NOTE: no aggregation on the join key downstream — a required
+      // hash distribution would make AQE decline the split (it would break
+      // the partitioning the consumer needs)
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 =!= 0, 1L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val j = fact.join(dim, "k").filter(col("payload") % 7 === 0)
+      assert(j.collect().nonEmpty) // executes THIS plan -> AQE final plan
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("skew"),
+        s"AQE did not split the skewed partition:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp_fact").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    // dim: one tag per day, stored as a table; the query filters the dim on
+    // tag (NOT the join key), so only runtime pruning can skip fact
+    // partitions — the canonical DPP shape
+    ev.select(col("day")).distinct()
+      .withColumn("tag", concat(lit("t"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))).cast("string")))
+      .write.mode("overwrite").parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "t1")
+    val j = fact.join(dim, "day").groupBy(col("event_type")).count()
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(1500)}")
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val o = Tables.orders(spark, sf)
     val top = Scale.topKPerGroup(o, Seq("o_orderpriority"),
