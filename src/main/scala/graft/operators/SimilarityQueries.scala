@@ -223,10 +223,72 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** Product quantization ANN (PQ 8x16): split the 64-dim space into 8
+    * subspaces, train a 16-centroid codebook per subspace (deterministic
+    * Lloyd), encode every corpus vector as 8 small codes, and score with
+    * asymmetric distance — each query precomputes a per-subspace
+    * sim-to-centroid table on the driver and candidates are scored by 8
+    * TABLE LOOKUPS instead of a 64-dim kernel. This is the
+    * billion-vector-scale compression: the scan reads 8 codes per row
+    * (vs 256 bytes of floats), the per-row cost is O(M) lookups, and the
+    * codebooks/tables are broadcast literals. Codebooks are JVM-trained →
+    * rows-only check (the s01 exact twin pins the data).
+    */
+  def s09_pq_ann(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KMeans
+    val M = 8; val dsub = 8; val Kc = 16
+    val e = Tables.embeddings(s, d)
+    // per-subspace codebooks (centroid id -> dsub-dim vector), trained on
+    // vector slices with the shared deterministic trainer
+    val codebooks: Array[Array[Seq[Double]]] = (0 until M).map { m =>
+      KMeans.fit(
+        e.select(col("vec_id"), expr(s"slice(embedding, ${m * dsub + 1}, $dsub)").as("sub")),
+        "vec_id", "sub", k = Kc, iterations = 2, dim = dsub)
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .sortBy(_._1).map(_._2).toArray
+    }.toArray
+    // encode: per subspace, argmax cosine against the 16 literal centroids
+    val codes = array((0 until M).map { m =>
+      val sub = s"CAST(slice(embedding, ${m * dsub + 1}, $dsub) AS ARRAY<DOUBLE>)"
+      val sims = array(codebooks(m).map(c =>
+        cosine_similarity(expr(sub), typedLit(c))): _*)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }: _*)
+    val encoded = e.select(col("vec_id"), codes.as("codes"))
+    // asymmetric distance tables: query sub-slice vs every centroid, on the
+    // driver (10 queries x 8 x 16 doubles — broadcast as literals)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val spark = s
+    import spark.implicits._
+    val qTables: Seq[(Long, Seq[Seq[Double]])] = Tables.embeddings(s, d)
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val emb = r.getSeq[Double](1)
+        r.getLong(0) -> (0 until M).map { m =>
+          val sub = emb.slice(m * dsub, (m + 1) * dsub)
+          codebooks(m).map(c => cos(sub, c)).toSeq
+        }
+      }.toSeq.sortBy(_._1)
+    val q = qTables.toDF("q_id", "tables")
+    perQueryTopK(
+      encoded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", expr(
+          "aggregate(zip_with(codes, tables, (c, t) -> element_at(t, c + 1)), " +
+            "0D, (acc, v) -> acc + v)"))
+        .select(col("q_id"), col("vec_id"), col("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
     "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
+    "s09_pq_ann" -> (s09_pq_ann _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),

@@ -51,6 +51,14 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("s09 PQ: 8-code encoding yields k results per query, self excluded") {
+    val rows = SparkEntry.queries("s09_pq_ann")(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries x k=5
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    // ADC score = sum of 8 per-subspace cosines, each in [-1, 1]
+    assert(rows.forall(r => math.abs(r.getAs[Double]("sim")) <= 8.0))
+  }
+
   test("q46 approx percentiles track q40's exact quantiles") {
     val exact = SparkEntry.queries("q40_median")(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("median_price")).toMap
