@@ -250,7 +250,7 @@ object SimilarityQueries {
     // encode: per subspace, argmax cosine against the 16 literal centroids
     val codes = array((0 until M).map { m =>
       val sub = s"CAST(slice(embedding, ${m * dsub + 1}, $dsub) AS ARRAY<DOUBLE>)"
-      val sims = array(codebooks(m).map(c =>
+      val sims = array(codebooks(m).toIndexedSeq.map(c =>
         cosine_similarity(expr(sub), typedLit(c))): _*)
       (array_position(sims, array_max(sims)) - 1).cast("int")
     }: _*)
