@@ -238,12 +238,15 @@ object SimilarityQueries {
     import graft.functions.KMeans
     val M = 8; val dsub = 8; val Kc = 16
     val e = Tables.embeddings(s, d)
-    // per-subspace codebooks (centroid id -> dsub-dim vector), trained on
-    // vector slices with the shared deterministic trainer
+    // per-subspace codebooks (centroid id -> dsub-dim vector), trained on a
+    // deterministic QUARTER sample of the corpus — quantizer quality
+    // saturates long before full-corpus size, and at 100 TB training on
+    // everything is pure waste (only the encode pass must touch every row)
+    val train = e.filter(col("vec_id") % 4 === 0)
     val codebooks: Array[Array[Seq[Double]]] = (0 until M).map { m =>
       KMeans.fit(
-        e.select(col("vec_id"), expr(s"slice(embedding, ${m * dsub + 1}, $dsub)").as("sub")),
-        "vec_id", "sub", k = Kc, iterations = 2, dim = dsub)
+        train.select(col("vec_id"), expr(s"slice(embedding, ${m * dsub + 1}, $dsub)").as("sub")),
+        "vec_id", "sub", k = Kc, iterations = 1, dim = dsub)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).map(_._2).toArray
     }.toArray
