@@ -77,25 +77,31 @@ object KMeans {
     assignLocal(vectors, cents, vecCol)
   }
 
+  /** 0-based index of the nearest (max-cosine) centroid for `vec` — THE
+    * quantizer assignment primitive, shared by Lloyd training, corpus
+    * assignment and the PQ encoder (s09) so tie-break and null semantics
+    * can never diverge between training and encoding. First-max tie-break
+    * = lowest index; a null vector (all sims null) falls back to index 0 —
+    * the same deterministic assignment the old (sim desc nulls-last,
+    * cluster asc) window ordering produced.
+    */
+  private[graft] def nearestCentroidIdx(vec: org.apache.spark.sql.Column,
+                                        cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val sims = array(cents.map(c =>
+      cosine_similarity(vec.cast("array<double>"), typedLit(c))): _*)
+    // sims appears twice; Spark's subexpression elimination computes it once
+    coalesce((array_position(sims, array_max(sims)) - 1).cast("int"), lit(0))
+  }
+
   /** The argmin projection itself. `cents` must be sorted by cluster id so
-    * the first-max tie-break resolves to the lowest id. A null vector
-    * (all sims null) falls back to the lowest cluster id — the same
-    * deterministic assignment the old (sim desc nulls-last, cluster asc)
-    * window ordering produced, and it keeps `cluster` non-null so fit's
-    * k-row collect never sees a null group.
+    * the first-max tie-break resolves to the lowest id; `cluster` is never
+    * null (see [[nearestCentroidIdx]]), so fit's k-row collect never sees
+    * a null group.
     */
   private def assignLocal(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
                           vecCol: String): DataFrame = {
-    val sims = array(cents.map { case (_, c) =>
-      cosine_similarity(col(vecCol).cast("array<double>"), typedLit(c))
-    }: _*)
     val ids = typedLit(cents.map(_._1))
-    vectors
-      .withColumn("__sims", sims)
-      .withColumn("cluster",
-        coalesce(
-          element_at(ids, array_position(col("__sims"), array_max(col("__sims"))).cast("int")),
-          lit(cents.head._1)))
-      .drop("__sims")
+    vectors.withColumn("cluster",
+      element_at(ids, nearestCentroidIdx(col(vecCol), cents.map(_._2)) + 1))
   }
 }

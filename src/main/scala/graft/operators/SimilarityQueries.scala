@@ -250,16 +250,18 @@ object SimilarityQueries {
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).map(_._2).toArray
     }.toArray
-    // encode: per subspace, argmax cosine against the 16 literal centroids
+    // encode via the SAME assignment primitive the codebooks were trained
+    // with (tie-break + null semantics can't diverge from the quantizer)
     val codes = array((0 until M).map { m =>
-      val sub = s"CAST(slice(embedding, ${m * dsub + 1}, $dsub) AS ARRAY<DOUBLE>)"
-      val sims = array(codebooks(m).toIndexedSeq.map(c =>
-        cosine_similarity(expr(sub), typedLit(c))): _*)
-      (array_position(sims, array_max(sims)) - 1).cast("int")
+      KMeans.nearestCentroidIdx(
+        expr(s"slice(embedding, ${m * dsub + 1}, $dsub)"),
+        codebooks(m).toIndexedSeq)
     }: _*)
     val encoded = e.select(col("vec_id"), codes.as("codes"))
     // asymmetric distance tables: query sub-slice vs every centroid, on the
-    // driver (10 queries x 8 x 16 doubles — broadcast as literals)
+    // driver (10 queries x 8 x 16 doubles — broadcast as literals). The
+    // local fold mirrors VectorFunctions.CosineSimilarity's sequential
+    // double accumulation exactly (same op order).
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -267,9 +269,8 @@ object SimilarityQueries {
     }
     val spark = s
     import spark.implicits._
-    val qTables: Seq[(Long, Seq[Seq[Double]])] = Tables.embeddings(s, d)
-      .filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
+    val qTables: Seq[(Long, Seq[Seq[Double]])] = queriesSide(s, d)
+      .select(col("q_id"), col("q_emb").cast("array<double>"))
       .collect().map { r =>
         val emb = r.getSeq[Double](1)
         r.getLong(0) -> (0 until M).map { m =>

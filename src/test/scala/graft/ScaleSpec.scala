@@ -90,8 +90,10 @@ class ScaleSpec extends SparkTestBase {
         min(col("o_totalprice")), max(col("o_totalprice"))).head()
       (r.getDouble(0), r.getDouble(1))
     }.sortBy(_._1)
+    // strict <: range partitioning co-locates equal keys, so a key value
+    // appearing in two files (hi == lo) would itself be the overlap bug
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
-      assert(hi <= lo, s"shard ranges overlap: $hi > $lo")
+      assert(hi < lo, s"shard ranges overlap: $hi >= $lo")
     }
     assert(spark.read.parquet(dir).count() == o.count())
   }
@@ -107,9 +109,12 @@ class ScaleSpec extends SparkTestBase {
     val schema = spark.read.parquet(src.toString).schema
     val q = spark.readStream.schema(schema).parquet(src.toString)
       .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // one sheet PER BATCH ID: the sink's overwrite is upsert-by-name, so
+        // a fixed name would keep only the LAST micro-batch of a multi-batch
+        // run — the batch id in the name makes the bridge replay-safe
         batch.select(col("n_nationkey"), col("n_name"))
           .write.format("sheets").option("path", dest)
-          .option("name", "nations").mode("overwrite").save()
+          .option("name", s"nations_b$id").mode("overwrite").save()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable()
