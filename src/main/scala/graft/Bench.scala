@@ -32,9 +32,16 @@ object Bench {
         }
       }
       // median damps one-off page-cache/GC outliers; min would hide them,
-      // mean would double-count them
+      // mean would double-count them. Even rep counts average the two
+      // middle samples — upper-middle alone biases pessimistic
       if (times.isEmpty) None
-      else Some(name -> times.sorted.apply(times.size / 2))
+      else {
+        val ts = times.sorted
+        val mid =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        Some(name -> mid)
+      }
     }
     // control chars (tabs in Spark plan fragments etc.) are illegal in JSON
     // strings — blank them so the one-line contract always parses

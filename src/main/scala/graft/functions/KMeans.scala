@@ -89,8 +89,18 @@ object KMeans {
                                         cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
     val sims = array(cents.map(c =>
       cosine_similarity(vec.cast("array<double>"), typedLit(c))): _*)
-    // sims appears twice; Spark's subexpression elimination computes it once
-    coalesce((array_position(sims, array_max(sims)) - 1).cast("int"), lit(0))
+    // single-pass argmax fold: the k-kernel array is an ARGUMENT of the
+    // aggregate, so it evaluates exactly once even in interpreted/fallback
+    // mode (the array_position(array_max) formulation ran the kernel twice
+    // unless codegen CSE kicked in). Strict > keeps the first-max (lowest
+    // index) tie-break; null sims never beat the -2.0 floor, so an
+    // all-null (null-vector) row stays at index 0 — both unchanged.
+    val indexed = zip_with(sims, sequence(lit(0), lit(cents.size - 1)),
+      (sim, i) => struct(sim.as("s"), i.as("i")))
+    val best = aggregate(indexed,
+      struct(lit(-2.0).as("s"), lit(0).as("i")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    coalesce(best.getField("i").cast("int"), lit(0))
   }
 
   /** The argmin projection itself. `cents` must be sorted by cluster id so

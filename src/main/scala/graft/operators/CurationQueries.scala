@@ -50,20 +50,13 @@ object CurationQueries {
     * sum through a single reducer, which is how the naive "sort by quality,
     * take until budget" formulation dies at 100 TB. Exact interpolated
     * percentile matches DuckDB quantile_cont bit-for-bit (proven by q40);
-    * scores are bit-identical cross-engine (t02).
+    * scores are bit-identical cross-engine (t02). The exact percentile's
+    * final merge is itself a single-buffer scale bound, so c02 is the
+    * small-SF oracle twin — c06 is the same selection with the
+    * sketch-based threshold that survives 100 TB.
     */
   def c02_token_budget(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .withColumn("short_ratio",
-        expr("size(filter(toks, x -> length(x) <= 2))") / col("n_tokens"))
-      .withColumn("avg_token_len",
-        (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
-      .withColumn("score",
-        sqrt(col("n_tokens")) - col("short_ratio") * 2.0 +
-          col("avg_token_len") * 0.1)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+    val scored = qualityScored(s, d)
     val thr = scored.agg(expr("percentile(score, 0.8D)").as("thr"))
     scored.crossJoin(broadcast(thr))
       .filter(col("score") >= col("thr"))
@@ -102,6 +95,43 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
   }
 
+  /** The quality-scored projection shared by c02 (exact threshold) and
+    * c06 (approximate threshold): one codegen'd pass over documents.
+    */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("short_ratio",
+        expr("size(filter(toks, x -> length(x) <= 2))") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+      .withColumn("score",
+        sqrt(col("n_tokens")) - col("short_ratio") * 2.0 +
+          col("avg_token_len") * 0.1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+
+  /** c02's 100 TB twin: the SAME token-budget selection, but the
+    * threshold comes from `approx_percentile` (a KLL-style mergeable
+    * sketch) instead of the exact interpolated percentile. The exact
+    * aggregate's final merge holds every distinct score in one task's
+    * buffer — at 100 TB of continuous doubles that single buffer IS the
+    * corpus and the reducer OOMs. The sketch buffer is bounded
+    * (accuracy-parameter-sized), partial-aggregates map-side, and one
+    * tiny sketch per partition crosses the shuffle. Sketch internals are
+    * engine-specific → rows-only check, with accuracy pinned against
+    * exact c02 at small SF in QueriesSpec (the q40→q46 pattern).
+    */
+  def c06_token_budget_approx(s: SparkSession, d: String): DataFrame = {
+    val scored = qualityScored(s, d)
+    val thr = scored.agg(
+      expr("approx_percentile(score, 0.8D, 10000)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+  }
+
   /** Mixture sampling: downsample each source to a TARGET proportion
     * (keep-all / half / fifth here) via a hash threshold — the "rebalance
     * the corpus mix before training" op. Seedless and exact: keep iff
@@ -126,6 +156,7 @@ object CurationQueries {
     "c03_hash_split" -> (c03_hash_split _),
     "c04_split_by_cluster" -> (c04_split_by_cluster _),
     "c05_mixture_sample" -> (c05_mixture_sample _),
+    "c06_token_budget_approx" -> (c06_token_budget_approx _),
   )
 
   val oracles: Map[String, String] = Map(

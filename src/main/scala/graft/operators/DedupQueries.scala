@@ -280,20 +280,32 @@ object DedupQueries {
       .withColumn("lbl", col("doc_id"))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 20
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("nlbl")).as("nmin"))
+      // carry the changed flag INSIDE the update row: the checkpoint
+      // materializes join+agg once, and change detection is then a plain
+      // scan of the checkpointed blocks — no second join per round (the
+      // round-2 finding: the old labels-vs-next join doubled jobs/round)
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       iter += 1
     }
+    // diameter > maxIter would converge to WRONG cluster reps and silently
+    // poison every consumer (c04's split, the oracle hash) — fail loud; the
+    // 100 TB remedy is large-star/small-star contraction (O(log n) rounds)
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"d10: min-label propagation hit $maxIter rounds with $changed labels still " +
+          "moving; component diameter exceeds the cap — use star-contraction")
     labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 

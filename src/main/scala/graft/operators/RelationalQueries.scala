@@ -584,7 +584,10 @@ object RelationalQueries {
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_median"),
-        expr("approx_percentile(o_totalprice, array(0.25, 0.75), 10000)").as("approx_quartiles"),
+        expr("element_at(approx_percentile(o_totalprice, array(0.25, 0.75), 10000), 1)")
+          .as("approx_p25"),
+        expr("element_at(approx_percentile(o_totalprice, array(0.25, 0.75), 10000), 2)")
+          .as("approx_p75"),
         count(lit(1)).as("n"))
 
   /** UNPIVOT / melt (inverse of q29's pivot): wide metric columns to

@@ -64,6 +64,13 @@ object SheetsRead {
       throw new IllegalArgumentException(
         s"sheets read: header mismatch — ${headers.head._1} has $first, $f has ${h.toSeq}")
     }
+    // duplicate header names would silently collapse onto one reader slot
+    // (positions are resolved by name) — same loud-failure policy as the
+    // header-mismatch check above
+    val dups = first.groupBy(identity).collect { case (c, occ) if occ.size > 1 => c }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"sheets read: duplicate header column(s) ${dups.mkString(", ")} in ${headers.head._1}")
     StructType(first.map(c => StructField(c, StringType, nullable = true)))
   }
 }

@@ -75,6 +75,21 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.take(1200))
   }
 
+  test("c06 threshold: mergeable sketch aggregate, no exact percentile") {
+    // the exact percentile's final merge buffers every distinct score in
+    // one task — the single 100 TB scale bound found in round 2; c06's
+    // plan must carry the bounded approx sketch with a map-side partial
+    val p = finalPlan("c06_token_budget_approx")
+    assert(p.contains("approx_percentile"), p.take(1200))
+    // strip the approx spellings first: "approx_percentile(score" would
+    // otherwise match the exact-percentile substring
+    val stripped = p.replace("approx_percentile", "").replace("percentile_approx", "")
+    assert(!stripped.contains("percentile("),
+      s"exact percentile back in c06:\n${p.take(1200)}")
+    assert(p.contains("partial_approx_percentile"),
+      s"sketch must partial-aggregate map-side:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

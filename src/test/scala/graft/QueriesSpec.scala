@@ -70,6 +70,25 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c06 approx token budget tracks exact c02 selection") {
+    val exact = SparkEntry.queries("c02_token_budget")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("kept_tokens")).toMap
+    val approx = SparkEntry.queries("c06_token_budget_approx")(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("kept_tokens")).toMap
+    assert(approx.keySet == exact.keySet)
+    // the sketch threshold lands within a few docs of the interpolated
+    // exact threshold (it returns a real data value; quantile_cont
+    // interpolates between two) — on the tiny fixture each boundary doc
+    // is worth a few % of a single lang's volume, so pin the corpus-wide
+    // total tight and the per-lang strata looser
+    val (ta, te) = (approx.values.sum.toDouble, exact.values.sum.toDouble)
+    assert(math.abs(ta - te) / te < 0.03, s"total: approx $ta vs exact $te")
+    approx.foreach { case (k, v) =>
+      val e = exact(k).toDouble
+      assert(math.abs(v - e) / e < 0.10, s"$k: approx $v vs exact ${exact(k)}")
+    }
+  }
+
   test("st02 session windows: every session has >= 1 event") {
     val df = SparkEntry.queries("st02_session_window")(spark, sf)
     assert(df.filter(col("n_events") < 1).count() == 0)
