@@ -102,16 +102,38 @@ object SimilarityQueries {
       .limit(20)
   }
 
-  /** IVF-style ANN: coarse-quantize the corpus into cells (centroid = typed
-    * VectorMean UDAF per label — stand-in for k-means iterations, same
-    * shapes), route each query to its nearest centroid (TopKPerGroup k=1,
-    * scales with query count), then search only that cell.
+  /** Per-cell element-wise mean centroids in EXACT arithmetic: elements
+    * quantize to 1e-6 fixed-point longs (`round` at scale 0 agrees across
+    * engines — the s07 playbook), the per-dimension LONG sums are
+    * order-independent (double summation is not — aggregation merge order
+    * varies run to run AND engine to engine), and the single final
+    * division is deterministic. That order-independence is what lets the
+    * IVF family sit under the DuckDB hash gate. Magnitudes stay exact:
+    * |elem| <= ~10 → qv <= 1e7; 1e9 rows/cell keeps the sum < 2^53 when
+    * cast back to double. The 64x posexplode feeds a map-side partial agg
+    * that collapses to cells x dims rows per partition — centroid
+    * training is a keys-only shuffle even at 100 TB.
+    */
+  private def quantizedMeanCells(e: DataFrame): DataFrame =
+    e.select(col("label").as("cell"),
+        posexplode(col("embedding").cast("array<double>")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(expr("CAST(round(col * 1000000D, 0) AS BIGINT)")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, s, n))), " +
+        "x -> CAST(x.s AS DOUBLE) / (1000000D * x.n))").as("centroid"))
+
+  /** IVF-style ANN: coarse-quantize the corpus into cells (centroid =
+    * exact-arithmetic element-wise mean per label — stand-in for k-means
+    * iterations, same shapes), route each query to its nearest centroid
+    * (TopKPerGroup k=1, scales with query count), then search only that
+    * cell. Every step is deterministic shared arithmetic → hash-checked
+    * against the DuckDB unnest-and-average twin.
     */
   def s04_ivf_ann(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorMean.vector_mean
     val e = Tables.embeddings(s, d)
-    val cells = e.groupBy(col("label").as("cell"))
-      .agg(vector_mean(col("embedding")).as("centroid"))
+    val cells = quantizedMeanCells(e)
     val routed = TopKPerGroup.topK(
       queriesSide(s, d)
         .crossJoin(broadcast(cells))
@@ -205,10 +227,8 @@ object SimilarityQueries {
     * top-k) is unchanged.
     */
   def s08_ivf_nprobe(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorMean.vector_mean
     val e = Tables.embeddings(s, d)
-    val cells = e.groupBy(col("label").as("cell"))
-      .agg(vector_mean(col("embedding")).as("centroid"))
+    val cells = quantizedMeanCells(e)
     val routed = TopKPerGroup.topK(
       queriesSide(s, d)
         .crossJoin(broadcast(cells))
@@ -307,7 +327,52 @@ object SimilarityQueries {
     * the Spark side uses TopKPerGroup — same top-k set, same (sim desc,
     * vec_id) order contract, no rank column in either output.
     */
+  /** DuckDB cosine fold over two DOUBLE[] expressions — the exact
+    * sequential-double twin of the native kernel (see s01's oracle).
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
+       |  / (sqrt(list_sum(list_transform($a, v -> v*v)))
+       |     * sqrt(list_sum(list_transform($b, v -> v*v))))""".stripMargin
+
+  /** IVF oracle, parameterized by nprobe: quantized-mean centroids per
+    * cell (integer sums — order-independent, matching quantizedMeanCells
+    * exactly), route each query to its nprobe best cells, search only
+    * those cells, top-5 per query.
+    */
+  private def ivfOracle(nprobe: Int): String =
+    s"""WITH ex AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+       |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT cell, list(sd ORDER BY pos) AS centroid FROM (
+       |    SELECT cell, pos,
+       |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+       |    FROM ex GROUP BY cell, pos) GROUP BY cell),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |r AS (
+       |  SELECT q_id, q_emb, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY c_sim DESC, cell) AS rk
+       |    FROM (
+       |      SELECT q.q_id, q.q_emb, c.cell,
+       |             ${duckCosine("q.q_emb", "c.centroid")} AS c_sim
+       |      FROM q CROSS JOIN cent c) s0) s1
+       |  WHERE rk <= $nprobe),
+       |p AS (
+       |  SELECT r.q_id, e.vec_id,
+       |         ${duckCosine("r.q_emb", "e.embedding::DOUBLE[]")} AS sim
+       |  FROM r JOIN embeddings e ON e.label = r.cell AND e.vec_id <> r.q_id)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+       |WHERE rk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s04_ivf_ann" -> ivfOracle(1),
+    "s08_ivf_nprobe" -> ivfOracle(2),
     "s01_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
