@@ -254,34 +254,44 @@ object SimilarityQueries {
     * codebooks/tables are broadcast literals. Codebooks are JVM-trained →
     * rows-only check (the s01 exact twin pins the data).
     */
-  def s09_pq_ann(s: SparkSession, d: String): DataFrame = {
+  private val PqM = 8; private val PqDsub = 8; private val PqK = 16
+
+  /** Per-subspace PQ codebooks (centroid id -> dsub-dim vector), trained
+    * on a deterministic QUARTER sample of the corpus — quantizer quality
+    * saturates long before full-corpus size, and at 100 TB training on
+    * everything is pure waste (only the encode pass must touch every row).
+    */
+  private def trainCodebooks(e: DataFrame): Array[Array[Seq[Double]]] = {
     import graft.functions.KMeans
-    val M = 8; val dsub = 8; val Kc = 16
-    val e = Tables.embeddings(s, d)
-    // per-subspace codebooks (centroid id -> dsub-dim vector), trained on a
-    // deterministic QUARTER sample of the corpus — quantizer quality
-    // saturates long before full-corpus size, and at 100 TB training on
-    // everything is pure waste (only the encode pass must touch every row)
     val train = e.filter(col("vec_id") % 4 === 0)
-    val codebooks: Array[Array[Seq[Double]]] = (0 until M).map { m =>
+    (0 until PqM).map { m =>
       KMeans.fit(
-        train.select(col("vec_id"), expr(s"slice(embedding, ${m * dsub + 1}, $dsub)").as("sub")),
-        "vec_id", "sub", k = Kc, iterations = 1, dim = dsub)
+        train.select(col("vec_id"),
+          expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("sub")),
+        "vec_id", "sub", k = PqK, iterations = 1, dim = PqDsub)
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
         .sortBy(_._1).map(_._2).toArray
     }.toArray
-    // encode via the SAME assignment primitive the codebooks were trained
-    // with (tie-break + null semantics can't diverge from the quantizer)
-    val codes = array((0 until M).map { m =>
-      KMeans.nearestCentroidIdx(
-        expr(s"slice(embedding, ${m * dsub + 1}, $dsub)"),
+  }
+
+  /** 8-code PQ encoding column, via the SAME assignment primitive the
+    * codebooks were trained with (tie-break + null semantics can't
+    * diverge from the quantizer).
+    */
+  private def pqCodes(codebooks: Array[Array[Seq[Double]]]): Column =
+    array((0 until PqM).map { m =>
+      graft.functions.KMeans.nearestCentroidIdx(
+        expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)"),
         codebooks(m).toIndexedSeq)
     }: _*)
-    val encoded = e.select(col("vec_id"), codes.as("codes"))
-    // asymmetric distance tables: query sub-slice vs every centroid, on the
-    // driver (10 queries x 8 x 16 doubles — broadcast as literals). The
-    // local fold mirrors VectorFunctions.CosineSimilarity's sequential
-    // double accumulation exactly (same op order).
+
+  /** Asymmetric distance tables: query sub-slice vs every centroid, on
+    * the driver (10 queries x 8 x 16 doubles — broadcast as literals).
+    * The local fold mirrors VectorFunctions.CosineSimilarity's sequential
+    * double accumulation exactly (same op order).
+    */
+  private def adcTables(s: SparkSession, d: String,
+                        codebooks: Array[Array[Seq[Double]]]): DataFrame = {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -289,22 +299,63 @@ object SimilarityQueries {
     }
     val spark = s
     import spark.implicits._
-    val qTables: Seq[(Long, Seq[Seq[Double]])] = queriesSide(s, d)
+    queriesSide(s, d)
       .select(col("q_id"), col("q_emb").cast("array<double>"))
       .collect().map { r =>
         val emb = r.getSeq[Double](1)
-        r.getLong(0) -> (0 until M).map { m =>
-          val sub = emb.slice(m * dsub, (m + 1) * dsub)
+        r.getLong(0) -> (0 until PqM).map { m =>
+          val sub = emb.slice(m * PqDsub, (m + 1) * PqDsub)
           codebooks(m).map(c => cos(sub, c)).toSeq
         }
-      }.toSeq.sortBy(_._1)
-    val q = qTables.toDF("q_id", "tables")
+      }.toSeq.sortBy(_._1).toDF("q_id", "tables")
+  }
+
+  /** ADC score: 8 table lookups summed — the per-candidate cost. */
+  private val adcScore: Column = expr(
+    "aggregate(zip_with(codes, tables, (c, t) -> element_at(t, c + 1)), " +
+      "0D, (acc, v) -> acc + v)")
+
+  def s09_pq_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codebooks = trainCodebooks(e)
+    val encoded = e.select(col("vec_id"), pqCodes(codebooks).as("codes"))
+    val q = adcTables(s, d, codebooks)
     perQueryTopK(
       encoded.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", expr(
-          "aggregate(zip_with(codes, tables, (c, t) -> element_at(t, c + 1)), " +
-            "0D, (acc, v) -> acc + v)"))
+        .withColumn("sim", adcScore)
+        .select(col("q_id"), col("vec_id"), col("sim")))
+  }
+
+  /** IVF + PQ composed — the billion-vector ANN architecture s08 and s09
+    * demonstrate as halves: nprobe=2 coarse routing prunes the corpus to
+    * two cells per query, and the survivors are scored by 8 PQ table
+    * lookups instead of the 64-dim float kernel. At 100 TB the scan
+    * touches ~2/cells of the rows and reads 8 codes per row; the
+    * codebooks, centroids and ADC tables are all broadcast literals and
+    * the final top-k runs on partial heaps. Codebooks are JVM-trained →
+    * rows-only check; recall is pinned against s01's exact top-k in
+    * SimilaritySpec.
+    */
+  def s10_ivf_pq(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val codebooks = trainCodebooks(e)
+    val cells = quantizedMeanCells(e)
+    val routed = TopKPerGroup.topK(
+      queriesSide(s, d)
+        .crossJoin(broadcast(cells))
+        .withColumn("c_sim",
+          cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+        .select(col("q_id"), col("cell"), col("c_sim")),
+      Seq("q_id"), Seq(Ord("c_sim", desc = true), Ord("cell")), 2) // nprobe = 2
+      .select(col("q_id"), col("cell"))
+    // (q_id, cell, tables): 2 probe rows per query, still driver-tiny
+    val probes = routed.join(adcTables(s, d, codebooks), "q_id")
+    val encoded = e.select(col("vec_id"), col("label"), pqCodes(codebooks).as("codes"))
+    perQueryTopK(
+      encoded.join(broadcast(probes),
+          col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim", adcScore)
         .select(col("q_id"), col("vec_id"), col("sim")))
   }
 
@@ -313,6 +364,7 @@ object SimilarityQueries {
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
     "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
     "s09_pq_ann" -> (s09_pq_ann _),
+    "s10_ivf_pq" -> (s10_ivf_pq _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),

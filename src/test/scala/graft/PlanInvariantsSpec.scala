@@ -60,8 +60,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("TopKPerGroup"), p.take(1200))
   }
 
-  test("s04/s06 ivf: no rank windows anywhere in the ANN family") {
-    Seq("s04_ivf_ann", "s06_ivf_kmeans").foreach { q =>
+  test("s04/s06/s10 ivf: no rank windows anywhere in the ANN family") {
+    Seq("s04_ivf_ann", "s06_ivf_kmeans", "s10_ivf_pq").foreach { q =>
       val p = finalPlan(q)
       assert(!p.contains("Window"), s"$q grew a rank window:\n${p.take(1200)}")
     }
