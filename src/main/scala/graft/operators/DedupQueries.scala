@@ -317,12 +317,13 @@ object DedupQueries {
     * batch is the ~1/7 of docs with doc_id % 7 == 0, the corpus the rest;
     * emits each new doc's verdict with its best corpus match.
     */
-  def d11_incremental_dedup(s: SparkSession, d: String): DataFrame = {
-    // bigram index (denser than d05's trigrams — an ingest probe wants
-    // recall); the batch is doc_id % 7 (deliberately coprime with the
-    // fixture's source = doc_id % 10 so the split crosses source buckets)
-    val all = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  /** Bigram inverted-index rows (doc_id, lang, source, n, shingle) over a
+    * document frame — the probe kernel shared by batch d11 and the
+    * streaming-ingest composition in StreamingSpec. Bigrams, denser than
+    * d05's trigrams: an ingest probe wants recall.
+    */
+  private[graft] def bigramIndex(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .withColumn("shingles", array_distinct(expr(
@@ -330,9 +331,13 @@ object DedupQueries {
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
-      .localCheckpoint() // batch + corpus both derive from this: one kernel pass
-    val batch = all.filter(col("doc_id") % 7 === 0)
-    val corpus = all.filter(col("doc_id") % 7 =!= 0)
+
+  /** New-batch index rows probe the corpus index rows: jaccard per
+    * candidate pair, best corpus match per new doc (TopKPerGroup k=1),
+    * duplicate/novel verdict. Only the batch side ever probes — the
+    * corpus never self-scans.
+    */
+  private[graft] def probeIndex(batch: DataFrame, corpus: DataFrame): DataFrame = {
     val scores = batch.as("b").join(corpus.as("c"),
         col("b.shingle") === col("c.shingle") &&
           col("b.lang") === col("c.lang") && col("b.source") === col("c.source"))
@@ -341,12 +346,22 @@ object DedupQueries {
       .agg(count(lit(1)).as("inter"))
       .select(col("new_doc"), col("corpus_doc"),
         (col("inter") / (col("nb") + col("nc") - col("inter"))).as("jaccard"))
-    // best corpus match per new doc via the native top-k (k=1)
     graft.plans.TopKPerGroup.topK(scores, Seq("new_doc"),
       Seq(graft.plans.TopKPerGroup.Ord("jaccard", desc = true),
         graft.plans.TopKPerGroup.Ord("corpus_doc")), 1)
       .select(col("new_doc"), col("corpus_doc"), col("jaccard"),
         when(col("jaccard") >= 0.5, "duplicate").otherwise("novel").as("verdict"))
+  }
+
+  def d11_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    // the batch is doc_id % 7 (deliberately coprime with the fixture's
+    // source = doc_id % 10 so the split crosses source buckets)
+    val all = bigramIndex(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      .localCheckpoint() // batch + corpus both derive from this: one kernel pass
+    probeIndex(
+      all.filter(col("doc_id") % 7 === 0),
+      all.filter(col("doc_id") % 7 =!= 0))
   }
 
   val queries: Map[String, Q] = Map(

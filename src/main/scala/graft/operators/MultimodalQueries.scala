@@ -79,6 +79,61 @@ object MultimodalQueries {
       .toDF("doc_id", "f0", "f1", "f2", "f3")
   }
 
+  /** Arrow-BATCHED feature extraction — the zero-copy columnar twin of
+    * m03's row-iterator kernel (PySpark calls this shape `mapInArrow`;
+    * Scala exposes no public equivalent, so the batching is explicit).
+    * Each partition's rows are staged into Arrow `VectorSchemaRoot`
+    * batches and the "decoder" consumes the VarBinary vector's
+    * offset/data BUFFERS directly — the exact interface an
+    * accelerator-backed codec ingests (one contiguous payload buffer +
+    * offsets per batch, reused across batches). Output rows and the
+    * oracle are identical to m03: swapping the buffer-walking stub for a
+    * real batch decoder changes no plumbing.
+    */
+  def m05_arrow_features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batchRows = 512
+    media(s, d).select(col("doc_id"), col("media")).as[MediaBytes]
+      .mapPartitions { it =>
+        import org.apache.arrow.memory.RootAllocator
+        import org.apache.arrow.vector.{BigIntVector, VarBinaryVector, VectorSchemaRoot}
+        import scala.jdk.CollectionConverters._
+        val allocator = new RootAllocator()
+        val ids = new BigIntVector("doc_id", allocator)
+        val payload = new VarBinaryVector("media", allocator)
+        val root = new VectorSchemaRoot(List[org.apache.arrow.vector.FieldVector](ids, payload).asJava)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          root.close(); allocator.close()
+        }
+        it.grouped(batchRows).flatMap { chunk =>
+          // stage the chunk into the (reused) Arrow batch
+          root.allocateNew()
+          var i = 0
+          chunk.foreach { r =>
+            ids.setSafe(i, r.doc_id)
+            payload.setSafe(i, r.media)
+            i += 1
+          }
+          root.setRowCount(i)
+          // kernel: walk the batch's offset buffer + contiguous data
+          // buffer — no per-row byte[] materialization
+          val ob = payload.getOffsetBuffer
+          val db = payload.getDataBuffer
+          val out = (0 until i).map { r =>
+            val start = ob.getInt(r.toLong * 4L)
+            val end = ob.getInt((r + 1).toLong * 4L)
+            val f = new Array[Long](4)
+            var p = start
+            while (p < end) { f((db.getByte(p.toLong) & 0xff) % 4) += 1; p += 1 }
+            (ids.get(r), f(0), f(1), f(2), f(3))
+          }
+          out
+        }
+      }
+      .toDF("doc_id", "f0", "f1", "f2", "f3")
+  }
+
   /** Patch extraction plumbing: tile each medium's (width x height) grid
     * into 8x8 patches and emit one row per patch with its byte offset —
     * the 2D analogue of m02's frame sampling (vision-model preprocessing
@@ -100,6 +155,7 @@ object MultimodalQueries {
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_byte_features" -> (m03_byte_features _),
     "m04_patch_grid" -> (m04_patch_grid _),
+    "m05_arrow_features" -> (m05_arrow_features _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,24 +189,29 @@ object MultimodalQueries {
         |       unnest(generate_series(0, n_frames - 1)) * (byte_len // n_frames)
         |         AS frame_offset
         |FROM m""".stripMargin,
-    "m03_byte_features" ->
-      // byte-based like the Spark kernel (UTF-8 bytes, not codepoints — the
-      // two diverge on any non-ASCII text): DuckDB has no byte accessor for
-      // BLOBs, but byte % 4 == (low hex nibble) % 4, so index the hex dump
-      """WITH c AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS nb
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id,
-        |         list_transform(range(1, nb + 1),
-        |           i -> (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1) % 4) AS cs
-        |  FROM c)
-        |SELECT doc_id,
-        |       CAST(len(list_filter(cs, x -> x = 0)) AS BIGINT) AS f0,
-        |       CAST(len(list_filter(cs, x -> x = 1)) AS BIGINT) AS f1,
-        |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
-        |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
-        |FROM b""".stripMargin,
+    "m03_byte_features" -> byteFeaturesOracle,
+    // m05 is m03's kernel re-expressed over Arrow batches — same rows,
+    // same oracle (each check must be self-contained; the string is shared)
+    "m05_arrow_features" -> byteFeaturesOracle,
   )
+
+  // byte-based like the Spark kernels (UTF-8 bytes, not codepoints — the
+  // two diverge on any non-ASCII text): DuckDB has no byte accessor for
+  // BLOBs, but byte % 4 == (low hex nibble) % 4, so index the hex dump
+  private lazy val byteFeaturesOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |         list_transform(range(1, nb + 1),
+      |           i -> (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1) % 4) AS cs
+      |  FROM c)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(cs, x -> x = 0)) AS BIGINT) AS f0,
+      |       CAST(len(list_filter(cs, x -> x = 1)) AS BIGINT) AS f1,
+      |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
+      |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
+      |FROM b""".stripMargin
 }

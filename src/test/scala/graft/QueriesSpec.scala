@@ -59,6 +59,17 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => math.abs(r.getAs[Double]("sim")) <= 8.0))
   }
 
+  test("m05 arrow kernel emits exactly m03's rows") {
+    val m03 = SparkEntry.queries("m03_byte_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val m05 = SparkEntry.queries("m05_arrow_features")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(m05 == m03)
+    assert(m05.nonEmpty)
+  }
+
   test("s10 IVF+PQ: k per query, candidates from routed cells only, recall floor") {
     def topk(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()

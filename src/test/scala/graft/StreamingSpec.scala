@@ -199,6 +199,45 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming incremental dedup == batch d11 (foreachBatch probes the corpus index)") {
+    // d11's daily-ingest shape run as a REAL stream: new docs arrive in
+    // micro-batches, each batch probes the static corpus shingle index
+    // (built once, localCheckpointed), and verdicts land in the sheets
+    // sink — one sheet per micro-batch so replays stay idempotent. The
+    // union of sheet outputs must equal the one-shot batch probe: each
+    // new doc's verdict depends only on itself + the corpus, never on
+    // which micro-batch carried it.
+    Sessions.tune(spark)
+    val docs = Tables.documents(spark, sf)
+    val srcDir = Files.createTempDirectory("d11_stream").toString
+    docs.filter(col("doc_id") % 7 === 0).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val corpusIdx = operators.DedupQueries.bigramIndex(
+      docs.filter(col("doc_id") % 7 =!= 0)).localCheckpoint()
+    val dest = Files.createTempDirectory("d11_sheets").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        operators.DedupQueries
+          .probeIndex(operators.DedupQueries.bigramIndex(b), corpusIdx)
+          .write.format("sheets").option("path", dest)
+          .option("name", s"verdicts_b$id").mode("overwrite").save()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, String)] = df
+      .select(col("new_doc").cast("long"), col("corpus_doc").cast("long"),
+        col("jaccard").cast("double"), col("verdict"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    val streamed = canon(spark.read.format("sheets").option("path", dest).load())
+    val batch = canon(operators.DedupQueries.d11_incremental_dedup(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
