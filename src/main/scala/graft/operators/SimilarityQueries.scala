@@ -260,18 +260,36 @@ object SimilarityQueries {
     * on a deterministic QUARTER sample of the corpus — quantizer quality
     * saturates long before full-corpus size, and at 100 TB training on
     * everything is pure waste (only the encode pass must touch every row).
+    *
+    * All 8 subspaces train in ONE Lloyd pass: each training row fans out
+    * to (subspace, cluster, slice) and a single 128-group mean aggregate
+    * comes back — 8 independent `KMeans.fit` calls cost ~3 driver-round-
+    * trip jobs each; this is the identical math (same smallest-id seed
+    * vectors, same assignment primitive, same mean update, empty clusters
+    * keep their seed) in 3 jobs total.
     */
   private def trainCodebooks(e: DataFrame): Array[Array[Seq[Double]]] = {
-    import graft.functions.KMeans
+    import graft.functions.VectorMean.vector_mean
     val train = e.filter(col("vec_id") % 4 === 0)
-    (0 until PqM).map { m =>
-      KMeans.fit(
-        train.select(col("vec_id"),
-          expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)").as("sub")),
-        "vec_id", "sub", k = PqK, iterations = 1, dim = PqDsub)
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1))
-        .sortBy(_._1).map(_._2).toArray
-    }.toArray
+      .select(col("vec_id"), col("embedding").as("emb")) // float[] — VectorMean's input type
+      .localCheckpoint()
+    val seed = train.orderBy(col("vec_id")).limit(PqK)
+      .select(col("emb").cast("array<double>")).collect().map(_.getSeq[Double](0))
+    val books: Array[Array[Seq[Double]]] =
+      Array.tabulate(PqM)(m => seed.map(v => v.slice(m * PqDsub, (m + 1) * PqDsub)))
+    val assigned = train.select(posexplode(array((0 until PqM).map { m =>
+        val sub = expr(s"slice(emb, ${m * PqDsub + 1}, $PqDsub)")
+        struct(lit(m).as("m"),
+          graft.functions.KMeans.nearestCentroidIdx(sub, books(m).toIndexedSeq)
+            .as("cluster"),
+          sub.as("sub"))
+      }: _*)))
+      .select(col("col.m"), col("col.cluster"), col("col.sub"))
+    val updated = assigned.groupBy(col("m"), col("cluster"))
+      .agg(vector_mean(col("sub"), PqDsub).as("c_new"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    Array.tabulate(PqM)(m =>
+      Array.tabulate(PqK)(c => updated.getOrElse((m, c), books(m)(c))))
   }
 
   /** 8-code PQ encoding column, via the SAME assignment primitive the
