@@ -150,6 +150,35 @@ object CurationQueries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
 
+  /** Sequence packing — assign docs to fixed-token-budget packs (the
+    * "fill 1024-token training sequences" preprocessing step). Greedy
+    * sequential packing is inherently order-dependent, so the order is
+    * pinned: docs fill packs by doc_id within a (lang, shard) stream,
+    * pack = cumulative-token start offset DIV budget. The running sum is
+    * a window — which would funnel a whole language through one reducer
+    * at 100 TB, so the stream is pre-sharded by doc_id hash (32 shards
+    * per lang here; a real run picks shards ~ executor count): packing
+    * parallelism is (langs x shards), each shard's window is
+    * corpus/shards-sized, and the result is still fully deterministic —
+    * the same doc lands in the same pack on every engine and cluster
+    * size. Reports per-pack doc/token totals.
+    */
+  def c07_pack_sequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 1024L
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", hashCol(col("doc_id"), 271L, 32L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
@@ -157,6 +186,7 @@ object CurationQueries {
     "c04_split_by_cluster" -> (c04_split_by_cluster _),
     "c05_mixture_sample" -> (c05_mixture_sample _),
     "c06_token_budget_approx" -> (c06_token_budget_approx _),
+    "c07_pack_sequences" -> (c07_pack_sequences _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +233,21 @@ object CurationQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
         |FROM h WHERE h < keep_frac * 1000000007
         |GROUP BY source""".stripMargin,
+    "c07_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         ((doc_id % 1000003) * 2654435761 + 271) % 32 AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, shard, n_tokens,
+        |         CAST((CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens) // 1024 AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT lang, shard, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "c02_token_budget" ->
       """WITH t AS (
         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks

@@ -659,6 +659,52 @@ object RelationalQueries {
         |ORDER BY c_acctbal DESC, c_custkey
         |LIMIT 20 OFFSET 10""".stripMargin)
 
+  /** Time-series resample + gap fill — the "regularize an event stream
+    * onto an hourly grid" op every monitoring/feature pipeline needs:
+    * build the full hour spine (sequence + explode — a distributed row
+    * generator, rows appear map-side), cross it with the dimension,
+    * left-join the hourly aggregate, and forward-fill missing hours with
+    * the last observed value (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame). The spine bounds come from a 1-row aggregate
+    * (broadcast), so no driver-side date math; volumes go through dsum so
+    * the carried-forward values are exact on both engines.
+    */
+  def q51_gap_fill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vol"))
+    val bounds = ev.agg(
+      date_trunc("HOUR", min(col("ts"))).as("mn"),
+      date_trunc("HOUR", max(col("ts"))).as("mx"))
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("vol"), ignoreNulls = true).over(w).as("filled_vol"))
+  }
+
+  /** Aggregate FILTER clause — per-group conditional aggregation without
+    * self-joins or CASE pyramids (the SQL-standard form Spark and DuckDB
+    * both plan as one pass with predicated partial aggregates).
+    */
+  def q52_filter_clause(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      s"""SELECT o_orderpriority,
+         |       count(*) AS n_total,
+         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+         |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+         |              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+         |         AS open_volume
+         |FROM orders
+         |GROUP BY o_orderpriority""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -712,6 +758,8 @@ object RelationalQueries {
     "q48_moving_average" -> (q48_moving_average _),
     "q49_lateral_join" -> (q49_lateral_join _),
     "q50_pagination" -> (q50_pagination _),
+    "q51_gap_fill" -> (q51_gap_fill _),
+    "q52_filter_clause" -> (q52_filter_clause _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1028,5 +1076,37 @@ object RelationalQueries {
         |WHERE c_name LIKE 'Customer#0000001%'
         |ORDER BY c_acctbal DESC, c_custkey
         |LIMIT 20 OFFSET 10""".stripMargin,
+    "q51_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS hour
+        |  FROM events),
+        |grid AS (
+        |  SELECT s.hour, t.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        |SELECT g.event_type,
+        |       strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       coalesce(h.n, 0) AS n_events,
+        |       last_value(h.vol IGNORE NULLS) OVER (
+        |         PARTITION BY g.event_type ORDER BY g.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vol
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type""".stripMargin,
+    "q52_filter_clause" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_total,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |       count(*) FILTER (WHERE o_totalprice > 200000) AS n_large,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+        |         AS open_volume
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 }

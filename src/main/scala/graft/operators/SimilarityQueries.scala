@@ -377,12 +377,55 @@ object SimilarityQueries {
         .select(col("q_id"), col("vec_id"), col("sim")))
   }
 
+  /** Graph-expansion ANN — the HNSW idea's bottom layer, batch-shaped: a
+    * kNN GRAPH is prebuilt offline (top-3 in-bucket neighbors per node —
+    * the pair generation stays LSH-bucket-bounded, never all-pairs); at
+    * query time the query's bucket members SEED the search, expand one
+    * hop along graph edges, and the seed∪expanded set is re-ranked with
+    * the exact kernel. Candidates strictly contain s02's (same seeds), so
+    * recall dominates s02 structurally — the graph hop buys back
+    * neighbors that hash into adjacent buckets, the failure mode of pure
+    * LSH. At 100 TB the graph build is the one expensive pass (standard
+    * offline-index economics); per query the probe is two bounded joins.
+    * LCG planes → rows-only; recall pinned vs s02 in QueriesSpec.
+    */
+  def s11_graph_ann(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("bucket", bucketOf(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .localCheckpoint() // bucket kernel once; graph, seeds and re-rank reuse it
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("gsim"))
+    val edges = TopKPerGroup.topK(pairs,
+      Seq("src"), Seq(Ord("gsim", desc = true), Ord("dst")), 3)
+      .select(col("src"), col("dst"))
+    val q = queriesSide(s, d).withColumn("q_bucket", bucketOf(col("q_emb")))
+    // the query itself stays in its seed set: ITS top-3 graph neighbors
+    // are the best expansion candidates; self drops out post-expansion
+    val seeds = e.join(broadcast(q.select(col("q_id"), col("q_bucket"))),
+        col("bucket") === col("q_bucket"))
+      .select(col("q_id"), col("vec_id"))
+    val expanded = seeds.join(edges, seeds("vec_id") === edges("src"))
+      .select(col("q_id"), col("dst").as("vec_id"))
+    val candidates = seeds.union(expanded).distinct()
+      .filter(col("vec_id") =!= col("q_id"))
+    perQueryTopK(
+      candidates
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
     "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
     "s09_pq_ann" -> (s09_pq_ann _),
     "s10_ivf_pq" -> (s10_ivf_pq _),
+    "s11_graph_ann" -> (s11_graph_ann _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),

@@ -131,7 +131,47 @@ object TextQueries {
         length(col("redacted")).cast("long").as("redacted_chars"))
   }
 
+  /** BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed keyword query —
+    * the lexical-search ranking a data pipeline runs to mine relevant
+    * documents. Inverted-index shapes again: per-(doc, term) tf, per-term
+    * df, corpus stats via a broadcast 1-row aggregate; top-10 docs per
+    * term through the native partial-heap top-k. avgdl goes through the
+    * exact decimal mean and idf is rounded to 9dp before the multiply
+    * (t05's ln-ulp containment), so even this log-based score is fully
+    * hash-checked. Emits per-(term, doc) scores — the cross-term sum
+    * would re-order float addition; a consumer sums the k1-normalized
+    * term scores per doc downstream.
+    */
+  def t07_bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("data", "hash", "scan")
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        split(col("text"), " ").as("toks"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("idf9",
+        expr("round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)"))
+      .withColumn("bm25", expr(
+        "idf9 * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("bm25"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("term"),
+      Seq(graft.plans.TopKPerGroup.Ord("bm25", desc = true),
+        graft.plans.TopKPerGroup.Ord("doc_id")), 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t07_bm25" -> (t07_bm25 _),
     "t05_tfidf" -> (t05_tfidf _),
     "t06_redact" -> (t06_redact _),
     "t01_lang_id" -> (t01_lang_id _),
@@ -141,6 +181,32 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t07_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |         string_split(text, ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |         CAST(sum(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl
+        |  FROM docs),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+        |    SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
+        |  WHERE term IN ('data', 'hash', 'scan')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+        |         round(ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 9)
+        |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+        |           AS bm25
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
+        |SELECT term, doc_id, tf, dl, bm25 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY term
+        |              ORDER BY bm25 DESC, doc_id) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 10""".stripMargin,
     "t06_redact" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,

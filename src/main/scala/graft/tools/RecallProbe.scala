@@ -14,7 +14,7 @@ object RecallProbe {
       exact.map { case (q, ex) =>
         (m.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }.sum / exact.size
     Seq("s02_ann_lsh", "s04_ivf_ann", "s06_ivf_kmeans", "s08_ivf_nprobe",
-      "s09_pq_ann", "s10_ivf_pq").foreach { n =>
+      "s09_pq_ann", "s10_ivf_pq", "s11_graph_ann").foreach { n =>
       println(f"RECALL $n%-16s ${recall(topk(n))}%.3f")
     }
     spark.stop()

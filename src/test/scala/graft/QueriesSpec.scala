@@ -94,6 +94,25 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("s11 graph expansion strictly dominates its s02 seed recall") {
+    def topk(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk("s01_knn_bruteforce")
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, ex) =>
+        (m.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }.sum / exact.size
+    val r11 = recall(topk("s11_graph_ann"))
+    val r02 = recall(topk("s02_ann_lsh"))
+    // s11's candidate set contains every s02 candidate (same LSH seeds) +
+    // one graph hop, and both re-rank exactly — recall can only improve
+    assert(r11 >= r02 - 1e-9, s"s11 ($r11) lost candidates vs its own seeds ($r02)")
+    val rows = SparkEntry.queries("s11_graph_ann")(spark, sf).collect()
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    assert(rows.nonEmpty)
+  }
+
   test("q46 approx percentiles track q40's exact quantiles") {
     val exact = SparkEntry.queries("q40_median")(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("median_price")).toMap
