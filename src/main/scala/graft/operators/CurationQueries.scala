@@ -179,6 +179,34 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
   }
 
+  /** Eval-set decontamination — flag corpus documents whose bigram
+    * Jaccard overlap with any held-out eval document crosses 0.3 (train/
+    * eval contamination is the classic benchmark-inflation bug; this is
+    * the scan that must run before every training mix ships). The eval
+    * set is tiny by nature, so its inverted index BROADCASTS and the
+    * corpus side probes map-side — no corpus self-join anywhere, the same
+    * asymmetric economics as d11's ingest probe but cross-lang/source
+    * (contamination doesn't respect metadata). Emits (corpus_doc, its
+    * worst eval match, jaccard) for flagged docs.
+    */
+  def c08_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val idx = DedupQueries.bigramIndex(Tables.documents(s, d))
+      .select(col("doc_id"), col("n"), col("shingle"))
+      .localCheckpoint() // eval + corpus derive from one kernel pass
+    val eval = idx.filter(col("doc_id") % 19 === 0)
+    val corpus = idx.filter(col("doc_id") % 19 =!= 0)
+    val scores = corpus.as("c")
+      .join(broadcast(eval.as("v")), col("c.shingle") === col("v.shingle"))
+      .groupBy(col("c.doc_id").as("corpus_doc"), col("v.doc_id").as("eval_doc"),
+        col("c.n").as("nc"), col("v.n").as("nv"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("corpus_doc"), col("eval_doc"),
+        (col("inter") / (col("nc") + col("nv") - col("inter"))).as("jaccard"))
+    TopKPerGroup.topK(scores, Seq("corpus_doc"),
+      Seq(Ord("jaccard", desc = true), Ord("eval_doc")), 1)
+      .filter(col("jaccard") >= 0.3)
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
@@ -187,6 +215,7 @@ object CurationQueries {
     "c05_mixture_sample" -> (c05_mixture_sample _),
     "c06_token_budget_approx" -> (c06_token_budget_approx _),
     "c07_pack_sequences" -> (c07_pack_sequences _),
+    "c08_decontaminate" -> (c08_decontaminate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +262,29 @@ object CurationQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
         |FROM h WHERE h < keep_frac * 1000000007
         |GROUP BY source""".stripMargin,
+    "c08_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i+1])) AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |e AS (
+        |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM t),
+        |scores AS (
+        |  SELECT c.doc_id AS corpus_doc, v.doc_id AS eval_doc,
+        |         c.n AS nc, v.n AS nv, count(*) AS inter
+        |  FROM e c JOIN e v ON c.shingle = v.shingle
+        |  WHERE c.doc_id % 19 <> 0 AND v.doc_id % 19 = 0
+        |  GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT corpus_doc, eval_doc,
+        |         inter / (nc + nv - inter) AS jaccard
+        |  FROM scores)
+        |SELECT corpus_doc, eval_doc, jaccard
+        |FROM (SELECT *, row_number() OVER (PARTITION BY corpus_doc
+        |        ORDER BY jaccard DESC, eval_doc) AS rk FROM j) t
+        |WHERE rk <= 1 AND jaccard >= 0.3""".stripMargin,
     "c07_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

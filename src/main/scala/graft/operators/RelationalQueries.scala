@@ -689,6 +689,34 @@ object RelationalQueries {
         last(col("vol"), ignoreNulls = true).over(w).as("filled_vol"))
   }
 
+  /** MERGE/upsert maintenance — the "apply a change batch to a snapshot"
+    * op (the scaled-up analogue of the sheets sink's upsert-by-name):
+    * matched keys update, unmatched source keys insert, untouched rows
+    * keep. Without a transactional table format this is the canonical
+    * full-outer-join + coalesce rewrite; the join shuffles both sides on
+    * the key (sort-merge at scale, AQE-broadcast when the change batch is
+    * small — which a daily batch is). The change batch is derived
+    * deterministically from the fixture: +100.00 price corrections for
+    * every 7th key, brand-new keys past the key space for inserts.
+    */
+  def q53_merge_upsert(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """WITH changes AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, 42.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT coalesce(o.o_orderkey, c.k) AS k,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN c.k IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |         coalesce(c.new_price, o.o_totalprice) AS price
+        |  FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k)
+        |SELECT action, count(*) AS n_rows,
+        |       CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM merged GROUP BY action""".stripMargin)
+
   /** Aggregate FILTER clause — per-group conditional aggregation without
     * self-joins or CASE pyramids (the SQL-standard form Spark and DuckDB
     * both plan as one pass with predicated partial aggregates).
@@ -760,6 +788,7 @@ object RelationalQueries {
     "q50_pagination" -> (q50_pagination _),
     "q51_gap_fill" -> (q51_gap_fill _),
     "q52_filter_clause" -> (q52_filter_clause _),
+    "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1098,6 +1127,22 @@ object RelationalQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vol
         |FROM grid g
         |LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type""".stripMargin,
+    "q53_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, 42.0 AS new_price
+        |  FROM orders WHERE o_orderkey % 1000 = 0),
+        |merged AS (
+        |  SELECT coalesce(o.o_orderkey, c.k) AS k,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN c.k IS NULL THEN 'keep' ELSE 'update' END AS action,
+        |         coalesce(c.new_price, o.o_totalprice) AS price
+        |  FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.k)
+        |SELECT action, count(*) AS n_rows,
+        |       CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM merged GROUP BY action""".stripMargin,
     "q52_filter_clause" ->
       """SELECT o_orderpriority,
         |       count(*) AS n_total,
