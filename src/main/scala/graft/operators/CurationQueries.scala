@@ -194,7 +194,16 @@ object CurationQueries {
       .select(col("doc_id"), col("n"), col("shingle"))
       .localCheckpoint() // eval + corpus derive from one kernel pass
     val eval = idx.filter(col("doc_id") % 19 === 0)
+    // d05's hot-shingle guard, probe-shaped: a boilerplate bigram shared
+    // by df corpus docs meets every eval doc carrying it as df x |eval|
+    // pairs in one reducer — drop shingles with corpus df > DfCap before
+    // the join (they carry no discrimination signal; `n` stays the full
+    // set size, so jaccard only ever under-counts — the d05 trade)
+    val hot = idx.filter(col("doc_id") % 19 =!= 0)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DedupQueries.DfCap).select(col("shingle"))
     val corpus = idx.filter(col("doc_id") % 19 =!= 0)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
     val scores = corpus.as("c")
       .join(broadcast(eval.as("v")), col("c.shingle") === col("v.shingle"))
       .groupBy(col("c.doc_id").as("corpus_doc"), col("v.doc_id").as("eval_doc"),
@@ -271,11 +280,18 @@ object CurationQueries {
         |  WHERE len(toks) >= 2),
         |e AS (
         |  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM t),
+        |hot AS (
+        |  SELECT shingle FROM e WHERE doc_id % 19 <> 0
+        |  GROUP BY shingle HAVING count(*) > 64),
+        |ec AS (
+        |  SELECT * FROM e
+        |  WHERE doc_id % 19 <> 0
+        |    AND shingle NOT IN (SELECT shingle FROM hot)),
         |scores AS (
         |  SELECT c.doc_id AS corpus_doc, v.doc_id AS eval_doc,
         |         c.n AS nc, v.n AS nv, count(*) AS inter
-        |  FROM e c JOIN e v ON c.shingle = v.shingle
-        |  WHERE c.doc_id % 19 <> 0 AND v.doc_id % 19 = 0
+        |  FROM ec c JOIN e v ON c.shingle = v.shingle
+        |  WHERE v.doc_id % 19 = 0
         |  GROUP BY 1, 2, 3, 4),
         |j AS (
         |  SELECT corpus_doc, eval_doc,
