@@ -733,6 +733,46 @@ object RelationalQueries {
          |FROM orders
          |GROUP BY o_orderpriority""".stripMargin)
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoop operator).
+    * Hierarchy walk the fixture lacks a parent column for, so the tree is
+    * the implicit binary heap on p_partkey (parent = key DIV 2): every part
+    * climbs to the root, and the rollup prices each level of the hierarchy.
+    * Each recursion step is one self-reference scan + filter — Spark runs
+    * it as iterated incremental steps (the frontier is only the rows added
+    * last round), so depth-d recursion over n rows costs O(n·d) total rows,
+    * never materializing more than the running union. Depth here is
+    * log2(max key) ≈ 15 at sf0.1 — far under the 100-level default cap.
+    */
+  def q54_recursive_cte(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "part")(
+      """WITH RECURSIVE anc(node, a, depth, price) AS (
+        |  SELECT p_partkey, p_partkey, 0, p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT node, a DIV 2, depth + 1, price FROM anc WHERE a > 1
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        |       CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS level_price
+        |FROM anc GROUP BY depth""".stripMargin)
+
+  /** IGNORE NULLS across the offset-window family (lag / lead / nth_value):
+    * per customer ordered by date, carry the previous and next *finished*
+    * order's price past open-order gaps. One shuffle on o_custkey serves
+    * all three window functions (same partition + order spec).
+    */
+  def q55_ignore_nulls(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_custkey, o_orderkey,
+        |       lag(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+        |         IGNORE NULLS OVER w AS prev_f_price,
+        |       lead(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+        |         IGNORE NULLS OVER w AS next_f_price,
+        |       nth_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 1)
+        |         IGNORE NULLS OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS first_f_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -788,6 +828,8 @@ object RelationalQueries {
     "q50_pagination" -> (q50_pagination _),
     "q51_gap_fill" -> (q51_gap_fill _),
     "q52_filter_clause" -> (q52_filter_clause _),
+    "q54_recursive_cte" -> (q54_recursive_cte _),
+    "q55_ignore_nulls" -> (q55_ignore_nulls _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1153,5 +1195,26 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q54_recursive_cte" ->
+      """WITH RECURSIVE anc(node, a, depth, price) AS (
+        |  SELECT p_partkey, p_partkey, 0, p_retailprice FROM part
+        |  UNION ALL
+        |  SELECT node, a // 2, depth + 1, price FROM anc WHERE a > 1
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_nodes,
+        |       CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS level_price
+        |FROM anc GROUP BY depth""".stripMargin,
+    "q55_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+        |         OVER w AS prev_f_price,
+        |       lead(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END IGNORE NULLS)
+        |         OVER w AS next_f_price,
+        |       nth_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END, 1 IGNORE NULLS)
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |         AS first_f_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
   )
 }
