@@ -216,7 +216,35 @@ object CurationQueries {
       .filter(col("jaccard") >= 0.3)
   }
 
+  /** Exact 13-gram collision decontamination — the complement of c08's
+    * fuzzy jaccard screen and the method most eval suites actually specify
+    * (a corpus doc is contaminated if it shares ANY 13-token run with an
+    * eval doc; cf. GPT-3's 13-gram dedup, arXiv:2005.14165 §C). Exact
+    * string equality means this needs no similarity threshold and stays
+    * fully hash-checkable.
+    *
+    * Shape at scale: per-doc DISTINCT 13-grams come from the native
+    * word_shingles kernel (one scan-side pass, no shuffle); the eval side
+    * is tiny by nature so its gram set BROADCASTS, and the corpus probes
+    * it map-side — the only shuffle is the per-doc count aggregate, keyed
+    * by doc_id (no hot reducer). Linear in corpus tokens, the floor.
+    */
+  def c09_decontaminate_ngram(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+    val docs = Tables.documents(s, d)
+    val eval = grams(docs.filter(col("doc_id") % 19 === 0))
+      .select(col("ng")).distinct()
+    grams(docs.filter(col("doc_id") % 19 =!= 0))
+      .join(broadcast(eval), "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_ngrams")) // grams are per-doc distinct
+  }
+
   val queries: Map[String, Q] = Map(
+    "c09_decontaminate_ngram" -> (c09_decontaminate_ngram _),
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
     "c03_hash_split" -> (c03_hash_split _),
@@ -228,6 +256,19 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c09_decontaminate_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0)
+        |SELECT g.doc_id, count(*) AS n_hit_ngrams
+        |FROM g JOIN ev USING (ng)
+        |WHERE g.doc_id % 19 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
     "c01_stratified_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

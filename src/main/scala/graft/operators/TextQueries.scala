@@ -170,7 +170,48 @@ object TextQueries {
         graft.plans.TopKPerGroup.Ord("doc_id")), 10)
   }
 
+  /** Repetition-based quality rules (the Gopher/MassiveText family —
+    * Rae et al. 2021, arXiv:2112.11446 §A1.1): fraction of duplicate word
+    * occurrences plus the mass of the most-frequent 2-gram and 3-gram.
+    * Boilerplate and template spam score high on all three long before a
+    * near-dup pass would catch them, so this is the cheap first filter in
+    * a curation pipeline.
+    *
+    * Shape at scale: the n-gram frequency aggregates key on
+    * (doc_id, ngram) — partial-aggregated map-side, and doc_id in the key
+    * means no hot reducer regardless of how skewed the ngram vocabulary
+    * is. Cost is linear in corpus tokens, the floor for any repetition
+    * scorer. All ratios are exact-int divisions, so doubles match the
+    * oracle bit-for-bit.
+    */
+  def t08_repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // top n-gram mass per doc: count every (overlapping) n-gram occurrence,
+    // then max/sum within the doc
+    def topFrac(n: Int, outCol: String): DataFrame =
+      docs.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, size(toks) - $n), i -> " +
+            s"array_join(slice(toks, i + 1, $n), ' '))")).as("ng"))
+        .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg((max(col("cnt")) / sum(col("cnt"))).as(outCol))
+    docs
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")) / col("n_tokens"))
+          .as("dup_word_frac"))
+      .join(topFrac(2, "top_bigram_frac"), "doc_id")
+      .join(topFrac(3, "top_trigram_frac"), "doc_id")
+      .withColumn("verdict",
+        when(col("dup_word_frac") > 0.7 or col("top_bigram_frac") > 0.11 or
+          col("top_trigram_frac") > 0.09, "drop").otherwise("keep"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t08_repetition" -> (t08_repetition _),
     "t07_bm25" -> (t07_bm25 _),
     "t05_tfidf" -> (t05_tfidf _),
     "t06_redact" -> (t06_redact _),
@@ -181,6 +222,38 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t08_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        |  FROM t),
+        |bi AS (
+        |  SELECT doc_id, ng, count(*) AS cnt FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS ng
+        |    FROM (SELECT doc_id, toks,
+        |                 unnest(generate_series(1, len(toks) - 1)) AS i FROM t) u) g
+        |  GROUP BY doc_id, ng),
+        |bif AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |               AS top_bigram_frac FROM bi GROUP BY doc_id),
+        |tri AS (
+        |  SELECT doc_id, ng, count(*) AS cnt FROM (
+        |    SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS ng
+        |    FROM (SELECT doc_id, toks,
+        |                 unnest(generate_series(1, len(toks) - 2)) AS i FROM t) u) g
+        |  GROUP BY doc_id, ng),
+        |trif AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |                AS top_trigram_frac FROM tri GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |       CAST(b.n_tokens - b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+        |         AS dup_word_frac,
+        |       bif.top_bigram_frac, trif.top_trigram_frac,
+        |       CASE WHEN CAST(b.n_tokens - b.n_distinct AS DOUBLE) / CAST(b.n_tokens AS DOUBLE) > 0.7
+        |              OR bif.top_bigram_frac > 0.11
+        |              OR trif.top_trigram_frac > 0.09
+        |            THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM base b
+        |JOIN bif USING (doc_id) JOIN trif USING (doc_id)""".stripMargin,
     "t07_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,

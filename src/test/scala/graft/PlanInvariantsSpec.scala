@@ -90,6 +90,13 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"sketch must partial-aggregate map-side:\n${p.take(1200)}")
   }
 
+  test("c09: eval gram set broadcasts; corpus probe never sort-merges") {
+    val p = finalPlan("c09_decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side probe degraded to a shuffle join:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
