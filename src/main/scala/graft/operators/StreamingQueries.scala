@@ -51,10 +51,32 @@ object StreamingQueries {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("n_errors"))
 
+  /** Exactly-once repair over an at-least-once feed: the input replays
+    * every 10th event (a deterministic stand-in for retransmission), and
+    * the query deduplicates by event_id before the windowed rollup. The
+    * streaming twin is `dropDuplicatesWithinWatermark("event_id")` —
+    * identical semantics with state bounded by the watermark horizon
+    * (StreamingSpec runs the real stream); in batch the dedup is one hash
+    * aggregate keyed by event_id, partial-aggregated map-side. Duplicate
+    * rows are bit-identical, so which copy survives is immaterial and the
+    * result stays hash-checkable.
+    */
+  def st04_dedup_events(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val atLeastOnce = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+    atLeastOnce.dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("volume"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("volume"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_tumbling_window" -> (st01_tumbling_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_sliding_window" -> (st03_sliding_window _),
+    "st04_dedup_events" -> (st04_dedup_events _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,5 +111,15 @@ object StreamingQueries {
         |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
         |       count(*) AS n_errors
         |FROM w GROUP BY 1""".stripMargin,
+    "st04_dedup_events" ->
+      """WITH raw AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_id % 10 = 0),
+        |deduped AS (SELECT DISTINCT * FROM raw)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM deduped GROUP BY 1, 2""".stripMargin,
   )
 }
