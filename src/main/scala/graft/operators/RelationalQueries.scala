@@ -773,6 +773,23 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)
 
+  /** Ordered-set aggregates (SQL:2008 WITHIN GROUP). percentile_disc
+    * picks actual stored values — no interpolation, so cross-engine
+    * equality is exact by construction; percentile_cont mirrors q40's
+    * proven-matching median. Same 100 TB caveat as q40/c02: exact
+    * percentiles buffer per-group distinct values in the final merge —
+    * fine keyed by a low-cardinality group, and q46/c06 are the
+    * registered approx scale twins for the global case.
+    */
+  def q56_within_group(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderpriority,
+        |       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc,
+        |       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75_disc,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_cont,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -830,6 +847,7 @@ object RelationalQueries {
     "q52_filter_clause" -> (q52_filter_clause _),
     "q54_recursive_cte" -> (q54_recursive_cte _),
     "q55_ignore_nulls" -> (q55_ignore_nulls _),
+    "q56_within_group" -> (q56_within_group _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1195,6 +1213,13 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q56_within_group" ->
+      """SELECT o_orderpriority,
+        |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25_disc,
+        |       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p75_disc,
+        |       percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_cont,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q54_recursive_cte" ->
       """WITH RECURSIVE anc(node, a, depth, price) AS (
         |  SELECT p_partkey, p_partkey, 0, p_retailprice FROM part
