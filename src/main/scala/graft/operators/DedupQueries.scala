@@ -364,7 +364,40 @@ object DedupQueries {
       all.filter(col("doc_id") % 7 =!= 0))
   }
 
+  /** Repeated-passage statistics — the RefinedWeb/C4 "duplicated text
+    * fraction" signal (Penedo et al. 2023, arXiv:2306.01116 §3.3): for
+    * each document, what fraction of its distinct 13-token runs also
+    * appears in at least one OTHER document. Boilerplate-heavy and
+    * template-cloned docs approach 1.0; the verdict prunes them before
+    * the (more expensive) pairwise near-dup pass.
+    *
+    * Shape at scale: gram document-frequency is a map-side-partial hash
+    * aggregate keyed by the gram; joining df back onto the gram stream is
+    * a plain equi join whose build side carries ONE row per gram — fan-out
+    * is linear in gram occurrences, never pairwise (no doc x doc blowup,
+    * unlike candidate generation). The gram stream is localCheckpointed so
+    * the shingle kernel runs once for both consumers (the d03 lesson).
+    */
+  def d12_passage_stats(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val grams = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+      .localCheckpoint() // df agg + join-back share one kernel pass
+    val dfreq = grams.groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+    grams.join(dfreq, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared") / col("n_grams")).as("dup_frac"),
+        when((col("n_shared") / col("n_grams")) > 0.5, "prune")
+          .otherwise("keep").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d12_passage_stats" -> (d12_passage_stats _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d09_dedup_apply_exact" -> (d09_dedup_apply_exact _),
     "d10_dedup_clusters" -> (d10_dedup_clusters _),
@@ -437,6 +470,25 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d12_passage_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |dfreq AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY ng)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_shared,
+        |       CAST(sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac,
+        |       CASE WHEN CAST(sum(CASE WHEN dfreq.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |                   / count(*) > 0.5
+        |            THEN 'prune' ELSE 'keep' END AS verdict
+        |FROM g JOIN dfreq USING (ng)
+        |GROUP BY g.doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         |       count(*) AS n_dupes
