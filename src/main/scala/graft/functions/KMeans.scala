@@ -11,8 +11,9 @@ import graft.functions.VectorMean.vector_mean
   * Spark shapes per iteration: the k centroids live on the DRIVER (k
   * vectors, tiny) and enter the plan as literals — nearest-centroid is a
   * pure per-row argmax projection inside the scan stage (codegen'd cosine
-  * kernel against each literal centroid, `array_position(sims,
-  * array_max(sims))`), so assignment costs ZERO shuffle and ZERO row
+  * kernel against each literal centroid, folded to the argmax index in a
+  * single `aggregate` pass — see [[nearestCentroidIdx]]), so assignment
+  * costs ZERO shuffle and ZERO row
   * replication; the only exchange per iteration is the k-row hash
   * aggregate (the mergeable [[VectorMean]] UDAF) that recomputes
   * centroids. Collecting the k centroid rows per iteration also truncates
@@ -26,9 +27,9 @@ import graft.functions.VectorMean.vector_mean
   * Empty clusters keep their previous centroid (k rows always come back).
   *
   * Determinism: init = the vectors with the k smallest ids (no RNG); ties
-  * in assignment break on cluster id (`array_position` returns the FIRST
-  * index of the max — lowest cluster id, same contract as the old
-  * (sim desc, cluster asc) window order). Note the ulp-level caveat:
+  * in assignment break on cluster id (the argmax fold keeps the FIRST
+  * index at equal similarity — lowest cluster id, same contract as the
+  * old (sim desc, cluster asc) window order). Note the ulp-level caveat:
   * centroid means merge double partial sums in shuffle-fetch order, so on
   * a multi-node cluster two runs can differ in the last bit and flip a
   * boundary vector — fine for ANN recall, not a bit-replay guarantee

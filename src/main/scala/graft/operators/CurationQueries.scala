@@ -190,7 +190,8 @@ object CurationQueries {
     * worst eval match, jaccard) for flagged docs.
     */
   def c08_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val idx = DedupQueries.bigramIndex(Tables.documents(s, d))
+    val idx = DedupQueries.bigramIndex(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)) // single-file fixture
       .select(col("doc_id"), col("n"), col("shingle"))
       .localCheckpoint() // eval + corpus derive from one kernel pass
     val eval = idx.filter(col("doc_id") % 19 === 0)
@@ -235,6 +236,7 @@ object CurationQueries {
       .select(col("doc_id"),
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
     val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
     val eval = grams(docs.filter(col("doc_id") % 19 === 0))
       .select(col("ng")).distinct()
     grams(docs.filter(col("doc_id") % 19 =!= 0))

@@ -697,7 +697,9 @@ object RelationalQueries {
     * the key (sort-merge at scale, AQE-broadcast when the change batch is
     * small — which a daily batch is). The change batch is derived
     * deterministically from the fixture: +100.00 price corrections for
-    * every 7th key, brand-new keys past the key space for inserts.
+    * every 7th key, negated keys for inserts (disjoint from the positive
+    * key space at ANY scale factor, so an "insert" can never collide with
+    * a real order and break MERGE's match-at-most-once invariant).
     */
   def q53_merge_upsert(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(
@@ -705,7 +707,7 @@ object RelationalQueries {
         |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS new_price
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000 AS k, 42.0 AS new_price
+        |  SELECT -o_orderkey AS k, 42.0 AS new_price
         |  FROM orders WHERE o_orderkey % 1000 = 0),
         |merged AS (
         |  SELECT coalesce(o.o_orderkey, c.k) AS k,
@@ -1192,7 +1194,7 @@ object RelationalQueries {
         |  SELECT o_orderkey AS k, o_totalprice + 100.0 AS new_price
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000 AS k, 42.0 AS new_price
+        |  SELECT -o_orderkey AS k, 42.0 AS new_price
         |  FROM orders WHERE o_orderkey % 1000 = 0),
         |merged AS (
         |  SELECT coalesce(o.o_orderkey, c.k) AS k,

@@ -116,7 +116,11 @@ object StreamingQueries {
         |  SELECT * FROM events
         |  UNION ALL
         |  SELECT * FROM events WHERE event_id % 10 = 0),
-        |deduped AS (SELECT DISTINCT * FROM raw)
+        |deduped AS (
+        |  SELECT * EXCLUDE (rn) FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |    FROM raw)
+        |  WHERE rn = 1)
         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume

@@ -188,9 +188,14 @@ object TextQueries {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // top n-gram mass per doc: count every (overlapping) n-gram occurrence,
-    // then max/sum within the doc
+    // then max/sum within the doc. Docs shorter than n tokens are dropped
+    // BEFORE the sequence: sequence(0, -1) is a descending array in Spark,
+    // and slice(toks, 0, n) then aborts the query — and the oracle's
+    // generate_series is simply empty for them (the inner joins below drop
+    // them from the result on both engines, consistently)
     def topFrac(n: Int, outCol: String): DataFrame =
-      docs.select(col("doc_id"),
+      docs.filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
           explode(expr(s"transform(sequence(0, size(toks) - $n), i -> " +
             s"array_join(slice(toks, i + 1, $n), ' '))")).as("ng"))
         .groupBy(col("doc_id"), col("ng")).agg(count(lit(1)).as("cnt"))

@@ -71,10 +71,7 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("s10 IVF+PQ: k per query, candidates from routed cells only, recall floor") {
-    def topk(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .groupBy(_.getAs[Long]("q_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    import graft.tools.Recall.{recall, topk}
     val s10 = SparkEntry.queries("s10_ivf_pq")(spark, sf).collect()
     assert(s10.length == 50) // 10 queries x k=5
     assert(s10.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
@@ -83,28 +80,19 @@ class QueriesSpec extends SparkTestBase {
     // ceiling; the fixture's uniform synthetic embeddings have weak NN
     // structure (measured: s08 0.30, s09 0.16, s10 0.08 at sf0.001) — pin
     // the deterministic floor and the ceiling relation, not a hero number
-    val exact = topk("s01_knn_bruteforce")
-    def recall(m: Map[Long, Set[Long]]): Double =
-      exact.map { case (q, ex) =>
-        (m.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }.sum / exact.size
-    val r10 = recall(topk("s10_ivf_pq"))
-    val r08 = recall(topk("s08_ivf_nprobe"))
+    val exact = topk(spark, sf, "s01_knn_bruteforce")
+    val r10 = recall(exact, topk(spark, sf, "s10_ivf_pq"))
+    val r08 = recall(exact, topk(spark, sf, "s08_ivf_nprobe"))
     assert(r10 >= 0.05, s"s10 recall collapsed: $r10")
     assert(r10 <= r08 + 1e-9,
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
   test("s11 graph expansion strictly dominates its s02 seed recall") {
-    def topk(name: String): Map[Long, Set[Long]] =
-      SparkEntry.queries(name)(spark, sf).collect()
-        .groupBy(_.getAs[Long]("q_id"))
-        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
-    val exact = topk("s01_knn_bruteforce")
-    def recall(m: Map[Long, Set[Long]]): Double =
-      exact.map { case (q, ex) =>
-        (m.getOrElse(q, Set.empty) & ex).size.toDouble / ex.size }.sum / exact.size
-    val r11 = recall(topk("s11_graph_ann"))
-    val r02 = recall(topk("s02_ann_lsh"))
+    import graft.tools.Recall.{recall, topk}
+    val exact = topk(spark, sf, "s01_knn_bruteforce")
+    val r11 = recall(exact, topk(spark, sf, "s11_graph_ann"))
+    val r02 = recall(exact, topk(spark, sf, "s02_ann_lsh"))
     // s11's candidate set contains every s02 candidate (same LSH seeds) +
     // one graph hop, and both re-rank exactly — recall can only improve
     assert(r11 >= r02 - 1e-9, s"s11 ($r11) lost candidates vs its own seeds ($r02)")
