@@ -72,11 +72,40 @@ object StreamingQueries {
         col("event_type"), col("n_events"), col("volume"))
   }
 
+  /** Stream-stream interval join, batch-twinned: each click pairs with
+    * same-user errors in the following 30 minutes. Under Structured
+    * Streaming the identical join runs with both sides watermarked and the
+    * time-range condition bounding the state store (StreamingSpec proves
+    * stream == batch on this exact shape); in batch it is an equi join on
+    * user_id with the range as a residual predicate — per-user fan-out is
+    * bounded by activity rate x window, never corpus size. Timestamps are
+    * truncated to whole seconds BEFORE the range compare: the parquet
+    * carries ns, Spark computes in µs, and a boundary row must not hinge
+    * on sub-second residue the engines don't share.
+    */
+  def st05_stream_join(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+    def side(kind: String, p: String) = ev
+      .filter(col("event_type") === kind)
+      .select(col("user_id").as(s"${p}_user"), col("ts_s").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val clicks = side("click", "c")
+    val errors = side("error", "e")
+    clicks.join(errors,
+        col("c_user") === col("e_user") && col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_id"), col("e_id"),
+        (unix_timestamp(col("e_ts")) - unix_timestamp(col("c_ts")))
+          .as("gap_s"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_tumbling_window" -> (st01_tumbling_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_sliding_window" -> (st03_sliding_window _),
     "st04_dedup_events" -> (st04_dedup_events _),
+    "st05_stream_join" -> (st05_stream_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -125,5 +154,18 @@ object StreamingQueries {
         |       event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
         |FROM deduped GROUP BY 1, 2""".stripMargin,
+    "st05_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+        |  FROM events),
+        |c AS (SELECT user_id AS c_user, ts_s AS c_ts, event_id AS c_id
+        |      FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS e_user, ts_s AS e_ts, event_id AS e_id
+        |      FROM e WHERE event_type = 'error')
+        |SELECT c.c_user AS user_id, c.c_id, r.e_id,
+        |       CAST(epoch(r.e_ts) - epoch(c.c_ts) AS BIGINT) AS gap_s
+        |FROM c JOIN r ON c.c_user = r.e_user
+        |             AND r.e_ts >= c.c_ts
+        |             AND r.e_ts <= c.c_ts + INTERVAL 30 MINUTE""".stripMargin,
   )
 }
