@@ -41,6 +41,17 @@ object ScaleProbe {
       // should track d03's (round 1: 14.3s vs 0.75s from the 4x recompute)
       time(s"$tag d08_dedup_apply")(
         graft.operators.DedupQueries.d08_dedup_apply(spark, sf).count())
+      // round-3 additions: decontamination probes and passage stats. All
+      // should grow ~linearly in corpus tokens (broadcast probe / df
+      // aggregate), never pairwise — the 10x run is the check
+      time(s"$tag c08_decontaminate")(
+        graft.operators.CurationQueries.c08_decontaminate(spark, sf).count())
+      time(s"$tag c09_decontaminate_ngram")(
+        graft.operators.CurationQueries.c09_decontaminate_ngram(spark, sf).count())
+      time(s"$tag d12_passage_stats")(
+        graft.operators.DedupQueries.d12_passage_stats(spark, sf).count())
+      time(s"$tag t08_repetition")(
+        graft.operators.TextQueries.t08_repetition(spark, sf).count())
     }
     spark.stop()
   }
