@@ -42,4 +42,25 @@ class DedupScaleSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSet == Set((1000L, 1001L)), pairs.mkString(", "))
   }
+
+  test("star contraction converges on a path deeper than any propagation cap") {
+    import spark.implicits._
+    // a 200-edge path graph has diameter 200: min-label propagation (d10)
+    // moves the min ONE hop per round and would need 200 rounds; star
+    // contraction must collapse it within its 12-round O(log n) budget —
+    // plus a ring (cycle) and a binary tree to cover non-path topologies
+    val path = (0 until 200).map(i => (i.toLong, i + 1L))
+    val ring = (300 until 340).map(i => (i.toLong, i + 1L)) :+ (340L, 300L)
+    val tree = (2 to 63).map(i => (1000L + i, 1000L + i / 2))
+    val pairs = (path ++ ring ++ tree).toDF("doc_a", "doc_b")
+    val got = DedupQueries.starContract(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wantMap =
+      ((0 to 200).map(_.toLong -> 0L) ++
+        (300 to 340).map(_.toLong -> 300L) ++
+        (1001 to 1063).map(_.toLong -> 1001L)).toMap
+    assert(got == wantMap,
+      (got.toSet diff wantMap.toSet).take(5).toString + " / " +
+        (wantMap.toSet diff got.toSet).take(5).toString)
+  }
 }
