@@ -245,7 +245,28 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_hit_ngrams")) // grams are per-doc distinct
   }
 
+  /** Sliding-window document chunking — split every document into
+    * overlapping ≤40-token chunks on a 32-token stride (8-token overlap),
+    * the preprocessing step both RAG indexing and fixed-context
+    * pretraining run before anything else sees the text. Pure per-row
+    * explode: zero shuffle, scan-speed, output linear in corpus tokens;
+    * chunk boundaries are integer arithmetic so the emitted text itself
+    * is hash-checked cross-engine.
+    */
+  def c10_chunk_documents(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, CAST((size(toks) - 1) DIV 32 AS INT)), " +
+            "k -> array_join(slice(toks, 32 * k + 1, 40), ' '))"))
+          .as(Seq("chunk_no", "chunk_text")))
+      .select(col("doc_id"), col("chunk_no").cast("long").as("chunk_no"),
+        size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"),
+        col("chunk_text"))
+
   val queries: Map[String, Q] = Map(
+    "c10_chunk_documents" -> (c10_chunk_documents _),
     "c09_decontaminate_ngram" -> (c09_decontaminate_ngram _),
     "c01_stratified_sample" -> (c01_stratified_sample _),
     "c02_token_budget" -> (c02_token_budget _),
@@ -258,6 +279,19 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c10_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, (len(toks) - 1) // 32)) AS chunk_no
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |       CAST(len(toks[32 * chunk_no + 1 : 32 * chunk_no + 40]) AS BIGINT)
+        |         AS chunk_tokens,
+        |       array_to_string(toks[32 * chunk_no + 1 : 32 * chunk_no + 40], ' ')
+        |         AS chunk_text
+        |FROM k""".stripMargin,
     "c09_decontaminate_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
