@@ -351,15 +351,21 @@ object DedupQueries {
     }
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .distinct().localCheckpoint()
+    var edgeCount = edges.count()
     var changed = 1L
     var iter = 0
     val maxIter = 12 // ~2·log2(components' node span) rounds suffice
     while (changed > 0 && iter < maxIter) {
       val next = star(star(edges, large = true), large = false).localCheckpoint()
-      // set-difference on the checkpointed blocks: one keys-only action
-      changed = next.join(edges, Seq("src", "dst"), "left_anti").count() +
-        edges.join(next, Seq("src", "dst"), "left_anti").count()
+      // distinct edge sets are equal iff sizes match and one difference is
+      // empty — one count on the checkpointed blocks + one keys-only anti
+      // join per round, not two
+      val nextCount = next.count()
+      changed =
+        if (nextCount != edgeCount) 1L
+        else next.join(edges, Seq("src", "dst"), "left_anti").count()
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (changed > 0)
