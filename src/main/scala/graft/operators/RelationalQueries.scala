@@ -792,6 +792,37 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin)
 
+  /** Ordered event-funnel analysis (view → click-after-view →
+    * purchase-after-click): the per-stage user counts every product
+    * analytics engine sells as a primitive. Each stage is one filtered
+    * min-timestamp aggregate keyed by user plus an equi join back on the
+    * user key — partial-aggregated map-side, shuffle carries one row per
+    * user per stage, and at 100 TB the three stage frames co-partition on
+    * user_id so AQE reuses the exchange. Timestamps truncate to whole
+    * seconds first (the engines' shared precision); stage boundaries use
+    * >= so a same-second view+click still advances the funnel on both
+    * engines identically.
+    */
+  def q57_funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_s") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_s") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view")
+      .unionAll(stage(c, "2_click_after_view"))
+      .unionAll(stage(p, "3_purchase_after_click"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -850,6 +881,7 @@ object RelationalQueries {
     "q54_recursive_cte" -> (q54_recursive_cte _),
     "q55_ignore_nulls" -> (q55_ignore_nulls _),
     "q56_within_group" -> (q56_within_group _),
+    "q57_funnel" -> (q57_funnel _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1215,6 +1247,21 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q57_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts_s) AS t2 FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_s >= t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts_s) AS t3 FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_s >= t2 GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click_after_view', count(*) FROM c
+        |UNION ALL
+        |SELECT '3_purchase_after_click', count(*) FROM p""".stripMargin,
     "q56_within_group" ->
       """SELECT o_orderpriority,
         |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DOUBLE) AS p25_disc,
