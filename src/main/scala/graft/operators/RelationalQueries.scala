@@ -801,7 +801,9 @@ object RelationalQueries {
     * user_id so AQE reuses the exchange. Timestamps truncate to whole
     * seconds first (the engines' shared precision); stage boundaries use
     * >= so a same-second view+click still advances the funnel on both
-    * engines identically.
+    * engines identically, and each conversion must land within 24 h of
+    * the previous stage (sweep-chosen so the fixture funnel actually
+    * narrows: 150 -> 60 -> 25 at sf0.01, not a vacuous all-pass).
     */
   def q57_funnel(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
@@ -810,10 +812,14 @@ object RelationalQueries {
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
     val c = e.filter(col("event_type") === "click")
-      .join(v, "user_id").filter(col("ts_s") >= col("t1"))
+      .join(v, "user_id")
+      .filter(col("ts_s") >= col("t1") &&
+        col("ts_s") <= col("t1") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(c, "user_id").filter(col("ts_s") >= col("t2"))
+      .join(c, "user_id")
+      .filter(col("ts_s") >= col("t2") &&
+        col("ts_s") <= col("t2") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t3"))
     def stage(df: DataFrame, name: String): DataFrame =
       df.agg(count(lit(1)).as("n_users"))
@@ -1254,9 +1260,11 @@ object RelationalQueries {
         |v AS (SELECT user_id, min(ts_s) AS t1 FROM e
         |      WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(ts_s) AS t2 FROM e JOIN v USING (user_id)
-        |      WHERE event_type = 'click' AND ts_s >= t1 GROUP BY e.user_id),
+        |      WHERE event_type = 'click' AND ts_s >= t1
+        |        AND ts_s <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(ts_s) AS t3 FROM e JOIN c USING (user_id)
-        |      WHERE event_type = 'purchase' AND ts_s >= t2 GROUP BY e.user_id)
+        |      WHERE event_type = 'purchase' AND ts_s >= t2
+        |        AND ts_s <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
         |SELECT '1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL
         |SELECT '2_click_after_view', count(*) FROM c
