@@ -829,6 +829,24 @@ object RelationalQueries {
       .unionAll(stage(p, "3_purchase_after_click"))
   }
 
+  /** Cohort retention — the other analytics-engine staple next to q57's
+    * funnel: users grouped by first-seen day, activity counted per
+    * day-offset since the cohort day. Two hash aggregates keyed by
+    * user_id then (cohort, offset) — both partial-aggregate map-side, and
+    * the self-join on user_id co-partitions with q57's stage frames. Day
+    * arithmetic is integer (datediff) so there is nothing to drift.
+    */
+  def q58_retention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    e.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_active"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -888,6 +906,7 @@ object RelationalQueries {
     "q55_ignore_nulls" -> (q55_ignore_nulls _),
     "q56_within_group" -> (q56_within_group _),
     "q57_funnel" -> (q57_funnel _),
+    "q58_retention" -> (q58_retention _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1253,6 +1272,16 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q58_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN cohort USING (user_id)
+        |GROUP BY cohort.cohort_day, datediff('day', cohort_day, day)""".stripMargin,
     "q57_funnel" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_type
