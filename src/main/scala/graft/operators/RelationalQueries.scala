@@ -847,6 +847,37 @@ object RelationalQueries {
         col("day_offset").cast("long").as("day_offset"), col("n_active"))
   }
 
+  /** Last-touch marketing attribution: every purchase credits the most
+    * recent view/click by the same user within 24 h, else counts as
+    * unattributed. One carry-forward window per user (last non-null touch
+    * via IGNORE NULLS over the time-ordered event stream) — the same
+    * zero-join shape as q51's gap fill, so the whole attribution pass is
+    * a single shuffle on user_id however many touch types there are
+    * (the naive formulation is one as-of join PER touch type). Ordering
+    * ties break on the unique event_id; timestamps truncate to shared
+    * second precision.
+    */
+  def q59_attribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts_s"))
+    e.withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_ts", last(touchTs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("touch_ts").isNotNull &&
+          col("ts_s") <= col("touch_ts") + expr("INTERVAL 24 HOURS"),
+          col("touch_type")).otherwise("unattributed").as("touch"))
+      .groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -907,6 +938,7 @@ object RelationalQueries {
     "q56_within_group" -> (q56_within_group _),
     "q57_funnel" -> (q57_funnel _),
     "q58_retention" -> (q58_retention _),
+    "q59_attribution" -> (q59_attribution _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1272,6 +1304,24 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q59_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |c AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN ts_s END IGNORE NULLS)
+        |      OVER w AS touch_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CASE WHEN touch_ts IS NOT NULL AND ts_s <= touch_ts + INTERVAL 24 HOUR
+        |            THEN touch_type ELSE 'unattributed' END AS touch,
+        |       count(*) AS n_purchases
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "q58_retention" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
