@@ -321,9 +321,9 @@ object DedupQueries {
     * algorithms sit under the same hash gate.
     */
   def d13_dedup_clusters_star(s: SparkSession, d: String): DataFrame =
-    starContract(d05_ngram_jaccard(s, d)
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()) // feeds every round; compute the pair join once
+    // starContract's own distinct().localCheckpoint() materializes the
+    // pair join exactly once — no extra checkpoint here
+    starContract(d05_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
 
   /** Star-contraction core over an undirected pair list — shared by d13
     * and the adversarial-diameter spec (a path graph deeper than any

@@ -806,16 +806,23 @@ object RelationalQueries {
     * narrows: 150 -> 60 -> 25 at sf0.01, not a vacuous all-pass).
     */
   def q57_funnel(s: SparkSession, d: String): DataFrame = {
+    // each stage frame feeds BOTH the next stage and its own count —
+    // checkpoint the tiny per-user aggregates (and the shared scan) once,
+    // or the unioned counts re-execute the whole prefix per stage (the
+    // d03 4x-recompute lesson)
     val e = Tables.events(s, d)
       .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
         col("event_type"))
+      .localCheckpoint()
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t1"))
+      .localCheckpoint()
     val c = e.filter(col("event_type") === "click")
       .join(v, "user_id")
       .filter(col("ts_s") >= col("t1") &&
         col("ts_s") <= col("t1") + expr("INTERVAL 24 HOURS"))
       .groupBy(col("user_id")).agg(min(col("ts_s")).as("t2"))
+      .localCheckpoint()
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id")
       .filter(col("ts_s") >= col("t2") &&
@@ -858,7 +865,6 @@ object RelationalQueries {
     * second precision.
     */
   def q59_attribution(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"),
