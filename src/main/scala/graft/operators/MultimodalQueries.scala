@@ -150,12 +150,44 @@ object MultimodalQueries {
       .select(col("doc_id"), col("py"), col("px"),
         (col("py") * 8 * col("width") + col("px") * 8).as("patch_offset"))
 
+  /** Audio-style frame energy: the payload split into fixed 256-byte
+    * frames, per-frame energy (sum of byte values) and peak — the windowed
+    * feature-extraction shape an audio pipeline runs (RMS/peak per hop)
+    * with the codec stubbed to raw bytes like m03. Same partition-iterator
+    * kernel contract: a real DSP library would replace only the per-frame
+    * fold. Integer arithmetic throughout, so even this "signal" path is
+    * hash-checked (oracle reconstructs bytes from the hex dump, both
+    * nibbles this time).
+    */
+  def m06_frame_energy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d).select(col("doc_id"), col("media")).as[MediaBytes]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          r.media.grouped(256).zipWithIndex.map { case (fr, i) =>
+            var sum = 0L
+            var mx = 0L
+            var j = 0
+            while (j < fr.length) {
+              val v = (fr(j) & 0xff).toLong
+              sum += v
+              if (v > mx) mx = v
+              j += 1
+            }
+            (r.doc_id, i.toLong, fr.length.toLong, sum, mx)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame_bytes", "energy", "peak")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta" -> (m01_media_meta _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_byte_features" -> (m03_byte_features _),
     "m04_patch_grid" -> (m04_patch_grid _),
     "m05_arrow_features" -> (m05_arrow_features _),
+    "m06_frame_energy" -> (m06_frame_energy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +225,27 @@ object MultimodalQueries {
     // m05 is m03's kernel re-expressed over Arrow batches — same rows,
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
+    "m06_frame_energy" ->
+      """WITH c AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, h, nb,
+        |         unnest(generate_series(0, (nb - 1) // 256)) AS frame_no
+        |  FROM c WHERE nb > 0),
+        |b AS (
+        |  SELECT doc_id, frame_no,
+        |         list_transform(
+        |           range(256 * frame_no + 1, least(256 * frame_no + 256, nb) + 1),
+        |           i -> (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+        |                + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)) AS bytes
+        |  FROM f)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |       CAST(len(bytes) AS BIGINT) AS frame_bytes,
+        |       CAST(list_sum(bytes) AS BIGINT) AS energy,
+        |       CAST(list_max(bytes) AS BIGINT) AS peak
+        |FROM b""".stripMargin,
   )
 
   // byte-based like the Spark kernels (UTF-8 bytes, not codepoints — the
