@@ -884,6 +884,26 @@ object RelationalQueries {
       .groupBy(col("touch")).agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** Rolling 7-day active users (WAU) per day. COUNT(DISTINCT) over a
+    * sliding window is not expressible as a window function (no engine
+    * merges distinct sets incrementally), so the scalable rewrite is a
+    * day-spine band join: distinct (user, day) pairs fan out to at most 7
+    * spine days each — bounded replication, then one partial-aggregated
+    * distinct count keyed by day. The same rewrite holds at 100 TB
+    * because the fan-out factor is the window length, not the data.
+    */
+  def q60_rolling_wau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint() // spine + activity derive from one distinct pass
+    val spine = ud.select(col("day").as("d0")).distinct()
+    ud.join(spine,
+        col("day") >= date_sub(col("d0"), 6) && col("day") <= col("d0"))
+      .groupBy(col("d0"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("d0"), "yyyy-MM-dd").as("day"), col("wau"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -945,6 +965,7 @@ object RelationalQueries {
     "q57_funnel" -> (q57_funnel _),
     "q58_retention" -> (q58_retention _),
     "q59_attribution" -> (q59_attribution _),
+    "q60_rolling_wau" -> (q60_rolling_wau _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1310,6 +1331,14 @@ object RelationalQueries {
         |         AS open_volume
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "q60_rolling_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |spine AS (SELECT DISTINCT day AS d0 FROM ud)
+        |SELECT strftime(d0, '%Y-%m-%d') AS day,
+        |       count(DISTINCT user_id) AS wau
+        |FROM spine JOIN ud ON ud.day >= d0 - 6 AND ud.day <= d0
+        |GROUP BY d0""".stripMargin,
     "q59_attribution" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
