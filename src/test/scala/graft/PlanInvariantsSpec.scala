@@ -97,6 +97,22 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"corpus-side probe degraded to a shuffle join:\n${p.take(1200)}")
   }
 
+  test("q59 attribution: one carry-forward window, no per-touch-type joins") {
+    val p = finalPlan("q59_attribution")
+    // the naive formulation is an as-of join PER touch type; the plan must
+    // instead carry exactly one Window over the user-ordered stream
+    assert("(?s)Window".r.findAllIn(p).size >= 1, p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution grew a join:\n${p.take(1200)}")
+  }
+
+  test("q60 rolling WAU: spine band join, never a distinct-over-window") {
+    val p = finalPlan("q60_rolling_wau")
+    assert(!p.contains("Window"),
+      s"COUNT(DISTINCT) over a window is not mergeable — must stay a join rewrite:\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
