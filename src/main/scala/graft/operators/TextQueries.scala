@@ -215,7 +215,31 @@ object TextQueries {
           col("top_trigram_frac") > 0.09, "drop").otherwise("keep"))
   }
 
+  /** Lexical diversity via the Simpson index: the probability two token
+    * positions drawn without replacement hold the SAME word,
+    * sum c·(c-1) / (n·(n-1)) over per-doc term counts c — an
+    * information-density signal like entropy but built from pure integer
+    * arithmetic, so the score itself is hash-checked (entropy's ln would
+    * need ulp containment). High repetition → high index; the inverse
+    * (1 - index) is the diversity score curation thresholds use. One
+    * (doc_id, term) hash aggregate then a per-doc fold — linear, keyed,
+    * no hot reducer.
+    */
+  def t09_diversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("coll"))
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("coll") / (col("n_tokens") * (col("n_tokens") - 1)))
+          .as("simpson_index"))
+
   val queries: Map[String, Q] = Map(
+    "t09_diversity" -> (t09_diversity _),
     "t08_repetition" -> (t08_repetition _),
     "t07_bm25" -> (t07_bm25 _),
     "t05_tfidf" -> (t05_tfidf _),
@@ -227,6 +251,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t09_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) u
+        |  GROUP BY doc_id, term),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_types,
+        |         CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM tf GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |       CAST(coll AS DOUBLE) / (n_tokens * (n_tokens - 1)) AS simpson_index
+        |FROM agg WHERE n_tokens >= 2""".stripMargin,
     "t08_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (
