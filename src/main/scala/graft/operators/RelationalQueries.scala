@@ -886,19 +886,26 @@ object RelationalQueries {
 
   /** Rolling 7-day active users (WAU) per day. COUNT(DISTINCT) over a
     * sliding window is not expressible as a window function (no engine
-    * merges distinct sets incrementally), so the scalable rewrite is a
-    * day-spine band join: distinct (user, day) pairs fan out to at most 7
-    * spine days each — bounded replication, then one partial-aggregated
-    * distinct count keyed by day. The same rewrite holds at 100 TB
-    * because the fan-out factor is the window length, not the data.
+    * merges distinct sets incrementally), so the scalable rewrite fans
+    * each distinct (user, day) pair out to its <= 7 window-END days via
+    * explode(sequence(day, day+6)) — a pure map-side expansion — and
+    * equi-aggregates the distinct count keyed by window end. A range
+    * predicate against the day spine would plan as a
+    * BroadcastNestedLoopJoin whose COMPUTE is rows x |spine| (every row
+    * compared against every spine day — the scale-killer at a 10-year
+    * corpus); the explode form is O(rows x 7) with a hash join, and the
+    * left-semi to observed days only trims window ends that extend past
+    * the last day with activity. Plan pinned BNLJ-free in
+    * PlanInvariantsSpec.
     */
   def q60_rolling_wau(s: SparkSession, d: String): DataFrame = {
     val ud = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       .localCheckpoint() // spine + activity derive from one distinct pass
     val spine = ud.select(col("day").as("d0")).distinct()
-    ud.join(spine,
-        col("day") >= date_sub(col("d0"), 6) && col("day") <= col("d0"))
+    ud.select(col("user_id"),
+        explode(expr("sequence(day, date_add(day, 6))")).as("d0"))
+      .join(spine, Seq("d0"), "left_semi")
       .groupBy(col("d0"))
       .agg(countDistinct(col("user_id")).as("wau"))
       .select(date_format(col("d0"), "yyyy-MM-dd").as("day"), col("wau"))

@@ -106,11 +106,15 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"attribution grew a join:\n${p.take(1200)}")
   }
 
-  test("q60 rolling WAU: spine band join, never a distinct-over-window") {
+  test("q60 rolling WAU: explode fan-out, never a window or a nested-loop join") {
     val p = finalPlan("q60_rolling_wau")
     assert(!p.contains("Window"),
       s"COUNT(DISTINCT) over a window is not mergeable — must stay a join rewrite:\n${p.take(1200)}")
-    assert(p.contains("HashAggregate"), p.take(800))
+    // a range predicate against the spine plans as a BNLJ: rows x |spine|
+    // COMPUTE even though the output is bounded — the round-3 scale-killer
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"spine join degraded to a nested loop:\n${p.take(1200)}")
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p.take(800))
   }
 
   test("kmeans assignment: pure projection, zero exchanges") {
