@@ -464,8 +464,61 @@ object DedupQueries {
           .otherwise("keep").as("verdict"))
   }
 
+  /** Passage-level dedup APPLY — the transformation d12 only measures
+    * (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116 §3.3: duplicated
+    * spans are REMOVED from documents before training, not whole docs
+    * dropped). A 13-token run whose gram appears in at least one other
+    * document marks its entire token span [i, i+12] as covered; the
+    * rewritten document keeps exactly the uncovered tokens.
+    *
+    * Shape at scale: positional grams are linear in tokens (each token
+    * starts at most one gram); gram document-frequency is the same
+    * map-side-partial aggregate as d12; the shared-gram semi join carries
+    * one row per gram; covered-span starts collapse back to one
+    * array-per-doc row bounded by document length (collect_set order is
+    * irrelevant — starts are only membership-tested). The rewrite itself
+    * is a zero-shuffle per-row lambda. Nothing is ever pairwise.
+    */
+  def d14_passage_dedup_apply(s: SparkSession, d: String): DataFrame =
+    passageDedupApply(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The rewrite core over any (doc_id, text) frame — separated so the
+    * remove-the-span semantics are pinned on a hand-built corpus
+    * (DedupScaleSpec) independent of the fixture.
+    */
+  private[graft] def passageDedupApply(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .localCheckpoint() // gram stream + the rebuild both read this once
+    val posGrams = toks
+      .filter(size(col("toks")) >= 13)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 12), i -> struct(i AS i, " +
+          "array_join(slice(toks, i, 13), ' ') AS ng))")).as("pg"))
+      .select(col("doc_id"), col("pg.i").as("i"), col("pg.ng").as("ng"))
+    // document frequency over DISTINCT docs (a gram repeated inside one
+    // doc is not "shared" — identical to d12's distinct-gram df)
+    val dfreq = posGrams.select(col("doc_id"), col("ng")).distinct()
+      .groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+    val starts = posGrams
+      .join(dfreq.filter(col("n_docs") >= 2).select(col("ng")), Seq("ng"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "filter(sequence(1, size(toks)), j -> starts IS NULL OR " +
+          "size(filter(starts, i -> i <= j AND j <= i + 12)) = 0)"))
+      .select(col("doc_id"),
+        expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')")
+          .as("cleaned_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed_tokens"),
+        ((size(col("toks")) - size(col("kept"))) / size(col("toks")))
+          .as("removed_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d12_passage_stats" -> (d12_passage_stats _),
+    "d14_passage_dedup_apply" -> (d14_passage_dedup_apply _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d09_dedup_apply_exact" -> (d09_dedup_apply_exact _),
     "d10_dedup_clusters" -> (d10_dedup_clusters _),
@@ -558,6 +611,33 @@ object DedupQueries {
         |            THEN 'prune' ELSE 'keep' END AS verdict
         |FROM g JOIN dfreq USING (ng)
         |GROUP BY g.doc_id""".stripMargin,
+    "d14_passage_dedup_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |pg AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |dfreq AS (
+        |  SELECT ng, count(DISTINCT doc_id) AS n_docs FROM pg GROUP BY ng),
+        |st AS (
+        |  SELECT doc_id, list(i) AS starts
+        |  FROM pg SEMI JOIN (SELECT ng FROM dfreq WHERE n_docs >= 2) s USING (ng)
+        |  GROUP BY doc_id),
+        |k AS (
+        |  SELECT t.doc_id, t.toks,
+        |         list_filter(range(1, len(t.toks) + 1),
+        |           j -> st.starts IS NULL OR
+        |                len(list_filter(st.starts,
+        |                      i -> i <= j AND j <= i + 12)) = 0) AS kept
+        |  FROM t LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+        |                '') AS cleaned_text,
+        |       len(toks) - len(kept) AS n_removed_tokens,
+        |       (len(toks) - len(kept)) / len(toks) AS removed_frac
+        |FROM k""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT user_id, event_type, min(event_id) AS first_event_id,
         |       count(*) AS n_dupes

@@ -63,4 +63,26 @@ class DedupScaleSpec extends SparkTestBase {
       (got.toSet diff wantMap.toSet).take(5).toString + " / " +
         (wantMap.toSet diff got.toSet).take(5).toString)
   }
+
+  test("passage dedup APPLY removes exactly the cross-doc-shared spans") {
+    import spark.implicits._
+    // docs 1 and 2 share an identical 13-token passage with distinct
+    // prefixes/suffixes; doc 3 shares nothing 13 tokens long
+    val passage = (1 to 13).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb $passage cc"),
+      (2L, s"xx $passage yy zz"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.passageDedupApply(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // only the shared 13-gram's span [3,15] / [2,14] is covered; unique
+    // prefix/suffix tokens survive verbatim
+    assert(got(1L) == ("aa bb cc", 13L), got(1L))
+    assert(got(2L) == ("xx yy zz", 13L), got(2L))
+    // doc 3 has grams but none shared: untouched
+    assert(got(3L)._1 ==
+      "one two three four five six seven eight nine ten eleven twelve thirteen fourteen")
+    assert(got(3L)._2 == 0L)
+  }
 }
