@@ -355,8 +355,20 @@ object SimilarityQueries {
     * rows-only check; recall is pinned against s01's exact top-k in
     * SimilaritySpec.
     */
-  def s10_ivf_pq(s: SparkSession, d: String): DataFrame = {
+  def s10_ivf_pq(s: SparkSession, d: String): DataFrame =
+    perQueryTopK(ivfPqAdcScores(s, d)
+      .select(col("q_id"), col("vec_id"), col("adc").as("sim")))
+
+  /** The shared IVF+PQ front half of s10/s12: train codebooks, route each
+    * query to its 2 nearest cells, ADC-score every encoded row of the
+    * routed cells. The base projection is localCheckpointed ONCE — codebook
+    * training, centroid aggregation and the encode pass all read it (three
+    * independent parquet scans otherwise).
+    */
+  private def ivfPqAdcScores(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint()
     val codebooks = trainCodebooks(e)
     val cells = quantizedMeanCells(e)
     val routed = TopKPerGroup.topK(
@@ -370,11 +382,36 @@ object SimilarityQueries {
     // (q_id, cell, tables): 2 probe rows per query, still driver-tiny
     val probes = routed.join(adcTables(s, d, codebooks), "q_id")
     val encoded = e.select(col("vec_id"), col("label"), pqCodes(codebooks).as("codes"))
+    encoded.join(broadcast(probes),
+        col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore)
+      .select(col("q_id"), col("vec_id"), col("adc"))
+  }
+
+  /** IVF+PQ with an exact RE-RANK tail — the production billion-vector
+    * pipeline in full (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011 §V: ADC shortlists, exact re-ranking
+    * recovers the quantization loss). s10 returns ADC scores directly; here
+    * the ADC pass only SHORTLISTS the top-R (R = 10k) candidates per query,
+    * the shortlist joins back its float vectors, and the exact kernel
+    * rescores just those R rows before the final top-k. At 100 TB the
+    * expensive exact kernel touches R rows per query instead of a cell's
+    * millions, while recall climbs from PQ-lossy toward s08's exact-scoring
+    * ceiling (same routing, so s08 bounds it above; QueriesSpec pins both
+    * relations). Codebooks are JVM-trained -> rows-only check.
+    */
+  private val RerankR = 10 * K
+
+  def s12_ivf_pq_rerank(s: SparkSession, d: String): DataFrame = {
+    val shortlist = TopKPerGroup.topK(ivfPqAdcScores(s, d),
+      Seq("q_id"), Seq(Ord("adc", desc = true), Ord("vec_id")), RerankR)
+      .select(col("q_id"), col("vec_id"))
     perQueryTopK(
-      encoded.join(broadcast(probes),
-          col("label") === col("cell") && col("vec_id") =!= col("q_id"))
-        .withColumn("sim", adcScore)
-        .select(col("q_id"), col("vec_id"), col("sim")))
+      shortlist
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queriesSide(s, d)), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
   /** Graph-expansion ANN — the HNSW idea's bottom layer, batch-shaped: a
@@ -425,6 +462,7 @@ object SimilarityQueries {
     "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
     "s09_pq_ann" -> (s09_pq_ann _),
     "s10_ivf_pq" -> (s10_ivf_pq _),
+    "s12_ivf_pq_rerank" -> (s12_ivf_pq_rerank _),
     "s11_graph_ann" -> (s11_graph_ann _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
     "s02_ann_lsh" -> (s02_ann_lsh _),

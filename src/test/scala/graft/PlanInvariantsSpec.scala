@@ -61,7 +61,8 @@ class PlanInvariantsSpec extends SparkTestBase {
   }
 
   test("s04/s06/s10 ivf: no rank windows anywhere in the ANN family") {
-    Seq("s04_ivf_ann", "s06_ivf_kmeans", "s10_ivf_pq", "s11_graph_ann").foreach { q =>
+    Seq("s04_ivf_ann", "s06_ivf_kmeans", "s10_ivf_pq", "s11_graph_ann",
+        "s12_ivf_pq_rerank").foreach { q =>
       val p = finalPlan(q)
       assert(!p.contains("Window"), s"$q grew a rank window:\n${p.take(1200)}")
     }

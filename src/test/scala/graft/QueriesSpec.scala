@@ -88,6 +88,23 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("s12 exact re-rank lifts s10's ADC recall toward the s08 ceiling") {
+    import graft.tools.Recall.{recall, topk}
+    val exact = topk(spark, sf, "s01_knn_bruteforce")
+    val r10 = recall(exact, topk(spark, sf, "s10_ivf_pq"))
+    val r12 = recall(exact, topk(spark, sf, "s12_ivf_pq_rerank"))
+    val r08 = recall(exact, topk(spark, sf, "s08_ivf_nprobe"))
+    // same routing + shortlist-then-exact: the re-rank recovers PQ's
+    // quantization loss (measured at sf0.001: s10 0.08 -> s12 near s08's
+    // 0.30) but can never exceed exact scoring of the SAME routed cells
+    assert(r12 > r10, s"re-rank did not lift ADC recall: s12 $r12 vs s10 $r10")
+    assert(r12 <= r08 + 1e-9,
+      s"s12 ($r12) cannot beat s08 ($r08): identical routing, subset of its candidates")
+    val rows = SparkEntry.queries("s12_ivf_pq_rerank")(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries x k=5
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+  }
+
   test("s11 graph expansion strictly dominates its s02 seed recall") {
     import graft.tools.Recall.{recall, topk}
     val exact = topk(spark, sf, "s01_knn_bruteforce")
