@@ -238,7 +238,49 @@ object TextQueries {
         (col("coll") / (col("n_tokens") * (col("n_tokens") - 1)))
           .as("simpson_index"))
 
+  /** Fixed BPE-style merge vocabulary for t10 — the learned artifact a real
+    * tokenizer ships (GPT-2's merges.txt shape): a mix of whole-word pieces
+    * and sub-word merges. Deterministic and engine-shareable; unknown
+    * characters fall back to single-symbol pieces exactly like byte-level
+    * BPE's base alphabet.
+    */
+  private[graft] val BpeVocab: Seq[String] = Seq(
+    // whole-word pieces
+    "the", "data", "join", "scan", "hash", "sort", "merge", "query",
+    "batch", "value", "order", "stream", "filter", "window", "spark",
+    // sub-word merges
+    "cust", "omer", "col", "umn", "tab", "le", "part", "row", "key",
+    "group", "agg", "line", "fast", "slow", "small", "big", "vec", "tor",
+    "er", "st", "an", "on", "re", "in", "at", "al", "en", "es")
+
+  /** Greedy longest-match tokenization as ONE regex alternation: pieces
+    * sorted longest-first, single-symbol fallbacks last. Regex scanning is
+    * leftmost-first in both Java (Spark) and RE2 (DuckDB), and with the
+    * alternation length-ordered, leftmost-first IS longest-match — the
+    * entire vocab walk becomes a codegen'd single pass with no UDF and an
+    * exact SQL twin.
+    */
+  private[graft] val BpePattern: String =
+    BpeVocab.sortBy(v => (-v.length, v))
+      .mkString("(?:", "|", "|[a-z0-9]|[^a-z0-9 ])")
+
+  /** Tokenizer APPLICATION over the corpus (the real token-budget input —
+    * t03's regex only estimates): per-doc BPE piece count, the first pieces
+    * themselves (hash-checking the actual walk, not just totals), and the
+    * chars-per-token compression ratio. Zero-shuffle projection; the vocab
+    * is a pattern literal (a broadcast table once vocabs reach 50k merges).
+    */
+  def t10_bpe_tokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pieces",
+        expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_tokens"),
+        expr("array_join(slice(pieces, 1, 12), '|')").as("head_pieces"),
+        (length(col("text")) / size(col("pieces"))).as("chars_per_token"))
+
   val queries: Map[String, Q] = Map(
+    "t10_bpe_tokenize" -> (t10_bpe_tokenize _),
     "t09_diversity" -> (t09_diversity _),
     "t08_repetition" -> (t08_repetition _),
     "t07_bm25" -> (t07_bm25 _),
@@ -251,6 +293,13 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t10_bpe_tokenize" ->
+      s"""SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_tokens,
+         |       array_to_string(pieces[1:12], '|') AS head_pieces,
+         |       length(text) / len(pieces) AS chars_per_token
+         |FROM (SELECT doc_id, text,
+         |             regexp_extract_all(lower(text), '$BpePattern', 0) AS pieces
+         |      FROM documents)""".stripMargin,
     "t09_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS c FROM (

@@ -88,6 +88,19 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("t10 BPE walk matches the hand-tokenization of a known string") {
+    import spark.implicits._
+    val got = Seq("the customer data joining fastest").toDF("text")
+      .select(expr(
+        s"regexp_extract_all(text, '${operators.TextQueries.BpePattern}', 0)")
+        .as("pieces"))
+      .as[Seq[String]].head()
+    // greedy longest-match, by hand: whole-word pieces win where present,
+    // merges cover the stems, single chars mop up
+    assert(got == Seq("the", "cust", "omer", "data", "join", "in", "g",
+      "fast", "es", "t"), got.mkString("|"))
+  }
+
   test("s12 exact re-rank lifts s10's ADC recall toward the s08 ceiling") {
     import graft.tools.Recall.{recall, topk}
     val exact = topk(spark, sf, "s01_knn_bruteforce")
