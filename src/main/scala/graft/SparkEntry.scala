@@ -24,7 +24,8 @@ object SparkEntry {
         operators.TextQueries.queries ++
         operators.MultimodalQueries.queries ++
         operators.StreamingQueries.queries ++
-        operators.CurationQueries.queries
+        operators.CurationQueries.queries ++
+        operators.SketchQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
     }
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.TextQueries.oracles ++
       operators.MultimodalQueries.oracles ++
       operators.StreamingQueries.oracles ++
-      operators.CurationQueries.oracles
+      operators.CurationQueries.oracles ++
+      operators.SketchQueries.oracles
 }

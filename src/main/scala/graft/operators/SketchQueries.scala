@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Mergeable-sketch PERSISTENCE — the 100 TB rollup architecture the
+  * per-query sketches (q32's HLL, q46's percentile digest) only hint at:
+  * partial sketches are computed once per partition/day, STORED as a table,
+  * and later queries aggregate by MERGING stored sketches — never
+  * re-scanning the raw corpus (d11's incremental-ingest pattern applied to
+  * aggregates). A daily 100 TB pipeline appends one day's partials and
+  * re-merges in seconds; the raw-event rescan a one-shot aggregate would
+  * need is amortized away.
+  *
+  * Two sketch families, both demonstrated end-to-end (build -> persist ->
+  * merge-only read):
+  *  - q65: Datasketches HLL via Spark's native `hll_sketch_agg` /
+  *    `hll_union_agg` binary columns (the industrial distinct-count rollup;
+  *    JVM sketch bytes -> rows-only check, with merged == one-shot pinned
+  *    in QueriesSpec);
+  *  - q66: a bounded equi-width HISTOGRAM as the quantile sketch — merge is
+  *    plain per-bucket addition, so merged == one-shot EXACTLY and the
+  *    whole rollup sits under the DuckDB hash gate (KLL-style digests
+  *    trade that exactness for tighter error at equal size; the
+  *    persistence architecture is identical).
+  */
+object SketchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** lg_k for the HLL sketches: 12 (4 KiB dense) matches Spark's default. */
+  private val HllLgK = 12
+
+  /** Per-day HLL user sketches persisted, then distinct-users-overall
+    * computed by MERGING the stored sketches only. The merge stage's input
+    * is |days| binary rows regardless of corpus size; `hll_union_agg` is
+    * mergeable map-side like any partial aggregate.
+    */
+  def q65_hll_rollup(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_hll_partials").toString
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    // merge-only: reads the stored sketches, never the events table
+    // (PlanInvariantsSpec pins the absence of the raw scan)
+    s.read.parquet(dir)
+      .agg(count(lit(1)).as("n_partials"),
+        expr("hll_sketch_estimate(hll_union_agg(sketch))")
+          .as("distinct_users"))
+  }
+
+  /** Histogram bucket width for q66 — o_totalprice spans ~[800, 600k], so
+    * the sketch is bounded at a few hundred buckets at ANY corpus size
+    * (that bound is what makes the final quantile window safe: it runs
+    * over the sketch domain, not the data).
+    */
+  private val BucketWidth = 1000.0
+
+  /** Per-day bounded-histogram partials of o_totalprice persisted, then
+    * p50/p90/p99 computed from the MERGED histogram: merge = per-bucket
+    * count addition (exactly associative), quantile = first bucket whose
+    * cumulative count crosses q * total, reported at the bucket midpoint.
+    * Every step is integer/plain-double arithmetic -> hash-green vs a
+    * DuckDB twin computing the same histogram straight from the source.
+    */
+  def q66_histogram_rollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = Files.createTempDirectory("graft_hist_partials").toString
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") / BucketWidth).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = s.read.parquet(dir)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    // unpartitioned window: safe by construction — the histogram has a
+    // fixed bucket count however large the corpus (the sketch's bound)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val quants = s.range(1)
+      .select(explode(array(lit(0.5), lit(0.9), lit(0.99))).as("quantile"))
+    cum.crossJoin(broadcast(quants))
+      .filter(col("cum") >= col("quantile") * col("total"))
+      .groupBy(col("quantile"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("quantile"),
+        ((col("b") + 0.5) * BucketWidth).as("approx_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q65_hll_rollup" -> (q65_hll_rollup _),
+    "q66_histogram_rollup" -> (q66_histogram_rollup _),
+  )
+
+  /** q65's Datasketches binary isn't reproducible in DuckDB -> rows-only
+    * (QueriesSpec pins merged == one-shot instead). q66's twin recomputes
+    * the identical histogram/quantile arithmetic directly from orders —
+    * valid precisely because histogram merge is exact.
+    */
+  val oracles: Map[String, String] = Map(
+    "q66_histogram_rollup" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |         CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM h),
+        |q AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile)
+        |SELECT q.quantile, (min(c.bucket) + 0.5) * 1000.0 AS approx_value
+        |FROM q JOIN c ON c.cum >= q.quantile * c.total
+        |GROUP BY q.quantile""".stripMargin,
+  )
+}

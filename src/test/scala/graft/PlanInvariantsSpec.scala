@@ -118,6 +118,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("Generate") && p.contains("HashAggregate"), p.take(800))
   }
 
+  test("q65/q66 sketch rollups: merge stage never rescans the raw table") {
+    val p65 = finalPlan("q65_hll_rollup")
+    assert(!p65.contains("events.parquet"),
+      s"q65 merge stage rescanned raw events:\n${p65.take(1200)}")
+    assert(p65.toLowerCase.contains("hll_union_agg"), p65.take(800))
+    val p66 = finalPlan("q66_histogram_rollup")
+    assert(!p66.contains("orders.parquet"),
+      s"q66 merge stage rescanned raw orders:\n${p66.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -88,6 +88,35 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("q65 merged per-day HLL partials equal the one-shot sketch") {
+    val merged = SparkEntry.queries("q65_hll_rollup")(spark, sf).collect()(0)
+    val oneShot = Tables.events(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .collect()(0).getLong(0)
+    // HLL union of partials must estimate identically to sketching the
+    // stream once — the property that makes stored partials trustworthy
+    assert(merged.getAs[Long]("distinct_users") == oneShot,
+      s"merged ${merged.getAs[Long]("distinct_users")} vs one-shot $oneShot")
+    assert(merged.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
+  }
+
+  test("q66 merged histogram quantiles equal the one-shot histogram's") {
+    val merged = SparkEntry.queries("q66_histogram_rollup")(spark, sf).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // one-shot: same histogram arithmetic with no persist/merge roundtrip
+    val oneShot = Tables.orders(spark, sf)
+      .groupBy(floor(col("o_totalprice") / 1000.0).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = oneShot.map(_._2).sum
+    def q(p: Double): Double = {
+      var cum = 0L
+      val b = oneShot.find { case (_, c) => cum += c; cum >= p * total }.get._1
+      (b + 0.5) * 1000.0
+    }
+    assert(merged == Map(0.5 -> q(0.5), 0.9 -> q(0.9), 0.99 -> q(0.99)), merged)
+  }
+
   test("t10 BPE walk matches the hand-tokenization of a known string") {
     import spark.implicits._
     val got = Seq("the customer data joining fastest").toDF("text")
