@@ -190,21 +190,53 @@ object CurationQueries {
     * worst eval match, jaccard) for flagged docs.
     */
   def c08_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val idx = DedupQueries.bigramIndex(Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)) // single-file fixture
+    // the fixture has no separate eval suite, so one is DERIVED (1/19 of
+    // docs) — but it enters through the parameterized API below exactly as
+    // an independent eval frame would, so the broadcast bound is enforced
+    // structurally, not by fixture luck
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+    decontaminateJaccard(
+      docs.filter(col("doc_id") % 19 =!= 0),
+      docs.filter(col("doc_id") % 19 === 0))
+  }
+
+  /** Eval suites are fixed, small artifacts (a few thousand prompts); the
+    * broadcast-the-eval-index plan is only valid under that bound, so it
+    * is ASSERTED, not assumed — an eval frame that grew corpus-shaped
+    * fails loudly before the broadcast OOMs an executor.
+    */
+  private val MaxEvalDocs = 100000L
+
+  private[graft] def requireEvalBounded(evalDocs: DataFrame,
+                                            cap: Long = MaxEvalDocs): Unit = {
+    val n = evalDocs.count()
+    require(n <= cap,
+      s"eval side has $n docs (cap $cap): the broadcast decontamination " +
+        "plan needs a fixed small eval suite — a corpus-sized eval side means " +
+        "the inputs are swapped or the plan must switch to a shuffle join")
+  }
+
+  /** Fuzzy (bigram-jaccard) decontamination of `corpusDocs` against an
+    * independent `evalDocs` frame — both (doc_id, lang, source, text).
+    */
+  private[operators] def decontaminateJaccard(corpusDocs: DataFrame,
+                                              evalDocs: DataFrame): DataFrame = {
+    requireEvalBounded(evalDocs)
+    val idx = DedupQueries.bigramIndex(corpusDocs)
       .select(col("doc_id"), col("n"), col("shingle"))
-      .localCheckpoint() // eval + corpus derive from one kernel pass
-    val eval = idx.filter(col("doc_id") % 19 === 0)
+      .localCheckpoint() // hot-df guard + probe derive from one kernel pass
+    val eval = DedupQueries.bigramIndex(evalDocs)
+      .select(col("doc_id"), col("n"), col("shingle"))
     // d05's hot-shingle guard, probe-shaped: a boilerplate bigram shared
     // by df corpus docs meets every eval doc carrying it as df x |eval|
     // pairs in one reducer — drop shingles with corpus df > DfCap before
     // the join (they carry no discrimination signal; `n` stays the full
     // set size, so jaccard only ever under-counts — the d05 trade)
-    val hot = idx.filter(col("doc_id") % 19 =!= 0)
+    val hot = idx
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DedupQueries.DfCap).select(col("shingle"))
-    val corpus = idx.filter(col("doc_id") % 19 =!= 0)
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val corpus = idx.join(broadcast(hot), Seq("shingle"), "left_anti")
     val scores = corpus.as("c")
       .join(broadcast(eval.as("v")), col("c.shingle") === col("v.shingle"))
       .groupBy(col("c.doc_id").as("corpus_doc"), col("v.doc_id").as("eval_doc"),
@@ -231,15 +263,26 @@ object CurationQueries {
     * by doc_id (no hot reducer). Linear in corpus tokens, the floor.
     */
   def c09_decontaminate_ngram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+    decontaminateExact(
+      docs.filter(col("doc_id") % 19 =!= 0),
+      docs.filter(col("doc_id") % 19 === 0))
+  }
+
+  /** Exact 13-gram decontamination of `corpusDocs` against an independent
+    * `evalDocs` frame — both (doc_id, text, ...). Same structural eval
+    * bound as the jaccard screen.
+    */
+  private[operators] def decontaminateExact(corpusDocs: DataFrame,
+                                            evalDocs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.word_shingles
+    requireEvalBounded(evalDocs)
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
-    val eval = grams(docs.filter(col("doc_id") % 19 === 0))
-      .select(col("ng")).distinct()
-    grams(docs.filter(col("doc_id") % 19 =!= 0))
+    val eval = grams(evalDocs).select(col("ng")).distinct()
+    grams(corpusDocs)
       .join(broadcast(eval), "ng")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_ngrams")) // grams are per-doc distinct

@@ -88,6 +88,16 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("c08/c09 eval-side broadcast bound fails loudly, not at the executor") {
+    import spark.implicits._
+    val big = (0 until 50).map(i => (i.toLong, "en", "web", s"doc $i"))
+      .toDF("doc_id", "lang", "source", "text")
+    val ex = intercept[IllegalArgumentException] {
+      operators.CurationQueries.requireEvalBounded(big, cap = 10)
+    }
+    assert(ex.getMessage.contains("eval side has 50 docs"), ex.getMessage)
+  }
+
   test("q65 merged per-day HLL partials equal the one-shot sketch") {
     val merged = SparkEntry.queries("q65_hll_rollup")(spark, sf).collect()(0)
     val oneShot = Tables.events(spark, sf)
