@@ -911,6 +911,61 @@ object RelationalQueries {
       .select(date_format(col("d0"), "yyyy-MM-dd").as("day"), col("wau"))
   }
 
+  /** QUALIFY (DuckDB/Snowflake/BigQuery's post-window filter clause): top-2
+    * orders per status. Spark has no QUALIFY keyword; its exact
+    * decomposition is the filter-over-windowed-subquery below — the same
+    * plan engines execute FOR the clause, so the DuckDB oracle uses real
+    * QUALIFY syntax against this rewrite.
+    */
+  def q61_qualify(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 2""".stripMargin)
+
+  /** grouping_id() over CUBE — distinguishes which aggregation level a
+    * rollup row belongs to (the thing consumers ORDER BY / filter on when
+    * reading cube output). Both engines assign bit N to the Nth grouping
+    * expression, most-significant first.
+    */
+  def q62_grouping_id(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+
+  /** TABLESAMPLE's deterministic twin, bucket form: TABLESAMPLE(BUCKET 8
+    * OUT OF 20) with engine RNG replaced by Knuth multiplicative hashing on
+    * the key, so the "sample" is reproducible across engines, runs and
+    * partitionings (REPEATABLE(seed) only pins it within one engine). The
+    * predicate reaches the scan as a pushed filter; downstream aggregation
+    * sees an unbiased 1/20 stratum.
+    */
+  def q63_bucket_sample(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders
+        |WHERE (o_custkey * 2654435761) % 20 = 7
+        |GROUP BY o_orderstatus""".stripMargin)
+
+  /** explode_outer — unnest that PRESERVES rows whose array is empty (an
+    * inner explode silently drops them, the classic lost-document bug in
+    * per-token pipelines). Docs with no 'q'-prefixed token survive with a
+    * NULL token. DuckDB spells the outer behavior as a CASE-wrapped [NULL].
+    */
+  def q64_explode_outer(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode_outer(expr(
+          "filter(split(text, ' '), t -> substring(t, 1, 1) = 'q')"))
+          .as("qword"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -973,6 +1028,10 @@ object RelationalQueries {
     "q58_retention" -> (q58_retention _),
     "q59_attribution" -> (q59_attribution _),
     "q60_rolling_wau" -> (q60_rolling_wau _),
+    "q61_qualify" -> (q61_qualify _),
+    "q62_grouping_id" -> (q62_grouping_id _),
+    "q63_bucket_sample" -> (q63_bucket_sample _),
+    "q64_explode_outer" -> (q64_explode_outer _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
   )
 
@@ -1346,6 +1405,32 @@ object RelationalQueries {
         |       count(DISTINCT user_id) AS wau
         |FROM spine JOIN ud ON ud.day >= d0 - 6 AND ud.day <= d0
         |GROUP BY d0""".stripMargin,
+    "q61_qualify" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |""".stripMargin,
+    "q62_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       grouping_id(o_orderstatus, o_orderpriority) AS gid,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q63_bucket_sample" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM orders
+        |WHERE (o_custkey * 2654435761) % 20 = 7
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q64_explode_outer" ->
+      """SELECT doc_id,
+        |       unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |              ELSE l END) AS qword
+        |FROM (SELECT doc_id,
+        |             list_filter(string_split(text, ' '),
+        |                         t -> substring(t, 1, 1) = 'q') AS l
+        |      FROM documents)""".stripMargin,
     "q59_attribution" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
