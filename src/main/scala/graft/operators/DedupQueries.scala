@@ -329,7 +329,7 @@ object DedupQueries {
     * and the adversarial-diameter spec (a path graph deeper than any
     * sane propagation cap must still converge in O(log n) rounds).
     */
-  private[graft] def starContract(pairs: DataFrame): DataFrame = {
+  private[graft] def starContract(pairs: DataFrame, capOverride: Int = 0): DataFrame = {
     def bidir(e: DataFrame): DataFrame =
       e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // m(u) = min(N(u) ∪ {u}); large-star hangs u's LARGER neighbors onto
@@ -354,7 +354,15 @@ object DedupQueries {
     var edgeCount = edges.count()
     var changed = 1L
     var iter = 0
-    val maxIter = 12 // ~2·log2(components' node span) rounds suffice
+    // worst case for large-star/small-star alternation is O(log^2 n)
+    // rounds (Kiveris et al. SoCC'14 Thm 2; typical graphs finish in
+    // O(log n)) — derive the cap from the input size so an adversarial
+    // component can't hit a constant cap, while still failing loud on a
+    // genuine non-convergence bug
+    val maxIter = if (capOverride > 0) capOverride else {
+      val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(edgeCount, 2L) * 2)
+      math.max(12, lg * lg)
+    }
     while (changed > 0 && iter < maxIter) {
       val next = star(star(edges, large = true), large = false).localCheckpoint()
       // distinct edge sets are equal iff sizes match and one difference is

@@ -102,11 +102,13 @@ object MultimodalQueries {
         val ids = new BigIntVector("doc_id", allocator)
         val payload = new VarBinaryVector("media", allocator)
         val root = new VectorSchemaRoot(List[org.apache.arrow.vector.FieldVector](ids, payload).asJava)
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          root.close(); allocator.close()
+        var closed = false
+        def closeAll(): Unit = if (!closed) {
+          closed = true; root.close(); allocator.close()
         }
-        it.grouped(batchRows).flatMap { chunk =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+        val batches = it.grouped(batchRows).flatMap { chunk =>
           // stage the chunk into the (reused) Arrow batch
           root.allocateNew()
           var i = 0
@@ -129,6 +131,17 @@ object MultimodalQueries {
             (ids.get(r), f(0), f(1), f(2), f(3))
           }
           out
+        }
+        // completion listener handles the task path; when TaskContext is
+        // absent (direct local iterator consumption) free the Arrow
+        // buffers on exhaustion instead of leaking them
+        new Iterator[(Long, Long, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = batches.hasNext
+            if (!h) closeAll()
+            h
+          }
+          def next(): (Long, Long, Long, Long, Long) = batches.next()
         }
       }
       .toDF("doc_id", "f0", "f1", "f2", "f3")

@@ -185,8 +185,13 @@ object TextQueries {
     * oracle bit-for-bit.
     */
   def t08_repetition(s: SparkSession, d: String): DataFrame = {
+    // three consumers (dup-word base, bigram frac, trigram frac) read this
+    // projection — checkpoint so the corpus is scanned and tokenized ONCE,
+    // not three times (the d03 lesson)
     val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .localCheckpoint()
     // top n-gram mass per doc: count every (overlapping) n-gram occurrence,
     // then max/sum within the doc. Docs shorter than n tokens are dropped
     // BEFORE the sequence: sequence(0, -1) is a descending array in Spark,

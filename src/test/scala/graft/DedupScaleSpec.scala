@@ -53,7 +53,9 @@ class DedupScaleSpec extends SparkTestBase {
     val ring = (300 until 340).map(i => (i.toLong, i + 1L)) :+ (340L, 300L)
     val tree = (2 to 63).map(i => (1000L + i, 1000L + i / 2))
     val pairs = (path ++ ring ++ tree).toDF("doc_a", "doc_b")
-    val got = DedupQueries.starContract(pairs)
+    // capOverride pins the O(log n) typical-case round count (the derived
+    // production cap is the looser O(log^2 n) worst-case bound)
+    val got = DedupQueries.starContract(pairs, capOverride = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val wantMap =
       ((0 to 200).map(_.toLong -> 0L) ++
