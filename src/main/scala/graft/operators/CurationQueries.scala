@@ -196,6 +196,7 @@ object CurationQueries {
     // structurally, not by fixture luck
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+      .localCheckpoint() // both derived sides read one materialized scan
     decontaminateJaccard(
       docs.filter(col("doc_id") % 19 =!= 0),
       docs.filter(col("doc_id") % 19 === 0))
@@ -265,6 +266,7 @@ object CurationQueries {
   def c09_decontaminate_ngram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+      .localCheckpoint() // both derived sides read one materialized scan
     decontaminateExact(
       docs.filter(col("doc_id") % 19 =!= 0),
       docs.filter(col("doc_id") % 19 === 0))
