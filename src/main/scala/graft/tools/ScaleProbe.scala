@@ -52,6 +52,14 @@ object ScaleProbe {
         graft.operators.DedupQueries.d12_passage_stats(spark, sf).count())
       time(s"$tag t08_repetition")(
         graft.operators.TextQueries.t08_repetition(spark, sf).count())
+      // round-4 additions: d14's rewrite must stay linear in gram
+      // occurrences (it is d12's machinery + a per-row lambda — with 9
+      // clones per doc EVERY gram is shared, so output text shrinks but
+      // row count stays 10x); t10 is a pure scan-side regex pass
+      time(s"$tag d14_passage_dedup_apply")(
+        graft.operators.DedupQueries.d14_passage_dedup_apply(spark, sf).count())
+      time(s"$tag t10_bpe_tokenize")(
+        graft.operators.TextQueries.t10_bpe_tokenize(spark, sf).count())
     }
     spark.stop()
   }
