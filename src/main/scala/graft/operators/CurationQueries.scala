@@ -321,9 +321,47 @@ object CurationQueries {
     "c06_token_budget_approx" -> (c06_token_budget_approx _),
     "c07_pack_sequences" -> (c07_pack_sequences _),
     "c08_decontaminate" -> (c08_decontaminate _),
+    "c11_decontaminate_apply" -> (c11_decontaminate_apply _),
   )
 
+  /** The APPLY step c09 stops short of: the decontaminated corpus itself.
+    * Any corpus doc sharing an exact 13-gram with the eval suite is
+    * dropped (the GPT-3 remedy), and the kept corpus rolls up per lang —
+    * d09's left-anti-on-ids shape driven by the decontamination screen,
+    * so the whole screen -> drop -> restat chain is one lineage. The
+    * anti join carries ids only; document bodies never shuffle.
+    */
+  def c11_decontaminate_apply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint() // screen + apply both read one materialized scan
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+    val flagged = decontaminateExact(corpus,
+        docs.filter(col("doc_id") % 19 === 0))
+      .select(col("doc_id"))
+    corpus.join(flagged, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "c11_decontaminate_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (ng)
+        |  WHERE g.doc_id % 19 <> 0)
+        |SELECT lang, count(*) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents ANTI JOIN flagged USING (doc_id)
+        |WHERE doc_id % 19 <> 0
+        |GROUP BY lang""".stripMargin,
     "c10_chunk_documents" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
