@@ -100,7 +100,36 @@ object StreamingQueries {
           .as("gap_s"))
   }
 
+  /** Incremental per-day distinct actives — the streaming-ingest rollup
+    * shape: each micro-batch APPENDS its deduped (day, user) partial to a
+    * stored partials table, and the rollup reads/merges stored partials
+    * only (q65's sketch-persistence architecture with an exactly-mergeable
+    * "sketch": a distinct set union — so the whole incremental chain is
+    * hash-checked, unlike any HLL variant). Batches here are derived
+    * event_id strata; StreamingSpec runs the same rollup as a REAL
+    * readStream/foreachBatch with Datasketches HLL partials and pins
+    * merged == one-shot.
+    */
+  def st06_incremental_dau(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau_partials").toString
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        (col("event_id") % 5).as("batch_id"))
+    // five ingest batches append independently-deduped partials
+    (0 until 5).foreach { b =>
+      ev.filter(col("batch_id") === b)
+        .select(col("day"), col("user_id")).distinct()
+        .write.mode("append").parquet(dir)
+    }
+    // merge-only: distinct across stored partials, never the raw events
+    s.read.parquet(dir).distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st06_incremental_dau" -> (st06_incremental_dau _),
     "st01_tumbling_window" -> (st01_tumbling_window _),
     "st02_session_window" -> (st02_session_window _),
     "st03_sliding_window" -> (st03_sliding_window _),
@@ -109,6 +138,10 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st06_incremental_dau" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1""".stripMargin,
     "st01_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         |       event_type, count(*) AS n_events,

@@ -238,6 +238,40 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming HLL rollup: foreachBatch sketch partials merge to the one-shot estimate") {
+    // q65's sketch-persistence architecture under a REAL stream: each
+    // micro-batch appends its per-day Datasketches HLL partial to a
+    // partials table; after ingest, one merge-only query unions the stored
+    // sketches. Union-of-partials must estimate identically to sketching
+    // the whole stream once — the property that lets a daily pipeline
+    // append one day's partials instead of rescanning history.
+    Sessions.tune(spark)
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val srcDir = Files.createTempDirectory("hll_stream_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("hll_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("day"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sketch"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(partialsDir)
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))"))
+      .collect()(0).getLong(0)
+    val oneShot = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
+      .collect()(0).getLong(0)
+    assert(merged == oneShot, s"merged $merged vs one-shot $oneShot")
+    assert(merged > 0)
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
