@@ -284,7 +284,47 @@ object TextQueries {
         expr("array_join(slice(pieces, 1, 12), '|')").as("head_pieces"),
         (length(col("text")) / size(col("pieces"))).as("chars_per_token"))
 
+  /** Bigram language-model quality scoring — the CCNet/KenLM filter shape
+    * (Wenzek et al. 2020, arXiv:1911.00359 §3.2: docs are ranked by LM
+    * perplexity and the worst tail dropped). The LM here is self-trained
+    * on the corpus: P(w2|w1) = c(w1 w2) / c(w1 ·), and a doc's score is
+    * its mean bigram log-probability. Low scores = improbable word
+    * transitions = gibberish/boilerplate.
+    *
+    * Determinism: ln is ulp-contained by round-to-9dp (the t05 playbook),
+    * and the per-doc mean sums those 9dp values through DECIMAL(38,9) —
+    * exact, order-independent — before ONE final double division.
+    *
+    * Shape at scale: bigram counts are two map-side-partial hash
+    * aggregates; the probability table joins back onto the occurrence
+    * stream by its (w1, w2) key — linear in token count, vocabulary-sized
+    * build sides, no hot reducer. The occurrence stream is checkpointed
+    * so tokenization runs once for counts and scoring.
+    */
+  def t11_lm_quality(s: SparkSession, d: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val bi = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(" +
+          "element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // LM training + scoring share one tokenize pass
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val lm = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c12") / col("c1")), 9).cast(dec9).as("lp"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t11_lm_quality" -> (t11_lm_quality _),
     "t10_bpe_tokenize" -> (t10_bpe_tokenize _),
     "t09_diversity" -> (t09_diversity _),
     "t08_repetition" -> (t08_repetition _),
@@ -298,6 +338,24 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2) u),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |lm AS (
+        |  SELECT w1, w2,
+        |         CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(38,9)) AS lp
+        |  FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+        |FROM b JOIN lm USING (w1, w2)
+        |GROUP BY doc_id""".stripMargin,
     "t10_bpe_tokenize" ->
       s"""SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_tokens,
          |       array_to_string(pieces[1:12], '|') AS head_pieces,
