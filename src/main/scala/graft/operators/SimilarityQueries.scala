@@ -456,7 +456,25 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** Filtered ("hybrid") vector search — top-k under a metadata predicate
+    * (the filtered-ANN problem every production vector store exposes:
+    * `WHERE label IN (...) ORDER BY sim LIMIT k`). This is the
+    * PRE-filtering strategy: the predicate reaches the parquet scan
+    * (pushed filter, plan-pinned), so the kernel only ever scores
+    * qualifying rows — at 100 TB with a selective predicate that beats
+    * post-filtering an ANN shortlist, which must over-fetch k/selectivity
+    * candidates to survive the filter. Exact kernel -> hash-green.
+    */
+  def s13_filtered_knn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("label").isin(2, 5, 7))
+    perQueryTopK(
+      e.join(broadcast(queriesSide(s, d)), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s13_filtered_knn" -> (s13_filtered_knn _),
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
     "s08_ivf_nprobe" -> (s08_ivf_nprobe _),
@@ -522,6 +540,21 @@ object SimilarityQueries {
        |WHERE rk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s13_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.q_id AND e.label IN (2, 5, 7))
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
     "s04_ivf_ann" -> ivfOracle(1),
     "s08_ivf_nprobe" -> ivfOracle(2),
     "s01_knn_bruteforce" ->

@@ -118,6 +118,22 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("Generate") && p.contains("HashAggregate"), p.take(800))
   }
 
+  test("s13 filtered knn: label predicate reaches the parquet scan") {
+    val p = finalPlan("s13_filtered_knn")
+    // pre-filtering: the kernel must only ever score qualifying rows, so
+    // the predicate belongs in the scan, not after the join
+    assert(p.contains("PushedFilters: [In(label"),
+      s"label filter not pushed to the scan:\n${p.take(1200)}")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
+  test("t11 LM scoring: no rank windows; LM join keyed, never nested-loop") {
+    val p = finalPlan("t11_lm_quality")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LM probability join degraded:\n${p.take(1200)}")
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("q65/q66 sketch rollups: merge stage never rescans the raw table") {
     val p65 = finalPlan("q65_hll_rollup")
     assert(!p65.contains("events.parquet"),
