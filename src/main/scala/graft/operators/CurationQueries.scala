@@ -322,7 +322,28 @@ object CurationQueries {
     "c07_pack_sequences" -> (c07_pack_sequences _),
     "c08_decontaminate" -> (c08_decontaminate _),
     "c11_decontaminate_apply" -> (c11_decontaminate_apply _),
+    "c12_token_budget_bpe" -> (c12_token_budget_bpe _),
   )
+
+  /** c02's budget computed over REAL tokenizer output: the kept set is
+    * c02's exact quality-percentile selection, but the thing being
+    * budgeted — kept tokens per lang — comes from t10's BPE piece counts
+    * instead of whitespace estimates (what an actual token-budget pipeline
+    * bills against; the estimate can be ~2x off on subword-heavy text).
+    * The tokenizer column joins by doc_id — one extra keyed join, no new
+    * shuffle shape vs c02.
+    */
+  def c12_token_budget_bpe(s: SparkSession, d: String): DataFrame = {
+    val bpe = TextQueries.t10_bpe_tokenize(s, d)
+      .select(col("doc_id"), col("n_tokens").as("n_bpe"))
+    val scored = qualityScored(s, d)
+    val thr = scored.agg(expr("percentile(score, 0.8D)").as("thr"))
+    scored.join(bpe, "doc_id")
+      .crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_bpe")).as("kept_bpe_tokens"))
+  }
 
   /** The APPLY step c09 stops short of: the decontaminated corpus itself.
     * Any corpus doc sharing an exact 13-gram with the eval suite is
@@ -491,5 +512,25 @@ object CurationQueries {
         |FROM u
         |WHERE score >= (SELECT quantile_cont(score, 0.8) FROM u)
         |GROUP BY lang""".stripMargin,
+    "c12_token_budget_bpe" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang,
+         |         sqrt(len(toks))
+         |           - len(list_filter(toks, x -> length(x) <= 2)) / len(toks) * 2.0
+         |           + (n_chars - len(toks) + 1) / len(toks) * 0.1 AS score
+         |  FROM t),
+         |bpe AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |           '${TextQueries.BpePattern}', 0)) AS BIGINT) AS n_bpe
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_kept,
+         |       CAST(sum(n_bpe) AS BIGINT) AS kept_bpe_tokens
+         |FROM u JOIN bpe USING (doc_id)
+         |WHERE score >= (SELECT quantile_cont(score, 0.8) FROM u)
+         |GROUP BY lang""".stripMargin,
   )
 }
