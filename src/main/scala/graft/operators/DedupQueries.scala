@@ -273,27 +273,35 @@ object DedupQueries {
   def d10_dedup_clusters(s: SparkSession, d: String): DataFrame = {
     val pairs = d05_ngram_jaccard(s, d)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // feeds every iteration; compute the pair join once
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint() // compute the d05 pair kernel exactly once
+    // symmetrize AND add self-loops: with (v, v) present, one neighbor-min
+    // aggregate per round yields BOTH the new label (min over nbrs ∪ self)
+    // and the old label (the self-edge's contribution) — so the per-round
+    // labels-vs-nbrMin merge join of rounds 2-3 disappears entirely
+    // (round-3 VERDICT item 8: d10's wall time regressed despite fewer
+    // actions; the second join per round was the remaining structural cost).
+    // Checkpointed so the self-loop distinct's shuffle runs once, not per round
+    val sym = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = sym
+      .union(sym.select(col("doc_a"), col("doc_a").as("doc_b")).distinct())
+      .localCheckpoint()
+    var labels = edges.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("doc_a").as("lbl"))
     var changed = 1L
     var iter = 0
     val maxIter = 20
     while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
+      // ONE join + ONE map-side-partial aggregate per round; the changed
+      // flag is computed inside the same aggregate row (old label = the
+      // self-edge's nlbl), and the count after the checkpoint is a plain
+      // scan of already-materialized blocks
+      val next = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nlbl")).as("nmin"))
-      // carry the changed flag INSIDE the update row: the checkpoint
-      // materializes join+agg once, and change detection is then a plain
-      // scan of the checkpointed blocks — no second join per round (the
-      // round-2 finding: the old labels-vs-next join doubled jobs/round)
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (coalesce(col("nmin"), col("lbl")) < col("lbl")).as("chg"))
+        .agg(min(col("nlbl")).as("lbl"),
+          min(when(col("doc_b") === col("doc_a"), col("nlbl"))).as("old"))
+        .select(col("doc_id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
