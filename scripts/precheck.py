@@ -58,9 +58,15 @@ def diff(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
 def main() -> int:
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # dev-only: --only=q01_x,q02_y runs/checks just those queries
+    only = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
     if "--skip-verify" not in sys.argv:
+        names = f" {','.join(sorted(only))}" if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}{names}'],
             cwd="/root/repo", capture_output=True, text=True)
         sys.stdout.write(r.stdout[-3000:])
         if r.returncode != 0:
@@ -71,6 +77,8 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:

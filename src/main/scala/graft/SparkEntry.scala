@@ -25,7 +25,8 @@ object SparkEntry {
         operators.MultimodalQueries.queries ++
         operators.StreamingQueries.queries ++
         operators.CurationQueries.queries ++
-        operators.SketchQueries.queries
+        operators.SketchQueries.queries ++
+        operators.GraphQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
     }
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.MultimodalQueries.oracles ++
       operators.StreamingQueries.oracles ++
       operators.CurationQueries.oracles ++
-      operators.SketchQueries.oracles
+      operators.SketchQueries.oracles ++
+      operators.GraphQueries.oracles
 }

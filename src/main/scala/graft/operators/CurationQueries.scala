@@ -272,6 +272,59 @@ object CurationQueries {
       docs.filter(col("doc_id") % 19 === 0))
   }
 
+  /** c09 with a Bloom-filter pre-probe — the 100 TB refinement of the
+    * broadcast-gram-set plan. At scale the eval 13-gram SET is hundreds of
+    * MB of strings; the Bloom filter summarizing it is a few KB of longs,
+    * so every corpus gram is first screened by k=3 xxhash64 bit tests
+    * (a codegen'd scalar filter in the scan stage) and only the surviving
+    * ~FP-rate fraction reaches the string-equality broadcast join. Bloom
+    * filters have NO false negatives, so the exact join output — and hence
+    * the oracle — is identical to c09's; the bits are deterministic
+    * (fixed seeds, fixed width), not sampled. The filter words are built
+    * with one bit_or aggregate over the eval grams and collected to the
+    * driver bounded by the filter width (2048 longs), the same
+    * driver-held-small-model pattern as KMeans centroids.
+    */
+  def c13_decontaminate_bloom(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val mBits = 1 << 17 // 131072 bits = 2048 longs = 16 KB broadcast
+    val kHash = 3
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val evalDocs = docs.filter(col("doc_id") % 19 === 0)
+    requireEvalBounded(evalDocs)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+    val evalGrams = grams(evalDocs).select(col("ng")).distinct()
+      .localCheckpoint() // feeds the bloom build AND the exact verify join
+    val bloomWords: Array[Long] = {
+      val positions = evalGrams.select(explode(array(
+        (0 until kHash).map(j =>
+          pmod(xxhash64(lit(j), col("ng")), lit(mBits.toLong))): _*)).as("p"))
+      val rows = positions
+        .groupBy(expr("cast(p div 64 as int)").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("bits"))
+        .collect() // <= 2048 rows by construction
+      val words = new Array[Long](mBits / 64)
+      rows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+      words
+    }
+    val bloomLit = typedLit(bloomWords.toSeq)
+    val screened = grams(docs.filter(col("doc_id") % 19 =!= 0))
+      .withColumn("bf", bloomLit)
+      .filter((0 until kHash).map(j => expr(
+        s"(element_at(bf, cast(pmod(xxhash64($j, ng), $mBits) div 64 as int) + 1)" +
+          s" & shiftleft(1L, cast(pmod(xxhash64($j, ng), $mBits) % 64 as int))) != 0L"))
+        .reduce(_ && _))
+      .select(col("doc_id"), col("ng"))
+    screened
+      .join(broadcast(evalGrams), "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
   /** Exact 13-gram decontamination of `corpusDocs` against an independent
     * `evalDocs` frame — both (doc_id, text, ...). Same structural eval
     * bound as the jaccard screen.
@@ -323,6 +376,7 @@ object CurationQueries {
     "c08_decontaminate" -> (c08_decontaminate _),
     "c11_decontaminate_apply" -> (c11_decontaminate_apply _),
     "c12_token_budget_bpe" -> (c12_token_budget_bpe _),
+    "c13_decontaminate_bloom" -> (c13_decontaminate_bloom _),
   )
 
   /** c02's budget computed over REAL tokenizer output: the kept set is
@@ -365,6 +419,21 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Shared by c09 and its Bloom-screened twin c13 (same output set). */
+  private val ngramDecontOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 12)) AS i
+      |        FROM t WHERE len(toks) >= 13) u),
+      |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0)
+      |SELECT g.doc_id, count(*) AS n_hit_ngrams
+      |FROM g JOIN ev USING (ng)
+      |WHERE g.doc_id % 19 <> 0
+      |GROUP BY g.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c11_decontaminate_apply" ->
       """WITH t AS (
@@ -396,19 +465,10 @@ object CurationQueries {
         |       array_to_string(toks[32 * chunk_no + 1 : 32 * chunk_no + 40], ' ')
         |         AS chunk_text
         |FROM k""".stripMargin,
-    "c09_decontaminate_ngram" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 12)) AS i
-        |        FROM t WHERE len(toks) >= 13) u),
-        |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0)
-        |SELECT g.doc_id, count(*) AS n_hit_ngrams
-        |FROM g JOIN ev USING (ng)
-        |WHERE g.doc_id % 19 <> 0
-        |GROUP BY g.doc_id""".stripMargin,
+    "c09_decontaminate_ngram" -> ngramDecontOracle,
+    // identical output by construction: the Bloom screen has no false
+    // negatives and the exact verify join removes its false positives
+    "c13_decontaminate_bloom" -> ngramDecontOracle,
     "c01_stratified_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

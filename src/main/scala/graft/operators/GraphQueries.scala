@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-graph analytics over the order graph — the quality-signal family a
+  * web-corpus curation pipeline runs before training-data selection
+  * (Common-Crawl-style pipelines rank pages/domains by link centrality and
+  * feed the rank into keep/drop decisions; the reference's users would run
+  * the same shape over any edge list MySQL could hold,
+  * `/root/reference/src/loader.py:231`).
+  *
+  * The graph: customer -> supplier edges from co-occurrence in an order
+  * (orders x lineitem), deduplicated. Node ids are disambiguated into one
+  * id space arithmetically (cust*2, supp*2+1) so both partitions live in
+  * one BIGINT column.
+  *
+  * Scale shape: each power-iteration round is ONE equi-join (edges x ranks
+  * on src — both sides hash-partitioned on the join key) + ONE map-side
+  * partial sum keyed by dst + a left join back to the node list. Rounds are
+  * fixed (5), lineage is cut per round with localCheckpoint, and nothing
+  * driver-side ever holds a rank vector — at 100 TB this is the standard
+  * Pregel-free PageRank-on-joins layout where AQE splits any
+  * high-in-degree hub's partition.
+  *
+  * Determinism: ranks are integer micro-units (1e6 = rank 1.0) and every
+  * update is integer arithmetic — `rank div outdeg` contributions, damped
+  * as `150000 + (85 * sum) div 100`. Integer sums are exactly associative,
+  * so the result is bit-identical across partitionings AND across engines:
+  * the DuckDB oracle unrolls the same 5 iterations and the rank VALUES
+  * hash-check (no float drift window). Dangling mass (suppliers have no
+  * out-edges) is dropped, the common pruned-PageRank simplification; ranks
+  * are relative signals, not a probability distribution.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 5
+  private val Unit_ = 1000000L // micro-rank scale: 1.0 == 1e6
+
+  def g01_pagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .localCheckpoint() // feeds every iteration; one orders x lineitem pass
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var ranks = nodes.withColumn("r", lit(Unit_))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div od")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"150000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g01_pagerank" -> (g01_pagerank _),
+  )
+
+  /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
+    * `//` and Spark's `div` both truncate toward zero, and every operand is
+    * non-negative, so the arithmetic is identical step by step. sum() is
+    * cast back to BIGINT (DuckDB widens to HUGEINT).
+    */
+  val oracles: Map[String, String] = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.r // o.od) AS BIGINT) AS c
+         |    FROM edges e
+         |    JOIN outdeg o ON o.src = e.src
+         |    JOIN r${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "g01_pagerank" ->
+        s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
+    )
+  }
+}

@@ -473,7 +473,44 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR'09) of two exact
+    * rankers — the ensemble-retrieval step every hybrid RAG stack runs to
+    * merge lexical and vector shortlists. Production RRF fuses each
+    * ranker's top-N SHORTLIST, never full-corpus ranks, and the Spark
+    * shape follows: each ranker keeps top-N per query via the partial-heap
+    * [[TopKPerGroup]] (no corpus-sized rank window), the row_number that
+    * assigns shortlist ranks runs over |queries| x N rows only, and the
+    * fusion is a full outer join of two bounded shortlists. Scores are
+    * 1/(C+rank) with integer ranks — a two-term IEEE sum in fixed order,
+    * so the fused score itself hash-checks against DuckDB.
+    */
+  def s14_rrf_fusion(s: SparkSession, d: String): DataFrame = {
+    val rrfN = 20 // per-ranker shortlist depth
+    val rrfC = 60 // the paper's k; damps the head of each list
+    val q = queriesSide(s, d)
+    def shortlist(kernel: (Column, Column) => Column, rankCol: String): DataFrame = {
+      val scored = Tables.embeddings(s, d)
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          kernel(col("q_emb"), col("embedding")).as("sim"))
+      TopKPerGroup.topK(scored,
+          Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), rrfN)
+        .select(col("q_id"), col("vec_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id")
+            .orderBy(col("sim").desc, col("vec_id"))).as(rankCol))
+    }
+    val byCos = shortlist(cosine_similarity, "rank_cos")
+    val byDot = shortlist(dot_product, "rank_dot")
+    val fused = byCos.join(byDot, Seq("q_id", "vec_id"), "full")
+      .select(col("q_id"), col("vec_id"),
+        (coalesce(lit(1.0) / (lit(rrfC) + col("rank_cos")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("rank_dot")), lit(0.0))).as("rrf"))
+    TopKPerGroup.topK(fused, Seq("q_id"), Seq(Ord("rrf", desc = true), Ord("vec_id")), K)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_rrf_fusion" -> (s14_rrf_fusion _),
     "s13_filtered_knn" -> (s13_filtered_knn _),
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
     "s07_quantized_cosine" -> (s07_quantized_cosine _),
@@ -540,6 +577,31 @@ object SimilarityQueries {
        |WHERE rk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s14_rrf_fusion" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${duckCosine("q.q_emb::DOUBLE[]", "e.embedding::DOUBLE[]")} AS cs,
+         |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+         |                                 x -> x[1] * x[2])) AS ds
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |fa AS (SELECT q_id, vec_id, rank_cos FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cs DESC, vec_id) AS rank_cos FROM sc) WHERE rank_cos <= 20),
+         |fb AS (SELECT q_id, vec_id, rank_dot FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |           ORDER BY ds DESC, vec_id) AS rank_dot FROM sc) WHERE rank_dot <= 20),
+         |fu AS (
+         |  SELECT COALESCE(fa.q_id, fb.q_id) AS q_id,
+         |         COALESCE(fa.vec_id, fb.vec_id) AS vec_id,
+         |         COALESCE(CAST(1 AS DOUBLE) / (60 + fa.rank_cos), 0)
+         |           + COALESCE(CAST(1 AS DOUBLE) / (60 + fb.rank_dot), 0) AS rrf
+         |  FROM fa FULL JOIN fb ON fa.q_id = fb.q_id AND fa.vec_id = fb.vec_id)
+         |SELECT q_id, vec_id, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY rrf DESC, vec_id) AS rk FROM fu) t
+         |WHERE rk <= 5""".stripMargin,
     "s13_filtered_knn" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
