@@ -966,6 +966,40 @@ object RelationalQueries {
           "filter(split(text, ' '), t -> substring(t, 1, 1) = 'q')"))
           .as("qword"))
 
+  /** Linear-regression aggregate family (REGR_SLOPE / REGR_INTERCEPT /
+    * REGR_R2 / REGR_AVGX / REGR_AVGY / REGR_COUNT) — ordinary least squares
+    * of extendedprice on quantity per return flag. Built from the q39
+    * decimal-sum pattern rather than the engines' native regr_* functions:
+    * DECIMAL(38,6) partial sums are exactly associative (map-side combine
+    * safe at any partitioning), and the closed-form OLS arithmetic then
+    * runs on identical doubles in both engines, so the statistics
+    * themselves hash-check (native float regr_* would drift with
+    * summation order). Shared SQL text, q39Sql's structure extended.
+    */
+  private val q67Sql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+      |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |       CAST(n AS BIGINT) AS regr_n,
+      |       round(sx / n, 9) AS avg_x,
+      |       round(sy / n, 9) AS avg_y,
+      |       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
+      |       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * (sx / n), 9)
+      |         AS intercept,
+      |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |         / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9) AS r2
+      |FROM s""".stripMargin
+
+  def q67_regression(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q67Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1033,6 +1067,7 @@ object RelationalQueries {
     "q63_bucket_sample" -> (q63_bucket_sample _),
     "q64_explode_outer" -> (q64_explode_outer _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
+    "q67_regression" -> (q67_regression _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1269,6 +1304,7 @@ object RelationalQueries {
         |            AS BIGINT) AS total -- duckdb sum(BIGINT) is HUGEINT
         |FROM events""".stripMargin,
     "q39_stats" -> q39Sql,
+    "q67_regression" -> q67Sql,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,

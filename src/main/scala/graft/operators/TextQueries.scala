@@ -323,7 +323,40 @@ object TextQueries {
         (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
   }
 
+  /** Quality-filter FUNNEL with first-failing-rule attribution — the
+    * ablation table every curation pipeline publishes (C4 §2.2, Gopher
+    * §A1.1, FineWeb's per-filter token accounting): an ordered rule chain
+    * where each dropped doc is attributed to the FIRST rule that rejected
+    * it, plus surviving doc/token mass. One pass over the corpus: all five
+    * rule signals are codegen'd array expressions in the scan stage, the
+    * verdict is a single CASE, and the funnel is one 6-group hash
+    * aggregate (map-side partials) — no per-rule re-scans. Every rule
+    * compares scaled INTEGERS (nshort*100 > nt*6, never nshort/nt > 0.06),
+    * so no doc sits on a float threshold boundary and the funnel
+    * hash-checks cross-engine.
+    */
+  def t12_filter_funnel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nshort",
+        expr("size(filter(toks, x -> length(x) <= 2))").cast("long"))
+      .withColumn("nstop", expr(
+        "size(filter(toks, x -> array_contains(array('the','a','of','and'), x)))")
+        .cast("long"))
+      .withColumn("ndist", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("verdict",
+        when(col("nt") < 15, "r1_too_short")
+          .when(col("nt") > 90, "r2_too_long")
+          .when(col("nshort") * 100 > col("nt") * 6, "r3_short_tokens")
+          .when(col("nstop") * 1000 < col("nt") * 20, "r4_low_stopword")
+          .when((col("nt") - col("ndist")) * 100 > col("nt") * 65, "r5_repetitive")
+          .otherwise("z_kept"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+
   val queries: Map[String, Q] = Map(
+    "t12_filter_funnel" -> (t12_filter_funnel _),
     "t11_lm_quality" -> (t11_lm_quality _),
     "t10_bpe_tokenize" -> (t10_bpe_tokenize _),
     "t09_diversity" -> (t09_diversity _),
@@ -338,6 +371,23 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t12_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |         len(list_filter(toks, x -> len(x) <= 2)) AS nshort,
+        |         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS nstop,
+        |         len(list_distinct(toks)) AS ndist
+        |  FROM t)
+        |SELECT CASE WHEN nt < 15 THEN 'r1_too_short'
+        |            WHEN nt > 90 THEN 'r2_too_long'
+        |            WHEN nshort * 100 > nt * 6 THEN 'r3_short_tokens'
+        |            WHEN nstop * 1000 < nt * 20 THEN 'r4_low_stopword'
+        |            WHEN (nt - ndist) * 100 > nt * 65 THEN 'r5_repetitive'
+        |            ELSE 'z_kept' END AS verdict,
+        |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1""".stripMargin,
     "t11_lm_quality" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
