@@ -128,7 +128,35 @@ object StreamingQueries {
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"))
   }
 
+  /** Sliding-window heavy hitters ("trending"): top-3 event types per
+    * 1-hour window sliding every 30 minutes — the trending-topics /
+    * hot-key detector that sits on every event firehose. Two-level Spark
+    * shape: the per-(window, type) counts are one hash aggregate with
+    * map-side partials (each event expands to its 2 covering windows in
+    * the scan stage, no self-join against a window spine), then the
+    * per-window top-3 goes through the native partial-heap
+    * [[graft.plans.TopKPerGroup]] — at 100 TB no reducer ever funnels a
+    * whole window's type histogram, and the shuffle after the partial agg
+    * carries at most |windows| x |types| rows. The streaming twin is the
+    * same windowed count under a watermark with the rank step in
+    * foreachBatch (windowed-agg parity is proven by StreamingSpec on
+    * st01/st03's identical grouping).
+    */
+  def st07_trending(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    val counted = Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+    TopKPerGroup.topK(counted,
+      Seq("win_start"), Seq(Ord("n_events", desc = true), Ord("event_type")), 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st07_trending" -> (st07_trending _),
     "st06_incremental_dau" -> (st06_incremental_dau _),
     "st01_tumbling_window" -> (st01_tumbling_window _),
     "st02_session_window" -> (st02_session_window _),
@@ -138,6 +166,20 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st07_trending" ->
+      """WITH w AS (
+        |  SELECT date_trunc('minute', ts)
+        |           - (EXTRACT(minute FROM ts)::INT % 30) * INTERVAL 1 MINUTE
+        |           - (k * 30) * INTERVAL 1 MINUTE AS win_start,
+        |         event_type
+        |  FROM events, unnest([0, 1]) AS t(k)),
+        |c AS (SELECT win_start, event_type, count(*) AS n_events
+        |      FROM w GROUP BY 1, 2)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, n_events
+        |FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+        |              ORDER BY n_events DESC, event_type) AS rk FROM c) t
+        |WHERE rk <= 3""".stripMargin,
     "st06_incremental_dau" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |       count(DISTINCT user_id) AS dau
