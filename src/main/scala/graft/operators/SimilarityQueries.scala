@@ -509,7 +509,37 @@ object SimilarityQueries {
     TopKPerGroup.topK(fused, Seq("q_id"), Seq(Ord("rrf", desc = true), Ord("vec_id")), K)
   }
 
+  /** Truncated-dimension shortlist + exact re-rank (the Matryoshka /
+    * dimension-reduction retrieval economics, Kusupati et al. NeurIPS'22):
+    * score the corpus on only the FIRST 16 of 64 dimensions (4x less
+    * arithmetic and — with a column layout storing the prefix separately —
+    * 4x fewer scanned bytes), shortlist top-50 per query, then re-rank
+    * just the shortlist with the full-dimension exact kernel. Both stages
+    * are deterministic float arithmetic, so unlike PQ/LSH variants the
+    * whole two-stage pipeline hash-checks against DuckDB. Same partial-heap
+    * top-k in both stages; the full-vector join back touches only
+    * |queries| x 50 rows.
+    */
+  def s15_truncated_rerank(s: SparkSession, d: String): DataFrame = {
+    val shortN = 50
+    val e = Tables.embeddings(s, d)
+    val q = queriesSide(s, d)
+    val shortlist = TopKPerGroup.topK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(slice(col("q_emb"), 1, 16), slice(col("embedding"), 1, 16))
+            .as("sim")),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), shortN)
+    perQueryTopK(
+      shortlist.select(col("q_id"), col("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s15_truncated_rerank" -> (s15_truncated_rerank _),
     "s14_rrf_fusion" -> (s14_rrf_fusion _),
     "s13_filtered_knn" -> (s13_filtered_knn _),
     "s06_ivf_kmeans" -> (s06_ivf_kmeans _),
@@ -577,6 +607,28 @@ object SimilarityQueries {
        |WHERE rk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s15_truncated_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |short AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.*, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY sim DESC, vec_id) AS rk
+         |    FROM (
+         |      SELECT q.q_id, e.vec_id,
+         |             ${duckCosine("(q.q_emb::DOUBLE[])[1:16]", "(e.embedding::DOUBLE[])[1:16]")} AS sim
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.q_id) p) t
+         |  WHERE rk <= 50),
+         |rr AS (
+         |  SELECT s.q_id, s.vec_id,
+         |         ${duckCosine("q.q_emb::DOUBLE[]", "e.embedding::DOUBLE[]")} AS sim
+         |  FROM short s
+         |  JOIN embeddings e ON e.vec_id = s.vec_id
+         |  JOIN q ON q.q_id = s.q_id)
+         |SELECT q_id, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY sim DESC, vec_id) AS rk FROM rr) t
+         |WHERE rk <= 5""".stripMargin,
     "s14_rrf_fusion" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 10),
