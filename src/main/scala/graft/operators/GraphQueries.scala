@@ -39,7 +39,11 @@ object GraphQueries {
   private val Iters = 5
   private val Unit_ = 1000000L // micro-rank scale: 1.0 == 1e6
 
-  def g01_pagerank(s: SparkSession, d: String): DataFrame = {
+  /** (edges, out-degrees, nodes) of the order graph, each checkpointed so
+    * the power iterations rescan materialized blocks, not orders x lineitem.
+    */
+  private[graft] def graphParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -51,17 +55,30 @@ object GraphQueries {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    (edges, outdeg, nodes)
+  }
+
+  /** One un-checkpointed power-iteration round — split out so
+    * PlanInvariantsSpec can pin its physical shape (keyed hash joins +
+    * partial-aggregated sum; never a nested loop).
+    */
+  private[graft] def pagerankRound(edges: DataFrame, outdeg: DataFrame,
+                                   nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(outdeg, "src")
+      .join(ranks.select(col("node").as("src"), col("r")), "src")
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr("r div od")).as("c"))
+    nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"150000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+  }
+
+  def g01_pagerank(s: SparkSession, d: String): DataFrame = {
+    val (edges, outdeg, nodes) = graphParts(s, d)
     var ranks = nodes.withColumn("r", lit(Unit_))
     for (_ <- 1 to Iters) {
-      val contrib = edges
-        .join(outdeg, "src")
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr("r div od")).as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"150000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
-        .localCheckpoint()
+      ranks = pagerankRound(edges, outdeg, nodes, ranks).localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank"))
   }

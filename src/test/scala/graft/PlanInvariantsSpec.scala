@@ -144,6 +144,51 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"q66 merge stage rescanned raw orders:\n${p66.take(1200)}")
   }
 
+  test("c13: bloom bit-test screens the corpus before the broadcast verify join") {
+    val p = finalPlan("c13_decontaminate_bloom")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"bloom-screened probe degraded to a shuffle join:\n${p.take(1200)}")
+    // the k xxhash64 bit tests must run as a scan-stage scalar filter —
+    // that's the whole point: corpus grams die before any join machinery
+    assert(p.contains("shiftleft"),
+      s"bloom bit-test filter missing from the plan:\n${p.take(1200)}")
+  }
+
+  test("g01 pagerank round: keyed hash joins + partial sum, never a nested loop") {
+    val (edges, outdeg, nodes) =
+      operators.GraphQueries.graphParts(spark, sf)
+    val r1 = operators.GraphQueries.pagerankRound(
+      edges, outdeg, nodes,
+      nodes.withColumn("r", org.apache.spark.sql.functions.lit(1000000L)))
+    r1.collect()
+    val p = r1.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank round degraded to a nested loop:\n${p.take(1200)}")
+    assert(p.contains("HashAggregate"),
+      s"contribution sum must partial-aggregate map-side:\n${p.take(1200)}")
+  }
+
+  test("st07/s15 top-k stages: native partial heaps, no rank windows") {
+    Seq("st07_trending", "s15_truncated_rerank").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.contains("TopKPerGroup"), s"$q lost the native top-k:\n${p.take(1200)}")
+      assert(!p.contains("Window"), s"$q grew a rank window:\n${p.take(1200)}")
+    }
+  }
+
+  test("s14 rrf: shortlist windows only — both rankers go through TopKPerGroup") {
+    val p = finalPlan("s14_rrf_fusion")
+    // two bounded row_number windows (one per shortlist) and a sort-merge
+    // full-outer over the two |q| x N shortlists are fine — what must NOT
+    // happen is the corpus-sized ranking outside the partial-heap operator
+    // (each ranker needs its partial+final TopKPerGroup pair, plus the
+    // fusion's own pair = 6 nodes)
+    assert("TopKPerGroup".r.findAllIn(p).size >= 6, p.take(1200))
+    assert(!p.contains("CartesianProduct"),
+      s"rrf fusion join degraded:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -205,4 +205,47 @@ class QueriesSpec extends SparkTestBase {
     assert(df.filter(col("n_events") < 1).count() == 0)
     assert(df.count() > 0)
   }
+
+  test("c13 bloom-screened decontamination emits exactly c09's rows") {
+    // no false negatives in the bloom screen + exact verify join => the
+    // pre-filter must be output-invisible
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit_ngrams"))).toSet
+    val c09 = rows("c09_decontaminate_ngram")
+    val c13 = rows("c13_decontaminate_bloom")
+    assert(c13 == c09)
+    assert(c09.nonEmpty)
+  }
+
+  test("g01 pagerank: source ranks stay at the damped base, sinks accumulate") {
+    val rows = SparkEntry.queries("g01_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank")))
+    val (cust, supp) = rows.partition(_._1 % 2 == 0)
+    assert(cust.nonEmpty && supp.nonEmpty)
+    // customers (even ids) have no in-edges: rank = 0.15 * unit exactly
+    assert(cust.forall(_._2 == 150000L),
+      s"source nodes should hold the damped base: ${cust.take(5).mkString(",")}")
+    // suppliers receive mass from every ordering customer
+    assert(supp.forall(_._2 > 150000L))
+  }
+
+  test("s14 rrf: 5 per query, scores in (0, 2/61], descending per query") {
+    val rows = SparkEntry.queries("s14_rrf_fusion")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("rrf")))
+    assert(rows.length == 50) // 10 queries x k=5
+    assert(rows.forall { case (_, _, sc) => sc > 0.0 && sc <= 2.0 / 61.0 + 1e-12 })
+    rows.groupBy(_._1).values.foreach { qr =>
+      val byVec = qr.sortBy(t => (-t._3, t._2)).map(_._3)
+      assert(byVec.sameElements(qr.map(_._3).sortBy(-(_: Double))))
+    }
+  }
+
+  test("s15 truncated-prefix shortlist recovers most of the exact top-5") {
+    import graft.tools.Recall.{recall, topk}
+    val exact = topk(spark, sf, "s01_knn_bruteforce")
+    val trunc = topk(spark, sf, "s15_truncated_rerank")
+    // 16 of 64 dims carry enough signal that the 50-deep shortlist catches
+    // most true neighbors; the re-rank is exact so errors are only misses
+    assert(recall(exact, trunc) >= 0.5)
+  }
 }
