@@ -23,6 +23,26 @@ object ScaleProbe {
     // embeddings table unchanged (not probed here) but copy for loaders
     spark.read.parquet(s"$base/embeddings.parquet")
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    // 10x order graph for g01: orderkeys and CUSTOMERS offset per copy,
+    // suppliers shared — so supplier in-degree grows 10x (the hub-skew
+    // shape a 100 TB link graph actually has), not 10 disconnected copies
+    val orders = spark.read.parquet(s"$base/orders.parquet")
+    (0 until 10).map(i => orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    (0 until 10).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+    // 10x events for st07: same timestamps (same windows), 10x the rows —
+    // the heavy-hitter agg must stay agg-bound, not window-spine-bound
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -60,6 +80,18 @@ object ScaleProbe {
         graft.operators.DedupQueries.d14_passage_dedup_apply(spark, sf).count())
       time(s"$tag t10_bpe_tokenize")(
         graft.operators.TextQueries.t10_bpe_tokenize(spark, sf).count())
+      // round-4 third wave: the bloom screen must track c09 (probe-bound),
+      // the funnel is one scan + 6-group agg, pagerank's joins face 10x
+      // edges with 10x supplier in-degree (hub skew -> AQE split), and the
+      // trending agg sees 10x rows into the same window set
+      time(s"$tag c13_decontaminate_bloom")(
+        graft.operators.CurationQueries.c13_decontaminate_bloom(spark, sf).count())
+      time(s"$tag t12_filter_funnel")(
+        graft.operators.TextQueries.t12_filter_funnel(spark, sf).count())
+      time(s"$tag g01_pagerank")(
+        graft.operators.GraphQueries.g01_pagerank(spark, sf).count())
+      time(s"$tag st07_trending")(
+        graft.operators.StreamingQueries.st07_trending(spark, sf).count())
     }
     spark.stop()
   }
