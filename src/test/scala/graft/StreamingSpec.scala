@@ -272,6 +272,40 @@ class StreamingSpec extends SparkTestBase {
     assert(merged > 0)
   }
 
+  test("streaming trending: windowed counts + foreachBatch top-k == batch st07") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val normalized = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    // the stream maintains the per-(window, type) counts under a watermark;
+    // the bounded top-3-per-window rank runs on each complete snapshot in
+    // foreachBatch (|windows| x |types| rows — never the raw firehose)
+    val counts = normalized
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    @volatile var streamed: Set[(String, String, Long)] = Set.empty
+    val q = counts.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        import graft.plans.TopKPerGroup
+        import graft.plans.TopKPerGroup.Ord
+        streamed = TopKPerGroup.topK(
+          batch.select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n_events")),
+          Seq("win_start"), Seq(Ord("n_events", desc = true), Ord("event_type")), 3)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = operators.StreamingQueries.st07_trending(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
