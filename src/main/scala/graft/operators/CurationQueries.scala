@@ -363,7 +363,34 @@ object CurationQueries {
         size(split(col("chunk_text"), " ")).cast("long").as("chunk_tokens"),
         col("chunk_text"))
 
+  /** Temperature-scaled mixture weights — the multilingual/domain
+    * rebalancing rule (Conneau & Lample '19 §3.1; the DoReMi-style domain
+    * reweighting shape): sampling weight w_i ∝ p_i^alpha flattens the
+    * head so low-resource strata aren't drowned. alpha = 0.5 here because
+    * p^0.5 = sqrt is CORRECTLY ROUNDED on every IEEE platform (general
+    * pow is not) — the engine-portability trade the repo's t02 documents;
+    * w_i ∝ sqrt(tokens_i) orders identically to sqrt(p_i) since the
+    * corpus total is a constant factor. Each sqrt is rounded to 9dp and
+    * the normalizer summed as DECIMAL(38,9) (exactly associative at any
+    * partitioning), so the weights and expected token allocations
+    * hash-check. Spark shape: one tokenize+agg pass (5 strata rows) + a
+    * broadcast 1-row normalizer.
+    */
+  def c14_mixture_weights(s: SparkSession, d: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val lt = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("sq", round(sqrt(col("n_tokens")), 9).cast(dec9))
+    val tot = lt.agg(sum(col("sq")).cast("double").as("t"))
+    lt.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("sq").cast("double") / col("t"), 9))
+      .select(col("lang"), col("n_tokens"), col("weight"),
+        round(lit(100000) * col("weight"), 9).as("expected_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
     "c09_decontaminate_ngram" -> (c09_decontaminate_ngram _),
     "c01_stratified_sample" -> (c01_stratified_sample _),
@@ -465,6 +492,18 @@ object CurationQueries {
         |       array_to_string(toks[32 * chunk_no + 1 : 32 * chunk_no + 40], ' ')
         |         AS chunk_text
         |FROM k""".stripMargin,
+    "c14_mixture_weights" ->
+      """WITH lt AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (
+        |  SELECT lang, n_tokens,
+        |         CAST(round(sqrt(n_tokens), 9) AS DECIMAL(38,9)) AS sq FROM lt),
+        |tot AS (SELECT CAST(sum(sq) AS DOUBLE) AS t FROM sq)
+        |SELECT lang, n_tokens,
+        |       round(CAST(sq AS DOUBLE) / t, 9) AS weight,
+        |       round(100000 * round(CAST(sq AS DOUBLE) / t, 9), 9) AS expected_tokens
+        |FROM sq CROSS JOIN tot""".stripMargin,
     "c09_decontaminate_ngram" -> ngramDecontOracle,
     // identical output by construction: the Bloom screen has no false
     // negatives and the exact verify join removes its false positives
