@@ -155,7 +155,26 @@ object StreamingQueries {
       Seq("win_start"), Seq(Ord("n_events", desc = true), Ord("event_type")), 3)
   }
 
+  /** Stream-static enrichment — the dimension-join every event pipeline
+    * runs (click joins user profile; impression joins campaign): the
+    * event stream equi-joins a STATIC dimension table, then rolls up per
+    * (segment, type). Under Structured Streaming the static side is
+    * re-planned per micro-batch and broadcast when small (no state store
+    * involved — unlike st05's stream-stream join this needs no watermark
+    * bookkeeping on the dim side); in batch it's the same keyed join.
+    * StreamingSpec runs the real stream and pins stream == batch. Volume
+    * sums go through DECIMAL(38,6) so the rollup is partitioning-proof
+    * and hash-green.
+    */
+  def st08_stream_enrich(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .join(Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("volume"))
+
   val queries: Map[String, Q] = Map(
+    "st08_stream_enrich" -> (st08_stream_enrich _),
     "st07_trending" -> (st07_trending _),
     "st06_incremental_dau" -> (st06_incremental_dau _),
     "st01_tumbling_window" -> (st01_tumbling_window _),
@@ -166,6 +185,11 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st08_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "st07_trending" ->
       """WITH w AS (
         |  SELECT date_trunc('minute', ts)

@@ -306,6 +306,33 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static enrichment: dim join inside the stream == batch st08") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val dim = spark.read.parquet(s"$sf/customer.parquet") // STATIC side
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val agg = stream
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("volume"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_enrich")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("stream_enrich").collect().map(key).toSet
+    val batch = operators.StreamingQueries.st08_stream_enrich(spark, sf)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
