@@ -532,7 +532,33 @@ object DedupQueries {
           .as("removed_frac"))
   }
 
+  /** SemDeDup (Abbas et al. '23): semantic deduplication — within each
+    * embedding cluster, a vector is a semantic duplicate if some
+    * EARLIER-id vector in the same cluster sits above the cosine
+    * threshold; the earlier one is kept (their "keep one per duplicate
+    * group" policy made deterministic by id order). Cells here are the
+    * label column (the same exact stand-in for trained k-means cells that
+    * keeps d06/s04 hash-checkable); a production run swaps in
+    * [[graft.functions.KMeans]] assignments. Shape at scale: the pair
+    * join is CELL-BOUNDED (SemDeDup's core economics — clusters cap the
+    * candidate set, never corpus x corpus), the max-aggregate is
+    * map-side-partial, and max over exact doubles is order-independent,
+    * so the dropped set hash-checks with no rounding at all.
+    */
+  def d15_semdedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.label").as("label"),
+        graft.functions.VectorFunctions.cosine_similarity(
+          col("a.embedding"), col("b.embedding")).as("sim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("sim")).as("max_sim_earlier"))
+      .filter(col("max_sim_earlier") > 0.33)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_semdedup" -> (d15_semdedup _),
     "d12_passage_stats" -> (d12_passage_stats _),
     "d14_passage_dedup_apply" -> (d14_passage_dedup_apply _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
@@ -716,6 +742,17 @@ object DedupQueries {
          |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
          |FROM documents ANTI JOIN drops ON doc_id = drop_id
          |GROUP BY lang""".stripMargin,
+    "d15_semdedup" ->
+      """WITH p AS (
+        |  SELECT b.vec_id AS vec_id, b.label AS label,
+        |         list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_id, label, max(sim) AS max_sim_earlier
+        |FROM p GROUP BY 1, 2 HAVING max(sim) > 0.33""".stripMargin,
     "d06_embed_neardup" ->
       """WITH p AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
