@@ -194,7 +194,26 @@ object MultimodalQueries {
       .toDF("doc_id", "frame_no", "frame_bytes", "energy", "peak")
   }
 
+  /** Raw-file ingest through Spark's `binaryFile` source — the step that
+    * puts image/audio/video FILES (not pre-extracted columns) into the
+    * engine: list + read whole files as (path, length, content) rows,
+    * then validate magic bytes and project metadata. This is the 100 TB
+    * multimodal on-ramp: the source parallelizes over files (each file one
+    * row, partitions packed by `maxPartitionBytes`), content bytes stay in
+    * the executor that read them, and everything downstream (m02-m06
+    * kernels) consumes the same binary column shape. Probed here against
+    * the fixture's own parquet files (the only stable files in the
+    * container); the DuckDB twin is `read_blob` over the same glob, so
+    * even the file-listing source is oracle-checked.
+    */
+  def m07_binary_ingest(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("length"),
+        expr("decode(substring(content, 1, 4), 'UTF-8') = 'PAR1'").as("magic_ok"))
+
   val queries: Map[String, Q] = Map(
+    "m07_binary_ingest" -> (m07_binary_ingest _),
     "m01_media_meta" -> (m01_media_meta _),
     "m02_frame_sample" -> (m02_frame_sample _),
     "m03_byte_features" -> (m03_byte_features _),
@@ -204,6 +223,14 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the one oracle with a literal path: read_blob has no table-view
+    // indirection, and the driver's correctness gate always runs at sf0.01
+    "m07_binary_ingest" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |       size AS length,
+        |       octet_length(content) > 0
+        |         AND substring(CAST(content AS VARCHAR), 1, 4) = 'PAR1' AS magic_ok
+        |FROM read_blob('/root/testdata/sf0.01/*.parquet')""".stripMargin,
     "m04_patch_grid" ->
       """WITH m AS (
         |  SELECT doc_id,
