@@ -1000,6 +1000,73 @@ object RelationalQueries {
   def q67_regression(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q67Sql)
 
+  /** Time-INTERVAL range frame — `RANGE BETWEEN INTERVAL '30' MINUTE
+    * PRECEDING AND CURRENT ROW` over a TIMESTAMP ordering (q36 covers the
+    * numeric-range frame; this is the calendar-typed SQL surface users
+    * actually write for trailing-window metrics). The frame needs each
+    * user's events time-sorted within its partition — fine when the
+    * partition key bounds the data (per-user streams); an unbounded-key
+    * trailing count would switch to q60's explode fan-out instead.
+    * DECIMAL-summed volume keeps the frame aggregate hash-exact; the
+    * DuckDB twin truncates its ns timestamps to Spark's µs precision.
+    */
+  private val q68FrameSql: String =
+    """SELECT event_id, user_id,
+      |       count(*) OVER w AS n_last30m,
+      |       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS vol_last30m
+      |FROM %s
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL '30' MINUTE PRECEDING AND CURRENT ROW)""".stripMargin
+
+  def q68_time_range_frame(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_norm")
+    s.sql(q68FrameSql.format("events_norm"))
+  }
+
+  /** Data-quality audit — the validation stage (Deequ/Great-Expectations
+    * shape) every production pipeline runs before publishing a table:
+    * per-column completeness, distinct counts, ranges, and declared
+    * constraint violations, emitted as (column, metric, value) rows. ONE
+    * aggregation pass computes every metric (count/count-distinct/min/max
+    * are all map-side-partial; nothing rescans the table per metric) and
+    * the metric rows unpivot from the single 1-row aggregate — identical
+    * SQL text on both engines, every value exact in double.
+    */
+  private val q69AuditSql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+      |         CAST(count(l_quantity) AS DOUBLE) AS nn_qty,
+      |         CAST(count(DISTINCT l_quantity) AS DOUBLE) AS nd_qty,
+      |         CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+      |         CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+      |         CAST(count(l_extendedprice) AS DOUBLE) AS nn_price,
+      |         CAST(count(DISTINCT l_extendedprice) AS DOUBLE) AS nd_price,
+      |         CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+      |         CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+      |         CAST(count(l_returnflag) AS DOUBLE) AS nn_flag,
+      |         CAST(count(DISTINCT l_returnflag) AS DOUBLE) AS nd_flag,
+      |         CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+      |              AS DOUBLE) AS bad_discount,
+      |         CAST(count(*) FILTER (WHERE l_quantity <= 0)
+      |              AS DOUBLE) AS bad_qty
+      |  FROM lineitem)
+      |SELECT 'table' AS column_name, 'row_count' AS metric, n_rows AS value FROM a
+      |UNION ALL SELECT 'l_quantity', 'completeness', nn_qty / n_rows FROM a
+      |UNION ALL SELECT 'l_quantity', 'n_distinct', nd_qty FROM a
+      |UNION ALL SELECT 'l_quantity', 'min', min_qty FROM a
+      |UNION ALL SELECT 'l_quantity', 'max', max_qty FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'completeness', nn_price / n_rows FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'n_distinct', nd_price FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'min', min_price FROM a
+      |UNION ALL SELECT 'l_extendedprice', 'max', max_price FROM a
+      |UNION ALL SELECT 'l_returnflag', 'completeness', nn_flag / n_rows FROM a
+      |UNION ALL SELECT 'l_returnflag', 'n_distinct', nd_flag FROM a
+      |UNION ALL SELECT 'l_discount', 'violations_range_0_0.1', bad_discount FROM a
+      |UNION ALL SELECT 'l_quantity', 'violations_nonpositive', bad_qty FROM a""".stripMargin
+
+  def q69_data_quality(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q69AuditSql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1068,6 +1135,8 @@ object RelationalQueries {
     "q64_explode_outer" -> (q64_explode_outer _),
     "q53_merge_upsert" -> (q53_merge_upsert _),
     "q67_regression" -> (q67_regression _),
+    "q68_time_range_frame" -> (q68_time_range_frame _),
+    "q69_data_quality" -> (q69_data_quality _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1305,6 +1374,10 @@ object RelationalQueries {
         |FROM events""".stripMargin,
     "q39_stats" -> q39Sql,
     "q67_regression" -> q67Sql,
+    "q68_time_range_frame" ->
+      ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events)\n"
+        + q68FrameSql.format("e")),
+    "q69_data_quality" -> q69AuditSql,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,

@@ -538,7 +538,66 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein SIGIR'98) — the
+    * redundancy-removal step RAG retrievers run after similarity search:
+    * greedily pick 5 of the top-20 shortlist, each step maximizing
+    * lambda * sim(q, d) - (1 - lambda) * max_{s in selected} sim(d, s).
+    * The greedy chain is inherently sequential, but each step touches
+    * only |q| x 20 shortlist rows and |q| x 20 x 19 candidate-pair sims
+    * (computed ONCE, checkpointed) — so the five steps are five tiny
+    * keyed join+agg rounds over broadcast-scale frames, while the only
+    * corpus-sized work is the initial shortlist through the partial-heap
+    * top-k. Determinism: max over exact doubles is order-independent and
+    * the MMR score is two multiplies and a subtract on identical IEEE
+    * doubles, so the diversified ranking hash-checks against a DuckDB
+    * oracle that unrolls the same five steps.
+    */
+  def s16_mmr_rerank(s: SparkSession, d: String): DataFrame = {
+    // written as two literals, NOT (1 - lambda): 1.0 - 0.7 is
+    // 0.30000000000000004 in IEEE — the oracle's 0.3 literal would differ
+    val (lambda, oneMinusLambda) = (0.7, 0.3)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = queriesSide(s, d)
+    val short = TopKPerGroup.topK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("simq")),
+      Seq("q_id"), Seq(Ord("simq", desc = true), Ord("vec_id")), 20)
+      .localCheckpoint() // every greedy step re-reads the shortlist
+    val pairSims = short.select(col("q_id"), col("vec_id").as("va"))
+      .join(short.select(col("q_id"), col("vec_id").as("vb")), "q_id")
+      .filter(col("va") =!= col("vb"))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+      .select(col("q_id"), col("va"), col("vb"),
+        cosine_similarity(col("ea"), col("eb")).as("s"))
+      .localCheckpoint() // candidate-pair kernel computed once, reused 4x
+    var picked = TopKPerGroup.topK(short,
+        Seq("q_id"), Seq(Ord("simq", desc = true), Ord("vec_id")), 1)
+      .select(col("q_id"), col("vec_id"), col("simq").as("score"))
+      .withColumn("rank", lit(1L))
+    var selected = picked.select(col("q_id"), col("vec_id"))
+    for (k <- 2 to 5) {
+      val mx = pairSims
+        .join(selected.select(col("q_id"), col("vec_id").as("vb")), Seq("q_id", "vb"))
+        .groupBy(col("q_id"), col("va").as("vec_id"))
+        .agg(max(col("s")).as("mx"))
+      val cand = short
+        .join(selected, Seq("q_id", "vec_id"), "left_anti")
+        .join(mx, Seq("q_id", "vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          (lit(lambda) * col("simq") - lit(oneMinusLambda) * col("mx")).as("score"))
+      val pick = TopKPerGroup.topK(cand,
+          Seq("q_id"), Seq(Ord("score", desc = true), Ord("vec_id")), 1)
+        .withColumn("rank", lit(k.toLong))
+      picked = picked.unionByName(pick)
+      selected = selected.unionByName(pick.select(col("q_id"), col("vec_id")))
+    }
+    picked.select(col("q_id"), col("rank"), col("vec_id"), col("score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s16_mmr_rerank" -> (s16_mmr_rerank _),
     "s15_truncated_rerank" -> (s15_truncated_rerank _),
     "s14_rrf_fusion" -> (s14_rrf_fusion _),
     "s13_filtered_knn" -> (s13_filtered_knn _),
@@ -606,7 +665,55 @@ object SimilarityQueries {
        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
        |WHERE rk <= 5""".stripMargin
 
+  /** s16's oracle unrolls the 5 greedy MMR steps as chained CTEs (the g01
+    * unrolling pattern): selN picks step N's winner, allN accumulates the
+    * selected set feeding step N+1's max-redundancy term.
+    */
+  private def mmrOracle: String = {
+    val head =
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${duckCosine("q.q_emb::DOUBLE[]", "e.embedding::DOUBLE[]")} AS simq
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |short AS (SELECT q_id, vec_id, simq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY simq DESC, vec_id) AS rk FROM sc) t WHERE rk <= 20),
+         |ps AS (
+         |  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         |         ${duckCosine("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")} AS s
+         |  FROM short a JOIN short b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sel1 AS (SELECT q_id, vec_id, simq AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY simq DESC, vec_id) AS rk FROM short) t WHERE rk = 1),
+         |all1 AS (SELECT q_id, vec_id FROM sel1)""".stripMargin
+    val steps = (2 to 5).map { k =>
+      s"""cand$k AS (
+         |  SELECT sh.q_id, sh.vec_id,
+         |         CAST(0.7 AS DOUBLE) * sh.simq - CAST(0.3 AS DOUBLE) * m.mx AS score
+         |  FROM short sh
+         |  JOIN (SELECT p.q_id, p.va, max(p.s) AS mx
+         |        FROM ps p JOIN all${k - 1} s ON s.q_id = p.q_id AND s.vec_id = p.vb
+         |        GROUP BY 1, 2) m ON m.q_id = sh.q_id AND m.va = sh.vec_id
+         |  LEFT JOIN all${k - 1} x ON x.q_id = sh.q_id AND x.vec_id = sh.vec_id
+         |  WHERE x.vec_id IS NULL),
+         |sel$k AS (SELECT q_id, vec_id, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |            ORDER BY score DESC, vec_id) AS rk FROM cand$k) t WHERE rk = 1),
+         |all$k AS (SELECT * FROM all${k - 1}
+         |          UNION ALL SELECT q_id, vec_id FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    val tail = (1 to 5).map(k =>
+      s"SELECT q_id, CAST($k AS BIGINT) AS rank, vec_id, score FROM sel$k")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$steps\n$tail"
+  }
+
   val oracles: Map[String, String] = Map(
+    "s16_mmr_rerank" -> mmrOracle,
     "s15_truncated_rerank" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 10),
