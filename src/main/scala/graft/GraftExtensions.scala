@@ -18,6 +18,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => plans.TopKStrategy)
+    // discarded-rank window top-k -> native bounded-heap operator
+    e.injectOptimizerRule(_ => plans.TopKWindowRewrite)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -46,6 +46,14 @@ object Sessions {
     // engine-native functions, reachable from raw SQL text (idempotent)
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
+    // discarded-rank window top-k -> native heap operator (idempotent add;
+    // spark-submit deployments get the same rule via GraftExtensions). The
+    // strategy must ride along: the rule can now introduce TopKPerGroupNode
+    // into plans that never called the topK API themselves
+    graft.plans.TopKPerGroup.install(s)
+    if (!s.experimental.extraOptimizations.contains(graft.plans.TopKWindowRewrite))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.TopKWindowRewrite
     s
   }
 }

@@ -37,6 +37,37 @@ class TopKPlanSpec extends SparkTestBase {
       s"expected partial+final TopKPerGroupExec, got:\n$plan")
   }
 
+  test("optimizer rule: discarded-rank window idiom rewrites to the heap operator") {
+    import org.apache.spark.sql.expressions.Window
+    Sessions.tune(spark) // installs TopKWindowRewrite + the strategy
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val idiom = joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")) // rk dropped
+    idiom.count()
+    val plan = idiom.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(plan.collect { case t: TopKPerGroupExec => t }.nonEmpty,
+      s"window idiom not rewritten:\n$plan")
+    assert(plan.collect {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we }.isEmpty,
+      s"Window still in the rewritten plan:\n$plan")
+    // identical rows to the un-rewritten formulation (rank kept => untouched)
+    val kept = joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"),
+      "rank-kept query must NOT be rewritten")
+    val a = idiom.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = kept.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("spill fallback: tiny in-memory row limit gives identical results") {
     // rowLimit=4 forces every partition past the heap bound into the
     // external-sorter path (5 segments x k=3 = 15 retained rows otherwise)
