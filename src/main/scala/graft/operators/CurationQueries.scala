@@ -389,7 +389,41 @@ object CurationQueries {
         round(lit(100000) * col("weight"), 9).as("expected_tokens"))
   }
 
+  /** Cross-split leakage audit — the hygiene check behind c04's existence:
+    * measure how many val/test docs of the NAIVE per-doc hash split (c03)
+    * share at least one 13-gram with some train doc. Near-duplicates
+    * split apart by a doc-level hash leak verbatim passages from train
+    * into eval — the contamination that inflates benchmark scores (GPT-3
+    * §C measured exactly this post-hoc). Shape: one gram pass, the train
+    * gram set probes the val/test grams through a distinct semi join —
+    * at 100 TB the train side is the big one, so the join is keyed on
+    * gram with map-side-partial distincts, never doc x doc.
+    */
+  def c15_split_leakage(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
+      .withColumn("split",
+        when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"),
+        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+      .localCheckpoint() // train grams + eval probe read one gram pass
+    val trainGrams = docs.filter(col("split") === "train")
+      .select(col("ng")).distinct()
+    val leaked = docs.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("ng"), "left_semi")
+      .select(col("split"), col("doc_id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+    docs.filter(col("split") =!= "train")
+      .select(col("split"), col("doc_id")).distinct()
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked, Seq("split"), "left")
+      .select(col("split"), col("n_docs"), coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
     "c09_decontaminate_ngram" -> (c09_decontaminate_ngram _),
@@ -492,6 +526,29 @@ object CurationQueries {
         |       array_to_string(toks[32 * chunk_no + 1 : 32 * chunk_no + 40], ' ')
         |         AS chunk_text
         |FROM k""".stripMargin,
+    "c15_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ((doc_id % 1000003) * 2654435761 + 97) % 1000 < 800
+        |              THEN 'train'
+        |              WHEN ((doc_id % 1000003) * 2654435761 + 97) % 1000 < 900
+        |              THEN 'val' ELSE 'test' END AS split,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, split, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |tr AS (SELECT DISTINCT ng FROM g WHERE split = 'train'),
+        |lk AS (
+        |  SELECT split, count(DISTINCT doc_id) AS n_leaked
+        |  FROM g JOIN tr USING (ng) WHERE split <> 'train' GROUP BY 1),
+        |nd AS (
+        |  SELECT split, count(DISTINCT doc_id) AS n_docs
+        |  FROM g WHERE split <> 'train' GROUP BY 1)
+        |SELECT nd.split, nd.n_docs, COALESCE(lk.n_leaked, 0) AS n_leaked
+        |FROM nd LEFT JOIN lk ON lk.split = nd.split""".stripMargin,
     "c14_mixture_weights" ->
       """WITH lt AS (
         |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -1067,6 +1067,26 @@ object RelationalQueries {
   def q69_data_quality(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q69AuditSql)
 
+  /** Deterministic MODE aggregate — most frequent value per group with a
+    * min-value tie-break. Built from count + rank rather than the engines'
+    * native `mode()` (whose tie choice is implementation-defined — Spark
+    * and DuckDB may legitimately disagree, which is exactly the kind of
+    * silent nondeterminism a cross-engine pipeline can't ship). Two
+    * map-side-partial hash aggregates + a 1-row-per-group reduction;
+    * the same SQL text runs on both engines.
+    */
+  private val q70Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_orderstatus AS mode_status, n AS n_rows
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+      |             ORDER BY n DESC, o_orderstatus) AS rk FROM f) t
+      |WHERE rk = 1""".stripMargin
+
+  def q70_mode(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q70Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1137,6 +1157,7 @@ object RelationalQueries {
     "q67_regression" -> (q67_regression _),
     "q68_time_range_frame" -> (q68_time_range_frame _),
     "q69_data_quality" -> (q69_data_quality _),
+    "q70_mode" -> (q70_mode _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1378,6 +1399,7 @@ object RelationalQueries {
       ("WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events)\n"
         + q68FrameSql.format("e")),
     "q69_data_quality" -> q69AuditSql,
+    "q70_mode" -> q70Sql,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
