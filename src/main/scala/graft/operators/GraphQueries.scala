@@ -77,8 +77,13 @@ object GraphQueries {
   def g01_pagerank(s: SparkSession, d: String): DataFrame = {
     val (edges, outdeg, nodes) = graphParts(s, d)
     var ranks = nodes.withColumn("r", lit(Unit_))
+    // no per-round checkpoint: with a FIXED small iteration count over
+    // already-checkpointed inputs the 5-deep join tree is one job —
+    // per-round materialization cost ~5 jobs for no lineage benefit
+    // (a convergence-driven loop like d10's checkpoints every round
+    // because its round count is unbounded)
     for (_ <- 1 to Iters) {
-      ranks = pagerankRound(edges, outdeg, nodes, ranks).localCheckpoint()
+      ranks = pagerankRound(edges, outdeg, nodes, ranks)
     }
     ranks.select(col("node"), col("r").as("rank"))
   }
