@@ -56,8 +56,10 @@ def diff(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # flags may appear at any position; positionals must skip them
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir = positional[0] if len(positional) > 0 else "/root/testdata/sf0.01"
+    outdir = positional[1] if len(positional) > 1 else "/tmp/verify_out"
     # dev-only: --only=q01_x,q02_y runs/checks just those queries
     only = None
     for a in sys.argv:

@@ -312,11 +312,19 @@ object CurationQueries {
       words
     }
     val bloomLit = typedLit(bloomWords.toSeq)
-    val screened = grams(docs.filter(col("doc_id") % 19 =!= 0))
-      .withColumn("bf", bloomLit)
+    // bind each bit position ONCE per hash function (the review finding:
+    // inlining pmod(xxhash64) into both the word index and the bit index
+    // doubled the hashing in the hot scan filter), and keep the position
+    // arithmetic textually identical to the build side above
+    val withPos = (0 until kHash).foldLeft(
+        grams(docs.filter(col("doc_id") % 19 =!= 0)).withColumn("bf", bloomLit)) {
+      (df, j) => df.withColumn(s"p$j",
+        pmod(xxhash64(lit(j), col("ng")), lit(mBits.toLong)))
+    }
+    val screened = withPos
       .filter((0 until kHash).map(j => expr(
-        s"(element_at(bf, cast(pmod(xxhash64($j, ng), $mBits) div 64 as int) + 1)" +
-          s" & shiftleft(1L, cast(pmod(xxhash64($j, ng), $mBits) % 64 as int))) != 0L"))
+        s"(element_at(bf, cast(p$j div 64 as int) + 1)" +
+          s" & shiftleft(1L, cast(p$j % 64 as int))) != 0L"))
         .reduce(_ && _))
       .select(col("doc_id"), col("ng"))
     screened

@@ -946,13 +946,20 @@ object RelationalQueries {
     * predicate reaches the scan as a pushed filter; downstream aggregation
     * sees an unbiased 1/20 stratum.
     */
+  /** Mod-first multiplicative hash (the c01/hashCol invariant): the raw
+    * key x 2654435761 product overflows Long past key ~3.5e9, where Spark
+    * wraps silently while DuckDB errors — mod by 1000003 BEFORE the
+    * multiply keeps both engines exact at any key range.
+    */
+  private val q63Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+      |FROM orders
+      |WHERE ((o_custkey % 1000003) * 2654435761) % 20 = 7
+      |GROUP BY o_orderstatus""".stripMargin
+
   def q63_bucket_sample(s: SparkSession, d: String): DataFrame =
-    withViews(s, d, "orders")(
-      """SELECT o_orderstatus, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
-        |FROM orders
-        |WHERE (o_custkey * 2654435761) % 20 = 7
-        |GROUP BY o_orderstatus""".stripMargin)
+    withViews(s, d, "orders")(q63Sql)
 
   /** explode_outer — unnest that PRESERVES rows whose array is empty (an
     * inner explode silently drops them, the classic lost-document bug in
@@ -1548,15 +1555,11 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
-    "q63_bucket_sample" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
-        |FROM orders
-        |WHERE (o_custkey * 2654435761) % 20 = 7
-        |GROUP BY o_orderstatus""".stripMargin,
+    "q63_bucket_sample" -> q63Sql,
     "q64_explode_outer" ->
       """SELECT doc_id,
-        |       unnest(CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |       unnest(CASE WHEN l IS NULL OR len(l) = 0
+        |              THEN [CAST(NULL AS VARCHAR)]
         |              ELSE l END) AS qword
         |FROM (SELECT doc_id,
         |             list_filter(string_split(text, ' '),

@@ -33,13 +33,22 @@ object SketchQueries {
   /** lg_k for the HLL sketches: 12 (4 KiB dense) matches Spark's default. */
   private val HllLgK = 12
 
+  /** Stable partials location per (tag, data dir): repeated invocations
+    * overwrite ONE directory instead of leaking a fresh
+    * Files.createTempDirectory each run (bench reps + probe loops would
+    * otherwise accumulate unbounded /tmp copies of the partials).
+    */
+  private[operators] def partialsDir(tag: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${d.hashCode & 0x7fffffff}").toString
+
   /** Per-day HLL user sketches persisted, then distinct-users-overall
     * computed by MERGING the stored sketches only. The merge stage's input
     * is |days| binary rows regardless of corpus size; `hll_union_agg` is
     * mergeable map-side like any partial aggregate.
     */
   def q65_hll_rollup(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_hll_partials").toString
+    val dir = partialsDir("hll_partials", d)
     Tables.events(s, d)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sketch"))
@@ -68,7 +77,7 @@ object SketchQueries {
     */
   def q66_histogram_rollup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dir = Files.createTempDirectory("graft_hist_partials").toString
+    val dir = partialsDir("hist_partials", d)
     Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"),
         floor(col("o_totalprice") / BucketWidth).as("bucket"))

@@ -111,15 +111,17 @@ object StreamingQueries {
     * merged == one-shot.
     */
   def st06_incremental_dau(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dau_partials").toString
+    val dir = SketchQueries.partialsDir("dau_partials", d)
     val ev = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id"),
         (col("event_id") % 5).as("batch_id"))
-    // five ingest batches append independently-deduped partials
+    // five ingest batches append independently-deduped partials; batch 0
+    // overwrites so repeated runs reuse ONE stable directory (a fresh
+    // temp dir per run would leak partials across bench reps)
     (0 until 5).foreach { b =>
       ev.filter(col("batch_id") === b)
         .select(col("day"), col("user_id")).distinct()
-        .write.mode("append").parquet(dir)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
     }
     // merge-only: distinct across stored partials, never the raw events
     s.read.parquet(dir).distinct()
