@@ -240,6 +240,38 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("g02 triangle counting: K4 built by hand gives exactly 4 triangles, coeff 1") {
+    // 30 orders each containing the same 4 suppliers -> every pair clears
+    // the support-30 cut -> the co-supplier graph is K4: C(4,3) = 4
+    // triangles, 4 * C(3,2) = 12 wedges, clustering coefficient 1.0 —
+    // checks the degree-ordered orientation logic independently of the
+    // fixture (a double-count or missed orientation case would break here)
+    import spark.implicits._
+    val rows = for (o <- 1 to 30; sup <- 1 to 4) yield (o.toLong, sup.toLong)
+    rows.toDF("l_orderkey", "l_suppkey").createOrReplaceTempView("lineitem")
+    val r = operators.GraphQueries.trianglesFromView(spark).collect().head
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Double]("clustering_coeff") == 1.0)
+  }
+
+  test("s16 MMR: first pick per query is the exact cosine top-1; picks distinct") {
+    val s16 = SparkEntry.queries("s16_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    val s01top1 = SparkEntry.queries("s01_knn_bruteforce")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) =>
+        q -> rs.maxBy(r => (r.getAs[Double]("sim"), -r.getAs[Long]("vec_id")))
+          .getAs[Long]("vec_id") }
+    s16.filter(_._2 == 1L).foreach { case (q, _, v) =>
+      assert(v == s01top1(q), s"q$q: MMR rank-1 $v != exact top-1 ${s01top1(q)}")
+    }
+    s16.groupBy(_._1).values.foreach { qr =>
+      assert(qr.map(_._3).distinct.length == qr.length, "duplicate picks")
+      assert(qr.map(_._2).sorted.sameElements(1L to 5L))
+    }
+  }
+
   test("s15 truncated-prefix shortlist recovers most of the exact top-5") {
     import graft.tools.Recall.{recall, topk}
     val exact = topk(spark, sf, "s01_knn_bruteforce")
