@@ -20,8 +20,13 @@ object ScaleProbe {
     (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
-    // embeddings table unchanged (not probed here) but copy for loaders
-    spark.read.parquet(s"$base/embeddings.parquet")
+    // 10x embeddings for the ANN probes: vec_ids offset per copy, labels
+    // and vectors unchanged — IVF cells and label buckets grow 10x deep
+    // while the query side stays the same 10 vectors (vec_id < 10 only
+    // matches copy 0), so the probe measures candidate-set growth
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    (0 until 10).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     // 10x order graph for g01: orderkeys and CUSTOMERS offset per copy,
     // suppliers shared — so supplier in-degree grows 10x (the hub-skew
@@ -92,6 +97,22 @@ object ScaleProbe {
         graft.operators.GraphQueries.g01_pagerank(spark, sf).count())
       time(s"$tag st07_trending")(
         graft.operators.StreamingQueries.st07_trending(spark, sf).count())
+      // ANN family at 10x vectors: brute force scans 10x (the baseline
+      // cost), IVF routes into 10x-deeper cells (~10x candidates at the
+      // same cell count), s15's prefix shortlist stays k-bounded after a
+      // 10x cheap pass, d15's cell-bounded pairs grow with cell depth
+      time(s"$tag s01_knn_bruteforce")(
+        graft.operators.SimilarityQueries.s01_knn_bruteforce(spark, sf).count())
+      time(s"$tag s04_ivf_ann")(
+        graft.operators.SimilarityQueries.s04_ivf_ann(spark, sf).count())
+      time(s"$tag s10_ivf_pq")(
+        graft.operators.SimilarityQueries.s10_ivf_pq(spark, sf).count())
+      time(s"$tag s15_truncated_rerank")(
+        graft.operators.SimilarityQueries.s15_truncated_rerank(spark, sf).count())
+      time(s"$tag s16_mmr_rerank")(
+        graft.operators.SimilarityQueries.s16_mmr_rerank(spark, sf).count())
+      time(s"$tag d15_semdedup")(
+        graft.operators.DedupQueries.d15_semdedup(spark, sf).count())
     }
     spark.stop()
   }
