@@ -1094,6 +1094,18 @@ object RelationalQueries {
   def q70_mode(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q70Sql)
 
+  /** GROUP BY ALL — the modern shorthand (Spark 3.4+ / DuckDB both infer
+    * the grouping keys from the non-aggregate select items); identical
+    * text both engines, decimal-pathed volume.
+    */
+  private val q71Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+      |FROM orders GROUP BY ALL""".stripMargin
+
+  def q71_group_by_all(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q71Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1165,6 +1177,7 @@ object RelationalQueries {
     "q68_time_range_frame" -> (q68_time_range_frame _),
     "q69_data_quality" -> (q69_data_quality _),
     "q70_mode" -> (q70_mode _),
+    "q71_group_by_all" -> (q71_group_by_all _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1407,6 +1420,7 @@ object RelationalQueries {
         + q68FrameSql.format("e")),
     "q69_data_quality" -> q69AuditSql,
     "q70_mode" -> q70Sql,
+    "q71_group_by_all" -> q71Sql,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,

@@ -91,6 +91,21 @@ class SourcesSpec extends SparkTestBase {
     assert(merged.count() == 2)
   }
 
+  test("xml round-trip (Spark 4 native source) preserves values") {
+    val dir = Files.createTempDirectory("xml_src").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.write.mode("overwrite").option("rootTag", "events")
+      .option("rowTag", "event").xml(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val back = spark.read.schema(schema).option("rowTag", "event").xml(dir)
+    val a = ev.agg(count(lit(1)), sum(col("event_id"))).head()
+    val b = back.agg(count(lit(1)), sum(col("event_id"))).head()
+    assert(a == b)
+  }
+
   test("jdbc whole-query plumbing reaches the JDBC layer (no live DB here)") {
     val ex = intercept[Exception] {
       graft.sources.JdbcWholeQuery.load(spark,
