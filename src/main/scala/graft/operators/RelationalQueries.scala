@@ -1106,6 +1106,25 @@ object RelationalQueries {
   def q71_group_by_all(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q71Sql)
 
+  /** Semi-structured VARIANT path (Spark 4's headline type): parse the
+    * JSON props column once into VARIANT, extract typed paths with
+    * `variant_get`, aggregate — the open-schema event-payload pattern
+    * (q26 covers string-side get_json_object; this is the binary-encoded
+    * typed path, ~an order of magnitude faster at scale because the parse
+    * happens once and extraction is a binary walk, not a re-parse per
+    * path). DuckDB twin uses its native JSON extraction — same values.
+    */
+  def q72_variant(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_norm")
+    s.sql(
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(variant_get(parse_json(props), '$.k', 'long')) AS BIGINT)
+        |         AS total_k
+        |FROM events_norm
+        |GROUP BY event_type""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1178,6 +1197,7 @@ object RelationalQueries {
     "q69_data_quality" -> (q69_data_quality _),
     "q70_mode" -> (q70_mode _),
     "q71_group_by_all" -> (q71_group_by_all _),
+    "q72_variant" -> (q72_variant _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1421,6 +1441,10 @@ object RelationalQueries {
     "q69_data_quality" -> q69AuditSql,
     "q70_mode" -> q70Sql,
     "q71_group_by_all" -> q71Sql,
+    "q72_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS total_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
