@@ -106,6 +106,25 @@ class SourcesSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("observe(): pipeline metrics ride the job without a second scan") {
+    // the Deequ-style audit (q69) as INLINE instrumentation: named
+    // aggregates attached to a real query collect during its own pass —
+    // at 100 TB this is how row counts / null counts get monitored
+    // without doubling the scan
+    val df = Tables.lineitem(spark, sf)
+      .observe("audit",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1).otherwise(0)).as("bad_qty"))
+      .filter(col("l_quantity") > 10)
+    // collect() runs THIS dataset's QueryExecution (count() would build
+    // its own, leaving these observedMetrics unpopulated)
+    val kept = df.collect().length.toLong
+    val metrics = df.queryExecution.observedMetrics("audit")
+    val total = metrics.getAs[Long]("n_rows")
+    assert(total > kept && kept > 0)
+    assert(metrics.getAs[Long]("bad_qty") == 0L)
+  }
+
   test("jdbc whole-query plumbing reaches the JDBC layer (no live DB here)") {
     val ex = intercept[Exception] {
       graft.sources.JdbcWholeQuery.load(spark,
