@@ -68,6 +68,46 @@ class TopKPlanSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("property: native top-k == window formulation on random data") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Test.{check, Parameters}
+    import org.apache.spark.sql.expressions.Window
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      k <- Gen.choose(1, 8)
+      nGroups <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGroups - 1)
+        v <- Gen.choose(-1000, 1000)
+      } yield (g.toLong, v.toLong))
+    } yield (k, rows)
+    // the TopKWindowRewrite rule (if a prior test installed it) would turn
+    // the window side into the operator under test — disable for a real
+    // independent comparison
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.TopKWindowRewrite)
+    val prop = Prop.forAll(gen) { case (k, rows) =>
+      import spark.implicits._
+      // unique tie-break via a synthetic id (the operator's rank contract)
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id")
+      val native = TopKPerGroup.topK(df, Seq("g"),
+          Seq(Ord("v", desc = true), Ord("id")), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val windowed = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k).drop("rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      native == windowed
+    }
+    try {
+      val res = check(Parameters.default.withMinSuccessfulTests(25), prop)
+      assert(res.passed, res.status.toString)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("spill fallback: tiny in-memory row limit gives identical results") {
     // rowLimit=4 forces every partition past the heap bound into the
     // external-sorter path (5 segments x k=3 = 15 retained rows otherwise)
