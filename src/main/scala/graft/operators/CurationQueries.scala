@@ -209,6 +209,15 @@ object CurationQueries {
     */
   private val MaxEvalDocs = 100000L
 
+  /** Lowercased 13-gram stream (`keep` columns + `ng`) — the shared gram
+    * projection of the decontamination family (c08/c09/c13/c15).
+    */
+  private def grams13(df: DataFrame, keep: String*): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    df.select(keep.map(col) :+
+      explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"): _*)
+  }
+
   private[graft] def requireEvalBounded(evalDocs: DataFrame,
                                             cap: Long = MaxEvalDocs): Unit = {
     val n = evalDocs.count()
@@ -286,7 +295,6 @@ object CurationQueries {
     * driver-held-small-model pattern as KMeans centroids.
     */
   def c13_decontaminate_bloom(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.word_shingles
     val mBits = 1 << 17 // 131072 bits = 2048 longs = 16 KB broadcast
     val kHash = 3
     val docs = Tables.documents(s, d)
@@ -294,10 +302,7 @@ object CurationQueries {
       .localCheckpoint()
     val evalDocs = docs.filter(col("doc_id") % 19 === 0)
     requireEvalBounded(evalDocs)
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
-    val evalGrams = grams(evalDocs).select(col("ng")).distinct()
+    val evalGrams = grams13(evalDocs, "doc_id").select(col("ng")).distinct()
       .localCheckpoint() // feeds the bloom build AND the exact verify join
     val bloomWords: Array[Long] = {
       val positions = evalGrams.select(explode(array(
@@ -317,7 +322,8 @@ object CurationQueries {
     // doubled the hashing in the hot scan filter), and keep the position
     // arithmetic textually identical to the build side above
     val withPos = (0 until kHash).foldLeft(
-        grams(docs.filter(col("doc_id") % 19 =!= 0)).withColumn("bf", bloomLit)) {
+        grams13(docs.filter(col("doc_id") % 19 =!= 0), "doc_id")
+          .withColumn("bf", bloomLit)) {
       (df, j) => df.withColumn(s"p$j",
         pmod(xxhash64(lit(j), col("ng")), lit(mBits.toLong)))
     }
@@ -339,13 +345,9 @@ object CurationQueries {
     */
   private[operators] def decontaminateExact(corpusDocs: DataFrame,
                                             evalDocs: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.word_shingles
     requireEvalBounded(evalDocs)
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
-    val eval = grams(evalDocs).select(col("ng")).distinct()
-    grams(corpusDocs)
+    val eval = grams13(evalDocs, "doc_id").select(col("ng")).distinct()
+    grams13(corpusDocs, "doc_id")
       .join(broadcast(eval), "ng")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_ngrams")) // grams are per-doc distinct
@@ -408,14 +410,13 @@ object CurationQueries {
     * gram with map-side-partial distincts, never doc x doc.
     */
   def c15_split_leakage(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.word_shingles
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
-      .withColumn("split",
-        when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test"))
-      .select(col("doc_id"), col("split"),
-        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+    val docs = grams13(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
+        .withColumn("split",
+          when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test")),
+      "doc_id", "split")
       .localCheckpoint() // train grams + eval probe read one gram pass
     val trainGrams = docs.filter(col("split") === "train")
       .select(col("ng")).distinct()

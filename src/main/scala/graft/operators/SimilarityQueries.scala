@@ -41,6 +41,19 @@ object SimilarityQueries {
     TopKPerGroup.topK(scored.select(col("q_id"), col("vec_id"), col("sim")),
       Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
 
+  /** One corpus scan scored by `kernel` against the broadcast query side,
+    * top-`n` per query through the partial heaps — the shortlist stage
+    * shared by the fusion/re-rank family (s14/s15/s16).
+    */
+  private def scoredShortlist(s: SparkSession, d: String,
+      kernel: (Column, Column) => Column, n: Int): DataFrame =
+    TopKPerGroup.topK(
+      Tables.embeddings(s, d)
+        .join(broadcast(queriesSide(s, d)), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          kernel(col("q_emb"), col("embedding")).as("sim")),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), n)
+
   /** Exact top-k cosine for each of the 10 query vectors. */
   def s01_knn_bruteforce(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -487,19 +500,12 @@ object SimilarityQueries {
   def s14_rrf_fusion(s: SparkSession, d: String): DataFrame = {
     val rrfN = 20 // per-ranker shortlist depth
     val rrfC = 60 // the paper's k; damps the head of each list
-    val q = queriesSide(s, d)
-    def shortlist(kernel: (Column, Column) => Column, rankCol: String): DataFrame = {
-      val scored = Tables.embeddings(s, d)
-        .join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          kernel(col("q_emb"), col("embedding")).as("sim"))
-      TopKPerGroup.topK(scored,
-          Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), rrfN)
+    def shortlist(kernel: (Column, Column) => Column, rankCol: String): DataFrame =
+      scoredShortlist(s, d, kernel, rrfN)
         .select(col("q_id"), col("vec_id"),
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy("q_id")
             .orderBy(col("sim").desc, col("vec_id"))).as(rankCol))
-    }
     val byCos = shortlist(cosine_similarity, "rank_cos")
     val byDot = shortlist(dot_product, "rank_dot")
     val fused = byCos.join(byDot, Seq("q_id", "vec_id"), "full")
@@ -521,19 +527,12 @@ object SimilarityQueries {
     * |queries| x 50 rows.
     */
   def s15_truncated_rerank(s: SparkSession, d: String): DataFrame = {
-    val shortN = 50
-    val e = Tables.embeddings(s, d)
-    val q = queriesSide(s, d)
-    val shortlist = TopKPerGroup.topK(
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine_similarity(slice(col("q_emb"), 1, 16), slice(col("embedding"), 1, 16))
-            .as("sim")),
-      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), shortN)
+    val shortlist = scoredShortlist(s, d,
+      (a, b) => cosine_similarity(slice(a, 1, 16), slice(b, 1, 16)), 50)
     perQueryTopK(
       shortlist.select(col("q_id"), col("vec_id"))
-        .join(e.select(col("vec_id"), col("embedding")), "vec_id")
-        .join(broadcast(q), "q_id")
+        .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(queriesSide(s, d)), "q_id")
         .select(col("q_id"), col("vec_id"),
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
@@ -557,12 +556,8 @@ object SimilarityQueries {
     // 0.30000000000000004 in IEEE — the oracle's 0.3 literal would differ
     val (lambda, oneMinusLambda) = (0.7, 0.3)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = queriesSide(s, d)
-    val short = TopKPerGroup.topK(
-      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          cosine_similarity(col("q_emb"), col("embedding")).as("simq")),
-      Seq("q_id"), Seq(Ord("simq", desc = true), Ord("vec_id")), 20)
+    val short = scoredShortlist(s, d, cosine_similarity, 20)
+      .withColumnRenamed("sim", "simq")
       .localCheckpoint() // every greedy step re-reads the shortlist
     val pairSims = short.select(col("q_id"), col("vec_id").as("va"))
       .join(short.select(col("q_id"), col("vec_id").as("vb")), "q_id")
