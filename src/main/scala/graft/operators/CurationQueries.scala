@@ -431,7 +431,37 @@ object CurationQueries {
       .select(col("split"), col("n_docs"), coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
   }
 
+  /** Largest-remainder apportionment of an exact token budget across
+    * strata — c05 rebalances by proportion and c14 by temperature, but a
+    * real sampling job needs INTEGER per-stratum quotas that sum EXACTLY
+    * to the budget (naive rounding drifts by up to |strata| tokens).
+    * Hamilton's method: integer base quota per stratum, then the leftover
+    * units go to the largest remainders (lang tie-break). Pure integer
+    * arithmetic over a 1-row broadcast total -> hash-green; the rank
+    * window runs over |strata| rows only.
+    */
+  def c16_token_apportion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100000L
+    val lt = Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+    val withQuota = lt
+      .crossJoin(broadcast(lt.agg(sum(col("n_tokens")).as("tot"))))
+      .withColumn("base", expr(s"(${budget}L * n_tokens) div tot"))
+      .withColumn("rem", expr(s"(${budget}L * n_tokens) % tot"))
+    withQuota
+      .crossJoin(broadcast(
+        withQuota.agg((lit(budget) - sum(col("base"))).as("leftover"))))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .select(col("lang"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c16_token_apportion" -> (c16_token_apportion _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -535,6 +565,23 @@ object CurationQueries {
         |       array_to_string(toks[32 * chunk_no + 1 : 32 * chunk_no + 40], ' ')
         |         AS chunk_text
         |FROM k""".stripMargin,
+    "c16_token_apportion" ->
+      """WITH lt AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM lt),
+        |q AS (
+        |  SELECT lang, n_tokens,
+        |         (100000 * n_tokens) // tot AS base,
+        |         (100000 * n_tokens) % tot AS rem
+        |  FROM lt CROSS JOIN tot),
+        |lo AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT q.*, row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |      FROM q)
+        |SELECT lang, n_tokens,
+        |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS alloc_tokens
+        |FROM r CROSS JOIN lo""".stripMargin,
     "c15_split_leakage" ->
       """WITH t AS (
         |  SELECT doc_id,

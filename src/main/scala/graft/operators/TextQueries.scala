@@ -355,7 +355,27 @@ object TextQueries {
       .groupBy(col("verdict"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
 
+  /** Classifier evaluation as an operator: the confusion matrix of t01's
+    * n-gram language detector against the labeled corpus, plus per-cell
+    * corpus share — the quality-loop artifact every classifier-driven
+    * curation step (lang-ID, quality filters, toxicity) reports before
+    * its thresholds are trusted. One pass, one grouped count; the share
+    * divides by a broadcast scalar total.
+    */
+  def t13_lang_confusion(s: SparkSession, d: String): DataFrame = {
+    val pred = t01_lang_id(s, d).select(col("doc_id"), col("predicted_lang"))
+    val labeled = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val cells = labeled.join(pred, "doc_id")
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = labeled.agg(count(lit(1)).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 9).as("share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t13_lang_confusion" -> (t13_lang_confusion _),
     "t12_filter_funnel" -> (t12_filter_funnel _),
     "t11_lm_quality" -> (t11_lm_quality _),
     "t10_bpe_tokenize" -> (t10_bpe_tokenize _),
@@ -371,6 +391,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t13_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(list_filter(toks, x -> list_contains(['the','a','of','and'], x)))
+        |                     / len(toks) >= 0.04
+        |              THEN 'en' ELSE 'other' END AS predicted_lang
+        |  FROM t),
+        |c AS (SELECT lang, predicted_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_total FROM p)
+        |SELECT lang, predicted_lang, n_docs,
+        |       round(CAST(n_docs AS DOUBLE) / n_total, 9) AS share
+        |FROM c CROSS JOIN n""".stripMargin,
     "t12_filter_funnel" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
