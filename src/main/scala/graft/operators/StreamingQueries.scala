@@ -175,7 +175,42 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(dec)).cast("double").as("volume"))
 
+  /** Stream-stream LEFT OUTER interval join — st05's inner join answers
+    * "which clicks errored"; the outer variant answers the operationally
+    * loaded complement "which clicks did NOT error within 30 minutes",
+    * and is the semantics milestone for streaming joins: unmatched left
+    * rows can only be emitted once the watermark seals their join window
+    * (state eviction = result emission). The global watermark is the MIN
+    * over both watermarked inputs — each side is filtered to one event
+    * type BEFORE its watermark node, so the lagging side's last event
+    * pins it. The batch twin therefore scopes itself to the SEALED
+    * region: clicks at least 2 h (1 h watermark + 30 min window +
+    * margin) before the EARLIER of the two sides' final timestamps —
+    * exactly the subset whose outer result is final; StreamingSpec runs
+    * the real double-watermarked stream and pins stream == batch on it.
+    */
+  def st09_stream_left_join(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+    def side(kind: String, p: String) = ev
+      .filter(col("event_type") === kind)
+      .select(col("user_id").as(s"${p}_user"), col("ts_s").as(s"${p}_ts"),
+        col("event_id").as(s"${p}_id"))
+    val sealEnd = ev.filter(col("event_type").isin("click", "error"))
+      .groupBy(col("event_type")).agg(max(col("ts_s")).as("mx"))
+      .agg((min(col("mx")) - expr("INTERVAL 2 HOURS")).as("seal"))
+    val clicks = side("click", "c")
+      .crossJoin(broadcast(sealEnd)).filter(col("c_ts") <= col("seal"))
+    val errors = side("error", "e")
+    clicks.join(errors,
+        col("c_user") === col("e_user") && col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .select(col("c_user").as("user_id"), col("c_id"), col("e_id"),
+        (unix_timestamp(col("e_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st09_stream_left_join" -> (st09_stream_left_join _),
     "st08_stream_enrich" -> (st08_stream_enrich _),
     "st07_trending" -> (st07_trending _),
     "st06_incremental_dau" -> (st06_incremental_dau _),
@@ -187,6 +222,24 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st09_stream_left_join" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type
+        |  FROM events),
+        |seal AS (
+        |  SELECT min(mx) - INTERVAL 2 HOUR AS seal FROM (
+        |    SELECT event_type, max(ts_s) AS mx FROM e
+        |    WHERE event_type IN ('click', 'error') GROUP BY 1) m),
+        |c AS (SELECT user_id AS c_user, ts_s AS c_ts, event_id AS c_id
+        |      FROM e CROSS JOIN seal
+        |      WHERE event_type = 'click' AND ts_s <= seal),
+        |r AS (SELECT user_id AS e_user, ts_s AS e_ts, event_id AS e_id
+        |      FROM e WHERE event_type = 'error')
+        |SELECT c.c_user AS user_id, c.c_id, r.e_id,
+        |       CAST(epoch(r.e_ts) - epoch(c.c_ts) AS BIGINT) AS gap_s
+        |FROM c LEFT JOIN r ON c.c_user = r.e_user
+        |                  AND r.e_ts >= c.c_ts
+        |                  AND r.e_ts <= c.c_ts + INTERVAL 30 MINUTE""".stripMargin,
     "st08_stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume

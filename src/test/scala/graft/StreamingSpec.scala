@@ -168,6 +168,51 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit on watermark seal") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    def src() = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .withColumn("ts", date_trunc("second", col("ts")))
+    def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
+      df.filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+    // outer rows only become final once the watermark passes the join
+    // window's end, and the GLOBAL watermark is the min over both sides'
+    // (type-filtered) watermark nodes — so the sealed region derives from
+    // the lagging side's last event, the same scoping st09's batch twin
+    // applies (2h = 1h watermark + 30min window + margin)
+    val seal = spark.read.parquet(dir)
+      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts DIV 1000L"))))
+      .filter(col("event_type").isin("click", "error"))
+      .groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+      .agg(min(col("mx")) - expr("INTERVAL 2 HOURS")).head().getTimestamp(0)
+    val clicks = side(src(), "click", "c").withWatermark("c_ts", "1 hour")
+    val errors = side(src(), "error", "e").withWatermark("e_ts", "1 hour")
+    val q = clicks.join(errors,
+        clicks("c_user") === errors("e_user") &&
+          errors("e_ts") >= clicks("c_ts") &&
+          errors("e_ts") <= clicks("c_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_left_join")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("c_id"), Option(r.getAs[java.lang.Long]("e_id")).map(_.toLong))
+    val streamed = spark.table("ss_left_join")
+      .filter(col("c_ts") <= lit(seal)).select(col("c_id"), col("e_id"))
+      .collect().map(key).toSet
+    val batch = operators.StreamingQueries.st09_stream_left_join(spark, sf)
+      .select(col("c_id"), col("e_id")).collect().map(key).toSet
+    assert(streamed == batch)
+    // the interesting rows are the UNMATCHED ones — require some exist
+    assert(batch.exists(_._2.isEmpty), "no unmatched clicks in fixture")
+    assert(batch.exists(_._2.nonEmpty))
+  }
+
   test("custom state: mapGroupsWithState running per-user max value") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
