@@ -145,9 +145,31 @@ object GraphQueries {
   private[graft] def trianglesFromView(s: SparkSession): DataFrame =
     s.sql(g02Sql)
 
+  /** Connected components of the frequent co-supplier graph — supplier
+    * "communities" from the same thresholded projection as g02, resolved
+    * by the LARGE-STAR/SMALL-STAR contraction already proven O(log n) on
+    * adversarial diameters for document dedup ([[DedupQueries.starContract]],
+    * Kiveris et al. SoCC'14). Registering it over a second, unrelated
+    * graph shows the component machinery is generic engine surface, not a
+    * dedup-special-case; the oracle is the same recursive-CTE reachability
+    * pattern as d10/d13's.
+    */
+  def g03_components(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val pairs = s.sql(
+      """SELECT a.l_suppkey AS doc_a, b.l_suppkey AS doc_b
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 30""".stripMargin)
+    DedupQueries.starContract(pairs)
+      .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> (g01_pagerank _),
     "g02_triangles" -> (g02_triangles _),
+    "g03_components" -> (g03_components _),
   )
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
@@ -179,6 +201,22 @@ object GraphQueries {
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
       "g02_triangles" -> g02Sql,
+      "g03_components" ->
+        """WITH RECURSIVE co AS (
+          |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 30),
+          |edges AS (SELECT u AS src, v AS dst FROM co
+          |          UNION ALL SELECT v, u FROM co),
+          |nodes AS (SELECT DISTINCT src AS node FROM edges),
+          |reach AS (
+          |  SELECT node, node AS lbl FROM nodes
+          |  UNION
+          |  SELECT e.dst AS node, r.lbl
+          |  FROM reach r JOIN edges e ON e.src = r.node),
+          |cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+          |SELECT node, component FROM cc""".stripMargin,
     )
   }
 }
