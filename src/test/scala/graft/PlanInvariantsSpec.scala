@@ -189,6 +189,21 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"rrf fusion join degraded:\n${p.take(1200)}")
   }
 
+  test("g02 triangles: wedge/closure joins stay keyed — no cartesian expansion") {
+    val p = finalPlan("g02_triangles")
+    // the single BroadcastNestedLoopJoin Cross is the final 1-row x 1-row
+    // scalar combine (tri x wcnt) — fine; what must never appear is a
+    // cartesian over edge-scale data
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting grew a cartesian:\n${p.take(1200)}")
+    // the AQE toString appends the initial plan — count nodes in the
+    // final-plan section only
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("BroadcastNestedLoopJoin".r.findAllIn(finalSection).size <= 1,
+      finalSection.take(1200))
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
