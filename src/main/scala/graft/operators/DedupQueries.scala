@@ -557,7 +557,57 @@ object DedupQueries {
       .filter(col("max_sim_earlier") > 0.33)
   }
 
+  /** Approximate-string similarity join core (edit distance <= k) over any
+    * single-column `name` frame — the q-gram count filter of Gravano et al.
+    * (VLDB'01): two strings within edit distance k share at least
+    * max(|a|,|b|) - q + 1 - k*q positional q-grams (as a multiset), so an
+    * inverted bigram index + a shared-gram count threshold yields a
+    * COMPLETE candidate set (no false negatives) without any all-pairs
+    * comparison, and the exact `levenshtein` kernel runs only on survivors.
+    *
+    * Scale shape: candidates meet only on a shared gram (the same banded
+    * inverted-index economics as d05's shingle join — shuffle key is the
+    * gram), the multiset intersection is one map-side-partial
+    * sum(least(cnt_a, cnt_b)), and the length filters (|len_a - len_b| <= k,
+    * len >= minLen so the count bound stays >= 1) prune before the count.
+    * Hot grams fan out like hot shingles; AQE's skew split handles the
+    * residual (a df-cap would break the completeness guarantee, so unlike
+    * d05 none is applied — at web scale one caps by blocking on a second
+    * key, e.g. a token, accepting documented recall loss).
+    *
+    * Determinism: integer distances and counts only -> hash-green.
+    */
+  private[graft] def editDistJoin(names: DataFrame, k: Int): DataFrame = {
+    val q = 2
+    val minLen = q + 1 + k * q // count bound >= 1 ⇔ completeness holds
+    val eligible = names.filter(length(col("name")) >= minLen)
+    val grams = eligible
+      .select(col("name"), explode(expr(
+        s"transform(sequence(1, length(name) - ${q - 1}), " +
+          s"i -> substring(name, i, $q))")).as("gram"))
+      .groupBy("name", "gram").agg(count(lit(1)).as("cnt"))
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.name") < col("b.name") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= k)
+      .groupBy(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
+      .filter(col("shared") >=
+        greatest(length(col("name_a")), length(col("name_b"))) - lit(q - 1 + k * q))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+  }
+
+  /** d16: fuzzy (edit-distance) similarity join over the distinct
+    * part-name catalog — the record-linkage / typo-dedup operator: find all
+    * name pairs within edit distance 2 without comparing all pairs.
+    */
+  def d16_editdist_join(s: SparkSession, d: String): DataFrame =
+    editDistJoin(
+      Tables.part(s, d).select(col("p_name").as("name")).distinct(), 2)
+
   val queries: Map[String, Q] = Map(
+    "d16_editdist_join" -> (d16_editdist_join _),
     "d15_semdedup" -> (d15_semdedup _),
     "d12_passage_stats" -> (d12_passage_stats _),
     "d14_passage_dedup_apply" -> (d14_passage_dedup_apply _),
@@ -634,6 +684,26 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d16_editdist_join" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name FROM part
+        |  WHERE length(p_name) >= 7),
+        |g0 AS (
+        |  SELECT name, unnest(range(1, length(name))) AS i FROM names),
+        |g AS (
+        |  SELECT name, substr(name, CAST(i AS INTEGER), 2) AS gram,
+        |         count(*) AS cnt
+        |  FROM g0 GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a.name AS name_a, b.name AS name_b,
+        |         sum(least(a.cnt, b.cnt)) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.name < b.name
+        |  WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  GROUP BY 1, 2
+        |  HAVING sum(least(a.cnt, b.cnt)) >=
+        |         greatest(length(a.name), length(b.name)) - 5)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
     "d12_passage_stats" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

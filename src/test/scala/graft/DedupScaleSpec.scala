@@ -87,4 +87,28 @@ class DedupScaleSpec extends SparkTestBase {
       "one two three four five six seven eight nine ten eleven twelve thirteen fourteen")
     assert(got(3L)._2 == 0L)
   }
+
+  test("q-gram count filter finds every edit-distance<=2 pair (no false negatives)") {
+    import spark.implicits._
+    // pairs that stress the candidate generator: substitutions at TWO
+    // separated positions (four bigrams disturbed — the worst case the
+    // Gravano bound still covers), an insertion, and a deletion; plus a
+    // dist-3 pair and an unrelated name that must NOT surface
+    val names = Seq(
+      "alpha widget", "alpho wodget", // two separated substitutions: dist 2
+      "bravo spanner", "bravo spannerx", // append: dist 1
+      "charlie bolt", "charlie bol", // delete: dist 1
+      "delta gasket", "dexta gusket", "dexta guskez", // chain incl. a dist-3 pair
+      "unrelated name").toDF("name")
+    val got = DedupQueries.editDistJoin(names, 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(
+      ("alpha widget", "alpho wodget", 2L),
+      ("bravo spanner", "bravo spannerx", 1L),
+      ("charlie bol", "charlie bolt", 1L),
+      ("delta gasket", "dexta gusket", 2L),
+      ("dexta gusket", "dexta guskez", 1L))
+    // ("delta gasket","dexta guskez") is dist 3 — correctly absent
+    assert(got == want, got.mkString(", "))
+  }
 }
