@@ -1125,6 +1125,25 @@ object RelationalQueries {
         |GROUP BY event_type""".stripMargin)
   }
 
+  /** DISTINCT aggregate over a window — `COUNT(DISTINCT x) OVER (PARTITION
+    * BY k)` is valid ANSI (and runs natively in DuckDB — the oracle uses
+    * the real clause) but Spark rejects DISTINCT in window aggregates, so
+    * the engine-surface translation is `size(collect_set(x) OVER w)`:
+    * set semantics make it order-independent (deterministic under any
+    * partitioning) and the per-partition buffer is bounded by the counted
+    * column's cardinality (5 priorities here). For unbounded-cardinality
+    * columns the right plan is the groupBy-distinct + join-back twin, or
+    * approx_count_distinct over the window — this entry documents the
+    * bounded-cardinality idiom.
+    */
+  def q73_window_distinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .withColumn("n_prio",
+        size(collect_set(col("o_orderpriority"))
+          .over(Window.partitionBy(col("o_custkey")))).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_prio"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1198,6 +1217,7 @@ object RelationalQueries {
     "q70_mode" -> (q70_mode _),
     "q71_group_by_all" -> (q71_group_by_all _),
     "q72_variant" -> (q72_variant _),
+    "q73_window_distinct" -> (q73_window_distinct _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1445,6 +1465,11 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS total_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q73_window_distinct" ->
+      """SELECT o_orderkey, o_custkey,
+        |       count(DISTINCT o_orderpriority)
+        |         OVER (PARTITION BY o_custkey) AS n_prio
+        |FROM orders""".stripMargin,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
