@@ -166,10 +166,53 @@ object GraphQueries {
       .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
   }
 
+  /** BFS hop distance (bounded breadth-first search) from the smallest
+    * supplier in the frequent co-supplier graph — the "degrees of
+    * separation" / neighborhood-radius query curation runs to scope a
+    * crawl frontier or measure how tightly a community is knit. Shape per
+    * round: ONE equi-join (current distances × edges on the node key) +
+    * ONE map-side-partial min-aggregate — the standard BFS-on-joins
+    * layout; the round count is the fixed hop budget (6), so lineage
+    * stays one bounded tree over the checkpointed edge list and nothing
+    * driver-side ever holds a distance vector. Integer hop counts →
+    * hash-green against a recursive-CTE oracle bounded by the same
+    * budget; nodes unreachable within 6 hops are absent from both sides.
+    */
+  private val Hops = 6
+
+  def g04_bfs_hops(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val co = s.sql(
+      """SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 30""".stripMargin)
+    val edges = co.select(col("u").as("src"), col("v").as("dst"))
+      .union(co.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint() // feeds every round; one lineitem self-join pass
+    // driver-tiny scalar (one source id), same as KMeans' k centroids
+    val source = edges.agg(min(col("src"))).head().getLong(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("h"))
+    for (_ <- 1 to Hops) {
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("h") + 1).as("h"))
+      // re-aggregating the full frontier each round keeps the round a pure
+      // join+min (no changed-set bookkeeping); the state is one row per
+      // reached node, never more
+      dist = dist.union(expanded)
+        .groupBy(col("node")).agg(min(col("h")).as("h"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("h").as("hops"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> (g01_pagerank _),
     "g02_triangles" -> (g02_triangles _),
     "g03_components" -> (g03_components _),
+    "g04_bfs_hops" -> (g04_bfs_hops _),
   )
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
@@ -217,6 +260,22 @@ object GraphQueries {
           |  FROM reach r JOIN edges e ON e.src = r.node),
           |cc AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
           |SELECT node, component FROM cc""".stripMargin,
+      "g04_bfs_hops" ->
+        s"""WITH RECURSIVE co AS (
+           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 30),
+           |edges AS (SELECT u AS src, v AS dst FROM co
+           |          UNION ALL SELECT v, u FROM co),
+           |s AS (SELECT min(src) AS src FROM edges),
+           |reach AS (
+           |  SELECT src AS node, CAST(0 AS BIGINT) AS h FROM s
+           |  UNION
+           |  SELECT e.dst AS node, CAST(r.h + 1 AS BIGINT) AS h
+           |  FROM reach r JOIN edges e ON e.src = r.node
+           |  WHERE r.h < $Hops)
+           |SELECT node, min(h) AS hops FROM reach GROUP BY node""".stripMargin,
     )
   }
 }
