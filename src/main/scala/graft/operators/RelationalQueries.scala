@@ -1144,6 +1144,37 @@ object RelationalQueries {
           .over(Window.partitionBy(col("o_custkey")))).cast("long"))
       .select(col("o_orderkey"), col("o_custkey"), col("n_prio"))
 
+  /** Gap-based batch sessionization — the classic clickstream staple
+    * (split each user's event stream into sessions at >30-min silences)
+    * and the batch twin of st02's streaming session windows: lag() flags
+    * session starts, a running sum numbers them, one groupBy emits the
+    * per-session stats. Two window passes + one aggregate over the same
+    * (user_id, time) partitioning — Spark reuses the sort across the
+    * windows and the partial-aggregated groupBy, so the whole operator is
+    * a single shuffle on user_id. Determinism: gaps compare in exact
+    * epoch-µs integers (both engines see identical µs values — Spark's ts
+    * is ns DIV 1000, DuckDB casts ns::TIMESTAMP), ties break on event_id,
+    * and the outputs are integers + whole-second formatted bounds →
+    * hash-green.
+    */
+  def q74_sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(timestamp_micros(min(col("us"))), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_micros(max(col("us"))), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1218,6 +1249,7 @@ object RelationalQueries {
     "q71_group_by_all" -> (q71_group_by_all _),
     "q72_variant" -> (q72_variant _),
     "q73_window_distinct" -> (q73_window_distinct _),
+    "q74_sessionize" -> (q74_sessionize _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1470,6 +1502,25 @@ object RelationalQueries {
         |       count(DISTINCT o_orderpriority)
         |         OVER (PARTITION BY o_custkey) AS n_prio
         |FROM orders""".stripMargin,
+    "q74_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sx AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM l)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM sx GROUP BY 1, 2""".stripMargin,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
