@@ -1175,6 +1175,40 @@ object RelationalQueries {
         expr("(max(us) - min(us)) div 1000000").as("duration_s"))
   }
 
+  /** Slowly-changing-dimension Type 2 history build — collapse each user's
+    * event stream into contiguous same-state runs and effective-date them
+    * ([valid_from, valid_to) with NULL valid_to on the current row): the
+    * warehouse-ETL staple that turns a change log into a dimension you can
+    * as-of join (q30) against. Same single-shuffle shape as q74: the
+    * change flag, run numbering, and the valid_to lead() all share one
+    * (user_id, time) sort; runs collapse in a partial-aggregated groupBy.
+    * Determinism: state changes compare exactly, run bounds are epoch-µs
+    * integers formatted to whole seconds, ties break on event_id.
+    */
+  def q75_scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRuns = Window.partitionBy(col("user_id")).orderBy(col("run_idx"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("run_idx", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("run_idx"), col("event_type").as("state"))
+      .agg(min(col("us")).as("from_us"), count(lit(1)).as("n_events"))
+      .withColumn("valid_from",
+        date_format(timestamp_micros(col("from_us")), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("valid_to",
+        date_format(timestamp_micros(lead(col("from_us"), 1).over(wRuns)),
+          "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("is_current", lead(col("from_us"), 1).over(wRuns).isNull)
+      .select(col("user_id"), col("run_idx"), col("state"), col("n_events"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1250,6 +1284,7 @@ object RelationalQueries {
     "q72_variant" -> (q72_variant _),
     "q73_window_distinct" -> (q73_window_distinct _),
     "q74_sessionize" -> (q74_sessionize _),
+    "q75_scd2" -> (q75_scd2 _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1521,6 +1556,32 @@ object RelationalQueries {
         |       strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS session_end,
         |       (max(us) - min(us)) // 1000000 AS duration_s
         |FROM sx GROUP BY 1, 2""".stripMargin,
+    "q75_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR event_type <> lag(event_type) OVER w
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (
+        |  SELECT user_id, event_type, us,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_idx
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx,
+        |         event_type AS state, min(us) AS from_us,
+        |         count(*) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_idx, state, n_events,
+        |       strftime(make_timestamp(from_us), '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |       strftime(make_timestamp(lead(from_us) OVER wr),
+        |                '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |       lead(from_us) OVER wr IS NULL AS is_current
+        |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY run_idx)""".stripMargin,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
