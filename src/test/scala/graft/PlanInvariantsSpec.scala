@@ -204,6 +204,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"), p.take(800))
   }
 
+  test("q74/q75 sessionize + scd2: windows and final agg share ONE shuffle") {
+    for (name <- Seq("q74_sessionize", "q75_scd2")) {
+      val p = finalPlan(name)
+      // lag/run-numbering windows partition on user_id; the groupBy keys
+      // start with user_id, so EnsureRequirements must reuse that
+      // partitioning — a second Exchange means the single-shuffle layout
+      // regressed (q75's trailing lead() window also rides the same key)
+      val finalSection = p.split("== Initial Plan ==").head
+      assert("Exchange".r.findAllIn(finalSection).size == 1,
+        s"$name must shuffle exactly once on user_id:\n${finalSection.take(1200)}")
+    }
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
