@@ -586,6 +586,7 @@ object DedupQueries {
         s"transform(sequence(1, length(name) - ${q - 1}), " +
           s"i -> substring(name, i, $q))")).as("gram"))
       .groupBy("name", "gram").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // both sides of the self-join read this once
     grams.as("a").join(grams.as("b"),
         col("a.gram") === col("b.gram") && col("a.name") < col("b.name") &&
           abs(length(col("a.name")) - length(col("b.name"))) <= k)

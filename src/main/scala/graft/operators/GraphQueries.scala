@@ -177,6 +177,12 @@ object GraphQueries {
     * driver-side ever holds a distance vector. Integer hop counts →
     * hash-green against a recursive-CTE oracle bounded by the same
     * budget; nodes unreachable within 6 hops are absent from both sides.
+    *
+    * Support threshold 10 (not g02/g03's 30): the co-occurrence counts
+    * thin as the supplier pool grows with SF, and 10 keeps the graph
+    * non-trivial at every fixture SF; an empty graph (threshold too high
+    * for the corpus) returns an empty frame rather than failing on the
+    * NULL source.
     */
   private val Hops = 6
 
@@ -187,12 +193,19 @@ object GraphQueries {
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2
-        |HAVING count(*) >= 30""".stripMargin)
-    val edges = co.select(col("u").as("src"), col("v").as("dst"))
-      .union(co.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint() // feeds every round; one lineitem self-join pass
+        |HAVING count(*) >= 10""".stripMargin)
+    // symmetrize by explode, not union-of-two-selects: a union would run
+    // the lineitem self-join once per branch inside the checkpoint job
+    val edges = co.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // feeds every round; ONE lineitem self-join pass
     // driver-tiny scalar (one source id), same as KMeans' k centroids
-    val source = edges.agg(min(col("src"))).head().getLong(0)
+    val srcRow = edges.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0))
+      return s.range(0).select(col("id").as("node"), col("id").as("hops"))
+    val source = srcRow.getLong(0)
     var dist = edges.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("h"))
     for (_ <- 1 to Hops) {
@@ -265,10 +278,10 @@ object GraphQueries {
            |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
            |  FROM lineitem a JOIN lineitem b
            |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-           |  GROUP BY 1, 2 HAVING count(*) >= 30),
+           |  GROUP BY 1, 2 HAVING count(*) >= 10),
            |edges AS (SELECT u AS src, v AS dst FROM co
            |          UNION ALL SELECT v, u FROM co),
-           |s AS (SELECT min(src) AS src FROM edges),
+           |s AS (SELECT min(src) AS src FROM edges HAVING min(src) IS NOT NULL),
            |reach AS (
            |  SELECT src AS node, CAST(0 AS BIGINT) AS h FROM s
            |  UNION

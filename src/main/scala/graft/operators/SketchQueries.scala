@@ -104,9 +104,28 @@ object SketchQueries {
         ((col("b") + 0.5) * BucketWidth).as("approx_value"))
   }
 
+  /** Heavy-hitter tokens over the document corpus through the Misra-Gries
+    * sketch ([[graft.functions.FreqItems]], k=32): one pass, at most 31
+    * counters per partition and across the merge, no token-level shuffle
+    * at all — the exact groupBy twin shuffles one row per DISTINCT token,
+    * which at web scale is billions; the sketch moves <=31 counters per
+    * partition regardless. Items with true frequency > n/32 are guaranteed
+    * present (QueriesSpec pins guarantee + estimate bounds vs the exact
+    * counts); counter identity below the threshold is order-dependent ->
+    * rows-only registry check, like every other sketch.
+    */
+  def q76_freq_items(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.FreqItems.freq_items
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(freq_items(col("tok"), 32).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("token", "est_count")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_hll_rollup" -> (q65_hll_rollup _),
     "q66_histogram_rollup" -> (q66_histogram_rollup _),
+    "q76_freq_items" -> (q76_freq_items _),
   )
 
   /** q65's Datasketches binary isn't reproducible in DuckDB -> rows-only

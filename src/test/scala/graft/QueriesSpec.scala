@@ -110,6 +110,26 @@ class QueriesSpec extends SparkTestBase {
     assert(merged.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
   }
 
+  test("q76 Misra-Gries sketch honors the frequent-items guarantee") {
+    val k = 32
+    val est = SparkEntry.queries("q76_freq_items")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(est.nonEmpty && est.size <= k - 1, s"${est.size} counters")
+    // every estimate is a lower bound within n/k of the truth
+    for ((t, e) <- est) {
+      val ex = exact(t)
+      assert(e <= ex && ex - e <= n / k, s"$t: est=$e exact=$ex n/k=${n / k}")
+    }
+    // every item above the n/k threshold kept its counter
+    for ((t, ex) <- exact if ex > n / k)
+      assert(est.contains(t), s"heavy item $t (count $ex > ${n / k}) evicted")
+  }
+
   test("q66 merged histogram quantiles equal the one-shot histogram's") {
     val merged = SparkEntry.queries("q66_histogram_rollup")(spark, sf).collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
