@@ -1209,6 +1209,38 @@ object RelationalQueries {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Per-group z-score outlier detection — the screening stage of every
+    * data-quality / fraud pipeline: flag rows beyond 1.5σ of their group
+    * (the fixture's totalprice is near-uniform, whose max deviation is
+    * √3σ ≈ 1.73σ, so a textbook 2σ screen would be vacuous on it; the
+    * threshold is the operator's tuning knob, not its shape).
+    * Two passes over the fact table (one to aggregate moments, one to
+    * screen — the group stats join back broadcast), both
+    * map-side-partial. Determinism is the q39/q67 recipe: Σx and Σx² run
+    * through DECIMAL (exactly associative, order-independent), every
+    * float op after that is the same IEEE expression on identical inputs
+    * (sqrt is correctly rounded), and the output is integer counts —
+    * identical SQL text on both engines, hash-green. A streaming or
+    * incremental variant persists (n, s1, s2) per group and merges by
+    * addition — the same mergeable-partials architecture as q66.
+    */
+  private val q77Sql: String =
+    """WITH g AS (
+      |  SELECT o_orderpriority, count(*) AS n,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,3)) *
+      |                  CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) AS s2
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderpriority, g.n AS n_orders,
+      |       count(*) FILTER (WHERE
+      |         abs(o.o_totalprice - g.s1 / g.n) >
+      |         1.5 * sqrt(g.s2 / g.n - (g.s1 / g.n) * (g.s1 / g.n))) AS n_outliers
+      |FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+      |GROUP BY 1, 2""".stripMargin
+
+  def q77_outlier_zscore(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q77Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1285,6 +1317,7 @@ object RelationalQueries {
     "q73_window_distinct" -> (q73_window_distinct _),
     "q74_sessionize" -> (q74_sessionize _),
     "q75_scd2" -> (q75_scd2 _),
+    "q77_outlier_zscore" -> (q77_outlier_zscore _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1582,6 +1615,7 @@ object RelationalQueries {
         |                '%Y-%m-%d %H:%M:%S') AS valid_to,
         |       lead(from_us) OVER wr IS NULL AS is_current
         |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY run_idx)""".stripMargin,
+    "q77_outlier_zscore" -> q77Sql,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,

@@ -113,6 +113,32 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s16_mmr_rerank(spark, sf).count())
       time(s"$tag d15_semdedup")(
         graft.operators.DedupQueries.d15_semdedup(spark, sf).count())
+      // fifth wave: sessionize/scd2 see 10x rows per user partition (same
+      // users, same timestamps — window+agg work grows, session structure
+      // doesn't); g04's co-occurrence counts grow 10x on the shared
+      // suppliers, so the thresholded graph gets DENSER, not just bigger
+      time(s"$tag q74_sessionize")(
+        graft.operators.RelationalQueries.q74_sessionize(spark, sf).count())
+      time(s"$tag q75_scd2")(
+        graft.operators.RelationalQueries.q75_scd2(spark, sf).count())
+      time(s"$tag g04_bfs_hops")(
+        graft.operators.GraphQueries.g04_bfs_hops(spark, sf).count())
+      time(s"$tag q76_freq_items")(
+        graft.operators.SketchQueries.q76_freq_items(spark, sf).count())
+    }
+    // d16 probes on a generated catalog (the fixture's 64 distinct part
+    // names don't grow with corpus copies): each 10x variant family is
+    // mutually within edit distance 2, so candidate pairs grow with the
+    // OUTPUT (family size squared), never with catalog squared
+    val names1 = spark.read.parquet(s"$base/part.parquet")
+      .select(col("p_name").as("name")).distinct()
+    for (m <- Seq(1, 10)) {
+      val names = (0 until m).map(i =>
+        if (i == 0) names1
+        else names1.select(concat(col("name"), lit(s" v$i")).as("name")))
+        .reduce(_ unionByName _)
+      time(s"${m}x d16_editdist_core")(
+        graft.operators.DedupQueries.editDistJoin(names, 2).count())
     }
     spark.stop()
   }
