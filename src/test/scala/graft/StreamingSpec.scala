@@ -43,6 +43,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("real-stream session windows == q74's batch lag/running-sum sessionization") {
+    Sessions.tune(spark)
+    val dir = eventsStreamDir
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    // complete mode: every session (sealed or not) is in the sink, so the
+    // whole result must equal the batch formulation, no seal-region scoping
+    val agg = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // session_window's end is last-event + gap: subtracting the gap must
+    // recover q74's session_end exactly (µs arithmetic) — this pins the
+    // gap-extension semantics, not just the grouping
+    val streamed = spark.table("stream_sessions")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format(col("session_window.end") - expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("e"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val batch = operators.RelationalQueries.q74_sessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed ${streamed.size} sessions vs batch ${batch.size}; " +
+        s"diff sample: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("checkpoint recovery: restart processes only new files, exactly once") {
     Sessions.tune(spark)
     val src = Files.createTempDirectory("ckpt_src")
