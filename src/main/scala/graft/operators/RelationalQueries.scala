@@ -1241,6 +1241,52 @@ object RelationalQueries {
   def q77_outlier_zscore(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q77Sql)
 
+  /** Linear interpolation over the hourly grid — q51's resample with the
+    * other fill policy every feature pipeline needs (forward-fill holds a
+    * step function; interpolation draws the line): bracket each missing
+    * hour with the nearest observed value on each side (last/first
+    * IGNORE NULLS over mirrored frames — same one-sort window stack) and
+    * fill prev + (next-prev) * (h-prev_h)/(next_h-prev_h) on the integer
+    * epoch-hour axis. Leading/trailing edges (no bracket on one side)
+    * hold the single available neighbor. Determinism: observed volumes
+    * are exact (dsum), hour indexes are integers, and both engines
+    * evaluate the one identical interpolation expression on identical
+    * doubles → hash-green.
+    */
+  def q78_interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val hourly = ev
+      .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("vol"))
+    val bounds = ev.agg(
+      date_trunc("HOUR", min(col("ts"))).as("mn"),
+      date_trunc("HOUR", max(col("ts"))).as("mx"))
+    val spine = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("hr_i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("hr_i"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .withColumn("hr_i", expr("unix_timestamp(hour) DIV 3600"))
+      .withColumn("pv", last(col("vol"), ignoreNulls = true).over(wb))
+      .withColumn("pi",
+        last(when(col("vol").isNotNull, col("hr_i")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("vol"), ignoreNulls = true).over(wf))
+      .withColumn("ni",
+        first(when(col("vol").isNotNull, col("hr_i")), ignoreNulls = true).over(wf))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        when(col("vol").isNotNull, col("vol"))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            (col("hr_i") - col("pi")) / (col("ni") - col("pi")))
+          .as("interp_vol"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1318,6 +1364,7 @@ object RelationalQueries {
     "q74_sessionize" -> (q74_sessionize _),
     "q75_scd2" -> (q75_scd2 _),
     "q77_outlier_zscore" -> (q77_outlier_zscore _),
+    "q78_interpolate" -> (q78_interpolate _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1616,6 +1663,47 @@ object RelationalQueries {
         |       lead(from_us) OVER wr IS NULL AS is_current
         |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY run_idx)""".stripMargin,
     "q77_outlier_zscore" -> q77Sql,
+    "q78_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS vol
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+        |                                date_trunc('hour', max(ts)),
+        |                                INTERVAL 1 HOUR)) AS hour
+        |  FROM events),
+        |grid AS (
+        |  SELECT s.hour, t.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |g2 AS (
+        |  SELECT g.hour, g.event_type, h.n, h.vol,
+        |         epoch_us(g.hour::TIMESTAMP) // 3600000000 AS hr_i
+        |  FROM grid g
+        |  LEFT JOIN hourly h ON h.hour = g.hour AND h.event_type = g.event_type),
+        |x AS (
+        |  SELECT *,
+        |         last_value(vol IGNORE NULLS) OVER wb AS pv,
+        |         last_value(CASE WHEN vol IS NOT NULL THEN hr_i END IGNORE NULLS)
+        |           OVER wb AS pi,
+        |         first_value(vol IGNORE NULLS) OVER wf AS nv,
+        |         first_value(CASE WHEN vol IS NOT NULL THEN hr_i END IGNORE NULLS)
+        |           OVER wf AS ni
+        |  FROM g2
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY hr_i
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY hr_i
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type,
+        |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       coalesce(n, 0) AS n_events,
+        |       CASE WHEN vol IS NOT NULL THEN vol
+        |            WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            ELSE pv + (nv - pv) * (hr_i - pi) / (ni - pi)
+        |       END AS interp_vol
+        |FROM x""".stripMargin,
     "q42_window_misc" ->
       """SELECT c_custkey,
         |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
