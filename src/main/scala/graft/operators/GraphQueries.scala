@@ -88,8 +88,19 @@ object GraphQueries {
     ranks.select(col("node"), col("r").as("rank"))
   }
 
+  /** Support threshold for the frequent co-supplier projection (g02-g04):
+    * pairs must co-occur in >= this many orders. 10, not higher: the
+    * co-occurrence counts THIN as the supplier pool grows with SF (30
+    * empties the graph at sf0.1 — the bench SF — where 10 leaves 114
+    * edges), and a support cut that zeroes the working set measures
+    * nothing. Real corpora tune this to the projection density they want;
+    * the shapes below don't depend on the value.
+    */
+  private val CoSupport = 10
+
   /** Triangle counting + global clustering coefficient over the frequent
-    * co-supplier graph (suppliers co-occurring in >= 30 orders) — the
+    * co-supplier graph (suppliers co-occurring in >= [[CoSupport]] orders)
+    * — the
     * community-structure statistic link-graph curation monitors. The SQL
     * is the degree-ordered "forward" algorithm (Schank & Wagner '05):
     * every undirected edge is oriented from its lower-(degree, id)
@@ -100,17 +111,17 @@ object GraphQueries {
     * sum(min-degree per edge) — the standard bound of O(E^1.5) — with AQE
     * splitting any residual skew. Pure integer counts -> hash-green with
     * the identical SQL text as the DuckDB oracle. The support threshold
-    * (HAVING count(*) >= 30) is the frequent-co-occurrence cut that keeps
+    * (HAVING count(*) >= CoSupport) is the frequent-co-occurrence cut that keeps
     * a real-world projection sparse; the wedge denominator comes from the
     * degree sum, never a second wedge enumeration.
     */
   private val g02Sql: String =
-    """WITH co AS (
+    s"""WITH co AS (
       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
       |  GROUP BY 1, 2
-      |  HAVING count(*) >= 30),
+      |  HAVING count(*) >= $CoSupport),
       |und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
       |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
       |dir AS (
@@ -157,11 +168,11 @@ object GraphQueries {
   def g03_components(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     val pairs = s.sql(
-      """SELECT a.l_suppkey AS doc_a, b.l_suppkey AS doc_b
+      s"""SELECT a.l_suppkey AS doc_a, b.l_suppkey AS doc_b
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2
-        |HAVING count(*) >= 30""".stripMargin)
+        |HAVING count(*) >= $CoSupport""".stripMargin)
     DedupQueries.starContract(pairs)
       .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
   }
@@ -178,22 +189,20 @@ object GraphQueries {
     * hash-green against a recursive-CTE oracle bounded by the same
     * budget; nodes unreachable within 6 hops are absent from both sides.
     *
-    * Support threshold 10 (not g02/g03's 30): the co-occurrence counts
-    * thin as the supplier pool grows with SF, and 10 keeps the graph
-    * non-trivial at every fixture SF; an empty graph (threshold too high
-    * for the corpus) returns an empty frame rather than failing on the
-    * NULL source.
+    * Shares [[CoSupport]] with g02/g03; an empty graph (threshold too
+    * high for the corpus) returns an empty frame rather than failing on
+    * the NULL source.
     */
   private val Hops = 6
 
   def g04_bfs_hops(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     val co = s.sql(
-      """SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
         |GROUP BY 1, 2
-        |HAVING count(*) >= 10""".stripMargin)
+        |HAVING count(*) >= $CoSupport""".stripMargin)
     // symmetrize by explode, not union-of-two-selects: a union would run
     // the lineitem self-join once per branch inside the checkpoint job
     val edges = co.select(explode(array(
@@ -258,11 +267,11 @@ object GraphQueries {
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
       "g02_triangles" -> g02Sql,
       "g03_components" ->
-        """WITH RECURSIVE co AS (
+        s"""WITH RECURSIVE co AS (
           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-          |  GROUP BY 1, 2 HAVING count(*) >= 30),
+          |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
           |edges AS (SELECT u AS src, v AS dst FROM co
           |          UNION ALL SELECT v, u FROM co),
           |nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -278,7 +287,7 @@ object GraphQueries {
            |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
            |  FROM lineitem a JOIN lineitem b
            |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-           |  GROUP BY 1, 2 HAVING count(*) >= 10),
+           |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
            |edges AS (SELECT u AS src, v AS dst FROM co
            |          UNION ALL SELECT v, u FROM co),
            |s AS (SELECT min(src) AS src FROM edges HAVING min(src) IS NOT NULL),

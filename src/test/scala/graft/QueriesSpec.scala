@@ -262,7 +262,7 @@ class QueriesSpec extends SparkTestBase {
 
   test("g02 triangle counting: K4 built by hand gives exactly 4 triangles, coeff 1") {
     // 30 orders each containing the same 4 suppliers -> every pair clears
-    // the support-30 cut -> the co-supplier graph is K4: C(4,3) = 4
+    // the support cut (CoSupport = 10) -> the co-supplier graph is K4: C(4,3) = 4
     // triangles, 4 * C(3,2) = 12 wedges, clustering coefficient 1.0 —
     // checks the degree-ordered orientation logic independently of the
     // fixture (a double-count or missed orientation case would break here)
