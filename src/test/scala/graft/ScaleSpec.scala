@@ -180,6 +180,33 @@ class ScaleSpec extends SparkTestBase {
       s"no dynamic partition pruning in plan:\n${plan.take(1500)}")
   }
 
+  test("runtime bloom-filter join reduction: fact rows screened before the shuffle") {
+    // the row-level complement of DPP: a selective dim filter on a
+    // NON-partition join key can't prune files, but Spark's runtime bloom
+    // filter (built from the dim side, pushed into the fact scan stage)
+    // screens fact rows before they pay the join shuffle — at 100 TB this
+    // is the difference between shuffling the full fact table and
+    // shuffling the ~matching slice. Thresholds are lowered only because
+    // the fixture is tiny; the plan shape is what's pinned.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // a broadcast join has no fact-side shuffle to protect, so the rule
+      // (correctly) skips it; at 100 TB the dim wouldn't broadcast — model
+      // that by disabling auto-broadcast inside the block
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = Tables.lineitem(spark, sf)
+      val dim = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${plan.take(1500)}")
+    }
+  }
+
   test("topKPerGroup returns k rows per group in order") {
     val o = Tables.orders(spark, sf)
     val top = Scale.topKPerGroup(o, Seq("o_orderpriority"),

@@ -9,4 +9,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.get()
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Set session confs for the block, restoring priors after (the session
+    * is shared across suites — leaked confs would couple tests).
+    */
+  protected def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption
+    }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
