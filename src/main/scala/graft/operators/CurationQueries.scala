@@ -460,7 +460,49 @@ object CurationQueries {
           .as("alloc_tokens"))
   }
 
+  /** PPS (probability-proportional-to-size) systematic weighted sampling —
+    * the survey-sampling classic a mixture pipeline uses to draw documents
+    * with probability ∝ size (chars here; tokens in production) without
+    * any per-row randomness: lay the docs on the cumulative-weight line in
+    * doc_id order and take one at every W/n-th position (a doc is chosen
+    * iff its weight span crosses a grid boundary — pure integer div, so
+    * the sample hash-checks cross-engine).
+    *
+    * The interesting part at 100 TB is the EXACT GLOBAL PREFIX SUM: the
+    * naive formulation is one unpartitioned running-sum window (a single
+    * reducer over the corpus — the thing this repo pins against). Here it
+    * is the standard two-phase distributed scan: range-partition by the
+    * order key, per-partition subtotals to the driver (one row per
+    * partition — driver-tiny like KMeans' centroids), broadcast the
+    * partition-offset table back, and run the running sum INSIDE each
+    * partition (32-way parallel window keyed by pid). Range partitioning
+    * preserves the global order, so offset + local running sum == the
+    * global cumulative weight exactly, whatever the boundary placement.
+    */
+  def c17_weighted_sample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 200L
+    val ranged = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = ranged.groupBy(col("pid"))
+      .agg(sum(col("n_chars")).as("psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col("n_chars")).over(w))
+      .filter(expr(s"(cum * ${n}L) div ${total}L > ((cum - n_chars) * ${n}L) div ${total}L"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("cum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c17_weighted_sample" -> (c17_weighted_sample _),
     "c16_token_apportion" -> (c16_token_apportion _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
@@ -535,6 +577,17 @@ object CurationQueries {
       |GROUP BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c17_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM documents),
+        |t AS (SELECT sum(n_chars) AS tw FROM documents)
+        |SELECT doc_id, n_chars, cum
+        |FROM w CROSS JOIN t
+        |WHERE (cum * 200) // tw > ((cum - n_chars) * 200) // tw""".stripMargin,
     "c11_decontaminate_apply" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

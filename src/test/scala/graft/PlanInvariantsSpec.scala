@@ -217,6 +217,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("c17: the global prefix sum runs as pid-keyed windows, never one reducer") {
+    val p = finalPlan("c17_weighted_sample")
+    // the running sum must be partitioned on pid (the two-phase scan);
+    // an unpartitioned windowspecdefinition would funnel the corpus
+    // through a single task
+    assert(p.contains("windowspecdefinition(pid"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      "prefix sum degenerated to a global (single-partition) window")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
