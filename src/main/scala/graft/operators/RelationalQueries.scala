@@ -1287,6 +1287,24 @@ object RelationalQueries {
           .as("interp_vol"))
   }
 
+  /** Numeric RANGE frame — the value-bounded window variant (q13 runs ROWS
+    * frames, q68 calendar-INTERVAL ranges; this bounds the frame by a
+    * NUMERIC offset on the ORDER BY value): peers within ±500 of each
+    * order's totalprice. Value-bounded frames are inherently
+    * tie-insensitive — the frame is defined by the value interval, not row
+    * positions — so the count is deterministic under any sort of equal
+    * prices; identical SQL text both engines, integer output.
+    */
+  private val q79Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |       count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                      RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+      |         AS n_similar
+      |FROM orders""".stripMargin
+
+  def q79_numeric_range_frame(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q79Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1365,6 +1383,7 @@ object RelationalQueries {
     "q75_scd2" -> (q75_scd2 _),
     "q77_outlier_zscore" -> (q77_outlier_zscore _),
     "q78_interpolate" -> (q78_interpolate _),
+    "q79_numeric_range_frame" -> (q79_numeric_range_frame _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1663,6 +1682,7 @@ object RelationalQueries {
         |       lead(from_us) OVER wr IS NULL AS is_current
         |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY run_idx)""".stripMargin,
     "q77_outlier_zscore" -> q77Sql,
+    "q79_numeric_range_frame" -> q79Sql,
     "q78_interpolate" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,
