@@ -1305,6 +1305,33 @@ object RelationalQueries {
   def q79_numeric_range_frame(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q79Sql)
 
+  /** Error-tolerant ingestion audit — TRY_CAST over a dirty string column
+    * (the fixture mixes numeric strings with free text deterministically):
+    * per source, how many cells parse, how many don't, and the sum over
+    * the parseable slice. This is the schema-on-read cleanup every
+    * ingestion pipeline runs before declaring a typed column; `try_cast`
+    * yields NULL on failure instead of failing the job (or silently
+    * nulling under non-ANSI CAST), and the counts stay exact integers.
+    * One scan, one aggregate; the only dialect split is STRING vs VARCHAR
+    * in the cast target.
+    */
+  private def q80Sql(strType: String): String =
+    s"""WITH raw AS (
+       |  SELECT source,
+       |         CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS $strType)
+       |              WHEN doc_id % 3 = 1 THEN substr(text, 1, 8)
+       |              ELSE CAST(doc_id AS $strType) END AS cell
+       |  FROM documents)
+       |SELECT source, count(*) AS n_rows,
+       |       count(TRY_CAST(cell AS BIGINT)) AS n_numeric,
+       |       count(*) - count(TRY_CAST(cell AS BIGINT)) AS n_bad,
+       |       CAST(sum(COALESCE(TRY_CAST(cell AS BIGINT), 0)) AS BIGINT)
+       |         AS total_ok
+       |FROM raw GROUP BY source""".stripMargin
+
+  def q80_try_cast_audit(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "documents")(q80Sql("STRING"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1384,6 +1411,7 @@ object RelationalQueries {
     "q77_outlier_zscore" -> (q77_outlier_zscore _),
     "q78_interpolate" -> (q78_interpolate _),
     "q79_numeric_range_frame" -> (q79_numeric_range_frame _),
+    "q80_try_cast_audit" -> (q80_try_cast_audit _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1683,6 +1711,7 @@ object RelationalQueries {
         |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY run_idx)""".stripMargin,
     "q77_outlier_zscore" -> q77Sql,
     "q79_numeric_range_frame" -> q79Sql,
+    "q80_try_cast_audit" -> q80Sql("VARCHAR"),
     "q78_interpolate" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,
