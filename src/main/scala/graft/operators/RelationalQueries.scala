@@ -1332,6 +1332,40 @@ object RelationalQueries {
   def q80_try_cast_audit(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "documents")(q80Sql("STRING"))
 
+  /** Market-basket association rules (the classic retail/co-occurrence
+    * mining workload — a-priori's pairwise step): per part pair, joint
+    * support, directional confidence, and lift. The pair generator is the
+    * ORDER-bounded self-join — fan-out per order is C(items-in-order, 2)
+    * (a handful), never parts² — which is the same banded economics as
+    * d05/g02; supports are one hash aggregate and join back broadcast.
+    * Counts are integers; confidence/lift are single identical
+    * expressions over those exact integers, rounded to 9dp → hash-green.
+    * Support floor 3: the co-occurrence distribution thins with SF (the
+    * CoSupport lesson) and 3 keeps every fixture SF non-trivial.
+    */
+  private val q81Sql: String =
+    """WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+      |item AS (SELECT l_orderkey, l_partkey FROM lineitem GROUP BY 1, 2),
+      |sup AS (SELECT l_partkey, count(*) AS cnt FROM item GROUP BY 1),
+      |pair AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         count(*) AS n_both
+      |  FROM item a JOIN item b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 3)
+      |SELECT part_a, part_b, n_both, sa.cnt AS n_a, sb.cnt AS n_b,
+      |       round(CAST(n_both AS DOUBLE) / sa.cnt, 9) AS confidence_ab,
+      |       round(CAST(n_both AS DOUBLE) * n.n_orders / (sa.cnt * sb.cnt), 9)
+      |         AS lift
+      |FROM pair
+      |JOIN sup sa ON sa.l_partkey = part_a
+      |JOIN sup sb ON sb.l_partkey = part_b
+      |CROSS JOIN n""".stripMargin
+
+  def q81_market_basket(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q81Sql)
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1412,6 +1446,7 @@ object RelationalQueries {
     "q78_interpolate" -> (q78_interpolate _),
     "q79_numeric_range_frame" -> (q79_numeric_range_frame _),
     "q80_try_cast_audit" -> (q80_try_cast_audit _),
+    "q81_market_basket" -> (q81_market_basket _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1712,6 +1747,7 @@ object RelationalQueries {
     "q77_outlier_zscore" -> q77Sql,
     "q79_numeric_range_frame" -> q79Sql,
     "q80_try_cast_audit" -> q80Sql("VARCHAR"),
+    "q81_market_basket" -> q81Sql,
     "q78_interpolate" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,
