@@ -1366,6 +1366,32 @@ object RelationalQueries {
   def q81_market_basket(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q81Sql)
 
+  /** Cohort LTV matrix — the revenue companion to q58's retention grid:
+    * users bucketed by first-seen week, revenue accumulated by cohort age
+    * in weeks (the fixture spans one month, so weekly granularity is what
+    * yields a real matrix; a production run swaps the truncation unit).
+    * Two aggregates and one keyed join (first-seen is a map-side-partial
+    * min; the join back to events is the only shuffle pairing); age
+    * arithmetic is integer day-diffs and revenue runs through the decimal
+    * path → hash-green.
+    */
+  def q82_cohort_ltv(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_norm")
+    s.sql(
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events_norm GROUP BY user_id),
+        |j AS (
+        |  SELECT f.cohort,
+        |         CAST(datediff(e.ts, f.cohort) div 7 AS BIGINT) AS age_weeks,
+        |         e.value
+        |  FROM events_norm e JOIN f ON e.user_id = f.user_id)
+        |SELECT date_format(cohort, 'yyyy-MM-dd') AS cohort_week, age_weeks,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1, 2""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1447,6 +1473,7 @@ object RelationalQueries {
     "q79_numeric_range_frame" -> (q79_numeric_range_frame _),
     "q80_try_cast_audit" -> (q80_try_cast_audit _),
     "q81_market_basket" -> (q81_market_basket _),
+    "q82_cohort_ltv" -> (q82_cohort_ltv _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1748,6 +1775,22 @@ object RelationalQueries {
     "q79_numeric_range_frame" -> q79Sql,
     "q80_try_cast_audit" -> q80Sql("VARCHAR"),
     "q81_market_basket" -> q81Sql,
+    "q82_cohort_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+        |f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM e GROUP BY user_id),
+        |j AS (
+        |  SELECT f.cohort,
+        |         CAST(date_diff('day', f.cohort::DATE, e.ts::DATE) // 7
+        |           AS BIGINT) AS age_weeks,
+        |         e.value
+        |  FROM e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(j.cohort, '%Y-%m-%d') AS cohort_week, age_weeks,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "q78_interpolate" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -374,7 +374,27 @@ object TextQueries {
         round(col("n_docs").cast("double") / col("n_total"), 9).as("share"))
   }
 
+  /** C4-style normalization APPLY (Raffel et al. §2.2's cleanup stage made
+    * concrete): lowercase, squash every non-[a-z0-9 .,] character to a
+    * space, collapse runs, trim, and drop docs that clean down to under 20
+    * chars — emitting the REWRITTEN text (hash-checked verbatim, like d14
+    * and c10), not just counts. Pure per-row regexp projection —
+    * scan-speed, zero shuffle; patterns are RE2-and-Java compatible
+    * (classes + bounded repetition) so both engines rewrite identically.
+    */
+  def t14_normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("cleaned", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 .,]", " "),
+        " {2,}", " ")))
+      .filter(length(col("cleaned")) >= 20)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"),
+        col("cleaned"))
+
   val queries: Map[String, Q] = Map(
+    "t14_normalize" -> (t14_normalize _),
     "t13_lang_confusion" -> (t13_lang_confusion _),
     "t12_filter_funnel" -> (t12_filter_funnel _),
     "t11_lm_quality" -> (t11_lm_quality _),
@@ -391,6 +411,17 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t14_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 .,]', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_raw,
+        |       CAST(length(cleaned) AS BIGINT) AS n_chars_clean,
+        |       cleaned
+        |FROM c WHERE length(cleaned) >= 20""".stripMargin,
     "t13_lang_confusion" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
