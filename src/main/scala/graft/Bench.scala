@@ -54,6 +54,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // the driver keeps only the TAIL of long output lines, and the full
+    // line above sorts slowest-first — so the total and the interesting
+    // queries are exactly what truncation destroys. A second, compact line
+    // (total + top-10 slowest + error count) printed LAST survives any
+    // tail capture and is independently parseable JSON.
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"top10_slowest":$top10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

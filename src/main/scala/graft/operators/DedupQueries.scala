@@ -116,8 +116,18 @@ object DedupQueries {
     * h differing bits spread across every chunk); verified by exact
     * Hamming distance.
     */
-  def d04_dedup_simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = docShingles(s, d)
+  def d04_dedup_simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** d04's pair pipeline parameterized on the raw (doc_id, text) corpus, so
+    * the chunk-LSH recall guarantee is testable on a planted pair
+    * (QueriesSpec): docs within Hamming distance 3 share an intact 16-bit
+    * chunk by pigeonhole (4 chunks, at most 3 differing bits) and MUST
+    * surface; identical docs collide on every chunk.
+    */
+  private[graft] def simhashPairs(rawDocs: DataFrame): DataFrame = {
+    val docs = shingled(rawDocs)
       .select(col("doc_id"), simhash64(col("toks")).as("sh"))
     // unsigned shift + mask, NOT DIV/%: sh is a full-range signed long (bit
     // 63 set for ~half of docs) and truncating division would decompose

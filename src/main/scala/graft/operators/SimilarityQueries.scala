@@ -591,8 +591,108 @@ object SimilarityQueries {
     picked.select(col("q_id"), col("rank"), col("vec_id"), col("score"))
   }
 
+  // -------------------------------------------------------------------
+  // s17: PERSISTED IVF+PQ index — the offline-build / online-query split
+  // -------------------------------------------------------------------
+
+  /** On-disk index layout/math version; baked into the directory name so a
+    * change to the training or encoding arithmetic orphans old indexes
+    * instead of silently serving stale codes to a newer query path.
+    */
+  private val IvfPqIndexVersion = "v1"
+
+  private[graft] def ivfPqIndexDir(d: String): String =
+    SketchQueries.partialsDir(s"ivfpq_$IvfPqIndexVersion", d)
+
+  /** OFFLINE index build: train the PQ codebooks and coarse centroids,
+    * encode every corpus vector ONCE, and persist the three index tables
+    *
+    *   {{{<dir>/centroids     (cell int, centroid double[dim])}}}
+    *   {{{<dir>/pq_codebooks  (m int, c int, centroid double[dsub])}}}
+    *   {{{<dir>/pq_codes      (vec_id long, label int, codes int[M])}}}
+    *
+    * committed by a `_complete` marker (interrupted builds rebuild; a
+    * present marker skips the build entirely, so repeated queries pay
+    * zero training cost). This is q65's persist→merge pattern applied to
+    * vectors: at 100 TB the train+encode pass is the one expensive corpus
+    * scan, paid once per corpus version, and every query thereafter reads
+    * 8 small codes per row instead of 256 bytes of floats — the split
+    * s10/s12 (which re-train inline per call) only simulate. Parquet
+    * round-trips doubles exactly, so the stored index is bit-identical
+    * to the in-memory one s10 trains.
+    */
+  private[graft] def ensureIvfPqIndex(s: SparkSession, d: String): String = {
+    val dir = ivfPqIndexDir(d)
+    if (new java.io.File(dir, "_complete").exists()) return dir
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint() // training, centroids and encode share one scan
+    val codebooks = trainCodebooks(e)
+    import s.implicits._
+    (for (m <- 0 until PqM; c <- 0 until PqK) yield (m, c, codebooks(m)(c)))
+      .toDF("m", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+    quantizedMeanCells(e)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    e.select(col("vec_id"), col("label"), pqCodes(codebooks).as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/pq_codes")
+    new java.io.File(dir, "_complete").createNewFile()
+    dir
+  }
+
+  /** ONLINE query path over the persisted index — reads ONLY the stored
+    * tables, never the corpus's raw embedding floats (PlanInvariantsSpec
+    * pins `embeddings.parquet` absent from the executed plan). Query
+    * routing and ADC-table construction are driver-side arithmetic over
+    * k-bounded reads — 8 centroid rows, 128 codebook rows, 10 query
+    * vectors, all constants at any corpus size (the same collect budget
+    * the inline [[adcTables]] already spends). The only corpus-sized work
+    * is one scan of `pq_codes` joined against the broadcast probe set,
+    * then the partial-heap top-k. Every fold and tie-break mirrors s10's
+    * inline path exactly (routing: sim desc then cell asc; ADC: the
+    * sequential-double cosine), so QueriesSpec pins result equality with
+    * s10 — persistence is lossless and s17 inherits s10's pinned recall.
+    */
+  def s17_persisted_ivfpq(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIvfPqIndex(s, d)
+    // the same sequential fold as VectorFunctions.CosineSimilarity and the
+    // inline adcTables — routing/scoring must not diverge from s10's
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
+    val cb = s.read.parquet(s"$dir/pq_codebooks").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c")) ->
+        r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+    val qs = queriesSide(s, d)
+      .select(col("q_id"), col("q_emb").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val probes = qs.flatMap { case (qid, emb) =>
+      // nprobe=2 routing under TopKPerGroup's (c_sim desc, cell) contract
+      val routed = cents.map { case (cell, cen) => (cell, cos(emb, cen)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
+      val tables = (0 until PqM).map { m =>
+        val sub = emb.slice(m * PqDsub, (m + 1) * PqDsub)
+        (0 until PqK).map(c => cos(sub, cb((m, c)))).toSeq
+      }
+      routed.map(cell => (qid, cell, tables))
+    }
+    import s.implicits._
+    val probesDf = probes.toSeq.toDF("q_id", "cell", "tables")
+    perQueryTopK(
+      s.read.parquet(s"$dir/pq_codes")
+        .join(broadcast(probesDf),
+          col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim", adcScore)
+        .select(col("q_id"), col("vec_id"), col("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
     "s16_mmr_rerank" -> (s16_mmr_rerank _),
+    "s17_persisted_ivfpq" -> (s17_persisted_ivfpq _),
     "s15_truncated_rerank" -> (s15_truncated_rerank _),
     "s14_rrf_fusion" -> (s14_rrf_fusion _),
     "s13_filtered_knn" -> (s13_filtered_knn _),

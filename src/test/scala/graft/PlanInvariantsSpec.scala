@@ -144,6 +144,19 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"q66 merge stage rescanned raw orders:\n${p66.take(1200)}")
   }
 
+  test("s17 persisted ANN: query path scans stored codes, never raw embeddings") {
+    // the index split's whole point: once built, queries read 8 small
+    // codes per corpus row from the stored index — a plan that rescans
+    // embeddings.parquet has silently regressed to the inline rebuild
+    val p = finalPlan("s17_persisted_ivfpq")
+    assert(!p.contains("embeddings.parquet"),
+      s"s17 query path rescanned raw embeddings:\n${p.take(1200)}")
+    assert(p.contains("pq_codes"),
+      s"s17 query path does not read the persisted codes:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"), p.take(800)) // probes broadcast
+    assert(!p.contains("Window"), s"s17 grew a rank window:\n${p.take(1200)}")
+  }
+
   test("c13: bloom bit-test screens the corpus before the broadcast verify join") {
     val p = finalPlan("c13_decontaminate_bloom")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))

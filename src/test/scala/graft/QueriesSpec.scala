@@ -88,6 +88,103 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("q32 approx distinct stays within 5% of the exact count per group") {
+    // HLL++ at Spark's default rsd=0.05; the query carries its own exact
+    // twin column, so the sketch's error bound is directly assertable
+    val rows = SparkEntry.queries("q32_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("l_returnflag")}: approx $approx vs exact $exact")
+    }
+  }
+
+  test("d04 simhash LSH: planted duplicate pair is guaranteed to surface") {
+    import spark.implicits._
+    // identical docs have Hamming distance 0 -> collide on all four 16-bit
+    // chunks (the pigeonhole guarantee covers any pair within distance 3);
+    // the unrelated third doc exercises the verify filter
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 40).map(i => s"omega${i}z qq$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val pairs = operators.DedupQueries.simhashPairs(docs).collect()
+    val planted = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(planted.isDefined, s"identical docs missed: ${pairs.mkString(", ")}")
+    assert(planted.get.getAs[Long]("hamming") == 0L)
+    assert(pairs.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("d07 LSH near-dup pairs agree with d06 inside shared label buckets") {
+    // d07 buckets by hyperplane signs, d06 by label — where the two pair
+    // spaces overlap (same label, above d06's 0.35 threshold) d06 is
+    // exhaustive, so every such d07 pair must be in d06's output
+    val d06 = SparkEntry.queries("d06_embed_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val d07 = SparkEntry.queries("d07_embed_neardup_lsh")(spark, sf).collect()
+    assert(d07.nonEmpty, "d07 found no pairs on the fixture")
+    assert(d07.forall(r => r.getAs[Double]("sim") > 0.3))
+    val overlap = d07.filter(r =>
+        labels(r.getAs[Long]("vec_a")) == labels(r.getAs[Long]("vec_b")) &&
+          r.getAs[Double]("sim") > 0.35)
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(overlap.subsetOf(d06),
+      s"d07 pairs missing from exhaustive d06: ${overlap.diff(d06)}")
+  }
+
+  test("d08 greedy apply matches an independent driver-side recomputation") {
+    val drops = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf).collect()
+      .filter(_.getAs[Double]("jaccard") >= 0.8)
+      .map(_.getAs[Long]("doc_b")).toSet
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+      .filterNot(t => drops(t._1))
+      .groupBy(_._2).map { case (lang, ds) =>
+        (lang, ds.size.toLong, ds.map(_._3).sum) }.toSet
+    val actual = SparkEntry.queries("d08_dedup_apply")(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_chars"))).toSet
+    assert(actual == expected,
+      s"only-in-spark=${actual.diff(expected)} only-in-recompute=${expected.diff(actual)}")
+  }
+
+  test("s17 persisted index equals inline s10: the build/query split is lossless") {
+    // same training math, parquet round-trips doubles exactly — so the
+    // stored-index query path must reproduce the inline path's top-k
+    // bit-for-bit (pairs exactly; sims to 1e-9 as last-ulp insurance for
+    // the shuffle-fetch-order caveat in KMeans' scaladoc). Equality also
+    // transfers s10's pinned recall floor/ceiling to s17 for free.
+    def byPair(name: String): Map[(Long, Long), Double] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+          r.getAs[Double]("sim")).toMap
+    val p17 = byPair("s17_persisted_ivfpq")
+    val p10 = byPair("s10_ivf_pq")
+    assert(p17.size == 50, s"s17 returned ${p17.size} rows, want 10x5")
+    assert(p17.keySet == p10.keySet,
+      s"persisted index diverged from inline: only-in-s17=${p17.keySet.diff(p10.keySet)} " +
+        s"only-in-s10=${p10.keySet.diff(p17.keySet)}")
+    p17.foreach { case (k, v) =>
+      assert(math.abs(v - p10(k)) < 1e-9, s"ADC score drifted at $k: $v vs ${p10(k)}")
+    }
+  }
+
+  test("s17 rebuild is skipped once the index marker is committed") {
+    operators.SimilarityQueries.ensureIvfPqIndex(spark, sf)
+    val dir = operators.SimilarityQueries.ivfPqIndexDir(sf)
+    val marker = new java.io.File(dir, "_complete")
+    assert(marker.exists(), s"build did not commit its marker in $dir")
+    val before = marker.lastModified()
+    operators.SimilarityQueries.ensureIvfPqIndex(spark, sf)
+    assert(marker.lastModified() == before, "second call rebuilt a committed index")
+  }
+
   test("c08/c09 eval-side broadcast bound fails loudly, not at the executor") {
     import spark.implicits._
     val big = (0 until 50).map(i => (i.toLong, "en", "web", s"doc $i"))
