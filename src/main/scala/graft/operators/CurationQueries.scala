@@ -789,8 +789,8 @@ object CurationQueries {
          |  FROM t),
          |bpe AS (
          |  SELECT doc_id,
-         |         CAST(len(regexp_extract_all(lower(text),
-         |           '${TextQueries.BpePattern}', 0)) AS BIGINT) AS n_bpe
+         |         CAST(len(regexp_split_to_array(
+         |           trim(${TextQueries.duckBpeEncode}), ' +')) AS BIGINT) AS n_bpe
          |  FROM documents)
          |SELECT lang, count(*) AS n_kept,
          |       CAST(sum(n_bpe) AS BIGINT) AS kept_bpe_tokens

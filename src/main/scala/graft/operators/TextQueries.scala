@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -243,11 +243,11 @@ object TextQueries {
         (col("coll") / (col("n_tokens") * (col("n_tokens") - 1)))
           .as("simpson_index"))
 
-  /** Fixed BPE-style merge vocabulary for t10 — the learned artifact a real
-    * tokenizer ships (GPT-2's merges.txt shape): a mix of whole-word pieces
-    * and sub-word merges. Deterministic and engine-shareable; unknown
-    * characters fall back to single-symbol pieces exactly like byte-level
-    * BPE's base alphabet.
+  /** Fixed greedy-match vocabulary for t15 — the WordPiece-style longest-
+    * match tokenizer (kept next to t10's true BPE as the contrast every
+    * tokenizer survey draws): a mix of whole-word pieces and sub-word
+    * stems. Deterministic and engine-shareable; unknown characters fall
+    * back to single-symbol pieces.
     */
   private[graft] val BpeVocab: Seq[String] = Seq(
     // whole-word pieces
@@ -269,16 +269,86 @@ object TextQueries {
     BpeVocab.sortBy(v => (-v.length, v))
       .mkString("(?:", "|", "|[a-z0-9]|[^a-z0-9 ])")
 
-  /** Tokenizer APPLICATION over the corpus (the real token-budget input —
-    * t03's regex only estimates): per-doc BPE piece count, the first pieces
-    * themselves (hash-checking the actual walk, not just totals), and the
-    * chars-per-token compression ratio. Zero-shuffle projection; the vocab
-    * is a pattern literal (a broadcast table once vocabs reach 50k merges).
+  /** Greedy longest-match tokenization (WordPiece-style) as ONE regex
+    * alternation: pieces sorted longest-first, single-symbol fallbacks
+    * last. Regex scanning is leftmost-first in both Java (Spark) and RE2
+    * (DuckDB), and with the alternation length-ordered, leftmost-first IS
+    * longest-match — the entire vocab walk is a codegen'd single pass with
+    * no UDF and an exact SQL twin. (Previously misnamed t10 "BPE"; the
+    * true rank-ordered merge tokenizer is t10 below.)
     */
-  def t10_bpe_tokenize(s: SparkSession, d: String): DataFrame =
+  def t15_wordpiece_greedy(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("pieces",
         expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+      .select(col("doc_id"),
+        size(col("pieces")).cast("long").as("n_tokens"),
+        expr("array_join(slice(pieces, 1, 12), '|')").as("head_pieces"),
+        (length(col("text")) / size(col("pieces"))).as("chars_per_token"))
+
+  /** TRUE BPE merge table for t10, in rank order (the merges.txt a real
+    * tokenizer ships, GPT-2 shape). Well-formedness invariant: each rank's
+    * operands are base characters or products of STRICTLY earlier ranks —
+    * which is what makes one ascending pass over ranks (each to fixpoint)
+    * equivalent to the reference iterative algorithm that repeatedly
+    * merges the lowest-rank pair present (a later merge can never create
+    * an occurrence of an earlier-rank pair).
+    */
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "s" -> "t", "a" -> "r", "o" -> "u", "i" -> "t",
+    "in" -> "g")
+
+  /** Sweeps per rank to reach the merge's fixpoint with non-overlapping
+    * left-to-right `replace`: a run of n identical adjacent pairs loses
+    * the shared boundary space at every other occurrence, halving per
+    * sweep — 6 sweeps cover runs past any real word length.
+    */
+  private val BpeSweeps = 6
+
+  /** Symbol-sequence encoding: one space AFTER every character plus one
+    * leading space, so a word-internal adjacent pair (x, y) is the
+    * substring " x y " while word boundaries widen to 3+ spaces that no
+    * merge pattern can cross. Each merge rank is then plain (non-regex)
+    * `replace(" x y " -> " xy ")` — identical left-to-right
+    * non-overlapping semantics in Spark and DuckDB, so the whole
+    * tokenizer sits under the hash gate.
+    */
+  private[graft] def bpeEncode(text: Column): Column = {
+    var s = concat(lit(" "), regexp_replace(lower(text), "(.)", "$1 "))
+    for ((a, b) <- BpeMerges; _ <- 1 to BpeSweeps)
+      s = call_function("replace", s, lit(s" $a $b "), lit(s" $a$b "))
+    s
+  }
+
+  /** Final pieces: symbols are single-space separated, boundaries 2+. */
+  private[graft] def bpePieces(text: Column): Column =
+    split(trim(bpeEncode(text)), " +")
+
+  /** The DuckDB twin of [[bpeEncode]] — the same 16 ranks x 6 sweeps as
+    * nested `replace` calls over the same char-spaced encoding.
+    */
+  private[graft] def duckBpeEncode: String = {
+    var s = "' ' || regexp_replace(lower(text), '(.)', '\\1 ', 'g')"
+    for ((a, b) <- BpeMerges; _ <- 1 to BpeSweeps)
+      s = s"replace($s, ' $a $b ', ' $a$b ')"
+    s
+  }
+
+  /** Rank-ordered BPE tokenizer APPLICATION over the corpus (the real
+    * token-budget input — t03's regex only estimates): per-doc piece
+    * count, the first pieces themselves (hash-checking the actual merge
+    * walk, not just totals), and the chars-per-token compression ratio.
+    * Zero-shuffle projection; the merge table compiles to a chain of
+    * codegen'd constant-pattern `replace` kernels (a broadcast table +
+    * join once vocabs reach 50k learned merges). QueriesSpec pins
+    * hand-computed rank-order tokenizations, including a case where rank
+    * order and greedy longest-match (t15) disagree.
+    */
+  def t10_bpe_tokenize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pieces", bpePieces(col("text")))
       .select(col("doc_id"),
         size(col("pieces")).cast("long").as("n_tokens"),
         expr("array_join(slice(pieces, 1, 12), '|')").as("head_pieces"),
@@ -399,6 +469,7 @@ object TextQueries {
     "t12_filter_funnel" -> (t12_filter_funnel _),
     "t11_lm_quality" -> (t11_lm_quality _),
     "t10_bpe_tokenize" -> (t10_bpe_tokenize _),
+    "t15_wordpiece_greedy" -> (t15_wordpiece_greedy _),
     "t09_diversity" -> (t09_diversity _),
     "t08_repetition" -> (t08_repetition _),
     "t07_bm25" -> (t07_bm25 _),
@@ -472,6 +543,13 @@ object TextQueries {
         |FROM b JOIN lm USING (w1, w2)
         |GROUP BY doc_id""".stripMargin,
     "t10_bpe_tokenize" ->
+      s"""SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_tokens,
+         |       array_to_string(pieces[1:12], '|') AS head_pieces,
+         |       length(text) / len(pieces) AS chars_per_token
+         |FROM (SELECT doc_id, text,
+         |             regexp_split_to_array(trim($duckBpeEncode), ' +') AS pieces
+         |      FROM documents)""".stripMargin,
+    "t15_wordpiece_greedy" ->
       s"""SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_tokens,
          |       array_to_string(pieces[1:12], '|') AS head_pieces,
          |       length(text) / len(pieces) AS chars_per_token

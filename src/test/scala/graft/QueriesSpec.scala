@@ -244,7 +244,7 @@ class QueriesSpec extends SparkTestBase {
     assert(merged == Map(0.5 -> q(0.5), 0.9 -> q(0.9), 0.99 -> q(0.99)), merged)
   }
 
-  test("t10 BPE walk matches the hand-tokenization of a known string") {
+  test("t15 greedy walk matches the hand-tokenization of a known string") {
     import spark.implicits._
     val got = Seq("the customer data joining fastest").toDF("text")
       .select(expr(
@@ -255,6 +255,29 @@ class QueriesSpec extends SparkTestBase {
     // merges cover the stems, single chars mop up
     assert(got == Seq("the", "cust", "omer", "data", "join", "in", "g",
       "fast", "es", "t"), got.mkString("|"))
+  }
+
+  test("t10 BPE applies merges in rank order (hand-computed tokenizations)") {
+    import spark.implicits._
+    val got = Seq(
+        // another: t+h, th+e, a+n -> [an|o|the|r]
+        // interesting: i+n x2, e+r, s+t, in+g -> [in|t|er|e|st|ing]
+        // thing: t+h, i+n, in+g -> [th|ing]
+        (1L, "another interesting thing"),
+        // rank order beats left-to-right pair position: rank-1 (t,h)
+        // claims the 'h' before rank-9 (a,t) can claim the 't'
+        (2L, "path"),
+        // a run of identical mergeable pairs must reach the same fixpoint
+        // true BPE reaches (needs >1 replace sweep per rank)
+        (3L, "thththth"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        operators.TextQueries.bpePieces(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(1L) == List("an", "o", "the", "r", "in", "t", "er", "e",
+      "st", "ing", "th", "ing"), got(1L).mkString("|"))
+    assert(got(2L) == List("p", "a", "th"), got(2L).mkString("|"))
+    assert(got(3L) == List("th", "th", "th", "th"), got(3L).mkString("|"))
   }
 
   test("s12 exact re-rank lifts s10's ADC recall toward the s08 ceiling") {
