@@ -122,10 +122,38 @@ object SketchQueries {
       .select(explode(col("sketch")).as(Seq("token", "est_count")))
   }
 
+  /** q66's persist→merge rollup with a REAL quantile digest: per-day KLL
+    * sketches of o_totalprice persisted ([[graft.functions.KllQuantiles]],
+    * k=200 ≈ 1.65% rank error in ~3 KB), then p25/p50/p75 computed by
+    * MERGING the stored blobs only — the merge stage's input is |days|
+    * binary rows whatever the corpus size, and unlike q66's equi-width
+    * histogram the digest needs no domain bounds known up front. KLL
+    * compaction is randomized → rows-only registry check; QueriesSpec pins
+    * the rank-error contract against the exact percentiles and the exact
+    * absorbed-n, PlanInvariantsSpec pins that the merge never rescans
+    * orders.
+    */
+  def q83_kll_rollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_n, kll_quantile}
+    val dir = partialsDir("kll_partials", d)
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(kll_agg(col("o_totalprice")).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .agg(count(lit(1)).as("n_partials"), kll_merge(col("sketch")).as("sk"))
+      .select(col("n_partials"),
+        kll_n(col("sk")).as("n"),
+        kll_quantile(col("sk"), lit(0.25)).as("p25"),
+        kll_quantile(col("sk"), lit(0.5)).as("p50"),
+        kll_quantile(col("sk"), lit(0.75)).as("p75"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_hll_rollup" -> (q65_hll_rollup _),
     "q66_histogram_rollup" -> (q66_histogram_rollup _),
     "q76_freq_items" -> (q76_freq_items _),
+    "q83_kll_rollup" -> (q83_kll_rollup _),
   )
 
   /** q65's Datasketches binary isn't reproducible in DuckDB -> rows-only

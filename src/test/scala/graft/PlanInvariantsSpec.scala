@@ -142,6 +142,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p66 = finalPlan("q66_histogram_rollup")
     assert(!p66.contains("orders.parquet"),
       s"q66 merge stage rescanned raw orders:\n${p66.take(1200)}")
+    val p83 = finalPlan("q83_kll_rollup")
+    assert(!p83.contains("orders.parquet"),
+      s"q83 merge stage rescanned raw orders:\n${p83.take(1200)}")
+    assert(p83.contains("kll_merge"), p83.take(800))
+    // map-side partial merge: the sketch union is mergeable like any
+    // partial aggregate — a plan without the partial step would funnel
+    // every stored blob through one task
+    assert(p83.contains("partial_kll_merge"), p83.take(1200))
   }
 
   test("s17 persisted ANN: query path scans stored codes, never raw embeddings") {

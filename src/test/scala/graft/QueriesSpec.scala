@@ -154,6 +154,26 @@ class QueriesSpec extends SparkTestBase {
       s"only-in-spark=${actual.diff(expected)} only-in-recompute=${expected.diff(actual)}")
   }
 
+  test("q83 KLL rollup honors the sketch contract: exact n, bounded rank error") {
+    val r = SparkEntry.queries("q83_kll_rollup")(spark, sf).collect().head
+    val orders = Tables.orders(spark, sf).select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = orders.length.toLong
+    // n is tracked exactly through build, persist and merge
+    assert(r.getAs[Long]("n") == n, s"sketch absorbed ${r.getAs[Long]("n")} of $n")
+    assert(r.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
+    // rank-error contract: the estimate's true normalized rank must sit
+    // within eps of the target. k=200 guarantees ~1.65% at 99% confidence;
+    // 2.5% gives astronomically small flake odds (and at this n the
+    // sketch barely compacts at all)
+    for ((q, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")) {
+      val est = r.getAs[Double](colName)
+      val trueRank = orders.count(_ <= est).toDouble / n
+      assert(math.abs(trueRank - q) <= 0.025,
+        s"$colName=$est has true rank $trueRank, target $q")
+    }
+  }
+
   test("s17 persisted index equals inline s10: the build/query split is lossless") {
     // same training math, parquet round-trips doubles exactly — so the
     // stored-index query path must reproduce the inline path's top-k
