@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * result is large (one connection per partition, as in the reference's
   * connection-per-request model, `src/loader.py:208-220`).
   *
-  * Config-gated: there is no live RDBMS in this environment, so only the
-  * option plumbing is exercised by tests; `load()` is the caller's call.
+  * Config-gated: there is no live RDBMS in this environment, so by default
+  * only the option plumbing is exercised by tests; setting `GRAFT_MYSQL_URL`
+  * (+ `GRAFT_MYSQL_USER`/`GRAFT_MYSQL_PASSWORD`) opts SourcesSpec into a
+  * live round-trip against a real server.
   */
 object JdbcWholeQuery {
   def reader(spark: SparkSession, url: String, sql: String,

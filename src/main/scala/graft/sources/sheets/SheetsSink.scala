@@ -33,10 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    SKIPPED, not truncated (`src/loader.py:250-253`) — enforced in
   *    `BatchWrite.commit` from per-task row counts, so no second count job
   *    runs and no partial sheet is ever visible;
-  *  - zero-egress: a local destination directory emulates the Drive folder;
-  *    a production build would swap the file move in `commit` for the
-  *    resumable-upload client (`src/loader.py:180-183`) behind the same
-  *    interface.
+  *  - zero-egress: a local destination directory emulates the Drive folder
+  *    through [[LocalFolderTransport]]; a production build swaps in a
+  *    resumable-upload client (`src/loader.py:180-183`) behind the
+  *    [[SheetTransport]] interface — a type, not a comment.
   *
   * Scale notes: tasks write CSV parts in parallel (no driver bottleneck);
   * `commit` concatenates parts in partition order — safe here because the
@@ -96,6 +96,38 @@ final class SheetsTable(tblSchema: StructType, dir: Option[String],
 final case class SheetsCommitMessage(partPath: String, rows: Long)
   extends WriterCommitMessage
 
+/** Transport seam for the commit stage — WHERE an assembled sheet goes,
+  * typed instead of documented: the sink streams the complete sheet body
+  * through `content` and the transport publishes it under `name`,
+  * atomically replacing any existing sheet of that name (the reference's
+  * update-else-create upsert, `src/loader.py:159-179`).
+  *
+  * [[LocalFolderTransport]] is the zero-egress implementation (temp file +
+  * atomic move into a local folder). A production deployment swaps in a
+  * resumable-upload client (`src/loader.py:78-102,180-183` — start a
+  * session, stream chunks, finalize-or-abort) behind this same interface;
+  * the sink's assembly, cell-guard and commit bookkeeping don't change.
+  */
+trait SheetTransport {
+  def upsert(name: String, content: java.io.Writer => Unit): Unit
+}
+
+/** `<dest>/<name>.csv` with temp-file + ATOMIC_MOVE — readers never see a
+  * partially written sheet, matching the all-or-nothing finalize of a
+  * resumable upload.
+  */
+final class LocalFolderTransport(dest: String) extends SheetTransport {
+  override def upsert(name: String, content: java.io.Writer => Unit): Unit = {
+    val target = Paths.get(dest, s"$name.csv")
+    val tmp = Paths.get(dest, s".$name.csv.tmp")
+    Files.createDirectories(Paths.get(dest))
+    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    try content(out) finally out.close()
+    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE) // update-in-place upsert (:168-174)
+  }
+}
+
 final case class CommitMeta(name: String, rows: Long, cells: Long, skipped: Boolean)
 
 object SheetsSink {
@@ -111,7 +143,11 @@ object SheetsSink {
 }
 
 final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
-    schema: StructType) extends BatchWrite {
+    schema: StructType,
+    transport: SheetTransport) extends BatchWrite {
+
+  def this(dest: String, sheet: String, cellLimit: Long, schema: StructType) =
+    this(dest, sheet, cellLimit, schema, new LocalFolderTransport(dest))
 
   private val staging = Paths.get(dest, s".staging-$sheet-${java.util.UUID.randomUUID()}")
 
@@ -130,11 +166,7 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
       SheetsSink.recordCommit(CommitMeta(sheet, rows, cells, skipped = true))
       return
     }
-    val target = Paths.get(dest, s"$sheet.csv")
-    val tmp = Paths.get(dest, s".$sheet.csv.tmp")
-    Files.createDirectories(Paths.get(dest))
-    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-    try {
+    transport.upsert(sheet, { out =>
       out.write(schema.fieldNames.map(CsvFormat.quote).mkString(",")) // header, src/loader.py:240
       out.write("\n")
       msgs.sortBy(_.partPath).foreach { m =>
@@ -148,9 +180,7 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
           } finally in.close()
         }
       }
-    } finally out.close()
-    Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE) // update-in-place upsert (:168-174)
+    })
     cleanup()
     SheetsSink.recordCommit(CommitMeta(sheet, rows, cells, skipped = false))
   }

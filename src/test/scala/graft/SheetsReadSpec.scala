@@ -9,6 +9,35 @@ import org.apache.spark.sql.functions._
   */
 class SheetsReadSpec extends SparkTestBase {
 
+  test("commit streams the assembled sheet through the SheetTransport seam") {
+    import graft.sources.sheets._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("sheets_transport").toString
+    val part = Files.createTempFile("graft_part", "")
+    Files.write(part, "a,1\nb,2\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", IntegerType)))
+    var published = Map.empty[String, String]
+    val recording = new SheetTransport {
+      override def upsert(name: String, content: java.io.Writer => Unit): Unit = {
+        val sw = new java.io.StringWriter(); content(sw)
+        published += name -> sw.toString
+      }
+    }
+    // within the cell guard: the full header+parts stream reaches the
+    // transport exactly once, under the sheet's name
+    new SheetsBatchWrite(dir, "t_ok", 1000L, schema, recording)
+      .commit(Array(SheetsCommitMessage(part.toString, 2L)))
+    assert(published("t_ok") == "k,v\na,1\nb,2\n")
+    assert(SheetsSink.takeCommit("t_ok").exists(!_.skipped))
+    // over the guard: skip means the transport is NEVER invoked — no
+    // partial sheet can exist on any transport implementation
+    new SheetsBatchWrite(dir, "t_over", 2L, schema, recording)
+      .commit(Array(SheetsCommitMessage(part.toString, 2L)))
+    assert(!published.contains("t_over"))
+    assert(SheetsSink.takeCommit("t_over").exists(_.skipped))
+  }
+
   test("write -> read round-trip preserves values incl. CSV-hostile strings") {
     import spark.implicits._
     val dest = Files.createTempDirectory("sheets_rt").toString

@@ -134,4 +134,23 @@ class SourcesSpec extends SparkTestBase {
     val msg = String.valueOf(ex.getMessage).toLowerCase
     assert(msg.contains("driver") || msg.contains("connect"), s"unexpected: $msg")
   }
+
+  test("jdbc whole-query round-trips against a live MySQL (GRAFT_MYSQL_URL)") {
+    // opt-in integration check: set GRAFT_MYSQL_URL (and optionally
+    // GRAFT_MYSQL_USER/GRAFT_MYSQL_PASSWORD) to a reachable server to prove
+    // the option("query", ...) path end-to-end — the reference's
+    // whole-statement pushdown (loader.py:231) against a real dialect.
+    // Without the env var the test is canceled, keeping the suite green in
+    // the zero-egress sandbox.
+    val url = sys.env.get("GRAFT_MYSQL_URL")
+    assume(url.isDefined, "GRAFT_MYSQL_URL not set; skipping live-MySQL check")
+    val creds = Seq("user" -> sys.env.get("GRAFT_MYSQL_USER"),
+        "password" -> sys.env.get("GRAFT_MYSQL_PASSWORD"))
+      .collect { case (k, Some(v)) => k -> v }.toMap
+    val df = graft.sources.JdbcWholeQuery.load(spark, url.get,
+      "SELECT 1 + 1 AS two, 'mysql' AS dialect", creds)
+    val row = df.collect().head
+    assert(row.getAs[Number]("two").longValue() == 2L)
+    assert(row.getAs[String]("dialect") == "mysql")
+  }
 }
