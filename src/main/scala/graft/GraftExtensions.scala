@@ -50,6 +50,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[functions.WordShingles].getName, "word_shingles"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("word_shingles", 1, exprs); functions.WordShingles(exprs.head, 3) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_agg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.KllBuildAgg].getName, "kll_agg"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("kll_agg", 1, exprs); functions.KllBuildAgg(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_merge"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.KllMergeAgg].getName, "kll_merge"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("kll_merge", 1, exprs); functions.KllMergeAgg(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_quantile"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.KllQuantile].getName, "kll_quantile"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("kll_quantile", 2, exprs); functions.KllQuantile(exprs(0), exprs(1)) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_n"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.KllN].getName, "kll_n"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("kll_n", 1, exprs); functions.KllN(exprs.head) }))
   }
 }
 

@@ -46,6 +46,7 @@ object Sessions {
     // engine-native functions, reachable from raw SQL text (idempotent)
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
+    graft.functions.KllQuantiles.register(s)
     // discarded-rank window top-k -> native heap operator (idempotent add;
     // spark-submit deployments get the same rule via GraftExtensions). The
     // strategy must ride along: the rule can now introduce TopKPerGroupNode

@@ -174,4 +174,30 @@ object KllQuantiles {
   def kll_quantile(c: Column, rank: Column): Column =
     column(KllQuantile(expression(c), expression(rank)))
   def kll_n(c: Column): Column = column(KllN(expression(c)))
+
+  /** SQL registration (the engine rule: every native function is reachable
+    * from raw SQL text, not just the Column API). The analyzer wraps a
+    * registered AggregateFunction in its AggregateExpression itself.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kll_agg",
+      (exprs: Seq[Expression]) => {
+        graft.GraftExtensions.arity("kll_agg", 1, exprs); KllBuildAgg(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("kll_merge",
+      (exprs: Seq[Expression]) => {
+        graft.GraftExtensions.arity("kll_merge", 1, exprs); KllMergeAgg(exprs.head)
+      }, "built-in")
+    reg.createOrReplaceTempFunction("kll_quantile",
+      (exprs: Seq[Expression]) => {
+        graft.GraftExtensions.arity("kll_quantile", 2, exprs)
+        KllQuantile(exprs(0), exprs(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("kll_n",
+      (exprs: Seq[Expression]) => {
+        graft.GraftExtensions.arity("kll_n", 1, exprs); KllN(exprs.head)
+      }, "built-in")
+  }
 }

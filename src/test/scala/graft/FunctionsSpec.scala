@@ -33,6 +33,23 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(math.abs(r - 1.0) < 1e-15)
   }
 
+  test("kll sketch functions are callable from raw SQL text") {
+    Sessions.tune(spark)
+    // end-to-end in one statement: build over 1..1000, read back median
+    // estimate and exact n — n is exact by contract, the median of a
+    // barely-compacted 1000-item stream lands within the coarse bound
+    val r = spark.sql(
+      """SELECT kll_n(sk) AS n, kll_quantile(sk, 0.5D) AS med
+        |FROM (SELECT kll_agg(CAST(id AS DOUBLE)) AS sk FROM range(1, 1001))
+        |""".stripMargin).head()
+    assert(r.getAs[Long]("n") == 1000L)
+    assert(math.abs(r.getAs[Double]("med") - 500.0) <= 30.0)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_quantile(CAST(NULL AS BINARY))").collect()
+    }
+    assert(e.getMessage.contains("kll_quantile"))
+  }
+
   test("wrong arity in SQL raises an analysis error, not a crash or silent drop") {
     Sessions.tune(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
