@@ -601,8 +601,14 @@ object SimilarityQueries {
     */
   private val IvfPqIndexVersion = "v1"
 
-  private[graft] def ivfPqIndexDir(d: String): String =
-    SketchQueries.partialsDir(s"ivfpq_$IvfPqIndexVersion", d)
+  private[graft] def ivfPqIndexDir(d: String): String = {
+    // key the stored index by the corpus file's identity (size + mtime),
+    // not just its path: a regenerated dataset at the same path must
+    // orphan the old index, never serve stale codes under a valid marker
+    val f = new java.io.File(d, "embeddings.parquet")
+    SketchQueries.partialsDir(
+      s"ivfpq_${IvfPqIndexVersion}_${f.length()}_${f.lastModified()}", d)
+  }
 
   /** OFFLINE index build: train the PQ codebooks and coarse centroids,
     * encode every corpus vector ONCE, and persist the three index tables
