@@ -149,11 +149,37 @@ object SketchQueries {
         kll_quantile(col("sk"), lit(0.75)).as("p75"))
   }
 
+  /** q83's rollup GROUPED — per-(status, day) sketch partials stored, then
+    * per-status quantiles by merging each status's stored blobs: the
+    * per-segment dashboard shape (one sketch row per group per day; the
+    * merge is a keyed aggregate whose input is |groups|x|days| blobs, with
+    * map-side partial merge like any hash aggregate). Cross-checked
+    * against q40's exact per-status percentiles in QueriesSpec via the
+    * same rank-error contract.
+    */
+  def q84_kll_by_group(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_n, kll_quantile}
+    val dir = partialsDir("kll_grp_partials", d)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+      .agg(kll_agg(col("o_totalprice")).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(kll_merge(col("sketch")).as("sk"))
+      .select(col("o_orderstatus"),
+        kll_n(col("sk")).as("n"),
+        kll_quantile(col("sk"), lit(0.25)).as("p25"),
+        kll_quantile(col("sk"), lit(0.5)).as("p50"),
+        kll_quantile(col("sk"), lit(0.75)).as("p75"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q65_hll_rollup" -> (q65_hll_rollup _),
     "q66_histogram_rollup" -> (q66_histogram_rollup _),
     "q76_freq_items" -> (q76_freq_items _),
     "q83_kll_rollup" -> (q83_kll_rollup _),
+    "q84_kll_by_group" -> (q84_kll_by_group _),
   )
 
   /** q65's Datasketches binary isn't reproducible in DuckDB -> rows-only

@@ -150,6 +150,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // partial aggregate — a plan without the partial step would funnel
     // every stored blob through one task
     assert(p83.contains("partial_kll_merge"), p83.take(1200))
+    val p84 = finalPlan("q84_kll_by_group")
+    assert(!p84.contains("orders.parquet"),
+      s"q84 merge stage rescanned raw orders:\n${p84.take(1200)}")
+    assert(p84.contains("partial_kll_merge"), p84.take(1200))
   }
 
   test("s17 persisted ANN: query path scans stored codes, never raw embeddings") {

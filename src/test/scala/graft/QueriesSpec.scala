@@ -174,6 +174,25 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q84 grouped KLL rollup matches q40's exact per-status percentiles") {
+    val exact = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .groupBy(_.getString(0))
+      .map { case (st, rows) => st -> rows.map(_.getDouble(1)).sorted }
+    val got = SparkEntry.queries("q84_kll_by_group")(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == exact.keySet)
+    got.foreach { r =>
+      val vals = exact(r.getString(0))
+      assert(r.getAs[Long]("n") == vals.length.toLong)
+      for ((q, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")) {
+        val est = r.getAs[Double](colName)
+        val trueRank = vals.count(_ <= est).toDouble / vals.length
+        assert(math.abs(trueRank - q) <= 0.025,
+          s"${r.getString(0)}/$colName=$est true rank $trueRank, target $q")
+      }
+    }
+  }
+
   test("s17 persisted index equals inline s10: the build/query split is lossless") {
     // same training math, parquet round-trips doubles exactly — so the
     // stored-index query path must reproduce the inline path's top-k
