@@ -354,6 +354,41 @@ class StreamingSpec extends SparkTestBase {
     assert(merged > 0)
   }
 
+  test("streaming KLL rollup: per-batch quantile partials merge within the rank bound") {
+    // q83's architecture under a real stream: each micro-batch appends its
+    // KLL partial; the merge-only read must honor the sketch contract —
+    // EXACT absorbed n (KLL tracks n exactly through merges, whatever the
+    // batch slicing) and quantile estimates whose true rank sits within
+    // the k=200 error bound of the target. Unlike HLL's exact
+    // merge==one-shot identity, KLL compaction is randomized, so the
+    // contract — not byte equality — is the right streaming pin.
+    import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_n, kll_quantile}
+    Sessions.tune(spark)
+    val prices = Tables.orders(spark, sf).select(col("o_totalprice"))
+    val srcDir = Files.createTempDirectory("kll_stream_src").toString
+    prices.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("kll_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.agg(kll_agg(col("o_totalprice")).as("sketch"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(partialsDir)
+      .agg(kll_merge(col("sketch")).as("sk"))
+      .select(kll_n(col("sk")).as("n"),
+        kll_quantile(col("sk"), lit(0.5)).as("p50"))
+      .collect()(0)
+    val sorted = prices.collect().map(_.getDouble(0)).sorted
+    assert(merged.getAs[Long]("n") == sorted.length.toLong)
+    val trueRank = sorted.count(_ <= merged.getAs[Double]("p50")).toDouble / sorted.length
+    assert(math.abs(trueRank - 0.5) <= 0.025, s"p50 true rank $trueRank")
+  }
+
   test("streaming trending: windowed counts + foreachBatch top-k == batch st07") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
