@@ -519,6 +519,8 @@ object CurationQueries {
     "c11_decontaminate_apply" -> (c11_decontaminate_apply _),
     "c12_token_budget_bpe" -> (c12_token_budget_bpe _),
     "c13_decontaminate_bloom" -> (c13_decontaminate_bloom _),
+    "c18_curriculum_order" -> (c18_curriculum_order _),
+    "c19_epoch_mixture" -> (c19_epoch_mixture _),
   )
 
   /** c02's budget computed over REAL tokenizer output: the kept set is
@@ -561,6 +563,69 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
   }
 
+  /** Curriculum ordering (Bengio et al. '09 shape): emit the start of the
+    * training order — documents sequenced easy-to-hard by length tier,
+    * deterministically shuffled WITHIN each tier by the Knuth hash (a
+    * curriculum with no within-tier shuffle feeds the model each tier in
+    * storage order, a well-known correlation bug). The global sort is a
+    * k-bounded TakeOrderedAndProject (top 50 positions), so no executor
+    * ever sorts the full corpus and the driver holds only k rows; the
+    * row_number that stamps positions runs AFTER the limit, over 50 rows.
+    * At 100 TB the full training order is never materialized with a global
+    * sort at all — each tier is written as its own partition and position
+    * assignment is c17's two-phase prefix-sum over per-partition counts;
+    * this query is the head-of-curriculum audit view of that order.
+    */
+  def c18_curriculum_order(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Tables.documents(s, d)
+      .withColumn("tier",
+        when(col("n_chars") < 200, 0).when(col("n_chars") < 350, 1).otherwise(2))
+      .withColumn("h", hashCol(col("doc_id"), 54321L, 1000000007L))
+      .orderBy(col("tier"), col("h"), col("doc_id"))
+      .limit(50)
+    ordered.withColumn("position",
+        row_number().over(Window.orderBy(col("tier"), col("h"), col("doc_id"))))
+      .select(col("position"), col("doc_id"), col("tier"), col("n_chars"))
+  }
+
+  /** Epoch-weighted mixture replication (LLaMA/DoReMi-style "repeat
+    * factors"): each source carries a fractional epoch weight — 2.4 means
+    * every doc appears twice and a hash-chosen 40% of docs a third time;
+    * 0.3 means downsampling to a 30% single pass. The replicated rows ARE
+    * the operator's product (explode over sequence(1, replicas) — a
+    * zero-shuffle fan-out the scan absorbs); the per-(source, epoch)
+    * rollup emitted here is its deterministic audit. Hash selection of
+    * the partial epoch reuses the split hash, so the same doc is chosen
+    * on every engine and run — no sampling seed to ship. Thresholds are
+    * integer literals (400/1000, not 2.4 - 2) to stay off the IEEE
+    * double-literal trap.
+    */
+  def c19_epoch_mixture(s: SparkSession, d: String): DataFrame = {
+    val weighted = Tables.documents(s, d)
+      .withColumn("full_epochs",
+        when(col("source").isin("src0", "src1"), 2L)
+          .when(col("source").isin("src2", "src3", "src4"), 1L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 1L)
+          .otherwise(0L))
+      .withColumn("frac_thresh",
+        when(col("source").isin("src0", "src1"), 400L)
+          .when(col("source").isin("src2", "src3", "src4"), 500L)
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 0L)
+          .when(col("source").isin("src10", "src11", "src12", "src13", "src14"), 700L)
+          .otherwise(300L))
+      .withColumn("h", hashCol(col("doc_id"), 7919L, 1000L))
+      .withColumn("replicas",
+        col("full_epochs") + when(col("h") < col("frac_thresh"), 1L).otherwise(0L))
+    // Spark's sequence(1, 0) REVERSES into [1, 0] instead of emptying —
+    // guard to match DuckDB's empty generate_series(1, 0)
+    weighted
+      .withColumn("epoch", explode(when(col("replicas") >= 1L,
+        sequence(lit(1L), col("replicas"))).otherwise(array().cast("array<bigint>"))))
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("epoch_chars"))
+  }
+
   /** Shared by c09 and its Bloom-screened twin c13 (same output set). */
   private val ngramDecontOracle: String =
     """WITH t AS (
@@ -577,6 +642,43 @@ object CurationQueries {
       |GROUP BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c18_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN n_chars < 200 THEN 0
+        |              WHEN n_chars < 350 THEN 1 ELSE 2 END AS tier,
+        |         ((doc_id % 1000003) * 2654435761 + 54321) % 1000000007 AS h
+        |  FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY tier, h, doc_id) AS INT)
+        |         AS position,
+        |       doc_id, tier, n_chars
+        |FROM t ORDER BY tier, h, doc_id LIMIT 50""".stripMargin,
+    "c19_epoch_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN source IN ('src0', 'src1') THEN 2
+        |              WHEN source IN ('src2', 'src3', 'src4') THEN 1
+        |              WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 1
+        |              ELSE 0 END AS full_epochs,
+        |         CASE WHEN source IN ('src0', 'src1') THEN 400
+        |              WHEN source IN ('src2', 'src3', 'src4') THEN 500
+        |              WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9') THEN 0
+        |              WHEN source IN ('src10', 'src11', 'src12', 'src13', 'src14')
+        |                THEN 700
+        |              ELSE 300 END AS frac_thresh,
+        |         ((doc_id % 1000003) * 2654435761 + 7919) % 1000 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_chars,
+        |         full_epochs + CASE WHEN h < frac_thresh THEN 1 ELSE 0 END
+        |           AS replicas
+        |  FROM w),
+        |e AS (
+        |  SELECT source, n_chars, unnest(generate_series(1, replicas)) AS epoch
+        |  FROM r WHERE replicas >= 1)
+        |SELECT source, epoch, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS epoch_chars
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "c17_weighted_sample" ->
       """WITH w AS (
         |  SELECT doc_id, n_chars,

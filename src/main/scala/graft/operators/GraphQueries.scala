@@ -230,11 +230,68 @@ object GraphQueries {
     dist.select(col("node"), col("h").as("hops"))
   }
 
+  /** k-core decomposition (iterative peeling) of the frequent co-supplier
+    * graph — the density filter link-graph curation uses to find the
+    * tightly-knit community a crawl should prioritize (a node is in the
+    * k-core iff it keeps >= k neighbors after everything of lower degree
+    * is recursively removed). Shape per peel round: ONE double semi-join
+    * (edges restricted to surviving endpoints) + ONE map-side-partial
+    * count + the degree filter — no windows, no driver-held state, each
+    * round's survivor set checkpointed so lineage stays flat. The round
+    * count is a FIXED compute budget ([[KCoreRounds]]); both engines
+    * unroll the identical budget, so the result hash-checks even on a
+    * graph that hasn't fully converged (the spec proves the fixture
+    * converges well inside it). Integer degrees -> hash-green.
+    */
+  private val KCoreK = 3
+  private val KCoreRounds = 8
+
+  def g05_kcore(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val co = s.sql(
+      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= $CoSupport""".stripMargin)
+    val edges = co.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint() // feeds every peel round; ONE lineitem self-join
+    kcoreFrom(edges, KCoreK, KCoreRounds)
+  }
+
+  /** The peel loop over an already-symmetrized edge list — separated so
+    * the spec can prove the cascade on a hand-built graph (a clique
+    * survives a k-peel; a path hanging off it peels away completely).
+    */
+  private[graft] def kcoreFrom(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var survivors = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      survivors = edges
+        .join(survivors.select(col("node").as("src")), "src")
+        .join(survivors.select(col("node").as("dst")), "dst")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+    }
+    edges
+      .join(survivors.select(col("node").as("src")), "src")
+      .join(survivors.select(col("node").as("dst")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("core_deg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank" -> (g01_pagerank _),
     "g02_triangles" -> (g02_triangles _),
     "g03_components" -> (g03_components _),
     "g04_bfs_hops" -> (g04_bfs_hops _),
+    "g05_kcore" -> (g05_kcore _),
   )
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
@@ -262,7 +319,30 @@ object GraphQueries {
          |    JOIN r${i - 1} r ON r.node = e.src
          |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
+    val kcoreBase =
+      s"""WITH co AS (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+        |edges AS (SELECT u AS src, v AS dst FROM co
+        |          UNION ALL SELECT v, u FROM co),
+        |s0 AS (SELECT DISTINCT src AS node FROM edges)""".stripMargin
+    val kcoreRounds = (1 to KCoreRounds).map { i =>
+      s"""s$i AS (
+         |  SELECT e.src AS node FROM edges e
+         |  JOIN s${i - 1} a ON a.node = e.src
+         |  JOIN s${i - 1} b ON b.node = e.dst
+         |  GROUP BY e.src HAVING count(*) >= $KCoreK)""".stripMargin
+    }.mkString(",\n")
     Map(
+      "g05_kcore" ->
+        s"""$kcoreBase,
+           |$kcoreRounds
+           |SELECT e.src AS node, count(*) AS core_deg FROM edges e
+           |JOIN s$KCoreRounds a ON a.node = e.src
+           |JOIN s$KCoreRounds b ON b.node = e.dst
+           |GROUP BY e.src""".stripMargin,
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
       "g02_triangles" -> g02Sql,

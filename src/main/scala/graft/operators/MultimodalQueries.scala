@@ -212,7 +212,34 @@ object MultimodalQueries {
         col("length"),
         expr("decode(substring(content, 1, 4), 'UTF-8') = 'PAR1'").as("magic_ok"))
 
+  /** Exact media dedup by content digest — the first dedup pass every
+    * multimodal corpus runs (byte-identical copies of the same image/clip
+    * under different names/collections collapse to one canonical row
+    * before any expensive perceptual hashing). Two "collections" are
+    * simulated by tagging the same file listing twice, so every content
+    * group genuinely has copies to collapse and the canonical-pick rule
+    * (lexicographic min of collection/name) is exercised. The digest is
+    * md5 over the hex expansion of the bytes — hex first because DuckDB's
+    * md5 only accepts VARCHAR, and both engines print hex uppercase, so
+    * the digests (and therefore the groups) match bit-for-bit; production
+    * would digest raw bytes directly, same operator shape. Scale: digest
+    * is computed where the bytes already sit (scan-local projection), and
+    * only (digest, name, length) — never content — enters the shuffle.
+    */
+  def m08_media_dedup(s: SparkSession, d: String): DataFrame = {
+    val files = s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("length"), md5(hex(col("content"))).as("digest"))
+    val both = files.withColumn("collection", lit("a"))
+      .unionByName(files.withColumn("collection", lit("b")))
+    both.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(concat_ws("/", col("collection"), col("file_name"))).as("canonical"),
+        sum(col("length")).as("total_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_media_dedup" -> (m08_media_dedup _),
     "m07_binary_ingest" -> (m07_binary_ingest _),
     "m01_media_meta" -> (m01_media_meta _),
     "m02_frame_sample" -> (m02_frame_sample _),
@@ -225,6 +252,17 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
+    "m08_media_dedup" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |         size AS length, md5(hex(content)) AS digest
+        |  FROM read_blob('/root/testdata/sf0.01/*.parquet')),
+        |b AS (SELECT 'a' AS collection, * FROM f
+        |      UNION ALL SELECT 'b', * FROM f)
+        |SELECT digest, count(*) AS n_copies,
+        |       min(collection || '/' || file_name) AS canonical,
+        |       CAST(sum(length) AS BIGINT) AS total_bytes
+        |FROM b GROUP BY digest""".stripMargin,
     "m07_binary_ingest" ->
       """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
         |       size AS length,

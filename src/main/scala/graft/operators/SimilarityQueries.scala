@@ -630,9 +630,18 @@ object SimilarityQueries {
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String): String = {
     val dir = ivfPqIndexDir(d)
     if (new java.io.File(dir, "_complete").exists()) return dir
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"))
-      .localCheckpoint() // training, centroids and encode share one scan
+    buildIvfPqIndex(s,
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding")),
+      dir)
+    dir
+  }
+
+  /** The build pass over an arbitrary corpus frame — shared by the
+    * full-corpus index (s17) and the base index of the incremental-append
+    * path (s18), which trains on yesterday's corpus only.
+    */
+  private def buildIvfPqIndex(s: SparkSession, corpus: DataFrame, dir: String): Unit = {
+    val e = corpus.localCheckpoint() // training, centroids and encode share one scan
     val codebooks = trainCodebooks(e)
     import s.implicits._
     (for (m <- 0 until PqM; c <- 0 until PqK) yield (m, c, codebooks(m)(c)))
@@ -643,7 +652,16 @@ object SimilarityQueries {
     e.select(col("vec_id"), col("label"), pqCodes(codebooks).as("codes"))
       .write.mode("overwrite").parquet(s"$dir/pq_codes")
     new java.io.File(dir, "_complete").createNewFile()
-    dir
+  }
+
+  /** Stored codebooks read back into [[pqCodes]]'s in-memory shape (128
+    * small rows — the same driver-side budget the inline trainer spends).
+    */
+  private def readCodebooks(s: SparkSession, dir: String): Array[Array[Seq[Double]]] = {
+    val m = s.read.parquet(s"$dir/pq_codebooks").collect()
+      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c")) ->
+        r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+    Array.tabulate(PqM)(i => Array.tabulate(PqK)(c => m((i, c))))
   }
 
   /** ONLINE query path over the persisted index — reads ONLY the stored
@@ -661,6 +679,14 @@ object SimilarityQueries {
     */
   def s17_persisted_ivfpq(s: SparkSession, d: String): DataFrame = {
     val dir = ensureIvfPqIndex(s, d)
+    queryStoredIndex(s, d, dir, s.read.parquet(s"$dir/pq_codes"))
+  }
+
+  /** The online path over a stored index dir and a codes frame — shared by
+    * s17 (base codes only) and s18 (base ∪ appended delta codes).
+    */
+  private def queryStoredIndex(s: SparkSession, d: String, dir: String,
+                               codes: DataFrame): DataFrame = {
     // the same sequential fold as VectorFunctions.CosineSimilarity and the
     // inline adcTables — routing/scoring must not diverge from s10's
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -689,14 +715,57 @@ object SimilarityQueries {
     import s.implicits._
     val probesDf = probes.toSeq.toDF("q_id", "cell", "tables")
     perQueryTopK(
-      s.read.parquet(s"$dir/pq_codes")
+      codes
         .join(broadcast(probesDf),
           col("label") === col("cell") && col("vec_id") =!= col("q_id"))
         .withColumn("sim", adcScore)
         .select(col("q_id"), col("vec_id"), col("sim")))
   }
 
+  /** s18: INCREMENTAL index append — the daily-ingest economics d11 gives
+    * text dedup, applied to the vector index: the expensive train+encode
+    * pass ran once over the base corpus (vec_id % 17 != 0, "yesterday");
+    * today's batch (vec_id % 17 == 0) is encoded with the STORED
+    * codebooks — no retrain, no base re-encode — and written as a delta
+    * codes table beside the base. Queries then probe base ∪ delta through
+    * the identical online path. At 100 TB this is the only sane index
+    * lifecycle: retraining on every append would rescan the corpus daily,
+    * while quantizer drift accrues slowly and is repaid by scheduled full
+    * rebuilds (the version-keyed dir makes that rebuild atomic).
+    * QueriesSpec pins: the delta never rewrites base files, append is
+    * idempotent, and every appended vector is served from the index.
+    */
+  private[graft] def ensureIncrementalIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"ivfpq_inc_${IvfPqIndexVersion}_${f.length()}_${f.lastModified()}", d)
+    if (!new java.io.File(dir, "_complete").exists()) {
+      buildIvfPqIndex(s,
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") % 17 =!= 0)
+          .select(col("vec_id"), col("label"), col("embedding")),
+        dir)
+    }
+    if (!new java.io.File(dir, "_delta_complete").exists()) {
+      val cb = readCodebooks(s, dir)
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") % 17 === 0)
+        .select(col("vec_id"), col("label"), pqCodes(cb).as("codes"))
+        .write.mode("overwrite").parquet(s"$dir/pq_codes_delta")
+      new java.io.File(dir, "_delta_complete").createNewFile()
+    }
+    dir
+  }
+
+  def s18_incremental_append(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIncrementalIndex(s, d)
+    queryStoredIndex(s, d, dir,
+      s.read.parquet(s"$dir/pq_codes")
+        .unionByName(s.read.parquet(s"$dir/pq_codes_delta")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s18_incremental_append" -> (s18_incremental_append _),
     "s16_mmr_rerank" -> (s16_mmr_rerank _),
     "s17_persisted_ivfpq" -> (s17_persisted_ivfpq _),
     "s15_truncated_rerank" -> (s15_truncated_rerank _),

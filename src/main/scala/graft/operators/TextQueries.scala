@@ -463,7 +463,35 @@ object TextQueries {
         length(col("cleaned")).cast("long").as("n_chars_clean"),
         col("cleaned"))
 
+  /** Per-language vocabulary statistics — the corpus-health dashboard
+    * numbers (vocabulary size, hapax-legomena mass, type-token ratio) a
+    * curation pipeline tracks per shard to spot boilerplate floods (TTR
+    * collapses) or OCR noise (hapax ratio spikes). One explode + two
+    * keyed aggregates, the word-count shape Spark's codegen eats; the
+    * per-(lang, token) intermediate is bounded by vocabulary size, never
+    * corpus size, so the second aggregate is tiny at any SF. All counts
+    * are exact integers; the two ratios are single divisions of exact
+    * ints (correctly rounded in both engines) guarded to 9dp ->
+    * hash-green.
+    */
+  def t16_vocab_stats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 9)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 9)
+          .as("hapax_ratio"))
+
   val queries: Map[String, Q] = Map(
+    "t16_vocab_stats" -> (t16_vocab_stats _),
     "t14_normalize" -> (t14_normalize _),
     "t13_lang_confusion" -> (t13_lang_confusion _),
     "t12_filter_funnel" -> (t12_filter_funnel _),
@@ -482,6 +510,21 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t16_vocab_stats" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (
+        |  SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_types,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       round(CAST(count(*) AS DOUBLE)
+        |             / CAST(sum(cnt) AS BIGINT), 9) AS type_token_ratio,
+        |       round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 9) AS hapax_ratio
+        |FROM c GROUP BY lang""".stripMargin,
     "t14_normalize" ->
       """WITH c AS (
         |  SELECT doc_id, text,
