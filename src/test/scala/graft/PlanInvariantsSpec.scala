@@ -252,6 +252,48 @@ class PlanInvariantsSpec extends SparkTestBase {
       "prefix sum degenerated to a global (single-partition) window")
   }
 
+  test("c18 curriculum: k-bounded TakeOrdered head, never a full global sort") {
+    // the training-order head must come off a TakeOrderedAndProject (k rows
+    // per partition, k merged at the driver) — a global Sort before the
+    // limit would pull the whole corpus through one ordering at 100 TB
+    val p = finalPlan("c18_curriculum_order")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("c19 epoch mixture: explode fan-out is scan-local — one agg shuffle only") {
+    // replicas fan out inside the scan stage (Generate before any
+    // Exchange); the single shuffle is the (source, epoch) aggregate
+    val p = finalPlan("c19_epoch_mixture")
+    val generateAt = p.indexOf("Generate")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(generateAt >= 0, p.take(1200))
+    // plan strings print top-down: the Generate must sit BELOW the agg
+    // exchange (later in the string), i.e. on the scan side of it
+    assert(exchangeAt >= 0 && generateAt > exchangeAt,
+      s"explode must run before the shuffle, not after:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("g05 k-core: every peel round is keyed joins, never a nested loop") {
+    val p = finalPlan("g05_kcore")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"k-core peel degraded to a nested loop:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "peel rounds must not use windows")
+  }
+
+  test("m08 media dedup: digest computed at the scan; content never shuffles") {
+    val df = SparkEntry.queries("m08_media_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only exchange is the digest-keyed aggregate; its input schema
+    // must already be the projected (digest, name, length) — raw bytes
+    // stay in the scan stage
+    assert(p.contains("Exchange"), p.take(800))
+    val postShuffle = p.substring(0, p.indexOf("Exchange"))
+    assert(!postShuffle.contains("content"),
+      s"file content crossed the shuffle:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
