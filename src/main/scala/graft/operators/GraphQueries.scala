@@ -267,23 +267,26 @@ object GraphQueries {
     * survives a k-peel; a path hanging off it peels away completely).
     */
   private[graft] def kcoreFrom(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var survivors = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    // peel EDGES, not just nodes: each round keeps only edges whose both
+    // endpoints survived, so later rounds join against a monotonically
+    // shrinking working set instead of re-filtering the full edge list —
+    // equivalent by induction (survivors_i ⊆ survivors_{i-1}, so
+    // restricting the already-restricted edges yields the same subgraph),
+    // and the property that makes the peel cheap at 100 TB: total work is
+    // bounded by the SHRINKING frontier, not rounds × full-graph
+    var alive = edges
     for (_ <- 1 to rounds) {
-      survivors = edges
-        .join(survivors.select(col("node").as("src")), "src")
-        .join(survivors.select(col("node").as("dst")), "dst")
+      val survivors = alive
         .groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
+      alive = alive
+        .join(survivors.select(col("node").as("src")), "src")
+        .join(survivors.select(col("node").as("dst")), "dst")
         .localCheckpoint()
     }
-    edges
-      .join(survivors.select(col("node").as("src")), "src")
-      .join(survivors.select(col("node").as("dst")), "dst")
-      .groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("core_deg"))
+    alive.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -1332,6 +1332,38 @@ object RelationalQueries {
   def q80_try_cast_audit(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "documents")(q80Sql("STRING"))
 
+  /** NULL-semantics matrix: the three places NULL keys silently corrupt a
+    * pipeline, exercised in one query — (1) a null-safe FULL equi-join
+    * (Spark `<=>`, DuckDB `IS NOT DISTINCT FROM`): the NULL key groups on
+    * both sides must MATCH each other, where a plain `=` would emit two
+    * dangling rows; (2) genuine full-outer preservation: supplier keys 5
+    * and 6 have no customer twin and must survive with NULL counts;
+    * (3) explicit `NULLS FIRST` ordering, materialized as a row_number so
+    * the ordering semantics themselves are hash-checked (engines disagree
+    * on default NULL placement — Spark ASC puts NULLs first, DuckDB last —
+    * so relying on the default is a cross-engine bug this query would
+    * catch). The window orders ≤ 8 post-aggregate rows (key domains are
+    * mod-5/mod-7), not base data.
+    */
+  private def q85Sql(nullSafeEq: String): String =
+    s"""WITH a AS (
+       |  SELECT nullif(c_nationkey % 5, 0) AS k, count(*) AS n_cust
+       |  FROM customer GROUP BY 1),
+       |b AS (
+       |  SELECT nullif(s_nationkey % 7, 0) AS k, count(*) AS n_supp
+       |  FROM supplier GROUP BY 1),
+       |j AS (
+       |  SELECT a.k AS ka, b.k AS kb, a.n_cust, b.n_supp
+       |  FROM a FULL JOIN b ON a.k $nullSafeEq b.k)
+       |SELECT CAST(row_number() OVER (
+       |         ORDER BY ka ASC NULLS FIRST, kb ASC NULLS FIRST) AS INT)
+       |         AS pos,
+       |       ka, kb, n_cust, n_supp
+       |FROM j""".stripMargin
+
+  def q85_null_semantics(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer", "supplier")(q85Sql("<=>"))
+
   /** Market-basket association rules (the classic retail/co-occurrence
     * mining workload — a-priori's pairwise step): per part pair, joint
     * support, directional confidence, and lift. The pair generator is the
@@ -1474,6 +1506,7 @@ object RelationalQueries {
     "q80_try_cast_audit" -> (q80_try_cast_audit _),
     "q81_market_basket" -> (q81_market_basket _),
     "q82_cohort_ltv" -> (q82_cohort_ltv _),
+    "q85_null_semantics" -> (q85_null_semantics _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1775,6 +1808,7 @@ object RelationalQueries {
     "q79_numeric_range_frame" -> q79Sql,
     "q80_try_cast_audit" -> q80Sql("VARCHAR"),
     "q81_market_basket" -> q81Sql,
+    "q85_null_semantics" -> q85Sql("IS NOT DISTINCT FROM"),
     "q82_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
