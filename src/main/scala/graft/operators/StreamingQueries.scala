@@ -209,7 +209,44 @@ object StreamingQueries {
         (unix_timestamp(col("e_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
   }
 
+  /** Incremental per-language vocabulary rollup — t16's statistics kept
+    * fresh under continuous ingest without ever rescanning the corpus:
+    * each ingest batch appends its own (lang, token, count) partial (the
+    * word-count partial is EXACTLY mergeable — token counts add), and the
+    * rollup merges stored partials only, then derives types/hapax/ratios
+    * from the merged counts. Same economics as st06's distinct-union and
+    * q65's sketch merge: the corpus-sized pass happens once per batch at
+    * ingest, the dashboard query reads partials bounded by |vocabulary| ×
+    * |batches|. Output is bit-identical to one-shot t16 (shares its
+    * oracle verbatim); StreamingSpec runs the same rollup as a REAL
+    * readStream/foreachBatch.
+    */
+  def st10_incremental_vocab(s: SparkSession, d: String): DataFrame = {
+    val dir = SketchQueries.partialsDir("vocab_partials", d)
+    val docs = Tables.documents(s, d)
+    (0 until 5).foreach { b =>
+      docs.filter(col("doc_id") % 5 === b)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
+    }
+    // merge-only: per-token sums across stored partials, then t16's stats
+    s.read.parquet(dir)
+      .groupBy(col("lang"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 9)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 9)
+          .as("hapax_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st10_incremental_vocab" -> (st10_incremental_vocab _),
     "st09_stream_left_join" -> (st09_stream_left_join _),
     "st08_stream_enrich" -> (st08_stream_enrich _),
     "st07_trending" -> (st07_trending _),
@@ -222,6 +259,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical output contract to one-shot t16: word-count partials are
+    // exactly mergeable, so the incremental rollup shares the oracle
+    "st10_incremental_vocab" -> TextQueries.oracles("t16_vocab_stats"),
     "st09_stream_left_join" ->
       """WITH e AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type

@@ -252,6 +252,16 @@ class PlanInvariantsSpec extends SparkTestBase {
       "prefix sum degenerated to a global (single-partition) window")
   }
 
+  test("st10 vocab rollup: merge stage reads stored partials, never documents") {
+    // the rollup must be answerable from the partials table alone — a
+    // merge that silently re-tokenizes the corpus defeats the whole
+    // incremental architecture
+    val p = finalPlan("st10_incremental_vocab")
+    assert(!p.contains("documents.parquet"),
+      s"st10 merge stage rescanned the corpus:\n${p.take(1200)}")
+    assert(!p.contains("Generate"), "merge stage must not re-explode tokens")
+  }
+
   test("c18 curriculum: k-bounded TakeOrdered head, never a full global sort") {
     // the training-order head must come off a TakeOrderedAndProject (k rows
     // per partition, k merged at the driver) — a global Sort before the

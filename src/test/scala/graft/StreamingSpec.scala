@@ -354,6 +354,45 @@ class StreamingSpec extends SparkTestBase {
     assert(merged > 0)
   }
 
+  test("streaming vocab rollup: per-batch word-count partials merge to one-shot t16") {
+    // st10's architecture under a REAL stream: each micro-batch appends
+    // its (lang, token, count) partial; the merge-only rollup must equal
+    // the one-shot t16 statistics EXACTLY — word counts add, so unlike
+    // the sketch rollups there is no error budget at all, whatever the
+    // batch slicing.
+    Sessions.tune(spark)
+    val docs = Tables.documents(spark, sf).select(col("lang"), col("text"))
+    val srcDir = Files.createTempDirectory("vocab_stream_src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("vocab_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val merged = spark.read.parquet(partialsDir)
+      .groupBy(col("lang"), col("tok")).agg(sum(col("cnt")).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 9)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 9)
+          .as("hapax_ratio"))
+    val oneShot = SparkEntry.queries("t16_vocab_stats")(spark, sf)
+    assert(canon(merged) == canon(oneShot))
+    assert(merged.count() > 0)
+  }
+
   test("streaming KLL rollup: per-batch quantile partials merge within the rank bound") {
     // q83's architecture under a real stream: each micro-batch appends its
     // KLL partial; the merge-only read must honor the sketch contract —
