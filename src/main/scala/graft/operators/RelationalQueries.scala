@@ -1364,6 +1364,33 @@ object RelationalQueries {
   def q85_null_semantics(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "customer", "supplier")(q85Sql("<=>"))
 
+  /** Leave-one-out window aggregate — ANSI's `EXCLUDE CURRENT ROW` frame
+    * modifier, which Spark's window grammar lacks: each line item's
+    * quantity vs the average of its ±3 PEERS (self excluded) — the
+    * neighborhood-outlier shape (is this row anomalous vs its
+    * surroundings?) that naive self-inclusive frames dilute. Spark-first
+    * emulation: one bounded-frame decimal sum and count, then subtract
+    * the current row's own contribution — algebraically exact because the
+    * sum is DECIMAL(38,6) (associative, no float cancellation), so the
+    * result hash-matches DuckDB evaluating the REAL `EXCLUDE CURRENT ROW`
+    * clause. Bounded ROWS frame → streaming-compatible, no
+    * whole-partition state. Runs over orders, whose o_orderkey is unique,
+    * so the frame ordering is total — the synthetic lineitem duplicates
+    * (orderkey, linenumber), which would make ±3-row frames
+    * engine-dependent.
+    */
+  def q86_window_exclude(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(-3, 3)
+    Tables.orders(s, d)
+      .withColumn("s", sum(col("o_totalprice").cast(dec)).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round((col("s") - col("o_totalprice").cast(dec)).cast("double")
+          / (col("c") - 1), 9).as("peer_avg_price"))
+  }
+
   /** Market-basket association rules (the classic retail/co-occurrence
     * mining workload — a-priori's pairwise step): per part pair, joint
     * support, directional confidence, and lift. The pair generator is the
@@ -1507,6 +1534,7 @@ object RelationalQueries {
     "q81_market_basket" -> (q81_market_basket _),
     "q82_cohort_ltv" -> (q82_cohort_ltv _),
     "q85_null_semantics" -> (q85_null_semantics _),
+    "q86_window_exclude" -> (q86_window_exclude _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1809,6 +1837,15 @@ object RelationalQueries {
     "q80_try_cast_audit" -> q80Sql("VARCHAR"),
     "q81_market_basket" -> q81Sql,
     "q85_null_semantics" -> q85Sql("IS NOT DISTINCT FROM"),
+    "q86_window_exclude" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |                    OVER w_ex AS DOUBLE)
+        |             / (count(*) OVER w_ex), 9) AS peer_avg_price
+        |FROM orders
+        |WINDOW w_ex AS (
+        |  PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)""".stripMargin,
     "q82_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
