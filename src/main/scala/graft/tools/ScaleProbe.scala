@@ -125,6 +125,16 @@ object ScaleProbe {
         graft.operators.GraphQueries.g04_bfs_hops(spark, sf).count())
       time(s"$tag q76_freq_items")(
         graft.operators.SketchQueries.q76_freq_items(spark, sf).count())
+      // sixth wave: g05's peel faces the DENSER 10x co-supplier graph
+      // (same thresholded-projection economics as g04), t16/c19 are
+      // explode-then-agg and must scale with corpus tokens/rows, never
+      // worse
+      time(s"$tag g05_kcore")(
+        graft.operators.GraphQueries.g05_kcore(spark, sf).count())
+      time(s"$tag t16_vocab_stats")(
+        graft.operators.TextQueries.t16_vocab_stats(spark, sf).count())
+      time(s"$tag c19_epoch_mixture")(
+        graft.operators.CurationQueries.c19_epoch_mixture(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
