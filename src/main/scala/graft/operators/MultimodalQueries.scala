@@ -238,7 +238,40 @@ object MultimodalQueries {
         sum(col("length")).as("total_bytes"))
   }
 
+  /** Perceptual NEAR-dup over decoded media features — the second dedup
+    * pass after m08's exact digest: byte-identical copies are gone, but
+    * re-encoded/resized variants of the same asset survive and are caught
+    * by comparing feature DISTRIBUTIONS, not bytes. Features come from
+    * m03's kernel (the stub standing in for a real decoder — swapping in
+    * CLIP/pHash features changes nothing downstream); similarity is the
+    * L1 distance of the per-class proportions, kept in EXACT integer
+    * arithmetic by cross-multiplying totals (|f_i·T_b − g_i·T_a| summed,
+    * threshold ×50 ≡ 2% L1) — no floats anywhere, so the approximate
+    * METHOD still hash-checks (the s07 trick). Pairs generate only inside
+    * a total-count bucket (candidate blocking: 15.5k of 125k possible
+    * pairs at sf0.01), the same banded economics as d05/g02 — at 100 TB
+    * the bucket width is the knob that bounds join fan-out, and the
+    * kernel pass runs ONCE (checkpointed) for both join sides.
+    */
+  def m09_feature_neardup(s: SparkSession, d: String): DataFrame = {
+    val f = m03_byte_features(s, d)
+      .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
+      .withColumn("bucket", expr("t div 64L"))
+      .localCheckpoint()
+    def side(tag: String) =
+      f.select(f.columns.map(c => col(c).as(s"${c}_$tag")): _*)
+    def xterm(i: Int) =
+      abs(col(s"f${i}_a") * col("t_b") - col(s"f${i}_b") * col("t_a"))
+    side("a").join(side("b"),
+        col("bucket_a") === col("bucket_b") && col("doc_id_a") < col("doc_id_b"))
+      .withColumn("l1x", xterm(0) + xterm(1) + xterm(2) + xterm(3))
+      .filter(col("l1x") * 50 <= col("t_a") * col("t_b"))
+      .select(col("doc_id_a").as("doc_a"), col("doc_id_b").as("doc_b"),
+        col("l1x"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m09_feature_neardup" -> (m09_feature_neardup _),
     "m08_media_dedup" -> (m08_media_dedup _),
     "m07_binary_ingest" -> (m07_binary_ingest _),
     "m01_media_meta" -> (m01_media_meta _),
@@ -252,6 +285,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
+    "m09_feature_neardup" -> featureNeardupOracle,
     "m08_media_dedup" ->
       """WITH f AS (
         |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
@@ -345,4 +379,16 @@ object MultimodalQueries {
       |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
       |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
       |FROM b""".stripMargin
+
+  private lazy val featureNeardupOracle: String =
+    s"""WITH feat AS ($byteFeaturesOracle),
+       |g AS (SELECT *, f0 + f1 + f2 + f3 AS t,
+       |             (f0 + f1 + f2 + f3) // 64 AS bucket FROM feat),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         abs(a.f0*b.t - b.f0*a.t) + abs(a.f1*b.t - b.f1*a.t)
+       |       + abs(a.f2*b.t - b.f2*a.t) + abs(a.f3*b.t - b.f3*a.t) AS l1x,
+       |         a.t AS ta, b.t AS tb
+       |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, l1x FROM p WHERE l1x * 50 <= ta * tb""".stripMargin
 }
