@@ -135,6 +135,10 @@ object ScaleProbe {
         graft.operators.TextQueries.t16_vocab_stats(spark, sf).count())
       time(s"$tag c19_epoch_mixture")(
         graft.operators.CurationQueries.c19_epoch_mixture(spark, sf).count())
+      // m09's pairs grow with bucket depth squared (10x docs with copies
+      // -> ~100x pairs, like d03): output-bound, never all-pairs
+      time(s"$tag m09_feature_neardup")(
+        graft.operators.MultimodalQueries.m09_feature_neardup(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
