@@ -617,7 +617,57 @@ object DedupQueries {
     editDistJoin(
       Tables.part(s, d).select(col("p_name").as("name")).distinct(), 2)
 
+  /** d17: EXACT duplicated-substring spans — the suffix-array-style dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL'22), re-expressed as three relational passes instead of
+    * a monolithic suffix array: (1) stride-1 character 40-grams with
+    * positions (one explode; docs shorter than the gram drop — and the
+    * sequence() call must be guarded: Spark reverses sequence(1,0) to
+    * [1,0] instead of returning []); (2) gram-equality self-join, with a
+    * boilerplate cap dropping grams occurring >16 times (the d05 hot-
+    * shingle economics — an uncapped viral gram is a quadratic bomb, and
+    * >16-fold repeated 40-char strings are templates, not signal); (3)
+    * gaps-and-islands span merge: matches on one (da, db, pa-pb) diagonal
+    * with consecutive positions collapse via the pa - row_number() trick
+    * into MAXIMAL spans of length run+39. Everything is integer
+    * arithmetic -> hash-green against DuckDB running the same three
+    * passes. At 100 TB the shingle table is |corpus| rows — that IS the
+    * honest cost of exact substring dedup (suffix arrays pay the same
+    * linear blowup); the join key would move to xxhash64(gram) with an
+    * equality re-check to cut shuffle bytes, and the diagonal windows are
+    * per-pair tiny (never a corpus-sized sort).
+    */
+  def d17_substring_spans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 40
+    val minSpan = 60
+    val sh = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("n", length(col("text")))
+      .withColumn("pos",
+        explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $k)").as("gram"))
+    val keep = sh.groupBy("gram").count()
+      .filter(col("count") <= 16).select("gram")
+    val sk = sh.join(keep, "gram")
+    val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
+      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram")),
+        Seq("gram"))
+      .filter(col("da") < col("db"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("da"), col("db"), col("diag"), col("island"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("da"), col("db"), col("start_a"), col("start_b"), col("span_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_substring_spans" -> (d17_substring_spans _),
     "d16_editdist_join" -> (d16_editdist_join _),
     "d15_semdedup" -> (d15_semdedup _),
     "d12_passage_stats" -> (d12_passage_stats _),
@@ -695,6 +745,27 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d17_substring_spans" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, text, unnest(range(1, greatest(n_chars - 38, 1))) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
+        |  FROM sh0),
+        |keep AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) <= 16),
+        |sk AS (SELECT sh.* FROM sh JOIN keep USING (gram)),
+        |m AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        |  FROM sk a JOIN sk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT da, db, pa, pb, pa - pb AS diag,
+        |         pa - row_number() OVER (PARTITION BY da, db, pa - pb
+        |                                 ORDER BY pa) AS island
+        |  FROM m)
+        |SELECT da, db, min(pa) AS start_a, min(pb) AS start_b,
+        |       count(*) + 39 AS span_len
+        |FROM isl GROUP BY da, db, diag, island
+        |HAVING count(*) + 39 >= 60""".stripMargin,
     "d16_editdist_join" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name AS name FROM part

@@ -1391,6 +1391,91 @@ object RelationalQueries {
           / (col("c") - 1), 9).as("peer_avg_price"))
   }
 
+  /** ANSI GROUPS window frames — `GROUPS BETWEEN 2 PRECEDING AND CURRENT
+    * ROW` — which Spark's frame grammar omits entirely (ROWS/RANGE only).
+    * Exact rewrite: peer groups tick `dense_rank()` over the ORDER BY key,
+    * and an integer RANGE frame over that rank reproduces group-offset
+    * framing precisely (all peers of the current row share its rank, so
+    * CURRENT ROW spans the whole current group — GROUPS semantics). Both
+    * windows partition on o_orderstatus, so EnsureRequirements plans one
+    * exchange for the pair. The oracle is an independent formulation —
+    * per-peer-group rollup, ROWS frame over the group rows, join back to
+    * the detail rows — same numbers through a different plan (DuckDB has
+    * no GROUPS mode to delegate to). DECIMAL(38,2) frame sums are exactly
+    * associative → hash-green.
+    */
+  def q87_groups_frame(s: SparkSession, d: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
+    val byGrp = Window.partitionBy(col("o_orderstatus")).orderBy(col("grp"))
+      .rangeBetween(-2, 0)
+    Tables.orders(s, d)
+      .withColumn("grp", dense_rank().over(byDate))
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 2))).over(byGrp)
+          .cast("double").as("grp_sum"))
+  }
+
+  /** ANSI frame exclusion, the peer-aware variants: `EXCLUDE GROUP` (drop
+    * the current row AND its ORDER BY peers from the frame) and `EXCLUDE
+    * TIES` (drop the peers but keep the current row) over a GROUPS-style
+    * frame — q86 covered EXCLUDE CURRENT ROW on a peer-free total order,
+    * where all three variants coincide; here the ordering (o_orderdate)
+    * has real peer groups so they diverge. Emulation: frame sum minus the
+    * peer-group sum — computed as a `RANGE BETWEEN CURRENT ROW AND
+    * CURRENT ROW` frame over the same rank ordering (a RANGE frame's
+    * CURRENT ROW spans ALL peers, so the zero-width frame IS the peer
+    * group; and sharing the status partitioning keeps every window on one
+    * exchange) — plus the row's own value back for TIES; a frame-count
+    * guard reproduces ANSI's empty-frame NULL (sum over zero surviving
+    * rows), which plain subtraction would render as 0. All in
+    * DECIMAL(38,2) → exact → hash-green against DuckDB running the REAL
+    * `EXCLUDE GROUP` / `EXCLUDE TIES` clauses.
+    */
+  def q88_exclude_ties(s: SparkSession, d: String): DataFrame = {
+    val price = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+    val byDate = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderdate"))
+    val frame = Window.partitionBy(col("o_orderstatus")).orderBy(col("grp"))
+      .rangeBetween(-2, 0)
+    val peers = Window.partitionBy(col("o_orderstatus")).orderBy(col("grp"))
+      .rangeBetween(0, 0)
+    Tables.orders(s, d)
+      .withColumn("grp", dense_rank().over(byDate))
+      .withColumn("fsum", sum(price).over(frame))
+      .withColumn("fcnt", count(lit(1)).over(frame))
+      .withColumn("gsum", sum(price).over(peers))
+      .withColumn("gcnt", count(lit(1)).over(peers))
+      .select(col("o_orderkey"),
+        when(col("fcnt") > col("gcnt"), (col("fsum") - col("gsum")).cast("double"))
+          .as("excl_group"),
+        (col("fsum") - col("gsum") + price).cast("double").as("excl_ties"))
+  }
+
+  /** ANSI aggregate FILTER inside a WINDOW — `count(*) FILTER (cond) OVER
+    * w` — the last of the window-grammar gaps (after q86-q88's EXCLUDE
+    * and GROUPS): Spark supports FILTER on group aggregates (q52) but
+    * rejects it under OVER. Emulation: route the condition through the
+    * aggregated expression — `sum(CASE WHEN cond THEN 1 ELSE 0)` for the
+    * filtered count, `sum(CASE WHEN cond THEN x END)` (nulls ignored) for
+    * the filtered sum — algebraically exact for sum/count over the
+    * DECIMAL(38,2) cast. The all-excluded frame yields NULL, coalesced to
+    * 0 on both sides. DuckDB evaluates the REAL FILTER clause over the
+    * same frame → the emulation's equivalence is itself hash-checked.
+    * Frame orders by the unique o_orderkey (total order — ROWS frames
+    * over ties are engine-dependent).
+    */
+  def q89_window_filter(s: SparkSession, d: String): DataFrame = {
+    val price = col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+      .rowsBetween(-5, 0)
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+        .over(w).as("n_urgent"),
+      coalesce(
+        sum(when(col("o_totalprice") > 100000, price)).over(w).cast("double"),
+        lit(0.0)).as("big_sum"))
+  }
+
   /** Market-basket association rules (the classic retail/co-occurrence
     * mining workload — a-priori's pairwise step): per part pair, joint
     * support, directional confidence, and lift. The pair generator is the
@@ -1535,6 +1620,9 @@ object RelationalQueries {
     "q82_cohort_ltv" -> (q82_cohort_ltv _),
     "q85_null_semantics" -> (q85_null_semantics _),
     "q86_window_exclude" -> (q86_window_exclude _),
+    "q87_groups_frame" -> (q87_groups_frame _),
+    "q88_exclude_ties" -> (q88_exclude_ties _),
+    "q89_window_filter" -> (q89_window_filter _),
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
@@ -1846,6 +1934,45 @@ object RelationalQueries {
         |WINDOW w_ex AS (
         |  PARTITION BY o_orderstatus ORDER BY o_orderkey
         |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING EXCLUDE CURRENT ROW)""".stripMargin,
+    "q87_groups_frame" ->
+      """WITH pg AS (
+        |  SELECT o_orderstatus, o_orderdate,
+        |         sum(o_totalprice::DECIMAL(38,2)) AS gsum
+        |  FROM orders GROUP BY o_orderstatus, o_orderdate),
+        |fr AS (
+        |  SELECT o_orderstatus, o_orderdate,
+        |         sum(gsum) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS grp_sum
+        |  FROM pg)
+        |SELECT o.o_orderkey, CAST(f.grp_sum AS DOUBLE) AS grp_sum
+        |FROM orders o JOIN fr f
+        |  ON o.o_orderstatus = f.o_orderstatus
+        | AND o.o_orderdate = f.o_orderdate""".stripMargin,
+    "q88_exclude_ties" ->
+      """WITH g AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         dense_rank() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_orderdate) AS grp
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(sum(o_totalprice::DECIMAL(38,2)) OVER (
+        |         PARTITION BY o_orderstatus ORDER BY grp
+        |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+        |         EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+        |  CAST(sum(o_totalprice::DECIMAL(38,2)) OVER (
+        |         PARTITION BY o_orderstatus ORDER BY grp
+        |         RANGE BETWEEN 2 PRECEDING AND CURRENT ROW
+        |         EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        |FROM g""".stripMargin,
+    "q89_window_filter" ->
+      """SELECT o_orderkey,
+        |  count(*) FILTER (o_orderpriority = '1-URGENT') OVER w AS n_urgent,
+        |  coalesce(CAST(sum(o_totalprice::DECIMAL(38,2))
+        |                  FILTER (o_totalprice > 100000) OVER w AS DOUBLE),
+        |           0.0) AS big_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q82_cohort_ltv" ->
       """WITH e AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),

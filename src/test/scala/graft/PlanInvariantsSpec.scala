@@ -304,6 +304,39 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"file content crossed the shuffle:\n${p.take(1200)}")
   }
 
+  test("s19 late interaction: queries broadcast; maxsim join never degrades") {
+    val p = finalPlan("s19_late_interaction")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "maxsim join degraded from broadcast")
+    assert(p.contains("TopKPerGroup"), "per-query top-k must use partial heaps")
+  }
+
+  test("s20 multiprobe: probe fan-out on the broadcast query side only") {
+    val p = finalPlan("s20_multiprobe_lsh")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    // the corpus side must not explode — exactly one Generate (the probe
+    // explode), and it must sit inside the broadcast build side
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "bucket-probe join degraded from broadcast")
+  }
+
+  test("q87/q88 groups frames: both windows share one status-keyed exchange") {
+    for (name <- Seq("q87_groups_frame", "q88_exclude_ties")) {
+      val p = finalPlan(name).split("== Initial Plan ==").head
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"$name: dense_rank + frame windows should reuse one exchange, got $exchanges:\n${p.take(1200)}")
+    }
+  }
+
+  test("d17 substring spans: keyed gram join; diagonal windows, no cartesian") {
+    val p = finalPlan("d17_substring_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"gram self-join degraded to a nested loop:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -336,6 +336,22 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
   }
 
+  test("s20 multiprobe candidate superset dominates s02 single-bucket recall") {
+    import graft.tools.Recall.{recall, topk}
+    val exact = topk(spark, sf, "s01_knn_bruteforce")
+    val r20 = recall(exact, topk(spark, sf, "s20_multiprobe_lsh"))
+    val r02 = recall(exact, topk(spark, sf, "s02_ann_lsh"))
+    // s20 probes s02's bucket plus all four 1-bit flips: a strict candidate
+    // superset, exact re-rank on both -> recall is monotone (an exact-top-5
+    // member in any candidate set always survives its own top-5 cut)
+    assert(r20 >= r02 - 1e-9, s"multiprobe ($r20) lost recall vs s02 ($r02)")
+    val rows = SparkEntry.queries("s20_multiprobe_lsh")(spark, sf).collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    // the probe fan-out must never duplicate a candidate pair
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("s11 graph expansion strictly dominates its s02 seed recall") {
     import graft.tools.Recall.{recall, topk}
     val exact = topk(spark, sf, "s01_knn_bruteforce")
