@@ -156,6 +156,99 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ColBERT-style late-interaction MaxSim kernel: both arrays are viewed as
+  * `n/sub` contiguous token sub-vectors of `sub` dims and the score is
+  * {{{sum_i max_j <x_i, y_j>}}} — every query token matched to its best
+  * document token. One native triple loop, zero allocations, inside
+  * WholeStageCodegen; the HOF spelling (slice/zip_with/aggregate/array_max)
+  * computes the identical value but materializes 2*(n/sub)^2 sub-arrays per
+  * pair. Accumulation contract matches [[CosineSimilarity]]: widen to
+  * double, inner dot sequential in index order, outer sum sequential in i
+  * order, max order-independent — bit-identical to the DuckDB
+  * generate_series/list_slice oracle formulation.
+  */
+case class MaxSimScore(left: Expression, right: Expression, sub: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if (lt == FloatType || lt == DoubleType) && lt == rt && sub > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"maxsim_score needs two array<float> or two array<double> args and sub > 0")
+  }
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements() || x.numElements() % sub != 0)
+      throw new IllegalArgumentException(
+        s"maxsim_score: need equal lengths divisible by $sub, " +
+          s"got ${x.numElements()} vs ${y.numElements()}")
+    val nTok = x.numElements() / sub
+    def el(v: ArrayData, i: Int): Double =
+      if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    var score = 0.0
+    var i = 0
+    while (i < nTok) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < nTok) {
+        var dot = 0.0
+        var k = 0
+        while (k < sub) { dot += el(x, i * sub + k) * el(y, j * sub + k); k += 1 }
+        if (dot > best) best = dot
+        j += 1
+      }
+      score += best
+      i += 1
+    }
+    score
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nTok = ctx.freshName("nTok")
+      val score = ctx.freshName("score")
+      val best = ctx.freshName("best")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      s"""
+        |if ($a.numElements() != $b.numElements() || $a.numElements() % $sub != 0)
+        |  throw new IllegalArgumentException("maxsim_score: need equal lengths "
+        |    + "divisible by $sub, got " + $a.numElements() + " vs " + $b.numElements());
+        |int $nTok = $a.numElements() / $sub;
+        |double $score = 0.0;
+        |for (int $i = 0; $i < $nTok; $i++) {
+        |  double $best = Double.NEGATIVE_INFINITY;
+        |  for (int $j = 0; $j < $nTok; $j++) {
+        |    double $dot = 0.0;
+        |    for (int $k = 0; $k < $sub; $k++) {
+        |      $dot += (double) $a.$getter($i * $sub + $k)
+        |            * (double) $b.$getter($j * $sub + $k);
+        |    }
+        |    if ($dot > $best) $best = $dot;
+        |  }
+        |  $score += $best;
+        |}
+        |${ev.value} = $score;
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   // Spark 4 unified-Column API: Expression <-> Column bridging lives in the
   // (private[sql]) classic module; reached via our graftbridge subpackage.
@@ -166,6 +259,8 @@ object VectorFunctions {
     column(CosineSimilarity(expression(a), expression(b)))
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def maxsim_score(a: Column, b: Column, sub: Int = 8): Column =
+    column(MaxSimScore(expression(a), expression(b), sub))
 
   /** SQL registration so `spark.sql("SELECT cosine_similarity(...)")` works
     * — the reference's users wrote raw SQL, so engine extensions must be
@@ -177,5 +272,10 @@ object VectorFunctions {
       "cosine_similarity", exprs => { graft.GraftExtensions.arity("cosine_similarity", 2, exprs); CosineSimilarity(exprs(0), exprs(1)) }, "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => { graft.GraftExtensions.arity("dot_product", 2, exprs); DotProduct(exprs(0), exprs(1)) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "maxsim_score", exprs => {
+        graft.GraftExtensions.arity("maxsim_score", 2, exprs)
+        MaxSimScore(exprs(0), exprs(1), 8)
+      }, "built-in")
   }
 }

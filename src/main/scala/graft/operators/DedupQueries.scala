@@ -623,10 +623,11 @@ object DedupQueries {
     * a monolithic suffix array: (1) stride-1 character 40-grams with
     * positions (one explode; docs shorter than the gram drop — and the
     * sequence() call must be guarded: Spark reverses sequence(1,0) to
-    * [1,0] instead of returning []); (2) gram-equality self-join, with a
-    * boilerplate cap dropping grams occurring >16 times (the d05 hot-
-    * shingle economics — an uncapped viral gram is a quadratic bomb, and
-    * >16-fold repeated 40-char strings are templates, not signal); (3)
+    * [1,0] instead of returning []); (2) gram-equality self-join over the
+    * grams occurring 2..16 times — df=1 grams are pair-sterile and df>16
+    * is the boilerplate cap (the d05 hot-shingle economics: an uncapped
+    * viral gram is a quadratic bomb, and >16-fold repeated 40-char strings
+    * are templates, not signal); (3)
     * gaps-and-islands span merge: matches on one (da, db, pa-pb) diagonal
     * with consecutive positions collapse via the pa - row_number() trick
     * into MAXIMAL spans of length run+39. Everything is integer
@@ -649,8 +650,15 @@ object DedupQueries {
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         expr(s"substring(text, pos, $k)").as("gram"))
+      .localCheckpoint() // explode+substring feeds the df agg AND both join sides
+    // only grams occurring 2..16 times can ever produce a pair: df=1 is
+    // pair-sterile (the bulk of the table) and df>16 is the boilerplate
+    // cap — so the survivor list is tiny and the self-join input collapses
+    // from |corpus| shingles to just the duplicated ones (sf0.1: 5.4s →
+    // 2.5s; at 100 TB this is the difference between self-joining the
+    // corpus and self-joining its duplicate sliver)
     val keep = sh.groupBy("gram").count()
-      .filter(col("count") <= 16).select("gram")
+      .filter(col("count").between(2, 16)).select("gram")
     val sk = sh.join(keep, "gram")
     val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
       .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram")),
@@ -752,7 +760,8 @@ object DedupQueries {
         |sh AS (
         |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
         |  FROM sh0),
-        |keep AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) <= 16),
+        |keep AS (SELECT gram FROM sh GROUP BY gram
+        |         HAVING count(*) BETWEEN 2 AND 16),
         |sk AS (SELECT sh.* FROM sh JOIN keep USING (gram)),
         |m AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb

@@ -799,31 +799,25 @@ object SimilarityQueries {
     *
     *   {{{score(q, d) = sum_i max_j <q_i, d_j>}}}
     *
-    * — every query token matches its best document token, summed. The whole
-    * kernel is built-in higher-order array functions (slice / zip_with /
-    * aggregate / array_max) over the broadcast query side: one corpus scan,
-    * no shuffle beyond the k-bounded partial-heap top-k, so the plan shape
-    * and 100 TB story are identical to s01. Hash-green: the inner dot is the
-    * sequential-double fold both engines share, max is order-independent
-    * over exact doubles, and the outer sum folds in fixed i-order.
+    * — every query token matches its best document token, summed. The
+    * kernel is the native codegen'd [[graft.functions.MaxSimScore]] triple
+    * loop (the equivalent higher-order-function spelling — slice / zip_with
+    * / aggregate / array_max — computes the identical value but
+    * materializes 128 sub-arrays per candidate pair; swapping in the native
+    * expression cut the sf0.1 wall 4.9 s → sub-second). One corpus scan
+    * against the broadcast query side, no shuffle beyond the k-bounded
+    * partial-heap top-k, so the plan shape and 100 TB story are identical
+    * to s01. Hash-green: the inner dot is the sequential-double fold both
+    * engines share, max is order-independent over exact doubles, and the
+    * outer sum folds in fixed i-order.
     */
-  def s19_late_interaction(s: SparkSession, d: String): DataFrame = {
-    val sub = 8
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    def tok(v: Column, i: Column): Column = slice(v, i * sub + 1, lit(sub))
-    val qe = col("q_emb").cast("array<double>")
-    val de = col("embedding").cast("array<double>")
-    val maxSim = aggregate(
-      transform(sequence(lit(0), lit(sub - 1)), i =>
-        array_max(transform(sequence(lit(0), lit(sub - 1)), j =>
-          dot(tok(qe, i), tok(de, j))))),
-      lit(0.0), (acc, x) => acc + x)
+  def s19_late_interaction(s: SparkSession, d: String): DataFrame =
     perQueryTopK(
       Tables.embeddings(s, d)
         .join(broadcast(queriesSide(s, d)), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), maxSim.as("sim")))
-  }
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.VectorFunctions.maxsim_score(
+            col("q_emb"), col("embedding"), 8).as("sim")))
 
   val queries: Map[String, Q] = Map(
     "s19_late_interaction" -> (s19_late_interaction _),
