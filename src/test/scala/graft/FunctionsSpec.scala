@@ -62,6 +62,40 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(e2.getMessage.contains("simhash64"))
   }
 
+  test("maxsim_score: hand computation, HOF equivalence, codegen parity") {
+    import graft.functions.VectorFunctions.maxsim_score
+    // 2 tokens of 2 dims each: q = [(1,0),(0,1)], d = [(0,2),(3,0)]
+    // token dots: q1·d1=0 q1·d2=3 ; q2·d1=2 q2·d2=0 -> maxsim = 3 + 2 = 5
+    val df = Seq((Seq(1.0f, 0.0f, 0.0f, 1.0f), Seq(0.0f, 2.0f, 3.0f, 0.0f)))
+      .toDF("q", "d")
+    assert(df.select(maxsim_score($"q", $"d", 2)).as[Double].head() == 5.0)
+    // self-match: every token's best match is itself -> sum of |t_i|^2
+    assert(df.select(maxsim_score($"q", $"q", 2)).as[Double].head() == 2.0)
+    // agrees with the higher-order-function spelling on real embeddings
+    val e = Tables.embeddings(spark, sf).limit(30).cache()
+    val q = e.select($"embedding".as("q")).limit(1)
+    val pairs = e.crossJoin(broadcast(q))
+    val native = pairs.select(maxsim_score($"q", $"embedding", 8).as("m"))
+      .as[Double].collect()
+    val hof = pairs.select(expr(
+      """aggregate(transform(sequence(0, 7), i ->
+        |  array_max(transform(sequence(0, 7), j ->
+        |    aggregate(zip_with(slice(cast(q as array<double>), i*8+1, 8),
+        |                       slice(cast(embedding as array<double>), j*8+1, 8),
+        |                       (x, y) -> x * y),
+        |              cast(0.0 as double), (acc, x) -> acc + x)))),
+        |cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin).as("m"))
+      .as[Double].collect()
+    assert(native.toSeq == hof.toSeq, "native kernel diverged from HOF spelling")
+    // interpreted path agrees bitwise with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = pairs.select(maxsim_score($"q", $"embedding", 8).as("m"))
+        .as[Double].collect()
+      assert(native.toSeq == viaEval.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("codegen and interpreted eval agree on real embeddings") {
     val e = Tables.embeddings(spark, sf).limit(20).cache()
     val q = e.select($"embedding".as("q")).limit(1)
