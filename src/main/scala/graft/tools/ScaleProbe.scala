@@ -139,6 +139,18 @@ object ScaleProbe {
       // -> ~100x pairs, like d03): output-bound, never all-pairs
       time(s"$tag m09_feature_neardup")(
         graft.operators.MultimodalQueries.m09_feature_neardup(spark, sf).count())
+      // seventh wave: d17's clone families put every gram at df=10 (inside
+      // the 2..16 pair band), so every clone pair shares its full text —
+      // match rows and spans grow ~45x (C(10,2) pairs per family): the
+      // probe shows wall tracks OUTPUT, never corpus^2. s19 is a pure
+      // 10x kernel scan (query side fixed); s20's multiprobe candidates
+      // grow with bucket depth (~10x)
+      time(s"$tag d17_substring_spans")(
+        graft.operators.DedupQueries.d17_substring_spans(spark, sf).count())
+      time(s"$tag s19_late_interaction")(
+        graft.operators.SimilarityQueries.s19_late_interaction(spark, sf).count())
+      time(s"$tag s20_multiprobe_lsh")(
+        graft.operators.SimilarityQueries.s20_multiprobe_lsh(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
