@@ -78,6 +78,18 @@ object DedupQueries {
     * pairs are caught with high recall while the join only ever touches
     * hash-colliding rows.
     */
+  /** LSH banding of a (doc_id, sig) frame: 4 bands of 4 minhash components
+    * each, hashed to a 64-bit bucket key — shared by the inline pass (d03)
+    * and the persisted index (d18).
+    */
+  private def bandsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band_no, " +
+        "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
+        "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS band_hash))"))
+      .as("band"))
+      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+
   def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     // The (shingles, sig) projection feeds FOUR subtrees (bands.x, bands.y,
     // sa, sb); without materialization Spark re-runs the CPU-heavy
@@ -90,12 +102,7 @@ object DedupQueries {
       .select(col("doc_id"), col("shingles"))
       .withColumn("sig", minhash_signature(col("shingles")))
       .localCheckpoint()
-    val bands = docs.select(col("doc_id"), explode(expr(
-      "transform(sequence(0, 3), b -> struct(b AS band_no, " +
-        "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
-        "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS band_hash))"))
-      .as("band"))
-      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+    val bands = bandsOf(docs)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_no") === col("y.band_no") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -617,6 +624,65 @@ object DedupQueries {
     editDistJoin(
       Tables.part(s, d).select(col("p_name").as("name")).distinct(), 2)
 
+  /** d18: PERSISTED MinHash LSH index — s17/s18's build-once / probe-stored
+    * economics applied to TEXT dedup. The offline build shingles and
+    * signs yesterday's corpus (doc_id % 17 != 0) ONCE and persists two
+    * tables under a corpus-identity-keyed dir (the s17 convention: size +
+    * mtime in the name orphans stale indexes on regeneration):
+    *
+    *   {{{<dir>/bands     (doc_id, band_no, band_hash)}}}
+    *   {{{<dir>/shingles  (doc_id, shingles string[])}}}
+    *
+    * committed by a `_complete` marker. The query path computes signatures
+    * for TODAY'S batch only (doc_id % 17 == 0, ~6% of docs), probes the
+    * stored band buckets, and verifies candidates against the stored
+    * shingle sets — the raw corpus text is never re-read (PlanInvariantsSpec
+    * pins documents.parquet scanned exactly once: the batch side). This is
+    * d11's incremental probe-join taken to its production form: d11 still
+    * recomputes the corpus-side index inline every run; here the corpus
+    * pays its shingle/minhash kernel once per version. Same bands, same
+    * thresholds as d03, so QueriesSpec pins exact pair-and-jaccard
+    * equality with inline d03 restricted to cross-split pairs.
+    */
+  private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"minhash_v1_${f.length()}_${f.lastModified()}", d)
+    if (!new java.io.File(dir, "_complete").exists()) {
+      val base = docShingles(s, d).filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("shingles"))
+        .withColumn("sig", minhash_signature(col("shingles")))
+        .localCheckpoint() // one kernel pass feeds both stored tables
+      bandsOf(base).write.mode("overwrite").parquet(s"$dir/bands")
+      base.select(col("doc_id"), col("shingles"))
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+      new java.io.File(dir, "_complete").createNewFile()
+    }
+    dir
+  }
+
+  def d18_persisted_minhash(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureMinhashIndex(s, d)
+    val batch = docShingles(s, d).filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles")))
+      .localCheckpoint() // batch kernel runs once for bands + verify
+    val cands = bandsOf(batch).as("x")
+      .join(s.read.parquet(s"$dir/bands").as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
+      .distinct()
+    cands
+      .join(batch.select(col("doc_id"), col("shingles")).as("sa"),
+        col("new_doc") === col("sa.doc_id"))
+      .join(s.read.parquet(s"$dir/shingles").as("sb"),
+        col("corpus_doc") === col("sb.doc_id"))
+      .select(col("new_doc"), col("corpus_doc"),
+        jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+  }
+
   /** d17: EXACT duplicated-substring spans — the suffix-array-style dedup
     * of Lee et al., "Deduplicating Training Data Makes Language Models
     * Better" (ACL'22), re-expressed as three relational passes instead of
@@ -676,6 +742,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "d17_substring_spans" -> (d17_substring_spans _),
+    "d18_persisted_minhash" -> (d18_persisted_minhash _),
     "d16_editdist_join" -> (d16_editdist_join _),
     "d15_semdedup" -> (d15_semdedup _),
     "d12_passage_stats" -> (d12_passage_stats _),

@@ -331,6 +331,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("d18 persisted minhash: probe reads stored bands/shingles, not the corpus") {
+    graft.operators.DedupQueries.ensureMinhashIndex(spark, sf) // build outside the measured plan
+    val p = finalPlan("d18_persisted_minhash")
+    assert(p.contains("bands") && p.contains("shingles"),
+      s"d18 probe does not read the persisted index:\n${p.take(1200)}")
+    // the corpus side must come from the store; the batch side is the
+    // pre-plan checkpoint — documents.parquet itself must be absent
+    assert(!p.contains("documents.parquet"),
+      s"d18 probe rescanned the corpus:\n${p.take(1200)}")
+  }
+
   test("d17 substring spans: keyed gram join; diagonal windows, no cartesian") {
     val p = finalPlan("d17_substring_spans")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -336,6 +336,29 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
   }
 
+  test("d18 persisted index serves exactly d03's cross-split pairs") {
+    val inline = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the persisted probe sees only (batch x base) pairs; inline d03 on the
+    // full corpus additionally reports base-base and batch-batch pairs
+    val cross = inline.filter { case ((a, b), _) => (a % 17 == 0) != (b % 17 == 0) }
+    val stored = SparkEntry.queries("d18_persisted_minhash")(spark, sf).collect()
+      .map { r =>
+        val n = r.getLong(0); val c = r.getLong(1)
+        ((math.min(n, c), math.max(n, c)), r.getDouble(2))
+      }.toMap
+    // same bands, same thresholds, shingles round-trip parquet exactly ->
+    // pair set AND jaccard values must match the inline pass bitwise
+    assert(stored == cross,
+      s"persisted probe diverged: ${stored.size} pairs vs ${cross.size} inline")
+    // build is marker-gated: repeating the query must not rewrite the index
+    val dir = graft.operators.DedupQueries.ensureMinhashIndex(spark, sf)
+    val marker = new java.io.File(dir, "_complete")
+    val before = marker.lastModified()
+    SparkEntry.queries("d18_persisted_minhash")(spark, sf).count()
+    assert(marker.lastModified() == before, "repeat query rebuilt the index")
+  }
+
   test("s20 multiprobe candidate superset dominates s02 single-bucket recall") {
     import graft.tools.Recall.{recall, topk}
     val exact = topk(spark, sf, "s01_knn_bruteforce")
