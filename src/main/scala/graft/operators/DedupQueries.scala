@@ -661,9 +661,14 @@ object DedupQueries {
     dir
   }
 
-  def d18_persisted_minhash(s: SparkSession, d: String): DataFrame = {
-    val dir = ensureMinhashIndex(s, d)
-    val batch = docShingles(s, d).filter(col("doc_id") % 17 === 0)
+  /** The probe half over an arbitrary batch frame — shared by the registry
+    * query and StreamingSpec's foreachBatch run (a micro-batch's pairs
+    * depend only on its own docs + the stored index, so per-batch probes
+    * union to the one-shot result).
+    */
+  private[graft] def probeMinhashIndex(
+      s: SparkSession, batchDocs: DataFrame, dir: String): DataFrame = {
+    val batch = shingled(batchDocs)
       .select(col("doc_id"), col("shingles"))
       .withColumn("sig", minhash_signature(col("shingles")))
       .localCheckpoint() // batch kernel runs once for bands + verify
@@ -681,6 +686,14 @@ object DedupQueries {
       .select(col("new_doc"), col("corpus_doc"),
         jaccard(col("sa.shingles"), col("sb.shingles")).as("jaccard"))
       .filter(col("jaccard") >= 0.05)
+  }
+
+  def d18_persisted_minhash(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureMinhashIndex(s, d)
+    probeMinhashIndex(s,
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(col("doc_id") % 17 === 0), dir)
   }
 
   /** d17: EXACT duplicated-substring spans — the suffix-array-style dedup

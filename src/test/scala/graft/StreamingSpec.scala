@@ -320,6 +320,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming persisted-minhash probe == batch d18 (stored index, micro-batched arrivals)") {
+    // d18's production shape end-to-end: the index was built ONCE (stored
+    // bands + shingle sets); today's docs then arrive in micro-batches and
+    // each batch probes ONLY the stored tables. A doc's near-dup pairs
+    // depend on itself + the store, never on batch boundaries, so the
+    // union of per-batch probe outputs must equal the one-shot d18 result.
+    Sessions.tune(spark)
+    val dir = operators.DedupQueries.ensureMinhashIndex(spark, sf)
+    val srcDir = Files.createTempDirectory("d18_stream").toString
+    Tables.documents(spark, sf).filter(col("doc_id") % 17 === 0).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = Files.createTempDirectory("d18_out").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        operators.DedupQueries.probeMinhashIndex(spark, b, dir)
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = df
+      .select(col("new_doc").cast("long"), col("corpus_doc").cast("long"),
+        col("jaccard").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = canon(spark.read.parquet(s"$outDir/b*"))
+    val batch = canon(SparkEntry.queries("d18_persisted_minhash")(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming HLL rollup: foreachBatch sketch partials merge to the one-shot estimate") {
     // q65's sketch-persistence architecture under a REAL stream: each
     // micro-batch appends its per-day Datasketches HLL partial to a
