@@ -490,7 +490,85 @@ object TextQueries {
         round(col("n_hapax").cast("double") / col("n_types"), 9)
           .as("hapax_ratio"))
 
+  /** t17: distributed BPE merge TRAINING — the other half of the tokenizer
+    * story (t10 APPLIES a fixed merge table; this LEARNS one from the
+    * corpus, the job SentencePiece/HF tokenizers do single-node). Eight
+    * rounds of the classic loop: count adjacent symbol pairs, take the
+    * global argmax, merge it corpus-wide, repeat — later rounds merge
+    * symbols built by earlier ones (the fixture learns e+r, then m+er).
+    * Distribution shape: each round is one explode + one map-side-partial
+    * hash aggregate over (pair) keys, then a LIMIT-1 collect (a single
+    * driver row — the same k-bounded budget as the IVF seeds), then a
+    * chain of codegen'd constant-pattern `replace` kernels; the corpus
+    * re-encoding is checkpointed per round so lineage stays flat. Word
+    * boundaries cost nothing: the char-spaced encoding leaves 2+ spaces
+    * between words, so single-space pair patterns never cross them, and
+    * the pair counter skips the empty tokens those boundaries produce.
+    * Counts are integers, the argmax tie-break is (count DESC, a, b) in
+    * binary string order on both engines, and the merge rewrite is the
+    * t10 sweep trick — the learned table itself is hash-checked against
+    * DuckDB running the identical eight rounds unrolled as a CTE chain.
+    */
+  def t17_bpe_train(s: SparkSession, d: String): DataFrame = {
+    val rounds = 8
+    import s.implicits._
+    var enc = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        concat(lit(" "), regexp_replace(lower(col("text")), "(.)", "$1 ")).as("enc"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = enc.select(col("doc_id"), split(col("enc"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(" +
+            "element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()(0)
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((r.toLong, a, b, c))
+      if (r < rounds) {
+        var e = col("enc")
+        for (_ <- 1 to BpeSweeps)
+          e = call_function("replace", e, lit(s" $a $b "), lit(s" $a$b "))
+        enc = enc.select(col("doc_id"), e.as("enc")).localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("rank", "token_a", "token_b", "n_pairs")
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val sb = new StringBuilder("WITH enc1 AS (SELECT doc_id, " +
+      "' ' || regexp_replace(lower(text), '(.)', '\\1 ', 'g') AS enc FROM documents)")
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |t$r AS (SELECT doc_id, string_split(enc, ' ') AS toks FROM enc$r),
+        |i$r AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t$r
+        |        WHERE len(toks) >= 2),
+        |p$r AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS c FROM i$r
+        |        WHERE toks[i] <> '' AND toks[i+1] <> '' GROUP BY 1, 2),
+        |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+      if (r < rounds) {
+        var e = "e.enc"
+        for (_ <- 1 to BpeSweeps)
+          e = s"replace($e, ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')"
+        sb ++= s""",
+          |enc${r + 1} AS (SELECT e.doc_id, $e AS enc
+          |               FROM enc$r e CROSS JOIN b$r b)""".stripMargin
+      }
+    }
+    sb ++= (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS token_a, b AS token_b, " +
+        s"c AS n_pairs FROM b$r").mkString("\n", "\nUNION ALL\n", "")
+    sb.toString
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_bpe_train" -> (t17_bpe_train _),
     "t16_vocab_stats" -> (t16_vocab_stats _),
     "t14_normalize" -> (t14_normalize _),
     "t13_lang_confusion" -> (t13_lang_confusion _),
@@ -510,6 +588,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t17_bpe_train" -> bpeTrainOracle(8),
     "t16_vocab_stats" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
