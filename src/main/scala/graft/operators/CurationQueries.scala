@@ -521,6 +521,7 @@ object CurationQueries {
     "c13_decontaminate_bloom" -> (c13_decontaminate_bloom _),
     "c18_curriculum_order" -> (c18_curriculum_order _),
     "c19_epoch_mixture" -> (c19_epoch_mixture _),
+    "c20_domain_cap" -> (c20_domain_cap _),
   )
 
   /** c02's budget computed over REAL tokenizer output: the kept set is
@@ -626,6 +627,23 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("epoch_chars"))
   }
 
+  /** c20: per-domain document cap — the CommonCrawl-pipeline rule that no
+    * single domain may dominate the corpus (C4 and RefinedWeb both cap
+    * per-host contributions; Penedo et al. '23 §3.1). Keep the 5 largest
+    * docs per source (n_chars desc, doc_id asc tie-break), report the
+    * kept rows themselves.
+    *
+    * Scale shape: routes through the native two-phase heap operator
+    * (TopKPerGroup) — per-partition bounded heaps, then one shuffle
+    * carrying at most k rows per (partition, source), never a full sort
+    * and never a Window over the whole corpus. A hot domain with 10^9
+    * pages costs the same shuffle bytes as one with 10 pages.
+    */
+  def c20_domain_cap(s: SparkSession, d: String): DataFrame =
+    TopKPerGroup.topK(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+      Seq("source"), Seq(Ord("n_chars", desc = true), Ord("doc_id")), 5)
+
   /** Shared by c09 and its Bloom-screened twin c13 (same output set). */
   private val ngramDecontOracle: String =
     """WITH t AS (
@@ -642,6 +660,11 @@ object CurationQueries {
       |GROUP BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c20_domain_cap" ->
+      """SELECT source, doc_id, n_chars
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |                           ORDER BY n_chars DESC, doc_id) <= 5""".stripMargin,
     "c18_curriculum_order" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,

@@ -753,7 +753,59 @@ object DedupQueries {
       .select(col("da"), col("db"), col("start_a"), col("start_b"), col("span_len"))
   }
 
+  /** d19: line-level boilerplate dedup — RefinedWeb §3.2 / MassiveText
+    * "repetitious line removal" at corpus scope: a line that appears
+    * verbatim in >= 2 distinct documents is boilerplate (headers, nav
+    * bars, license banners) and is struck from EVERY document containing
+    * it; surviving lines reassemble in original order. The synthetic
+    * corpus has no newlines, so "line" here is a fixed-width 4-token
+    * segment (the segmentation is one `split` — a real corpus swaps in
+    * `split(text, '\n')` and nothing else changes).
+    *
+    * Scale shape: segmenting is a zero-shuffle explode; the duplicate-line
+    * list is one hash aggregate keyed by line text (map-side partials, and
+    * at 100 TB the key would be xxhash64(line) with the string kept only
+    * for the final re-check); the strike pass is a left-anti join of line
+    * rows against that (small) duplicate list; reassembly is one
+    * groupBy(doc) carrying (idx, line) structs — linear everywhere, no
+    * pairwise anything. All-string/integer ops -> hash-green.
+    */
+  def d19_line_dedup(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_lines", ((size(col("toks")) + (w - 1)) / w).cast("long"))
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_lines"))
+    val lines = docs
+      .withColumn("i",
+        explode(when(col("n_lines") >= 1, sequence(lit(0L), col("n_lines") - 1))
+          .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("toks"), (col("i") * w + 1).cast("int"), lit(w)), " ")
+          .as("line"))
+      .localCheckpoint() // one segmentation pass feeds the df agg AND the strike join
+    val dupLines = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("line"))
+    val kept = lines.join(dupLines, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("line")))),
+            x => x.getField("line")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), col("lang"), col("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d19_line_dedup" -> (d19_line_dedup _),
     "d17_substring_spans" -> (d17_substring_spans _),
     "d18_persisted_minhash" -> (d18_persisted_minhash _),
     "d16_editdist_join" -> (d16_editdist_join _),
@@ -833,6 +885,23 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d19_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |         (len(string_split(text, ' ')) + 3) // 4 AS n_lines
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i, array_to_string(toks[(i*4+1):(i*4+4)], ' ') AS line
+        |  FROM t, unnest(range(0, n_lines)) AS u(i)),
+        |dup AS (SELECT line FROM l GROUP BY line
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS clean_text,
+        |         count(*) AS n_kept
+        |  FROM l ANTI JOIN dup USING (line) GROUP BY doc_id)
+        |SELECT t.doc_id, t.lang, coalesce(kept.clean_text, '') AS clean_text,
+        |       t.n_lines, t.n_lines - coalesce(kept.n_kept, 0) AS n_dropped
+        |FROM t LEFT JOIN kept USING (doc_id)""".stripMargin,
     "d17_substring_spans" ->
       """WITH sh0 AS (
         |  SELECT doc_id, text, unnest(range(1, greatest(n_chars - 38, 1))) AS pos

@@ -567,7 +567,75 @@ object TextQueries {
     sb.toString
   }
 
+  /** t18: multinomial naive-Bayes text classifier — train AND score in one
+    * operator (the fastText-style quality/domain classifier step every
+    * modern curation pipeline runs: CCNet's LM filter's sibling, GPT-3's
+    * WebText-vs-CommonCrawl logistic screen, FineWeb-Edu's quality
+    * scorer). Docs with doc_id % 5 != 0 train per-class token counts;
+    * the held-out 20% are scored with Laplace-smoothed log-likelihoods
+    * `ln((c(tok,cls)+1)/(c(cls)+|V|))` plus a document-frequency prior,
+    * and the argmax class (ties -> lexicographically first) is the
+    * prediction. OOV score tokens drop on both engines (inner join to
+    * the vocabulary), the standard NB treatment.
+    *
+    * The synthetic corpus draws text independently of `lang`, so accuracy
+    * sits at chance BY CONSTRUCTION — what the oracle verifies is the
+    * training/scoring arithmetic; QueriesSpec additionally plants a
+    * class-correlated micro-corpus where the classifier must be right.
+    *
+    * Determinism: each ln is round-to-9dp ulp-contained (t05/t11
+    * playbook), summed through DECIMAL(38,9) — exact and
+    * order-independent — so scores AND the argmax hash-check.
+    *
+    * Scale shape: training = two map-side-partial hash aggregates; the
+    * model is |V| x |classes| rows (model-sized, broadcast); scoring is
+    * one linear join of the token stream against the broadcast model +
+    * a per-doc aggregate. Nothing is quadratic in corpus size.
+    */
+  def t18_nb_classifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .localCheckpoint() // one tokenize pass feeds training aggs + scoring
+    val train = toks.filter(col("doc_id") % 5 =!= 0)
+    val test = toks.filter(col("doc_id") % 5 === 0)
+    val classes = train.groupBy(col("lang"))
+      .agg(count(lit(1)).as("c_lang"), countDistinct(col("doc_id")).as("n_docs"))
+    val vocabN = train.agg(countDistinct(col("tok")).as("v"))
+    val totDocs = classes.agg(sum(col("n_docs")).as("tot"))
+    val tc = train.groupBy(col("lang").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val lp = train.select(col("tok")).distinct()
+      .crossJoin(broadcast(classes.select(col("lang").as("cls"), col("c_lang"))))
+      .join(tc, Seq("cls", "tok"), "left")
+      .crossJoin(broadcast(vocabN))
+      .select(col("cls"), col("tok"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("c_lang") + col("v"))), 9).cast(dec9).as("lp"))
+    val prior = classes.crossJoin(broadcast(totDocs))
+      .select(col("lang").as("cls"),
+        round(log(col("n_docs") / col("tot")), 9).cast(dec9).as("lp0"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    test.join(lp, Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lp")).as("sl"))
+      .join(broadcast(prior), Seq("cls"))
+      // one double addition of two exact decimals — Spark's decimal `+`
+      // would drop to scale 8 (38,9 + 38,9 needs precision 39)
+      .withColumn("score", col("lp0").cast("double") + col("sl").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        col("cls").as("pred_lang"),
+        col("score").cast("double").as("log_prob"), col("n_toks"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t18_nb_classifier" -> (t18_nb_classifier _),
     "t17_bpe_train" -> (t17_bpe_train _),
     "t16_vocab_stats" -> (t16_vocab_stats _),
     "t14_normalize" -> (t14_normalize _),
@@ -588,6 +656,38 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t18_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+        |test AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+        |classes AS (SELECT lang AS cls, count(*) AS c_lang,
+        |                   count(DISTINCT doc_id) AS n_docs
+        |            FROM train GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM train),
+        |tot AS (SELECT sum(n_docs) AS tot FROM classes),
+        |tc AS (SELECT lang AS cls, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |vocab AS (SELECT DISTINCT tok FROM train),
+        |lp AS (
+        |  SELECT c.cls, vb.tok,
+        |         CAST(round(ln((coalesce(tc.c, 0) + 1.0) / (c.c_lang + v.v)), 9)
+        |              AS DECIMAL(38,9)) AS lp
+        |  FROM vocab vb CROSS JOIN classes c CROSS JOIN v
+        |  LEFT JOIN tc ON tc.cls = c.cls AND tc.tok = vb.tok),
+        |prior AS (
+        |  SELECT cls, CAST(round(ln(n_docs / tot), 9) AS DECIMAL(38,9)) AS lp0
+        |  FROM classes CROSS JOIN tot),
+        |sc AS (
+        |  SELECT t.doc_id, t.lang AS true_lang, lp.cls,
+        |         count(*) AS n_toks, sum(lp.lp) AS sl
+        |  FROM test t JOIN lp ON t.tok = lp.tok
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, true_lang, cls AS pred_lang,
+        |       CAST(p.lp0 AS DOUBLE) + CAST(sc.sl AS DOUBLE) AS log_prob, n_toks
+        |FROM sc JOIN prior p USING (cls)
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY CAST(p.lp0 AS DOUBLE) + CAST(sc.sl AS DOUBLE) DESC, cls) <= 1""".stripMargin,
     "t17_bpe_train" -> bpeTrainOracle(8),
     "t16_vocab_stats" ->
       """WITH tk AS (
