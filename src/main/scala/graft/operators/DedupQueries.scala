@@ -770,10 +770,17 @@ object DedupQueries {
     * groupBy(doc) carrying (idx, line) structs — linear everywhere, no
     * pairwise anything. All-string/integer ops -> hash-green.
     */
-  def d19_line_dedup(s: SparkSession, d: String): DataFrame = {
+  def d19_line_dedup(s: SparkSession, d: String): DataFrame =
+    lineDedup(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The strike-and-reassemble pipeline over any (doc_id, lang, text)
+    * frame — QueriesSpec drives it with a planted corpus where the exact
+    * surviving text is known by hand.
+    */
+  private[graft] def lineDedup(docsIn: DataFrame): DataFrame = {
     val w = 4
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = docsIn
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_lines", ((size(col("toks")) + (w - 1)) / w).cast("long"))
       .select(col("doc_id"), col("lang"), col("toks"), col("n_lines"))

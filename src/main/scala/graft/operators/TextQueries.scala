@@ -592,11 +592,18 @@ object TextQueries {
     * one linear join of the token stream against the broadcast model +
     * a per-doc aggregate. Nothing is quadratic in corpus size.
     */
-  def t18_nb_classifier(s: SparkSession, d: String): DataFrame = {
+  def t18_nb_classifier(s: SparkSession, d: String): DataFrame =
+    nbClassify(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The train+score pipeline over any (doc_id, lang, text) frame —
+    * QueriesSpec drives it with a planted class-correlated micro-corpus
+    * where the prediction must be right.
+    */
+  private[graft] def nbClassify(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
-    val toks = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    val toks = docs
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .localCheckpoint() // one tokenize pass feeds training aggs + scoring

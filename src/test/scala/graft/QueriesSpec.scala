@@ -101,6 +101,51 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t18 naive Bayes: class-correlated planted corpus is classified correctly") {
+    import spark.implicits._
+    // train docs (id % 5 != 0) make the class-token correlation perfect;
+    // held-out docs 5 ("aa" words) and 10 ("bb" words) must classify right.
+    // The shared word "common" appears in both classes so the vocabulary
+    // overlaps and the smoothing path is exercised.
+    val docs = Seq(
+      (1L, "aa", "apple banana apple common"),
+      (2L, "aa", "banana apple banana common"),
+      (3L, "aa", "apple apple banana"),
+      (6L, "bb", "zebra yak zebra common"),
+      (7L, "bb", "yak zebra yak common"),
+      (8L, "bb", "zebra yak yak"),
+      (5L, "aa", "apple banana common"),
+      (10L, "bb", "zebra yak common")
+    ).toDF("doc_id", "lang", "text")
+    val out = operators.TextQueries.nbClassify(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("true_lang"), r.getAs[String]("pred_lang"),
+          r.getAs[Long]("n_toks"))).toMap
+    assert(out.keySet == Set(5L, 10L), s"scored docs: ${out.keySet}")
+    assert(out(5L) == (("aa", "aa", 3L)), s"doc 5: ${out(5L)}")
+    assert(out(10L) == (("bb", "bb", 3L)), s"doc 10: ${out(10L)}")
+  }
+
+  test("d19 line dedup: planted boilerplate line struck everywhere, rest kept in order") {
+    import spark.implicits._
+    // 4-token lines: docs 1 and 2 open with the same line (struck from
+    // both); their tails are unique (kept, order preserved). Doc 3 is
+    // exactly the boilerplate line -> empty clean_text.
+    val boiler = "w x y z"
+    val docs = Seq(
+      (1L, "en", s"$boiler a b c d"),
+      (2L, "en", s"$boiler p q r s"),
+      (3L, "en", boiler)
+    ).toDF("doc_id", "lang", "text")
+    val out = operators.DedupQueries.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L) == (("a b c d", 2L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("p q r s", 2L, 1L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (("", 1L, 1L)), s"doc 3: ${out(3L)}")
+  }
+
   test("d04 simhash LSH: planted duplicate pair is guaranteed to surface") {
     import spark.implicits._
     // identical docs have Hamming distance 0 -> collide on all four 16-bit
