@@ -74,6 +74,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[functions.KllN].getName, "kll_n"),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("kll_n", 1, exprs); functions.KllN(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("theta_agg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.ThetaBuildAgg].getName, "theta_agg"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("theta_agg", 1, exprs); functions.ThetaBuildAgg(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("theta_merge"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.ThetaMergeAgg].getName, "theta_merge"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("theta_merge", 1, exprs); functions.ThetaMergeAgg(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("theta_estimate"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.ThetaEstimate].getName, "theta_estimate"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("theta_estimate", 1, exprs); functions.ThetaEstimate(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("theta_intersect_est"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.ThetaIntersectEst].getName, "theta_intersect_est"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("theta_intersect_est", 2, exprs)
+            functions.ThetaIntersectEst(exprs(0), exprs(1)) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("theta_anotb_est"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.ThetaANotBEst].getName, "theta_anotb_est"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("theta_anotb_est", 2, exprs)
+            functions.ThetaANotBEst(exprs(0), exprs(1)) }))
   }
 }
 

@@ -47,6 +47,7 @@ object Sessions {
     graft.functions.VectorFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.functions.KllQuantiles.register(s)
+    graft.functions.ThetaSketches.register(s)
     // discarded-rank window top-k -> native heap operator (idempotent add;
     // spark-submit deployments get the same rule via GraftExtensions). The
     // strategy must ride along: the rule can now introduce TopKPerGroupNode

@@ -174,7 +174,50 @@ object SketchQueries {
         kll_quantile(col("sk"), lit(0.75)).as("p75"))
   }
 
+  /** q90: cohort-overlap rollup through persisted THETA sketches — the
+    * set-algebra question HLL cannot answer: per-(day, event_type) theta
+    * partials of the user set are built ONCE and stored; the read side
+    * merges stored blobs per cohort and answers every pairwise
+    * |A|, |B|, |A ∩ B|, |A \ B| from the sketches alone (audience
+    * overlap / churn / contamination-overlap accounting). The merge
+    * stage's input is |days| x |event_types| blobs regardless of corpus
+    * size, and the pairwise frame is |event_types|^2 one-row sketches.
+    *
+    * A theta sketch under the default seed is a deterministic function
+    * of the input SET, and below its nominal entry count (lg_k=12 ->
+    * 4096) it is in EXACT mode — the gate fixture's cohorts are, so this
+    * rollup is fully hash-checked against exact DuckDB set arithmetic
+    * (the q66 move: same persistence architecture as the approximate
+    * sketch, oracle-checkable configuration). Past 4096 distincts the
+    * same query degrades gracefully to ~1.56% RSE estimates —
+    * QueriesSpec drives estimation mode with a 50k-key synthetic build
+    * and pins the error contract.
+    */
+  def q90_theta_overlap(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ThetaSketches._
+    val dir = partialsDir("theta_partials", d)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(theta_agg(col("user_id")).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    // merge-only: reads stored blobs, never the events table
+    val merged = s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(theta_merge(col("sketch")).as("sk"))
+    merged.as("a").crossJoin(merged.as("b")) // |event_types|^2 sketch rows
+      .filter(col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("cohort_a"),
+        col("b.event_type").as("cohort_b"),
+        round(theta_estimate(col("a.sk"))).cast("long").as("est_a"),
+        round(theta_estimate(col("b.sk"))).cast("long").as("est_b"),
+        round(theta_intersect_est(col("a.sk"), col("b.sk")))
+          .cast("long").as("est_overlap"),
+        round(theta_anotb_est(col("a.sk"), col("b.sk")))
+          .cast("long").as("est_a_only"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_theta_overlap" -> (q90_theta_overlap _),
     "q65_hll_rollup" -> (q65_hll_rollup _),
     "q66_histogram_rollup" -> (q66_histogram_rollup _),
     "q76_freq_items" -> (q76_freq_items _),
@@ -188,6 +231,22 @@ object SketchQueries {
     * valid precisely because histogram merge is exact.
     */
   val oracles: Map[String, String] = Map(
+    "q90_theta_overlap" ->
+      """WITH c AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+        |ov AS (
+        |  SELECT x.event_type AS cohort_a, y.event_type AS cohort_b,
+        |         count(*) AS o
+        |  FROM c x JOIN c y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT na.event_type AS cohort_a, nb.event_type AS cohort_b,
+        |       na.n AS est_a, nb.n AS est_b,
+        |       coalesce(ov.o, 0) AS est_overlap,
+        |       na.n - coalesce(ov.o, 0) AS est_a_only
+        |FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |LEFT JOIN ov ON ov.cohort_a = na.event_type
+        |            AND ov.cohort_b = nb.event_type""".stripMargin,
     "q66_histogram_rollup" ->
       """WITH h AS (
         |  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket,

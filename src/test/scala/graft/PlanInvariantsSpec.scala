@@ -153,6 +153,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p84 = finalPlan("q84_kll_by_group")
     assert(!p84.contains("orders.parquet"),
       s"q84 merge stage rescanned raw orders:\n${p84.take(1200)}")
+    val p90 = finalPlan("q90_theta_overlap")
+    assert(!p90.contains("events.parquet"),
+      s"q90 merge stage rescanned raw events:\n${p90.take(1200)}")
+    assert(p90.contains("theta_merge"), p90.take(800))
+    assert(p90.contains("partial_theta_merge"), p90.take(1200))
     assert(p84.contains("partial_kll_merge"), p84.take(1200))
   }
 

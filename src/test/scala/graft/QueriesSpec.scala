@@ -219,6 +219,43 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q90 theta: estimation mode honors the error contract; merge == one-shot") {
+    import graft.functions.ThetaSketches._
+    Sessions.tune(spark) // SQL-registration path must not depend on test order
+    // 50k and 40k-key cohorts overlap in [20k, 50k) — far past the 4096
+    // nominal entries, so this exercises ESTIMATION mode (the gate fixture
+    // sits in exact mode). Theta under the default seed is deterministic
+    // for a given input set: no flake, the error either fits or the
+    // implementation changed.
+    val a = spark.range(0, 50000).agg(theta_agg(col("id")).as("sk"))
+    val b = spark.range(20000, 60000).agg(theta_agg(col("id")).as("sk"))
+    val r = a.crossJoin(b.withColumnRenamed("sk", "skb"))
+      .select(
+        theta_estimate(col("sk")).as("ea"),
+        theta_intersect_est(col("sk"), col("skb")).as("ov"),
+        theta_anotb_est(col("sk"), col("skb")).as("only_a"))
+      .collect().head
+    assert(math.abs(r.getAs[Double]("ea") - 50000) / 50000 < 0.05, r.toString)
+    assert(math.abs(r.getAs[Double]("ov") - 30000) / 30000 < 0.08, r.toString)
+    assert(math.abs(r.getAs[Double]("only_a") - 20000) / 20000 < 0.08, r.toString)
+
+    // merged partials == one-shot, exactly: both are the same function of
+    // the same input set (ordered-compact image is canonical)
+    val partials = spark.range(0, 50000)
+      .groupBy((col("id") % 7).as("g")).agg(theta_agg(col("id")).as("sk"))
+      .agg(theta_estimate(theta_merge(col("sk"))).as("est"))
+      .collect().head.getAs[Double]("est")
+    assert(partials == r.getAs[Double]("ea"),
+      s"merged $partials != one-shot ${r.getAs[Double]("ea")}")
+
+    // raw-SQL reachability of the registered surface
+    spark.range(0, 100).createOrReplaceTempView("theta_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT theta_estimate(theta_agg(id)) AS e FROM theta_sql_probe")
+      .collect().head.getAs[Double]("e")
+    assert(viaSql == 100.0, s"sql path estimate: $viaSql")
+  }
+
   test("q84 grouped KLL rollup matches q40's exact per-status percentiles") {
     val exact = Tables.orders(spark, sf)
       .select(col("o_orderstatus"), col("o_totalprice")).collect()
