@@ -1536,9 +1536,62 @@ object RelationalQueries {
         |FROM j GROUP BY 1, 2""".stripMargin)
   }
 
+  /** Z-value bit interleave over two 8-bit bucketed dims, as identical
+    * arithmetic text on both engines modulo the integer-div operator
+    * (`div` / `//`): bit i of each dim lands at output bits 2i / 2i+1.
+    */
+  private def zInterleave(divOp: String): String =
+    (0 until 8).map(i =>
+      s"((zx $divOp ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((zy $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+
+  /** q91: Z-ORDER clustering key (Morton code) over (customer, order day)
+    * — the multi-dimensional data-layout operator behind Delta/Iceberg
+    * `ZORDER BY`: interleaving the bits of two rank-bucketed dimensions
+    * yields ONE sort key under which every aligned key range is a small
+    * RECTANGLE in the original space, so parquet row-group min/max stats
+    * prune scans filtered on EITHER dimension (a single-column sort
+    * clusters only its own column; the secondary dim spans the full range
+    * in every file). The query emits each 256-key z-cell's bounding box —
+    * the guarantee is that every cell is a 16x16 rectangle, pinned
+    * exactly in QueriesSpec against a custkey-only sort whose cells
+    * sprawl the full date range.
+    *
+    * Scale shape: bucket bounds are a broadcast 1-row aggregate; the
+    * z-value is a pure integer projection in the scan stage; the cell
+    * rollup is one hash aggregate. At 100 TB the write path becomes
+    * `repartitionByRange(z).sortWithinPartitions(z)` and the key keeps
+    * its pruning power no matter how many files the corpus spans.
+    * All-integer arithmetic -> hash-green.
+    */
+  def q91_zorder(s: SparkSession, d: String): DataFrame =
+    zBuckets(s, d)
+      .groupBy(expr("z div 256").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("zx")).cast("long").as("x_min"),
+        max(col("zx")).cast("long").as("x_max"),
+        min(col("zy")).cast("long").as("y_min"),
+        max(col("zy")).cast("long").as("y_max"))
+
+  /** Orders with both dims rank-bucketed to 0..255 and the interleaved
+    * z-key — shared by q91 and its QueriesSpec locality contrast.
+    */
+  private[graft] def zBuckets(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").as("ck"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("dy"))
+    val bounds = o.agg(min(col("ck")).as("ck0"), max(col("ck")).as("ck1"),
+      min(col("dy")).as("dy0"), max(col("dy")).as("dy1"))
+    o.crossJoin(broadcast(bounds))
+      .withColumn("zx", expr("((ck - ck0) * 256) div (ck1 - ck0 + 1)"))
+      .withColumn("zy", expr("((dy - dy0) * 256) div (dy1 - dy0 + 1)"))
+      .withColumn("z", expr(zInterleave("div")))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q91_zorder" -> (q91_zorder _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
     "q03_join_agg" -> (q03_join_agg _),
@@ -1627,6 +1680,22 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q91_zorder" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey AS ck,
+         |         (o_orderdate::DATE - DATE '1992-01-01') AS dy
+         |  FROM orders),
+         |b AS (SELECT min(ck) AS ck0, max(ck) AS ck1,
+         |             min(dy) AS dy0, max(dy) AS dy1 FROM o),
+         |sc AS (
+         |  SELECT ((ck - ck0) * 256) // (ck1 - ck0 + 1) AS zx,
+         |         ((dy - dy0) * 256) // (dy1 - dy0 + 1) AS zy
+         |  FROM o CROSS JOIN b),
+         |z AS (SELECT zx, zy, ${zInterleave("//")} AS z FROM sc)
+         |SELECT CAST(z // 256 AS BIGINT) AS cell, count(*) AS n_orders,
+         |       CAST(min(zx) AS BIGINT) AS x_min, CAST(max(zx) AS BIGINT) AS x_max,
+         |       CAST(min(zy) AS BIGINT) AS y_min, CAST(max(zy) AS BIGINT) AS y_max
+         |FROM z GROUP BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,

@@ -219,6 +219,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q91 z-order: every cell is a 16x16 rectangle; single-dim sort sprawls") {
+    val cells = SparkEntry.queries("q91_zorder")(spark, sf).collect()
+    assert(cells.length > 1)
+    // z div 256 fixes the top 4 bits of BOTH dims -> every cell's bounding
+    // box is at most 16x16 in the bucketed space, exactly
+    cells.foreach { r =>
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") <= 15, r.toString)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") <= 15, r.toString)
+    }
+    // the contrast that justifies the interleave: bucketing by custkey
+    // ALONE (a single-column sort's file layout) leaves the date dim
+    // unclustered — its span per 16-wide custkey stripe is near-total,
+    // so date-filtered scans prune nothing
+    val sprawl = operators.RelationalQueries.zBuckets(spark, sf)
+      .groupBy(expr("zx div 16").as("stripe"))
+      .agg((max(col("zy")) - min(col("zy"))).as("span"))
+      .collect()
+    assert(sprawl.forall(_.getAs[Long]("span") >= 200),
+      sprawl.map(_.toString).mkString(", "))
+  }
+
   test("q90 theta: estimation mode honors the error contract; merge == one-shot") {
     import graft.functions.ThetaSketches._
     Sessions.tune(spark) // SQL-registration path must not depend on test order
