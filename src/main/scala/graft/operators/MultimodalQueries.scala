@@ -212,6 +212,39 @@ object MultimodalQueries {
         col("length"),
         expr("decode(substring(content, 1, 4), 'UTF-8') = 'PAR1'").as("magic_ok"))
 
+  /** m10: small-file COMPACTION plan — the table-maintenance operator
+    * every parquet lake schedules (Iceberg `rewrite_data_files` binPack /
+    * Delta OPTIMIZE): files ordered by name are packed into target-size
+    * bins by cumulative-byte splitting (each bin closes when the running
+    * total crosses 256 KiB — bins may overshoot by at most one file, the
+    * standard binPack tolerance), and the plan emits each bin's file
+    * count, byte total and name range — exactly what a rewrite job needs
+    * to schedule one task per bin.
+    *
+    * Scale shape: the input is the file LISTING (one row per file, never
+    * per record), so the global running sum is metadata-sized; past
+    * millions of files the same prefix sum runs as c17's two-phase
+    * distributed scan (per-partition subtotals -> broadcast offsets).
+    * All-integer arithmetic over real file sizes -> hash-green against
+    * DuckDB's read_blob over the same glob.
+    */
+  def m10_compaction_plan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 256L * 1024
+    val files = s.read.format("binaryFile").load(s"$d/*.parquet")
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("file_name"),
+        col("length"))
+    val w = Window.orderBy(col("file_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files.withColumn("cum", sum(col("length")).over(w))
+      .withColumn("bin", expr(s"(cum - 1) div $target").cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).cast("long").as("bin_bytes"),
+        min(col("file_name")).as("first_file"),
+        max(col("file_name")).as("last_file"))
+  }
+
   /** Exact media dedup by content digest — the first dedup pass every
     * multimodal corpus runs (byte-identical copies of the same image/clip
     * under different names/collections collapse to one canonical row
@@ -273,6 +306,7 @@ object MultimodalQueries {
   val queries: Map[String, Q] = Map(
     "m09_feature_neardup" -> (m09_feature_neardup _),
     "m08_media_dedup" -> (m08_media_dedup _),
+    "m10_compaction_plan" -> (m10_compaction_plan _),
     "m07_binary_ingest" -> (m07_binary_ingest _),
     "m01_media_meta" -> (m01_media_meta _),
     "m02_frame_sample" -> (m02_frame_sample _),
@@ -286,6 +320,19 @@ object MultimodalQueries {
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
     "m09_feature_neardup" -> featureNeardupOracle,
+    "m10_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |         size AS length
+        |  FROM read_blob('/root/testdata/sf0.01/*.parquet')),
+        |c AS (
+        |  SELECT file_name, length,
+        |         sum(length) OVER (ORDER BY file_name) AS cum FROM f)
+        |SELECT CAST((cum - 1) // 262144 AS BIGINT) AS bin,
+        |       count(*) AS n_files,
+        |       CAST(sum(length) AS BIGINT) AS bin_bytes,
+        |       min(file_name) AS first_file, max(file_name) AS last_file
+        |FROM c GROUP BY 1""".stripMargin,
     "m08_media_dedup" ->
       """WITH f AS (
         |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,

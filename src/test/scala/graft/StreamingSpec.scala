@@ -386,6 +386,48 @@ class StreamingSpec extends SparkTestBase {
     assert(merged > 0)
   }
 
+  test("streaming theta rollup: per-batch partials answer cohort overlap == one-shot") {
+    // q90's theta persistence under a REAL stream: micro-batches append
+    // per-(day, event_type) theta partials; the merge-only read then
+    // answers |A ∩ B| from stored blobs. A theta sketch is a deterministic
+    // function of the input SET, so merged partials must agree with
+    // one-shot sketching EXACTLY — including through the intersection,
+    // not just the single-cohort estimate.
+    import graft.functions.ThetaSketches._
+    Sessions.tune(spark)
+    val ev = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+    val srcDir = Files.createTempDirectory("theta_stream_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("theta_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("day"), col("event_type"))
+          .agg(theta_agg(col("user_id")).as("sketch"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(partialsDir)
+      .groupBy(col("event_type")).agg(theta_merge(col("sketch")).as("sk"))
+    val streamed = merged.as("a").crossJoin(merged.as("b"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ca"), col("b.event_type").as("cb"),
+        theta_intersect_est(col("a.sk"), col("b.sk")).as("ov"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val one = ev.groupBy(col("event_type")).agg(theta_agg(col("user_id")).as("sk"))
+    val oneShot = one.as("a").crossJoin(one.as("b"))
+      .filter(col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ca"), col("b.event_type").as("cb"),
+        theta_intersect_est(col("a.sk"), col("b.sk")).as("ov"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(streamed.nonEmpty && streamed == oneShot,
+      s"streamed $streamed vs one-shot $oneShot")
+  }
+
   test("streaming vocab rollup: per-batch word-count partials merge to one-shot t16") {
     // st10's architecture under a REAL stream: each micro-batch appends
     // its (lang, token, count) partial; the merge-only rollup must equal
