@@ -353,6 +353,45 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"gram self-join degraded to a nested loop:\n${p.take(1200)}")
   }
 
+  test("c20 domain cap: native heap operator, no Window and no global sort") {
+    val p = finalPlan("c20_domain_cap")
+    assert(p.contains("TopKPerGroup"), s"c20 lost the heap top-k:\n${p.take(1200)}")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"per-domain cap degraded to a sort/window plan:\n${p.take(1200)}")
+  }
+
+  test("t18 naive Bayes: scoring joins keyed on tok/cls; scalar crossjoins broadcast") {
+    val p = finalPlan("t18_nb_classifier")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the hot joins — token stream x model, scores x prior — must be hash
+    // joins on their keys; the only nested loops allowed are the bounded
+    // broadcast-scalar crossjoins (|V| count, doc total, 5-class frame)
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("BroadcastHashJoin [tok#"),
+      s"token-model join lost its key:\n${p.take(1200)}")
+    assert(fin.contains("BroadcastHashJoin [cls#"),
+      s"prior join lost its key:\n${p.take(1200)}")
+    assert(!fin.contains("SortMergeJoin"),
+      s"model-sized join degraded to sort-merge:\n${p.take(1200)}")
+  }
+
+  test("q91 z-order: bounds broadcast; z projection adds no join shuffle") {
+    val p = finalPlan("q91_zorder")
+    // the 1-row bounds frame must arrive via broadcast — a shuffled join
+    // here would mean the scan stage can't compute z inline
+    assert(!p.contains("SortMergeJoin"),
+      s"bounds join degraded to sort-merge:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("d19 line dedup: strike join keyed; reassembly is one aggregate, no window") {
+    val p = finalPlan("d19_line_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"line-strike anti join degraded:\n${p.take(1200)}")
+    assert(!p.contains("Window"),
+      s"reassembly must be sort_array-in-agg, not a window:\n${p.take(800)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
