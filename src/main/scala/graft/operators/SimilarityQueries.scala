@@ -840,7 +840,49 @@ object SimilarityQueries {
     "s03_dot_topk" -> (s03_dot_topk _),
     "s04_ivf_ann" -> (s04_ivf_ann _),
     "s05_zipwith_cosine" -> (s05_zipwith_cosine _),
+    "s21_knn_classify" -> (s21_knn_classify _),
   )
+
+  /** s21: k-NN label CLASSIFICATION — the label-transfer use of the
+    * retrieval stack (weak labeling over an embedding space; t18's
+    * naive-Bayes sibling on the vector side): a 10% held-out split is
+    * classified by majority vote over its 5 nearest train-split
+    * neighbors by cosine. Scoring is s01's shape exactly (one corpus
+    * scan against the broadcast query side, per-query top-k through the
+    * partial heaps); the vote is a |queries| x k aggregate + argmax
+    * (ties -> smallest label). Votes are integers and the neighbor sets
+    * deterministic (sim desc, vec_id tie-break), so the predictions
+    * themselves hash-check cross-engine.
+    */
+  def s21_knn_classify(s: SparkSession, d: String): DataFrame =
+    knnClassify(Tables.embeddings(s, d))
+
+  /** The split+vote pipeline over any (vec_id, embedding, label) frame —
+    * QueriesSpec drives it with planted separable clusters where the
+    * majority vote must recover the cluster label (the fixture's labels
+    * are embedding-independent, so s21 on it scores at chance BY DESIGN
+    * and pins arithmetic, not fixture luck).
+    */
+  private[graft] def knnClassify(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val test = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val train = e.filter(col("vec_id") % 10 =!= 0)
+    val top = TopKPerGroup.topK(
+      train.crossJoin(broadcast(test))
+        .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    top.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id").as("vec_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"))
+  }
 
   /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual
     * DuckDB double formulation below is bit-identical to the codegen'd
@@ -1021,6 +1063,29 @@ object SimilarityQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
         |WHERE rk <= 5""".stripMargin,
+    "s21_knn_classify" ->
+      s"""WITH te AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb,
+         |         label AS true_label
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |tr AS (SELECT vec_id, embedding, label
+         |       FROM embeddings WHERE vec_id % 10 <> 0),
+         |p AS (
+         |  SELECT te.q_id, te.true_label, tr.vec_id, tr.label,
+         |         ${duckCosine("te.q_emb", "tr.embedding::DOUBLE[]")} AS sim
+         |  FROM te CROSS JOIN tr),
+         |k AS (
+         |  SELECT q_id, true_label, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY sim DESC, vec_id) AS rk FROM p) t
+         |  WHERE rk <= 5),
+         |v AS (
+         |  SELECT q_id, true_label, label, count(*) AS n_votes
+         |  FROM k GROUP BY 1, 2, 3)
+         |SELECT q_id AS vec_id, true_label, label AS pred_label, n_votes
+         |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY n_votes DESC, label) AS rk FROM v) t
+         |WHERE rk <= 1""".stripMargin,
     "s01_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -240,6 +240,24 @@ class QueriesSpec extends SparkTestBase {
       sprawl.map(_.toString).mkString(", "))
   }
 
+  test("s21 kNN classification: planted separable clusters are recovered") {
+    import spark.implicits._
+    // two tight clusters on orthogonal axes; held-out ids 10 and 20 sit
+    // inside their clusters and must take the cluster label by 5-0 votes
+    def v(x: Float, y: Float) = Array(x, y, 0.0f, 0.0f)
+    val rows =
+      (1 to 6).map(i => (i.toLong, v(1.0f, 0.01f * i), 1)) ++
+        (11 to 16).map(i => (i.toLong, v(0.01f * i, 1.0f), 2)) ++
+        Seq((10L, v(1.0f, 0.05f), 1), (20L, v(0.05f, 1.0f), 2))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val out = operators.SimilarityQueries.knnClassify(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"))).toMap
+    assert(out.keySet == Set(10L, 20L), s"scored: ${out.keySet}")
+    assert(out(10L) == ((1, 5L)), s"vec 10: ${out(10L)}")
+    assert(out(20L) == ((2, 5L)), s"vec 20: ${out(20L)}")
+  }
+
   test("q90 theta: estimation mode honors the error contract; merge == one-shot") {
     import graft.functions.ThetaSketches._
     Sessions.tune(spark) // SQL-registration path must not depend on test order
