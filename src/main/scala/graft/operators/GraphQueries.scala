@@ -295,7 +295,49 @@ object GraphQueries {
     "g03_components" -> (g03_components _),
     "g04_bfs_hops" -> (g04_bfs_hops _),
     "g05_kcore" -> (g05_kcore _),
+    "g06_weighted_paths" -> (g06_weighted_paths _),
   )
+
+  /** g06: bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds over
+    * the min-plus semiring) — g04's BFS with real edge costs: co-supplier
+    * edges are priced inversely to co-occurrence strength (w = 1000 div
+    * count: frequently-paired suppliers are "close"), and after R rounds
+    * each node holds the cheapest cost over paths of <= R edges from the
+    * source. Per round: ONE keyed join + ONE min aggregate over a state
+    * of one row per reached node (never per path) — the iteration shape
+    * that survives any graph size; the oracle unrolls the identical
+    * rounds as chained CTEs over the per-round node table, so the
+    * all-integer distances hash-check.
+    */
+  def g06_weighted_paths(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val co = s.sql(
+      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+         |FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+         |GROUP BY 1, 2
+         |HAVING count(*) >= $CoSupport""".stripMargin)
+    val edges = co.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst"), col("c")),
+        struct(col("v").as("src"), col("u").as("dst"), col("c")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        expr("1000 div e.c").cast("long").as("w"))
+      .localCheckpoint() // feeds every round; ONE lineitem self-join pass
+    val srcRow = edges.agg(min(col("src"))).head()
+    if (srcRow.isNullAt(0))
+      return s.range(0).select(col("id").as("node"), col("id").as("dist"))
+    val source = srcRow.getLong(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to Hops) {
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(expanded)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"), col("dist"))
+  }
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
     * `//` and Spark's `div` both truncate toward zero, and every operand is
@@ -381,6 +423,31 @@ object GraphQueries {
            |  FROM reach r JOIN edges e ON e.src = r.node
            |  WHERE r.h < $Hops)
            |SELECT node, min(h) AS hops FROM reach GROUP BY node""".stripMargin,
+      "g06_weighted_paths" -> {
+        val rounds = (1 to Hops).map { i =>
+          s"""d$i AS (
+             |  SELECT node, min(dist) AS dist FROM (
+             |    SELECT node, dist FROM d${i - 1}
+             |    UNION ALL
+             |    SELECT e.dst AS node, d.dist + e.w AS dist
+             |    FROM d${i - 1} d JOIN edges e ON e.src = d.node) x
+             |  GROUP BY node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH co AS (
+           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+           |edges AS (
+           |  SELECT u AS src, v AS dst, CAST(1000 // c AS BIGINT) AS w FROM co
+           |  UNION ALL
+           |  SELECT v, u, CAST(1000 // c AS BIGINT) FROM co),
+           |sq AS (SELECT min(src) AS src FROM edges
+           |       HAVING min(src) IS NOT NULL),
+           |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM sq),
+           |$rounds
+           |SELECT node, dist FROM d$Hops""".stripMargin
+      },
     )
   }
 }

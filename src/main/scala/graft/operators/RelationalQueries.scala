@@ -1588,9 +1588,50 @@ object RelationalQueries {
       .withColumn("z", expr(zInterleave("div")))
   }
 
+  /** q92: OHLC bars — the time-bucket downsampling every metrics and
+    * market-data pipeline runs (first/last/extremes/volume per bucket): per
+    * (event_type, hour) the opening and closing value (first/last by
+    * (ts, event_id) — the unique tie-break that makes "first" a fact,
+    * not a partitioning accident), high/low, event count and
+    * decimal-summed volume. Open/close come from two row_number windows
+    * over the SAME partitioning (one exchange, two sorts) folded into
+    * the aggregate as conditional picks — no self-join back to the
+    * extremes. Doubles are only ever PICKED (open/close) or min/maxed —
+    * both order-independent — and the sum runs through DECIMAL(38,6),
+    * so the bars hash-check cross-engine.
+    */
+  def q92_ohlc_bars(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hour", expr("us div 3600000000").cast("long"))
+    val wA = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("us"), col("event_id"))
+    val wD = Window.partitionBy(col("event_type"), col("hour"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    ev.withColumn("ra", row_number().over(wA))
+      .withColumn("rd", row_number().over(wD))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        max(when(col("ra") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec6)).cast("double").as("volume"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("hour") * 3600000000L),
+          "yyyy-MM-dd HH:mm:ss").as("bar_hour"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q92_ohlc_bars" -> (q92_ohlc_bars _),
     "q91_zorder" -> (q91_zorder _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
     "q02_filter_project" -> (q02_filter_project _),
@@ -1680,6 +1721,27 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q92_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, value,
+        |         epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |h AS (SELECT *, us // 3600000000 AS hour FROM e),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, hour
+        |                            ORDER BY us, event_id) AS ra,
+        |         row_number() OVER (PARTITION BY event_type, hour
+        |                            ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM h)
+        |SELECT event_type,
+        |       strftime(make_timestamp(hour * 3600000000),
+        |                '%Y-%m-%d %H:%M:%S') AS bar_hour,
+        |       max(CASE WHEN ra = 1 THEN value END) AS open,
+        |       max(value) AS high, min(value) AS low,
+        |       max(CASE WHEN rd = 1 THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS volume
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q91_zorder" ->
       s"""WITH o AS (
          |  SELECT o_orderkey, o_custkey AS ck,

@@ -151,6 +151,23 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s19_late_interaction(spark, sf).count())
       time(s"$tag s20_multiprobe_lsh")(
         graft.operators.SimilarityQueries.s20_multiprobe_lsh(spark, sf).count())
+      // eighth wave: d19's duplicate-line list grows with distinct
+      // boilerplate lines (clone families make EVERY line df>=10, so all
+      // text is struck — worst-case strike volume, still one agg + one
+      // anti join); t18's model stays |V| x |classes| at any corpus size
+      // (training aggregates absorb 10x tokens map-side); q90 merges 10x
+      // partial blobs into the same 10 cohort pairs; s21 is s01's scan
+      // with a 10x-deeper vote table; q91/m10 are scan-bound projections
+      time(s"$tag d19_line_dedup")(
+        graft.operators.DedupQueries.d19_line_dedup(spark, sf).count())
+      time(s"$tag t18_nb_classifier")(
+        graft.operators.TextQueries.t18_nb_classifier(spark, sf).count())
+      time(s"$tag q90_theta_overlap")(
+        graft.operators.SketchQueries.q90_theta_overlap(spark, sf).count())
+      time(s"$tag s21_knn_classify")(
+        graft.operators.SimilarityQueries.s21_knn_classify(spark, sf).count())
+      time(s"$tag q91_zorder")(
+        graft.operators.RelationalQueries.q91_zorder(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
