@@ -245,7 +245,113 @@ object StreamingQueries {
           .as("hapax_ratio"))
   }
 
+  /** Input row for the custom-state sessionizer: `us` is the exact epoch-µs
+    * integer the gap compare runs on; `ts` stays present because the
+    * streaming twin's event-time watermark must ride a timestamp column
+    * into the stateful operator.
+    */
+  case class SessEvent(user_id: Long, us: Long, event_id: Long,
+    ts: java.sql.Timestamp)
+
+  /** One open session per user — the ENTIRE per-key state. Bounded and
+    * evictable: the streaming run clears it on timeout, so state size is
+    * O(active users), never O(events).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  case class SessionRow(user_id: Long, n_events: Long, start_us: Long,
+    end_us: Long)
+
+  /** The gap-sessionization state machine behind st11 — written once and
+    * run on BOTH execution models: batch `flatMapGroupsWithState`
+    * (`emitOpenAtEnd = true`: the whole group arrives in one invocation,
+    * so the trailing open session is final and emits) and real Structured
+    * Streaming (`emitOpenAtEnd = false`: the open session parks in
+    * [[OpenSession]] state with an event-time timeout at last-event + gap;
+    * the watermark sealing it IS the emission — StreamingSpec pins parity).
+    * Events are buffered and sorted per invocation — per user per
+    * micro-batch under streaming, so the buffer is bounded by one key's
+    * batch slice, not the corpus; the declarative twin q74 remains the
+    * spill-safe whole-history formulation.
+    */
+  private[graft] def sessionStep(gapUs: Long, emitOpenAtEnd: Boolean)(
+      user: Long, rows: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession])
+      : Iterator[SessionRow] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(SessionRow(user, o.n, o.startUs, o.lastUs))
+    } else {
+      val evs = rows.toArray.sortBy(e => (e.us, e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+      var open = state.getOption
+      evs.foreach { e =>
+        open match {
+          case Some(o) if e.us - o.lastUs <= gapUs =>
+            open = Some(o.copy(lastUs = e.us, n = o.n + 1))
+          case Some(o) =>
+            out += SessionRow(user, o.n, o.startUs, o.lastUs)
+            open = Some(OpenSession(e.us, e.us, 1L))
+          case None =>
+            open = Some(OpenSession(e.us, e.us, 1L))
+        }
+      }
+      open.foreach { o =>
+        val deadlineMs = o.lastUs / 1000 + gapUs / 1000
+        if (emitOpenAtEnd) {
+          out += SessionRow(user, o.n, o.startUs, o.lastUs)
+        } else if (state.getCurrentWatermarkMs() >= deadlineMs) {
+          // any event that could still extend this session is later than
+          // the watermark allows — sealed now, nothing parks in state
+          out += SessionRow(user, o.n, o.startUs, o.lastUs)
+          state.remove()
+        } else {
+          state.update(o)
+          state.setTimeoutTimestamp(deadlineMs)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** q74's gap sessionization computed on the CUSTOM-STATE API —
+    * `flatMapGroupsWithState` over `groupByKey(user_id)`, the surface a
+    * pipeline reaches for when session logic outgrows what lag/sum windows
+    * express (carry-over attribution, per-session ML features, abandonment
+    * timers). Registered in batch mode (one invocation per user, state
+    * discarded) and oracle-checked against q74's declarative twin — the
+    * state machine and the window formulation must agree row-for-row.
+    * session_idx is stamped AFTER the state machine by a window over
+    * emitted session rows (|sessions| rows, not |events|): streaming state
+    * must stay evictable, so the machine itself never carries a cross-
+    * session counter. StreamingSpec runs this exact `sessionStep` under a
+    * real watermark + event-time timeout and pins stream == batch.
+    */
+  def st11_stateful_sessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionStep(1800000000L, emitOpenAtEnd = true))
+    sessions.toDF()
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("start_us"))).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        date_format(timestamp_micros(col("start_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(timestamp_micros(col("end_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        expr("(end_us - start_us) div 1000000").as("duration_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st11_stateful_sessions" -> (st11_stateful_sessions _),
     "st10_incremental_vocab" -> (st10_incremental_vocab _),
     "st09_stream_left_join" -> (st09_stream_left_join _),
     "st08_stream_enrich" -> (st08_stream_enrich _),
@@ -259,6 +365,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the state machine must agree row-for-row with the declarative
+    // lag/running-sum formulation — q74's oracle verbatim
+    "st11_stateful_sessions" -> RelationalQueries.oracles("q74_sessionize"),
     // identical output contract to one-shot t16: word-count partials are
     // exactly mergeable, so the incremental rollup shares the oracle
     "st10_incremental_vocab" -> TextQueries.oracles("t16_vocab_stats"),

@@ -563,6 +563,105 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty)
   }
 
+  test("custom-state sessionization: event-time timeout stream == batch st11") {
+    // st11's sessionStep run as a REAL stream: three time-sliced source
+    // files arrive as ordered micro-batches, the open session per user
+    // parks in GroupState with an event-time timeout at last-event + 30min,
+    // and the advancing watermark seals it (emission-on-eviction). Every
+    // streamed session must match a batch session exactly, and every batch
+    // session sealed well before the final watermark must have streamed.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import operators.StreamingQueries.SessEvent
+    Sessions.tune(spark)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("ts"))
+    val (lo, hi) = {
+      val r = ev.agg(min(col("us")), max(col("us"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val srcDir = Files.createTempDirectory("sess_stream")
+    // one file per time slice, mtimes strictly increasing so the file
+    // source replays them in event-time order (per-user order preserved)
+    Seq(
+      col("us") <= cuts(0),
+      col("us") > cuts(0) && col("us") <= cuts(1),
+      col("us") > cuts(1)
+    ).zipWithIndex.foreach { case (pred, i) =>
+      val tmp = Files.createTempDirectory(s"sess_slice$i")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"slice$i%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val sessions = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withWatermark("ts", "1 hour")
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        operators.StreamingQueries.sessionStep(1800000000L, emitOpenAtEnd = false))
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("stateful_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    // batch bounds are whole-second formatted strings, streamed bounds are
+    // exact µs — compare at shared second granularity (sessions of one
+    // user are >= 30 min apart, so no second-level collisions)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("start_s"),
+        r.getAs[Long]("end_s"), r.getAs[Long]("n_events"))
+    val streamed = spark.table("stateful_sessions")
+      .select(col("user_id"), expr("start_us div 1000000").as("start_s"),
+        expr("end_us div 1000000").as("end_s"), col("n_events"))
+      .collect().map(key).toSet
+    val batch = operators.StreamingQueries.st11_stateful_sessions(spark, sf)
+      .select(col("user_id"),
+        unix_timestamp(to_timestamp(col("session_start"))).as("start_s"),
+        unix_timestamp(to_timestamp(col("session_end"))).as("end_s"),
+        col("n_events"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch: ${(streamed diff batch).take(3)}")
+    // sealed = deadline a safe margin before the final watermark (hi - 1h);
+    // margin dodges the fire-at-exact-boundary comparison
+    val finalWmUs = hi - 3600000000L
+    val sealedSet = batch.filter { case (_, _, endS, _) =>
+      endS * 1000000L + 1800000000L < finalWmUs - 61000000L
+    }
+    assert(sealedSet.nonEmpty, "fixture produced no clearly-sealed sessions")
+    assert(sealedSet.subsetOf(streamed),
+      s"sealed batch sessions missing from stream: ${(sealedSet diff streamed).take(3)}")
+  }
+
+  test("st11 state machine == q74 declarative formulation, row for row") {
+    // the driver's oracle for st11 IS q74's SQL — pin the agreement locally
+    // so a hash mismatch can never reach CORRECTNESS: both formulations of
+    // gap sessionization must produce identical rows including session_idx.
+    Sessions.tune(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("session_start"), col("session_end"), col("duration_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+      .toSet
+    val machine = rows(operators.StreamingQueries.st11_stateful_sessions(spark, sf))
+    val declarative = rows(operators.RelationalQueries.q74_sessionize(spark, sf))
+    assert(machine.nonEmpty)
+    assert(machine == declarative,
+      s"disagreement: ${(machine diff declarative).take(3)} / ${(declarative diff machine).take(3)}")
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
