@@ -811,7 +811,71 @@ object DedupQueries {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** d20: probabilistic record linkage (Fellegi–Sunter shape) between two
+    * sources sharing NO key — customer and supplier records resolved as
+    * candidate "same entity" pairs. Entity resolution is the step beyond
+    * content dedup (d01-d19 match CONTENT; linkage matches RECORDS across
+    * heterogeneous schemas), and its three stages are all shuffle-shaped:
+    *
+    *   1. BLOCK — candidate pairs exist only inside a nationkey block, so
+    *      the pair count is Σ|block_c|·|block_s|, never |C|×|S|. At 100 TB
+    *      the block key is the scale dial: compound keys shrink blocks,
+    *      and a hot block is an ordinary skewed join (salting applies).
+    *   2. SCORE — per-field agreement weights summed in exact integers:
+    *      entity-number suffix parsed from the display name (strong,
+    *      +22/-5), $2000 account-balance bucket (+8/-3), balance sign
+    *      (+4/-2). The FS model derives log-odds weights from labeled
+    *      agreement rates; fixed integer weights keep the score itself
+    *      hash-checkable. Bucket floor uses a +1e7-shift so truncating
+    *      integer division equals floor for negative balances too.
+    *   3. RESOLVE — threshold 26 (suffix agreement alone is 22+8-2=28 max
+    *      only with bucket corroboration, so the gate demands suffix AND
+    *      bucket), then the best supplier per customer through one
+    *      (score desc, s_suppkey) window, carrying the above-threshold
+    *      candidate count a human review queue needs.
+    */
+  def d20_record_linkage(s: SparkSession, d: String): DataFrame = {
+    def side(df: DataFrame, key: String, name: String, nat: String,
+        bal: String): DataFrame =
+      df.select(col(key),
+        col(nat).cast("int").as(s"${key}_nat"),
+        (regexp_extract(col(name), "(\\d+)", 1).cast("long") % 50)
+          .as(s"${key}_suffix"),
+        round(col(bal) * 100).cast("long").as(s"${key}_cents"))
+    val c = side(Tables.customer(s, d), "c_custkey", "c_name", "c_nationkey",
+      "c_acctbal")
+    val sup = side(Tables.supplier(s, d), "s_suppkey", "s_name",
+      "s_nationkey", "s_acctbal")
+    // exact integer quotient: the +1e7 shift keeps the operand positive so
+    // (a - a%b)/b is floor division — identical to DuckDB's `//` there, and
+    // the double division is exact (numerator a multiple of b, < 2^53)
+    def bucket(c: Column): Column = {
+      val a = c + lit(10000000L)
+      ((a - pmod(a, lit(200000L))) / lit(200000L)).cast("long")
+    }
+    val scored = c.join(sup, col("c_custkey_nat") === col("s_suppkey_nat"))
+      .withColumn("score",
+        when(col("c_custkey_suffix") === col("s_suppkey_suffix"), 22)
+          .otherwise(-5) +
+        when(bucket(col("c_custkey_cents")) === bucket(col("s_suppkey_cents")),
+          8).otherwise(-3) +
+        when((col("c_custkey_cents") >= 0) === (col("s_suppkey_cents") >= 0),
+          4).otherwise(-2))
+      .filter(col("score") >= 26)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_custkey"))
+      .orderBy(col("score").desc, col("s_suppkey"))
+    scored
+      .withColumn("n_candidates", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_custkey"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("score").cast("long").as("score"), col("n_candidates"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d20_record_linkage" -> (d20_record_linkage _),
     "d19_line_dedup" -> (d19_line_dedup _),
     "d17_substring_spans" -> (d17_substring_spans _),
     "d18_persisted_minhash" -> (d18_persisted_minhash _),
@@ -892,6 +956,33 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d20_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |         CAST(regexp_extract(s_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier),
+        |scored AS (
+        |  SELECT c_custkey, s_suppkey,
+        |         (CASE WHEN c.suffix = s.suffix THEN 22 ELSE -5 END)
+        |       + (CASE WHEN (c.cents + 10000000) // 200000
+        |                  = (s.cents + 10000000) // 200000 THEN 8 ELSE -3 END)
+        |       + (CASE WHEN (c.cents >= 0) = (s.cents >= 0) THEN 4 ELSE -2 END)
+        |         AS score
+        |  FROM c JOIN s ON c.c_nationkey = s.s_nationkey),
+        |m AS (SELECT * FROM scored WHERE score >= 26),
+        |r AS (
+        |  SELECT c_custkey, s_suppkey, CAST(score AS BIGINT) AS score,
+        |         count(*) OVER (PARTITION BY c_custkey) AS n_candidates,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |                            ORDER BY score DESC, s_suppkey) AS rn
+        |  FROM m)
+        |SELECT c_custkey, s_suppkey, score, n_candidates FROM r WHERE rn = 1""".stripMargin,
     "d19_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks,

@@ -1628,9 +1628,105 @@ object RelationalQueries {
         col("n_events"), col("volume"))
   }
 
+  /** q93: CDC changelog via snapshot diff — the full-outer-join-on-key
+    * formulation that turns two table versions into an insert/update/delete
+    * stream, the feed every incremental downstream (materialized views,
+    * replicas, cache invalidation) consumes when the source has no native
+    * changelog. Two deterministic versions are derived from `orders`:
+    * version A drops keys ≡3 (mod 10) (rows that arrive later), version B
+    * drops keys ≡6 (mod 10) (rows deleted since) and bumps the price 5%
+    * on keys ≡0 (mod 7) (updates). The diff is ONE shuffle — a full outer
+    * join on the key — then pure row-local classification: A-null →
+    * insert, B-null → delete, changed payload → update, unchanged rows
+    * drop out. At 100 TB both sides partition on the same key so AQE can
+    * plan a co-partitioned join; no window, no skew (keys unique per
+    * side), and the unchanged majority never leaves the join stage.
+    * Prices compare in exact cents — a float-equality CDC diff would emit
+    * phantom updates.
+    */
+  def q93_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val vA = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
+      .select(col("o_orderkey").as("a_key"), col("o_orderstatus").as("a_status"),
+        col("cents").as("a_cents"))
+    val vB = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 6L)
+      .select(col("o_orderkey").as("b_key"), col("o_orderstatus").as("b_status"),
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          (col("cents") * 105L - pmod(col("cents") * 105L, lit(100L))) / 100L)
+          .otherwise(col("cents")).cast("long").as("b_cents"))
+    vA.join(vB, col("a_key") === col("b_key"), "full_outer")
+      .withColumn("change",
+        when(col("a_key").isNull, "insert")
+          .when(col("b_key").isNull, "delete")
+          .when(col("a_cents") =!= col("b_cents") ||
+            col("a_status") =!= col("b_status"), "update"))
+      .filter(col("change").isNotNull)
+      .select(coalesce(col("a_key"), col("b_key")).as("o_orderkey"),
+        col("change"), col("a_cents").as("old_cents"),
+        col("b_cents").as("new_cents"))
+  }
+
+  /** q94: incremental materialized-view maintenance — the consumer of
+    * q93's changelog. A per-customer revenue view stands materialized over
+    * snapshot A; when snapshot B lands, production must NOT recompute the
+    * view from 100 TB of base table — it applies the (tiny) delta:
+    * per-key Σ(new − old) from the changelog, one full outer join of
+    * view × delta, keys whose order count hits zero drop out. The hash
+    * oracle recomputes the view DIRECTLY over snapshot B — so the check
+    * proves the algebraic identity incremental-apply == full-recompute,
+    * which is the entire correctness obligation of view maintenance.
+    * At 100 TB the stored view and the delta are both keyed on o_custkey:
+    * the join co-partitions, the changelog side is a filtered aggregate
+    * of the day's changes (broadcast-able on quiet days), and the base
+    * table is never rescanned. Same derived snapshots as q93 (keys ≡3/≡6
+    * mod 10 differ, ≡0 mod 7 price-bumped) so the two registry entries
+    * stay one story.
+    */
+  def q94_view_maintain(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val vA = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
+    val vB = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 6L)
+      .withColumn("cents",
+        when(pmod(col("o_orderkey"), lit(7L)) === 0L,
+          ((col("cents") * 105L - pmod(col("cents") * 105L, lit(100L))) / 100L)
+            .cast("long"))
+          .otherwise(col("cents")))
+    // the materialized view over snapshot A
+    val view = vA.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    // the changelog, reduced to per-key deltas (this aggregate is the
+    // "day's changes" — tiny next to the view, never the base table)
+    val delta = vA.select(col("o_orderkey"), col("o_custkey").as("a_cust"),
+        col("cents").as("a_cents"))
+      .join(vB.select(col("o_orderkey"), col("o_custkey").as("b_cust"),
+        col("cents").as("b_cents")), Seq("o_orderkey"), "full_outer")
+      .filter(col("a_cust").isNull || col("b_cust").isNull ||
+        col("a_cents") =!= col("b_cents"))
+      .select(coalesce(col("a_cust"), col("b_cust")).as("o_custkey"),
+        (when(col("a_cust").isNull, 1L).when(col("b_cust").isNull, -1L)
+          .otherwise(0L)).as("dn"),
+        (coalesce(col("b_cents"), lit(0L)) - coalesce(col("a_cents"), lit(0L)))
+          .as("dc"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    view.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("rev_cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("rev_cents"))
+      .filter(col("n_orders") > 0)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q94_view_maintain" -> (q94_view_maintain _),
+    "q93_snapshot_diff" -> (q93_snapshot_diff _),
     "q92_ohlc_bars" -> (q92_ohlc_bars _),
     "q91_zorder" -> (q91_zorder _),
     "q01_pricing_summary" -> (q01_pricing_summary _),
@@ -1721,6 +1817,43 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    // the oracle RECOMPUTES the view from snapshot B directly — hash
+    // equality proves incremental-apply == full-recompute
+    "q94_view_maintain" ->
+      """WITH vb AS (
+        |  SELECT o_custkey,
+        |         CAST(CASE WHEN o_orderkey % 7 = 0
+        |                   THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 105) // 100
+        |                   ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+        |              AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 <> 6)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM vb GROUP BY o_custkey""".stripMargin,
+    "q93_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |va AS (
+        |  SELECT o_orderkey AS a_key, o_orderstatus AS a_status,
+        |         cents AS a_cents
+        |  FROM base WHERE o_orderkey % 10 <> 3),
+        |vb AS (
+        |  SELECT o_orderkey AS b_key, o_orderstatus AS b_status,
+        |         CAST(CASE WHEN o_orderkey % 7 = 0
+        |                   THEN (cents * 105) // 100 ELSE cents END AS BIGINT)
+        |           AS b_cents
+        |  FROM base WHERE o_orderkey % 10 <> 6),
+        |j AS (
+        |  SELECT *, CASE WHEN a_key IS NULL THEN 'insert'
+        |                 WHEN b_key IS NULL THEN 'delete'
+        |                 WHEN a_cents <> b_cents OR a_status <> b_status
+        |                   THEN 'update' END AS change
+        |  FROM va FULL OUTER JOIN vb ON a_key = b_key)
+        |SELECT coalesce(a_key, b_key) AS o_orderkey, change,
+        |       a_cents AS old_cents, b_cents AS new_cents
+        |FROM j WHERE change IS NOT NULL""".stripMargin,
     "q92_ohlc_bars" ->
       """WITH e AS (
         |  SELECT event_type, event_id, value,

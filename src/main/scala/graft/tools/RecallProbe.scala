@@ -9,7 +9,7 @@ object RecallProbe {
     Seq("s02_ann_lsh", "s04_ivf_ann", "s06_ivf_kmeans", "s08_ivf_nprobe",
       "s09_pq_ann", "s10_ivf_pq", "s11_graph_ann", "s12_ivf_pq_rerank",
       "s15_truncated_rerank", "s17_persisted_ivfpq",
-      "s18_incremental_append").foreach { n =>
+      "s18_incremental_append", "s22_jl_projection").foreach { n =>
       println(f"RECALL $n%-16s ${Recall.recall(exact, Recall.topk(spark, sf, n))}%.3f")
     }
     spark.stop()

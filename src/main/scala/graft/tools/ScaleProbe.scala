@@ -48,6 +48,18 @@ object ScaleProbe {
     (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 100000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
+    // 10x customer/supplier for d20: keys offset per copy, names (and so
+    // the parsed linkage suffixes) and nationkeys unchanged — every block
+    // gets 10x deeper on BOTH sides, candidate pairs grow ~100x: the
+    // blocked-join growth curve record linkage must survive
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    (0 until 10).map(i => cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/customer.parquet")
+    val supp = spark.read.parquet(s"$base/supplier.parquet")
+    (0 until 10).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/supplier.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
@@ -168,6 +180,22 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s21_knn_classify(spark, sf).count())
       time(s"$tag q91_zorder")(
         graft.operators.RelationalQueries.q91_zorder(spark, sf).count())
+      // ninth wave: d20's candidate pairs grow ~100x (10x-deep blocks on
+      // both sides) but stay Σ|block_c|·|block_s| — wall must track pair
+      // count, never |C|x|S|; q93 is one full outer join on 10x keys
+      // (linear); s22 projects 10x vectors once and rides the partial
+      // heaps (shortlist stays 50/query); st11's state machine sees 10x
+      // events per user with an unchanged session structure
+      time(s"$tag d20_record_linkage")(
+        graft.operators.DedupQueries.d20_record_linkage(spark, sf).count())
+      time(s"$tag q93_snapshot_diff")(
+        graft.operators.RelationalQueries.q93_snapshot_diff(spark, sf).count())
+      time(s"$tag q94_view_maintain")(
+        graft.operators.RelationalQueries.q94_view_maintain(spark, sf).count())
+      time(s"$tag s22_jl_projection")(
+        graft.operators.SimilarityQueries.s22_jl_projection(spark, sf).count())
+      time(s"$tag st11_stateful_sessions")(
+        graft.operators.StreamingQueries.st11_stateful_sessions(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

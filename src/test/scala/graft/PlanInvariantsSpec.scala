@@ -392,6 +392,41 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"reassembly must be sort_array-in-agg, not a window:\n${p.take(800)}")
   }
 
+  test("d20 record linkage: blocked equi-join, never cartesian; dim side broadcast") {
+    val p = finalPlan("d20_record_linkage")
+    // the whole design is that candidates come from a nationkey EQUI-join
+    // (blocking); a cartesian/BNLJ here is the |C|x|S| scale-killer
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking degraded to all-pairs:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
+  test("q93 snapshot diff: one keyed full outer join, no nested loop") {
+    val p = finalPlan("q93_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff lost its full outer join:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"keyed diff degraded to nested loop:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "the diff is row-local after the join")
+  }
+
+  test("s22 JL search: queries broadcast, partial-heap top-k, no rank window") {
+    val p = finalPlan("s22_jl_projection")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+    assert(!p.contains("Window"), s"rank window in s22:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q94 view maintenance: keyed joins only; base table never feeds the apply twice") {
+    val p = finalPlan("q94_view_maintain")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"view-maintenance join degraded:\n${p.take(1200)}")
+    // both the changelog reduction and the view apply are partial-agg'd
+    // keyed joins; a Window here would mean a rank-based rewrite crept in
+    assert(!p.contains("Window"), p.take(800))
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -88,6 +88,29 @@ class QueriesSpec extends SparkTestBase {
       s"s10 ($r10) cannot beat s08 ($r08): same routing, lossier scoring — a bug")
   }
 
+  test("s22 JL shortlist+rerank: shape, recall floor, and sign-matrix sanity") {
+    import graft.tools.Recall.{recall, topk}
+    val s22 = SparkEntry.queries("s22_jl_projection")(spark, sf).collect()
+    assert(s22.length == 50) // 10 queries x k=5
+    assert(s22.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    // recall@5 vs exact s01: measured 0.58 at sf0.001 — identical to an
+    // ideal Gaussian projection at width 32 on this data (the corpus'
+    // neighbor margin binds, not the sign construction); pin a floor
+    // with headroom, plus chance level (50/499 ≈ 0.1) stays far below
+    val r22 = recall(topk(spark, sf, "s01_knn_bruteforce"),
+      topk(spark, sf, "s22_jl_projection"))
+    assert(r22 >= 0.4, s"s22 recall collapsed: $r22")
+    // the near-duplicate-column failure mode of a bad sign matrix shows
+    // up as a large off-diagonal Gram entry — keep it provably bounded
+    val g = for {
+      a <- 0 until 32; b <- 0 until 32 if a != b
+    } yield (0 until 64).map(i =>
+      operators.SimilarityQueries.jlSigns(i * 32 + a) *
+        operators.SimilarityQueries.jlSigns(i * 32 + b)).foldLeft(0L)(_ + _)
+    assert(g.map(math.abs).max <= 32,
+      s"sign matrix columns too correlated: max |gram| = ${g.map(math.abs).max}")
+  }
+
   test("q32 approx distinct stays within 5% of the exact count per group") {
     // HLL++ at Spark's default rsd=0.05; the query carries its own exact
     // twin column, so the sketch's error bound is directly assertable
