@@ -106,6 +106,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("theta_anotb_est", 2, exprs)
             functions.ThetaANotBEst(exprs(0), exprs(1)) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jl_project"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.JlProject].getName, "jl_project"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("jl_project", 1, exprs); functions.JlProject(exprs.head) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sq_dist_long"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.SqDistLong].getName, "sq_dist_long"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("sq_dist_long", 2, exprs)
+            functions.SqDistLong(exprs(0), exprs(1)) }))
   }
 }
 

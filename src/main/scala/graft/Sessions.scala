@@ -45,6 +45,7 @@ object Sessions {
     s.conf.set("spark.sql.adaptive.enabled", "true")
     // engine-native functions, reachable from raw SQL text (idempotent)
     graft.functions.VectorFunctions.register(s)
+    graft.functions.JlFunctions.register(s)
     graft.functions.TextFunctions.register(s)
     graft.functions.KllQuantiles.register(s)
     graft.functions.ThetaSketches.register(s)

@@ -1685,33 +1685,59 @@ object RelationalQueries {
     * stay one story.
     */
   def q94_view_maintain(s: SparkSession, d: String): DataFrame = {
+    val (va, vb) = orderSnapshots(s, d)
+    applyViewDelta(revenueView(va), changelogRows(va, vb))
+  }
+
+  /** The two derived order snapshots behind q93/q94/st12 — keys ≡3 (mod
+    * 10) arrive later, keys ≡6 (mod 10) get deleted, keys ≡0 (mod 7) get
+    * a 5% price bump (floored to whole cents in exact integers).
+    */
+  private[graft] def orderSnapshots(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-    val vA = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
-    val vB = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 6L)
+    val va = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
+    val vb = base.filter(pmod(col("o_orderkey"), lit(10L)) =!= 6L)
       .withColumn("cents",
         when(pmod(col("o_orderkey"), lit(7L)) === 0L,
           ((col("cents") * 105L - pmod(col("cents") * 105L, lit(100L))) / 100L)
             .cast("long"))
           .otherwise(col("cents")))
-    // the materialized view over snapshot A
-    val view = vA.groupBy(col("o_custkey"))
+    (va, vb)
+  }
+
+  /** The materialized per-customer revenue view. */
+  private[graft] def revenueView(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
-    // the changelog, reduced to per-key deltas (this aggregate is the
-    // "day's changes" — tiny next to the view, never the base table)
-    val delta = vA.select(col("o_orderkey"), col("o_custkey").as("a_cust"),
+
+  /** Per-ORDER changelog rows (o_orderkey, o_custkey, dn, dc) — kept at
+    * order grain so a consumer can re-batch them arbitrarily (st12 splits
+    * them into micro-batches; delta application is associative, so any
+    * batching folds to the same view).
+    */
+  private[graft] def changelogRows(va: DataFrame, vb: DataFrame): DataFrame =
+    va.select(col("o_orderkey"), col("o_custkey").as("a_cust"),
         col("cents").as("a_cents"))
-      .join(vB.select(col("o_orderkey"), col("o_custkey").as("b_cust"),
+      .join(vb.select(col("o_orderkey"), col("o_custkey").as("b_cust"),
         col("cents").as("b_cents")), Seq("o_orderkey"), "full_outer")
       .filter(col("a_cust").isNull || col("b_cust").isNull ||
         col("a_cents") =!= col("b_cents"))
-      .select(coalesce(col("a_cust"), col("b_cust")).as("o_custkey"),
+      .select(col("o_orderkey"),
+        coalesce(col("a_cust"), col("b_cust")).as("o_custkey"),
         (when(col("a_cust").isNull, 1L).when(col("b_cust").isNull, -1L)
           .otherwise(0L)).as("dn"),
         (coalesce(col("b_cents"), lit(0L)) - coalesce(col("a_cents"), lit(0L)))
           .as("dc"))
-      .groupBy(col("o_custkey"))
+
+  /** One maintenance step: reduce changelog rows to per-key deltas (the
+    * "day's changes" — tiny next to the view, never the base table), one
+    * keyed full outer join against the stored view, zero-count keys drop.
+    */
+  private[graft] def applyViewDelta(view: DataFrame, rows: DataFrame): DataFrame = {
+    val delta = rows.groupBy(col("o_custkey"))
       .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
     view.join(delta, Seq("o_custkey"), "full_outer")
       .select(col("o_custkey"),

@@ -858,24 +858,11 @@ object SimilarityQueries {
   def s21_knn_classify(s: SparkSession, d: String): DataFrame =
     knnClassify(Tables.embeddings(s, d))
 
-  /** Deterministic ±1 JL sign matrix (64×32, row-major), generated by a
-    * murmur-style avalanche hash of the (i, j) index pair — measured
-    * off-diagonal Gram magnitude ≤ 24/64 (a naive linear-congruence
-    * parity gave near-duplicate columns, Gram up to 62/64, and chance-
-    * level recall). Static data, so the SAME literal array is shipped to
-    * Spark (typedLit) and interpolated into the DuckDB oracle — the two
-    * engines cannot disagree on the matrix.
+  /** The shared ±1 JL sign matrix — one array backs the native kernel, the
+    * QueriesSpec Gram bound, and the DuckDB oracle literal (see
+    * [[graft.functions.JlFunctions.signs]] for the construction story).
     */
-  private[graft] val jlSigns: Array[Long] = {
-    def sgn(i: Int, j: Int): Long = {
-      var h = (i.toLong * 2654435761L + j.toLong * 1779033703L) & 0xFFFFFFFFL
-      h ^= h >> 16
-      h = (h * 0x85EBCA6BL) & 0xFFFFFFFFL
-      h ^= h >> 13
-      if ((h & 1L) == 0L) 1L else -1L
-    }
-    Array.tabulate(64 * 32)(n => sgn(n / 32, n % 32))
-  }
+  private[graft] def jlSigns: Array[Long] = graft.functions.JlFunctions.signs
 
   /** s22: Johnson–Lindenstrauss random-projection search — the
     * dimensionality-reduction path billion-vector systems lean on
@@ -886,12 +873,16 @@ object SimilarityQueries {
     * JL-shortlist/exact-rerank split that s15 applies to score
     * truncation. The projection pipeline is exact integer arithmetic —
     * floats quantize to thousandths via floor() BEFORE projecting, the
-    * sign matrix is the shared [[jlSigns]] literal — so the whole
+    * sign matrix is the shared [[jlSigns]] array — so the whole
     * approximate method hash-checks against DuckDB replicating identical
     * integers (the s07 trick applied to projections), with the re-rank
-    * reusing s01's bit-identical cosine formulation. At 100 TB the
-    * projection happens once in the corpus scan (codegen'd HOFs, no
-    * shuffle), queries broadcast, the shortlist rides the partial-heap
+    * reusing s01's bit-identical cosine formulation. Both kernels are
+    * native codegen Expressions ([[graft.functions.JlProject]] /
+    * [[graft.functions.SqDistLong]]) — the HOF spelling of the same
+    * arithmetic ran interpreted at 19 s per sf0.1 scan; FunctionsSpec
+    * keeps it as the equivalence oracle. At 100 TB the projection happens
+    * once in the corpus scan (no shuffle, fused quantize+multiply),
+    * queries broadcast, the shortlist rides the partial-heap
     * exchange with 32-long rows, and the re-rank touches 50 raw vectors
     * per query instead of the corpus. QueriesSpec pins recall@5 vs exact
     * s01 ≥ 0.4 — measured 0.58, the SAME as an ideal Gaussian projection
@@ -899,26 +890,16 @@ object SimilarityQueries {
     * binding constraint).
     */
   def s22_jl_projection(s: SparkSession, d: String): DataFrame = {
-    val project = expr(
-      """transform(sequence(0, 31), j ->
-        |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
-        |    acc + element_at(sgns, i * 32 + j + 1) * element_at(qv, i + 1)))"""
-        .stripMargin)
+    import graft.functions.JlFunctions.{jl_project, sq_dist_long}
     def projected(df: DataFrame, idCol: String, out: String): DataFrame =
-      df.withColumn("qv",
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"))
-        .withColumn("sgns", typedLit(jlSigns.toSeq))
-        .withColumn(out, project)
-        .select(col("vec_id").as(idCol), col(out))
+      df.select(col("vec_id").as(idCol), jl_project(col("embedding")).as(out))
     val corpus = projected(Tables.embeddings(s, d), "vec_id", "c_proj")
     val queries = projected(
       Tables.embeddings(s, d).filter(col("vec_id") < NQueries), "q_id", "q_proj")
     val shortlist = TopKPerGroup.topK(
       corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          expr("""aggregate(zip_with(q_proj, c_proj, (a, b) -> (a - b) * (a - b)),
-                 |CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
-            .as("pdist")),
+          sq_dist_long(col("q_proj"), col("c_proj")).as("pdist")),
       Seq("q_id"), Seq(Ord("pdist"), Ord("vec_id")), 50)
     perQueryTopK(
       shortlist.select(col("q_id"), col("vec_id"))

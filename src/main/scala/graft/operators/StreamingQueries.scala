@@ -350,7 +350,33 @@ object StreamingQueries {
         expr("(end_us - start_us) div 1000000").as("duration_s"))
   }
 
+  /** st12: CONTINUOUS materialized-view maintenance — the streaming end of
+    * the q93→q94 CDC story. The changelog arrives in micro-batches; each
+    * batch folds into the stored view through q94's one-keyed-join apply
+    * step ([[RelationalQueries.applyViewDelta]]), and because per-key
+    * deltas are associative and commutative the fold reaches the same
+    * view as one-shot q94 REGARDLESS of how the changelog was batched —
+    * this registry twin splits it three ways by order key and shares
+    * q94's recompute oracle verbatim, so the batching-invariance is
+    * hash-checked. StreamingSpec runs the SAME apply step under a real
+    * readStream + foreachBatch with the view persisted as parquet between
+    * micro-batches (read-apply-write-swap, the production loop) and pins
+    * stream == batch == recompute. At 100 TB each step joins the stored
+    * view against one micro-batch's key set — the base table is never
+    * rescanned, and the join co-partitions on the view's key.
+    */
+  def st12_view_maintain(s: SparkSession, d: String): DataFrame = {
+    val (va, vb) = RelationalQueries.orderSnapshots(s, d)
+    // one changelog pass feeds all three batch filters
+    val rows = RelationalQueries.changelogRows(va, vb).localCheckpoint()
+    (0L until 3L).foldLeft(RelationalQueries.revenueView(va)) { (view, i) =>
+      RelationalQueries.applyViewDelta(view,
+        rows.filter(pmod(col("o_orderkey"), lit(3L)) === i))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "st12_view_maintain" -> (st12_view_maintain _),
     "st11_stateful_sessions" -> (st11_stateful_sessions _),
     "st10_incremental_vocab" -> (st10_incremental_vocab _),
     "st09_stream_left_join" -> (st09_stream_left_join _),
@@ -365,6 +391,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // any batching of the changelog folds to the same view — q94's
+    // full-recompute oracle verbatim proves the 3-way split is invariant
+    "st12_view_maintain" -> RelationalQueries.oracles("q94_view_maintain"),
     // the state machine must agree row-for-row with the declarative
     // lag/running-sum formulation — q74's oracle verbatim
     "st11_stateful_sessions" -> RelationalQueries.oracles("q74_sessionize"),

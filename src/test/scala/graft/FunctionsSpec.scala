@@ -26,6 +26,45 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(df.select(dot_product($"a", $"b")).as[Double].head() == 32.0)
   }
 
+  test("jl_project/sq_dist_long: hand values, HOF equivalence, codegen parity") {
+    import graft.functions.JlFunctions.{jl_project, sq_dist_long, signs}
+    // hand check on a one-hot input: floor(2.5*1000)=2500 lands in dim 3,
+    // so p_j = signs[3*32+j] * 2500 exactly
+    val oneHot = Seq.tabulate(64)(i => if (i == 3) 2.5f else 0.0f)
+    val hand = spark.createDataset(Seq(oneHot)).toDF("embedding")
+      .select(jl_project($"embedding").as("p")).as[Seq[Long]].head()
+    assert(hand == Seq.tabulate(32)(j => signs(3 * 32 + j) * 2500L))
+    // negative values must floor (not truncate): floor(-0.0015*1000) = -2
+    val neg = Seq.tabulate(64)(i => if (i == 0) -0.0015f else 0.0f)
+    val handNeg = spark.createDataset(Seq(neg)).toDF("embedding")
+      .select(jl_project($"embedding").as("p")).as[Seq[Long]].head()
+    assert(handNeg == Seq.tabulate(32)(j => signs(j) * -2L))
+    // sq_dist_long hand value
+    val dd = Seq((Seq(3L, -1L), Seq(1L, 2L))).toDF("a", "b")
+    assert(dd.select(sq_dist_long($"a", $"b")).as[Long].head() == 13L)
+    // the interpreted HOF spelling of the same arithmetic must agree
+    // bit-for-bit on real embeddings (it was the original s22 kernel)
+    val e = Tables.embeddings(spark, sf).limit(40)
+      .withColumn("sgns", typedLit(signs.toSeq)).cache()
+    val native = e.select($"vec_id", jl_project($"embedding").as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = e.select($"vec_id",
+      expr("""transform(sequence(0, 31), j ->
+             |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+             |    acc + element_at(sgns, i * 32 + j + 1) *
+             |          CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)
+             |                     * 1000.0) AS BIGINT)))""".stripMargin).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof, "native JL kernel diverged from HOF spelling")
+    // interpreted eval path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = e.select($"vec_id", jl_project($"embedding").as("p"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == viaEval)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("registered in SQL: raw query text can call the engine functions") {
     Sessions.tune(spark)
     val r = spark.sql(

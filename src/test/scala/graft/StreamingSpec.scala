@@ -643,6 +643,59 @@ class StreamingSpec extends SparkTestBase {
       s"sealed batch sessions missing from stream: ${(sealedSet diff streamed).take(3)}")
   }
 
+  test("st12 view maintenance: foreachBatch read-apply-write loop == batch == recompute") {
+    // the production loop for real: the changelog lands as three parquet
+    // files, each micro-batch reads the CURRENT stored view, applies the
+    // delta through the same one-join step, and writes the next view
+    // version; the final stored view must equal one-shot q94 (whose
+    // oracle is a full recompute — so this chain pins stream == batch ==
+    // recompute end to end)
+    import operators.RelationalQueries
+    Sessions.tune(spark)
+    val (va, vb) = RelationalQueries.orderSnapshots(spark, sf)
+    val rows = RelationalQueries.changelogRows(va, vb).localCheckpoint()
+    val srcDir = Files.createTempDirectory("cdc_stream")
+    (0L until 3L).foreach { i =>
+      val tmp = Files.createTempDirectory(s"cdc_b$i")
+      rows.filter(pmod(col("o_orderkey"), lit(3L)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"batch$i%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+    }
+    val viewRoot = Files.createTempDirectory("view_versions").toString
+    RelationalQueries.revenueView(va)
+      .write.mode("overwrite").parquet(s"$viewRoot/v0")
+    var version = 0
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val cur = sess.read.parquet(s"$viewRoot/v$version")
+        RelationalQueries.applyViewDelta(cur, batch)
+          .write.mode("overwrite").parquet(s"$viewRoot/v${version + 1}")
+        version += 1
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(version == 3, s"expected 3 micro-batches, saw $version")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rowsOf(spark.read.parquet(s"$viewRoot/v$version")
+      .select(col("o_custkey"), col("n_orders"), col("rev_cents")))
+    val batch = rowsOf(operators.StreamingQueries.st12_view_maintain(spark, sf)
+      .select(col("o_custkey"), col("n_orders"), col("rev_cents")))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stored-view fold diverged: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
+  }
+
   test("st11 state machine == q74 declarative formulation, row for row") {
     // the driver's oracle for st11 IS q74's SQL — pin the agreement locally
     // so a hash mismatch can never reach CORRECTNESS: both formulations of
