@@ -502,6 +502,7 @@ object CurationQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "c21_sample_k_per_group" -> (c21_sample_k_per_group _),
     "c17_weighted_sample" -> (c17_weighted_sample _),
     "c16_token_apportion" -> (c16_token_apportion _),
     "c15_split_leakage" -> (c15_split_leakage _),
@@ -644,6 +645,24 @@ object CurationQueries {
       Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
       Seq("source"), Seq(Ord("n_chars", desc = true), Ord("doc_id")), 5)
 
+  /** c21: deterministic k-per-group sampling — "exactly 20 docs per
+    * language, reproducibly" is the curation request c01's fractional
+    * sampler can't satisfy (fractions drift with group size; audits need
+    * the same sample every run). Rank by a Knuth multiplicative scramble
+    * of the key — (doc_id · 2654435761) mod 2³², uniform-ish, engine-
+    * replicable integer arithmetic, so unlike an RNG sample the SELECTION
+    * itself hash-checks — and keep the k smallest per group through the
+    * native [[TopKPerGroup]] heap: no rank window, no per-group single-
+    * reducer funnel, the same partial-heap exchange every top-k in the
+    * engine rides. At 100 TB this is one scan + one k-bounded shuffle
+    * regardless of group skew.
+    */
+  def c21_sample_k_per_group(s: SparkSession, d: String): DataFrame =
+    TopKPerGroup.topK(
+      Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("rnd")),
+      Seq("lang"), Seq(Ord("rnd"), Ord("doc_id")), 20)
+
   /** Shared by c09 and its Bloom-screened twin c13 (same output set). */
   private val ngramDecontOracle: String =
     """WITH t AS (
@@ -660,6 +679,12 @@ object CurationQueries {
       |GROUP BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c21_sample_k_per_group" ->
+      """SELECT lang, doc_id,
+        |       (doc_id * 2654435761) % 4294967296 AS rnd
+        |FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |                           ORDER BY rnd, doc_id) <= 20""".stripMargin,
     "c20_domain_cap" ->
       """SELECT source, doc_id, n_chars
         |FROM documents

@@ -1748,9 +1748,43 @@ object RelationalQueries {
       .filter(col("n_orders") > 0)
   }
 
+  /** q95: seasonal anomaly screen — q77's z-score with a SEASONAL baseline
+    * (per event-type × hour-of-day cell), the shape monitoring pipelines
+    * actually need: "is this value odd *for 3am*", not "odd overall".
+    * Same two-pass scheme as q77: one grouped pass builds exact first and
+    * second moments per cell (DECIMAL sums cast to double — no float
+    * accumulation-order drift), a second pass rejoins events to their
+    * cell and counts |value − μ| > 1.5σ. Both passes shuffle on the same
+    * (type, hod) key — 24×|types| cells, trivially broadcast-able at any
+    * corpus size, so the screen is scan-bound at 100 TB. Determinism:
+    * moments are exact decimals, the compare expression is the one
+    * identical double formula in both engines.
+    */
+  def q95_seasonal_anomaly(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 3)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hod"),
+        col("value"))
+    val g = ev.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec)).cast("double").as("s1"),
+        sum((col("value").cast(dec)) * (col("value").cast(dec)))
+          .cast("double").as("s2"))
+    ev.join(broadcast(g), Seq("event_type", "hod"))
+      .groupBy(col("event_type"), col("hod"), col("n"))
+      .agg(count(when(
+        abs(col("value") - col("s1") / col("n")) >
+          lit(1.5) * sqrt(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n"))), 1))
+        .as("n_anomalies"))
+      .select(col("event_type"), col("hod"), col("n").as("n_events"),
+        col("n_anomalies"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q95_seasonal_anomaly" -> (q95_seasonal_anomaly _),
     "q94_view_maintain" -> (q94_view_maintain _),
     "q93_snapshot_diff" -> (q93_snapshot_diff _),
     "q92_ohlc_bars" -> (q92_ohlc_bars _),
@@ -1843,6 +1877,23 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q95_seasonal_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod, value
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, hod, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value AS DECIMAL(18,3)) *
+        |                  CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1, 2)
+        |SELECT e.event_type, e.hod, g.n AS n_events,
+        |       count(*) FILTER (WHERE
+        |         abs(e.value - g.s1 / g.n) >
+        |         1.5 * sqrt(g.s2 / g.n - (g.s1 / g.n) * (g.s1 / g.n)))
+        |         AS n_anomalies
+        |FROM e JOIN g ON e.event_type = g.event_type AND e.hod = g.hod
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the oracle RECOMPUTES the view from snapshot B directly — hash
     // equality proves incremental-apply == full-recompute
     "q94_view_maintain" ->

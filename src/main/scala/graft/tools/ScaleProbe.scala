@@ -196,6 +196,10 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s22_jl_projection(spark, sf).count())
       time(s"$tag st11_stateful_sessions")(
         graft.operators.StreamingQueries.st11_stateful_sessions(spark, sf).count())
+      time(s"$tag c21_sample_k_per_group")(
+        graft.operators.CurationQueries.c21_sample_k_per_group(spark, sf).count())
+      time(s"$tag q95_seasonal_anomaly")(
+        graft.operators.RelationalQueries.q95_seasonal_anomaly(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

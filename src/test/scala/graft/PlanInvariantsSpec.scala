@@ -427,6 +427,19 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("c21 k-per-group sample: native heap operator, no rank window") {
+    val p = finalPlan("c21_sample_k_per_group")
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+    assert(!p.contains("Window"), s"rank window in c21:\n${p.take(1200)}")
+  }
+
+  test("q95 seasonal screen: baseline cells broadcast to the rejoin pass") {
+    val p = finalPlan("q95_seasonal_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"24x|types| cells must broadcast, not shuffle the event scan:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
