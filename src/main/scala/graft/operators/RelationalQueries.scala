@@ -1781,9 +1781,57 @@ object RelationalQueries {
         col("n_anomalies"))
   }
 
+  /** q96: point-in-time SCD2 lookup — the feature-store staple that
+    * chains q75 (build the versioned dimension) with q30's scalable as-of
+    * machinery (query it): "what was this user's state at time T", with
+    * training-serving skew ruled out by construction. The dimension is
+    * q75's state runs keyed (user, from_us); probes ask 1 s after every
+    * 10th event. The lookup is the union + one-(user, time)-sort + last()
+    * IGNORE NULLS rewrite — no per-probe theta join, no range explosion:
+    * versions and probes ride ONE window over ONE sort, so at 100 TB the
+    * cost is a single (user, time) shuffle of versions+probes, not
+    * |probes|×|versions|. At equal instants the version row sorts before
+    * the probe (tag column), giving ASOF's inclusive `probe ≥ from`
+    * semantics exactly. The DuckDB oracle uses its NATIVE ASOF JOIN — a
+    * genuinely different algorithm validating the rewrite, hash-green
+    * (fixture has no (user, ts) ties, so the match is unique).
+    */
+  def q96_scd2_lookup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dim = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          col("event_type") =!= lag(col("event_type"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("run_idx", sum(col("chg")).over(run))
+      .groupBy(col("user_id"), col("run_idx"), col("event_type").as("state"))
+      .agg(min(col("us")).as("from_us"))
+    val probes = e.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), (col("us") + 1000000L).as("t"))
+    val tagged = dim
+      .select(col("user_id"), col("from_us").as("t"), lit(0L).as("tag"),
+        col("state"), lit(null).cast("long").as("event_id"))
+      .unionByName(probes.select(col("user_id"), col("t"), lit(1L).as("tag"),
+        lit(null).cast("string").as("state"), col("event_id")))
+    val wa = Window.partitionBy(col("user_id")).orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("state_asof", last(col("state"), ignoreNulls = true).over(wa))
+      .filter(col("tag") === 1L)
+      .select(col("user_id"), col("event_id"),
+        date_format(timestamp_micros(col("t")), "yyyy-MM-dd HH:mm:ss")
+          .as("as_of"),
+        col("state_asof").as("state"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q96_scd2_lookup" -> (q96_scd2_lookup _),
     "q95_seasonal_anomaly" -> (q95_seasonal_anomaly _),
     "q94_view_maintain" -> (q94_view_maintain _),
     "q93_snapshot_diff" -> (q93_snapshot_diff _),
@@ -1877,6 +1925,34 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    // the oracle runs DuckDB's NATIVE ASOF JOIN — a different algorithm
+    // than the union+window rewrite, so the hash check cross-validates
+    "q96_scd2_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN lag(event_type) OVER w IS NULL
+        |                OR event_type <> lag(event_type) OVER w
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |runs AS (
+        |  SELECT user_id, event_type AS state,
+        |         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_idx, us
+        |  FROM r),
+        |dim AS (
+        |  SELECT user_id, run_idx, state, min(us) AS from_us
+        |  FROM runs GROUP BY 1, 2, 3),
+        |probes AS (
+        |  SELECT user_id, event_id, us + 1000000 AS t
+        |  FROM e WHERE event_id % 10 = 0)
+        |SELECT p.user_id, p.event_id,
+        |       strftime(make_timestamp(p.t), '%Y-%m-%d %H:%M:%S') AS as_of,
+        |       d.state
+        |FROM probes p ASOF JOIN dim d
+        |  ON p.user_id = d.user_id AND p.t >= d.from_us""".stripMargin,
     "q95_seasonal_anomaly" ->
       """WITH e AS (
         |  SELECT event_type, CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hod, value

@@ -200,6 +200,8 @@ object ScaleProbe {
         graft.operators.CurationQueries.c21_sample_k_per_group(spark, sf).count())
       time(s"$tag q95_seasonal_anomaly")(
         graft.operators.RelationalQueries.q95_seasonal_anomaly(spark, sf).count())
+      time(s"$tag q96_scd2_lookup")(
+        graft.operators.RelationalQueries.q96_scd2_lookup(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

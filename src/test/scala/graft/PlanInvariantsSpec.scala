@@ -440,6 +440,16 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"24x|types| cells must broadcast, not shuffle the event scan:\n${p.take(1200)}")
   }
 
+  test("q96 scd2 lookup: union+window rewrite — no per-probe range join") {
+    val p = finalPlan("q96_scd2_lookup")
+    // the scale-killer would be a theta join probes x versions; the
+    // rewrite must keep it to windows over one (user, time) sort
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of lookup degraded to range join:\n${p.take(1200)}")
+    assert(p.contains("Window"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "probes/versions must union, not join")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
