@@ -641,7 +641,43 @@ object TextQueries {
         col("score").cast("double").as("log_prob"), col("n_toks"))
   }
 
+  /** t19: exact AUC at scale (Mann–Whitney U with proper tie credit) —
+    * the eval metric every filter/classifier in the pipeline (t02's
+    * quality score, t18's classifier, s21's votes) should be judged by,
+    * computed WITHOUT sampling or sklearn round-trips: per source, how
+    * well does document length separate English from non-English. All
+    * integer arithmetic until one final division: group docs per
+    * (source, score) into positive/negative counts, one running sum over
+    * the score order gives each score level its count of lower-scored
+    * negatives, and 2U = Σ pos·(2·neg_below + neg_at) — the "+neg_at"
+    * term IS the standard half-credit for ties, kept integral by working
+    * with 2U. AUC = 2U / (2PN) as the single double division both
+    * engines evaluate identically → hash-green. At 100 TB: one grouped
+    * aggregate (score levels, not docs, enter the window) and one
+    * per-source running sum — no pairwise comparisons, no global sort of
+    * raw documents.
+    */
+  def t19_auc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables.documents(s, d)
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+      .groupBy(col("source"), col("n_chars"))
+      .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    lv.withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("u2_part", col("p") * (lit(2L) * (col("cum_n") - col("n")) + col("n")))
+      .groupBy(col("source"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("u2_part")).as("u2"))
+      .select(col("source"), col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_auc" -> (t19_auc _),
     "t18_nb_classifier" -> (t18_nb_classifier _),
     "t17_bpe_train" -> (t17_bpe_train _),
     "t16_vocab_stats" -> (t16_vocab_stats _),
@@ -663,6 +699,25 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t19_auc" ->
+      """WITH lv AS (
+        |  SELECT source, n_chars,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS p,
+        |         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, p, n,
+        |         sum(n) OVER (PARTITION BY source ORDER BY n_chars
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_n
+        |  FROM lv),
+        |a AS (
+        |  SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+        |         CAST(sum(n) AS BIGINT) AS n_neg,
+        |         CAST(sum(p * (2 * (cum_n - n) + n)) AS BIGINT) AS u2
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_pos, n_neg, u2,
+        |       CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+        |FROM a""".stripMargin,
     "t18_nb_classifier" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok

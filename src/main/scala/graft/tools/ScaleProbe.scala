@@ -202,6 +202,8 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q95_seasonal_anomaly(spark, sf).count())
       time(s"$tag q96_scd2_lookup")(
         graft.operators.RelationalQueries.q96_scd2_lookup(spark, sf).count())
+      time(s"$tag t19_auc")(
+        graft.operators.TextQueries.t19_auc(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
