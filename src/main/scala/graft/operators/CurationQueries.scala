@@ -501,7 +501,55 @@ object CurationQueries {
       .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"), col("cum"))
   }
 
+  /** c22: the full preprocessing RECIPE as one operator — normalize →
+    * exact-dedup → decontaminate, chained the way a real corpus build
+    * runs them, with the final rewritten text hash-checked end to end.
+    * This is the composability claim made concrete: stage 1 is t14's
+    * C4-style rewrite (drop <20 clean chars), stage 2 is d01's exact
+    * dedup ON THE REWRITTEN text (normalize-then-dedup collapses docs
+    * that differed only in case/punctuation — ordering the stages the
+    * other way misses them), stage 3 is c09's 13-gram eval-set
+    * decontamination on the deduped survivors. Per-stage scale stories
+    * carry over unchanged (scan-local rewrite; hash-agg dedup; broadcast
+    * gram probe): chaining adds ONE localCheckpoint so the normalize pass
+    * feeds all three consumers without recompute. Output is the
+    * surviving (doc_id, lang, n_tokens, cleaned) — the frame a tokenizer
+    * would consume next.
+    */
+  def c22_preprocess_recipe(s: SparkSession, d: String): DataFrame =
+    preprocessRecipe(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The recipe over any (doc_id, lang, text) frame — QueriesSpec drives
+    * it with a planted corpus where every stage provably bites (the sf
+    * fixture's texts are all distinct post-normalize, so the dedup stage
+    * is exercised by the plant, not fixture luck).
+    */
+  private[graft] def preprocessRecipe(docsIn: DataFrame): DataFrame = {
+    val cleaned = docsIn
+      .withColumn("text", trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 .,]", " "),
+        " {2,}", " ")))
+      .filter(length(col("text")) >= 20)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint() // one normalize pass feeds dedup + both gram sides
+    val keep = cleaned.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = cleaned.join(keep, Seq("text", "doc_id"))
+    val corpus = deduped.filter(col("doc_id") % 19 =!= 0)
+    val evalDocs = cleaned.filter(col("doc_id") % 19 === 0)
+    requireEvalBounded(evalDocs)
+    val evalG = grams13(evalDocs).select(col("ng")).distinct()
+    val contaminated = grams13(corpus, "doc_id")
+      .join(broadcast(evalG), "ng")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("text").as("cleaned"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c22_preprocess_recipe" -> (c22_preprocess_recipe _),
     "c21_sample_k_per_group" -> (c21_sample_k_per_group _),
     "c17_weighted_sample" -> (c17_weighted_sample _),
     "c16_token_apportion" -> (c16_token_apportion _),
@@ -679,6 +727,37 @@ object CurationQueries {
       |GROUP BY g.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c22_preprocess_recipe" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |         trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 .,]', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
+        |  FROM documents),
+        |f AS (SELECT * FROM c WHERE length(cleaned) >= 20),
+        |keep AS (SELECT cleaned, min(doc_id) AS doc_id FROM f GROUP BY cleaned),
+        |dd AS (
+        |  SELECT f.doc_id, f.lang, f.cleaned
+        |  FROM f JOIN keep ON f.cleaned = keep.cleaned AND f.doc_id = keep.doc_id),
+        |corpus AS (SELECT * FROM dd WHERE doc_id % 19 <> 0),
+        |evald AS (SELECT * FROM f WHERE doc_id % 19 = 0),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM (SELECT doc_id, string_split(cleaned, ' ') AS toks
+        |              FROM corpus) z
+        |        WHERE len(toks) >= 13) u),
+        |eg AS (
+        |  SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM (SELECT string_split(cleaned, ' ') AS toks FROM evald) z
+        |        WHERE len(toks) >= 13) u),
+        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))
+        |SELECT c2.doc_id, c2.lang,
+        |       CAST(len(string_split(c2.cleaned, ' ')) AS BIGINT) AS n_tokens,
+        |       c2.cleaned
+        |FROM corpus c2 LEFT JOIN bad ON c2.doc_id = bad.doc_id
+        |WHERE bad.doc_id IS NULL""".stripMargin,
     "c21_sample_k_per_group" ->
       """SELECT lang, doc_id,
         |       (doc_id * 2654435761) % 4294967296 AS rnd

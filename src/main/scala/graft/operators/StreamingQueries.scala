@@ -54,7 +54,8 @@ object StreamingQueries {
   /** Exactly-once repair over an at-least-once feed: the input replays
     * every 10th event (a deterministic stand-in for retransmission), and
     * the query deduplicates by event_id before the windowed rollup. The
-    * streaming twin is `dropDuplicatesWithinWatermark("event_id")` —
+    * streaming twin is `dropDuplicatesWithinWatermark("event_id")`
+    * (StreamingSpec runs it for real: cross-batch replays collapse) —
     * identical semantics with state bounded by the watermark horizon
     * (StreamingSpec runs the real stream); in batch the dedup is one hash
     * aggregate keyed by event_id, partial-aggregated map-side. Duplicate

@@ -204,6 +204,8 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q96_scd2_lookup(spark, sf).count())
       time(s"$tag t19_auc")(
         graft.operators.TextQueries.t19_auc(spark, sf).count())
+      time(s"$tag c22_preprocess_recipe")(
+        graft.operators.CurationQueries.c22_preprocess_recipe(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

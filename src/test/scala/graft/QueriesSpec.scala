@@ -169,6 +169,30 @@ class QueriesSpec extends SparkTestBase {
     assert(out(3L) == (("", 1L, 1L)), s"doc 3: ${out(3L)}")
   }
 
+  test("c22 recipe: every stage bites on a planted corpus") {
+    import spark.implicits._
+    // A/dup pair proves normalize-then-dedup (case+punct variant collapses
+    // to min doc_id); doc 19 is the eval slice; doc 2 shares its 13-gram
+    // (contaminated); doc 3 cleans to under 20 chars; doc 4 survives.
+    val a = "the quick brown fox jumps over the lazy dog again and again ok"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val docs = Seq(
+      (1L, "en", a),
+      (20L, "en", "The  QUICK brown fox jumps over the lazy dog again and again ok!!!"),
+      (19L, "en", b),
+      (2L, "en", s"$b extra tail words here"),
+      (3L, "en", "tiny."),
+      (4L, "en", "completely unrelated survivor text with nothing shared at all")
+    ).toDF("doc_id", "lang", "text")
+    val out = operators.CurationQueries.preprocessRecipe(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("cleaned"), r.getAs[Long]("n_tokens"))).toMap
+    assert(out.keySet == Set(1L, 4L),
+      s"expected survivors {1, 4}, got ${out.keySet}")
+    assert(out(1L) == ((a, 13L)), s"doc 1 rewrite: ${out(1L)}")
+    assert(out(4L)._2 == 9L)
+  }
+
   test("d04 simhash LSH: planted duplicate pair is guaranteed to surface") {
     import spark.implicits._
     // identical docs have Hamming distance 0 -> collide on all four 16-bit

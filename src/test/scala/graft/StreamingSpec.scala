@@ -643,6 +643,47 @@ class StreamingSpec extends SparkTestBase {
       s"sealed batch sessions missing from stream: ${(sealedSet diff streamed).take(3)}")
   }
 
+  test("dropDuplicatesWithinWatermark: cross-batch at-least-once replays collapse") {
+    // st04's streaming twin run for real: batch 1 delivers a slice of
+    // events, batch 2 REPLAYS every one of them (at-least-once delivery)
+    // plus a fresh slice; the watermark-scoped dedup state must swallow
+    // all replays — streamed distinct ids == batch distinct ids, with
+    // zero id seen twice downstream
+    Sessions.tune(spark)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val first = ev.filter(col("event_id") % 2 === 0)
+    val second = ev // replays ALL of batch 1's ids plus the odd half
+    val srcDir = Files.createTempDirectory("dedup_stream")
+    Seq(first, second).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory(s"dd_b$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"batch$i%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withWatermark("ts", "30 days") // every replay lands inside the window
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("wm_dedup").select(col("event_id"))
+      .collect().map(_.getLong(0))
+    assert(streamed.length == streamed.distinct.length,
+      "an event id passed the watermark dedup twice")
+    val batch = ev.select(col("event_id")).distinct().collect().map(_.getLong(0))
+    assert(streamed.toSet == batch.toSet,
+      s"streamed ${streamed.length} ids, batch ${batch.length}")
+  }
+
   test("st12 view maintenance: foreachBatch read-apply-write loop == batch == recompute") {
     // the production loop for real: the changelog lands as three parquet
     // files, each micro-batch reads the CURRENT stored view, applies the
