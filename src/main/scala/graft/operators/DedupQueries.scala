@@ -874,7 +874,57 @@ object DedupQueries {
         col("score").cast("long").as("score"), col("n_candidates"))
   }
 
+  /** d21: multi-pass blocking — the recall dial on d20 (what s20's
+    * multiprobe is to s02). Single-key blocking misses every true match
+    * whose blocking field disagrees; production linkage unions SEVERAL
+    * blocking passes (here: nationkey ∪ $2000-balance-bucket) and scores
+    * the deduplicated candidate set once. A pair agreeing on suffix +
+    * bucket + sign but in DIFFERENT nations (score 34) is invisible to
+    * d20 and found by pass 2 — QueriesSpec pins both the containment
+    * (d21 ⊇ d20's matched pairs) and that the recall gain is real on
+    * this data. Output is every above-threshold pair with a provenance
+    * bitmask (1 = nation block, 2 = bucket block, 3 = both) — the audit
+    * trail a linkage reviewer needs. Each pass is a bounded equi-join;
+    * the union dedups by (c, s) key with a bit_or aggregate, so the cost
+    * is Σ per-pass block joins, still never |C|×|S|.
+    */
+  def d21_multiblock_linkage(s: SparkSession, d: String): DataFrame = {
+    def side(df: DataFrame, key: String, name: String, nat: String,
+        bal: String): DataFrame =
+      df.select(col(key),
+        col(nat).cast("int").as(s"${key}_nat"),
+        (regexp_extract(col(name), "(\\d+)", 1).cast("long") % 50)
+          .as(s"${key}_suffix"),
+        round(col(bal) * 100).cast("long").as(s"${key}_cents"))
+    def bucket(c: Column): Column = {
+      val a = c + lit(10000000L)
+      ((a - pmod(a, lit(200000L))) / lit(200000L)).cast("long")
+    }
+    val c = side(Tables.customer(s, d), "c_custkey", "c_name", "c_nationkey",
+      "c_acctbal").withColumn("c_bkt", bucket(col("c_custkey_cents")))
+    val sup = side(Tables.supplier(s, d), "s_suppkey", "s_name",
+      "s_nationkey", "s_acctbal").withColumn("s_bkt", bucket(col("s_suppkey_cents")))
+    val p1 = c.join(sup, col("c_custkey_nat") === col("s_suppkey_nat"))
+      .withColumn("blk", lit(1L))
+    val p2 = c.join(sup, col("c_bkt") === col("s_bkt"))
+      .withColumn("blk", lit(2L))
+    p1.unionByName(p2)
+      .groupBy(col("c_custkey"), col("s_suppkey"))
+      // the score is a pure function of the pair, so every duplicate row
+      // carries the same value — min() is just the deterministic picker
+      .agg(expr("bit_or(blk)").as("blocks"),
+        min(when(col("c_custkey_suffix") === col("s_suppkey_suffix"), 22)
+          .otherwise(-5) +
+          when(col("c_bkt") === col("s_bkt"), 8).otherwise(-3) +
+          when((col("c_custkey_cents") >= 0) === (col("s_suppkey_cents") >= 0),
+            4).otherwise(-2)).as("score"))
+      .filter(col("score") >= 26)
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("score").cast("long").as("score"), col("blocks"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d21_multiblock_linkage" -> (d21_multiblock_linkage _),
     "d20_record_linkage" -> (d20_record_linkage _),
     "d19_line_dedup" -> (d19_line_dedup _),
     "d17_substring_spans" -> (d17_substring_spans _),
@@ -956,6 +1006,36 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d21_multiblock_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |         (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 200000 AS bkt
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |         CAST(regexp_extract(s_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         CAST(round(s_acctbal * 100) AS BIGINT) AS cents,
+        |         (CAST(round(s_acctbal * 100) AS BIGINT) + 10000000) // 200000 AS bkt
+        |  FROM supplier),
+        |cand AS (
+        |  SELECT c_custkey, s_suppkey, 1 AS blk, c.suffix AS cs, s.suffix AS ss,
+        |         c.bkt AS cb, s.bkt AS sb, c.cents AS cc, s.cents AS sc
+        |  FROM c JOIN s ON c.c_nationkey = s.s_nationkey
+        |  UNION ALL
+        |  SELECT c_custkey, s_suppkey, 2 AS blk, c.suffix, s.suffix,
+        |         c.bkt, s.bkt, c.cents, s.cents
+        |  FROM c JOIN s ON c.bkt = s.bkt),
+        |g AS (
+        |  SELECT c_custkey, s_suppkey, CAST(bit_or(blk) AS BIGINT) AS blocks,
+        |         CAST(min((CASE WHEN cs = ss THEN 22 ELSE -5 END)
+        |            + (CASE WHEN cb = sb THEN 8 ELSE -3 END)
+        |            + (CASE WHEN (cc >= 0) = (sc >= 0) THEN 4 ELSE -2 END))
+        |           AS BIGINT) AS score
+        |  FROM cand GROUP BY 1, 2)
+        |SELECT c_custkey, s_suppkey, score, blocks
+        |FROM g WHERE score >= 26""".stripMargin,
     "d20_record_linkage" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,

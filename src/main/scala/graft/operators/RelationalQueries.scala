@@ -1828,9 +1828,37 @@ object RelationalQueries {
         col("state_asof").as("state"))
   }
 
+  /** q97: event pathing — the first-order Markov transition matrix over
+    * per-user event streams ("after a click, what happens next"), the
+    * product-analytics staple behind sankey/flow views. One lead() over
+    * the (user, time) sort everything in the session family already rides
+    * (q74/q75/st11 share the identical exchange — at 100 TB these chain
+    * without re-shuffling), then a partial-aggregated transition count;
+    * the denominator rides a window over the GROUPED matrix (|types|²
+    * rows), not the event stream. End-of-stream rows have no successor
+    * and drop out; shares round through the one identical double division
+    * in both engines.
+    */
+  def q97_event_pathing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    trans
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(wf), 9))
+      .select(col("from_type"), col("to_type"), col("n"), col("share"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q97_event_pathing" -> (q97_event_pathing _),
     "q96_scd2_lookup" -> (q96_scd2_lookup _),
     "q95_seasonal_anomaly" -> (q95_seasonal_anomaly _),
     "q94_view_maintain" -> (q94_view_maintain _),
@@ -1925,6 +1953,22 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q97_event_pathing" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       round(CAST(n AS DOUBLE) /
+        |             sum(n) OVER (PARTITION BY from_type), 9) AS share
+        |FROM m""".stripMargin,
     // the oracle runs DuckDB's NATIVE ASOF JOIN — a different algorithm
     // than the union+window rewrite, so the hash check cross-validates
     "q96_scd2_lookup" ->

@@ -206,6 +206,10 @@ object ScaleProbe {
         graft.operators.TextQueries.t19_auc(spark, sf).count())
       time(s"$tag c22_preprocess_recipe")(
         graft.operators.CurationQueries.c22_preprocess_recipe(spark, sf).count())
+      time(s"$tag d21_multiblock_linkage")(
+        graft.operators.DedupQueries.d21_multiblock_linkage(spark, sf).count())
+      time(s"$tag q97_event_pathing")(
+        graft.operators.RelationalQueries.q97_event_pathing(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

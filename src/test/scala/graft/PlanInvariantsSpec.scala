@@ -450,6 +450,13 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "probes/versions must union, not join")
   }
 
+  test("d21 multiblock: every pass is an equi-join; provenance agg, no cartesian") {
+    val p = finalPlan("d21_multiblock_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a blocking pass degraded to all-pairs:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "pair dedup must be a bit_or agg, not a window")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -169,6 +169,23 @@ class QueriesSpec extends SparkTestBase {
     assert(out(3L) == (("", 1L, 1L)), s"doc 3: ${out(3L)}")
   }
 
+  test("d21 multiblock: contains every d20 match and the recall gain is real") {
+    // d20's nation-blocked best-matches all agree on suffix+bucket, so
+    // they appear in d21's pair set with BOTH block bits; pairs with
+    // blocks == 2 were invisible to single-key blocking — their existence
+    // is the operator's reason to exist
+    val d21 = SparkEntry.queries("d21_multiblock_linkage")(spark, sf).collect()
+    val pairs21 = d21.map(r =>
+      (r.getAs[Long]("c_custkey"), r.getAs[Long]("s_suppkey"))).toSet
+    val d20 = SparkEntry.queries("d20_record_linkage")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("s_suppkey"))).toSet
+    assert(d20.subsetOf(pairs21),
+      s"d20 matches missing from d21: ${(d20 diff pairs21).take(3)}")
+    val bucketOnly = d21.filter(_.getAs[Long]("blocks") == 2L)
+    assert(bucketOnly.nonEmpty, "no cross-nation matches: recall gain vanished")
+    assert(d21.forall(_.getAs[Long]("score") >= 26L))
+  }
+
   test("c22 recipe: every stage bites on a planted corpus") {
     import spark.implicits._
     // A/dup pair proves normalize-then-dedup (case+punct variant collapses
