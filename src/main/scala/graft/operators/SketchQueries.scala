@@ -216,7 +216,45 @@ object SketchQueries {
           .cast("long").as("est_a_only"))
   }
 
+  /** q98: per-source Count-Min partials persisted, token frequencies
+    * answered by MERGING the stored blobs only — the point-frequency
+    * member completing the sketch shelf (q65 distinct / q83-q84 quantiles
+    * / q76 heavy hitters / q90 set algebra). CMS merge is element-wise
+    * addition, so unlike every other sketch here the rollup is EXACTLY
+    * order-independent — QueriesSpec pins merged == one-shot as array
+    * equality, plus the one-sided error contract (never undercounts;
+    * overcount ≤ collision mass, measured and bounded). Probe tokens are
+    * known at plan time, so each estimate is a plain least(element_at…)
+    * over the merged blob — no UDF in the read path. Rows-only registry
+    * check: the estimates are deterministic, but no DuckDB twin can
+    * replay the JVM murmur cells.
+    */
+  def q98_cms_rollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin._
+    val dir = partialsDir("cms_partials", d)
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(cm_agg(col("tok")).as("sketch"))
+      .write.mode("overwrite").parquet(dir)
+    // merge-only: reads stored blobs, never the documents table
+    val merged = s.read.parquet(dir)
+      .agg(count(lit(1)).as("n_partials"), cm_merge(col("sketch")).as("sk"))
+    merged.select(col("n_partials"),
+        explode(arrays_zip(probeLit(CmsProbes),
+          cm_estimates(col("sk"), CmsProbes))).as("z"))
+      .select(col("z.0").as("token"), col("z.1").as("est_count"),
+        col("n_partials"))
+  }
+
+  /** Probe mix: three high-frequency corpus tokens, one mid, and one
+    * guaranteed-absent token whose estimate IS the raw collision mass —
+    * the overcount the error spec bounds.
+    */
+  private[graft] val CmsProbes = Seq("join", "hash", "scan", "the", "zzz_absent")
+
   val queries: Map[String, Q] = Map(
+    "q98_cms_rollup" -> (q98_cms_rollup _),
     "q90_theta_overlap" -> (q90_theta_overlap _),
     "q65_hll_rollup" -> (q65_hll_rollup _),
     "q66_histogram_rollup" -> (q66_histogram_rollup _),

@@ -210,6 +210,8 @@ object ScaleProbe {
         graft.operators.DedupQueries.d21_multiblock_linkage(spark, sf).count())
       time(s"$tag q97_event_pathing")(
         graft.operators.RelationalQueries.q97_event_pathing(spark, sf).count())
+      time(s"$tag q98_cms_rollup")(
+        graft.operators.SketchQueries.q98_cms_rollup(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

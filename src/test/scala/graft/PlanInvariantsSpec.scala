@@ -158,6 +158,11 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"q90 merge stage rescanned raw events:\n${p90.take(1200)}")
     assert(p90.contains("theta_merge"), p90.take(800))
     assert(p90.contains("partial_theta_merge"), p90.take(1200))
+    val p98 = finalPlan("q98_cms_rollup")
+    assert(!p98.contains("documents.parquet"),
+      s"q98 merge stage rescanned raw documents:\n${p98.take(1200)}")
+    assert(p98.contains("countminmerge") || p98.toLowerCase.contains("countminmerge"),
+      p98.take(800))
     assert(p84.contains("partial_kll_merge"), p84.take(1200))
   }
 

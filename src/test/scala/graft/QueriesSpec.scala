@@ -169,6 +169,38 @@ class QueriesSpec extends SparkTestBase {
     assert(out(3L) == (("", 1L, 1L)), s"doc 3: ${out(3L)}")
   }
 
+  test("q98 count-min: never undercounts, bounded overcount, merge == one-shot bits") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import graft.functions.CountMin
+    val est = SparkEntry.queries("q98_cms_rollup")(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    operators.SketchQueries.CmsProbes.foreach { t =>
+      val e = est(t); val x = exact.getOrElse(t, 0L)
+      assert(e >= x, s"CMS undercounted '$t': est $e < true $x — impossible")
+      // ε = e/width ≈ 0.0027 at width 1024: overcount ≤ εn per the CMS
+      // bound; pin 2εn to absorb the depth-4 min over a tiny vocabulary
+      assert(e - x <= (2 * math.E * n / CountMin.Width).toLong,
+        s"CMS overcount blew the bound on '$t': est $e vs true $x (n=$n)")
+    }
+    // order-independence: merging per-source partials equals the one-shot
+    // sketch BIT FOR BIT (element-wise adds commute — unlike MG/KLL where
+    // only the summary property survives a re-ordering)
+    import CountMin.{cm_agg, cm_merge}
+    val oneShot = toks.agg(cm_agg(col("tok")).as("sk"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sk")
+    val viaPartials = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source")).agg(cm_agg(col("tok")).as("sk"))
+      .agg(cm_merge(col("sk")).as("sk"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sk")
+    assert(oneShot == viaPartials, "CMS rollup is not order-independent")
+  }
+
   test("d21 multiblock: contains every d20 match and the recall gain is real") {
     // d20's nation-blocked best-matches all agree on suffix+bucket, so
     // they appear in d21's pair set with BOTH block bits; pairs with
