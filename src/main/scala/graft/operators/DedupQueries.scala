@@ -877,16 +877,25 @@ object DedupQueries {
   /** d21: multi-pass blocking — the recall dial on d20 (what s20's
     * multiprobe is to s02). Single-key blocking misses every true match
     * whose blocking field disagrees; production linkage unions SEVERAL
-    * blocking passes (here: nationkey ∪ $2000-balance-bucket) and scores
-    * the deduplicated candidate set once. A pair agreeing on suffix +
-    * bucket + sign but in DIFFERENT nations (score 34) is invisible to
-    * d20 and found by pass 2 — QueriesSpec pins both the containment
-    * (d21 ⊇ d20's matched pairs) and that the recall gain is real on
-    * this data. Output is every above-threshold pair with a provenance
-    * bitmask (1 = nation block, 2 = bucket block, 3 = both) — the audit
-    * trail a linkage reviewer needs. Each pass is a bounded equi-join;
-    * the union dedups by (c, s) key with a bit_or aggregate, so the cost
-    * is Σ per-pass block joins, still never |C|×|S|.
+    * blocking passes and scores the deduplicated candidate set once. A
+    * pair agreeing on suffix + bucket + sign but in DIFFERENT nations
+    * (score 34) is invisible to d20 and found by pass 2 — QueriesSpec
+    * pins both the containment (d21 ⊇ d20's matched pairs) and that the
+    * recall gain is real on this data. Output is every above-threshold
+    * pair with a provenance bitmask (1 = nation block, 2 = balance
+    * block, 3 = both) — the audit trail a linkage reviewer needs.
+    *
+    * Blocking-key cardinality is the whole game: the first cut blocked
+    * pass 2 on the raw $2000 balance bucket — SIX distinct blocks, and
+    * the 10x ScaleProbe measured the degeneration (233 s, ~250M
+    * candidate pairs: a near-cartesian wearing a blocking costume). The
+    * fix is a COMPOUND key, (bucket, suffix): the match threshold (26)
+    * already requires BOTH fields to agree, so every reachable match
+    * lives inside a compound block and the output is bit-identical —
+    * recall costs nothing, while block count goes 6 → 300 and the pass-2
+    * join shrinks by ~50x. Each pass is a bounded equi-join; the union
+    * dedups by (c, s) key with a bit_or aggregate, so the cost is
+    * Σ per-pass block joins, never |C|×|S|.
     */
   def d21_multiblock_linkage(s: SparkSession, d: String): DataFrame = {
     def side(df: DataFrame, key: String, name: String, nat: String,
@@ -906,19 +915,24 @@ object DedupQueries {
       "s_nationkey", "s_acctbal").withColumn("s_bkt", bucket(col("s_suppkey_cents")))
     val p1 = c.join(sup, col("c_custkey_nat") === col("s_suppkey_nat"))
       .withColumn("blk", lit(1L))
-    val p2 = c.join(sup, col("c_bkt") === col("s_bkt"))
+    val p2 = c.join(sup, col("c_bkt") === col("s_bkt") &&
+        col("c_custkey_suffix") === col("s_suppkey_suffix"))
       .withColumn("blk", lit(2L))
+    // score and threshold BEFORE the dedup aggregate: the score is a pure
+    // function of the pair (identical on every pass's copy), so filtering
+    // first is semantics-preserving — and it means only MATCHES enter the
+    // (c, s) shuffle, not every candidate the blocks enumerated (at the
+    // 10x probe: 5.2M rows aggregated instead of ~60M)
     p1.unionByName(p2)
-      .groupBy(col("c_custkey"), col("s_suppkey"))
-      // the score is a pure function of the pair, so every duplicate row
-      // carries the same value — min() is just the deterministic picker
-      .agg(expr("bit_or(blk)").as("blocks"),
-        min(when(col("c_custkey_suffix") === col("s_suppkey_suffix"), 22)
+      .withColumn("score",
+        when(col("c_custkey_suffix") === col("s_suppkey_suffix"), 22)
           .otherwise(-5) +
           when(col("c_bkt") === col("s_bkt"), 8).otherwise(-3) +
           when((col("c_custkey_cents") >= 0) === (col("s_suppkey_cents") >= 0),
-            4).otherwise(-2)).as("score"))
+            4).otherwise(-2))
       .filter(col("score") >= 26)
+      .groupBy(col("c_custkey"), col("s_suppkey"))
+      .agg(expr("bit_or(blk)").as("blocks"), min(col("score")).as("score"))
       .select(col("c_custkey"), col("s_suppkey"),
         col("score").cast("long").as("score"), col("blocks"))
   }
@@ -1026,7 +1040,7 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT c_custkey, s_suppkey, 2 AS blk, c.suffix, s.suffix,
         |         c.bkt, s.bkt, c.cents, s.cents
-        |  FROM c JOIN s ON c.bkt = s.bkt),
+        |  FROM c JOIN s ON c.bkt = s.bkt AND c.suffix = s.suffix),
         |g AS (
         |  SELECT c_custkey, s_suppkey, CAST(bit_or(blk) AS BIGINT) AS blocks,
         |         CAST(min((CASE WHEN cs = ss THEN 22 ELSE -5 END)
