@@ -29,22 +29,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns]; Spark's TimestampType is
-    * microsecond-precision. Reading nanos needs
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in [[Sessions]]), which
-    * surfaces `ts` as a Long of nanos — normalized here to a µs-truncated
-    * TimestampType column so every downstream query sees a plain timestamp.
-    * DuckDB keeps full ns precision, so oracle-checked queries must truncate
-    * `ts` to a common precision (we format to whole seconds) before compare.
+  /** `events.ts` arrives in whatever parquet flavor the driver generated —
+    * timestamp[ns] (surfaced as a Long of nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, set in [[Sessions]]),
+    * timestamp[us] without a UTC flag (Spark reads TIMESTAMP_NTZ), or a
+    * plain instant TimestampType. [[normalizeTs]] folds all three to a
+    * µs-precision TimestampType so every downstream query sees one shape.
+    * DuckDB reads the same file as a naive timestamp, so with the session
+    * zone pinned to UTC `unix_micros` here == `epoch_us(ts::TIMESTAMP)`
+    * there and oracle-checked queries compare exactly.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType —
+    * shared by the batch reader above and the streaming readers in
+    * [[graft.operators.StreamingQueries]]/StreamingSpec (a file stream
+    * sees the same physical schema as the batch scan).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integral DIV, not `/`: ns epoch values (~1.7e18) exceed double's
         // exact-integer range, so floating division would corrupt low bits
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session zone is pinned UTC (Sessions.tune), so the NTZ wall
+        // clock IS the instant; the cast changes type, not value
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
 }

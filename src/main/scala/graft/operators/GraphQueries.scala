@@ -296,6 +296,7 @@ object GraphQueries {
     "g04_bfs_hops" -> (g04_bfs_hops _),
     "g05_kcore" -> (g05_kcore _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
+    "g07_ppr" -> (g07_ppr _),
   )
 
   /** g06: bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds over
@@ -339,6 +340,44 @@ object GraphQueries {
     dist.select(col("node"), col("dist"))
   }
 
+  /** g07: PERSONALIZED PageRank — g01's power iteration with the teleport
+    * mass restricted to a seed set (customers of one nation), the
+    * "similar-to-these" centrality a curation pipeline uses to expand a
+    * trusted seed list into a ranked crawl frontier (the TrustRank /
+    * seed-expansion shape). Per round the ONLY change from g01 is the
+    * restart term: `is_seed * 150000` instead of a global 150000, so the
+    * rank mass decays with distance from the seeds and untouched nodes
+    * stay at exactly 0 — the final `r > 0` filter returns just the seed
+    * neighborhood, which is the point of the personalized variant (output
+    * is |reachable-from-seeds|, not |V|). Scale shape is identical to g01
+    * (one keyed join + one partial-aggregated sum per round, seeds
+    * broadcast-joined); integer micro-units end to end, so the DuckDB
+    * oracle unrolls the same 5 rounds and the values hash-check.
+    */
+  def g07_ppr(s: SparkSession, d: String): DataFrame = {
+    val (edges, outdeg, nodes) = graphParts(s, d)
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"), lit(1L).as("is_seed"))
+      .localCheckpoint() // feeds every round's restart term
+    var ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0L)) * Unit_).as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr("r div od")).as("c"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .join(broadcast(seeds), Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("is_seed"), lit(0L)) * 150000L +
+            expr("(85L * coalesce(c, 0L)) div 100L")).as("r"))
+    }
+    ranks.filter(col("r") > 0).select(col("node"), col("r").as("rank"))
+  }
+
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
     * `//` and Spark's `div` both truncate toward zero, and every operand is
     * non-negative, so the arithmetic is identical step by step. sum() is
@@ -363,6 +402,19 @@ object GraphQueries {
          |    JOIN outdeg o ON o.src = e.src
          |    JOIN r${i - 1} r ON r.node = e.src
          |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    val pprIters = (1 to Iters).map { i =>
+      s"""p$i AS (
+         |  SELECT n.node,
+         |         CAST(CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END
+         |              + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(r.r // o.od) AS BIGINT) AS c
+         |    FROM edges e
+         |    JOIN outdeg o ON o.src = e.src
+         |    JOIN p${i - 1} r ON r.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node
+         |  LEFT JOIN seeds sd ON sd.node = n.node)""".stripMargin
     }.mkString(",\n")
     val kcoreBase =
       s"""WITH co AS (
@@ -390,6 +442,17 @@ object GraphQueries {
            |GROUP BY e.src""".stripMargin,
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
+      "g07_ppr" ->
+        s"""$base,
+           |seeds AS (SELECT c_custkey * 2 AS node FROM customer
+           |          WHERE c_nationkey = 0),
+           |p0 AS (
+           |  SELECT n.node,
+           |         CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END
+           |              AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+           |$pprIters
+           |SELECT node, r AS rank FROM p$Iters WHERE r > 0""".stripMargin,
       "g02_triangles" -> g02Sql,
       "g03_components" ->
         s"""WITH RECURSIVE co AS (

@@ -303,7 +303,68 @@ object MultimodalQueries {
         col("l1x"))
   }
 
+  /** m11: CONTENT-DEFINED chunking (CDC) — the dedup primitive for big
+    * binary payloads (backup systems, LLM-corpus media stores): chunk
+    * boundaries are placed where a rolling hash of the last [[CdcW]]
+    * symbols hits 0 mod [[CdcD]], so the SAME content produces the SAME
+    * chunks even when its offset shifts (fixed-size blocks lose alignment
+    * after one inserted byte; content-defined boundaries re-synchronize —
+    * the rsync/LBFS insight). Pipeline, all inside the scan stage:
+    * per-symbol codes -> per-position window hash (nested HOF lambdas,
+    * codegen'd) -> boundary set -> exploded (start, len) chunk rows ->
+    * md5 chunk fingerprint; then ONE shuffle keyed by fingerprint counts
+    * cross-corpus copies. Expected chunk size is [[CdcD]] symbols; a
+    * 100 TB corpus shuffles only (fp, doc, offset) tuples — payload bytes
+    * never leave the scan. The fixture corpus carries real duplicate docs
+    * (d01's), so `n_copies > 1` groups genuinely appear. Symbols are
+    * codepoints (== bytes on this ASCII corpus), and the boundary rule,
+    * chunk spans, and md5 fingerprints are all exact-integer/deterministic
+    * -> hash-green.
+    */
+  def m11_cdc_chunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pow = (0 until CdcW).scanLeft(1L)((a, _) => a * 31L).take(CdcW)
+      .mkString("array(", "L, ", "L)")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("bnd"))
+    // localCheckpoint between codes and the boundary filter is load-bearing:
+    // without the barrier CollapseProject inlines the O(n) codes transform
+    // INTO the per-position lambda (HOFs are interpreted, not codegen'd),
+    // turning the scan O(n^3)-per-doc — observed as a wedged executor
+    val coded = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .withColumn("codes",
+        expr("transform(sequence(1, n), i -> ascii(substring(text, i, 1)))"))
+      .localCheckpoint()
+    val spans = coded
+      .withColumn("bnds", expr(
+        s"""sort_array(array_distinct(concat(
+           |  CASE WHEN n >= $CdcW THEN
+           |    filter(sequence($CdcW, n), i ->
+           |      aggregate(sequence(0, ${CdcW - 1}), 0L,
+           |        (acc, j) -> acc + element_at(codes, i - j)
+           |                          * element_at($pow, j + 1)) % $CdcD = 0)
+           |  ELSE array() END,
+           |  array(n))))""".stripMargin))
+      .select(col("doc_id"), col("text"), explode(col("bnds")).as("bnd"))
+      .withColumn("prev", coalesce(lag(col("bnd"), 1).over(w), lit(0)))
+      .withColumn("chunk_idx", row_number().over(w).cast("long"))
+      .withColumn("chunk_start", (col("prev") + 1).cast("long"))
+      .withColumn("chunk_len", (col("bnd") - col("prev")).cast("long"))
+      .withColumn("chunk_fp",
+        md5(expr("substring(text, chunk_start, chunk_len)")))
+    val copies = Window.partitionBy(col("chunk_fp"))
+    spans
+      .withColumn("n_copies", count(lit(1)).over(copies))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"), col("chunk_fp"), col("n_copies"))
+  }
+
+  /** CDC window width / boundary divisor (expected chunk = CdcD symbols). */
+  private val CdcW = 8
+  private val CdcD = 64
+
   val queries: Map[String, Q] = Map(
+    "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
     "m08_media_dedup" -> (m08_media_dedup _),
     "m10_compaction_plan" -> (m10_compaction_plan _),
@@ -317,6 +378,36 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m11_cdc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> ord(text[i:i])) AS codes
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, text,
+        |         list_sort(list_distinct(list_concat(
+        |           list_filter(range(8, n + 1), i ->
+        |             list_sum(list_transform(range(0, 8), j ->
+        |               codes[i - j] * ([1, 31, 961, 29791, 923521, 28629151,
+        |                                887503681, 27512614111])[j + 1]))
+        |             % 64 = 0),
+        |           [n]))) AS bnds
+        |  FROM c),
+        |e AS (SELECT doc_id, text, unnest(bnds) AS bnd FROM b),
+        |sp AS (
+        |  SELECT doc_id, text, bnd,
+        |         coalesce(lag(bnd) OVER w, 0) AS prev,
+        |         CAST(row_number() OVER w AS BIGINT) AS chunk_idx
+        |  FROM e WINDOW w AS (PARTITION BY doc_id ORDER BY bnd)),
+        |fp AS (
+        |  SELECT doc_id, chunk_idx, CAST(prev + 1 AS BIGINT) AS chunk_start,
+        |         CAST(bnd - prev AS BIGINT) AS chunk_len,
+        |         md5(text[prev + 1:bnd]) AS chunk_fp
+        |  FROM sp)
+        |SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_fp,
+        |       count(*) OVER (PARTITION BY chunk_fp) AS n_copies
+        |FROM fp""".stripMargin,
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
     "m09_feature_neardup" -> featureNeardupOracle,

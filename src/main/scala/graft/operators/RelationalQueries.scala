@@ -1855,9 +1855,72 @@ object RelationalQueries {
       .select(col("from_type"), col("to_type"), col("n"), col("share"))
   }
 
+  /** q99: interval-overlap CONCURRENCY via a distributed sweep line — the
+    * "how many were active at once" analytic (peak concurrent sessions /
+    * streams / beds) no join formulation survives at scale (interval x
+    * interval overlap joins are quadratic in the overlap mass). Each event
+    * holds its resource for `value` seconds; every interval becomes a +1
+    * point at its start and a -1 at its end ([start, end) — ends sort
+    * before starts at the same instant, so back-to-back intervals never
+    * overlap), and concurrency is the running sum of deltas in time order.
+    * The running sum is c17's TWO-PHASE distributed scan, not one window
+    * over a whole event_type: sweep points range-partition by (type, time),
+    * per-partition delta subtotals (32 x |types| rows, the only collect)
+    * prefix-scan into per-partition offsets on the driver, and each
+    * partition's local window sum adds its broadcast offset — no single
+    * task ever sorts a whole type's sweep, which is what makes this hold
+    * when one resource class dominates 100 TB. Peaks then reduce through
+    * an ordinary partial-aggregated groupBy; `conc == peak` rows join back
+    * against the 5-row broadcast peak frame for the first-peak timestamp.
+    * All-integer deltas/counts -> hash-green (durations enter as
+    * floor(value * 1e6), the same IEEE double op on both engines).
+    */
+  def q99_concurrency(s: SparkSession, d: String): DataFrame = {
+    val iv = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        expr("CAST(floor(value * 1000000d) AS BIGINT)").as("dur"))
+      .filter(col("dur") > 0L)
+    val pts = iv.select(col("event_type"), col("us"), lit(1L).as("delta"),
+        col("event_id"))
+      .unionAll(iv.select(col("event_type"), (col("us") + col("dur")).as("us"),
+        lit(-1L).as("delta"), col("event_id")))
+    val ranged = pts
+      .repartitionByRange(32, col("event_type"), col("us"), col("delta"),
+        col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical across both phases
+    val subs = ranged.groupBy(col("event_type"), col("pid"))
+      .agg(sum(col("delta")).as("psum"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offs = subs.groupBy(_._1).iterator.flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (et, pid, off) }
+    }.toSeq
+    val offDf = s.createDataFrame(offs).toDF("event_type", "pid", "off")
+    val w = Window.partitionBy(col("event_type"), col("pid"))
+      .orderBy(col("us"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = ranged.join(broadcast(offDf), Seq("event_type", "pid"))
+      .withColumn("conc", col("off") + sum(col("delta")).over(w))
+      .localCheckpoint() // feeds the peak agg AND the peak-time probe
+    val peaks = conc.groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"),
+        expr("count(1) div 2").as("n_intervals"))
+    conc.join(broadcast(peaks), "event_type")
+      .filter(col("conc") === col("peak"))
+      .groupBy(col("event_type"), col("n_intervals"), col("peak"))
+      .agg(date_format(timestamp_micros(min(col("us"))), "yyyy-MM-dd HH:mm:ss")
+        .as("first_peak_at"))
+      .select(col("event_type"), col("n_intervals"),
+        col("peak").as("peak_concurrency"), col("first_peak_at"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q99_concurrency" -> (q99_concurrency _),
     "q97_event_pathing" -> (q97_event_pathing _),
     "q96_scd2_lookup" -> (q96_scd2_lookup _),
     "q95_seasonal_anomaly" -> (q95_seasonal_anomaly _),
@@ -1953,6 +2016,31 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q99_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS dur
+        |  FROM events
+        |  WHERE CAST(floor(value * 1000000) AS BIGINT) > 0),
+        |pts AS (
+        |  SELECT event_type, us, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, us + dur, CAST(-1 AS BIGINT), event_id FROM iv),
+        |c AS (
+        |  SELECT event_type, us,
+        |         CAST(sum(delta) OVER (PARTITION BY event_type
+        |                ORDER BY us, delta, event_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM pts),
+        |p AS (
+        |  SELECT event_type, CAST(max(conc) AS BIGINT) AS peak,
+        |         CAST(count(*) // 2 AS BIGINT) AS n_intervals
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_type, p.n_intervals, p.peak AS peak_concurrency,
+        |       strftime(make_timestamp(min(c.us)),
+        |                '%Y-%m-%d %H:%M:%S') AS first_peak_at
+        |FROM c JOIN p ON p.event_type = c.event_type AND c.conc = p.peak
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q97_event_pathing" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS us

@@ -819,7 +819,32 @@ object SimilarityQueries {
           graft.functions.VectorFunctions.maxsim_score(
             col("q_emb"), col("embedding"), 8).as("sim")))
 
+  /** Cosine threshold for s23 range search — chosen so each query returns
+    * a non-trivial, non-exhaustive neighbor set on the fixture corpus.
+    */
+  private val RadiusTau = 0.25
+
+  /** s23: RADIUS (range) search — every corpus vector within cosine >=
+    * [[RadiusTau]] of each query, the other half of the vector-store query
+    * surface (top-k answers "best k", range answers "all this similar":
+    * dedup candidate pulls, recall-oriented retrieval, near-neighbor
+    * audits). Plan is s01's scan shape minus the heaps: broadcast query
+    * side, one corpus scan through the codegen'd cosine kernel, a codegen'd
+    * filter — NO shuffle at all (the top-k exchange disappears because
+    * range search has no global order), so output streams straight from
+    * the scan and 100 TB cost is exactly one pass. Hash-green: the kernel
+    * is s01's bit-identical double fold on both engines, so the threshold
+    * selects identical sets (no tolerance window needed).
+    */
+  def s23_radius_search(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .join(broadcast(queriesSide(s, d)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .filter(col("sim") >= RadiusTau)
+
   val queries: Map[String, Q] = Map(
+    "s23_radius_search" -> (s23_radius_search _),
     "s22_jl_projection" -> (s22_jl_projection _),
     "s19_late_interaction" -> (s19_late_interaction _),
     "s20_multiprobe_lsh" -> (s20_multiprobe_lsh _),
@@ -1034,6 +1059,17 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s23_radius_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM p WHERE sim >= 0.25""".stripMargin,
     "s22_jl_projection" ->
       s"""WITH sgn AS (SELECT ${jlSigns.mkString("[", ", ", "]")} AS s),
         |qq AS (

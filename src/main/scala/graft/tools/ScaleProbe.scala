@@ -212,6 +212,14 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q97_event_pathing(spark, sf).count())
       time(s"$tag q98_cms_rollup")(
         graft.operators.SketchQueries.q98_cms_rollup(spark, sf).count())
+      time(s"$tag g07_ppr")(
+        graft.operators.GraphQueries.g07_ppr(spark, sf).count())
+      time(s"$tag s23_radius_search")(
+        graft.operators.SimilarityQueries.s23_radius_search(spark, sf).count())
+      time(s"$tag q99_concurrency")(
+        graft.operators.RelationalQueries.q99_concurrency(spark, sf).count())
+      time(s"$tag m11_cdc_chunks")(
+        graft.operators.MultimodalQueries.m11_cdc_chunks(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

@@ -825,4 +825,102 @@ class QueriesSpec extends SparkTestBase {
       assert(ttr > 0.0 && ttr <= 1.0)
     }
   }
+
+  test("s23 radius search contains every above-threshold s01 hit") {
+    val radius = SparkEntry.queries("s23_radius_search")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(radius.nonEmpty)
+    val sims = SparkEntry.queries("s23_radius_search")(spark, sf).collect()
+      .map(_.getAs[Double]("sim"))
+    assert(sims.forall(_ >= 0.25), "range predicate violated")
+    // top-k is a subset of range once the hit clears the radius: any s01
+    // neighbor at sim >= tau the range query missed would be a correctness
+    // bug, not an approximation
+    val topk = SparkEntry.queries("s01_knn_bruteforce")(spark, sf).collect()
+      .filter(_.getAs[Double]("sim") >= 0.25)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    assert(topk.forall(radius.contains),
+      "s01 hit above the radius threshold missing from s23")
+  }
+
+  test("g07 PPR: seeds carry restart mass, rank mass stays in the seed side") {
+    val ranks = SparkEntry.queries("g07_ppr")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank"))).toMap
+    assert(ranks.nonEmpty)
+    assert(ranks.values.forall(_ > 0), "r > 0 filter violated")
+    val seeds = Tables.customer(spark, sf)
+      .filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).cast("long").as("node"))
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty)
+    // every seed holds at least the restart term after the final round
+    assert(seeds.forall(n => ranks.getOrElse(n, 0L) >= 150000L),
+      "seed below restart mass")
+    // personalization: mass reaches non-seeds (via edges) but the global
+    // node set is NOT all ranked -- g01 ranks strictly more nodes
+    assert(ranks.keySet.exists(n => !seeds.contains(n)))
+    val g01Nodes = SparkEntry.queries("g01_pagerank")(spark, sf).count()
+    assert(ranks.size < g01Nodes, "PPR ranked the whole graph")
+  }
+
+  test("q99 concurrency equals an independent driver-side sweep at sf0.001") {
+    val got = SparkEntry.queries("q99_concurrency")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("peak_concurrency"))))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("value"), col("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1000000d).toLong, r.getLong(3)))
+      .filter(_._3 > 0)
+    val expect = ev.groupBy(_._1).map { case (et, rows) =>
+      val pts = rows.flatMap(r =>
+        Seq((r._2, 1L, r._4), (r._2 + r._3, -1L, r._4)))
+        .sortBy(p => (p._1, p._2, p._3))
+      var cur = 0L; var peak = 0L
+      pts.foreach { p => cur += p._2; if (cur > peak) peak = cur }
+      et -> (rows.length.toLong, peak)
+    }
+    assert(got == expect, s"sweep mismatch: got=$got expect=$expect")
+  }
+
+  test("m11 CDC chunks tile each doc and duplicate docs share fingerprints") {
+    val rows = SparkEntry.queries("m11_cdc_chunks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    val docLen = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunks tile [1, n] with no gaps or overlaps
+      assert(sorted.head.getAs[Long]("chunk_start") == 1L)
+      assert(sorted.map(_.getAs[Long]("chunk_len")).sum == docLen(doc),
+        s"doc $doc chunks do not tile its length")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("chunk_start") ==
+            a.getAs[Long]("chunk_start") + a.getAs[Long]("chunk_len"))
+        case _ =>
+      }
+    }
+    // where the corpus carries byte-identical duplicate docs (sf0.01+ does;
+    // sf0.001 may not), identical docs must share EVERY fingerprint
+    val dupPairs = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).select(col("ids")).collect()
+    dupPairs.headOption.foreach { row =>
+      val pair = row.getSeq[Long](0)
+      val fpsA = byDoc(pair.head).sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[String]("chunk_fp")).toSeq
+      val fpsB = byDoc(pair(1)).sortBy(_.getAs[Long]("chunk_idx"))
+        .map(_.getAs[String]("chunk_fp")).toSeq
+      assert(fpsA == fpsB, "identical docs chunked differently")
+      assert(rows.exists(_.getAs[Long]("n_copies") > 1L),
+        "no duplicated chunk on a corpus with planted duplicate docs")
+    }
+  }
 }

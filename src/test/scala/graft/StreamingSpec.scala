@@ -23,7 +23,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val normalized = stream.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val normalized = stream.transform(Tables.normalizeTs)
     val agg = normalized
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -48,7 +48,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
     // complete mode: every session (sealed or not) is in the sink, so the
     // whole result must equal the batch formulation, no seal-region scoping
     val agg = stream
@@ -109,7 +109,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
     val q = stream.writeStream.outputMode("append")
@@ -176,7 +176,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     def src() = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
     // identical shaping on both sides so the equality compares the JOIN, not
     // two accidentally-different queries
     def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
@@ -210,7 +210,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     def src() = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
       .withColumn("ts", date_trunc("second", col("ts")))
     def side(df: org.apache.spark.sql.DataFrame, kind: String, p: String) =
       df.filter(col("event_type") === kind)
@@ -222,7 +222,8 @@ class StreamingSpec extends SparkTestBase {
     // the lagging side's last event, the same scoping st09's batch twin
     // applies (2h = 1h watermark + 30min window + margin)
     val seal = spark.read.parquet(dir)
-      .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts DIV 1000L"))))
+      .transform(Tables.normalizeTs)
+      .withColumn("ts", date_trunc("second", col("ts")))
       .filter(col("event_type").isin("click", "error"))
       .groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
       .agg(min(col("mx")) - expr("INTERVAL 2 HOURS")).head().getTimestamp(0)
@@ -507,7 +508,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     val normalized = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
     // the stream maintains the per-(window, type) counts under a watermark;
     // the bounded top-3-per-window rank runs on each complete snapshot in
     // foreachBatch (|windows| x |types| rows — never the raw firehose)
@@ -541,7 +542,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = eventsStreamDir
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      .transform(Tables.normalizeTs)
     val dim = spark.read.parquet(s"$sf/customer.parquet") // STATIC side
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val agg = stream
