@@ -431,6 +431,42 @@ object CurationQueries {
       .select(col("split"), col("n_docs"), coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
   }
 
+  /** c23: leakage REPAIR — c15 measures cross-split 13-gram contamination;
+    * this one fixes it the way corpus builds actually do (move the leaked
+    * eval docs back to train — shrinking eval is safe, polluting it is
+    * not) and emits the repaired split census: docs, moved-in count, and
+    * char mass per final split. Same single gram pass as c15 (train grams
+    * probe the eval side through a distinct semi join); the repair itself
+    * is a keys-only left join + CASE — no second text scan. Determinism:
+    * c03's multiplicative doc_id hash assigns splits, gram equality does
+    * the rest -> hash-green. Docs under 13 tokens can't leak by
+    * construction and simply keep their split.
+    */
+  def c23_split_repair(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
+      .withColumn("split", when(col("h") < 800, "train")
+        .when(col("h") < 900, "val").otherwise("test"))
+      .localCheckpoint() // feeds the gram pass AND the final census
+    val grams = grams13(base, "doc_id", "split").localCheckpoint()
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("ng")).distinct()
+    val leaked = grams.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("ng"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("leaked", lit(1L))
+    base.join(leaked, Seq("doc_id"), "left")
+      .withColumn("final_split",
+        when(col("split") =!= "train" && col("leaked").isNotNull, "train")
+          .otherwise(col("split")))
+      .groupBy(col("final_split").as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("leaked").isNotNull && col("split") =!= "train", 1L)
+          .otherwise(0L)).as("n_moved_in"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   /** Largest-remainder apportionment of an exact token budget across
     * strata — c05 rebalances by proportion and c14 by temperature, but a
     * real sampling job needs INTEGER per-stratum quotas that sum EXACTLY
@@ -553,6 +589,7 @@ object CurationQueries {
     "c21_sample_k_per_group" -> (c21_sample_k_per_group _),
     "c17_weighted_sample" -> (c17_weighted_sample _),
     "c16_token_apportion" -> (c16_token_apportion _),
+    "c23_split_repair" -> (c23_split_repair _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -864,6 +901,35 @@ object CurationQueries {
         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |         AS alloc_tokens
         |FROM r CROSS JOIN lo""".stripMargin,
+    "c23_split_repair" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |         CASE WHEN ((doc_id % 1000003) * 2654435761 + 97) % 1000 < 800
+        |              THEN 'train'
+        |              WHEN ((doc_id % 1000003) * 2654435761 + 97) % 1000 < 900
+        |              THEN 'val' ELSE 'test' END AS split,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, split, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, split, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |tr AS (SELECT DISTINCT ng FROM g WHERE split = 'train'),
+        |lk AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN tr USING (ng)
+        |  WHERE g.split <> 'train'),
+        |r AS (
+        |  SELECT t.doc_id, t.n_chars, t.split,
+        |         CASE WHEN t.split <> 'train' AND lk.doc_id IS NOT NULL
+        |              THEN 'train' ELSE t.split END AS final_split,
+        |         CASE WHEN t.split <> 'train' AND lk.doc_id IS NOT NULL
+        |              THEN 1 ELSE 0 END AS moved
+        |  FROM t LEFT JOIN lk ON lk.doc_id = t.doc_id)
+        |SELECT final_split AS split, count(*) AS n_docs,
+        |       CAST(sum(moved) AS BIGINT) AS n_moved_in,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1""".stripMargin,
     "c15_split_leakage" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -1917,9 +1917,45 @@ object RelationalQueries {
         col("peak").as("peak_concurrency"), col("first_peak_at"))
   }
 
+  /** q100: event-SEQUENCE pattern matching (MATCH_RECOGNIZE / Flink-CEP
+    * shape) — find users whose stream contains `view … click … purchase`
+    * as an in-order subsequence with arbitrary gaps, counting every
+    * completion and stamping the first. q57's funnel answers the
+    * stage-reach marketing question through per-stage joins with time
+    * caps; this is the complementary state-machine formulation: the
+    * pattern compiles into CHAINED CONDITIONAL RUNNING AGGREGATES on one
+    * (user, time) sort — `last_a` = running max of view times, `last_ab`
+    * = running max of click times seen after some view, and a purchase
+    * row completes the pattern iff `last_ab` is set. Each extra pattern
+    * stage is one more window column on the SAME sort — no joins, no
+    * per-user collect_list, state O(stages) per row — the layout that
+    * survives users with millions of events. All-integer µs and counts ->
+    * hash-green (both engines share the (us, event_id) tie order).
+    */
+  def q100_sequence_match(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("last_a",
+        max(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("last_ab",
+        max(when(col("event_type") === "click" && col("last_a").isNotNull,
+          col("us"))).over(w))
+      .withColumn("hit",
+        col("event_type") === "purchase" && col("last_ab").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_matches"),
+        date_format(timestamp_micros(min(when(col("hit"), col("us")))),
+          "yyyy-MM-dd HH:mm:ss").as("first_match_at"))
+      .filter(col("n_matches") > 0)
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q100_sequence_match" -> (q100_sequence_match _),
     "q99_concurrency" -> (q99_concurrency _),
     "q97_event_pathing" -> (q97_event_pathing _),
     "q96_scd2_lookup" -> (q96_scd2_lookup _),
@@ -2016,6 +2052,33 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q100_sequence_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events),
+        |a AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN us END)
+        |            OVER w AS last_a
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |b AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click'
+        |                      AND last_a IS NOT NULL THEN us END)
+        |            OVER w AS last_ab
+        |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                      ROWS UNBOUNDED PRECEDING)),
+        |h AS (
+        |  SELECT user_id,
+        |         event_type = 'purchase' AND last_ab IS NOT NULL AS hit, us
+        |  FROM b)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matches,
+        |       strftime(make_timestamp(min(CASE WHEN hit THEN us END)),
+        |                '%Y-%m-%d %H:%M:%S') AS first_match_at
+        |FROM h GROUP BY 1
+        |HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0""".stripMargin,
     "q99_concurrency" ->
       """WITH iv AS (
         |  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS us,

@@ -490,6 +490,60 @@ object TextQueries {
         round(col("n_hapax").cast("double") / col("n_types"), 9)
           .as("hapax_ratio"))
 
+  /** t20: ZIPF power-law fit of the token-frequency curve — the vocabulary
+    * health diagnostic (natural text follows freq ∝ rank^-1; synthetic or
+    * template-heavy corpora bend the slope, so a drifting fit flags
+    * machine-generated/boilerplate contamination before training). Per
+    * language: token counts, top-[[ZipfRanks]] ranks via the native
+    * [[graft.plans.TopKPerGroup]] partial heaps (never a full vocabulary
+    * sort — at 100 TB the per-language vocab is huge and the heap shuffle
+    * carries k rows per partition), then q67's exact-moment least squares
+    * over (ln rank, ln freq): DECIMAL-summed products, slope/intercept
+    * rounded at 9 dp, so the doubles hash-check cross-engine. Rank ties
+    * break on token text — deterministic on both engines (ASCII binary
+    * collation).
+    */
+  def t20_zipf_fit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (18,9), not (38,9): the x*x / x*y products must fit precision 38 to
+    // stay exact decimals on BOTH engines ((18,9)^2 -> (37,18))
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopKPerGroup.topK(counts, Seq("lang"),
+      Seq(graft.plans.TopKPerGroup.Ord("cnt", desc = true),
+        graft.plans.TopKPerGroup.Ord("tok")), ZipfRanks)
+    // rank assignment runs on <= ZipfRanks rows per language — bounded
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("tok"))
+    // x/y pin to DECIMAL(18,9); products stay full-scale exact decimals
+    // (downcasting products differs cross-engine: DuckDB truncates the
+    // scale reduction, Spark rounds — summing at scale 18 avoids the
+    // choice entirely and the moment sums are bit-exact)
+    val xy = top.withColumn("rank", row_number().over(w))
+      .select(col("lang"),
+        round(log(col("rank").cast("double")), 9).cast(dec9).as("x"),
+        round(log(col("cnt").cast("double")), 9).cast(dec9).as("y"))
+    xy.groupBy(col("lang")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(expr("x * x")).cast("double").as("sx2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(expr("x * y")).cast("double").as("sxy"))
+      .select(col("lang"), col("n").cast("long").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx")), 9).as("slope"),
+        round(col("sy") / col("n") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx"))) *
+          (col("sx") / col("n")), 9).as("intercept"))
+  }
+
+  /** Ranks fitted by t20 (the Zipf head; the tail bends anyway). */
+  private val ZipfRanks = 100
+
   /** t17: distributed BPE merge TRAINING — the other half of the tokenizer
     * story (t10 APPLIES a fixed merge table; this LEARNS one from the
     * corpus, the job SentencePiece/HF tokenizers do single-node). Eight
@@ -677,6 +731,7 @@ object TextQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "t20_zipf_fit" -> (t20_zipf_fit _),
     "t19_auc" -> (t19_auc _),
     "t18_nb_classifier" -> (t18_nb_classifier _),
     "t17_bpe_train" -> (t17_bpe_train _),
@@ -699,6 +754,32 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t20_zipf_fit" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, cnt,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY cnt DESC, tok) AS rank
+        |  FROM c QUALIFY rank <= 100),
+        |xy AS (
+        |  SELECT lang,
+        |         CAST(round(ln(rank), 9) AS DECIMAL(18,9)) AS x,
+        |         CAST(round(ln(cnt), 9) AS DECIMAL(18,9)) AS y
+        |  FROM r),
+        |s AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS sx,
+        |         CAST(sum(x * x) AS DOUBLE) AS sx2,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM xy GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+        |       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
+        |       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |             * (sx / n), 9) AS intercept
+        |FROM s""".stripMargin,
     "t19_auc" ->
       """WITH lv AS (
         |  SELECT source, n_chars,

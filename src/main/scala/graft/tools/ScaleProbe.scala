@@ -220,6 +220,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q99_concurrency(spark, sf).count())
       time(s"$tag m11_cdc_chunks")(
         graft.operators.MultimodalQueries.m11_cdc_chunks(spark, sf).count())
+      time(s"$tag t20_zipf_fit")(
+        graft.operators.TextQueries.t20_zipf_fit(spark, sf).count())
+      time(s"$tag q100_sequence_match")(
+        graft.operators.RelationalQueries.q100_sequence_match(spark, sf).count())
+      time(s"$tag c23_split_repair")(
+        graft.operators.CurationQueries.c23_split_repair(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

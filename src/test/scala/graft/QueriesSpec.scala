@@ -887,6 +887,30 @@ class QueriesSpec extends SparkTestBase {
     assert(got == expect, s"sweep mismatch: got=$got expect=$expect")
   }
 
+  test("t20 zipf: every language fits a negative slope over its rank head") {
+    val rows = SparkEntry.queries("t20_zipf_fit")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("slope") < 0.0,
+        s"token-frequency curve must fall with rank: $r")
+      assert(r.getAs[Long]("n_ranks") >= 2L)
+    }
+  }
+
+  test("q100 sequence match: every matched user truly has all three stages") {
+    val users = SparkEntry.queries("q100_sequence_match")(spark, sf).collect()
+      .map(_.getAs[Long]("user_id"))
+    assert(users.nonEmpty)
+    val stages = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("k"))
+      .filter(col("k") === 3)
+      .collect().map(_.getAs[Long]("user_id")).toSet
+    assert(users.forall(stages.contains),
+      "matched user lacks one of view/click/purchase")
+  }
+
   test("m11 CDC chunks tile each doc and duplicate docs share fingerprints") {
     val rows = SparkEntry.queries("m11_cdc_chunks")(spark, sf).collect()
     assert(rows.nonEmpty)
