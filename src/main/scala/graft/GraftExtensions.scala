@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("word_shingles", 1, exprs); functions.WordShingles(exprs.head, 3) }))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_boundaries"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.CdcBoundaries].getName, "cdc_boundaries"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("cdc_boundaries", 1, exprs); functions.CdcBoundaries(exprs.head, 8, 64) }))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_agg"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.KllBuildAgg].getName, "kll_agg"),

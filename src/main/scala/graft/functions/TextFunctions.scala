@@ -196,6 +196,56 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunk BOUNDARIES over a string (m11's kernel): 1-based
+  * codepoint positions `i` in `[w, n]` where the rolling window hash
+  * `sum_{j=0..w-1} code(i-j) * 31^j` is divisible by `div`, with the final
+  * position `n` always appended — exactly the boundary set of m11's HOF
+  * spelling (`filter(sequence(w, n), ...)` + `array(n)`), but O(n·w) inside
+  * whole-stage codegen instead of an interpreted nested-lambda walk that
+  * also had to re-derive the code array per row (the sf0.1 wall was 7.3 s
+  * HOF vs sub-second native). Codes are codepoints (== bytes on ASCII),
+  * matching `ascii(substring(text, i, 1))`.
+  */
+case class CdcBoundaries(child: Expression, w: Int, div: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if w >= 1 && div >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries needs a string (and w, div >= 1), got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    // codepoint array — one entry per substring(text, i, 1) unit
+    val codes = str.codePoints().toArray
+    val n = codes.length
+    val pow = new Array[Long](w)
+    pow(0) = 1L
+    var j = 1
+    while (j < w) { pow(j) = pow(j - 1) * 31L; j += 1 }
+    val out = new java.util.ArrayList[Integer]()
+    var i = w // 1-based boundary candidate
+    while (i <= n) {
+      var h = 0L
+      var k = 0
+      while (k < w) { h += codes(i - 1 - k) * pow(k); k += 1 }
+      if (h % div == 0) out.add(i)
+      i += 1
+    }
+    if (out.isEmpty || out.get(out.size - 1) != n) out.add(n)
+    val arr = new Array[Any](out.size)
+    var m = 0
+    while (m < out.size) { arr(m) = out.get(m).intValue(); m += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -208,6 +258,9 @@ object TextFunctions {
   def minhash_signature(shingles: Column, k: Int = 16): Column =
     column(MinHashSignature(expression(shingles), k))
 
+  def cdc_boundaries(text: Column, w: Int = 8, div: Int = 64): Column =
+    column(CdcBoundaries(expression(text), w, div))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -216,5 +269,7 @@ object TextFunctions {
       "minhash_signature", exprs => { graft.GraftExtensions.arity("minhash_signature", 1, exprs); MinHashSignature(exprs.head, 16) }, "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles", exprs => { graft.GraftExtensions.arity("word_shingles", 1, exprs); WordShingles(exprs.head, 3) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "cdc_boundaries", exprs => { graft.GraftExtensions.arity("cdc_boundaries", 1, exprs); CdcBoundaries(exprs.head, 8, 64) }, "built-in")
   }
 }

@@ -297,6 +297,7 @@ object GraphQueries {
     "g05_kcore" -> (g05_kcore _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
+    "g08_cf_similarity" -> (g08_cf_similarity _),
   )
 
   /** g06: bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds over
@@ -359,23 +360,60 @@ object GraphQueries {
     val seeds = Tables.customer(s, d)
       .filter(col("c_nationkey") === 0)
       .select((col("c_custkey") * 2).as("node"), lit(1L).as("is_seed"))
-      .localCheckpoint() // feeds every round's restart term
-    var ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
-      .select(col("node"),
-        (coalesce(col("is_seed"), lit(0L)) * Unit_).as("r"))
+    // the seed flag is static per node: join it ONCE and carry it through
+    // the rounds (joining seeds inside the loop costs an extra join x
+    // Iters — the 10x probe showed 35 s vs g01's 11 s before this fold)
+    val seededNodes = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    var ranks = seededNodes.select(col("node"), (col("is_seed") * Unit_).as("r"))
     for (_ <- 1 to Iters) {
       val contrib = edges
         .join(outdeg, "src")
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("r div od")).as("c"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .join(broadcast(seeds), Seq("node"), "left")
+      ranks = seededNodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (coalesce(col("is_seed"), lit(0L)) * 150000L +
+          (col("is_seed") * 150000L +
             expr("(85L * coalesce(c, 0L)) div 100L")).as("r"))
     }
     ranks.filter(col("r") > 0).select(col("node"), col("r").as("rank"))
+  }
+
+  /** g08: item-item COLLABORATIVE-FILTERING similarity — "suppliers like
+    * this one" from co-purchase structure (the neighborhood-method
+    * recommender primitive; Amazon's classic item-item CF): suppliers are
+    * vectors over the customers who bought from them, similarity is the
+    * cosine co(a,b) / sqrt(deg a * deg b) over those binary vectors.
+    * Shape: distinct customer->supplier edges (one orders x lineitem
+    * pass), self-join keyed ON CUSTOMER so pairs generate per shared
+    * customer (never supplier x supplier), count-aggregate to co(a,b),
+    * then a broadcast-joined degree table prices the cosine. At 100 TB
+    * the fan-out is bounded the d05/g02 way: a hub customer of degree D
+    * contributes D^2/2 pairs, so the support cut (co >= [[CoSupport]])
+    * plus AQE skew splits are what keep the projection sparse — same
+    * economics as every co-occurrence projection in this file. cosine =
+    * round(co / sqrt(da * db), 9): integer inputs, one sqrt, one divide —
+    * bit-identical cross-engine, so the pairs AND scores hash-check.
+    */
+  def g08_cf_similarity(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .localCheckpoint() // feeds the pair join AND the degree table
+    val deg = edges.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+    val co = edges.as("a").join(edges.as("b"),
+        col("a.cust") === col("b.cust") && col("a.supp") < col("b.supp"))
+      .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= CoSupport)
+    co.join(broadcast(deg.select(col("supp").as("sa"), col("deg").as("da"))), "sa")
+      .join(broadcast(deg.select(col("supp").as("sb"), col("deg").as("db"))), "sb")
+      .select(col("sa"), col("sb"), col("co"),
+        round(col("co") / sqrt(col("da") * col("db")), 9).as("cosine"))
   }
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
@@ -442,6 +480,21 @@ object GraphQueries {
            |GROUP BY e.src""".stripMargin,
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
+      "g08_cf_similarity" ->
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |deg AS (SELECT supp, count(*) AS deg FROM edges GROUP BY 1),
+           |co AS (
+           |  SELECT a.supp AS sa, b.supp AS sb, count(*) AS co
+           |  FROM edges a JOIN edges b
+           |    ON a.cust = b.cust AND a.supp < b.supp
+           |  GROUP BY 1, 2
+           |  HAVING count(*) >= $CoSupport)
+           |SELECT co.sa, co.sb, co.co,
+           |       round(co.co / sqrt(da.deg * db.deg), 9) AS cosine
+           |FROM co JOIN deg da ON da.supp = co.sa
+           |        JOIN deg db ON db.supp = co.sb""".stripMargin,
       "g07_ppr" ->
         s"""$base,
            |seeds AS (SELECT c_custkey * 2 AS node FROM customer

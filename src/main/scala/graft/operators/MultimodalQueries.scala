@@ -323,28 +323,17 @@ object MultimodalQueries {
     */
   def m11_cdc_chunks(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pow = (0 until CdcW).scanLeft(1L)((a, _) => a * 31L).take(CdcW)
-      .mkString("array(", "L, ", "L)")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("bnd"))
-    // localCheckpoint between codes and the boundary filter is load-bearing:
-    // without the barrier CollapseProject inlines the O(n) codes transform
-    // INTO the per-position lambda (HOFs are interpreted, not codegen'd),
-    // turning the scan O(n^3)-per-doc — observed as a wedged executor
-    val coded = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
-      .withColumn("codes",
-        expr("transform(sequence(1, n), i -> ascii(substring(text, i, 1)))"))
-      .localCheckpoint()
-    val spans = coded
-      .withColumn("bnds", expr(
-        s"""sort_array(array_distinct(concat(
-           |  CASE WHEN n >= $CdcW THEN
-           |    filter(sequence($CdcW, n), i ->
-           |      aggregate(sequence(0, ${CdcW - 1}), 0L,
-           |        (acc, j) -> acc + element_at(codes, i - j)
-           |                          * element_at($pow, j + 1)) % $CdcD = 0)
-           |  ELSE array() END,
-           |  array(n))))""".stripMargin))
+    // the boundary set is the native codegen'd CdcBoundaries kernel — the
+    // HOF spelling (codes transform + per-position nested-lambda filter)
+    // computed the same set but ran interpreted AND needed a checkpoint
+    // barrier to stop CollapseProject inlining the O(n) codes array into
+    // the per-position lambda (O(n^3)/doc, a wedged executor); the native
+    // kernel is O(n*w) inside the scan stage with no barrier at all
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.cdc_boundaries(
+          col("text"), CdcW, CdcD).as("bnds"))
       .select(col("doc_id"), col("text"), explode(col("bnds")).as("bnd"))
       .withColumn("prev", coalesce(lag(col("bnd"), 1).over(w), lit(0)))
       .withColumn("chunk_idx", row_number().over(w).cast("long"))

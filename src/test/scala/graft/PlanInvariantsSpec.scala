@@ -462,6 +462,32 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!p.contains("Window"), "pair dedup must be a bit_or agg, not a window")
   }
 
+  test("s23 radius search: scan + broadcast + filter, zero shuffles") {
+    // range search has no global order, so unlike s01 there is no top-k
+    // exchange either: any Exchange here means the scan-local plan broke
+    val p = finalPlan("s23_radius_search")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"radius search must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("g08 CF similarity: pairs keyed on customer; degrees broadcast") {
+    val p = finalPlan("g08_cf_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"co-purchase projection degraded to all-pairs:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "degree pricing must broadcast")
+  }
+
+  test("q99 concurrency: sweep never degrades to an interval join") {
+    // the window halves run before the localCheckpoint barriers, so the
+    // final plan is the peak agg + probe join — the pin is that no stage
+    // re-introduced the quadratic interval x interval formulation
+    val p = finalPlan("q99_concurrency")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep line degraded to interval join:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
