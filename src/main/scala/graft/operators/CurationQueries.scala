@@ -467,6 +467,41 @@ object CurationQueries {
         sum(col("n_chars")).as("total_chars"))
   }
 
+  /** c24: quality-threshold SWEEP — the ablation curve behind every filter
+    * decision (t12 reports ONE fixed rule chain; this reports the whole
+    * tradeoff: for each candidate threshold, how many docs/tokens survive
+    * — the table you read before picking t12's constants). Quality is the
+    * integer per-mille non-short-token score (t02's family, scaled-integer
+    * so no doc sits on a float boundary); docs bucket by score/100 in the
+    * scan, the sweep is a cumulative sum DOWN the buckets. The cumulative
+    * window is global but runs over <= 11 BUCKET rows (metadata-sized,
+    * m10's file-listing economics) — the corpus itself never crosses a
+    * global window. All-integer counts + one final share -> hash-green.
+    */
+  def c24_filter_sweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBucket = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nshort",
+        expr("CAST(size(filter(toks, x -> length(x) <= 2)) AS BIGINT)"))
+      .withColumn("q_pm", expr("1000 - (nshort * 1000) div nt"))
+      .withColumn("bucket", expr("q_pm div 100"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byBucket.agg(sum(col("n_tokens")).cast("double").as("tt"))
+    byBucket
+      .withColumn("docs_kept", sum(col("n_docs")).over(w))
+      .withColumn("tokens_kept", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select((col("bucket") * 100).cast("long").as("min_q_pm"),
+        col("n_docs"), col("n_tokens"), col("docs_kept"), col("tokens_kept"),
+        round(col("tokens_kept").cast("double") / col("tt"), 9)
+          .as("token_share_kept"))
+  }
+
   /** Largest-remainder apportionment of an exact token budget across
     * strata — c05 rebalances by proportion and c14 by temperature, but a
     * real sampling job needs INTEGER per-stratum quotas that sum EXACTLY
@@ -590,6 +625,7 @@ object CurationQueries {
     "c17_weighted_sample" -> (c17_weighted_sample _),
     "c16_token_apportion" -> (c16_token_apportion _),
     "c23_split_repair" -> (c23_split_repair _),
+    "c24_filter_sweep" -> (c24_filter_sweep _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -901,6 +937,28 @@ object CurationQueries {
         |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |         AS alloc_tokens
         |FROM r CROSS JOIN lo""".stripMargin,
+    "c24_filter_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt,
+        |         CAST(len(list_filter(toks, x -> length(x) <= 2)) AS BIGINT)
+        |           AS nshort
+        |  FROM d),
+        |b AS (
+        |  SELECT (1000 - (nshort * 1000) // nt) // 100 AS bucket,
+        |         count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM q GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n_docs, n_tokens,
+        |         CAST(sum(n_docs) OVER win AS BIGINT) AS docs_kept,
+        |         CAST(sum(n_tokens) OVER win AS BIGINT) AS tokens_kept
+        |  FROM b WINDOW win AS (ORDER BY bucket DESC
+        |                        ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM b)
+        |SELECT bucket * 100 AS min_q_pm, n_docs, n_tokens, docs_kept,
+        |       tokens_kept, round(tokens_kept / tt, 9) AS token_share_kept
+        |FROM c CROSS JOIN t""".stripMargin,
     "c23_split_repair" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars,

@@ -199,6 +199,7 @@ object DedupQueries {
         col("a.lang").as("lang"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_a"), col("doc_b"), col("lang"),
+        col("na"), col("nb"), col("inter"),
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
@@ -207,6 +208,31 @@ object DedupQueries {
       Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
       DfCap)
       .filter(col("jaccard") >= 0.1)
+      .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
+
+  /** d22: ASYMMETRIC containment — the quote/boilerplate detector Jaccard
+    * structurally misses: a 30-shingle doc fully embedded in a 500-shingle
+    * doc scores jaccard ≈ 0.06 (invisible at any sane threshold) but
+    * containment inter/|small| = 1.0. Same banded inverted-index candidate
+    * generation as d05 (hot-shingle df cap and all), only the SCORE
+    * differs — so the scale story is identical and the pair economics are
+    * shared, not re-derived. Emits (small ⊆ big)-oriented rows with both
+    * scores; ties on size orient by id for determinism.
+    */
+  def d22_containment(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(
+      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+      DfCap)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        least(col("na"), col("nb")).cast("long").as("n_small"),
+        greatest(col("na"), col("nb")).cast("long").as("n_big"),
+        (col("inter") / least(col("na"), col("nb"))).as("containment"),
+        col("jaccard"))
+      .filter(col("containment") >= 0.8)
 
   /** Embedding-cosine near-dup over a bucket key. The cosine kernel is the
     * codegen'd native expression; candidate pairs are bounded by the bucket
@@ -958,6 +984,7 @@ object DedupQueries {
     "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
     "d04_dedup_simhash" -> (d04_dedup_simhash _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
+    "d22_containment" -> (d22_containment _),
     "d06_embed_neardup" -> (d06_embed_neardup _),
   )
 
@@ -1190,6 +1217,17 @@ object DedupQueries {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "d22_containment" ->
+      s"""WITH $PairScoresCte,
+         |o AS (
+         |  SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+         |         CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_big,
+         |         least(na, nb) AS n_small, greatest(na, nb) AS n_big,
+         |         inter / least(na, nb) AS containment,
+         |         inter / (na + nb - inter) AS jaccard
+         |  FROM p)
+         |SELECT doc_small, doc_big, n_small, n_big, containment, jaccard
+         |FROM o WHERE containment >= 0.8""".stripMargin,
     "d05_ngram_jaccard" ->
       s"""WITH $ShingleIndexCte,
          |pl AS (

@@ -226,6 +226,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q100_sequence_match(spark, sf).count())
       time(s"$tag c23_split_repair")(
         graft.operators.CurationQueries.c23_split_repair(spark, sf).count())
+      time(s"$tag d22_containment")(
+        graft.operators.DedupQueries.d22_containment(spark, sf).count())
+      time(s"$tag c24_filter_sweep")(
+        graft.operators.CurationQueries.c24_filter_sweep(spark, sf).count())
+      time(s"$tag g08_cf_similarity")(
+        graft.operators.GraphQueries.g08_cf_similarity(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

@@ -111,4 +111,26 @@ class DedupScaleSpec extends SparkTestBase {
     // ("delta gasket","dexta guskez") is dist 3 — correctly absent
     assert(got == want, got.mkString(", "))
   }
+
+  test("d22's score: a planted quote is contained where jaccard misses it") {
+    import spark.implicits._
+    // doc 2 embeds doc 1 verbatim inside 10x unrelated filler: containment
+    // of the small side is ~1.0 while jaccard dilutes below any usable cut
+    val quote = (1 to 40).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 400).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote, "en", "src0"),
+      (2L, s"$filler $quote", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = DedupQueries.ngramJaccardPairs(docs, dfCap = 1000000).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    val na: Int = r.getAs[Int]("na")
+    val nb: Int = r.getAs[Int]("nb")
+    val inter: Long = r.getAs[Long]("inter")
+    val containment = inter.toDouble / math.min(na, nb)
+    val jaccard = inter.toDouble / (na + nb - inter)
+    assert(containment >= 0.8, s"quote not contained: $containment")
+    assert(jaccard < 0.1, s"jaccard should miss the quote: $jaccard")
+  }
 }

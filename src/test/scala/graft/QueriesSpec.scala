@@ -911,6 +911,14 @@ class QueriesSpec extends SparkTestBase {
       "matched user lacks one of view/click/purchase")
   }
 
+  test("d22 containment rows are oriented and above threshold") {
+    val rows = SparkEntry.queries("d22_containment")(spark, sf).collect()
+    rows.foreach { x =>
+      assert(x.getAs[Double]("containment") >= 0.8)
+      assert(x.getAs[Long]("n_small") <= x.getAs[Long]("n_big"))
+    }
+  }
+
   test("m11 CDC chunks tile each doc and duplicate docs share fingerprints") {
     val rows = SparkEntry.queries("m11_cdc_chunks")(spark, sf).collect()
     assert(rows.nonEmpty)
