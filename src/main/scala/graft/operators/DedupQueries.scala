@@ -210,6 +210,37 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
 
+  /** d23: quality-aware CANONICAL selection — the apply-side policy choice
+    * d08/d09 hard-code as keep-smallest-id: when a near-dup cluster
+    * collapses to one survivor, production pipelines keep the BEST
+    * version (longest/cleanest), not the arbitrarily-first one. Clusters
+    * come from d10's min-label propagation; quality is the integer
+    * per-mille non-short-token score (c24's scan-side signal); the pick
+    * is argmax(q_pm, doc_id) per cluster through the native TopKPerGroup
+    * heaps (k=1 — the shuffle carries one candidate per cluster per
+    * partition, never cluster contents through one reducer). Integer
+    * scores + id tie-break -> hash-green against the recursive-CTE
+    * cluster oracle with a rank-1 window twin.
+    */
+  def d23_canonical_pick(s: SparkSession, d: String): DataFrame = {
+    val clusters = d10_dedup_clusters(s, d).localCheckpoint()
+    val quality = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nshort",
+        expr("CAST(size(filter(toks, x -> length(x) <= 2)) AS BIGINT)"))
+      .select(col("doc_id"), expr("1000 - (nshort * 1000) div nt").as("q_pm"))
+    val scored = clusters.join(quality, "doc_id")
+    val best = graft.plans.TopKPerGroup.topK(scored, Seq("cluster_rep"),
+      Seq(graft.plans.TopKPerGroup.Ord("q_pm", desc = true),
+        graft.plans.TopKPerGroup.Ord("doc_id")), 1)
+    best
+      .join(clusters.groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_members")), "cluster_rep")
+      .select(col("cluster_rep"), col("doc_id").as("canonical_doc"),
+        col("q_pm").as("canonical_q_pm"), col("n_members"))
+  }
+
   /** d22: ASYMMETRIC containment — the quote/boilerplate detector Jaccard
     * structurally misses: a 30-shingle doc fully embedded in a 500-shingle
     * doc scores jaccard ≈ 0.06 (invisible at any sane threshold) but
@@ -985,6 +1016,7 @@ object DedupQueries {
     "d04_dedup_simhash" -> (d04_dedup_simhash _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d22_containment" -> (d22_containment _),
+    "d23_canonical_pick" -> (d23_canonical_pick _),
     "d06_embed_neardup" -> (d06_embed_neardup _),
   )
 
@@ -1270,6 +1302,26 @@ object DedupQueries {
     "d10_dedup_clusters" ->
       s"""WITH RECURSIVE $ClustersCte
          |SELECT doc_id, cluster_rep FROM cc""".stripMargin,
+    "d23_canonical_pick" ->
+      s"""WITH RECURSIVE $ClustersCte,
+         |q AS (
+         |  SELECT doc_id,
+         |         1000 - (CAST(len(list_filter(toks, x -> length(x) <= 2))
+         |                      AS BIGINT) * 1000)
+         |                // CAST(len(toks) AS BIGINT) AS q_pm
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)),
+         |j AS (SELECT cc.cluster_rep, cc.doc_id, q.q_pm
+         |      FROM cc JOIN q USING (doc_id)),
+         |m AS (SELECT cluster_rep, count(*) AS n_members FROM j GROUP BY 1),
+         |b AS (
+         |  SELECT cluster_rep, doc_id AS canonical_doc,
+         |         q_pm AS canonical_q_pm,
+         |         row_number() OVER (PARTITION BY cluster_rep
+         |                            ORDER BY q_pm DESC, doc_id) AS rk
+         |  FROM j)
+         |SELECT b.cluster_rep, b.canonical_doc, b.canonical_q_pm, m.n_members
+         |FROM b JOIN m USING (cluster_rep) WHERE rk = 1""".stripMargin,
     "d13_dedup_clusters_star" ->
       s"""WITH RECURSIVE $ClustersCte
          |SELECT doc_id, cluster_rep FROM cc""".stripMargin,

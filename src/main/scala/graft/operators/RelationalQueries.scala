@@ -1952,9 +1952,39 @@ object RelationalQueries {
       .filter(col("n_matches") > 0)
   }
 
+  /** q101: TIME-WEIGHTED average (TWAP) over irregular samples — the
+    * correct mean for state that persists between observations (sensor
+    * readings, account balances, prices): each value holds from its event
+    * until the user's next one, so it weighs by its holding DURATION, not
+    * its sample count (a plain avg over-counts burst periods). One lead()
+    * on the (user, time) sort prices every interval; the mean is the
+    * decimal-path weighted sum (value at DECIMAL(18,6) x µs duration at
+    * DECIMAL(18,0) — products stay exact at precision 37 on both engines,
+    * the t20 lesson applied in advance) so partial-aggregation order
+    * can't drift the double. Users with fewer than two events have no
+    * held interval and drop out.
+    */
+  def q101_twap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .as("v"))
+      .withColumn("dur",
+        (lead(col("us"), 1).over(w) - col("us"))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 0)))
+      .filter(col("dur").isNotNull && col("dur") > 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        expr("CAST(sum(dur) AS BIGINT) div 1000000").as("held_s"),
+        round((sum(col("v") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double")), 9).as("twap"))
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q101_twap" -> (q101_twap _),
     "q100_sequence_match" -> (q100_sequence_match _),
     "q99_concurrency" -> (q99_concurrency _),
     "q97_event_pathing" -> (q97_event_pathing _),
@@ -2052,6 +2082,27 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q101_twap" ->
+      """WITH e AS (
+        |  -- (19,6)/(19,0), not (18,*): DuckDB multiplies width-<=18
+        |  -- decimals in int64 and overflows on real µs durations; width
+        |  -- 19 forces the int128 path ((19,6)x(19,0) -> precision 38).
+        |  -- The numeric VALUES are identical to Spark's (18,*) operands.
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         CAST(value AS DECIMAL(19,6)) AS v
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, v,
+        |         CAST(lead(us) OVER (PARTITION BY user_id
+        |                             ORDER BY us, event_id) - us
+        |              AS DECIMAL(19,0)) AS dur
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_intervals,
+        |       CAST(sum(dur) AS BIGINT) // 1000000 AS held_s,
+        |       round(CAST(sum(v * dur) AS DOUBLE)
+        |             / CAST(sum(dur) AS DOUBLE), 9) AS twap
+        |FROM iv WHERE dur IS NOT NULL AND dur > 0
+        |GROUP BY 1""".stripMargin,
     "q100_sequence_match" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

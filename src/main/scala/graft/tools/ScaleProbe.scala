@@ -232,6 +232,10 @@ object ScaleProbe {
         graft.operators.CurationQueries.c24_filter_sweep(spark, sf).count())
       time(s"$tag g08_cf_similarity")(
         graft.operators.GraphQueries.g08_cf_similarity(spark, sf).count())
+      time(s"$tag d23_canonical_pick")(
+        graft.operators.DedupQueries.d23_canonical_pick(spark, sf).count())
+      time(s"$tag q101_twap")(
+        graft.operators.RelationalQueries.q101_twap(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
