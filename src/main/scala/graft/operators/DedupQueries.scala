@@ -43,7 +43,7 @@ object DedupQueries {
       .withColumn("shingles",
         graft.functions.TextFunctions.word_shingles(col("toks"), 3))
 
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def docShingles(s: SparkSession, d: String): DataFrame =
     shingled(Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism))
 
@@ -239,6 +239,54 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_members")), "cluster_rep")
       .select(col("cluster_rep"), col("doc_id").as("canonical_doc"),
         col("q_pm").as("canonical_q_pm"), col("n_members"))
+  }
+
+  /** d24: PREFIX-FILTERED similarity join (AllPairs/PPJoin) — the
+    * candidate generator that beats a full inverted index at high
+    * thresholds: order every doc's shingles by GLOBAL rarity (df asc,
+    * shingle asc — one total order shared by all docs), keep only each
+    * doc's first p = n − ceil(τ·n) + 1 shingles, and join on THOSE. The
+    * prefix-filter theorem guarantees completeness at jaccard ≥ τ: two
+    * sets with J ≥ τ overlap in ≥ n − ceil(τ·n) + 1 of any common total
+    * order, so they must share a prefix element — at τ = 0.8 the index
+    * shrinks to ~20% of postings and the df-ordering makes the surviving
+    * postings the RAREST ones (tiny fan-out), which is why set-similarity
+    * engines (Vernica VLDB'10) ship exactly this. Verification is one
+    * candidate-keyed join back to the full shingle arrays + a codegen'd
+    * array_intersect — never a second index pass. ceil(τ·n) is computed
+    * as (4n+4) div 5 so no prefix length ever sits on a float boundary;
+    * integer inter/sizes -> hash-green. DedupScaleSpec pins completeness
+    * against a driver-side brute force of every pair.
+    */
+  def d24_ppjoin(s: SparkSession, d: String): DataFrame = {
+    val docs = docShingles(s, d)
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n"))
+      .localCheckpoint() // feeds df counts, prefixes, and verification
+    val ex = docs.select(col("doc_id"), col("n"),
+      explode(col("shingles")).as("shingle"))
+    val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pref = ex.join(dfreq, "shingle")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(expr("slice(array_sort(collect_list(struct(df, shingle))), 1, " +
+        "CAST(n - (4 * n + 4) div 5 + 1 AS INT))").as("pref"))
+      .select(col("doc_id"), explode(col("pref")).as("ps"))
+      .select(col("doc_id"), col("ps.shingle").as("shingle"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** d22: ASYMMETRIC containment — the quote/boilerplate detector Jaccard
@@ -1017,6 +1065,7 @@ object DedupQueries {
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
     "d22_containment" -> (d22_containment _),
     "d23_canonical_pick" -> (d23_canonical_pick _),
+    "d24_ppjoin" -> (d24_ppjoin _),
     "d06_embed_neardup" -> (d06_embed_neardup _),
   )
 
@@ -1249,6 +1298,38 @@ object DedupQueries {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "d24_ppjoin" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks)-1),
+        |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |           AS shingles
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |dd AS (SELECT doc_id, shingles, len(shingles) AS n FROM t),
+        |e AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM dd),
+        |f AS (SELECT shingle, count(*) AS df FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT e.doc_id, e.n, e.shingle,
+        |         row_number() OVER (PARTITION BY e.doc_id
+        |                            ORDER BY f.df, e.shingle) AS rk
+        |  FROM e JOIN f USING (shingle)),
+        |p AS (SELECT doc_id, shingle FROM r
+        |      WHERE rk <= n - (4 * n + 4) // 5 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.shingle = b.shingle
+        |                   AND a.doc_id < b.doc_id),
+        |v AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |         CAST(len(list_intersect(da.shingles, db.shingles))
+        |              AS BIGINT) AS inter,
+        |         da.n AS na, db.n AS nb
+        |  FROM cand c JOIN dd da ON da.doc_id = c.doc_a
+        |              JOIN dd db ON db.doc_id = c.doc_b)
+        |SELECT doc_a, doc_b, inter / (na + nb - inter) AS jaccard
+        |FROM v WHERE inter / (na + nb - inter) >= 0.8""".stripMargin,
     "d22_containment" ->
       s"""WITH $PairScoresCte,
          |o AS (

@@ -236,6 +236,8 @@ object ScaleProbe {
         graft.operators.DedupQueries.d23_canonical_pick(spark, sf).count())
       time(s"$tag q101_twap")(
         graft.operators.RelationalQueries.q101_twap(spark, sf).count())
+      time(s"$tag d24_ppjoin")(
+        graft.operators.DedupQueries.d24_ppjoin(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

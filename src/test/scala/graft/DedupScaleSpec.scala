@@ -112,6 +112,24 @@ class DedupScaleSpec extends SparkTestBase {
     assert(got == want, got.mkString(", "))
   }
 
+  test("d24 prefix filter is COMPLETE: equals brute force at jaccard >= 0.8") {
+    val sf = "/root/testdata/sf0.001"
+    val got = DedupQueries.d24_ppjoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side brute force over every pair (fixture-sized corpus only)
+    val shingleRows = DedupQueries.docShingles(spark, sf)
+      .select(col("doc_id"), col("shingles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (ida, sa) <- shingleRows; (idb, sb) <- shingleRows if ida < idb
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield (ida, idb)).toSet
+    assert(got == want,
+      s"prefix filter missed or invented pairs: got=$got want=$want")
+  }
+
   test("d22's score: a planted quote is contained where jaccard misses it") {
     import spark.implicits._
     // doc 2 embeds doc 1 verbatim inside 10x unrelated filler: containment
