@@ -253,7 +253,56 @@ object SketchQueries {
     */
   private[graft] val CmsProbes = Seq("join", "hash", "scan", "the", "zzz_absent")
 
+  /** Bottom-k size for q102 (64 hashes ≈ 12% relative error on the
+    * distinct estimate — the sample side is the point, not the error).
+    */
+  private val BottomK = 64
+
+  /** q102: BOTTOM-K distinct-sample rollup — the sketch-shelf member that
+    * returns a mergeable uniform SAMPLE of the distinct population, not
+    * just its count (q65's HLL estimates; bottom-k also hands back k
+    * concrete representative users — the audit/debug sample a pipeline
+    * actually joins against). Per-day partials persist the k smallest
+    * multiplicative hashes of the day's distinct users; the read path
+    * merges STORED partials only (union → global re-bottom-k — bottom-k
+    * is exactly mergeable, which QueriesSpec pins as merged == direct),
+    * and the count estimate is the classic k-minimum-value form
+    * (k−1)·M / h_(k). Unlike every hash-library sketch here, the hash is
+    * hashCol's pure integer arithmetic — so the WHOLE rollup, sample and
+    * estimate, sits under the DuckDB hash gate: no rows-only concession.
+    */
+  def q102_bottomk_rollup(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    val dir = partialsDir("bottomk_partials", d)
+    val m = 1000000007L
+    val perDay = Tables.events(s, d)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct()
+      .withColumn("h",
+        expr(s"((user_id % 1000003) * 2654435761 + 17) % $m"))
+    TopKPerGroup.topK(perDay, Seq("day"), Seq(Ord("h"), Ord("user_id")),
+        BottomK)
+      .write.mode("overwrite").parquet(dir)
+    // merge-only: stored per-day samples union, dedupe by user (a user
+    // active on many days is one distinct), global re-bottom-k
+    val merged = s.read.parquet(dir)
+      .select(col("user_id"), col("h")).distinct()
+      .withColumn("g", lit(1))
+    val bottom = TopKPerGroup.topK(merged, Seq("g"),
+      Seq(Ord("h"), Ord("user_id")), BottomK)
+    bottom.groupBy(col("g"))
+      .agg(count(lit(1)).as("k"),
+        max(col("h")).as("kth_hash"),
+        min(col("user_id")).as("smallest_sample_user"))
+      .select(col("k"), col("kth_hash"),
+        round((col("k") - 1).cast("double") * m.toDouble /
+          col("kth_hash").cast("double"), 9).as("est_distinct_users"),
+        col("smallest_sample_user"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_bottomk_rollup" -> (q102_bottomk_rollup _),
     "q98_cms_rollup" -> (q98_cms_rollup _),
     "q90_theta_overlap" -> (q90_theta_overlap _),
     "q65_hll_rollup" -> (q65_hll_rollup _),
@@ -269,6 +318,31 @@ object SketchQueries {
     * valid precisely because histogram merge is exact.
     */
   val oracles: Map[String, String] = Map(
+    "q102_bottomk_rollup" ->
+      """WITH du AS (
+        |  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |         user_id
+        |  FROM events),
+        |h AS (
+        |  SELECT day, user_id,
+        |         ((user_id % 1000003) * 2654435761 + 17) % 1000000007 AS h
+        |  FROM du),
+        |pd AS (
+        |  SELECT day, user_id, h,
+        |         row_number() OVER (PARTITION BY day
+        |                            ORDER BY h, user_id) AS rk
+        |  FROM h QUALIFY rk <= 64),
+        |mg AS (SELECT DISTINCT user_id, h FROM pd),
+        |bt AS (
+        |  SELECT user_id, h,
+        |         row_number() OVER (ORDER BY h, user_id) AS rk
+        |  FROM mg QUALIFY rk <= 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |       CAST(max(h) AS BIGINT) AS kth_hash,
+        |       round((count(*) - 1) * 1000000007.0 / max(h), 9)
+        |         AS est_distinct_users,
+        |       CAST(min(user_id) AS BIGINT) AS smallest_sample_user
+        |FROM bt""".stripMargin,
     "q90_theta_overlap" ->
       """WITH c AS (SELECT DISTINCT event_type, user_id FROM events),
         |n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),

@@ -887,6 +887,27 @@ class QueriesSpec extends SparkTestBase {
     assert(got == expect, s"sweep mismatch: got=$got expect=$expect")
   }
 
+  test("q102 bottom-k: merged partials equal a direct bottom-k; sane estimate") {
+    val out = SparkEntry.queries("q102_bottomk_rollup")(spark, sf).collect()
+    assert(out.length == 1)
+    val row = out.head
+    val k = row.getAs[Long]("k")
+    val kth = row.getAs[Long]("kth_hash")
+    // direct (no per-day partials) bottom-k over all distinct users — the
+    // mergeability claim is that the rollup's k-th hash is identical
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("h",
+        expr("((user_id % 1000003) * 2654435761 + 17) % 1000000007"))
+      .collect().map(r => r.getLong(1)).sorted
+    val exactDistinct = users.length.toLong
+    val directKth = users.take(64).last
+    assert(k == math.min(64L, exactDistinct))
+    assert(kth == directKth, s"merged kth=$kth direct kth=$directKth")
+    val est = row.getAs[Double]("est_distinct_users")
+    assert(est > exactDistinct * 0.5 && est < exactDistinct * 2.0,
+      s"KMV estimate $est implausible vs exact $exactDistinct")
+  }
+
   test("t20 zipf: every language fits a negative slope over its rank head") {
     val rows = SparkEntry.queries("t20_zipf_fit")(spark, sf).collect()
     assert(rows.nonEmpty)
