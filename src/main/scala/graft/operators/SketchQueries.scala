@@ -301,7 +301,45 @@ object SketchQueries {
         col("smallest_sample_user"))
   }
 
+  /** q103: MOMENTS rollup — the degenerate-but-foundational member of the
+    * sketch shelf: mean/variance/stddev are algebraic aggregates, so their
+    * "sketch" is just (n, Σx, Σx²) and the merge is component addition —
+    * the textbook case every fancier sketch generalizes (same
+    * persist → merge-only-read architecture as q65/q66/q83/q98/q102, zero
+    * approximation). Per-day partials over o_totalprice persist; the read
+    * path folds STORED triples only. Sums ride DECIMAL(38,6) so partial
+    * order can't drift them — the rolled-up population variance is exact
+    * and hash-checks against DuckDB computing straight from the source
+    * (the strongest possible merge proof: merged == one-shot == oracle).
+    */
+  def q103_moments_rollup(s: SparkSession, d: String): DataFrame = {
+    val dir = partialsDir("moments_partials", d)
+    // (18,6): x*x must stay exact on BOTH engines — Spark needs
+    // p1+p2+1 <= 38; the DuckDB twin uses width 19 for its int128 path
+    // (the t20/q101 decimal lessons, applied at design time)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    Tables.orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_totalprice").cast(dec).as("x"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sx2"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .agg(count(lit(1)).as("n_partials"),
+        sum(col("n")).as("n"),
+        sum(col("sx")).cast("double").as("sum_x"),
+        sum(col("sx2")).cast("double").as("sum_x2"))
+      .select(col("n_partials"), col("n"),
+        round(col("sum_x") / col("n").cast("double"), 9).as("mean"),
+        round(col("sum_x2") / col("n").cast("double") -
+          (col("sum_x") / col("n").cast("double")) *
+            (col("sum_x") / col("n").cast("double")), 9)
+          .as("var_pop"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q103_moments_rollup" -> (q103_moments_rollup _),
     "q102_bottomk_rollup" -> (q102_bottomk_rollup _),
     "q98_cms_rollup" -> (q98_cms_rollup _),
     "q90_theta_overlap" -> (q90_theta_overlap _),
@@ -318,6 +356,23 @@ object SketchQueries {
     * valid precisely because histogram merge is exact.
     */
   val oracles: Map[String, String] = Map(
+    "q103_moments_rollup" ->
+      """WITH p AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        |         count(*) AS n,
+        |         sum(CAST(o_totalprice AS DECIMAL(19,6))) AS sx,
+        |         sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |             * CAST(o_totalprice AS DECIMAL(19,6))) AS sx2
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_partials,
+        |       CAST(sum(n) AS BIGINT) AS n,
+        |       round(CAST(sum(sx) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE), 9) AS mean,
+        |       round(CAST(sum(sx2) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |             - (CAST(sum(sx) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+        |               * (CAST(sum(sx) AS DOUBLE) / CAST(sum(n) AS DOUBLE)),
+        |             9) AS var_pop
+        |FROM p""".stripMargin,
     "q102_bottomk_rollup" ->
       """WITH du AS (
         |  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -238,6 +238,10 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q101_twap(spark, sf).count())
       time(s"$tag d24_ppjoin")(
         graft.operators.DedupQueries.d24_ppjoin(spark, sf).count())
+      time(s"$tag q102_bottomk_rollup")(
+        graft.operators.SketchQueries.q102_bottomk_rollup(spark, sf).count())
+      time(s"$tag q103_moments_rollup")(
+        graft.operators.SketchQueries.q103_moments_rollup(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is

@@ -164,6 +164,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p98.contains("countminmerge") || p98.toLowerCase.contains("countminmerge"),
       p98.take(800))
     assert(p84.contains("partial_kll_merge"), p84.take(1200))
+    val p102 = finalPlan("q102_bottomk_rollup")
+    assert(!p102.contains("events.parquet"),
+      s"q102 merge stage rescanned raw events:\n${p102.take(1200)}")
+    val p103 = finalPlan("q103_moments_rollup")
+    assert(!p103.contains("orders.parquet"),
+      s"q103 merge stage rescanned raw orders:\n${p103.take(1200)}")
   }
 
   test("s17 persisted ANN: query path scans stored codes, never raw embeddings") {
