@@ -163,6 +163,44 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(hs(0) != hs(2))
   }
 
+  test("cdc_boundaries: hand case, tiling invariants, shift re-sync, codegen parity") {
+    import graft.functions.TextFunctions.cdc_boundaries
+    // hand case, w=2, div=3: codes(ab..)=97,98,...; H(i)=c[i]+31*c[i-1]
+    //   "abcabc": H(2)=97*31+98=3105 (3105%3=0 -> boundary), H(3)=98*31+99
+    //   =3137 (no), H(4)=99*31+97=3166 (no), H(5)=3105 again at "ab" (yes),
+    //   H(6)=3137 (no) -> bounds [2, 5, 6]
+    val hand = Seq("abcabc").toDF("t")
+      .select(cdc_boundaries($"t", 2, 3)).as[Seq[Int]].head()
+    assert(hand == Seq(2, 5, 6), s"hand case got $hand")
+    val docs = Tables.documents(spark, sf).select($"text").limit(50).cache()
+    val bnds = docs.select($"text", cdc_boundaries($"text").as("b"))
+      .as[(String, Seq[Int])].collect()
+    bnds.foreach { case (t, b) =>
+      assert(b.last == t.length, "final boundary must close the doc")
+      assert(b == b.sorted && b.distinct == b, "boundaries sorted unique")
+    }
+    // the CDC property: prepending a byte shifts content, but boundaries
+    // re-synchronize — chunks after the first shared boundary realign
+    val shifted = docs.select(concat(lit("Z"), $"text").as("text"),
+        cdc_boundaries(concat(lit("Z"), $"text")).as("b"))
+      .as[(String, Seq[Int])].collect()
+    val resynced = bnds.zip(shifted).count { case ((_, b0), (_, b1)) =>
+      // shifted boundaries, minus the +1 offset, share a suffix with the
+      // originals (full re-sync after the first window-local divergence)
+      val tailShared = b1.map(_ - 1).toSet.intersect(b0.toSet).size
+      tailShared >= math.max(1, b0.size - 2)
+    }
+    assert(resynced >= (bnds.length * 8) / 10,
+      s"only $resynced/${bnds.length} docs re-synced after a 1-char shift")
+    // codegen vs interpreted parity
+    val viaCodegen = docs.select(cdc_boundaries($"text")).as[Seq[Int]].collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = docs.select(cdc_boundaries($"text")).as[Seq[Int]].collect()
+      assert(viaCodegen.toSeq == viaEval.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("minhash_signature: 16 hashes; equal sets equal sigs; similar sets share components") {
     val df = Seq(
       Seq("a b c", "b c d", "c d e", "d e f"),
