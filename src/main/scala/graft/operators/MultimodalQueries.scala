@@ -352,7 +352,63 @@ object MultimodalQueries {
   private val CdcW = 8
   private val CdcD = 64
 
+  /** m12: incremental-TRANSFER estimate — the rsync/backup question m11's
+    * chunking exists to answer: after an edit pass (every 10th doc gets a
+    * prefix insertion — the alignment-destroying edit), how many chunk
+    * uploads does a dedup store actually need? Two schemes over identical
+    * data: CDC boundaries re-synchronize after an insertion, so only each
+    * modified doc's FIRST chunk is new; fixed-size 64-char blocks lose
+    * alignment at the insertion point and re-upload essentially the whole
+    * modified doc. The output is the two-row comparison (scheme, chunk
+    * counts, new-chunk counts/bytes, transfer ratio) — the measured form
+    * of the CDC design argument, hash-green end to end (md5 fp sets,
+    * integer byte counts, one final ratio). Scale shape: both schemes are
+    * scan-local chunkers + one fp-keyed anti-join; nothing pairwise.
+    */
+  def m12_delta_transfer(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .localCheckpoint() // chunked twice (v1 side of both schemes)
+    val v2 = v1.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(lit("Z "), col("text")))
+        .otherwise(col("text")).as("text"))
+    def cdcFps(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("bnd"))
+      df.select(col("doc_id"), col("text"),
+          graft.functions.TextFunctions.cdc_boundaries(
+            col("text"), CdcW, CdcD).as("bnds"))
+        .select(col("doc_id"), col("text"), explode(col("bnds")).as("bnd"))
+        .withColumn("prev", coalesce(lag(col("bnd"), 1).over(w), lit(0)))
+        .select(md5(expr("substring(text, prev + 1, bnd - prev)")).as("fp"),
+          (col("bnd") - col("prev")).cast("long").as("len"))
+    }
+    def fixedFps(df: DataFrame): DataFrame =
+      df.select(col("text"),
+          explode(expr("sequence(0, (length(text) - 1) div 64)")).as("i"))
+        .select(md5(expr("substring(text, i * 64 + 1, 64)")).as("fp"),
+          least(lit(64), length(col("text")) - col("i") * 64)
+            .cast("long").as("len"))
+    def summarize(scheme: String, v1f: DataFrame, v2f: DataFrame): DataFrame = {
+      val known = v1f.select(col("fp")).distinct()
+      val store = v2f.groupBy(col("fp")).agg(max(col("len")).as("len"))
+        .localCheckpoint() // totals AND the anti-join read it
+      val nu = store.join(known, Seq("fp"), "left_anti")
+        .agg(coalesce(count(lit(1)), lit(0L)).as("n_new"),
+          coalesce(sum(col("len")), lit(0L)).as("new_bytes"))
+      store.agg(count(lit(1)).as("n_chunks"),
+          sum(col("len")).as("total_bytes"))
+        .crossJoin(nu)
+        .select(lit(scheme).as("scheme"), col("n_chunks"), col("total_bytes"),
+          col("n_new"), col("new_bytes"),
+          round(col("new_bytes").cast("double") / col("total_bytes"), 9)
+            .as("transfer_ratio"))
+    }
+    summarize("cdc", cdcFps(v1), cdcFps(v2))
+      .unionByName(summarize("fixed", fixedFps(v1), fixedFps(v2)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m12_delta_transfer" -> (m12_delta_transfer _),
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
     "m08_media_dedup" -> (m08_media_dedup _),
@@ -367,6 +423,67 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m12_delta_transfer" -> {
+      // one CDC fp pipeline per corpus version (DuckDB has no macros in
+      // this dialect path — the duplication is mechanical)
+      def cdcCte(src: String, p: String) =
+        s"""${p}c AS (
+           |  SELECT doc_id, text, length(text) AS n,
+           |         list_transform(range(1, length(text) + 1),
+           |                        i -> ord(text[i:i])) AS codes
+           |  FROM $src),
+           |${p}b AS (
+           |  SELECT doc_id, text,
+           |         list_sort(list_distinct(list_concat(
+           |           list_filter(range(8, n + 1), i ->
+           |             list_sum(list_transform(range(0, 8), j ->
+           |               codes[i - j] * ([1, 31, 961, 29791, 923521,
+           |                 28629151, 887503681, 27512614111])[j + 1]))
+           |             % 64 = 0),
+           |           [n]))) AS bnds
+           |  FROM ${p}c),
+           |${p}e AS (SELECT doc_id, text, unnest(bnds) AS bnd FROM ${p}b),
+           |${p}f AS (
+           |  SELECT md5(text[coalesce(lag(bnd) OVER w, 0) + 1:bnd]) AS fp,
+           |         CAST(bnd - coalesce(lag(bnd) OVER w, 0) AS BIGINT) AS len
+           |  FROM ${p}e WINDOW w AS (PARTITION BY doc_id ORDER BY bnd))"""
+          .stripMargin
+      def fixedCte(src: String, p: String) =
+        s"""${p}f AS (
+           |  SELECT md5(text[i * 64 + 1:least((i + 1) * 64, length(text))])
+           |           AS fp,
+           |         CAST(least(64, length(text) - i * 64) AS BIGINT) AS len
+           |  FROM (SELECT text,
+           |               unnest(generate_series(0,
+           |                 (length(text) - 1) // 64)) AS i
+           |        FROM $src))""".stripMargin
+      def summary(scheme: String, v1p: String, v2p: String) =
+        s"""SELECT '$scheme' AS scheme, s.n_chunks, s.total_bytes,
+           |       u.n_new, u.new_bytes,
+           |       round(u.new_bytes / CAST(s.total_bytes AS DOUBLE), 9)
+           |         AS transfer_ratio
+           |FROM (SELECT count(*) AS n_chunks,
+           |             CAST(sum(len) AS BIGINT) AS total_bytes
+           |      FROM (SELECT fp, max(len) AS len FROM ${v2p}f GROUP BY 1)) s
+           |CROSS JOIN
+           |     (SELECT CAST(coalesce(count(*), 0) AS BIGINT) AS n_new,
+           |             CAST(coalesce(sum(len), 0) AS BIGINT) AS new_bytes
+           |      FROM (SELECT fp, max(len) AS len FROM ${v2p}f GROUP BY 1) x
+           |      ANTI JOIN (SELECT DISTINCT fp FROM ${v1p}f) k
+           |        USING (fp)) u""".stripMargin
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents),
+         |v2 AS (SELECT doc_id,
+         |              CASE WHEN doc_id % 10 = 0 THEN 'Z ' || text
+         |                   ELSE text END AS text
+         |       FROM documents),
+         |${cdcCte("v1", "a")},
+         |${cdcCte("v2", "b")},
+         |${fixedCte("v1", "x")},
+         |${fixedCte("v2", "y")}
+         |${summary("cdc", "a", "b")}
+         |UNION ALL
+         |${summary("fixed", "x", "y")}""".stripMargin
+    },
     "m11_cdc_chunks" ->
       """WITH c AS (
         |  SELECT doc_id, text, length(text) AS n,

@@ -940,6 +940,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("m12: CDC transfers strictly less than fixed-size chunking after edits") {
+    val rows = SparkEntry.queries("m12_delta_transfer")(spark, sf).collect()
+      .map(r => r.getAs[String]("scheme") -> r).toMap
+    val cdc = rows("cdc"); val fixed = rows("fixed")
+    assert(cdc.getAs[Double]("transfer_ratio") <
+      fixed.getAs[Double]("transfer_ratio"),
+      s"CDC must beat fixed blocks on insert-shifted edits: $rows")
+    // ~1 new chunk per modified doc is the re-sync signature; fixed-size
+    // blocks invalidate a whole doc-tail per edit
+    assert(cdc.getAs[Long]("n_new") < fixed.getAs[Long]("n_new"))
+  }
+
   test("m11 CDC chunks tile each doc and duplicate docs share fingerprints") {
     val rows = SparkEntry.queries("m11_cdc_chunks")(spark, sf).collect()
     assert(rows.nonEmpty)
