@@ -14,7 +14,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.get()
     val base = "/root/testdata/sf0.1"
-    val big = java.nio.file.Files.createTempDirectory("sf1x10").toString
+    // stable path, not createTempDirectory: repeated probe runs overwrite
+    // ONE 10x corpus instead of leaking ~1.5 GB of /tmp copies per run
+    val big = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_probe_sf1x10").toString
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val n = docs.count()
     (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))

@@ -503,6 +503,43 @@ class StreamingSpec extends SparkTestBase {
     assert(math.abs(trueRank - 0.5) <= 0.025, s"p50 true rank $trueRank")
   }
 
+  test("streaming moments rollup: per-batch (n, sx, sx2) partials fold EXACTLY") {
+    // q103's architecture under a real stream: every micro-batch appends
+    // its algebraic triple; because the merge is component addition over
+    // exact decimals, the streamed rollup must equal the batch aggregate
+    // BIT FOR BIT, whatever the batch slicing — the strongest streaming
+    // pin on the shelf (KLL gets a rank bound; moments get equality).
+    Sessions.tune(spark)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val prices = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast(dec).as("x"))
+    val srcDir = Files.createTempDirectory("mom_stream_src").toString
+    prices.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("mom_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(expr("x * x")).as("sx2"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(partialsDir)
+      .agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+        sum(col("sx2")).as("sx2")).collect()(0)
+    val direct = prices
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sx2")).collect()(0)
+    assert(streamed.getAs[Long]("n") == direct.getAs[Long]("n"))
+    assert(streamed.getAs[java.math.BigDecimal]("sx")
+      .compareTo(direct.getAs[java.math.BigDecimal]("sx")) == 0)
+    assert(streamed.getAs[java.math.BigDecimal]("sx2")
+      .compareTo(direct.getAs[java.math.BigDecimal]("sx2")) == 0)
+  }
+
   test("streaming trending: windowed counts + foreachBatch top-k == batch st07") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
