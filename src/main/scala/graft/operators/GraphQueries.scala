@@ -298,6 +298,7 @@ object GraphQueries {
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
+    "g09_degree_dist" -> (g09_degree_dist _),
   )
 
   /** g06: bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds over
@@ -416,6 +417,43 @@ object GraphQueries {
         round(col("co") / sqrt(col("da") * col("db")), 9).as("cosine"))
   }
 
+  /** g09: DEGREE distribution + power-law fit — the graph-health panel a
+    * link-curation pipeline reads before trusting centrality signals
+    * (heavy-tailed in-degree is why g01's hub handling and AQE skew
+    * splits exist; a bent tail flags spam farms or collector artifacts —
+    * t20's Zipf diagnostic applied to graph structure). Supplier
+    * in-degree over the customer->supplier edge set, histogrammed, with
+    * the complementary CDF share per degree and the continuous-MLE
+    * exponent alpha = 1 + N / Σ ln(deg) (Clauset-Shalizi-Newman form,
+    * d_min = 1) carried on each row. The CCDF window and the alpha
+    * reduction both run over |distinct degrees| rows — metadata-sized at
+    * any corpus scale (the histogram IS the sketch). ln rides t20's
+    * rounded-decimal discipline; counts are integers -> hash-green.
+    */
+  def g09_degree_dist(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val deg = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // feeds the histogram AND the alpha reduction
+    val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    val tot = deg.agg(count(lit(1)).cast("double").as("n_total"),
+      sum(round(log(col("deg").cast("double")), 9).cast(dec9))
+        .cast("double").as("sum_ln"))
+    val w = Window.orderBy(col("deg").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum", sum(col("n_nodes")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("deg"), col("n_nodes"),
+        round(col("cum").cast("double") / col("n_total"), 9).as("ccdf"),
+        round(lit(1.0) + col("n_total") / col("sum_ln"), 9).as("alpha_hat"))
+  }
+
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
     * `//` and Spark's `div` both truncate toward zero, and every operand is
     * non-negative, so the arithmetic is identical step by step. sum() is
@@ -480,6 +518,26 @@ object GraphQueries {
            |GROUP BY e.src""".stripMargin,
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
+      "g09_degree_dist" ->
+        """WITH e AS (
+          |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |dg AS (SELECT supp, count(*) AS deg FROM e GROUP BY 1),
+          |h AS (SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
+          |         CAST(sum(CAST(round(ln(deg), 9) AS DECIMAL(18,9)))
+          |              AS DOUBLE) AS sum_ln
+          |  FROM dg),
+          |c AS (
+          |  SELECT deg, n_nodes,
+          |         CAST(sum(n_nodes) OVER (ORDER BY deg DESC
+          |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          |  FROM h)
+          |SELECT c.deg, c.n_nodes,
+          |       round(c.cum / t.n_total, 9) AS ccdf,
+          |       round(1.0 + t.n_total / t.sum_ln, 9) AS alpha_hat
+          |FROM c CROSS JOIN t""".stripMargin,
       "g08_cf_similarity" ->
         s"""WITH edges AS (
            |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp

@@ -247,6 +247,8 @@ object ScaleProbe {
         graft.operators.SketchQueries.q103_moments_rollup(spark, sf).count())
       time(s"$tag m12_delta_transfer")(
         graft.operators.MultimodalQueries.m12_delta_transfer(spark, sf).count())
+      time(s"$tag g09_degree_dist")(
+        graft.operators.GraphQueries.g09_degree_dist(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
