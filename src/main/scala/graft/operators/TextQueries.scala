@@ -544,6 +544,31 @@ object TextQueries {
   /** Ranks fitted by t20 (the Zipf head; the tail bends anyway). */
   private val ZipfRanks = 100
 
+  /** t21: LEXICAL-COMPLEXITY (readability) scoring — the
+    * Flesch/Gunning-fog family's corpus-scale core: syllables approximated
+    * as vowel GROUPS per word (the standard heuristic), per-doc totals,
+    * mean syllables/word, and the complex-word (3+ syllable) share. The
+    * fixture corpus carries no sentence punctuation, so the sentence-rate
+    * term is deliberately absent — what remains is the lexical half every
+    * readability formula shares, and the useful curation signal (complex
+    * share correlates with domain register). One scan, all codegen'd
+    * regex/HOF work, zero shuffles; the complex share is per-mille
+    * INTEGER so no doc sits on a float threshold.
+    */
+  def t21_readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("sylls", expr(
+        "transform(toks, w -> size(filter(split(w, '[^aeiouy]+'), " +
+          "p -> p <> '')))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(sylls, 0L, (a, x) -> a + x)").as("n_syllables"),
+        expr("CAST(size(filter(sylls, x -> x >= 3)) AS BIGINT) * 1000 " +
+          "div size(toks)").as("complex_pm"))
+      .withColumn("avg_syllables",
+        round(col("n_syllables").cast("double") / col("n_words"), 9))
+
   /** t17: distributed BPE merge TRAINING — the other half of the tokenizer
     * story (t10 APPLIES a fixed merge table; this LEARNS one from the
     * corpus, the job SentencePiece/HF tokenizers do single-node). Eight
@@ -732,6 +757,7 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
     "t20_zipf_fit" -> (t20_zipf_fit _),
+    "t21_readability" -> (t21_readability _),
     "t19_auc" -> (t19_auc _),
     "t18_nb_classifier" -> (t18_nb_classifier _),
     "t17_bpe_train" -> (t17_bpe_train _),
@@ -754,6 +780,24 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t21_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         list_transform(toks, w ->
+        |           len(list_filter(regexp_split_to_array(w, '[^aeiouy]+'),
+        |                           p -> p <> ''))) AS sylls
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_words,
+        |       CAST(list_sum(sylls) AS BIGINT) AS n_syllables,
+        |       CAST(len(list_filter(sylls, x -> x >= 3)) AS BIGINT) * 1000
+        |         // len(toks) AS complex_pm,
+        |       round(CAST(list_sum(sylls) AS DOUBLE) / len(toks), 9)
+        |         AS avg_syllables
+        |FROM s""".stripMargin,
     "t20_zipf_fit" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

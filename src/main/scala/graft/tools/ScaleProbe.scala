@@ -249,6 +249,8 @@ object ScaleProbe {
         graft.operators.MultimodalQueries.m12_delta_transfer(spark, sf).count())
       time(s"$tag g09_degree_dist")(
         graft.operators.GraphQueries.g09_degree_dist(spark, sf).count())
+      time(s"$tag t21_readability")(
+        graft.operators.TextQueries.t21_readability(spark, sf).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
