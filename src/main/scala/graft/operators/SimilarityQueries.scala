@@ -843,7 +843,64 @@ object SimilarityQueries {
         cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
       .filter(col("sim") >= RadiusTau)
 
+  /** One 32-bit half of the 64-bit sign signature: bit i set iff dim
+    * `off + i` of the embedding is positive. Computed once per row in the
+    * scan (an N + |q| cost, not N x |q| — the per-PAIR Hamming kernel
+    * below stays pure codegen'd long arithmetic). Summing distinct powers
+    * of two is exact bit-OR, and each half stays below 2^32 so the DuckDB
+    * twin never touches shift-overflow territory.
+    */
+  private def signHalf(v: Column, off: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, i) => acc + when(
+        element_at(v, i + lit(off + 1)).cast("double") > lit(0d),
+        call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+
+  private def signSig(df: DataFrame, idCol: String, pre: String): DataFrame =
+    df.select(col("vec_id").as(idCol),
+      signHalf(col("embedding"), 0).as(s"${pre}_lo"),
+      signHalf(col("embedding"), 32).as(s"${pre}_hi"))
+
+  /** s24: BINARY (1-bit) quantization search — the 32x-compression end of
+    * the quantization spectrum next to s07's int8 and s09's PQ codes: each
+    * 64-d float vector collapses to a 64-bit sign signature (bit = is the
+    * coordinate positive), candidates shortlist by HAMMING distance
+    * (xor + popcount — the cheapest similarity kernel that exists), and
+    * exact cosine re-ranks only the 50-deep shortlist (s22's split). For
+    * random-ish directions Hamming distance is a monotone estimator of
+    * angle (Goemans–Williamson / Charikar'02: P[sign differs] = θ/π per
+    * dim), which is why modern vector stores ship exactly this as their
+    * "binary quantization" tier. Everything is deterministic integer
+    * arithmetic — signatures are exact bit sets, Hamming is exact, ties
+    * break on vec_id, and the re-rank reuses s01's bit-identical cosine —
+    * so the whole approximate method hash-checks against DuckDB building
+    * identical signatures (the s07 trick at 1 bit per dim). At 100 TB the
+    * signature pass rides the corpus scan (16 bytes/row through the
+    * shortlist shuffle instead of 256), the Hamming kernel is two xors
+    * and two popcounts per pair inside whole-stage codegen, and the exact
+    * tail touches 50 raw vectors per query.
+    */
+  def s24_binary_quant(s: SparkSession, d: String): DataFrame = {
+    val corpus = signSig(Tables.embeddings(s, d), "vec_id", "c")
+    val queries = signSig(
+      Tables.embeddings(s, d).filter(col("vec_id") < NQueries), "q_id", "q")
+    val hamming =
+      call_function("bit_count", col("q_lo").bitwiseXOR(col("c_lo"))) +
+        call_function("bit_count", col("q_hi").bitwiseXOR(col("c_hi")))
+    val shortlist = TopKPerGroup.topK(
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), hamming.cast("long").as("hdist")),
+      Seq("q_id"), Seq(Ord("hdist"), Ord("vec_id")), 50)
+    perQueryTopK(
+      shortlist.select(col("q_id"), col("vec_id"))
+        .join(Tables.embeddings(s, d), "vec_id")
+        .join(broadcast(queriesSide(s, d)), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s24_binary_quant" -> (s24_binary_quant _),
     "s23_radius_search" -> (s23_radius_search _),
     "s22_jl_projection" -> (s22_jl_projection _),
     "s19_late_interaction" -> (s19_late_interaction _),
@@ -1257,6 +1314,41 @@ object SimilarityQueries {
         |SELECT q_id, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "s24_binary_quant" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
+        |                THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |         CAST(list_sum(list_transform(range(32), i ->
+        |           CASE WHEN embedding[CAST(i + 33 AS INT)] > 0
+        |                THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM sig WHERE vec_id < 10),
+        |h AS (
+        |  SELECT q.q_id, c.vec_id,
+        |         bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS hdist
+        |  FROM q JOIN sig c ON c.vec_id <> q.q_id),
+        |short AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |                                 ORDER BY hdist, vec_id) AS rn
+        |    FROM h) t
+        |  WHERE rn <= 50),
+        |rr AS (
+        |  SELECT sh.q_id, sh.vec_id,
+        |         list_sum(list_transform(list_zip(qe.embedding::DOUBLE[],
+        |                                          ce.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(qe.embedding::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(ce.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM short sh
+        |  JOIN embeddings ce ON ce.vec_id = sh.vec_id
+        |  JOIN embeddings qe ON qe.vec_id = sh.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM rr) t
         |WHERE rk <= 5""".stripMargin,
     "s03_dot_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)

@@ -111,6 +111,20 @@ class QueriesSpec extends SparkTestBase {
       s"sign matrix columns too correlated: max |gram| = ${g.map(math.abs).max}")
   }
 
+  test("s24 binary quantization: shape and recall floor vs exact") {
+    import graft.tools.Recall.{recall, topk}
+    val s24 = SparkEntry.queries("s24_binary_quant")(spark, sf).collect()
+    assert(s24.length == 50) // 10 queries x k=5
+    assert(s24.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("vec_id")))
+    // Hamming distance over 64 sign bits estimates angle at ~1 bit of
+    // noise per dim (Charikar'02); with a 50-deep shortlist re-ranked
+    // exactly, recall@5 vs s01 should sit well above the 50/|corpus|
+    // chance floor. Measured at sf0.001: see assertion message on drift.
+    val r24 = recall(topk(spark, sf, "s01_knn_bruteforce"),
+      topk(spark, sf, "s24_binary_quant"))
+    assert(r24 >= 0.3, s"s24 recall collapsed: $r24")
+  }
+
   test("q32 approx distinct stays within 5% of the exact count per group") {
     // HLL++ at Spark's default rsd=0.05; the query carries its own exact
     // twin column, so the sketch's error bound is directly assertable
