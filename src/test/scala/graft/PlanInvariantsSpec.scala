@@ -358,6 +358,26 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"d18 probe rescanned the corpus:\n${p.take(1200)}")
   }
 
+  test("c26 persisted bloom: probe scans documents once, eval side from the store") {
+    graft.operators.CurationQueries.ensureBloomIndex(spark, sf) // build outside the measured plan
+    val p = finalPlan("c26_persisted_bloom")
+    // the eval side must come only from the stored gram table; the single
+    // allowed documents scan is the batch side
+    assert(p.contains("grams"),
+      s"c26 probe does not read the persisted gram table:\n${p.take(1200)}")
+    val fin = p.split("== Initial Plan ==").head
+    val docScans = "documents\\.parquet".r.findAllIn(fin).size
+    assert(docScans == 1,
+      s"c26 probe should scan documents exactly once (batch side), saw $docScans:\n${p.take(1200)}")
+  }
+
+  test("c25 dsir: lambda join broadcast; top-100 is a bounded TakeOrdered") {
+    val p = finalPlan("c25_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"c25 selection degraded to a global sort:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("d17 substring spans: keyed gram join; diagonal windows, no cartesian") {
     val p = finalPlan("d17_substring_spans")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
