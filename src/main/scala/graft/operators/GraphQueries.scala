@@ -262,6 +262,62 @@ object GraphQueries {
     kcoreFrom(edges, KCoreK, KCoreRounds)
   }
 
+  /** g10: k-TRUSS decomposition — the EDGE-level cohesion criterion next
+    * to g05's node-level k-core (Cohen '08): an edge survives iff it sits
+    * in >= k-2 triangles whose other two edges also survive; iterate to a
+    * fixpoint. Trusses are the standard community-core primitive (every
+    * k-truss is a (k-1)-core, but not vice versa — a k-core can be a
+    * sparse star-of-stars while a truss demands local triangle density).
+    *
+    * Per round: one support computation (edge list joined twice against
+    * the symmetrized adjacency of the CURRENT survivor set — wedge rows
+    * generate per edge-neighbor pair, never nodes²) + one integer filter,
+    * survivor edges checkpointed so lineage stays flat and later rounds
+    * join against a monotonically shrinking working set (g05's peel
+    * economics at edge granularity). The round count is a FIXED budget
+    * unrolled identically in the DuckDB oracle, so the result hash-checks
+    * even short of convergence; TrussSpec-style planted-graph assertions
+    * in QueriesSpec prove the cascade (a clique's edges all survive, a
+    * pendant triangle chain peels) and that the sf fixture converges
+    * inside the budget. Integer supports -> hash-green. At 100 TB the
+    * wedge join is the honest cost of truss decomposition (it IS triangle
+    * counting per round); the df-capped / degree-oriented variants of g02
+    * apply unchanged if hubs appear.
+    */
+  private val TrussK = 4
+  private val TrussRounds = 3
+
+  def g10_ktruss(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val co = s.sql(
+      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= $CoSupport""".stripMargin)
+    trussFrom(co, TrussK, TrussRounds)
+  }
+
+  /** The truss peel over a canonical (u < v) edge list — separated so the
+    * spec can drive a planted graph. Returns surviving edges with their
+    * final triangle support.
+    */
+  private[graft] def trussFrom(edges0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      e.join(adj.as("x"), col("x.a") === col("u"))
+        .join(adj.as("y"), col("y.a") === col("v") && col("y.b") === col("x.b"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+    }
+    var e = edges0.select(col("u"), col("v")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = support(e).filter(col("sup") >= k - 2)
+        .select(col("u"), col("v")).localCheckpoint()
+    }
+    support(e).filter(col("sup") >= k - 2)
+  }
+
   /** The peel loop over an already-symmetrized edge list — separated so
     * the spec can prove the cascade on a hand-built graph (a clique
     * survives a k-peel; a path hanging off it peels away completely).
@@ -295,6 +351,7 @@ object GraphQueries {
     "g03_components" -> (g03_components _),
     "g04_bfs_hops" -> (g04_bfs_hops _),
     "g05_kcore" -> (g05_kcore _),
+    "g10_ktruss" -> (g10_ktruss _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -508,7 +565,34 @@ object GraphQueries {
          |  JOIN s${i - 1} b ON b.node = e.dst
          |  GROUP BY e.src HAVING count(*) >= $KCoreK)""".stripMargin
     }.mkString(",\n")
+    // truss oracle: the per-round CTEs are marked MATERIALIZED — each
+    // round references its predecessor three times (edge list + both
+    // adjacency sides), and an inlining planner would otherwise recompute
+    // the base join 3^rounds times
+    val trussBase =
+      s"""WITH co AS MATERIALIZED (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+        |e0 AS MATERIALIZED (SELECT u, v FROM co)""".stripMargin
+    val trussRounds = (1 to TrussRounds + 1).map { i =>
+      val p = i - 1
+      s"""a$p AS (SELECT u AS a, v AS b FROM e$p
+         |         UNION ALL SELECT v, u FROM e$p),
+         |r$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, count(*) AS sup FROM e$p e
+         |  JOIN a$p x ON x.a = e.u
+         |  JOIN a$p y ON y.a = e.v AND y.b = x.b
+         |  GROUP BY e.u, e.v),
+         |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
     Map(
+      "g10_ktruss" ->
+        s"""$trussBase,
+           |$trussRounds
+           |SELECT u, v, sup FROM r${TrussRounds + 1}
+           |WHERE sup >= ${TrussK - 2}""".stripMargin,
       "g05_kcore" ->
         s"""$kcoreBase,
            |$kcoreRounds

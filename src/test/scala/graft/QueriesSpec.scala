@@ -125,6 +125,34 @@ class QueriesSpec extends SparkTestBase {
     assert(r24 >= 0.3, s"s24 recall collapsed: $r24")
   }
 
+  test("g10 k-truss: planted clique survives, pendant triangle chain peels; fixture converges") {
+    import spark.implicits._
+    // 5-clique on 1..5 (each edge sits in 3 triangles -> survives k=4),
+    // a separate triangle 6-7-8 (support 1 -> peeled in round 1), and a
+    // bridge 5-6 (support 0 -> peeled immediately). The 4-truss is
+    // exactly the clique's 10 edges at support 3.
+    val clique = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val planted = (clique ++ Seq((6L, 7L), (6L, 8L), (7L, 8L), (5L, 6L)))
+      .toDF("u", "v")
+    val out = graft.operators.GraphQueries.trussFrom(planted, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == clique.map { case (a, b) => (a, b, 3L) }.toSet,
+      s"planted 4-truss wrong: $out")
+    // the sf fixture converges inside the round budget: one extra round
+    // changes nothing
+    val a = SparkEntry.queries("g10_ktruss")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    val co = spark.sql(
+      """SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin)
+    val b = graft.operators.GraphQueries.trussFrom(co, 4, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "fixture truss not converged inside the round budget")
+  }
+
   test("q32 approx distinct stays within 5% of the exact count per group") {
     // HLL++ at Spark's default rsd=0.05; the query carries its own exact
     // twin column, so the sketch's error bound is directly assertable
