@@ -1983,7 +1983,43 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- registry
 
+  /** q104: AS-OF join with a STALENESS TOLERANCE — the feature-store
+    * variant of q30 (Snowflake's ASOF ... MATCH_CONDITION / kdb's wj):
+    * each error probe matches the latest click at-or-before it, but a
+    * match older than 30 minutes is discarded — a model must not be fed
+    * features staler than its contract. Implementation is q30's single
+    * carry-forward window (one exchange on user_id) + a tolerance filter
+    * on the carried timestamp: the latest at-or-before click is the ONLY
+    * candidate inside [t-30m, t], so filtering it is exact. The DuckDB
+    * oracle is an INDEPENDENT algorithm — a correlated max() subquery
+    * with the tolerance inside the range predicate — so the window
+    * rewrite is cross-validated, not formula-shared. Probes with no
+    * in-tolerance match keep a NULL feature (the row must SURVIVE — an
+    * inner as-of join would silently drop cold-start users). Age in whole
+    * seconds via integer µs arithmetic (the q74 discipline).
+    */
+  def q104_asof_tolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin("click", "error"))
+      .withColumn("is_probe", when(col("event_type") === "error", 1).otherwise(0))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .withColumn("matched_ts",
+        when(col("last_click_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"),
+          col("last_click_ts")))
+      .withColumn("age_us", unix_micros(col("ts")) - unix_micros(col("matched_ts")))
+      .select(col("event_id"),
+        date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss").as("click_s"),
+        expr("age_us div 1000000").cast("long").as("age_s"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q104_asof_tolerance" -> (q104_asof_tolerance _),
     "q101_twap" -> (q101_twap _),
     "q100_sequence_match" -> (q100_sequence_match _),
     "q99_concurrency" -> (q99_concurrency _),
@@ -2482,6 +2518,19 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q104_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT e.event_id, e.ts,
+        |         (SELECT max(c.ts) FROM events c
+        |          WHERE c.user_id = e.user_id AND c.event_type = 'click'
+        |            AND c.ts <= e.ts
+        |            AND c.ts >= e.ts - INTERVAL 30 MINUTE) AS matched_ts
+        |  FROM events e WHERE e.event_type = 'error')
+        |SELECT event_id,
+        |       strftime(matched_ts, '%Y-%m-%d %H:%M:%S') AS click_s,
+        |       CAST((epoch_us(ts) - epoch_us(matched_ts)) // 1000000
+        |            AS BIGINT) AS age_s
+        |FROM m""".stripMargin,
     "q30_asof_join" ->
       """SELECT e.event_id,
         |       strftime((SELECT max(c.ts) FROM events c
