@@ -298,6 +298,50 @@ object GraphQueries {
     trussFrom(co, TrussK, TrussRounds)
   }
 
+  /** g11: seeded HARMONIC centrality — the practical form of
+    * closeness/harmonic centrality at scale (Boldi & Vigna '14: harmonic
+    * handles disconnected graphs where closeness degenerates): exact
+    * all-pairs BFS is O(V·E), so production systems estimate centrality
+    * from a fixed SEED SAMPLE (Eppstein–Wang '04) — here the 5 smallest
+    * node ids (deterministic; a real run would hash-sample). One
+    * multi-source BFS carries (seed, node, h) state — g04's join+min
+    * round shape keyed by seed as well as node, so the state is at most
+    * |seeds|·|nodes| rows and every round is ONE keyed join + ONE min
+    * aggregate. Centrality(v) = Σ_seeds 1000000 div d(s,v) in integer
+    * micro-units (d > 0; unreached seeds contribute nothing) — pure
+    * integer arithmetic against the identically-unrolled recursive-CTE
+    * oracle -> hash-green.
+    */
+  def g11_harmonic_centrality(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    val co = s.sql(
+      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= $CoSupport""".stripMargin)
+    val edges = co.select(explode(array(
+        struct(col("u").as("src"), col("v").as("dst")),
+        struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    val seeds = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(5)
+      .select(col("src").as("seed"))
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("h"))
+    for (_ <- 1 to Hops) {
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node"), (col("h") + 1).as("h"))
+      dist = dist.union(expanded)
+        .groupBy(col("seed"), col("node")).agg(min(col("h")).as("h"))
+        .localCheckpoint()
+    }
+    dist.filter(col("h") > 0)
+      .groupBy(col("node"))
+      .agg(sum(expr("1000000 div h")).as("harmonic_micro"),
+        count(lit(1)).as("n_seeds_reached"))
+  }
+
   /** The truss peel over a canonical (u < v) edge list — separated so the
     * spec can drive a planted graph. Returns surviving edges with their
     * final triangle support.
@@ -352,6 +396,7 @@ object GraphQueries {
     "g04_bfs_hops" -> (g04_bfs_hops _),
     "g05_kcore" -> (g05_kcore _),
     "g10_ktruss" -> (g10_ktruss _),
+    "g11_harmonic_centrality" -> (g11_harmonic_centrality _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -588,6 +633,26 @@ object GraphQueries {
          |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
     }.mkString(",\n")
     Map(
+      "g11_harmonic_centrality" ->
+        s"""WITH RECURSIVE co AS (
+           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+           |edges AS (SELECT u AS src, v AS dst FROM co
+           |          UNION ALL SELECT v, u FROM co),
+           |sd AS (SELECT src AS seed FROM (
+           |         SELECT DISTINCT src FROM edges ORDER BY src LIMIT 5) t),
+           |reach AS (
+           |  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS h FROM sd
+           |  UNION
+           |  SELECT r.seed, e.dst AS node, CAST(r.h + 1 AS BIGINT) AS h
+           |  FROM reach r JOIN edges e ON e.src = r.node
+           |  WHERE r.h < $Hops),
+           |md AS (SELECT seed, node, min(h) AS h FROM reach GROUP BY 1, 2)
+           |SELECT node, CAST(sum(1000000 // h) AS BIGINT) AS harmonic_micro,
+           |       count(*) AS n_seeds_reached
+           |FROM md WHERE h > 0 GROUP BY node""".stripMargin,
       "g10_ktruss" ->
         s"""$trussBase,
            |$trussRounds

@@ -755,7 +755,56 @@ object TextQueries {
           (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
   }
 
+  /** The fixed phrase workload for t22 — multi-word queries whose words
+    * all occur in the synthetic vocabulary, including one with a REPEATED
+    * word (the case where naive distinct-slot counting would break).
+    */
+  private[graft] val SearchPhrases = Seq("table scan", "hash join", "batch batch")
+
+  /** t22: exact PHRASE search through a positional inverted index — the
+    * retrieval primitive BM25 (t07) cannot express: "hash join" must match
+    * the two words ADJACENT and ordered, not co-present. Classic IR
+    * positional-index query (Manning et al. IIR §2.4) as relational
+    * algebra: tokens explode with positions once, phrase words explode
+    * with slot indexes, one equi-join on the word aligns candidates, and
+    * d17's diagonal trick finishes it — a phrase occurrence at start p is
+    * a (phrase, doc, p - slot) group containing ALL slots, so one integer
+    * group-count + filter finds every occurrence with no per-phrase
+    * scanning. The repeated-word phrase works because a token at (doc,
+    * pos) feeds slot i only through start = pos - i: each slot is its own
+    * diagonal. Per-phrase top-10 docs ride the native heap operator
+    * (count desc, doc_id) — integer counts, hash-green. At 100 TB the
+    * positional index is the linear-in-tokens cost every search engine
+    * pays; the word join is keyed (broadcastable phrase side), and no
+    * window or sort ever sees the corpus.
+    */
+  def t22_phrase_search(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    val pw = SearchPhrases.toDF("phrase")
+      .withColumn("ws", split(col("phrase"), " "))
+      .withColumn("plen", size(col("ws")).cast("long"))
+      .select(col("phrase"), col("plen"), posexplode(col("ws")))
+      .select(col("phrase"), col("plen"), (col("pos") + 1).as("slot"),
+        col("col").as("word"))
+    val occ = tok.join(broadcast(pw), col("term") === col("word"))
+      .groupBy(col("phrase"), col("plen"), col("doc_id"),
+        (col("pos") - col("slot")).as("start"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === col("plen"))
+    TopKPerGroup.topK(
+      occ.groupBy(col("phrase"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences")),
+      Seq("phrase"), Seq(Ord("n_occurrences", desc = true), Ord("doc_id")), 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t22_phrase_search" -> (t22_phrase_search _),
     "t20_zipf_fit" -> (t20_zipf_fit _),
     "t21_readability" -> (t21_readability _),
     "t19_auc" -> (t19_auc _),
@@ -780,6 +829,29 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t22_phrase_search" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents) u),
+        |pw AS (
+        |  SELECT phrase, CAST(len(ws) AS BIGINT) AS plen, slot, ws[slot] AS word
+        |  FROM (SELECT phrase, string_split(phrase, ' ') AS ws,
+        |               unnest(generate_series(1, len(string_split(phrase, ' ')))) AS slot
+        |        FROM (VALUES ${SearchPhrases.map(p => s"('$p')").mkString(", ")}) p(phrase)) v),
+        |occ AS (
+        |  SELECT phrase, doc_id, pos - slot AS start
+        |  FROM t JOIN pw ON t.term = pw.word
+        |  GROUP BY phrase, plen, doc_id, pos - slot
+        |  HAVING count(*) = plen),
+        |hits AS (
+        |  SELECT phrase, doc_id, count(*) AS n_occurrences
+        |  FROM occ GROUP BY phrase, doc_id)
+        |SELECT phrase, doc_id, n_occurrences FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY phrase
+        |              ORDER BY n_occurrences DESC, doc_id) AS rk FROM hits) r
+        |WHERE rk <= 10""".stripMargin,
     "t21_readability" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
