@@ -353,6 +353,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming persisted-bloom probe == batch c26 (stored filter, micro-batched arrivals)") {
+    // c26's production shape: the bloom + exact-gram tables were built
+    // ONCE from the eval suite; corpus batches then arrive continuously
+    // and each probes ONLY the stored index. A doc's hit count depends on
+    // itself + the store, never on batch boundaries, so per-batch probe
+    // outputs union to the one-shot c26 result with no error budget.
+    Sessions.tune(spark)
+    val dir = operators.CurationQueries.ensureBloomIndex(spark, sf)
+    val srcDir = Files.createTempDirectory("c26_stream").toString
+    Tables.documents(spark, sf).filter(col("doc_id") % 19 =!= 0).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = Files.createTempDirectory("c26_out").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        operators.CurationQueries.probeBloomIndex(spark, b, dir)
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("doc_id").cast("long"), col("n_hit_ngrams").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = canon(spark.read.parquet(s"$outDir/b*"))
+    val batch = canon(SparkEntry.queries("c26_persisted_bloom")(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming HLL rollup: foreachBatch sketch partials merge to the one-shot estimate") {
     // q65's sketch-persistence architecture under a REAL stream: each
     // micro-batch appends its per-day Datasketches HLL partial to a
