@@ -803,7 +803,35 @@ object TextQueries {
       Seq("phrase"), Seq(Ord("n_occurrences", desc = true), Ord("doc_id")), 10)
   }
 
+  /** t23: n-gram NOVELTY audit — for each document, the share of its
+    * distinct 13-grams that first appear in the corpus AT that document
+    * (doc_id as arrival order): the per-doc form of the duplication-order
+    * question behind dedup ablations (Lee et al. ACL'22) — a doc whose
+    * grams all appeared earlier contributes nothing new and is pure
+    * memorization surface. One distinct-gram projection, one min(doc_id)
+    * aggregate per gram (the "first occurrence" index), one join back and
+    * one per-doc count — linear in gram occurrences, never pairwise, the
+    * d12 economics. Integer per-mille share -> hash-green.
+    */
+  def t23_novelty(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val g = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
+      .distinct()
+      .localCheckpoint() // feeds the first-occurrence index AND the join back
+    val first = g.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(first, "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t23_novelty" -> (t23_novelty _),
     "t22_phrase_search" -> (t22_phrase_search _),
     "t20_zipf_fit" -> (t20_zipf_fit _),
     "t21_readability" -> (t21_readability _),
@@ -829,6 +857,22 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "t23_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |f AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY ng)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |            AS BIGINT) * 1000 // count(*) AS novelty_pm
+        |FROM g JOIN f USING (ng)
+        |GROUP BY g.doc_id""".stripMargin,
     "t22_phrase_search" ->
       s"""WITH t AS (
         |  SELECT doc_id, i AS pos, toks[i] AS term

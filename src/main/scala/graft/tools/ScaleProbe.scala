@@ -63,7 +63,13 @@ object ScaleProbe {
     (0 until 10).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/supplier.parquet")
+    // dev-only filter: `runMain graft.tools.ScaleProbe d24,g10` times only
+    // probes whose name contains one of the substrings (new-wave iteration
+    // without re-running the whole shelf)
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
     def time(name: String)(f: => Long): Unit = {
+      if (only.exists(o => !o.exists(name.contains))) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs ($rows rows)")
@@ -251,6 +257,44 @@ object ScaleProbe {
         graft.operators.GraphQueries.g09_degree_dist(spark, sf).count())
       time(s"$tag t21_readability")(
         graft.operators.TextQueries.t21_readability(spark, sf).count())
+      // seventeenth wave: s24's signature pass rides the scan (10x) with a
+      // k-bounded Hamming shortlist; c25's model stays 8192 buckets at any
+      // corpus size; c26 probes a STORED index (build amortized; keyed per
+      // corpus so the 10x run builds its own once); g10/g11 face the
+      // 10x-denser co-supplier graph (wedge join / BFS state growth);
+      // t22's word join is linear in matching tokens; q104 is one window
+      // over 10x rows
+      time(s"$tag s24_binary_quant")(
+        graft.operators.SimilarityQueries.s24_binary_quant(spark, sf).count())
+      time(s"$tag c25_dsir_weights")(
+        graft.operators.CurationQueries.c25_dsir_weights(spark, sf).count())
+      time(s"$tag c26_persisted_bloom")(
+        graft.operators.CurationQueries.c26_persisted_bloom(spark, sf).count())
+      time(s"$tag g10_ktruss")(
+        graft.operators.GraphQueries.g10_ktruss(spark, sf).count())
+      time(s"$tag g11_harmonic")(
+        graft.operators.GraphQueries.g11_harmonic_centrality(spark, sf).count())
+      time(s"$tag t22_phrase_search")(
+        graft.operators.TextQueries.t22_phrase_search(spark, sf).count())
+      time(s"$tag q104_asof_tolerance")(
+        graft.operators.RelationalQueries.q104_asof_tolerance(spark, sf).count())
+    }
+    // g10 on the replication-densified graph is triangle-bound: 10x copies
+    // inflate every co-occurrence count 10x past the FIXED threshold, so
+    // the graph saturates (~91% of K1000) and exact support must touch
+    // ~1.25e8 triangles per round — the information floor, not a join
+    // degeneration. A real 10x corpus keeps co-occurrence density roughly
+    // constant; the density-matched probe scales the threshold with the
+    // replication factor and shows the join-bound curve.
+    for ((sf, thr, tag) <- Seq((base, 10, "1x "), (big, 100, "10x"))) {
+      spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("lineitem")
+      val co = spark.sql(
+        s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+           |FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |GROUP BY 1, 2 HAVING count(*) >= $thr""".stripMargin)
+      time(s"$tag g10_truss_density_matched")(
+        graft.operators.GraphQueries.trussFrom(co, 4, 3).count())
     }
     // d16 probes on a generated catalog (the fixture's 64 distinct part
     // names don't grow with corpus copies): each 10x variant family is
