@@ -1042,7 +1042,45 @@ object DedupQueries {
         col("score").cast("long").as("score"), col("blocks"))
   }
 
+  /** d25: the LSH banding S-CURVE — the tuning table every MinHash dedup
+    * config decision reads (Leskovec/Rajaraman/Ullman MMDS §3.4): for a
+    * 64-hash signature split into b bands of r rows, a pair at jaccard j
+    * collides in some band with p = 1 − (1 − j^r)^b. d03 hard-codes one
+    * (b, r); this emits the whole curve for every factorization of 64 at
+    * per-mille jaccard steps, plus each config's effective threshold (the
+    * first grid j where p ≥ 1/2 — the steep point ≈ (1/b)^(1/r)). All
+    * powers are UNROLLED multiplication chains in generated SQL that both
+    * engines execute verbatim — each step an IEEE-determined multiply, so
+    * the curve is bit-exact with no pow()/ulp hazard. Metadata-sized (45
+    * rows) by construction at any corpus scale: the curve depends on the
+    * config, never the data.
+    */
+  private def sCurveSql: String = {
+    def chain(base: String, n: Int): String =
+      Seq.fill(n)(base).mkString("(", " * ", ")")
+    val rows = for {
+      (b, r) <- Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+      jpm <- 100 to 900 by 100
+    } yield {
+      val j = s"(CAST($jpm AS DOUBLE) / 1000.0)"
+      val miss = s"(1.0 - ${chain(j, r)})"
+      s"SELECT $b AS bands, $r AS rows_per_band, CAST($jpm AS BIGINT) AS j_pm, " +
+        s"round(1.0 - ${chain(miss, b)}, 9) AS p_collide"
+    }
+    s"""WITH curve AS (${rows.mkString("\n", "\nUNION ALL\n", "\n")}),
+       |thr AS (
+       |  SELECT bands, min(j_pm) AS threshold_j_pm
+       |  FROM curve WHERE p_collide >= 0.5 GROUP BY bands)
+       |SELECT c.bands, c.rows_per_band, c.j_pm, c.p_collide,
+       |       t.threshold_j_pm
+       |FROM curve c JOIN thr t ON t.bands = c.bands""".stripMargin
+  }
+
+  def d25_lsh_tuning_curve(s: SparkSession, d: String): DataFrame =
+    s.sql(sCurveSql)
+
   val queries: Map[String, Q] = Map(
+    "d25_lsh_tuning_curve" -> (d25_lsh_tuning_curve _),
     "d21_multiblock_linkage" -> (d21_multiblock_linkage _),
     "d20_record_linkage" -> (d20_record_linkage _),
     "d19_line_dedup" -> (d19_line_dedup _),
@@ -1128,6 +1166,7 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d25_lsh_tuning_curve" -> sCurveSql,
     "d21_multiblock_linkage" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,

@@ -830,7 +830,76 @@ object TextQueries {
       .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
   }
 
+  /** t24: PERSISTED BM25 inverted index — the persisted-index family
+    * (s17 vectors, d18 minhash, c26 eval bloom) reaching text RETRIEVAL:
+    * t07 re-tokenizes the corpus and recounts df/avgdl on every query,
+    * which is the prototype shape, not the production one. The offline
+    * build tokenizes ONCE and persists the three tables every search
+    * engine stores, under a corpus-identity-keyed marker-committed dir:
+    *
+    *   {{{<dir>/postings  (term, doc_id, dl, tf)  — the inverted index}}}
+    *   {{{<dir>/dfreq     (term, df)              — document frequencies}}}
+    *   {{{<dir>/stats     (n_docs, avgdl)         — collection statistics}}}
+    *
+    * The query path probes STORED postings for the query terms (at 100 TB
+    * this is a pushed-down term-key lookup against a term-partitioned
+    * store — bytes read scale with the POSTING LISTS touched, not the
+    * corpus), joins stored df, broadcasts stored stats, and scores with
+    * t07's exact formula through the native top-k heaps. Sharing t07's
+    * oracle verbatim makes the hash check prove persistence is LOSSLESS:
+    * stored-index scoring == recompute-from-text scoring, bit for bit.
+    * PlanInvariantsSpec pins the query plan never scanning
+    * documents.parquet.
+    */
+  private[graft] def ensureInvertedIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"bm25idx_v1_${f.length()}_${f.lastModified()}", d)
+    if (!new java.io.File(dir, "_complete").exists()) {
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl"),
+          split(col("text"), " ").as("toks"))
+        .localCheckpoint() // one tokenize pass feeds all three tables
+      val postings = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds the store AND the df rollup
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+      postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/dfreq")
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double") / count(lit(1))).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      new java.io.File(dir, "_complete").createNewFile()
+    }
+    dir
+  }
+
+  def t24_persisted_bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("data", "hash", "scan")
+    val dir = ensureInvertedIndex(s, d)
+    val tf = s.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+    val scored = tf
+      .join(s.read.parquet(s"$dir/dfreq"), "term")
+      .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
+      .withColumn("idf9",
+        expr("round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 9)"))
+      .withColumn("bm25", expr(
+        "idf9 * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("bm25"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("term"),
+      Seq(graft.plans.TopKPerGroup.Ord("bm25", desc = true),
+        graft.plans.TopKPerGroup.Ord("doc_id")), 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_persisted_bm25" -> (t24_persisted_bm25 _),
     "t23_novelty" -> (t23_novelty _),
     "t22_phrase_search" -> (t22_phrase_search _),
     "t20_zipf_fit" -> (t20_zipf_fit _),
@@ -855,6 +924,37 @@ object TextQueries {
     "t03_token_stats" -> (t03_token_stats _),
     "t04_fingerprint" -> (t04_fingerprint _),
   )
+
+  /** Shared by t07 (inline recompute) and t24 (persisted index): both
+    * hash-checking against ONE recompute-from-text oracle proves the
+    * stored index reproduces inline scoring exactly.
+    */
+  private val bm25Oracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |         string_split(text, ' ') AS toks
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl
+      |  FROM docs),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+      |    SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
+      |  WHERE term IN ('data', 'hash', 'scan')
+      |  GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
+      |         round(ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 9)
+      |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
+      |           AS bm25
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
+      |SELECT term, doc_id, tf, dl, bm25 FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY term
+      |              ORDER BY bm25 DESC, doc_id) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t23_novelty" ->
@@ -1127,32 +1227,8 @@ object TextQueries {
         |            THEN 'drop' ELSE 'keep' END AS verdict
         |FROM base b
         |JOIN bif USING (doc_id) JOIN trif USING (doc_id)""".stripMargin,
-    "t07_bm25" ->
-      """WITH docs AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-        |         string_split(text, ' ') AS toks
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) AS n_docs,
-        |         CAST(sum(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avgdl
-        |  FROM docs),
-        |tf AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-        |    SELECT doc_id, dl, unnest(toks) AS term FROM docs) u
-        |  WHERE term IN ('data', 'hash', 'scan')
-        |  GROUP BY doc_id, dl, term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT tf.term, tf.doc_id, tf.tf, tf.dl,
-        |         round(ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 9)
-        |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))
-        |           AS bm25
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats s)
-        |SELECT term, doc_id, tf, dl, bm25 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY term
-        |              ORDER BY bm25 DESC, doc_id) AS rk
-        |  FROM scored) t
-        |WHERE rk <= 10""".stripMargin,
+    "t24_persisted_bm25" -> bm25Oracle,
+    "t07_bm25" -> bm25Oracle,
     "t06_redact" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,

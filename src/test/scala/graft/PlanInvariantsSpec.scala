@@ -371,6 +371,16 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"c26 probe should scan documents exactly once (batch side), saw $docScans:\n${p.take(1200)}")
   }
 
+  test("t24 persisted bm25: query path reads stored postings, never the corpus") {
+    graft.operators.TextQueries.ensureInvertedIndex(spark, sf) // build outside the measured plan
+    val p = finalPlan("t24_persisted_bm25")
+    assert(p.contains("postings"),
+      s"t24 does not read the persisted postings:\n${p.take(1200)}")
+    assert(!p.contains("documents.parquet"),
+      s"t24 query path rescanned the corpus:\n${p.take(1200)}")
+    assert(p.contains("TopKPerGroup"), s"t24 lost the heap top-k:\n${p.take(1200)}")
+  }
+
   test("c25 dsir: lambda join broadcast; top-100 is a bounded TakeOrdered") {
     val p = finalPlan("c25_dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),
