@@ -899,7 +899,43 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** s26: exact MAXIMUM-INNER-PRODUCT search via the norm-augmentation
+    * reduction (Bachrach et al. RecSys'14; the order-preserving cousin of
+    * Shrivastava–Li's ALSH): MIPS does not obey the triangle inequality,
+    * so metric indexes cannot serve it directly — but appending ONE
+    * dimension sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus
+    * norm) and 0 to every query makes all corpus vectors share norm M,
+    * collapsing inner-product order into cosine order. After the
+    * transform, EVERY cosine-based index in this family (sign-LSH, IVF,
+    * PQ, binary signatures) serves MIPS unchanged — that is the point of
+    * the reduction, and why recommender systems ship it. Here the
+    * augmented space is scored with the exact cosine kernel (one scan,
+    * broadcast queries, partial heaps); QueriesSpec pins the reduction
+    * theorem empirically — augmented-cosine top-k equals raw dot-product
+    * top-k for every query. sqrt is IEEE-correctly-rounded (unlike ln),
+    * and the norm folds are the shared sequential-double formulation, so
+    * the whole transform hash-checks.
+    */
+  def s26_mips_augmented(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val m2 = e.select(expr("aggregate(x, 0.0D, (a, v) -> a + v * v)").as("n2"))
+      .agg(max(col("n2")).as("m2"))
+    val corpus = e.crossJoin(broadcast(m2))
+      .select(col("vec_id"), expr(
+        "concat(x, array(sqrt(m2 - aggregate(x, 0.0D, (a, v) -> a + v * v))))")
+        .as("x_aug"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"),
+        expr("concat(x, array(0.0D))").as("q_aug"))
+    perQueryTopK(
+      corpus.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_aug"), col("x_aug")).as("sim")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s26_mips_augmented" -> (s26_mips_augmented _),
     "s24_binary_quant" -> (s24_binary_quant _),
     "s23_radius_search" -> (s23_radius_search _),
     "s22_jl_projection" -> (s22_jl_projection _),
@@ -1311,6 +1347,26 @@ object SimilarityQueries {
         |           / (sqrt(CAST(list_sum(list_transform(q.q_qv, v -> v * v)) AS DOUBLE))
         |              * sqrt(CAST(list_sum(list_transform(e.qv, v -> v * v)) AS DOUBLE))) AS sim
         |  FROM q JOIN qz e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
+    "s26_mips_augmented" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |n AS (SELECT vec_id, x,
+        |             list_sum(list_transform(x, v -> v * v)) AS n2 FROM e),
+        |m AS (SELECT max(n2) AS m2 FROM n),
+        |c AS (SELECT vec_id, list_append(x, sqrt(m.m2 - n2)) AS x_aug
+        |      FROM n, m),
+        |q AS (SELECT vec_id AS q_id, list_append(x, 0.0) AS q_aug
+        |      FROM e WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, c.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_aug, c.x_aug),
+        |                                 z -> z[1] * z[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_aug, v -> v*v)))
+        |              * sqrt(list_sum(list_transform(c.x_aug, v -> v*v)))) AS sim
+        |  FROM q JOIN c ON c.vec_id <> q.q_id)
         |SELECT q_id, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM p) t

@@ -125,6 +125,28 @@ class QueriesSpec extends SparkTestBase {
     assert(r24 >= 0.3, s"s24 recall collapsed: $r24")
   }
 
+  test("s26 MIPS reduction: augmented-cosine top-k equals raw dot-product top-k") {
+    import graft.functions.VectorFunctions.dot_product
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dotTop = TopKPerGroup.topK(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dot_product(col("q_emb"), col("embedding")).as("sim")),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), 5)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aug = SparkEntry.queries("s26_mips_augmented")(spark, sf)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aug == dotTop,
+      s"norm augmentation failed to preserve inner-product order: ${aug.diff(dotTop)} / ${dotTop.diff(aug)}")
+  }
+
   test("g10 k-truss: planted clique survives, pendant triangle chain peels; fixture converges") {
     import spark.implicits._
     // 5-clique on 1..5 (each edge sits in 3 triangles -> survives k=4),
