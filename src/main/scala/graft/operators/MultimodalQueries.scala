@@ -286,6 +286,39 @@ object MultimodalQueries {
     * the bucket width is the knob that bounds join fan-out, and the
     * kernel pass runs ONCE (checkpointed) for both join sides.
     */
+  /** m13: content-based VISUAL search — the retrieval use of the decoded
+    * feature vectors (m09 finds near-duplicates; this answers "find media
+    * like THIS one"): ~1% of items (doc_id % 97 == 0) act as query
+    * images, and each retrieves its top-5 most-similar corpus items by
+    * normalized L1 distance over the byte-class histograms. The
+    * comparison is m09's cross-multiplied integer form with ONE final
+    * int64 division as the sort key (correctly-rounded double — the c25
+    * ratio discipline), so the whole retrieval hash-checks. Plan is the
+    * s01 shape on the media side: one feature-kernel pass (checkpointed),
+    * broadcast query side, codegen'd integer arithmetic, per-query top-5
+    * through the partial heaps. A real deployment swaps
+    * [[fakeDecodeFeatures]] for a learned visual encoder behind the SAME
+    * mapPartitions/Arrow seam (m03/m05) and this query does not change.
+    */
+  def m13_visual_search(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    val f = m03_byte_features(s, d)
+      .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
+      .localCheckpoint() // one kernel pass feeds query and corpus sides
+    val q = f.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"), col("f0").as("q0"), col("f1").as("q1"),
+        col("f2").as("q2"), col("f3").as("q3"), col("t").as("qt"))
+    def xterm(i: Int) =
+      abs(col(s"q$i") * col("t") - col(s"f$i") * col("qt"))
+    TopKPerGroup.topK(
+      f.join(broadcast(q), col("doc_id") =!= col("q_id"))
+        .withColumn("l1x", xterm(0) + xterm(1) + xterm(2) + xterm(3))
+        .select(col("q_id"), col("doc_id"),
+          (col("l1x").cast("double") / (col("qt") * col("t"))).as("dist")),
+      Seq("q_id"), Seq(Ord("dist"), Ord("doc_id")), 5)
+  }
+
   def m09_feature_neardup(s: SparkSession, d: String): DataFrame = {
     val f = m03_byte_features(s, d)
       .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
@@ -411,6 +444,7 @@ object MultimodalQueries {
     "m12_delta_transfer" -> (m12_delta_transfer _),
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
+    "m13_visual_search" -> (m13_visual_search _),
     "m08_media_dedup" -> (m08_media_dedup _),
     "m10_compaction_plan" -> (m10_compaction_plan _),
     "m07_binary_ingest" -> (m07_binary_ingest _),
@@ -517,6 +551,7 @@ object MultimodalQueries {
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
     "m09_feature_neardup" -> featureNeardupOracle,
+    "m13_visual_search" -> visualSearchOracle,
     "m10_compaction_plan" ->
       """WITH f AS (
         |  SELECT regexp_extract(filename, '[^/]+$') AS file_name,
@@ -623,6 +658,25 @@ object MultimodalQueries {
       |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
       |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
       |FROM b""".stripMargin
+
+  private lazy val visualSearchOracle: String =
+    s"""WITH feat AS ($byteFeaturesOracle),
+       |g AS (SELECT *, f0 + f1 + f2 + f3 AS t FROM feat),
+       |q AS (SELECT doc_id AS q_id, f0 AS q0, f1 AS q1, f2 AS q2, f3 AS q3,
+       |             t AS qt
+       |      FROM g WHERE doc_id % 97 = 0),
+       |p AS (
+       |  SELECT q.q_id, g.doc_id,
+       |         abs(q.q0*g.t - g.f0*q.qt) + abs(q.q1*g.t - g.f1*q.qt)
+       |       + abs(q.q2*g.t - g.f2*q.qt) + abs(q.q3*g.t - g.f3*q.qt) AS l1x,
+       |         q.qt, g.t
+       |  FROM q JOIN g ON g.doc_id <> q.q_id),
+       |sc AS (SELECT q_id, doc_id,
+       |              CAST(l1x AS DOUBLE) / (qt * t) AS dist FROM p)
+       |SELECT q_id, doc_id, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY dist, doc_id) AS rk FROM sc) r
+       |WHERE rk <= 5""".stripMargin
 
   private lazy val featureNeardupOracle: String =
     s"""WITH feat AS ($byteFeaturesOracle),
