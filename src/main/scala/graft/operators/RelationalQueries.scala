@@ -2018,7 +2018,52 @@ object RelationalQueries {
         expr("age_us div 1000000").cast("long").as("age_s"))
   }
 
+  /** q105: per-group top-k WITH TIES — ANSI `FETCH FIRST n ROWS WITH
+    * TIES` exists only as a global LIMIT clause (and Spark lacks even
+    * that); the per-group form every leaderboard needs is expressed as a
+    * rank() window (rank, not row_number — equal keys share a rank, so
+    * the k-th value's ties all survive). The DuckDB oracle is an
+    * INDEPENDENT algorithm: it computes each group's k-th highest
+    * DISTINCT date and keeps rows at-or-after it — equality proves the
+    * rank semantics rather than restating them. o_orderdate carries real
+    * ties (many orders share a date), so WITH TIES genuinely returns
+    * more than 3 dates' worth of rows per status.
+    */
+  def q105_topk_with_ties(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate").desc)
+    graft.Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderkey"))
+  }
+
+  /** q106: DISTINCT ON — the Postgres/DuckDB idiom "one row per key,
+    * chosen by an ordering" (latest order per customer). Spark has no
+    * DISTINCT ON; the engine-side form is the native k=1 TopKPerGroup
+    * heap (no rank window, no global sort — plan-pinned elsewhere for
+    * the family), while the DuckDB oracle runs the REAL `DISTINCT ON`
+    * clause — a different algorithm validating the same semantics.
+    * Tie-break on (o_orderdate desc, o_orderkey desc) is total, so the
+    * selection is deterministic in both engines.
+    */
+  def q106_distinct_on(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      graft.Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("o_totalprice")),
+      Seq("o_custkey"),
+      Seq(graft.plans.TopKPerGroup.Ord("o_orderdate", desc = true),
+        graft.plans.TopKPerGroup.Ord("o_orderkey", desc = true)), 1)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"),
+        col("o_orderkey"), col("o_totalprice"))
+
   val queries: Map[String, Q] = Map(
+    "q105_topk_with_ties" -> (q105_topk_with_ties _),
+    "q106_distinct_on" -> (q106_distinct_on _),
     "q104_asof_tolerance" -> (q104_asof_tolerance _),
     "q101_twap" -> (q101_twap _),
     "q100_sequence_match" -> (q100_sequence_match _),
@@ -2518,6 +2563,27 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q105_topk_with_ties" ->
+      """WITH rn AS (
+        |  SELECT o_orderstatus, o_orderdate,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_orderdate DESC) AS rn
+        |  FROM orders),
+        |thr AS (
+        |  SELECT o_orderstatus, min(o_orderdate) AS cutoff
+        |  FROM rn WHERE rn <= 3 GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o.o_orderkey
+        |FROM orders o JOIN thr t ON t.o_orderstatus = o.o_orderstatus
+        |WHERE o.o_orderdate >= t.cutoff""".stripMargin,
+    "q106_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey)
+        |       o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS last_order_date,
+        |       o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin,
     "q104_asof_tolerance" ->
       """WITH m AS (
         |  SELECT e.event_id, e.ts,
