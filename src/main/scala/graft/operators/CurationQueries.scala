@@ -558,6 +558,34 @@ object CurationQueries {
       .limit(100)
   }
 
+  /** c27: the dataset DATASHEET — "Datasheets for Datasets" (Gebru et
+    * al. '18) as a one-scan operator: the per-source statistics bundle a
+    * training-data release ships (volume, token mass, language spread,
+    * exact-duplicate rate, length profile, short-doc share). Everything
+    * reduces in ONE aggregation pass over the corpus scan (count /
+    * decimal sum / distinct md5 / conditional count) — at 100 TB this is
+    * a single map-side-partial aggregate per source, the same economics
+    * as q69's data-quality audit. Duplicate rate via count(distinct
+    * md5(text)) is the d01/d02 content-hash criterion folded into the
+    * aggregate; mean length rides the DECIMAL(38,6) sum; the short-doc
+    * share is an integer per-mille. All hash-green.
+    */
+  def c27_datasheet(s: SparkSession, d: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    Tables.documents(s, d)
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+        (sum(col("nt").cast(dec6)).cast("double") / count(lit(1)))
+          .as("mean_tokens"),
+        min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"),
+        sum(when(col("nt") < 20, 1L).otherwise(0L)).as("n_short"))
+      .withColumn("short_pm", expr("(n_short * 1000) div n_docs"))
+  }
+
   private val BloomBits = 1 << 17 // 131072 bits = 2048 longs = 16 KB
   private val BloomHashes = 3
 
@@ -765,6 +793,7 @@ object CurationQueries {
     "c24_filter_sweep" -> (c24_filter_sweep _),
     "c25_dsir_weights" -> (c25_dsir_weights _),
     "c26_persisted_bloom" -> (c26_persisted_bloom _),
+    "c27_datasheet" -> (c27_datasheet _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -1167,6 +1196,23 @@ object CurationQueries {
     // negatives and the exact verify join removes its false positives
     "c13_decontaminate_bloom" -> ngramDecontOracle,
     "c26_persisted_bloom" -> ngramDecontOracle,
+    "c27_datasheet" ->
+      """SELECT source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        |       CAST(sum(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6)))
+        |            AS DOUBLE) / count(*) AS mean_tokens,
+        |       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |       CAST(sum(CASE WHEN len(string_split(text, ' ')) < 20
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |       CAST(sum(CASE WHEN len(string_split(text, ' ')) < 20
+        |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000 // count(*)
+        |         AS short_pm
+        |FROM documents
+        |GROUP BY source""".stripMargin,
     "c25_dsir_weights" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 19 = 0 AS is_target,
