@@ -714,7 +714,21 @@ object SimilarityQueries {
     * s17 (base codes only) and s18 (base ∪ appended delta codes).
     */
   private def queryStoredIndex(s: SparkSession, d: String, dir: String,
-                               codes: DataFrame): DataFrame = {
+                               codes: DataFrame): DataFrame =
+    queryStoredIndexWith(s,
+      queriesSide(s, d).select(col("q_id"), col("q_emb")), dir, codes)
+
+  /** The same online path over an ARBITRARY (q_id, q_emb) query frame —
+    * the serving interface: per-query results depend only on the query
+    * vector and the stored index, so micro-batched query arrivals probe
+    * identically to a one-shot set (StreamingSpec runs exactly that under
+    * readStream/foreachBatch). The query side is collected driver-side to
+    * build routing + ADC tables — a |batch| x (dim + M·K) budget, which
+    * is the per-request arithmetic any ANN server does; batches are
+    * expected serving-sized, not corpus-sized.
+    */
+  private[graft] def queryStoredIndexWith(s: SparkSession, queries: DataFrame,
+                                          dir: String, codes: DataFrame): DataFrame = {
     // the same sequential fold as VectorFunctions.CosineSimilarity and the
     // inline adcTables — routing/scoring must not diverge from s10's
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
@@ -727,7 +741,7 @@ object SimilarityQueries {
     val cb = s.read.parquet(s"$dir/pq_codebooks").collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c")) ->
         r.getSeq[Double](r.fieldIndex("centroid"))).toMap
-    val qs = queriesSide(s, d)
+    val qs = queries
       .select(col("q_id"), col("q_emb").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val probes = qs.flatMap { case (qid, emb) =>

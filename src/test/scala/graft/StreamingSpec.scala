@@ -384,6 +384,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming ANN serving: query micro-batches against the stored IVF+PQ index == one-shot s17") {
+    // the serving shape of the persisted vector index: the index was built
+    // ONCE; QUERY vectors then arrive in micro-batches and each batch
+    // probes only the stored tables. A query's top-k depends on its own
+    // vector + the store, never on batch boundaries, so per-batch results
+    // union to the one-shot s17 output.
+    Sessions.tune(spark)
+    val dir = operators.SimilarityQueries.ensureIvfPqIndex(spark, sf)
+    val srcDir = Files.createTempDirectory("s17_qstream").toString
+    Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val outDir = Files.createTempDirectory("s17_qout").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          operators.SimilarityQueries.queryStoredIndexWith(spark,
+              b, dir, spark.read.parquet(s"$dir/pq_codes"))
+            .write.mode("overwrite").parquet(s"$outDir/b$id")
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = df
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"),
+        col("sim").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = canon(spark.read.parquet(s"$outDir/b*"))
+    val batch = canon(SparkEntry.queries("s17_persisted_ivfpq")(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming HLL rollup: foreachBatch sketch partials merge to the one-shot estimate") {
     // q65's sketch-persistence architecture under a REAL stream: each
     // micro-batch appends its per-day Datasketches HLL partial to a
