@@ -2061,7 +2061,46 @@ object RelationalQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_order_date"),
         col("o_orderkey"), col("o_totalprice"))
 
+  /** q107: ROLLING 30-day OLS revenue trend — q67's closed-form
+    * regression under a moving window (the time-series "trend" column
+    * every revenue dashboard carries): per (status, day), the slope of
+    * daily revenue against the day index over the trailing 30 days.
+    * Scale discipline: orders pre-aggregate to per-day PARTIALS (nd, Σy,
+    * day·nd, day²·nd, day·Σy — all exact integers, revenue in cents), so
+    * the window frames slide over |days| rows, never the order stream,
+    * and the integer-RANGE frame (29 PRECEDING) is q79's tie-safe frame
+    * type. The five framed sums are exactly associative; the one double
+    * division happens per output row on identical integers, with the
+    * zero-variance frame (a single distinct day) emitting NULL through
+    * the same CASE on both engines.
+    */
+  def q107_rolling_ols(s: SparkSession, d: String): DataFrame = {
+    val daily = graft.Tables.orders(s, d)
+      .withColumn("day",
+        datediff(col("o_orderdate"), to_date(lit("1992-01-01"))).cast("long"))
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_orderstatus"), col("day"))
+      .agg(count(lit(1)).as("nd"), sum(col("cents")).as("sy"))
+      .withColumn("sx", col("day") * col("nd"))
+      .withColumn("sxx", col("day") * col("day") * col("nd"))
+      .withColumn("sxy", col("day") * col("sy"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("day"))
+      .rangeBetween(-29, 0)
+    daily
+      .withColumn("n", sum(col("nd")).over(w))
+      .withColumn("tsx", sum(col("sx")).over(w))
+      .withColumn("tsy", sum(col("sy")).over(w))
+      .withColumn("tsxx", sum(col("sxx")).over(w))
+      .withColumn("tsxy", sum(col("sxy")).over(w))
+      .select(col("o_orderstatus"), col("day"), col("n"),
+        expr("""CASE WHEN n * tsxx - tsx * tsx = 0 THEN NULL
+                ELSE CAST(n * tsxy - tsx * tsy AS DOUBLE)
+                     / CAST(n * tsxx - tsx * tsx AS DOUBLE) END""")
+          .as("slope_cents_per_day"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q107_rolling_ols" -> (q107_rolling_ols _),
     "q105_topk_with_ties" -> (q105_topk_with_ties _),
     "q106_distinct_on" -> (q106_distinct_on _),
     "q104_asof_tolerance" -> (q104_asof_tolerance _),
@@ -2563,6 +2602,32 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q107_rolling_ols" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus,
+        |         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+        |         CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sy
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (
+        |  SELECT *, day * nd AS sx, day * day * nd AS sxx, day * sy AS sxy
+        |  FROM daily),
+        |f AS (
+        |  SELECT o_orderstatus, day,
+        |         CAST(sum(nd) OVER w AS BIGINT) AS n,
+        |         CAST(sum(sx) OVER w AS BIGINT) AS tsx,
+        |         CAST(sum(sy) OVER w AS BIGINT) AS tsy,
+        |         CAST(sum(sxx) OVER w AS BIGINT) AS tsxx,
+        |         CAST(sum(sxy) OVER w AS BIGINT) AS tsxy
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY day
+        |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderstatus, day, n,
+        |       CASE WHEN n * tsxx - tsx * tsx = 0 THEN NULL
+        |            ELSE CAST(n * tsxy - tsx * tsy AS DOUBLE)
+        |                 / CAST(n * tsxx - tsx * tsx AS DOUBLE) END
+        |         AS slope_cents_per_day
+        |FROM f""".stripMargin,
     "q105_topk_with_ties" ->
       """WITH rn AS (
         |  SELECT o_orderstatus, o_orderdate,
