@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("dot_product", 2, exprs); functions.DotProduct(exprs(0), exprs(1)) }))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("sign_bits"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.SignBits].getName, "sign_bits"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("sign_bits", 1, exprs); functions.SignBits(exprs.head) }))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.SimHash64].getName, "simhash64"),

@@ -249,6 +249,79 @@ case class MaxSimScore(left: Expression, right: Expression, sub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** array<float|double>(64) → array<long>(2): the two 32-bit halves of the
+  * 64-bit SIGN signature behind binary quantization (s24/s27) — bit i of
+  * half h set iff dim h·32+i is positive. Summing distinct powers of two
+  * is exact bit-OR and each half stays below 2^32, matching the DuckDB
+  * twin's shift arithmetic exactly. A native kernel (not the HOF
+  * spelling) so the signature pass rides WholeStageCodegen in the corpus
+  * scan; FunctionsSpec pins bit-identity against the interpreted
+  * aggregate() formulation.
+  */
+case class SignBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sign_bits needs array<float> or array<double>, got ${t.catalogString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != 64)
+      throw new IllegalArgumentException(
+        s"sign_bits: expected 64 dims, got ${x.numElements()}")
+    val out = new Array[Long](2)
+    var h = 0
+    while (h < 2) {
+      var acc = 0L
+      var i = 0
+      while (i < 32) {
+        val v = if (isFloat) x.getFloat(h * 32 + i).toDouble
+                else x.getDouble(h * 32 + i)
+        if (v > 0d) acc += (1L << i)
+        i += 1
+      }
+      out(h) = acc
+      h += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        |if ($a.numElements() != 64)
+        |  throw new IllegalArgumentException("sign_bits: expected 64 dims, got "
+        |    + $a.numElements());
+        |long[] $out = new long[2];
+        |for (int $h = 0; $h < 2; $h++) {
+        |  long $acc = 0L;
+        |  for (int $i = 0; $i < 32; $i++) {
+        |    if (((double) $a.$getter($h * 32 + $i)) > 0.0) $acc += (1L << $i);
+        |  }
+        |  $out[$h] = $acc;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   // Spark 4 unified-Column API: Expression <-> Column bridging lives in the
   // (private[sql]) classic module; reached via our graftbridge subpackage.
@@ -261,6 +334,7 @@ object VectorFunctions {
     column(DotProduct(expression(a), expression(b)))
   def maxsim_score(a: Column, b: Column, sub: Int = 8): Column =
     column(MaxSimScore(expression(a), expression(b), sub))
+  def sign_bits(v: Column): Column = column(SignBits(expression(v)))
 
   /** SQL registration so `spark.sql("SELECT cosine_similarity(...)")` works
     * — the reference's users wrote raw SQL, so engine extensions must be
@@ -277,5 +351,7 @@ object VectorFunctions {
         graft.GraftExtensions.arity("maxsim_score", 2, exprs)
         MaxSimScore(exprs(0), exprs(1), 8)
       }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "sign_bits", exprs => { graft.GraftExtensions.arity("sign_bits", 1, exprs); SignBits(exprs.head) }, "built-in")
   }
 }

@@ -858,22 +858,24 @@ object SimilarityQueries {
       .filter(col("sim") >= RadiusTau)
 
   /** One 32-bit half of the 64-bit sign signature: bit i set iff dim
-    * `off + i` of the embedding is positive. Computed once per row in the
-    * scan (an N + |q| cost, not N x |q| — the per-PAIR Hamming kernel
-    * below stays pure codegen'd long arithmetic). Summing distinct powers
-    * of two is exact bit-OR, and each half stays below 2^32 so the DuckDB
-    * twin never touches shift-overflow territory.
+    * `off + i` of the embedding is positive. This HOF spelling is the
+    * readable reference formulation; the hot path uses the native
+    * [[graft.functions.SignBits]] codegen kernel (FunctionsSpec pins the
+    * two bit-identical). Summing distinct powers of two is exact bit-OR,
+    * and each half stays below 2^32 so the DuckDB twin never touches
+    * shift-overflow territory.
     */
-  private def signHalf(v: Column, off: Int): Column =
+  private[graft] def signHalf(v: Column, off: Int): Column =
     aggregate(sequence(lit(0), lit(31)), lit(0L),
       (acc, i) => acc + when(
         element_at(v, i + lit(off + 1)).cast("double") > lit(0d),
         call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
 
   private def signSig(df: DataFrame, idCol: String, pre: String): DataFrame =
-    df.select(col("vec_id").as(idCol),
-      signHalf(col("embedding"), 0).as(s"${pre}_lo"),
-      signHalf(col("embedding"), 32).as(s"${pre}_hi"))
+    df.withColumn("sig", graft.functions.VectorFunctions.sign_bits(col("embedding")))
+      .select(col("vec_id").as(idCol),
+        element_at(col("sig"), 1).as(s"${pre}_lo"),
+        element_at(col("sig"), 2).as(s"${pre}_hi"))
 
   /** s24: BINARY (1-bit) quantization search — the 32x-compression end of
     * the quantization spectrum next to s07's int8 and s09's PQ codes: each
@@ -894,8 +896,15 @@ object SimilarityQueries {
     * and two popcounts per pair inside whole-stage codegen, and the exact
     * tail touches 50 raw vectors per query.
     */
-  def s24_binary_quant(s: SparkSession, d: String): DataFrame = {
-    val corpus = signSig(Tables.embeddings(s, d), "vec_id", "c")
+  def s24_binary_quant(s: SparkSession, d: String): DataFrame =
+    signatureSearch(s, d, signSig(Tables.embeddings(s, d), "vec_id", "c"))
+
+  /** The Hamming-shortlist / exact-re-rank tail over an arbitrary corpus
+    * signature frame (vec_id, c_lo, c_hi) — shared by s24 (signatures
+    * computed in the scan) and s27 (signatures read from the store).
+    */
+  private def signatureSearch(s: SparkSession, d: String,
+                              corpus: DataFrame): DataFrame = {
     val queries = signSig(
       Tables.embeddings(s, d).filter(col("vec_id") < NQueries), "q_id", "q")
     val hamming =
@@ -911,6 +920,32 @@ object SimilarityQueries {
         .join(broadcast(queriesSide(s, d)), "q_id")
         .select(col("q_id"), col("vec_id"),
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
+  /** s27: PERSISTED binary-signature index — the 16-bytes-per-vector tier
+    * of the persisted family (s17 stores 8 PQ codes + centroids; this
+    * stores just the two sign halves): the offline build signs the corpus
+    * ONCE into a marker-committed `signatures` table, and the query path
+    * runs the Hamming scan over STORED signatures — the corpus's raw
+    * floats are touched only to re-rank the 50-per-query shortlist (the
+    * s12 economics: candidate generation never reads them). Shares s24's
+    * oracle verbatim, so the hash check proves persistence is lossless.
+    */
+  private[graft] def ensureSignIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"signidx_v1_${f.length()}_${f.lastModified()}", d)
+    if (!new java.io.File(dir, "_complete").exists()) {
+      signSig(Tables.embeddings(s, d), "vec_id", "c")
+        .write.mode("overwrite").parquet(s"$dir/signatures")
+      new java.io.File(dir, "_complete").createNewFile()
+    }
+    dir
+  }
+
+  def s27_persisted_signatures(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureSignIndex(s, d)
+    signatureSearch(s, d, s.read.parquet(s"$dir/signatures"))
   }
 
   /** s26: exact MAXIMUM-INNER-PRODUCT search via the norm-augmentation
@@ -951,6 +986,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "s26_mips_augmented" -> (s26_mips_augmented _),
     "s24_binary_quant" -> (s24_binary_quant _),
+    "s27_persisted_signatures" -> (s27_persisted_signatures _),
     "s23_radius_search" -> (s23_radius_search _),
     "s22_jl_projection" -> (s22_jl_projection _),
     "s19_late_interaction" -> (s19_late_interaction _),
@@ -1385,7 +1421,21 @@ object SimilarityQueries {
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
         |WHERE rk <= 5""".stripMargin,
-    "s24_binary_quant" ->
+    "s27_persisted_signatures" -> binaryQuantOracle,
+    "s24_binary_quant" -> binaryQuantOracle,
+    "s03_dot_topk" ->
+      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                               x -> x[1] * x[2])) AS score
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
+  )
+
+  /** Shared by s24 (inline signatures) and s27 (stored signatures): one
+    * recompute oracle proving the persisted index lossless.
+    */
+  private lazy val binaryQuantOracle: String =
       """WITH sig AS (
         |  SELECT vec_id,
         |         CAST(list_sum(list_transform(range(32), i ->
@@ -1419,13 +1469,5 @@ object SimilarityQueries {
         |SELECT q_id, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |              ORDER BY sim DESC, vec_id) AS rk FROM rr) t
-        |WHERE rk <= 5""".stripMargin,
-    "s03_dot_topk" ->
-      """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, e.label,
-        |       list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
-        |                               x -> x[1] * x[2])) AS score
-        |FROM embeddings e, q WHERE e.vec_id <> 0
-        |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
-  )
+        |WHERE rk <= 5""".stripMargin
 }

@@ -65,6 +65,34 @@ class VectorFunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("sign_bits: hand values, HOF equivalence, codegen parity") {
+    import graft.functions.VectorFunctions.sign_bits
+    // hand check: positives at dims 0, 2, 33 → lo = 0b101 = 5, hi = 1<<1 = 2
+    val v = Seq.tabulate(64) {
+      case 0 => 1.5f; case 2 => 0.25f; case 33 => 3f
+      case _ => -1.0f
+    }
+    val hand = spark.createDataset(Seq(v)).toDF("embedding")
+      .select(sign_bits($"embedding").as("s")).as[Seq[Long]].head()
+    assert(hand == Seq(5L, 2L), s"sign_bits hand value wrong: $hand")
+    // the HOF reference spelling must agree bit-for-bit on real embeddings
+    val e = Tables.embeddings(spark, sf).limit(40).cache()
+    val native = e.select($"vec_id", sign_bits($"embedding").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val hof = e.select($"vec_id", array(
+        operators.SimilarityQueries.signHalf($"embedding", 0),
+        operators.SimilarityQueries.signHalf($"embedding", 32)).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == hof, "native sign_bits diverged from the HOF spelling")
+    // interpreted eval path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = e.select($"vec_id", sign_bits($"embedding").as("s"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == viaEval)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("registered in SQL: raw query text can call the engine functions") {
     Sessions.tune(spark)
     val r = spark.sql(
