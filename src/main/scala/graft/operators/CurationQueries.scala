@@ -558,6 +558,41 @@ object CurationQueries {
       .limit(100)
   }
 
+  /** c28: deterministic global TRAINING ORDER — the data-ordering step a
+    * training run consumes after curation: every document gets an exact
+    * global position under a seedless Knuth-hash shuffle (reproducible
+    * across runs and engines — the "shuffle with a receipt" a data card
+    * can cite). The hash order statistically interleaves sources — the
+    * property (no long single-source runs) QueriesSpec pins on the
+    * fixture — and the POSITION assignment is the honest 100 TB part:
+    * a naive row_number over the full corpus is a single-reducer global
+    * sort, so positions come from c17's two-phase distributed prefix
+    * scan instead (range-partition on the hash key, per-partition counts
+    * to the driver, broadcast offsets, within-partition window),
+    * plan-pinned pid-keyed with the single-reducer degeneration asserted
+    * absent. Pure integer arithmetic -> hash-green.
+    */
+  def c28_training_order(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("k",
+        expr("((doc_id % 1000003) * 2654435761 + 40503) % 1000000007"))
+      .repartitionByRange(32, col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = keyed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offDf), "pid")
+      .withColumn("position", col("off") + count(lit(1)).over(w) - 1)
+      .select(col("position"), col("doc_id"), col("source"))
+  }
+
   /** c27: the dataset DATASHEET — "Datasheets for Datasets" (Gebru et
     * al. '18) as a one-scan operator: the per-source statistics bundle a
     * training-data release ships (volume, token mass, language spread,
@@ -794,6 +829,7 @@ object CurationQueries {
     "c25_dsir_weights" -> (c25_dsir_weights _),
     "c26_persisted_bloom" -> (c26_persisted_bloom _),
     "c27_datasheet" -> (c27_datasheet _),
+    "c28_training_order" -> (c28_training_order _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -1196,6 +1232,12 @@ object CurationQueries {
     // negatives and the exact verify join removes its false positives
     "c13_decontaminate_bloom" -> ngramDecontOracle,
     "c26_persisted_bloom" -> ngramDecontOracle,
+    "c28_training_order" ->
+      """SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS position,
+        |       doc_id, source
+        |FROM (SELECT doc_id, source,
+        |             ((doc_id % 1000003) * 2654435761 + 40503) % 1000000007 AS k
+        |      FROM documents) t""".stripMargin,
     "c27_datasheet" ->
       """SELECT source,
         |       count(*) AS n_docs,

@@ -268,6 +268,13 @@ class PlanInvariantsSpec extends SparkTestBase {
       "prefix sum degenerated to a global (single-partition) window")
   }
 
+  test("c28 training order: positions from pid-keyed windows, never one reducer") {
+    val p = finalPlan("c28_training_order")
+    assert(p.contains("windowspecdefinition(pid"), p.take(1200))
+    assert(!p.contains("windowspecdefinition(k#"),
+      "position assignment degenerated to a global (single-partition) window")
+  }
+
   test("st10 vocab rollup: merge stage reads stored partials, never documents") {
     // the rollup must be answerable from the partials table alone — a
     // merge that silently re-tokenizes the corpus defeats the whole

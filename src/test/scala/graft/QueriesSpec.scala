@@ -125,6 +125,22 @@ class QueriesSpec extends SparkTestBase {
     assert(r24 >= 0.3, s"s24 recall collapsed: $r24")
   }
 
+  test("c28 training order: positions are a permutation and sources interleave") {
+    val rows = SparkEntry.queries("c28_training_order")(spark, sf)
+      .orderBy(col("position")).collect()
+    // exact permutation 0..n-1 — the receipt property
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length).toSeq)
+    // hash order must interleave sources: no long single-source run (the
+    // fixture has ~20 sources; a sorted-by-source order would have runs
+    // of n/20 = dozens)
+    val sources = rows.map(_.getString(2))
+    val maxRun = sources.foldLeft((0, 0, "")) { case ((best, cur, prev), s) =>
+      val c = if (s == prev) cur + 1 else 1
+      (math.max(best, c), c, s)
+    }._1
+    assert(maxRun <= 6, s"training order has a $maxRun-long single-source run")
+  }
+
   test("s26 MIPS reduction: augmented-cosine top-k equals raw dot-product top-k") {
     import graft.functions.VectorFunctions.dot_product
     import graft.plans.TopKPerGroup
