@@ -278,6 +278,23 @@ object ScaleProbe {
         graft.operators.TextQueries.t22_phrase_search(spark, sf).count())
       time(s"$tag q104_asof_tolerance")(
         graft.operators.RelationalQueries.q104_asof_tolerance(spark, sf).count())
+      // eighteenth wave: s26 is a scan-bound kernel pass; s27 probes STORED
+      // signatures (16 bytes/row through the shortlist); t24 probes stored
+      // postings; q107 windows over |days| partials regardless of order
+      // count; m13's kernel pass is linear with a broadcast query side;
+      // c28's two-phase position scan is the 10x-rows stress of c17's shape
+      time(s"$tag s26_mips")(
+        graft.operators.SimilarityQueries.s26_mips_augmented(spark, sf).count())
+      time(s"$tag s27_persisted_sigs")(
+        graft.operators.SimilarityQueries.s27_persisted_signatures(spark, sf).count())
+      time(s"$tag t24_persisted_bm25")(
+        graft.operators.TextQueries.t24_persisted_bm25(spark, sf).count())
+      time(s"$tag q107_rolling_ols")(
+        graft.operators.RelationalQueries.q107_rolling_ols(spark, sf).count())
+      time(s"$tag m13_visual_search")(
+        graft.operators.MultimodalQueries.m13_visual_search(spark, sf).count())
+      time(s"$tag c28_training_order")(
+        graft.operators.CurationQueries.c28_training_order(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
