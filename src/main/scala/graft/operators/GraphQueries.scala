@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.plans.TopKPerGroup
 
 /** Link-graph analytics over the order graph — the quality-signal family a
   * web-corpus curation pipeline runs before training-data selection
@@ -342,6 +343,63 @@ object GraphQueries {
         count(lit(1)).as("n_seeds_reached"))
   }
 
+  /** g12: LINK PREDICTION scores — the "who should be connected next"
+    * primitive behind recommendation and graph completion (Liben-Nowell &
+    * Kleinberg '03): for every non-adjacent supplier pair at distance 2,
+    * the common-neighbors count and the resource-allocation index
+    * Σ_z 1/deg(z) over shared neighbors z (Zhou et al. '09 — RA
+    * outperforms plain counts because hub neighbors carry less signal).
+    * RA rides integer micro-units (1000000 div deg — g11's discipline),
+    * so both scores hash-check. Shape: candidate pairs generate per
+    * SHARED NEIGHBOR (g08's wedge economics — never suppliers²), degree
+    * prices arrive by one keyed join on the wedge center, and the
+    * existing-edge anti join removes already-linked pairs. Top-20 by
+    * (ra desc, pair) through the native heaps.
+    */
+  def g12_link_prediction(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    // top-200 STRONGEST co-occurrence edges, not a fixed count threshold:
+    // a threshold that leaves the small-SF projection near-complete makes
+    // "non-adjacent distance-2 pair" vacuous (every pair is linked), and
+    // one that suits small SF empties sf0.1 — the k-bounded strongest-edge
+    // graph is sparse by construction at EVERY scale, and it is also the
+    // scale-safe form (the edge list entering the wedge join is k rows)
+    val co = s.sql(
+      s"""SELECT u, v FROM (
+        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2
+        |  ORDER BY c DESC, u, v LIMIT 200) t""".stripMargin)
+    linkPredictionFrom(co)
+  }
+
+  /** The scoring core over a canonical (u < v) edge list — separated so
+    * the spec can drive a planted graph (the sf0.001 fixture has only 10
+    * suppliers, whose strongest-edge projection is complete and so has no
+    * non-adjacent pair to predict; sf0.01+ exercise the full path).
+    */
+  private[graft] def linkPredictionFrom(co: DataFrame): DataFrame = {
+    val adj = co.select(explode(array(
+        struct(col("u").as("z"), col("v").as("n")),
+        struct(col("v").as("z"), col("u").as("n")))).as("e"))
+      .select(col("e.z").as("z"), col("e.n").as("n"))
+      .localCheckpoint() // feeds wedges, degrees, and the anti join
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("l").join(adj.as("r"), col("l.z") === col("r.z"))
+      .filter(col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.z").as("z"))
+    val scored = wedges.join(deg, "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div deg")).as("ra_micro"))
+      .join(co, col("a") === col("u") && col("b") === col("v"), "left_anti")
+    TopKPerGroup.topK(scored.withColumn("g", lit(1)),
+      Seq("g"), Seq(TopKPerGroup.Ord("ra_micro", desc = true),
+        TopKPerGroup.Ord("a"), TopKPerGroup.Ord("b")), 20)
+      .select(col("a"), col("b"), col("common_neighbors"), col("ra_micro"))
+  }
+
   /** The truss peel over a canonical (u < v) edge list — separated so the
     * spec can drive a planted graph. Returns surviving edges with their
     * final triangle support.
@@ -412,6 +470,7 @@ object GraphQueries {
     "g05_kcore" -> (g05_kcore _),
     "g10_ktruss" -> (g10_ktruss _),
     "g11_harmonic_centrality" -> (g11_harmonic_centrality _),
+    "g12_link_prediction" -> (g12_link_prediction _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -648,6 +707,27 @@ object GraphQueries {
          |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
     }.mkString(",\n")
     Map(
+      "g12_link_prediction" ->
+        s"""WITH co AS (
+           |  SELECT u, v FROM (
+           |    SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
+           |    FROM lineitem a JOIN lineitem b
+           |      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |    GROUP BY 1, 2
+           |    ORDER BY c DESC, u, v LIMIT 200) t),
+           |adj AS (SELECT u AS z, v AS n FROM co UNION ALL SELECT v, u FROM co),
+           |dg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+           |w AS (SELECT l.n AS a, r.n AS b, l.z AS z
+           |      FROM adj l JOIN adj r ON l.z = r.z WHERE l.n < r.n),
+           |sc AS (
+           |  SELECT a, b, count(*) AS common_neighbors,
+           |         CAST(sum(1000000 // deg) AS BIGINT) AS ra_micro
+           |  FROM w JOIN dg USING (z)
+           |  GROUP BY a, b),
+           |nl AS (SELECT sc.* FROM sc LEFT JOIN co ON co.u = sc.a AND co.v = sc.b
+           |       WHERE co.u IS NULL)
+           |SELECT a, b, common_neighbors, ra_micro FROM nl
+           |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin,
       "g11_harmonic_centrality" ->
         s"""WITH RECURSIVE co AS (
            |  SELECT a.l_suppkey AS u, b.l_suppkey AS v

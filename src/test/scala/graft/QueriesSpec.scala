@@ -141,6 +141,24 @@ class QueriesSpec extends SparkTestBase {
     assert(maxRun <= 6, s"training order has a $maxRun-long single-source run")
   }
 
+  test("g12 link prediction: planted wedge scores, hub discount, linked pairs excluded") {
+    import spark.implicits._
+    // star center 1 linked to 2,3,4 (deg 3) plus an isolated edge 5-6;
+    // predictions: (2,3),(2,4),(3,4) each with common=1, ra = 1000000/3;
+    // linked pairs themselves and (5,6)'s endpoints produce nothing
+    val planted = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("u", "v")
+    val out = graft.operators.GraphQueries.linkPredictionFrom(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((2L, 3L, 1L, 333333L), (2L, 4L, 1L, 333333L),
+      (3L, 4L, 1L, 333333L)), s"planted link-prediction scores wrong: $out")
+    // a second shared neighbor with lower degree contributes MORE ra:
+    // 7-8 via center 9 (deg 2) scores 500000 > the star's 333333
+    val planted2 = planted.union(Seq((7L, 9L), (8L, 9L)).toDF("u", "v"))
+    val out2 = graft.operators.GraphQueries.linkPredictionFrom(planted2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(out2((7L, 8L)) == 500000L, s"hub discount wrong: $out2")
+  }
+
   test("s26 MIPS reduction: augmented-cosine top-k equals raw dot-product top-k") {
     import graft.functions.VectorFunctions.dot_product
     import graft.plans.TopKPerGroup
