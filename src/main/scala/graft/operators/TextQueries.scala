@@ -898,7 +898,38 @@ object TextQueries {
         graft.plans.TopKPerGroup.Ord("doc_id")), 10)
   }
 
+  /** t25: KWIC (keyword-in-context) concordance — the audit view behind
+    * every term-level decision in a corpus pipeline (is "scan" the verb or
+    * the noun? what surrounds the PII the redactor missed?): for each
+    * query term, every occurrence with its ±3-token context window,
+    * capped at 20 hits per term through the native heaps (doc_id, pos
+    * order — deterministic). One positional explode (the source array
+    * rides along, so the context slices are zero-join array ops in the
+    * scan), one broadcast-able term filter — linear in matching tokens,
+    * no shuffle before the k-bounded heap. String output hash-checks
+    * verbatim (the d14/t14 rewritten-text discipline).
+    */
+  def t25_kwic(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    val terms = Seq("data", "hash", "scan")
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .select(col("doc_id"), col("toks"), (col("pos") + 1).as("p"),
+        col("col").as("term"))
+      .filter(col("term").isin(terms: _*))
+      .withColumn("lstart", greatest(lit(1), col("p") - 3))
+      .select(col("term"), col("doc_id"), col("p").cast("long").as("pos"),
+        array_join(slice(col("toks"), col("lstart"), col("p") - col("lstart")), " ")
+          .as("left_ctx"),
+        array_join(slice(col("toks"), col("p") + 1, lit(3)), " ").as("right_ctx"))
+    TopKPerGroup.topK(tok, Seq("term"), Seq(Ord("doc_id"), Ord("pos")), 20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_kwic" -> (t25_kwic _),
     "t24_persisted_bm25" -> (t24_persisted_bm25 _),
     "t23_novelty" -> (t23_novelty _),
     "t22_phrase_search" -> (t22_phrase_search _),
@@ -957,6 +988,23 @@ object TextQueries {
       |WHERE rk <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t25_kwic" ->
+      """WITH t AS (
+        |  SELECT doc_id, toks, i AS p, toks[i] AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+        |               unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+        |        FROM documents) u),
+        |h AS (
+        |  SELECT term, doc_id, CAST(p AS BIGINT) AS pos,
+        |         coalesce(array_to_string(
+        |           toks[CASE WHEN p - 3 < 1 THEN 1 ELSE p - 3 END : p - 1], ' '),
+        |           '') AS left_ctx,
+        |         coalesce(array_to_string(toks[p + 1 : p + 3], ' '), '') AS right_ctx
+        |  FROM t WHERE term IN ('data', 'hash', 'scan'))
+        |SELECT term, doc_id, pos, left_ctx, right_ctx FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY term
+        |              ORDER BY doc_id, pos) AS rk FROM h) r
+        |WHERE rk <= 20""".stripMargin,
     "t23_novelty" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
