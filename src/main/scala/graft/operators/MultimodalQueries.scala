@@ -319,6 +319,28 @@ object MultimodalQueries {
       Seq("q_id"), Seq(Ord("dist"), Ord("doc_id")), 5)
   }
 
+  /** m14: SHOT-BOUNDARY detection — the segmentation pass a video
+    * pipeline runs over m06's per-frame energy series (cut detection by
+    * feature discontinuity; the DSP sibling of q95's seasonal anomaly
+    * screen): a boundary is a >=20% relative jump in mean byte energy
+    * between consecutive frames. The compare is cross-multiplied exact
+    * integers (energy x other-frame-bytes — the s07/m09 trick, which also
+    * handles the shorter final frame without a float division), one lag()
+    * window per doc ordered by frame_no — linear in frames, hash-green.
+    */
+  def m14_shot_boundaries(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    m06_frame_energy(s, d)
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("pb", lag(col("frame_bytes"), 1).over(w))
+      .filter(col("pe").isNotNull)
+      .filter(abs(col("energy") * col("pb") - col("pe") * col("frame_bytes")) * 5
+        >= col("pe") * col("frame_bytes"))
+      .select(col("doc_id"), col("frame_no"), col("energy"),
+        col("pe").as("prev_energy"))
+  }
+
   def m09_feature_neardup(s: SparkSession, d: String): DataFrame = {
     val f = m03_byte_features(s, d)
       .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
@@ -445,6 +467,7 @@ object MultimodalQueries {
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
     "m13_visual_search" -> (m13_visual_search _),
+    "m14_shot_boundaries" -> (m14_shot_boundaries _),
     "m08_media_dedup" -> (m08_media_dedup _),
     "m10_compaction_plan" -> (m10_compaction_plan _),
     "m07_binary_ingest" -> (m07_binary_ingest _),
@@ -616,27 +639,18 @@ object MultimodalQueries {
     // m05 is m03's kernel re-expressed over Arrow batches — same rows,
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
-    "m06_frame_energy" ->
-      """WITH c AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS nb
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, h, nb,
-        |         unnest(generate_series(0, (nb - 1) // 256)) AS frame_no
-        |  FROM c WHERE nb > 0),
-        |b AS (
-        |  SELECT doc_id, frame_no,
-        |         list_transform(
-        |           range(256 * frame_no + 1, least(256 * frame_no + 256, nb) + 1),
-        |           i -> (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
-        |                + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)) AS bytes
-        |  FROM f)
-        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
-        |       CAST(len(bytes) AS BIGINT) AS frame_bytes,
-        |       CAST(list_sum(bytes) AS BIGINT) AS energy,
-        |       CAST(list_max(bytes) AS BIGINT) AS peak
-        |FROM b""".stripMargin,
+    "m06_frame_energy" -> frameEnergyOracle,
+    "m14_shot_boundaries" ->
+      s"""WITH fe AS ($frameEnergyOracle),
+        |l AS (
+        |  SELECT doc_id, frame_no, frame_bytes, energy,
+        |         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pe,
+        |         lag(frame_bytes) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pb
+        |  FROM fe)
+        |SELECT doc_id, frame_no, energy, CAST(pe AS BIGINT) AS prev_energy
+        |FROM l
+        |WHERE pe IS NOT NULL
+        |  AND abs(energy * pb - pe * frame_bytes) * 5 >= pe * frame_bytes""".stripMargin,
   )
 
   // byte-based like the Spark kernels (UTF-8 bytes, not codepoints — the
@@ -657,6 +671,28 @@ object MultimodalQueries {
       |       CAST(len(list_filter(cs, x -> x = 1)) AS BIGINT) AS f1,
       |       CAST(len(list_filter(cs, x -> x = 2)) AS BIGINT) AS f2,
       |       CAST(len(list_filter(cs, x -> x = 3)) AS BIGINT) AS f3
+      |FROM b""".stripMargin
+
+  private lazy val frameEnergyOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, h, nb,
+      |         unnest(generate_series(0, (nb - 1) // 256)) AS frame_no
+      |  FROM c WHERE nb > 0),
+      |b AS (
+      |  SELECT doc_id, frame_no,
+      |         list_transform(
+      |           range(256 * frame_no + 1, least(256 * frame_no + 256, nb) + 1),
+      |           i -> (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+      |                + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)) AS bytes
+      |  FROM f)
+      |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |       CAST(len(bytes) AS BIGINT) AS frame_bytes,
+      |       CAST(list_sum(bytes) AS BIGINT) AS energy,
+      |       CAST(list_max(bytes) AS BIGINT) AS peak
       |FROM b""".stripMargin
 
   private lazy val visualSearchOracle: String =
