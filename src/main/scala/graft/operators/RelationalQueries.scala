@@ -2099,7 +2099,47 @@ object RelationalQueries {
           .as("slope_cents_per_day"))
   }
 
+  /** q108: Pareto / ABC contribution analysis — "which customers are the
+    * top 80% of revenue" (inventory's ABC classification applied to any
+    * revenue dimension): per-customer revenue in exact cents, global rank
+    * by (revenue desc, custkey), cumulative share in integer per-mille,
+    * class A/B/C at the 800/950 cuts. The global running sum over the
+    * revenue ordering is the honest scale problem (a naive window is one
+    * reducer over every customer), so positions and prefixes come from
+    * c17's two-phase distributed scan — range-partition on the order key,
+    * driver-held per-partition subtotals, broadcast offsets,
+    * within-partition windows — pid-keyed like c28. Integer arithmetic
+    * end to end -> hash-green.
+    */
+  def q108_pareto_abc(s: SparkSession, d: String): DataFrame = {
+    val byCust = graft.Tables.orders(s, d)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .repartitionByRange(32, col("revenue_cents").desc, col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = byCust.groupBy(col("pid"))
+      .agg(sum(col("revenue_cents")).as("psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("revenue_cents").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byCust.join(broadcast(offDf), "pid")
+      .withColumn("cum", col("off") + sum(col("revenue_cents")).over(w))
+      .withColumn("cum_share_pm", expr(s"(cum * 1000) div ${total}L"))
+      .select(col("o_custkey"), col("revenue_cents"), col("cum_share_pm"),
+        when(col("cum_share_pm") <= 800, "A")
+          .when(col("cum_share_pm") <= 950, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q108_pareto_abc" -> (q108_pareto_abc _),
     "q107_rolling_ols" -> (q107_rolling_ols _),
     "q105_topk_with_ties" -> (q105_topk_with_ties _),
     "q106_distinct_on" -> (q106_distinct_on _),
@@ -2602,6 +2642,24 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q108_pareto_abc" ->
+      """WITH r AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT o_custkey, revenue_cents,
+        |         CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, o_custkey)
+        |              AS BIGINT) AS cum,
+        |         CAST((SELECT sum(revenue_cents) FROM r) AS BIGINT) AS total
+        |  FROM r)
+        |SELECT o_custkey, revenue_cents,
+        |       (cum * 1000) // total AS cum_share_pm,
+        |       CASE WHEN (cum * 1000) // total <= 800 THEN 'A'
+        |            WHEN (cum * 1000) // total <= 950 THEN 'B'
+        |            ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
     "q107_rolling_ols" ->
       """WITH daily AS (
         |  SELECT o_orderstatus,
