@@ -2138,7 +2138,43 @@ object RelationalQueries {
           .otherwise("C").as("abc_class"))
   }
 
+  /** q109: MEDIAN ABSOLUTE DEVIATION outlier screen — the robust twin of
+    * q77's z-score (one wild value drags a mean and explodes a stddev;
+    * the median/MAD pair is 50%-breakdown robust, which is why monitoring
+    * pipelines prefer it): per status, the exact median, the exact median
+    * of |x − median|, and the count beyond the standard 3·1.4826·MAD
+    * fence. Two grouped exact-percentile passes (q40's proven
+    * interpolation parity) + one broadcast join of the 3-row median frame
+    * back over the scan; the deviation arithmetic is the same IEEE
+    * expression text on both engines, outlier counts are integers ->
+    * hash-green. Same 100 TB caveat as q40: exact percentiles sort within
+    * groups; q46's sketch is the scale path, this is the exact auditor.
+    */
+  private def madSql(pctFn: String): String =
+    s"""WITH med AS (
+      |  SELECT o_orderstatus, $pctFn(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY o_orderstatus),
+      |dev AS (
+      |  SELECT o.o_orderstatus, m.med,
+      |         abs(o.o_totalprice - m.med) AS adev
+      |  FROM orders o JOIN med m ON m.o_orderstatus = o.o_orderstatus),
+      |madt AS (
+      |  SELECT o_orderstatus, $pctFn(adev, 0.5) AS mad
+      |  FROM dev GROUP BY o_orderstatus)
+      |SELECT d.o_orderstatus,
+      |       min(d.med) AS median_price,
+      |       min(t.mad) AS mad,
+      |       count(*) AS n,
+      |       CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * t.mad
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN madt t ON t.o_orderstatus = d.o_orderstatus
+      |GROUP BY d.o_orderstatus""".stripMargin
+
+  def q109_mad_outliers(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(madSql("percentile"))
+
   val queries: Map[String, Q] = Map(
+    "q109_mad_outliers" -> (q109_mad_outliers _),
     "q108_pareto_abc" -> (q108_pareto_abc _),
     "q107_rolling_ols" -> (q107_rolling_ols _),
     "q105_topk_with_ties" -> (q105_topk_with_ties _),
@@ -2642,6 +2678,7 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q109_mad_outliers" -> madSql("quantile_cont"),
     "q108_pareto_abc" ->
       """WITH r AS (
         |  SELECT o_custkey,
