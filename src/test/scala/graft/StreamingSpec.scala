@@ -421,6 +421,53 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("continuous ETL: each micro-batch republishes the sheet; final state == batch publish") {
+    // the reference's pipeline (query -> spreadsheet upsert-by-name) under
+    // Structured Streaming: orders arrive in micro-batches, each batch
+    // recomputes the running revenue-per-status summary from the data seen
+    // so far and UPSERTS it into the same named sheet — the sink's
+    // replace-by-name semantics make republication idempotent, so the
+    // final sheet equals a one-shot batch publish of the full dataset.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("etl_stream_src").toString
+    Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_totalprice")).repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val seenDir = Files.createTempDirectory("etl_stream_seen").toString
+    val sheetDir = Files.createTempDirectory("etl_stream_sheets").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.write.mode("append").parquet(seenDir) // accumulate arrivals
+        spark.read.parquet(seenDir)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+          .orderBy(col("o_orderstatus"))
+          .write.format("sheets").option("path", sheetDir)
+          .option("name", "revenue_by_status").mode("append").save()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val streamed = canon(spark.read.format("sheets").option("path", sheetDir).load())
+    val expectDir = Files.createTempDirectory("etl_stream_expect").toString
+    spark.read.parquet(srcDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_cents"))
+      .orderBy(col("o_orderstatus"))
+      .write.format("sheets").option("path", expectDir)
+      .option("name", "revenue_by_status").mode("append").save()
+    val batch = canon(spark.read.format("sheets").option("path", expectDir).load())
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed sheet diverged from batch publish: ${streamed.diff(batch)}")
+  }
+
   test("streaming HLL rollup: foreachBatch sketch partials merge to the one-shot estimate") {
     // q65's sketch-persistence architecture under a REAL stream: each
     // micro-batch appends its per-day Datasketches HLL partial to a
