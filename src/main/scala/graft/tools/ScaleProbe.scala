@@ -295,6 +295,20 @@ object ScaleProbe {
         graft.operators.MultimodalQueries.m13_visual_search(spark, sf).count())
       time(s"$tag c28_training_order")(
         graft.operators.CurationQueries.c28_training_order(spark, sf).count())
+      // nineteenth wave: g12's wedge join runs over a k-bounded (top-200)
+      // edge list at any scale; t25 is linear in matching tokens with a
+      // k-bounded head; m14 is one lag window over frames; q108's prefix
+      // scan is pid-parallel; q109 is two grouped exact percentiles
+      time(s"$tag g12_link_prediction")(
+        graft.operators.GraphQueries.g12_link_prediction(spark, sf).count())
+      time(s"$tag t25_kwic")(
+        graft.operators.TextQueries.t25_kwic(spark, sf).count())
+      time(s"$tag m14_shot_boundaries")(
+        graft.operators.MultimodalQueries.m14_shot_boundaries(spark, sf).count())
+      time(s"$tag q108_pareto_abc")(
+        graft.operators.RelationalQueries.q108_pareto_abc(spark, sf).count())
+      time(s"$tag q109_mad_outliers")(
+        graft.operators.RelationalQueries.q109_mad_outliers(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
