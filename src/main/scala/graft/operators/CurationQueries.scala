@@ -593,6 +593,66 @@ object CurationQueries {
       .select(col("position"), col("doc_id"), col("source"))
   }
 
+  /** c29: WATERFILLING mixture allocation — the solver c05/c14/c16 stop
+    * short of: distribute a token budget across sources proportionally to
+    * a desired weight, but no source can supply more than it HAS; surplus
+    * demand redistributes to the others (the classic capped-proportional /
+    * water-filling problem every real mixture hits, because targets are
+    * set before availability is known). Closed form: sort sources by
+    * availability-to-weight ratio ascending — saturation is then a PREFIX
+    * — and a source saturates iff avail·(W − SWpre) ≤ w·(B − SApre), an
+    * exact cross-multiplied integer test over prefix sums (no float ever
+    * decides a branch; the sort key's one division is a deterministic
+    * double, ties broken on source). Unsaturated sources split the
+    * remaining budget by integer division with c16's largest-remainder
+    * repair, so Σ allocation == B EXACTLY (spec-pinned). Weights here are
+    * avail² (temperature-2 sharpening — big sources demand
+    * super-proportionally, so both branches exercise on near-uniform
+    * fixtures). The per-source table is metadata-sized at any corpus
+    * scale (the windows run over |sources| rows); the integer products
+    * bound at ~5e15 for million-token sources — rescale weights via div
+    * before the multiply if sources reach petatoken mass.
+    */
+  def c29_waterfill_mixture(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))
+      .withColumn("w", col("avail") * col("avail"))
+    val tot = perSrc.agg(sum(col("avail")).as("ta"), sum(col("w")).as("tw"))
+    val wOrd = Window.orderBy(
+      (col("avail").cast("double") / col("w")), col("source"))
+    val pre = perSrc.crossJoin(broadcast(tot))
+      .withColumn("b", expr("(9 * ta) div 10"))
+      .withColumn("sa_pre", coalesce(sum(col("avail")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sw_pre", coalesce(sum(col("w")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("saturated",
+        col("avail") * (col("tw") - col("sw_pre")) <=
+          col("w") * (col("b") - col("sa_pre")))
+      .localCheckpoint() // feeds the residual aggregate AND the final select
+    val rem = pre.agg(
+      (first(col("b")) - sum(when(col("saturated"), col("avail")).otherwise(0L)))
+        .as("b_rem"),
+      sum(when(!col("saturated"), col("w")).otherwise(0L)).as("w_rem"))
+    val wRem = Window.orderBy(col("lr_rem").desc, col("source"))
+    val based = pre.crossJoin(broadcast(rem))
+      .withColumn("base", when(col("saturated"), col("avail"))
+        .otherwise(expr("(b_rem * w) div w_rem")))
+      .withColumn("lr_rem", when(col("saturated"), lit(-1L))
+        .otherwise(expr("(b_rem * w) % w_rem")))
+    based
+      .crossJoin(broadcast(based.agg(
+        (first(col("b_rem")) -
+          sum(when(!col("saturated"), col("base")).otherwise(0L)))
+          .as("leftover"))))
+      .withColumn("rk", row_number().over(wRem))
+      .select(col("source"), col("avail"), col("saturated"),
+        (col("base") + when(!col("saturated") && col("rk") <= col("leftover"), 1L)
+          .otherwise(0L)).as("allocation"))
+  }
+
   /** c27: the dataset DATASHEET — "Datasheets for Datasets" (Gebru et
     * al. '18) as a one-scan operator: the per-source statistics bundle a
     * training-data release ships (volume, token mass, language spread,
@@ -830,6 +890,7 @@ object CurationQueries {
     "c26_persisted_bloom" -> (c26_persisted_bloom _),
     "c27_datasheet" -> (c27_datasheet _),
     "c28_training_order" -> (c28_training_order _),
+    "c29_waterfill_mixture" -> (c29_waterfill_mixture _),
     "c15_split_leakage" -> (c15_split_leakage _),
     "c14_mixture_weights" -> (c14_mixture_weights _),
     "c10_chunk_documents" -> (c10_chunk_documents _),
@@ -1232,6 +1293,50 @@ object CurationQueries {
     // negatives and the exact verify join removes its false positives
     "c13_decontaminate_bloom" -> ngramDecontOracle,
     "c26_persisted_bloom" -> ngramDecontOracle,
+    "c29_waterfill_mixture" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |pw AS (SELECT source, avail, avail * avail AS w FROM ps),
+        |tot AS (SELECT CAST(sum(avail) AS BIGINT) AS ta,
+        |               CAST(sum(w) AS BIGINT) AS tw FROM pw),
+        |pre AS (
+        |  SELECT pw.source, pw.avail, pw.w, tot.tw, (9 * tot.ta) // 10 AS b,
+        |         CAST(coalesce(sum(pw.avail) OVER (
+        |           ORDER BY CAST(pw.avail AS DOUBLE) / pw.w, pw.source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS sa_pre,
+        |         CAST(coalesce(sum(pw.w) OVER (
+        |           ORDER BY CAST(pw.avail AS DOUBLE) / pw.w, pw.source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS sw_pre
+        |  FROM pw, tot),
+        |st AS (SELECT *,
+        |              avail * (tw - sw_pre) <= w * (b - sa_pre) AS saturated
+        |       FROM pre),
+        |rem AS (SELECT min(b) -
+        |          CAST(sum(CASE WHEN saturated THEN avail ELSE 0 END) AS BIGINT)
+        |            AS b_rem,
+        |          CAST(sum(CASE WHEN NOT saturated THEN w ELSE 0 END) AS BIGINT)
+        |            AS w_rem
+        |        FROM st),
+        |base AS (
+        |  SELECT st.*, rem.b_rem, rem.w_rem,
+        |         CASE WHEN saturated THEN avail
+        |              ELSE (rem.b_rem * w) // rem.w_rem END AS base,
+        |         CASE WHEN saturated THEN -1
+        |              ELSE (rem.b_rem * w) % rem.w_rem END AS lr_rem
+        |  FROM st, rem),
+        |lo AS (SELECT min(b_rem) -
+        |         CAST(sum(CASE WHEN NOT saturated THEN base ELSE 0 END) AS BIGINT)
+        |           AS leftover
+        |       FROM base)
+        |SELECT source, avail, saturated,
+        |       CAST(base + CASE WHEN NOT saturated AND
+        |         row_number() OVER (ORDER BY lr_rem DESC, source) <= lo.leftover
+        |         THEN 1 ELSE 0 END AS BIGINT) AS allocation
+        |FROM base, lo""".stripMargin,
     "c28_training_order" ->
       """SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS position,
         |       doc_id, source

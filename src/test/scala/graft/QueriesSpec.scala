@@ -141,6 +141,21 @@ class QueriesSpec extends SparkTestBase {
     assert(maxRun <= 6, s"training order has a $maxRun-long single-source run")
   }
 
+  test("c29 waterfilling: exact budget identity, caps respected, both branches live") {
+    val rows = SparkEntry.queries("c29_waterfill_mixture")(spark, sf).collect()
+    val avail = rows.map(_.getLong(1)).sum
+    val alloc = rows.map(_.getLong(3)).sum
+    assert(alloc == (9 * avail) / 10,
+      s"allocation must hit the budget exactly: $alloc vs ${(9 * avail) / 10}")
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)),
+      "a source was allocated more tokens than it has")
+    val sat = rows.count(_.getBoolean(2))
+    assert(sat > 0 && sat < rows.length,
+      s"fixture must exercise both branches (saturated=$sat of ${rows.length})")
+    // saturated sources are allocated exactly their availability
+    assert(rows.filter(_.getBoolean(2)).forall(r => r.getLong(3) == r.getLong(1)))
+  }
+
   test("g12 link prediction: planted wedge scores, hub discount, linked pairs excluded") {
     import spark.implicits._
     // star center 1 linked to 2,3,4 (deg 3) plus an isolated edge 5-6;
