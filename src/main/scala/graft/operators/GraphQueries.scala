@@ -400,6 +400,49 @@ object GraphQueries {
       .select(col("a"), col("b"), col("common_neighbors"), col("ra_micro"))
   }
 
+  /** g13: degree ASSORTATIVITY — Newman's (PRL'02) mixing coefficient,
+    * the one-number answer to "do hubs link to hubs?" that the
+    * graph-health panel (g09 degree fit, g02 clustering) reads before
+    * trusting any link-derived quality signal: the Pearson correlation of
+    * endpoint degrees over the directed edge list (both directions of
+    * each undirected edge, the standard convention). Every sum is an
+    * exact integer (degrees x degrees), so the closed-form correlation is
+    * one final double region over identical int64s on both engines —
+    * q67's recipe on graph structure. One degree aggregate + two keyed
+    * joins + one global sum: scan-shaped at any graph size.
+    */
+  private lazy val g13Sql: String =
+    s"""WITH co AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+      |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+      |e AS (
+      |  SELECT du.d AS x, dv.d AS y
+      |  FROM und JOIN deg du ON du.node = und.u
+      |           JOIN deg dv ON dv.node = und.v),
+      |sums AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM e)
+      |SELECT n AS n_directed_edges,
+      |       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+      |            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |                        * CAST(n * syy - sy * sy AS DOUBLE)), 9) END
+      |         AS assortativity
+      |FROM sums""".stripMargin
+
+  def g13_assortativity(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(g13Sql)
+  }
+
   /** The truss peel over a canonical (u < v) edge list — separated so the
     * spec can drive a planted graph. Returns surviving edges with their
     * final triangle support.
@@ -471,6 +514,7 @@ object GraphQueries {
     "g10_ktruss" -> (g10_ktruss _),
     "g11_harmonic_centrality" -> (g11_harmonic_centrality _),
     "g12_link_prediction" -> (g12_link_prediction _),
+    "g13_assortativity" -> (g13_assortativity _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -707,6 +751,7 @@ object GraphQueries {
          |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
     }.mkString(",\n")
     Map(
+      "g13_assortativity" -> g13Sql,
       "g12_link_prediction" ->
         s"""WITH co AS (
            |  SELECT u, v FROM (
