@@ -443,6 +443,60 @@ object GraphQueries {
     s.sql(g13Sql)
   }
 
+  /** g14: LOCAL clustering coefficient (Watts–Strogatz) — g02 reports the
+    * graph's ONE transitivity number; this is the per-node field the
+    * curation pipeline actually joins against (a node embedded in a dense
+    * clique is a different quality signal than a same-degree star hub —
+    * link farms score near 0 here while organic communities score high).
+    * Per node: triangle count via the canonical a<b<c enumeration (each
+    * triangle materialized exactly ONCE — the information-theoretic floor,
+    * same argument as g10's support kernel — then exploded to its three
+    * corners), degree from the symmetrized adjacency, and
+    *
+    *   {{{coeff_micro = 2 * tri(v) * 1e6  div  deg(v) * (deg(v) - 1)}}}
+    *
+    * in integer micro-units (exact on both engines -> hash-green; deg<2
+    * nodes are defined 0). Scale shape: the co-graph build is the shared
+    * group-agg, the triangle join is edge-oriented (never wedge-per-node
+    * quadratic at hubs), and the rest is two keyed aggregates.
+    */
+  private val g14SqlTmpl: String =
+    s"""WITH co AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+      |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+      |tri AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM co e1 JOIN co e2 ON e2.u = e1.v
+      |  JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pt AS (
+      |  SELECT node, count(*) AS t FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) x
+      |  GROUP BY node)
+      |SELECT deg.node, deg.d AS degree,
+      |       COALESCE(pt.t, 0) AS n_triangles,
+      |       CASE WHEN deg.d >= 2
+      |            THEN (2 * COALESCE(pt.t, 0) * 1000000) $$DIV$$ (deg.d * (deg.d - 1))
+      |            ELSE 0 END AS coeff_micro
+      |FROM deg LEFT JOIN pt ON pt.node = deg.node""".stripMargin
+
+  /** The per-node coefficient SQL over whatever `lineitem` view is
+    * registered — separated (g02's pattern) so the spec can pin planted
+    * graphs: K4 -> every corner coeff 1e6; a star -> hub and leaves 0.
+    */
+  private[graft] def localClusteringFromView(s: SparkSession): DataFrame =
+    s.sql(g14SqlTmpl.replace("$DIV$", "div"))
+
+  def g14_local_clustering(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    localClusteringFromView(s)
+  }
+
   /** The truss peel over a canonical (u < v) edge list — separated so the
     * spec can drive a planted graph. Returns surviving edges with their
     * final triangle support.
@@ -515,6 +569,7 @@ object GraphQueries {
     "g11_harmonic_centrality" -> (g11_harmonic_centrality _),
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
+    "g14_local_clustering" -> (g14_local_clustering _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -752,6 +807,7 @@ object GraphQueries {
     }.mkString(",\n")
     Map(
       "g13_assortativity" -> g13Sql,
+      "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),
       "g12_link_prediction" ->
         s"""WITH co AS (
            |  SELECT u, v FROM (

@@ -462,7 +462,85 @@ object MultimodalQueries {
       .unionByName(summarize("fixed", fixedFps(v1), fixedFps(v2)))
   }
 
+  /** 63-bit perceptual DIFFERENCE hash (Krawetz's dHash, the cheapest of
+    * the perceptual-hash family): the payload is "downsampled" into 64
+    * equal byte segments and bit i records whether segment i+1's mean
+    * exceeds segment i's — compared by exact cross-multiplication
+    * (sum·len vs sum·len), so no division and no float anywhere. The
+    * defining property is LOCALITY: a same-length edit touching one
+    * segment can flip at most the two comparisons adjacent to it, while
+    * unrelated payloads differ in ~half of 63 bits.
+    */
+  private[operators] def dhash63(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val sums = new Array[Long](64)
+    val lens = new Array[Long](64)
+    var i = 0
+    while (i < 64) {
+      val lo = (i.toLong * n / 64).toInt
+      val hi = ((i + 1).toLong * n / 64).toInt
+      var acc = 0L
+      var j = lo
+      while (j < hi) { acc += bytes(j) & 0xff; j += 1 }
+      sums(i) = acc
+      lens(i) = hi - lo
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 63) {
+      if (sums(i + 1) * lens(i) > sums(i) * lens(i + 1)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** m15: perceptual-hash NEAR-dup across collections — the image-dedup
+    * flow every multimodal corpus runs (pHash/dHash the payloads, match in
+    * Hamming space) posed as collection A vs its RE-ENCODED copy: each
+    * payload reappears with one same-length byte edit (last symbol
+    * case-flipped — the stand-in for a re-encode that perturbs a few
+    * pixels), and the pipeline must pair every original with its variant
+    * while rejecting all unrelated payloads. dHash locality makes the
+    * planted pairs differ by <= 2 of 63 bits where unrelated word-soup
+    * payloads differ by >= 13 (measured at sf0.01) — a clean margin under
+    * the Hamming <= 6 accept threshold. Candidates come from a 3-band
+    * LSH join (21 bits per band, exact-match on any band): by pigeonhole
+    * every pair within Hamming 2 shares an error-free band, so planted
+    * RECALL IS STRUCTURAL, not probabilistic — while the bucket join
+    * never enumerates all pairs. At 100 TB: the hash rides the decode
+    * scan (one pass, 8 bytes out per payload), the join touches only
+    * band-colliding candidates, verification is xor+popcount in codegen.
+    * All-integer arithmetic end to end -> hash-green (the DuckDB twin
+    * rebuilds the same hashes from the hex dump, m06's trick).
+    */
+  def m15_dhash_neardup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val variant = base.select((col("doc_id") + 10000000L).as("doc_id"),
+      expr("concat(substring(text, 1, length(text) - 1), " +
+        "upper(substring(text, length(text), 1)))").as("text"))
+    val hashes = base.unionByName(variant)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .as[MediaBytes]
+      .mapPartitions(it => it.map(r => (r.doc_id, dhash63(r.media))))
+      .toDF("doc_id", "dh")
+    val bands = hashes.select(col("doc_id"), col("dh"),
+        explode(expr("sequence(0, 2)")).as("j"))
+      .withColumn("band", expr("shiftright(dh, 21 * j) & 2097151"))
+    bands.as("a").join(bands.as("b"),
+        col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.dh").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.dh").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m15_dhash_neardup" -> (m15_dhash_neardup _),
     "m12_delta_transfer" -> (m12_delta_transfer _),
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
@@ -480,6 +558,44 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m15_dhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |allrows AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         substring(text, 1, length(text) - 1)
+        |           || upper(substring(text, length(text), 1))
+        |  FROM base),
+        |c AS (SELECT doc_id, hex(encode(text)) AS h,
+        |             octet_length(encode(text)) AS nb FROM allrows),
+        |b AS (
+        |  SELECT doc_id, nb,
+        |         list_transform(range(1, nb + 1),
+        |           i -> (strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1) * 16
+        |                + (strpos('0123456789ABCDEF', h[2*i:2*i]) - 1)) AS bytes
+        |  FROM c),
+        |sg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64), i ->
+        |           coalesce(list_sum(bytes[(i*nb)//64 + 1:((i+1)*nb)//64]), 0)) AS sums,
+        |         list_transform(range(0, 64), i ->
+        |           ((i+1)*nb)//64 - (i*nb)//64) AS lens
+        |  FROM b),
+        |hs AS (
+        |  SELECT doc_id,
+        |         CAST(coalesce(list_sum(list_transform(range(0, 63), i ->
+        |           CASE WHEN sums[i+2] * lens[i+1] > sums[i+1] * lens[i+2]
+        |                THEN (1::BIGINT << i) ELSE 0 END)), 0) AS BIGINT) AS dh
+        |  FROM sg),
+        |bb AS (
+        |  SELECT doc_id, dh, j, (dh >> (21*j)) & 2097151 AS band
+        |  FROM (SELECT doc_id, dh, unnest(generate_series(0, 2)) AS j FROM hs) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.dh AS ha, b.doc_id AS doc_b, b.dh AS hb
+        |  FROM bb a JOIN bb b ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 6""".stripMargin,
     "m12_delta_transfer" -> {
       // one CDC fp pipeline per corpus version (DuckDB has no macros in
       // this dialect path — the duplication is mechanical)

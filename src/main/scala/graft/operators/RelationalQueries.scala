@@ -2173,7 +2173,85 @@ object RelationalQueries {
   def q109_mad_outliers(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(madSql("percentile"))
 
+  /** q110: A/B-TEST significance — the two-proportion z-test every
+    * experimentation readout runs (variant = user-id parity, the
+    * deterministic stand-in for an assignment column; conversion = the
+    * user ever fired a big-ticket `purchase` — value > 150, a threshold
+    * that keeps both rates strictly inside (0, 1) so the pooled variance
+    * never degenerates). Pipeline: per-user conversion
+    * flag (one grouped max over the scan), per-variant user/conversion
+    * counts (integers), then the pooled-proportion z statistic
+    *
+    *   {{{z = (pA - pB) / sqrt(p(1-p)(1/nA + 1/nB))}}}
+    *
+    * as ONE final double region over exact int64 counts — q67/g13's
+    * recipe: IEEE divide/sqrt are correctly rounded, so identical integer
+    * inputs give bit-identical doubles on both engines, rounded to 9 to
+    * guard display representation. Scale shape: two hash aggregates (the
+    * first keyed by user, map-side combinable) and a 2-row pivot —
+    * scan-bound at any event volume.
+    */
+  private val q110Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'purchase' AND value > 150
+      |             THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |v AS (
+      |  SELECT user_id % 2 AS variant, count(*) AS n,
+      |         CAST(sum(conv) AS BIGINT) AS c
+      |  FROM u GROUP BY user_id % 2),
+      |w AS (
+      |  SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |         max(CASE WHEN variant = 0 THEN c END) AS conv_a,
+      |         max(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |         max(CASE WHEN variant = 1 THEN c END) AS conv_b
+      |  FROM v)
+      |SELECT n_a, conv_a, n_b, conv_b,
+      |       (conv_a * 1000000) $DIV$ n_a AS rate_a_micro,
+      |       (conv_b * 1000000) $DIV$ n_b AS rate_b_micro,
+      |       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+      |             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+      |                    * (1.0 / n_a + 1.0 / n_b)), 9) AS z_score
+      |FROM w""".stripMargin
+
+  def q110_ab_test(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "events")(q110Sql.replace("$DIV$", "div"))
+
+  /** q111: exact WEIGHTED median — the selection twin of q40 when rows
+    * carry mass (price levels weighted by quantity: "the price at which
+    * half the VOLUME trades", not half the rows). Cumulative weight per
+    * group via a RANGE-framed running sum (default ORDER BY frame on both
+    * engines sums all peers, so equal prices accumulate atomically — no
+    * intra-tie order sensitivity), then the smallest price whose
+    * cumulative weight reaches half the total. Pure SELECTION: the output
+    * value is an input value, no interpolation arithmetic — and the
+    * quantity weights are integral doubles whose sums are exact, so the
+    * comparison 2*cumw >= totw is order-independent -> hash-green.
+    * Same 100 TB honesty as q40: the running sum sorts within groups
+    * (3 reducers here); at scale the move is the q46 sketch or a
+    * two-phase weighted-histogram scan (q108's pattern).
+    */
+  private val q111Sql: String =
+    """WITH cw AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |                               ORDER BY l_extendedprice) AS cumw,
+      |         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |       min(l_extendedprice) AS weighted_median,
+      |       CAST(min(totw) AS BIGINT) AS total_weight
+      |FROM cw WHERE 2 * cumw >= totw
+      |GROUP BY l_returnflag""".stripMargin
+
+  def q111_weighted_median(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q111Sql)
+
   val queries: Map[String, Q] = Map(
+    "q110_ab_test" -> (q110_ab_test _),
+    "q111_weighted_median" -> (q111_weighted_median _),
     "q109_mad_outliers" -> (q109_mad_outliers _),
     "q108_pareto_abc" -> (q108_pareto_abc _),
     "q107_rolling_ols" -> (q107_rolling_ols _),
@@ -2679,6 +2757,8 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
     "q109_mad_outliers" -> madSql("quantile_cont"),
+    "q110_ab_test" -> q110Sql.replace("$DIV$", "//"),
+    "q111_weighted_median" -> q111Sql,
     "q108_pareto_abc" ->
       """WITH r AS (
         |  SELECT o_custkey,

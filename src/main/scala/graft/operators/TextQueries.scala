@@ -928,7 +928,47 @@ object TextQueries {
     TopKPerGroup.topK(tok, Seq("term"), Seq(Ord("doc_id"), Ord("pos")), 20)
   }
 
+  /** t26: COLLOCATION mining — statistically-bound word pairs via the
+    * Dice coefficient, the pre-tokenizer vocabulary probe ("should
+    * `new york` be ONE token?") and the phrase-detection pass word2vec-
+    * style pipelines run before training: adjacent-token bigrams from
+    * one positional pass (zero joins — the transform/slice lambda rides
+    * the scan), unigram and bigram hash aggregates, then
+    *
+    *   {{{dice_micro = 2 * c(ab) * 1e6  div  (c(a) + c(b))}}}
+    *
+    * in integer micro-units (count arithmetic only -> hash-green; Dice
+    * over PMI because PMI's N²-scaled ratio overflows int64 where Dice
+    * stays bounded, and log-free means no cross-engine libm exposure).
+    * Support floor c(ab) >= 5 (Mikolov et al.'s min-count) keeps rare-pair
+    * noise out; top-20 by (dice, a, b) is a full deterministic order.
+    * Scale shape: two map-side-combinable aggregates over the token scan
+    * + two keyed joins of the bigram table against the unigram table —
+    * vocabulary-sized frames, never corpus-sized; no broadcast hint so
+    * AQE decides when the unigram side actually fits (Heaps' law, t05's
+    * argument).
+    */
+  def t26_collocations(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val big = toks.select(explode(expr(
+        "transform(slice(ts, 1, size(ts) - 1), (w, i) -> struct(w AS a, ts[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    big.join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+      .withColumn("dice_micro", expr("(2 * cab * 1000000) div (ca + cb)"))
+      .orderBy(col("dice_micro").desc, col("a"), col("b"))
+      .limit(20)
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        col("dice_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t26_collocations" -> (t26_collocations _),
     "t25_kwic" -> (t25_kwic _),
     "t24_persisted_bm25" -> (t24_persisted_bm25 _),
     "t23_novelty" -> (t23_novelty _),
@@ -988,6 +1028,22 @@ object TextQueries {
       |WHERE rk <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t26_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |uni AS (
+        |  SELECT u.w AS w, count(*) AS cw
+        |  FROM toks, unnest(ts) AS u(w) GROUP BY 1),
+        |big AS (
+        |  SELECT ts[i] AS a, ts[i + 1] AS b, count(*) AS cab
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (
+        |  SELECT big.a, big.b, cab, ua.cw AS ca, ub.cw AS cb,
+        |         (2 * cab * 1000000) // (ua.cw + ub.cw) AS dice_micro
+        |  FROM big JOIN uni ua ON ua.w = big.a JOIN uni ub ON ub.w = big.b)
+        |SELECT a, b, cab, ca, cb, dice_micro FROM sc
+        |ORDER BY dice_micro DESC, a, b LIMIT 20""".stripMargin,
     "t25_kwic" ->
       """WITH t AS (
         |  SELECT doc_id, toks, i AS p, toks[i] AS term

@@ -309,6 +309,22 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q108_pareto_abc(spark, sf).count())
       time(s"$tag q109_mad_outliers")(
         graft.operators.RelationalQueries.q109_mad_outliers(spark, sf).count())
+      // twentieth wave: g14's triangle join is edge-oriented (canonical
+      // a<b<c, never wedge-quadratic at hubs); t26 is two token-scan
+      // aggregates + vocabulary-sized joins; m15's banded Hamming join on
+      // the clone-densified corpus is OUTPUT-bound (every doc gains 9
+      // identical copies, so planted pairs grow ~100x by construction);
+      // q110/q111 are scan + tiny aggregates / a 3-group window
+      time(s"$tag g14_local_clustering")(
+        graft.operators.GraphQueries.g14_local_clustering(spark, sf).count())
+      time(s"$tag t26_collocations")(
+        graft.operators.TextQueries.t26_collocations(spark, sf).count())
+      time(s"$tag m15_dhash_neardup")(
+        graft.operators.MultimodalQueries.m15_dhash_neardup(spark, sf).count())
+      time(s"$tag q110_ab_test")(
+        graft.operators.RelationalQueries.q110_ab_test(spark, sf).count())
+      time(s"$tag q111_weighted_median")(
+        graft.operators.RelationalQueries.q111_weighted_median(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -803,6 +803,46 @@ class QueriesSpec extends SparkTestBase {
     assert(r.getAs[Double]("clustering_coeff") == 1.0)
   }
 
+  test("g14 local clustering: K4 corners are 1e6; star hub and leaves are 0") {
+    import spark.implicits._
+    // K4 on suppliers 1-4 (every pair co-occurs in 30 shared orders) plus
+    // a disjoint star 5-(6,7,8): leaves co-occur only with the hub, never
+    // with each other, so hub deg 3 / tri 0 -> coeff 0, leaves deg 1 -> 0,
+    // while every K4 corner sits in 3 of the C(3,2)=3 possible triangles
+    // among its neighbors -> exactly 1e6 micro-units
+    val k4 = for (o <- 1 to 30; sup <- 1 to 4) yield (o.toLong, sup.toLong)
+    val star = for (o <- 31 to 60; sup <- Seq(5L, 5L + 1 + (o - 31) % 3))
+      yield (o.toLong, sup)
+    (k4 ++ star).toDF("l_orderkey", "l_suppkey")
+      .createOrReplaceTempView("lineitem")
+    val rows = operators.GraphQueries.localClusteringFromView(spark).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("coeff_micro"))).toMap
+    (1L to 4L).foreach { n =>
+      assert(rows(n) == ((3L, 3L, 1000000L)), s"K4 corner $n: ${rows(n)}")
+    }
+    assert(rows(5L) == ((3L, 0L, 0L)), s"star hub: ${rows(5L)}")
+    (6L to 8L).foreach { n =>
+      assert(rows(n) == ((1L, 0L, 0L)), s"star leaf $n: ${rows(n)}")
+    }
+  }
+
+  test("m15 dHash: every payload pairs with its re-encode within Hamming 2; no cross pairs") {
+    val docs = Tables.documents(spark, sf).count()
+    val rows = SparkEntry.queries("m15_dhash_neardup")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    // structural recall: one pair per document, nothing else — the planted
+    // variant is a same-length single-segment edit, so locality bounds it
+    // to <= 2 flipped comparisons and pigeonhole guarantees a clean band
+    assert(rows.length == docs, s"expected $docs planted pairs, got ${rows.length}")
+    rows.foreach { case (a, b, h) =>
+      assert(b - a == 10000000L, s"non-planted pair ($a, $b) survived")
+      assert(h <= 2, s"planted pair ($a, $b) at hamming $h > locality bound 2")
+    }
+  }
+
   test("s16 MMR: first pick per query is the exact cosine top-1; picks distinct") {
     val s16 = SparkEntry.queries("s16_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
