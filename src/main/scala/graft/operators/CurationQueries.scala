@@ -879,7 +879,66 @@ object CurationQueries {
         col("text").as("cleaned"))
   }
 
+  /** Number of greedy exemplar picks and the candidate pool bound for
+    * c30 (candidates = vec_id < [[C30Cands]] — a fixed serving-sized pool,
+    * the shape any coreset selector uses so the per-round gain aggregate
+    * is |corpus| x |pool|, never |corpus|²).
+    */
+  private val C30K = 5
+  private val C30Cands = 32
+
+  /** c30: EXEMPLAR (coreset) selection by greedy facility location — the
+    * "pick k representative documents" curation step (active-learning
+    * seeds, few-shot exemplar pools, dataset cards): maximize
+    *
+    *   {{{F(S) = sum_v max(0, max_{c in S} sim(v, c))}}}
+    *
+    * the classic monotone-submodular objective whose greedy optimizer
+    * carries the Nemhauser 1-1/e guarantee. Determinism: similarities
+    * quantize ONCE to integer micro-units (round agrees across engines —
+    * the s07 playbook), so every coverage sum is exact int64 arithmetic
+    * and the argmax (total desc, then candidate id) is a full order —
+    * the whole greedy trajectory hash-checks against a DuckDB oracle
+    * unrolling the same five rounds. Scale shape: the sims frame is one
+    * corpus scan against the broadcast 32-candidate pool (checkpointed —
+    * all rounds reuse it); each round is one keyed join + hash aggregate
+    * over |corpus| x |pool| rows plus a 1-row argmax collect (k-bounded
+    * driver traffic); the cover vector is corpus-sized but only ever
+    * joined by key, never collected.
+    */
+  def c30_exemplar_selection(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    val e = Tables.embeddings(s, d)
+    val cand = e.filter(col("vec_id") < C30Cands)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val simsQ = e.crossJoin(broadcast(cand))
+      .select(col("vec_id").as("v"), col("c_id"),
+        (round(cosine_similarity(col("embedding"), col("c_emb")) * 1000000)
+          .cast("long")).as("sim"))
+      .localCheckpoint()
+    var cover = simsQ.select(col("v")).distinct().withColumn("cov", lit(0L))
+    var picked = List.empty[(Long, Long, Long)] // (rank, c_id, coverage)
+    for (k <- 1 to C30K) {
+      val gains = simsQ
+        .filter(!col("c_id").isin(picked.map(_._2): _*))
+        .join(cover, "v")
+        .groupBy(col("c_id"))
+        .agg(sum(greatest(col("sim"), col("cov"))).as("total"))
+      val best = gains.orderBy(col("total").desc, col("c_id")).limit(1)
+        .collect().head // 1 row per round: k-bounded driver traffic
+      val (cId, total) = (best.getLong(0), best.getLong(1))
+      picked ::= ((k.toLong, cId, total))
+      cover = simsQ.filter(col("c_id") === cId)
+        .join(cover, "v")
+        .select(col("v"), greatest(col("sim"), col("cov")).as("cov"))
+        .localCheckpoint()
+    }
+    import s.implicits._
+    picked.reverse.toDF("rank", "c_id", "coverage_micro")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c30_exemplar_selection" -> (c30_exemplar_selection _),
     "c22_preprocess_recipe" -> (c22_preprocess_recipe _),
     "c21_sample_k_per_group" -> (c21_sample_k_per_group _),
     "c17_weighted_sample" -> (c17_weighted_sample _),
@@ -1064,7 +1123,49 @@ object CurationQueries {
       |WHERE g.doc_id % 19 <> 0
       |GROUP BY g.doc_id""".stripMargin
 
+  /** DuckDB twin of c30's greedy trajectory, unrolled round by round
+    * (g10's generated-CTE pattern): identical quantized sims, identical
+    * greatest-folds, identical (total desc, c_id) argmax.
+    */
+  private lazy val c30Oracle: String = {
+    val simExpr =
+      """CAST(round(1000000 * (
+        |    list_sum(list_transform(list_zip(e.emb, c.c_emb), x -> x[1] * x[2]))
+        |    / (sqrt(list_sum(list_transform(e.emb, v -> v * v)))
+        |       * sqrt(list_sum(list_transform(c.c_emb, v -> v * v)))))) AS BIGINT)""".stripMargin
+    val head =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cand AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $C30Cands),
+         |sims AS (
+         |  SELECT e.vec_id AS v, c.c_id, $simExpr AS sim
+         |  FROM e, cand c),
+         |g1 AS (SELECT c_id, CAST(sum(greatest(sim, 0)) AS BIGINT) AS total
+         |       FROM sims GROUP BY c_id),
+         |p1 AS (SELECT c_id, total FROM g1 ORDER BY total DESC, c_id LIMIT 1),
+         |cov1 AS (SELECT s.v, greatest(s.sim, 0) AS cov
+         |         FROM sims s CROSS JOIN p1 WHERE s.c_id = p1.c_id)""".stripMargin
+    val rounds = (2 to C30K).map { k =>
+      val exclusion = (1 until k).map(i => s"SELECT c_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""g$k AS (
+         |  SELECT s.c_id, CAST(sum(greatest(s.sim, c.cov)) AS BIGINT) AS total
+         |  FROM sims s JOIN cov${k - 1} c ON c.v = s.v
+         |  WHERE s.c_id NOT IN ($exclusion)
+         |  GROUP BY s.c_id),
+         |p$k AS (SELECT c_id, total FROM g$k ORDER BY total DESC, c_id LIMIT 1),
+         |cov$k AS (
+         |  SELECT c.v, greatest(c.cov, s.sim) AS cov
+         |  FROM cov${k - 1} c JOIN sims s ON s.v = c.v
+         |  CROSS JOIN p$k WHERE s.c_id = p$k.c_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to C30K).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, c_id, total AS coverage_micro FROM p$i")
+      .mkString("\nUNION ALL\n")
+    s"$head,\n$rounds\n$sel"
+  }
+
   val oracles: Map[String, String] = Map(
+    "c30_exemplar_selection" -> c30Oracle,
     "c22_preprocess_recipe" ->
       """WITH c AS (
         |  SELECT doc_id, lang,

@@ -485,6 +485,67 @@ object GraphQueries {
       |            ELSE 0 END AS coeff_micro
       |FROM deg LEFT JOIN pt ON pt.node = deg.node""".stripMargin
 
+  /** g15: attribute MODULARITY (Newman & Girvan) — "how much of the
+    * co-purchase structure does the supplier's NATION explain?": the
+    * modularity of the co-supplier graph under the partition given by an
+    * existing node attribute, the one-number check a curation pipeline
+    * runs before trusting a metadata field as a grouping signal (domains
+    * as communities, languages as communities). For communities c with
+    * within-edges e_c and degree sums d_c over m undirected edges,
+    *
+    *   {{{Q = sum_c (e_c / m  -  (d_c / 2m)^2)}}}
+    *
+    * computed as ONE integer division: numerator sum_c (4·m·e_c - d_c²),
+    * denominator 4·m² — exact int64 arithmetic at any graph size that
+    * fits edge counts (m up to ~2e4 here; 4m² ~ 1.6e9, x1e6 micro-scale
+    * still << 2^63), and truncation agrees across engines for negative Q
+    * (both truncate toward zero). Scale shape: the co-graph aggregate,
+    * two keyed joins against the broadcast-size supplier attribute, and
+    * two community-keyed aggregates — no iteration, no per-node state.
+    */
+  private val g15SqlTmpl: String =
+    s"""WITH co AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+      |nat AS (SELECT s_suppkey AS node, s_nationkey AS comm FROM supplier),
+      |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM co),
+      |ec AS (
+      |  SELECT na.comm, CAST(count(*) AS BIGINT) AS e_c
+      |  FROM co JOIN nat na ON na.node = co.u
+      |          JOIN nat nb ON nb.node = co.v AND nb.comm = na.comm
+      |  GROUP BY na.comm),
+      |dc AS (
+      |  SELECT nat.comm, CAST(sum(deg.d) AS BIGINT) AS d_c
+      |  FROM deg JOIN nat ON nat.node = deg.node
+      |  GROUP BY nat.comm),
+      |agg AS (
+      |  SELECT CAST(sum(4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c)
+      |              AS BIGINT) AS num,
+      |         min(mm.m) AS m,
+      |         count(*) AS n_communities
+      |  FROM dc CROSS JOIN mm LEFT JOIN ec ON ec.comm = dc.comm)
+      |SELECT m AS n_edges, n_communities,
+      |       (1000000 * num) $$DIV$$ (4 * m * m) AS modularity_micro
+      |FROM agg""".stripMargin
+
+  /** The modularity SQL over registered `lineitem` + `supplier` views —
+    * separated so the spec can pin planted partitions (two disjoint
+    * cliques labeled apart -> strongly positive; labeled across -> the
+    * same magnitude negative... exact values asserted).
+    */
+  private[graft] def modularityFromViews(s: SparkSession): DataFrame =
+    s.sql(g15SqlTmpl.replace("$DIV$", "div"))
+
+  def g15_modularity(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    modularityFromViews(s)
+  }
+
   /** The per-node coefficient SQL over whatever `lineitem` view is
     * registered — separated (g02's pattern) so the spec can pin planted
     * graphs: K4 -> every corner coeff 1e6; a star -> hub and leaves 0.
@@ -570,6 +631,7 @@ object GraphQueries {
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
+    "g15_modularity" -> (g15_modularity _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -808,6 +870,7 @@ object GraphQueries {
     Map(
       "g13_assortativity" -> g13Sql,
       "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),
+      "g15_modularity" -> g15SqlTmpl.replace("$DIV$", "//"),
       "g12_link_prediction" ->
         s"""WITH co AS (
            |  SELECT u, v FROM (

@@ -2249,7 +2249,84 @@ object RelationalQueries {
   def q111_weighted_median(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q111Sql)
 
+  /** q112: EXPONENTIALLY-weighted moving average — the recency-biased twin
+    * of q48's uniform moving average (monitoring and forecasting default
+    * to EWMA because a level shift shows up in days, not after the window
+    * ages out). Decay alpha = 1/2 with BINARY weights 2^9..2^0 over the
+    * last 10 daily observations, normalized by the sum of the weights
+    * actually present (the standard finite-window "adjust=True"
+    * formulation) — so numerator and denominator are exact integers and
+    * the EWMA is one integer division: hash-green with no float windows
+    * anywhere. The lag chain is 9 offsets over the per-day PARTIALS, and
+    * that is the scale story (q107's): the corpus-sized work is the
+    * map-side-combinable daily aggregate; the window runs over
+    * |status| x |days| rows — thousands, at any fact-table size.
+    */
+  private def ewmaSql(dayExpr: String, div: String): String = {
+    val lags = (1 to 9).map(i =>
+      s"lag(cents, $i) OVER (PARTITION BY o_orderstatus ORDER BY day) AS c$i")
+      .mkString(",\n         ")
+    val num = "cents * 512 + " +
+      (1 to 9).map(i => s"coalesce(c$i, 0) * ${1 << (9 - i)}").mkString(" + ")
+    val den = "512 + " +
+      (1 to 9).map(i => s"CASE WHEN c$i IS NULL THEN 0 ELSE ${1 << (9 - i)} END")
+        .mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT o_orderstatus, $dayExpr AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1, 2),
+       |l AS (
+       |  SELECT o_orderstatus, day, cents,
+       |         $lags
+       |  FROM daily)
+       |SELECT o_orderstatus, day, cents,
+       |       ($num) $div ($den) AS ewma_cents
+       |FROM l""".stripMargin
+  }
+
+  def q112_ewma(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      ewmaSql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
+  /** q113: top-N + OTHER rollup — the BI "iceberg" presentation shape
+    * (chart the top 5 suppliers, collapse the tail into one OTHER bucket
+    * with its true share, so the legend is bounded while totals still
+    * reconcile to 100%). Revenue in exact cents, global rank over
+    * per-supplier AGGREGATES (dimension-sized — the fact scan never meets
+    * the window), shares in integer per-mille against the grand total.
+    * The whole thing is integers -> hash-green; the rank-over-partials is
+    * the same honest-scale note as q108: |suppliers| rows through one
+    * ordered window, with the two-phase scan as the giant-dimension path.
+    */
+  private def q113Sql(strT: String, div: String): String =
+    s"""WITH r AS (
+       |  SELECT l_suppkey,
+       |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |           AS cents
+       |  FROM lineitem GROUP BY l_suppkey),
+       |rk AS (
+       |  SELECT l_suppkey, cents,
+       |         row_number() OVER (ORDER BY cents DESC, l_suppkey) AS rn
+       |  FROM r),
+       |b AS (
+       |  SELECT CASE WHEN rn <= 5 THEN concat('S', CAST(l_suppkey AS $strT))
+       |              ELSE 'OTHER' END AS bucket,
+       |         cents
+       |  FROM rk),
+       |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM r)
+       |SELECT bucket,
+       |       count(*) AS n_suppliers,
+       |       CAST(sum(cents) AS BIGINT) AS cents,
+       |       (CAST(sum(cents) AS BIGINT) * 1000) $div min(tc) AS share_pm
+       |FROM b CROSS JOIN tot
+       |GROUP BY bucket""".stripMargin
+
+  def q113_topn_other(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q113Sql("STRING", "div"))
+
   val queries: Map[String, Q] = Map(
+    "q113_topn_other" -> (q113_topn_other _),
+    "q112_ewma" -> (q112_ewma _),
     "q110_ab_test" -> (q110_ab_test _),
     "q111_weighted_median" -> (q111_weighted_median _),
     "q109_mad_outliers" -> (q109_mad_outliers _),
@@ -2758,6 +2835,9 @@ object RelationalQueries {
         |FROM events GROUP BY user_id""".stripMargin,
     "q109_mad_outliers" -> madSql("quantile_cont"),
     "q110_ab_test" -> q110Sql.replace("$DIV$", "//"),
+    "q113_topn_other" -> q113Sql("VARCHAR", "//"),
+    "q112_ewma" -> ewmaSql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q111_weighted_median" -> q111Sql,
     "q108_pareto_abc" ->
       """WITH r AS (

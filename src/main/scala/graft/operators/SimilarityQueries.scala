@@ -833,6 +833,57 @@ object SimilarityQueries {
           graft.functions.VectorFunctions.maxsim_score(
             col("q_emb"), col("embedding"), 8).as("sim")))
 
+  /** s28: IVF RECALL-vs-nprobe SWEEP — the tuning table an operator reads
+    * before fixing an ANN deployment's nprobe (d25's LSH S-curve, for the
+    * IVF family): for nprobe = 1..4, route each query to its n best
+    * quantized-mean cells, take the in-cell exact top-5, and score
+    * measured recall@5 against s01's exact truth, in integer per-mille.
+    * Everything is shared deterministic arithmetic (the s04/s08 routing,
+    * s01's cosine, integer hit counts), so unlike a sampled recall probe
+    * this whole MEASUREMENT hash-checks cross-engine. Plan shape: routing
+    * ranks over 10x8 rows, ONE corpus scan scores candidates for all four
+    * sweep points (the nprobe spine explodes on the broadcast query side
+    * only), per-(nprobe, query) top-5 through the partial heaps, and the
+    * recall join touches 4 x 50 shortlist rows. QueriesSpec pins the
+    * ladder: recall non-decreasing in nprobe, and the nprobe=2 row equals
+    * s08's recall by construction.
+    */
+  def s28_recall_sweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .localCheckpoint() // centroids, candidate scan and exact truth share it
+    val cells = quantizedMeanCells(e)
+    val routed = TopKPerGroup.topK(
+      queriesSide(s, d)
+        .crossJoin(broadcast(cells))
+        .withColumn("c_sim",
+          cosine_similarity(col("q_emb").cast("array<double>"), col("centroid")))
+        .select(col("q_id"), col("q_emb"), col("cell"), col("c_sim")),
+      Seq("q_id"), Seq(Ord("c_sim", desc = true), Ord("cell")), 4)
+      .withColumn("rk", row_number().over( // <= 4 rows per query
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("cell"))))
+    import s.implicits._
+    val probes = routed.crossJoin(broadcast(Seq(1, 2, 3, 4).toDF("nprobe")))
+      .filter(col("rk") <= col("nprobe"))
+      .select(col("nprobe"), col("q_id"), col("q_emb"), col("cell"))
+    val top5 = TopKPerGroup.topK(
+      e.join(broadcast(probes),
+          col("label") === col("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("nprobe"), col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")),
+      Seq("nprobe", "q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
+    val exact = s01_knn_bruteforce(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    top5.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_shortlist"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_shortlist"),
+        col("n_hits"),
+        expr(s"(n_hits * 1000) div ${NQueries.toLong * K}").as("recall_pm"))
+  }
+
   /** Cosine threshold for s23 range search — chosen so each query returns
     * a non-trivial, non-exhaustive neighbor set on the fixture corpus.
     */
@@ -1010,6 +1061,7 @@ object SimilarityQueries {
     "s04_ivf_ann" -> (s04_ivf_ann _),
     "s05_zipwith_cosine" -> (s05_zipwith_cosine _),
     "s21_knn_classify" -> (s21_knn_classify _),
+    "s28_recall_sweep" -> (s28_recall_sweep _),
   )
 
   /** s21: k-NN label CLASSIFICATION — the label-transfer use of the
@@ -1316,6 +1368,57 @@ object SimilarityQueries {
         |WHERE rk <= 5""".stripMargin,
     "s04_ivf_ann" -> ivfOracle(1),
     "s08_ivf_nprobe" -> ivfOracle(2),
+    "s28_recall_sweep" ->
+      s"""WITH ex AS (
+         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT cell, list(sd ORDER BY pos) AS centroid FROM (
+         |    SELECT cell, pos,
+         |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+         |    FROM ex GROUP BY cell, pos) GROUP BY cell),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+         |      FROM embeddings WHERE vec_id < 10),
+         |r AS (
+         |  SELECT q_id, q_emb, cell, rk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY c_sim DESC, cell) AS rk
+         |    FROM (
+         |      SELECT q.q_id, q.q_emb, c.cell,
+         |             ${duckCosine("q.q_emb", "c.centroid")} AS c_sim
+         |      FROM q CROSS JOIN cent c) s0) s1
+         |  WHERE rk <= 4),
+         |np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+         |pr AS (SELECT np.nprobe, r.q_id, r.q_emb, r.cell
+         |       FROM r CROSS JOIN np WHERE r.rk <= np.nprobe),
+         |p AS (
+         |  SELECT pr.nprobe, pr.q_id, e.vec_id,
+         |         ${duckCosine("pr.q_emb", "e.embedding::DOUBLE[]")} AS sim
+         |  FROM pr JOIN embeddings e ON e.label = pr.cell AND e.vec_id <> pr.q_id),
+         |t5 AS (
+         |  SELECT nprobe, q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+         |                ORDER BY sim DESC, vec_id) AS rk FROM p) t
+         |  WHERE rk <= 5),
+         |ep AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${duckCosine("q.q_emb", "e.embedding::DOUBLE[]")} AS sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |exact AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |                ORDER BY sim DESC, vec_id) AS rk FROM ep) t
+         |  WHERE rk <= 5)
+         |SELECT CAST(t5.nprobe AS BIGINT) AS nprobe,
+         |       count(*) AS n_shortlist,
+         |       CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_hits,
+         |       (CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
+         |             AS BIGINT) * 1000) // 50 AS recall_pm
+         |FROM t5 LEFT JOIN exact
+         |  ON exact.q_id = t5.q_id AND exact.vec_id = t5.vec_id
+         |GROUP BY t5.nprobe""".stripMargin,
     "s19_late_interaction" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -967,7 +967,59 @@ object TextQueries {
         col("dice_micro"))
   }
 
+  /** t27: RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase pass document-understanding pipelines run for indexing and
+    * topic audit: candidate phrases are the maximal runs of non-stopword
+    * tokens (the classic gaps-and-islands rewrite: positional tokens,
+    * stopwords filtered, run key = pos − row_number), capped at RAKE's
+    * standard 4 words; each word scores deg/freq (deg = summed length of
+    * phrases containing it — co-occurrence weighted, freq = its candidate
+    * occurrences) and a phrase scores the sum of its words' scores.
+    * Scores in integer micro-units (counts only, no floats -> hash-green);
+    * top-20 under a full (score, phrase) order. Scale shape: one
+    * positional explode rides the scan; the islands window partitions BY
+    * DOCUMENT (parallel at any corpus size — never a global window); word
+    * stats and phrase re-scores are vocabulary-/phrase-keyed hash
+    * aggregates and joins, all map-side combinable.
+    */
+  def t27_rake_keyphrases(s: SparkSession, d: String): DataFrame =
+    rakeFrom(Tables.documents(s, d))
+
+  /** The RAKE pipeline over any (doc_id, text) frame — separated so the
+    * spec can pin the hand-computed scores of a planted two-phrase doc.
+    */
+  private[graft] def rakeFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "w")
+    val runs = pos
+      .filter(!col("w").isin("the", "a", "of", "and"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .withColumn("run", col("pos") - col("rn"))
+    val ph = runs.groupBy(col("doc_id"), col("run"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), " +
+        "x -> x.w), ' ')").as("phrase"),
+        count(lit(1)).as("n_words"))
+      .filter(col("n_words") <= 4)
+    val ws = ph.select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .withColumn("sc", expr("(deg * 1000000) div freq"))
+    val pc = ph.groupBy(col("phrase"))
+      .agg(min(col("n_words")).as("n_words"), count(lit(1)).as("n_occur"))
+    pc.withColumn("w", explode(split(col("phrase"), " ")))
+      .join(ws.select(col("w"), col("sc")), "w")
+      .groupBy(col("phrase"), col("n_words"), col("n_occur"))
+      .agg(sum(col("sc")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(20)
+      .select(col("phrase"), col("n_words"), col("n_occur"), col("score_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t27_rake_keyphrases" -> (t27_rake_keyphrases _),
     "t26_collocations" -> (t26_collocations _),
     "t25_kwic" -> (t25_kwic _),
     "t24_persisted_bm25" -> (t24_persisted_bm25 _),
@@ -1028,6 +1080,35 @@ object TextQueries {
       |WHERE rk <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t27_rake_keyphrases" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i - 1 AS pos, ts[i] AS w
+        |  FROM toks, unnest(generate_series(1, len(ts))) AS g(i)),
+        |ns AS (
+        |  SELECT doc_id, pos, w,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM pos WHERE w NOT IN ('the','a','of','and')),
+        |ph AS (
+        |  SELECT doc_id, pos - rn AS run,
+        |         string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |         count(*) AS n_words
+        |  FROM ns GROUP BY doc_id, pos - rn
+        |  HAVING count(*) <= 4),
+        |wo AS (SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM ph),
+        |ws AS (SELECT w, count(*) AS freq,
+        |              CAST(sum(n_words) AS BIGINT) AS deg FROM wo GROUP BY w),
+        |wsc AS (SELECT w, (deg * 1000000) // freq AS sc FROM ws),
+        |pc AS (SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+        |              count(*) AS n_occur FROM ph GROUP BY phrase),
+        |psc AS (
+        |  SELECT pc.phrase, pc.n_words, pc.n_occur,
+        |         CAST(sum(w.sc) AS BIGINT) AS score_micro
+        |  FROM pc, unnest(string_split(pc.phrase, ' ')) AS u(tw), wsc w
+        |  WHERE w.w = u.tw
+        |  GROUP BY pc.phrase, pc.n_words, pc.n_occur)
+        |SELECT phrase, n_words, n_occur, score_micro FROM psc
+        |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
     "t26_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

@@ -325,6 +325,25 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q110_ab_test(spark, sf).count())
       time(s"$tag q111_weighted_median")(
         graft.operators.RelationalQueries.q111_weighted_median(spark, sf).count())
+      // wave 21: q112's window runs over day-grain partials (|days| rows at
+      // any fact size); g15 is two keyed joins + community aggregates; t27's
+      // islands window partitions per document
+      time(s"$tag q112_ewma")(
+        graft.operators.RelationalQueries.q112_ewma(spark, sf).count())
+      time(s"$tag g15_modularity")(
+        graft.operators.GraphQueries.g15_modularity(spark, sf).count())
+      time(s"$tag t27_rake")(
+        graft.operators.TextQueries.t27_rake_keyphrases(spark, sf).count())
+      // c30's five rounds are each one |corpus| x 32 join+agg; q113 ranks
+      // dimension-sized partials
+      time(s"$tag c30_exemplar_selection")(
+        graft.operators.CurationQueries.c30_exemplar_selection(spark, sf).count())
+      time(s"$tag q113_topn_other")(
+        graft.operators.RelationalQueries.q113_topn_other(spark, sf).count())
+      // s28 scans the corpus once for all four sweep points; candidate
+      // growth is the same cells-get-deeper curve as s04/s08
+      time(s"$tag s28_recall_sweep")(
+        graft.operators.SimilarityQueries.s28_recall_sweep(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

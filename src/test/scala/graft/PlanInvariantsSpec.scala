@@ -531,6 +531,43 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"sweep line degraded to interval join:\n${p.take(1200)}")
   }
 
+  test("m15 dHash: banded join stays keyed — never a cartesian/nested loop") {
+    val p = finalPlan("m15_dhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded Hamming join degraded to all-pairs:\n${p.take(1200)}")
+  }
+
+  test("t27 RAKE: islands window partitions by document, never one reducer") {
+    val df = SparkEntry.queries("t27_rake_keyphrases")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"islands window must partition per document:\n${p.take(1200)}")
+  }
+
+  test("c30 exemplar gains: candidate pool broadcasts; gain agg is partial/final") {
+    val df = SparkEntry.queries("c30_exemplar_selection")(spark, sf)
+    df.collect()
+    // the trajectory frame itself is driver-built (5 rows); pin the sims
+    // construction instead: corpus x pool must be a broadcast nested loop
+    // over the 32-row pool at worst, never a shuffled cross of two big sides
+    import graft.functions.VectorFunctions.cosine_similarity
+    import org.apache.spark.sql.functions.{broadcast, col, round}
+    val e = Tables.embeddings(spark, sf)
+    val cand = e.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val sims = e.crossJoin(broadcast(cand))
+      .select(col("vec_id").as("v"), col("c_id"),
+        round(cosine_similarity(col("embedding"), col("c_emb")) * 1000000)
+          .cast("long").as("sim"))
+    sims.count()
+    val p = sims.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"candidate pool must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus x pool must not shuffle the corpus:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

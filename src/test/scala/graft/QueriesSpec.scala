@@ -828,6 +828,79 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("g15 modularity: aligned two-clique partition scores +0.5; straddling partition negative") {
+    import spark.implicits._
+    // two disjoint K4s (suppliers 1-4 and 5-8); m = 12, per-clique e_c = 6,
+    // d_c = 12. Aligned labels -> Q = 2*(6/12 - (12/24)^2) = 0.5 exactly.
+    // Parity labels straddle both cliques: e_c = 2 per community ->
+    // Q = 2*(2/12 - 1/4) = -1/6 -> -166666 after truncation toward zero.
+    val li = (for (o <- 1 to 30; sup <- 1L to 4L) yield (o.toLong, sup)) ++
+      (for (o <- 31 to 60; sup <- 5L to 8L) yield (o.toLong, sup))
+    li.toDF("l_orderkey", "l_suppkey").createOrReplaceTempView("lineitem")
+    (1L to 8L).map(k => (k, if (k <= 4) 0L else 1L)).toDF("s_suppkey", "s_nationkey")
+      .createOrReplaceTempView("supplier")
+    val aligned = operators.GraphQueries.modularityFromViews(spark).collect().head
+    assert(aligned.getAs[Long]("n_edges") == 12L)
+    assert(aligned.getAs[Long]("n_communities") == 2L)
+    assert(aligned.getAs[Long]("modularity_micro") == 500000L,
+      s"aligned: $aligned")
+    (1L to 8L).map(k => (k, k % 2)).toDF("s_suppkey", "s_nationkey")
+      .createOrReplaceTempView("supplier")
+    val straddle = operators.GraphQueries.modularityFromViews(spark).collect().head
+    assert(straddle.getAs[Long]("modularity_micro") == -166666L,
+      s"straddling: $straddle")
+  }
+
+  test("s28 recall sweep: recall non-decreasing in nprobe; nprobe=2 row equals s08's measured recall") {
+    val sweep = SparkEntry.queries("s28_recall_sweep")(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("n_hits")).toMap
+    assert(sweep.keySet == Set(1L, 2L, 3L, 4L), s"sweep rows: $sweep")
+    (1L to 3L).foreach { n =>
+      assert(sweep(n) <= sweep(n + 1),
+        s"recall ladder broken at nprobe $n: $sweep")
+    }
+    // the sweep's nprobe=2 measurement must agree with counting s08's
+    // result against s01's truth directly — same routing, same kernel
+    val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val s08hits = SparkEntry.queries("s08_ivf_nprobe")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+      .count(exact.contains)
+    assert(sweep(2L) == s08hits.toLong,
+      s"sweep nprobe=2 (${sweep(2L)}) != s08 measured recall ($s08hits)")
+  }
+
+  test("c30 exemplar selection: coverage is monotone and marginal gains diminish") {
+    val rows = SparkEntry.queries("c30_exemplar_selection")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("coverage_micro"))).sortBy(_._1)
+    assert(rows.length == 5 && rows.map(_._2).distinct.length == 5,
+      s"five distinct exemplars expected: ${rows.toSeq}")
+    val gains = rows.map(_._3).zip(0L +: rows.map(_._3).dropRight(1))
+      .map { case (cur, prev) => cur - prev }
+    // greedy facility location: F monotone, marginal gains non-increasing
+    // (the submodularity receipt the 1-1/e guarantee rests on)
+    assert(gains.forall(_ >= 0L), s"coverage not monotone: ${rows.toSeq}")
+    gains.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"marginal gains not diminishing: ${gains.toSeq}")
+    }
+  }
+
+  test("t27 RAKE: hand-computed phrase scores on a planted two-phrase document") {
+    import spark.implicits._
+    // runs after stopword split: [deep learning] x2, [neural net].
+    // freq: deep 2, learning 2, neural 1, net 1; deg: 4, 4, 2, 2 ->
+    // every word scores 2e6, so both phrases score exactly 4e6
+    val docs = Seq((1L, "deep learning of deep learning the neural net"))
+      .toDF("doc_id", "text")
+    val out = operators.TextQueries.rakeFrom(docs).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_occur"), r.getAs[Long]("score_micro"))).toSet
+    assert(out == Set(
+      ("deep learning", 2L, 2L, 4000000L),
+      ("neural net", 2L, 1L, 4000000L)), s"RAKE scores wrong: $out")
+  }
+
   test("m15 dHash: every payload pairs with its re-encode within Hamming 2; no cross pairs") {
     val docs = Tables.documents(spark, sf).count()
     val rows = SparkEntry.queries("m15_dhash_neardup")(spark, sf).collect()
