@@ -546,6 +546,50 @@ object GraphQueries {
     modularityFromViews(s)
   }
 
+  /** g16: temporal graph EVOLUTION panel — the co-supplier graph rebuilt
+    * per order-month with its structural vitals (nodes, edges, density,
+    * mean degree), the "is the link structure drifting" monitor a
+    * continuously-ingested corpus needs before trusting any
+    * centrality-derived quality signal trained on last month's shape.
+    * Monthly graphs are sparser, so co-occurrence support >= 2 within the
+    * month replaces the global cut; density and mean degree are integer
+    * micro/per-mille divisions -> hash-green. Scale shape: ONE
+    * month-keyed self-join + aggregate builds every monthly edge list in
+    * the same shuffle (month rides the join key — no per-month passes),
+    * then two tiny keyed aggregates; months only add keys, never rounds.
+    */
+  private val g16SqlTmpl: String =
+    """WITH om AS (
+      |  SELECT o_orderkey, substring(CAST(CAST(o_orderdate AS DATE) AS $STR$), 1, 7)
+      |           AS month
+      |  FROM orders),
+      |co AS (
+      |  SELECT m.month, a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |                 AND a.l_suppkey < b.l_suppkey
+      |  JOIN om m ON m.o_orderkey = a.l_orderkey
+      |  GROUP BY m.month, a.l_suppkey, b.l_suppkey
+      |  HAVING count(*) >= 2),
+      |nodes AS (
+      |  SELECT month, count(*) AS n_nodes FROM (
+      |    SELECT month, u AS node FROM co
+      |    UNION SELECT month, v FROM co) x
+      |  GROUP BY month),
+      |edges AS (SELECT month, count(*) AS n_edges FROM co GROUP BY month)
+      |SELECT n.month, n.n_nodes, e.n_edges,
+      |       CASE WHEN n.n_nodes >= 2
+      |            THEN (2 * e.n_edges * 1000) $DIV$ (n.n_nodes * (n.n_nodes - 1))
+      |            ELSE 0 END AS density_pm,
+      |       (2 * e.n_edges * 1000000) $DIV$ n.n_nodes AS mean_degree_micro
+      |FROM nodes n JOIN edges e ON e.month = n.month""".stripMargin
+
+  def g16_graph_evolution(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(g16SqlTmpl.replace("$STR$", "STRING").replace("$DIV$", "div"))
+  }
+
   /** The per-node coefficient SQL over whatever `lineitem` view is
     * registered — separated (g02's pattern) so the spec can pin planted
     * graphs: K4 -> every corner coeff 1e6; a star -> hub and leaves 0.
@@ -632,6 +676,7 @@ object GraphQueries {
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
     "g15_modularity" -> (g15_modularity _),
+    "g16_graph_evolution" -> (g16_graph_evolution _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
@@ -871,6 +916,8 @@ object GraphQueries {
       "g13_assortativity" -> g13Sql,
       "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),
       "g15_modularity" -> g15SqlTmpl.replace("$DIV$", "//"),
+      "g16_graph_evolution" ->
+        g16SqlTmpl.replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
       "g12_link_prediction" ->
         s"""WITH co AS (
            |  SELECT u, v FROM (

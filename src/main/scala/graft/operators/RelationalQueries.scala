@@ -2324,7 +2324,71 @@ object RelationalQueries {
   def q113_topn_other(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q113Sql("STRING", "div"))
 
+  /** q114: CUMULATIVE distinct users by day — "how many uniques have we
+    * ever seen as of day d", the growth curve every analytics dashboard
+    * leads with. Windowed COUNT(DISTINCT) doesn't exist in either engine
+    * (and would be quadratic anyway); the standard rewrite is the
+    * FIRST-SEEN flag: each user collapses to their first active day (one
+    * map-side-combinable min aggregate over the event scan), new-user
+    * counts per day, and a running sum over the |days| partials — exact
+    * integers end to end, and the corpus-sized work never meets the
+    * window (q112's economics). Day emitted as an ISO string so both
+    * engines hash the same bytes (the ns-vs-us timestamp lesson).
+    */
+  private val q114Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(CAST(ts AS DATE) AS $STR$)) AS first_day
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT first_day AS day, count(*) AS new_users FROM fs GROUP BY first_day)
+      |SELECT day, new_users,
+      |       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+      |FROM d""".stripMargin
+
+  def q114_running_distinct(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "events")(q114Sql.replace("$STR$", "STRING"))
+
+  /** q115: referential-integrity ORPHAN audit — the cross-table
+    * data-quality complement of q69's per-table profile: every foreign-key
+    * relationship in the star schema left-joins its dimension and counts
+    * rows whose key resolves to nothing, with the orphan rate in integer
+    * per-mille. One row per relationship; each check is a single keyed
+    * left join (dimension sides broadcast-size here; at 100 TB the same
+    * plan co-partitions on the key) + an integer aggregate -> hash-green.
+    * A healthy pipeline reads all zeros — the operator exists so a broken
+    * ingest reads nonzero BEFORE a training run consumes the join.
+    */
+  private val q115Sql: String = {
+    def check(rel: String, fact: String, fk: String, dim: String, pk: String) =
+      s"""SELECT '$rel' AS relationship, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_orphans,
+         |       (CAST(sum(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |        * 1000) $$DIV$$ count(*) AS orphan_pm
+         |FROM $fact f LEFT JOIN $dim d ON d.$pk = f.$fk""".stripMargin
+    Seq(
+      check("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      check("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      check("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      check("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      check("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      check("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      check("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ).mkString("\nUNION ALL\n")
+  }
+
+  def q115_ri_orphans(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem", "orders", "part", "supplier", "customer",
+      "nation", "region")(q115Sql.replace("$DIV$", "div"))
+
+  /** The audit SQL over whatever star-schema views are registered —
+    * separated so the spec can plant an orphan key and see it counted.
+    */
+  private[graft] def riOrphansFromViews(s: SparkSession): DataFrame =
+    s.sql(q115Sql.replace("$DIV$", "div"))
+
   val queries: Map[String, Q] = Map(
+    "q114_running_distinct" -> (q114_running_distinct _),
+    "q115_ri_orphans" -> (q115_ri_orphans _),
     "q113_topn_other" -> (q113_topn_other _),
     "q112_ewma" -> (q112_ewma _),
     "q110_ab_test" -> (q110_ab_test _),
@@ -2836,6 +2900,8 @@ object RelationalQueries {
     "q109_mad_outliers" -> madSql("quantile_cont"),
     "q110_ab_test" -> q110Sql.replace("$DIV$", "//"),
     "q113_topn_other" -> q113Sql("VARCHAR", "//"),
+    "q114_running_distinct" -> q114Sql.replace("$STR$", "VARCHAR"),
+    "q115_ri_orphans" -> q115Sql.replace("$DIV$", "//"),
     "q112_ewma" -> ewmaSql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q111_weighted_median" -> q111Sql,

@@ -344,6 +344,14 @@ object ScaleProbe {
       // growth is the same cells-get-deeper curve as s04/s08
       time(s"$tag s28_recall_sweep")(
         graft.operators.SimilarityQueries.s28_recall_sweep(spark, sf).count())
+      // wave 23: q114 windows over day-grain partials; q115 is seven keyed
+      // left joins; g16 builds all monthly edge lists in one shuffle
+      time(s"$tag q114_running_distinct")(
+        graft.operators.RelationalQueries.q114_running_distinct(spark, sf).count())
+      time(s"$tag q115_ri_orphans")(
+        graft.operators.RelationalQueries.q115_ri_orphans(spark, sf).count())
+      time(s"$tag g16_graph_evolution")(
+        graft.operators.GraphQueries.g16_graph_evolution(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -851,6 +851,30 @@ class QueriesSpec extends SparkTestBase {
       s"straddling: $straddle")
   }
 
+  test("q115 RI audit: healthy fixture reads all zeros; a planted orphan is counted") {
+    val healthy = SparkEntry.queries("q115_ri_orphans")(spark, sf).collect()
+    assert(healthy.length == 7, s"expected 7 relationships: ${healthy.length}")
+    healthy.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") == 0L && r.getAs[Long]("orphan_pm") == 0L,
+        s"fixture should be referentially intact: $r")
+    }
+    // plant one lineitem row pointing at a missing order; every other
+    // relationship must stay clean while lineitem->orders counts exactly 1
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val orphan = li.limit(1)
+      .withColumn("l_orderkey", org.apache.spark.sql.functions.lit(-999L))
+    li.unionByName(orphan).createOrReplaceTempView("lineitem")
+    Seq("orders", "part", "supplier", "customer", "nation", "region").foreach {
+      t => Tables.table(spark, sf, t).createOrReplaceTempView(t)
+    }
+    val planted = operators.RelationalQueries.riOrphansFromViews(spark).collect()
+      .map(r => r.getAs[String]("relationship") -> r.getAs[Long]("n_orphans")).toMap
+    assert(planted("lineitem->orders") == 1L, s"planted orphan missed: $planted")
+    assert(planted.filterKeys(_ != "lineitem->orders").values.forall(_ == 0L),
+      s"orphan leaked into other relationships: $planted")
+  }
+
   test("s28 recall sweep: recall non-decreasing in nprobe; nprobe=2 row equals s08's measured recall") {
     val sweep = SparkEntry.queries("s28_recall_sweep")(spark, sf).collect()
       .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("n_hits")).toMap
