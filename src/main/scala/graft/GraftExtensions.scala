@@ -63,6 +63,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("cdc_boundaries", 1, exprs); functions.CdcBoundaries(exprs.head, 8, 64) }))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.JaroWinkler].getName, "jaro_winkler"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("jaro_winkler", 2, exprs); functions.JaroWinkler(exprs(0), exprs(1)) }))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_agg"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.KllBuildAgg].getName, "kll_agg"),

@@ -937,7 +937,35 @@ object CurationQueries {
     picked.reverse.toDF("rank", "c_id", "coverage_micro")
   }
 
+  /** c31: PADDING-WASTE sweep over length-bucket counts — the tuning
+    * table behind bucketed batching (c07 packs greedily; serving and
+    * many training stacks instead pad each sequence to its bucket's
+    * upper bound, and the operational question is "how many buckets
+    * until padding stops mattering"): for B in 1/2/4/8/16 static
+    * equi-width buckets over a 128-token cap, every document pads to its
+    * bucket boundary and the sweep reports wasted vs useful tokens in
+    * integer per-mille. One token-length scan crossed with the 5-row
+    * broadcast spine, then a 5-group aggregate — all integers ->
+    * hash-green; QueriesSpec pins the curve monotone (more buckets never
+    * wastes more).
+    */
+  def c31_padding_sweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(least(size(split(col("text"), " ")).cast("long"), lit(128L))
+        .as("len"))
+    docs.crossJoin(broadcast(Seq(1, 2, 4, 8, 16).toDF("n_buckets")))
+      .withColumn("width", expr("128 div n_buckets"))
+      .withColumn("ub", expr("(((len - 1) div width) + 1) * width"))
+      .groupBy(col("n_buckets"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).as("useful_tokens"),
+        sum(expr("ub - len")).as("padding_tokens"))
+      .withColumn("waste_pm", expr("(padding_tokens * 1000) div useful_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c31_padding_sweep" -> (c31_padding_sweep _),
     "c30_exemplar_selection" -> (c30_exemplar_selection _),
     "c22_preprocess_recipe" -> (c22_preprocess_recipe _),
     "c21_sample_k_per_group" -> (c21_sample_k_per_group _),
@@ -1165,6 +1193,20 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c31_padding_sweep" ->
+      """WITH dd AS (
+        |  SELECT least(len(string_split(text, ' ')), 128) AS len FROM documents),
+        |j AS (
+        |  SELECT dd.len, b.n_buckets, 128 // b.n_buckets AS width
+        |  FROM dd, (SELECT unnest([1, 2, 4, 8, 16]) AS n_buckets) b),
+        |u AS (SELECT n_buckets, len,
+        |             (((len - 1) // width) + 1) * width AS ub FROM j)
+        |SELECT n_buckets, count(*) AS n_docs,
+        |       CAST(sum(len) AS BIGINT) AS useful_tokens,
+        |       CAST(sum(ub - len) AS BIGINT) AS padding_tokens,
+        |       (CAST(sum(ub - len) AS BIGINT) * 1000)
+        |         // CAST(sum(len) AS BIGINT) AS waste_pm
+        |FROM u GROUP BY n_buckets""".stripMargin,
     "c30_exemplar_selection" -> c30Oracle,
     "c22_preprocess_recipe" ->
       """WITH c AS (

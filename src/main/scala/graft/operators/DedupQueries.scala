@@ -1079,7 +1079,42 @@ object DedupQueries {
   def d25_lsh_tuning_curve(s: SparkSession, d: String): DataFrame =
     s.sql(sCurveSql)
 
+  /** d26: FUZZY name linkage by Jaro-Winkler — d20's rule-score linkage
+    * replayed with the string-similarity kernel production MDM systems
+    * actually rank on (Winkler built it for census name matching): nation
+    * blocks the candidate pairs (d20's blocking), the native codegen'd
+    * [[graft.functions.JaroWinkler]] scores each name pair, scores
+    * quantize to integer micro-units, and the best supplier per customer
+    * survives (jw desc, s_suppkey tie-break) above a 0.6 floor. The
+    * DuckDB oracle scores with ITS OWN `jaro_winkler_similarity` — an
+    * independent implementation of the same algorithm — so the hash gate
+    * cross-validates the kernel itself, not just the plumbing (the same
+    * trick FunctionsSpec uses for sign_bits, upgraded to a whole
+    * independent engine). Scale: blocked join only, kernel inside
+    * whole-stage codegen, top-1 through the partial heaps.
+    */
+  def d26_jaro_linkage(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.jaro_winkler
+    import graft.plans.TopKPerGroup
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("int").as("c_nat"))
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey").cast("int").as("s_nat"))
+    val scored = c.join(sup, col("c_nat") === col("s_nat"))
+      .withColumn("jw_micro",
+        round(jaro_winkler(col("c_name"), col("s_name")) * 1000000)
+          .cast("long"))
+      .filter(col("jw_micro") >= 600000)
+      .select(col("c_custkey"), col("s_suppkey"), col("jw_micro"))
+    TopKPerGroup.topK(scored, Seq("c_custkey"),
+      Seq(TopKPerGroup.Ord("jw_micro", desc = true),
+        TopKPerGroup.Ord("s_suppkey")), 1)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d26_jaro_linkage" -> (d26_jaro_linkage _),
     "d25_lsh_tuning_curve" -> (d25_lsh_tuning_curve _),
     "d21_multiblock_linkage" -> (d21_multiblock_linkage _),
     "d20_record_linkage" -> (d20_record_linkage _),
@@ -1166,6 +1201,18 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d26_jaro_linkage" ->
+      """WITH sc AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |         CAST(round(1000000 * jaro_winkler_similarity(c.c_name, s.s_name))
+        |              AS BIGINT) AS jw_micro
+        |  FROM customer c JOIN supplier s ON s.s_nationkey = c.c_nationkey),
+        |f AS (SELECT * FROM sc WHERE jw_micro >= 600000)
+        |SELECT c_custkey, s_suppkey, jw_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |              ORDER BY jw_micro DESC, s_suppkey) AS rk
+        |  FROM f) t
+        |WHERE rk = 1""".stripMargin,
     "d25_lsh_tuning_curve" -> sCurveSql,
     "d21_multiblock_linkage" ->
       """WITH c AS (

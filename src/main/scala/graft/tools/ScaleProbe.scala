@@ -352,6 +352,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q115_ri_orphans(spark, sf).count())
       time(s"$tag g16_graph_evolution")(
         graft.operators.GraphQueries.g16_graph_evolution(spark, sf).count())
+      // wave 24: d26 is a blocked join through the codegen'd JW kernel;
+      // c31 is one scan x 5-row spine
+      time(s"$tag d26_jaro_linkage")(
+        graft.operators.DedupQueries.d26_jaro_linkage(spark, sf).count())
+      time(s"$tag c31_padding_sweep")(
+        graft.operators.CurationQueries.c31_padding_sweep(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

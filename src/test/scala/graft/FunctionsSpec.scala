@@ -244,4 +244,29 @@ class TextFunctionsSpec extends SparkTestBase {
     // signature agreement estimates jaccard: similar >> disjoint
     assert(shared(sigs(0), sigs(2)) > shared(sigs(0), sigs(3)))
   }
+
+  test("jaro_winkler: textbook values, floor transpositions, boost threshold, SQL parity") {
+    import graft.functions.JaroWinkler.score
+    def micro(a: String, b: String): Long = math.round(score(a, b) * 1000000)
+    // reference values cross-read from an independent implementation
+    // (DuckDB's jaro_winkler_similarity) — d26's oracle re-proves these
+    // over every blocked pair at sf0.01, bit-identical doubles included
+    assert(micro("martha", "marhta") == 961111L)
+    assert(micro("dixon", "dicksonx") == 813333L)
+    assert(micro("dwayne", "duane") == 840000L)
+    assert(micro("jellyfish", "smellyfish") == 896296L) // no common prefix: no boost
+    assert(micro("abc", "abc") == 1000000L)
+    assert(micro("", "abc") == 0L && micro("a", "") == 0L)
+    assert(micro("ab", "ba") == 0L) // window 0: no matches at distance 1
+    // boost threshold: jaro = 0.6 with a 4-char prefix stays unboosted
+    assert(micro("abcdxxxxxx", "abcdyyyyyy") == 600000L)
+    // odd mismatch count: transpositions floor (x=3 -> t=1), the case that
+    // separates this formulation from the fractional x/2 variant
+    assert(micro("Customer#000000370", "Supplier#000000037") == 789174L)
+    // SQL registration + codegen path agree with the direct kernel
+    graft.functions.TextFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head.getDouble(0)
+    assert(viaSql == score("martha", "marhta"))
+  }
 }

@@ -851,6 +851,20 @@ class QueriesSpec extends SparkTestBase {
       s"straddling: $straddle")
   }
 
+  test("c31 padding sweep: waste never increases with more buckets; bounded by bucket width") {
+    val rows = SparkEntry.queries("c31_padding_sweep")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_buckets"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("padding_tokens"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16), s"spine: ${rows.toSeq}")
+    rows.sliding(2).foreach { case Array((bA, _, wA), (bB, _, wB)) =>
+      assert(wA >= wB, s"waste grew from $bA to $bB buckets: $wA -> $wB")
+    }
+    // per-doc padding is < its bucket width, so total waste < n_docs * width
+    rows.foreach { case (b, n, w) =>
+      assert(w < n * (128L / b), s"waste exceeds the width bound at B=$b")
+    }
+  }
+
   test("q115 RI audit: healthy fixture reads all zeros; a planted orphan is counted") {
     val healthy = SparkEntry.queries("q115_ri_orphans")(spark, sf).collect()
     assert(healthy.length == 7, s"expected 7 relationships: ${healthy.length}")
