@@ -1113,7 +1113,147 @@ object DedupQueries {
         TopKPerGroup.Ord("s_suppkey")), 1)
   }
 
+  /** d27: SORTED-NEIGHBORHOOD linkage (Hernández & Stolfo SIGMOD'95) — the
+    * third candidate-generation strategy for entity resolution, next to
+    * d20's single-key blocking and d21's multi-pass union: merge BOTH
+    * sources into one list, sort by a discriminating key, and compare only
+    * records within a fixed window w of each other. Where blocking's cost
+    * is Σ|block|² (one hot block is quadratic), SNM's candidate count is
+    * EXACTLY n·w at any skew — the window is the budget. The sort key
+    * leads with the fields the match score demands agreement on
+    * (name-suffix, then balance), so true matches land adjacent; nation
+    * never enters the key, so cross-nation matches d20 is structurally
+    * blind to are found (d21's discovery, via adjacency instead of a
+    * second pass).
+    *
+    * Scale: global positions come from the c17/c28 two-phase distributed
+    * prefix scan (range-partition on the full — unique — sort key,
+    * per-partition subtotals to the driver, broadcast offsets), NOT one
+    * ORDER BY window; the window-w candidate join is an explode of w
+    * offsets + one equi-join on position. The DuckDB oracle uses its
+    * native one-window row_number over the same total order — a different
+    * plan reaching the same positions, so the two-phase scan itself is
+    * hash-cross-validated. All-integer scoring (d20's rule weights) →
+    * hash-green.
+    */
+  def d27_snm_linkage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = 6
+    def side(df: DataFrame, tag: Int, key: String, name: String, nat: String,
+        bal: String): DataFrame =
+      df.select(lit(tag).as("side"), col(key).cast("long").as("key"),
+        col(nat).cast("long").as("nat"),
+        (regexp_extract(col(name), "(\\d+)", 1).cast("long") % 50).as("suffix"),
+        round(col(bal) * 100).cast("long").as("cents"))
+    val recs = side(Tables.customer(s, d), 0, "c_custkey", "c_name",
+      "c_nationkey", "c_acctbal")
+      .unionByName(side(Tables.supplier(s, d), 1, "s_suppkey", "s_name",
+        "s_nationkey", "s_acctbal"))
+      .repartitionByRange(32, col("suffix"), col("cents"), col("side"), col("key"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = recs.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val ww = Window.partitionBy(col("pid"))
+      .orderBy(col("suffix"), col("cents"), col("side"), col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = recs.join(broadcast(offDf), "pid")
+      .withColumn("position", col("off") + count(lit(1)).over(ww) - 1)
+      .drop("pid", "off")
+      .localCheckpoint() // both sides of the window join reuse one scan
+    def bucket(c: Column): Column = {
+      val a = c + lit(10000000L)
+      ((a - pmod(a, lit(200000L))) / lit(200000L)).cast("long")
+    }
+    val a = pos.select(col("side").as("a_side"), col("key").as("a_key"),
+      col("nat").as("a_nat"), col("suffix").as("a_suffix"),
+      col("cents").as("a_cents"), col("position").as("a_pos"))
+      .withColumn("o", explode(sequence(lit(1), lit(w))))
+      .withColumn("b_pos", col("a_pos") + col("o"))
+    val b = pos.select(col("side").as("b_side"), col("key").as("b_key"),
+      col("nat").as("b_nat"), col("suffix").as("b_suffix"),
+      col("cents").as("b_cents"), col("position").as("b_pos"))
+    a.join(b, "b_pos")
+      .filter(col("a_side") =!= col("b_side"))
+      .withColumn("c_custkey",
+        when(col("a_side") === 0, col("a_key")).otherwise(col("b_key")))
+      .withColumn("s_suppkey",
+        when(col("a_side") === 0, col("b_key")).otherwise(col("a_key")))
+      .withColumn("score",
+        when(col("a_suffix") === col("b_suffix"), 22).otherwise(-5) +
+          when(bucket(col("a_cents")) === bucket(col("b_cents")), 8)
+            .otherwise(-3) +
+          when((col("a_cents") >= 0) === (col("b_cents") >= 0), 4).otherwise(-2))
+      .filter(col("score") >= 26)
+      .withColumn("cross_nation",
+        when(col("a_nat") =!= col("b_nat"), 1L).otherwise(0L))
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("score").cast("long").as("score"),
+        col("o").cast("long").as("pos_gap"), col("cross_nation"))
+  }
+
+  /** d28: WINNOWING fingerprints (Schleimer, Wilkerson, Aiken SIGMOD'03 —
+    * the MOSS algorithm) — the sampled version of d17's exact substring
+    * spans: hash every stride-1 char k-gram, slide a window of w hash
+    * positions, keep one minimal hash per window. The selection is local
+    * and deterministic, yet GUARANTEES any substring match of length ≥
+    * w+k−1 chars is caught by at least one shared fingerprint — while
+    * storing ~2/(w+1) of the grams d17 would join on. This is the
+    * document-fingerprint index a plagiarism/provenance system persists.
+    * (k=8, w=4 → guarantee threshold t = 11 chars; min ties break to the
+    * LEFTMOST position — any per-window minimum preserves the guarantee.)
+    *
+    * Per doc everything is one codegen'd HOF pass (hash array → window
+    * minima → distinct), zero shuffle; the cross-doc join runs on the
+    * (tiny) selected-fingerprint table with a d17-style df cap against
+    * viral boilerplate hashes. Integer polynomial hashes (t04's
+    * base-31 mod 1e9+7) → hash-green against DuckDB building identical
+    * fingerprints through its list lambdas.
+    */
+  def d28_winnowing(s: SparkSession, d: String): DataFrame =
+    winnowPairs(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** Fingerprint-and-pair pipeline over any (doc_id, text) frame — split
+    * out so the spec can plant a shared ≥ t-char substring and see the
+    * detection guarantee hold.
+    */
+  private[graft] def winnowPairs(docs: DataFrame, minShared: Long = 2L): DataFrame = {
+    val k = 8; val w = 4
+    // per-position polynomial hash of the k-gram starting there, encoded
+    // as hash * 2^20 + pos so one array_min is min-by-(hash, pos)
+    val codes = docs
+      .withColumn("g", length(col("text")) - (k - 1))
+      .filter(col("g") >= w) // shorter docs yield no full window
+      .withColumn("codes", expr(
+        s"""transform(sequence(1, g), i ->
+           |  aggregate(transform(sequence(0, ${k - 1}),
+           |              o -> CAST(ascii(substring(text, i + o, 1)) AS LONG)),
+           |            0L, (acc, c) -> (acc * 31 + c) % 1000000007)
+           |  * 1048576 + i)""".stripMargin))
+    val fps = codes
+      .withColumn("fp", explode(expr(
+        s"""array_distinct(transform(sequence(1, g - ${w - 1}), j ->
+           |  array_min(slice(codes, j, $w)) div 1048576))""".stripMargin)))
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint() // one kernel pass feeds the df agg AND both join sides
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 16)).select("fp")
+    val fk = fps.join(keep, "fp")
+    fk.select(col("doc_id").as("da"), col("fp"))
+      .join(fk.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+  }
+
   val queries: Map[String, Q] = Map(
+    "d27_snm_linkage" -> (d27_snm_linkage _),
+    "d28_winnowing" -> (d28_winnowing _),
     "d26_jaro_linkage" -> (d26_jaro_linkage _),
     "d25_lsh_tuning_curve" -> (d25_lsh_tuning_curve _),
     "d21_multiblock_linkage" -> (d21_multiblock_linkage _),
@@ -1201,6 +1341,68 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d27_snm_linkage" ->
+      """WITH recs AS (
+        |  SELECT 0 AS side, c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nat,
+        |         CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 1, s_suppkey, CAST(s_nationkey AS BIGINT),
+        |         CAST(regexp_extract(s_name, '(\d+)', 1) AS BIGINT) % 50,
+        |         CAST(round(s_acctbal * 100) AS BIGINT)
+        |  FROM supplier),
+        |p AS (
+        |  SELECT *, row_number() OVER (ORDER BY suffix, cents, side, key) - 1
+        |           AS position
+        |  FROM recs),
+        |pairs AS (
+        |  SELECT a.side, a.key, a.nat, a.suffix, a.cents,
+        |         b.side AS b_side, b.key AS b_key, b.nat AS b_nat,
+        |         b.suffix AS b_suffix, b.cents AS b_cents,
+        |         b.position - a.position AS o
+        |  FROM p a JOIN p b
+        |    ON b.position BETWEEN a.position + 1 AND a.position + 6
+        |  WHERE a.side <> b.side),
+        |scored AS (
+        |  SELECT CASE WHEN side = 0 THEN key ELSE b_key END AS c_custkey,
+        |         CASE WHEN side = 0 THEN b_key ELSE key END AS s_suppkey,
+        |         (CASE WHEN suffix = b_suffix THEN 22 ELSE -5 END)
+        |       + (CASE WHEN (cents + 10000000) // 200000
+        |                  = (b_cents + 10000000) // 200000 THEN 8 ELSE -3 END)
+        |       + (CASE WHEN (cents >= 0) = (b_cents >= 0) THEN 4 ELSE -2 END)
+        |         AS score,
+        |         o,
+        |         CASE WHEN nat <> b_nat THEN 1 ELSE 0 END AS cross_nation
+        |  FROM pairs)
+        |SELECT c_custkey, s_suppkey, CAST(score AS BIGINT) AS score,
+        |       CAST(o AS BIGINT) AS pos_gap,
+        |       CAST(cross_nation AS BIGINT) AS cross_nation
+        |FROM scored WHERE score >= 26""".stripMargin,
+    "d28_winnowing" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) - 7 AS g, text
+        |  FROM documents WHERE length(text) - 7 >= 4),
+        |codes AS (
+        |  SELECT doc_id, g,
+        |         list_transform(range(1, g + 1), i ->
+        |           list_reduce(
+        |             list_prepend(0, list_transform(range(0, 8),
+        |               o -> CAST(ascii(substring(text, i + o, 1)) AS BIGINT))),
+        |             (acc, ch) -> (acc * 31 + ch) % 1000000007)
+        |           * 1048576 + i) AS codes
+        |  FROM c),
+        |f AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, g - 2), j ->
+        |           list_min(codes[j:j+3]) // 1048576))) AS fp
+        |  FROM codes),
+        |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 16),
+        |fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "d26_jaro_linkage" ->
       """WITH sc AS (
         |  SELECT c.c_custkey, s.s_suppkey,

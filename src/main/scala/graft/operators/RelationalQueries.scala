@@ -2386,7 +2386,131 @@ object RelationalQueries {
   private[graft] def riOrphansFromViews(s: SparkSession): DataFrame =
     s.sql(q115Sql.replace("$DIV$", "div"))
 
+  /** q116: CUSUM changepoint detection over the daily revenue series —
+    * the classic sequential level-shift monitor (Page 1954): a sustained
+    * drift from target accumulates where a one-day spike decays. The
+    * textbook recursion S_t = max(0, S_{t-1} + (x_t − μ − k)) looks
+    * un-SQL-able, but the clamped running sum has an exact closed form —
+    * S_t = P_t − min(0, min_{i≤t} P_i) where P is the plain prefix sum of
+    * the deviations — so BOTH cusum sides are one prefix-sum window plus
+    * one running-min/max window on the same (single-exchange) day order.
+    * Target μ is total div days, allowance k = μ div 20 (5%), alarm when
+    * a side exceeds h = μ (one average day's revenue of accumulated
+    * drift). All arithmetic is exact int64 cents → hash-green; QueriesSpec
+    * additionally pins the window identity against a literal driver-side
+    * replay of the max(0, ·) recursion on a planted level-shift series.
+    * Scale: the corpus-sized work is the map-side daily aggregate; every
+    * window runs over |days| partial rows (q112's economics).
+    */
+  private def q116Sql(dayExpr: String, div: String): String =
+    s"""WITH daily AS (
+       |  SELECT $dayExpr AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT day, cents,
+       |         CAST(sum(cents) OVER () AS BIGINT) $div count(*) OVER () AS mu
+       |  FROM daily),
+       |p AS (
+       |  SELECT day, cents, mu,
+       |         CAST(sum(cents - mu - mu $div 20) OVER (ORDER BY day) AS BIGINT) AS p_hi,
+       |         CAST(sum(cents - mu + mu $div 20) OVER (ORDER BY day) AS BIGINT) AS p_lo
+       |  FROM t),
+       |c AS (
+       |  SELECT day, cents, mu,
+       |         p_hi - least(0, min(p_hi) OVER (ORDER BY day)) AS cusum_hi,
+       |         greatest(0, max(p_lo) OVER (ORDER BY day)) - p_lo AS cusum_lo
+       |  FROM p)
+       |SELECT day, cents, cusum_hi, cusum_lo,
+       |       CASE WHEN cusum_hi > mu THEN 1 ELSE 0 END AS alarm_hi,
+       |       CASE WHEN cusum_lo > mu THEN 1 ELSE 0 END AS alarm_lo
+       |FROM c""".stripMargin
+
+  def q116_cusum(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q116Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
+  /** The CUSUM windows over whatever `orders` view is registered — split
+    * out so the spec can plant a level-shift series and replay the
+    * recursion against the closed form.
+    */
+  private[graft] def cusumFromViews(s: SparkSession): DataFrame =
+    s.sql(q116Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
+  /** q117: Benford first-digit audit — the fraud/synthetic-data screen:
+    * naturally-occurring multi-scale amounts follow P(d) = log10(1+1/d);
+    * fabricated or truncated feeds don't (uniform leading digits, missing
+    * 1s). Expected shares enter as per-mille CONSTANTS (the nine
+    * log10(1+1/d) values rounded once, summing exactly to 1000) via one
+    * CASE — no libm at query time — and each digit row carries observed
+    * vs expected per-mille, the signed gap, and its Pearson chi²
+    * contribution ×1000 (integer: (1000·n_d − N·exp_pm)² div
+    * (N·exp_pm·1000)). One scan + a 9-group aggregate; the digit
+    * extraction is a cast-to-string head, pure codegen. All integers →
+    * hash-green.
+    */
+  private def q117Sql(str: String, div: String): String =
+    s"""WITH digits AS (
+       |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS $str), 1, 1)
+       |              AS BIGINT) AS digit
+       |  FROM orders),
+       |obs AS (
+       |  SELECT digit, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(count(*)) OVER () AS BIGINT) AS total
+       |  FROM digits GROUP BY digit),
+       |e AS (
+       |  SELECT digit, n, total,
+       |         CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+       |                    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67
+       |                    WHEN 7 THEN 58 WHEN 8 THEN 51 ELSE 46 END AS exp_pm
+       |  FROM obs)
+       |SELECT digit, n,
+       |       (n * 1000) $div total AS obs_pm,
+       |       exp_pm,
+       |       (n * 1000) $div total - exp_pm AS gap_pm,
+       |       ((1000 * n - total * exp_pm) * (1000 * n - total * exp_pm))
+       |         $div (total * exp_pm * 1000) AS chi2_milli
+       |FROM e""".stripMargin
+
+  def q117_benford(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q117Sql("STRING", "div"))
+
+  /** q118: join-explosion / skew pre-flight audit — the operational check
+    * run BEFORE committing a 100 TB self-join: for an equi-join key, the
+    * output row count is Σ c_k² (c_k = per-key multiplicity), and one hot
+    * key can dominate the whole shuffle. Per-key counts are one map-side
+    * aggregate over the scan; each key's pair contribution c², its
+    * per-mille share of the total join output, and the running
+    * concentration curve are integer arithmetic over KEY-sized partials
+    * (the fact table never meets a window). Top-10 contributors emitted —
+    * exactly the keys `Scale.saltedJoin`'s salt factor should target.
+    * The audited key is lineitem.l_partkey, the co-occurrence generator
+    * behind g02/g08/g12 — so this measures the repo's own heaviest join
+    * family. All integers → hash-green.
+    */
+  private def q118Sql(div: String): String =
+    s"""WITH k AS (
+       |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY l_partkey),
+       |t AS (
+       |  SELECT l_partkey, c, c * c AS pairs,
+       |         CAST(sum(c * c) OVER () AS BIGINT) AS total_pairs,
+       |         CAST(count(*) OVER () AS BIGINT) AS n_keys
+       |  FROM k)
+       |SELECT l_partkey, c AS rows_per_key, pairs,
+       |       (pairs * 1000) $div total_pairs AS share_pm,
+       |       total_pairs, n_keys
+       |FROM t
+       |ORDER BY pairs DESC, l_partkey
+       |LIMIT 10""".stripMargin
+
+  def q118_join_skew(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem")(q118Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "q116_cusum" -> (q116_cusum _),
+    "q117_benford" -> (q117_benford _),
+    "q118_join_skew" -> (q118_join_skew _),
     "q114_running_distinct" -> (q114_running_distinct _),
     "q115_ri_orphans" -> (q115_ri_orphans _),
     "q113_topn_other" -> (q113_topn_other _),
@@ -2897,6 +3021,10 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q116_cusum" -> q116Sql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
+    "q117_benford" -> q117Sql("VARCHAR", "//"),
+    "q118_join_skew" -> q118Sql("//"),
     "q109_mad_outliers" -> madSql("quantile_cont"),
     "q110_ab_test" -> q110Sql.replace("$DIV$", "//"),
     "q113_topn_other" -> q113Sql("VARCHAR", "//"),

@@ -358,6 +358,20 @@ object ScaleProbe {
         graft.operators.DedupQueries.d26_jaro_linkage(spark, sf).count())
       time(s"$tag c31_padding_sweep")(
         graft.operators.CurationQueries.c31_padding_sweep(spark, sf).count())
+      // wave 25: q116/q117 window over day-grain/9-digit partials; q118's
+      // fact-sized work is one map-side per-key count
+      time(s"$tag q116_cusum")(
+        graft.operators.RelationalQueries.q116_cusum(spark, sf).count())
+      time(s"$tag q117_benford")(
+        graft.operators.RelationalQueries.q117_benford(spark, sf).count())
+      time(s"$tag q118_join_skew")(
+        graft.operators.RelationalQueries.q118_join_skew(spark, sf).count())
+      // wave 26: d27's candidate count is exactly n*w at any skew; d28's
+      // pair join runs on the winnowed fingerprint sliver
+      time(s"$tag d27_snm_linkage")(
+        graft.operators.DedupQueries.d27_snm_linkage(spark, sf).count())
+      time(s"$tag d28_winnowing")(
+        graft.operators.DedupQueries.d28_winnowing(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

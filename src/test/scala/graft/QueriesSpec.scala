@@ -889,6 +889,139 @@ class QueriesSpec extends SparkTestBase {
       s"orphan leaked into other relationships: $planted")
   }
 
+  test("q116 CUSUM: window closed form equals the literal recursion on a planted level shift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    // 60 days: 1000 cents/day, then a sustained shift to 1400 at day 30.
+    // mu = 1200, k = 60, h = 1200 — the hi side must alarm after the
+    // shift, the lo side during the below-mean first half.
+    val series = (0 until 60).map(day => (day, if (day < 30) 10.00 else 14.00))
+    series.toDF("day", "o_totalprice")
+      .withColumn("o_orderdate", expr("date_add(DATE '1992-01-01', day)"))
+      .select("o_orderdate", "o_totalprice")
+      .createOrReplaceTempView("orders")
+    val out = operators.RelationalQueries.cusumFromViews(spark)
+      .orderBy("day").collect()
+    assert(out.length == 60)
+    // literal replay of S_t = max(0, S_{t-1} + (x_t - mu -+ k))
+    val mu = 1200L; val k = mu / 20
+    var sHi = 0L; var sLo = 0L
+    out.foreach { r =>
+      val x = r.getAs[Long]("cents")
+      sHi = math.max(0L, sHi + (x - mu - k))
+      sLo = math.max(0L, sLo - (x - mu + k))
+      assert(r.getAs[Long]("cusum_hi") == sHi,
+        s"hi closed form diverges from recursion at day ${r.getAs[Long]("day")}")
+      assert(r.getAs[Long]("cusum_lo") == sLo,
+        s"lo closed form diverges from recursion at day ${r.getAs[Long]("day")}")
+    }
+    val byDay = out.map(r => r.getAs[Long]("day") ->
+      (r.getAs[Int]("alarm_hi"), r.getAs[Int]("alarm_lo"))).toMap
+    assert((0L until 30L).forall(d => byDay(d)._1 == 0), "hi alarm before the shift")
+    assert(byDay(59)._1 == 1, "hi alarm never fired after the shift")
+    assert(byDay(29)._2 == 1, "lo alarm missed the below-mean first half")
+    // restore the real view for any later test using the orders name
+    Tables.table(spark, sf, "orders").createOrReplaceTempView("orders")
+  }
+
+  test("q117 Benford: expected per-milles sum exactly to 1000 and observed shares reconcile") {
+    val rows = SparkEntry.queries("q117_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.toSeq == (1L to 9L),
+      "all nine leading digits must appear")
+    assert(rows.map(_.getAs[Int]("exp_pm")).sum == 1000,
+      "Benford constants must partition 1000 exactly")
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val obsSum = rows.map(_.getAs[Long]("obs_pm")).sum
+    assert(obsSum >= 991L && obsSum <= 1000L,
+      s"observed per-milles off (floor rounding loses <9): $obsSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_pm") ==
+        r.getAs[Long]("obs_pm") - r.getAs[Int]("exp_pm"))
+      assert(r.getAs[Long]("chi2_milli") >= 0L)
+      assert(r.getAs[Long]("obs_pm") == r.getAs[Long]("n") * 1000L / total)
+    }
+  }
+
+  test("d27 SNM linkage equals an exhaustive driver-side replay of sort + window + score") {
+    val out = SparkEntry.queries("d27_snm_linkage")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("s_suppkey"),
+        r.getAs[Long]("score"), r.getAs[Long]("pos_gap"),
+        r.getAs[Long]("cross_nation"))).toSet
+    // independent replay: literal sort, literal window slide, literal rules
+    def side(t: String, keyC: String, nameC: String, natC: String,
+        balC: String, tag: Int) =
+      Tables.table(spark, sf, t).collect().map { r =>
+        val name = r.getAs[String](nameC)
+        val suffix = "(\\d+)".r.findFirstIn(name).get.toLong % 50
+        val cents = math.round(r.getAs[Double](balC) * 100)
+        (tag, r.getAs[Long](keyC), r.getAs[Int](natC).toLong, suffix, cents)
+      }
+    val recs = (side("customer", "c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", 0) ++
+      side("supplier", "s_suppkey", "s_name", "s_nationkey", "s_acctbal", 1))
+      .sortBy { case (sd, k, _, suf, c) => (suf, c, sd, k) }
+    def bucket(c: Long): Long = (c + 10000000L) / 200000L
+    val expect = (for {
+      i <- recs.indices; j <- (i + 1) to math.min(i + 6, recs.length - 1)
+      a = recs(i); b = recs(j) if a._1 != b._1
+      score = (if (a._4 == b._4) 22 else -5) +
+        (if (bucket(a._5) == bucket(b._5)) 8 else -3) +
+        (if ((a._5 >= 0) == (b._5 >= 0)) 4 else -2)
+      if score >= 26
+    } yield {
+      val (c, su) = if (a._1 == 0) (a, b) else (b, a)
+      (c._2, su._2, score.toLong, (j - i).toLong,
+        if (a._3 != b._3) 1L else 0L)
+    }).toSet
+    assert(out == expect,
+      s"SNM mismatch: only-spark=${out.diff(expect)} only-replay=${expect.diff(out)}")
+  }
+
+  test("d28 winnowing: the w+k-1 detection guarantee holds on a planted 11-char match") {
+    import spark.implicits._
+    // A and B share exactly one 11-char substring at different offsets in
+    // otherwise-unrelated text; C is unrelated. t = w + k - 1 = 11 chars
+    // is the THRESHOLD: one full window of shared grams in each doc.
+    val shared = "quick brown" // 11 chars
+    val planted = Seq(
+      (1L, s"xaxbxcxdxex$shared m1n2o3p4q5r6"),
+      (2L, s"zk9wv8ut7sr${shared}f0g1h2i3j4k5"),
+      (3L, "unrelated text with nothing in common here")).toDF("doc_id", "text")
+    val pairs = operators.DedupQueries.winnowPairs(planted, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((1L, 2L)),
+      s"guaranteed shared fingerprint missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"fingerprint collision produced a false pair: $pairs")
+  }
+
+  test("d28 winnowing surfaces the fixture's near-duplicate docs with symmetric ordering") {
+    val rows = SparkEntry.queries("d28_winnowing")(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture's planted duplicates should share fingerprints")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("da") < r.getAs[Long]("db"))
+      assert(r.getAs[Long]("n_shared_fps") >= 2L)
+    }
+  }
+
+  test("q118 join-skew audit agrees with an independent driver-side recount") {
+    val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
+    assert(rows.length == 10)
+    // independent recount: per-key multiplicities straight off the table
+    val counts = Tables.lineitem(spark, sf).groupBy("l_partkey").count()
+      .collect().map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("count"))
+    val totalPairs = counts.map { case (_, c) => c * c }.sum
+    val expectTop = counts.sortBy { case (k, c) => (-c * c, k) }.take(10)
+    rows.zip(expectTop).foreach { case (r, (k, c)) =>
+      assert(r.getAs[Long]("l_partkey") == k && r.getAs[Long]("rows_per_key") == c,
+        s"top contributor mismatch: $r vs ($k,$c)")
+      assert(r.getAs[Long]("pairs") == c * c)
+      assert(r.getAs[Long]("share_pm") == c * c * 1000L / totalPairs)
+      assert(r.getAs[Long]("total_pairs") == totalPairs)
+      assert(r.getAs[Long]("n_keys") == counts.length.toLong)
+    }
+  }
+
   test("s28 recall sweep: recall non-decreasing in nprobe; nprobe=2 row equals s08's measured recall") {
     val sweep = SparkEntry.queries("s28_recall_sweep")(spark, sf).collect()
       .map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("n_hits")).toMap
