@@ -2507,7 +2507,86 @@ object RelationalQueries {
   def q118_join_skew(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "lineitem")(q118Sql("div"))
 
+  /** q119: Population Stability Index — the ML-monitoring staple: compare
+    * the event-type mix of a reference window (first half-month) against
+    * the current window; PSI = Σ (p−q)·ln(p/q) per bucket, with >0.25
+    * conventionally "significant drift". Bucket counts are exact integers;
+    * p, q and their ratio are deterministic IEEE divisions of those
+    * integers (identical expression text both engines); the one libm call
+    * (ln) is ulp-contained by the t05/t11 round-to-9dp discipline, and
+    * each bucket's contribution is 9dp-rounded then summed through
+    * DECIMAL(38,9) so the TOTAL is order-independent — the whole row set
+    * hash-checks. Scale: two filtered map-side count aggregates over the
+    * scan; everything after runs on |buckets| rows.
+    */
+  private def q119Sql(div: String): String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM events GROUP BY event_type),
+       |t AS (
+       |  SELECT event_type, n_ref, n_cur,
+       |         CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
+       |         CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
+       |  FROM b),
+       |c AS (
+       |  SELECT event_type, n_ref, n_cur,
+       |         (n_ref * 1000) $div tot_ref AS ref_pm,
+       |         (n_cur * 1000) $div tot_cur AS cur_pm,
+       |         CAST(round(
+       |           (CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)
+       |            - CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))
+       |           * round(ln((CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+       |                      / (CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))), 9),
+       |           9) AS DECIMAL(20,9)) AS psi_part
+       |  FROM t)
+       |SELECT event_type, n_ref, n_cur, ref_pm, cur_pm,
+       |       CAST(psi_part AS DOUBLE) AS psi_part,
+       |       CAST(CAST(sum(psi_part) OVER () AS DECIMAL(38,9)) AS DOUBLE) AS psi_total
+       |FROM c""".stripMargin
+
+  def q119_psi_drift(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "events")(q119Sql("div"))
+
+  /** q120: winsorized robust mean — the APPLY step q109's MAD screen only
+    * measures: clamp each value into its group's [p05, p95] and aggregate
+    * the clamped series. Bounds come from percentile_disc (nearest-rank
+    * SELECTION — actual data values, no interpolation arithmetic, q56's
+    * proven surface), so clamping and summing happen in exact integer
+    * cents: n clamped low/high, winsorized vs raw sums — all hash-green
+    * with no float anywhere. Scale: one per-group percentile pass (q40's
+    * honest per-group-sort caveat; q46/q83 sketches are the 100 TB path)
+    * + one clamp-and-aggregate scan with the 5-row bounds broadcast.
+    */
+  private val q120Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         CAST(round(percentile_disc(0.05) WITHIN GROUP (ORDER BY value) * 100)
+      |              AS BIGINT) AS lo_c,
+      |         CAST(round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value) * 100)
+      |              AS BIGINT) AS hi_c
+      |  FROM events GROUP BY event_type),
+      |w AS (
+      |  SELECT e.event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents, lo_c, hi_c
+      |  FROM events e JOIN b ON b.event_type = e.event_type)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN cents < lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+      |       CAST(sum(CASE WHEN cents > hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_ceil,
+      |       lo_c, hi_c,
+      |       CAST(sum(least(greatest(cents, lo_c), hi_c)) AS BIGINT) AS winsor_cents,
+      |       CAST(sum(cents) AS BIGINT) AS raw_cents
+      |FROM w GROUP BY event_type, lo_c, hi_c""".stripMargin
+
+  def q120_winsorize(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "events")(q120Sql)
+
   val queries: Map[String, Q] = Map(
+    "q119_psi_drift" -> (q119_psi_drift _),
+    "q120_winsorize" -> (q120_winsorize _),
     "q116_cusum" -> (q116_cusum _),
     "q117_benford" -> (q117_benford _),
     "q118_join_skew" -> (q118_join_skew _),
@@ -3021,6 +3100,8 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q119_psi_drift" -> q119Sql("//"),
+    "q120_winsorize" -> q120Sql,
     "q116_cusum" -> q116Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q117_benford" -> q117Sql("VARCHAR", "//"),

@@ -1034,7 +1034,35 @@ object SimilarityQueries {
           cosine_similarity(col("q_aug"), col("x_aug")).as("sim")))
   }
 
+  /** s29: embedding CENTROID-DRIFT monitor — the vector-side twin of
+    * q119's distribution PSI: per-label centroids (s04's exact
+    * quantized-mean arithmetic — integer micro-unit sums, so the means
+    * are order-independent) compared by cosine against the GLOBAL
+    * centroid. A label whose centroid sits far from the global mean is a
+    * cluster the next model will treat differently; tracked per ingest
+    * batch it is the embedding-space drift alarm every feature store
+    * wants next to its scalar PSI. One posexplode aggregate builds all
+    * centroids (map-side partials, |labels|·dims rows out), the global
+    * centroid broadcasts, and the cosine is the shared sequential-double
+    * fold — micro-unit rounded → hash-green.
+    */
+  def s29_centroid_drift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cells = quantizedMeanCells(e)
+    val global = quantizedMeanCells(e.withColumn("label", lit(0)))
+      .select(col("centroid").as("g_centroid"))
+    val counts = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+    cells.select(col("cell").cast("long").as("label"), col("centroid"))
+      .join(counts, "label")
+      .crossJoin(broadcast(global))
+      .select(col("label"), col("n_vecs"),
+        round(cosine_similarity(col("centroid"), col("g_centroid")) * 1000000)
+          .cast("long").as("cos_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s29_centroid_drift" -> (s29_centroid_drift _),
     "s26_mips_augmented" -> (s26_mips_augmented _),
     "s24_binary_quant" -> (s24_binary_quant _),
     "s27_persisted_signatures" -> (s27_persisted_signatures _),
@@ -1254,6 +1282,28 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "s29_centroid_drift" ->
+      s"""WITH ex AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS qv
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT CAST(label AS BIGINT) AS label, list(sd ORDER BY pos) AS centroid
+         |  FROM (
+         |    SELECT label, pos,
+         |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+         |    FROM ex GROUP BY label, pos) GROUP BY label),
+         |gcent AS (
+         |  SELECT list(sd ORDER BY pos) AS g_centroid FROM (
+         |    SELECT pos,
+         |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+         |    FROM ex GROUP BY pos) ),
+         |n AS (SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs
+         |      FROM embeddings GROUP BY label)
+         |SELECT c.label, n.n_vecs,
+         |       CAST(round((${duckCosine("c.centroid", "g.g_centroid")}) * 1000000)
+         |            AS BIGINT) AS cos_micro
+         |FROM cent c JOIN n USING (label) CROSS JOIN gcent g""".stripMargin,
     "s23_radius_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

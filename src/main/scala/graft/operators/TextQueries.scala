@@ -1018,7 +1018,87 @@ object TextQueries {
       .select(col("phrase"), col("n_words"), col("n_occur"), col("score_micro"))
   }
 
+  /** Substring patterns for t28 — chosen from the fixture vocabulary so
+    * matches exist, with one crossing a word boundary (the case a
+    * token-level index like t22 cannot serve).
+    */
+  private[graft] val TrigramPatterns =
+    Seq("window", "vector", "merge slow", "the fast")
+
+  /** t28: TRIGRAM-indexed substring search — the pg_trgm idea: arbitrary
+    * `LIKE '%pattern%'` predicates are unindexable for a token index
+    * (t22/t24 serve WORDS), but every occurrence of a pattern must
+    * contain all of the pattern's character trigrams, so a trigram
+    * inverted index prunes the corpus to docs matching ALL query trigrams
+    * (zero false negatives by construction — pinned in the spec), and the
+    * exact `contains` check runs only on that sliver. Non-overlapping
+    * occurrence counts come from the replace-length identity — pure
+    * integer arithmetic; top-20 docs per pattern through the native
+    * heaps. The DuckDB oracle is the INDEPENDENT brute-force scan
+    * (position() over every doc), so the hash gate proves the index path
+    * loses nothing. Scale: the trigram index is linear in chars (the cost
+    * every substring-search engine pays); the candidate join is keyed on
+    * trigram with the 4-pattern side broadcast; the verify join touches
+    * only candidate docs. Patterns under 3 chars fall back to the scan by
+    * contract (pg_trgm pads; we document instead).
+    */
+  def t28_trigram_search(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint() // feeds the index build AND the verify join
+    val tri = docs
+      .withColumn("i", explode(expr("sequence(1, length(text) - 2)")))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("tg"))
+      .distinct()
+    val pats = TrigramPatterns.toDF("pattern")
+      .withColumn("i", explode(expr("sequence(1, length(pattern) - 2)")))
+      .select(col("pattern"), expr("substring(pattern, i, 3)").as("tg"))
+      .distinct()
+      .withColumn("n_tris", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pattern"))))
+    val cand = tri.join(broadcast(pats), "tg")
+      .groupBy(col("pattern"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), min(col("n_tris")).as("n_tris"))
+      .filter(col("n_hit") === col("n_tris"))
+      .select(col("pattern"), col("doc_id"))
+    val verified = cand.join(docs, "doc_id")
+      .filter(expr("instr(text, pattern) > 0"))
+      .select(col("pattern"), col("doc_id"),
+        expr("(length(text) - length(replace(text, pattern, ''))) div length(pattern)")
+          .as("n_occ"))
+    TopKPerGroup.topK(verified, Seq("pattern"),
+      Seq(Ord("n_occ", desc = true), Ord("doc_id")), 20)
+  }
+
+  /** The index-vs-scan candidate frames over any (doc_id, text) corpus —
+    * split out so the spec can pin the zero-false-negative containment on
+    * a planted corpus.
+    */
+  private[graft] def trigramCandidates(docs: DataFrame, pattern: String): DataFrame = {
+    val tri = docs
+      .withColumn("i", explode(expr("sequence(1, length(text) - 2)")))
+      .select(col("doc_id"), expr("substring(text, i, 3)").as("tg"))
+      .distinct()
+    val pats = docs.sparkSession.createDataFrame(
+      Seq(Tuple1(pattern))).toDF("pattern")
+      .withColumn("i", explode(expr("sequence(1, length(pattern) - 2)")))
+      .select(col("pattern"), expr("substring(pattern, i, 3)").as("tg"))
+      .distinct()
+      .withColumn("n_tris", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pattern"))))
+    tri.join(broadcast(pats), "tg")
+      .groupBy(col("pattern"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), min(col("n_tris")).as("n_tris"))
+      .filter(col("n_hit") === col("n_tris"))
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t28_trigram_search" -> (t28_trigram_search _),
     "t27_rake_keyphrases" -> (t27_rake_keyphrases _),
     "t26_collocations" -> (t26_collocations _),
     "t25_kwic" -> (t25_kwic _),
@@ -1080,6 +1160,20 @@ object TextQueries {
       |WHERE rk <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t28_trigram_search" ->
+      """WITH q(pattern) AS (VALUES ('window'), ('vector'), ('merge slow'), ('the fast')),
+        |m AS (
+        |  SELECT pattern, doc_id,
+        |         CAST((length(text) - length(replace(text, pattern, '')))
+        |              // length(pattern) AS BIGINT) AS n_occ
+        |  FROM documents, q
+        |  WHERE instr(text, pattern) > 0),
+        |r AS (
+        |  SELECT pattern, doc_id, n_occ,
+        |         row_number() OVER (PARTITION BY pattern
+        |                            ORDER BY n_occ DESC, doc_id) AS rn
+        |  FROM m)
+        |SELECT pattern, doc_id, n_occ FROM r WHERE rn <= 20""".stripMargin,
     "t27_rake_keyphrases" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |pos AS (

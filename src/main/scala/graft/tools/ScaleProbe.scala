@@ -372,6 +372,16 @@ object ScaleProbe {
         graft.operators.DedupQueries.d27_snm_linkage(spark, sf).count())
       time(s"$tag d28_winnowing")(
         graft.operators.DedupQueries.d28_winnowing(spark, sf).count())
+      // wave 27: t28's index join is keyed on trigram (4-pattern side
+      // broadcast); q119/q120/s29 are scan + metadata-sized tails
+      time(s"$tag t28_trigram_search")(
+        graft.operators.TextQueries.t28_trigram_search(spark, sf).count())
+      time(s"$tag q119_psi_drift")(
+        graft.operators.RelationalQueries.q119_psi_drift(spark, sf).count())
+      time(s"$tag q120_winsorize")(
+        graft.operators.RelationalQueries.q120_winsorize(spark, sf).count())
+      time(s"$tag s29_centroid_drift")(
+        graft.operators.SimilarityQueries.s29_centroid_drift(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

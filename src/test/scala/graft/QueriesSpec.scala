@@ -1004,6 +1004,91 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t28 trigram index has zero false negatives on a planted corpus") {
+    import spark.implicits._
+    // docs 1,2 contain the pattern; 3 shares SOME of its trigrams but not
+    // all; 4 is unrelated. The index may overshoot (that's what the
+    // verify step is for) but must never drop a true match.
+    val pattern = "abcdef"
+    val planted = Seq(
+      (1L, "xx abcdef yy"), (2L, "zzabcdefzz"),
+      (3L, "abc def only partial"), (4L, "nothing here")).toDF("doc_id", "text")
+    val cand = operators.TextQueries.trigramCandidates(planted, pattern)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val truth = planted.filter(col("text").contains(pattern))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(truth == Set(1L, 2L))
+    assert(truth.subsetOf(cand), s"index dropped a true match: cand=$cand")
+    assert(!cand.contains(3L) && !cand.contains(4L),
+      s"partial-trigram doc should fail the ALL-trigrams test: $cand")
+  }
+
+  test("q119 PSI: per-bucket contributions are non-negative and sum to the reported total") {
+    val rows = SparkEntry.queries("q119_psi_drift")(spark, sf).collect()
+    assert(rows.length == 5, "one row per event type")
+    val parts = rows.map(r => BigDecimal(r.getAs[Double]("psi_part")))
+    parts.foreach(p => assert(p >= 0,
+      "(p-q) and ln(p/q) always share a sign, so each PSI term is >= 0"))
+    val totals = rows.map(r => BigDecimal(r.getAs[Double]("psi_total"))).distinct
+    assert(totals.length == 1)
+    // parts are 9dp-rounded before the decimal sum, so the driver-side
+    // sum of the emitted doubles reproduces the total exactly
+    assert(totals.head == parts.sum,
+      s"total ${totals.head} != sum of parts ${parts.sum}")
+  }
+
+  test("q120 winsorize: reported bounds are real 5th/95th nearest-rank values and clamping reconciles") {
+    val rows = SparkEntry.queries("q120_winsorize")(spark, sf).collect()
+    assert(rows.length == 5)
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getAs[String]("event_type") -> math.round(r.getAs[Double]("value") * 100))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (lo, hi) = (r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"))
+      val xs = raw(t)
+      assert(lo <= hi && xs.contains(lo) && xs.contains(hi),
+        s"$t: disc percentiles must be actual data values")
+      // nearest-rank sandwich: at most 5% strictly below p05, at least 5% at/below
+      assert(xs.count(_ < lo) <= 0.05 * xs.length)
+      assert(xs.count(_ <= lo) >= 0.05 * xs.length)
+      assert(r.getAs[Long]("n_floor") == xs.count(_ < lo))
+      assert(r.getAs[Long]("n_ceil") == xs.count(_ > hi))
+      assert(r.getAs[Long]("winsor_cents") ==
+        xs.map(x => math.min(math.max(x, lo), hi)).sum)
+      assert(r.getAs[Long]("raw_cents") == xs.sum)
+    }
+  }
+
+  test("s29 centroid drift equals a driver-side exact quantized-mean replay") {
+    val out = SparkEntry.queries("s29_centroid_drift")(spark, sf).collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("cos_micro"))).toMap
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def qmean(vs: Array[Array[Double]]): Array[Double] = {
+      val dims = vs.head.length
+      Array.tabulate(dims) { i =>
+        vs.map(v => math.round(v(i) * 1e6)).sum.toDouble / (1e6 * vs.length)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val g = qmean(vecs.map(_._2))
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val (n, micro) = out(label)
+      assert(n == vs.length.toLong)
+      assert(micro == math.round(cos(qmean(vs.map(_._2)), g) * 1e6),
+        s"label $label centroid cosine diverges from replay")
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
