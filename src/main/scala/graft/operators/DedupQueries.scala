@@ -1251,9 +1251,73 @@ object DedupQueries {
       .filter(col("n_shared_fps") >= minShared)
   }
 
+  /** Soundex as a dialect-shared SQL expression — the simplified
+    * ("vowel-separator") American Soundex both engines can evaluate from
+    * IDENTICAL text: uppercase, map letters to digit classes via one
+    * translate, collapse adjacent equal codes with three chained
+    * replace passes (RE2 has no backreferences, so the regex collapse is
+    * off the table — three passes cover runs to length 8, far past any
+    * real word), drop the first code, strip vowels, pad to 4. Differs
+    * from archival Soundex only in treating H/W as separators (the
+    * common SQL-dialect simplification); unit-pinned on textbook names
+    * where the variants agree (Robert/Rupert → R163, Smith/Smyth →
+    * S530).
+    */
+  private def soundexSql(c: String): String = {
+    val codes = "01230120022455012623010202"
+    val base = s"translate(upper($c), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$codes')"
+    val collapsed = (1 to 3).foldLeft(base) { (acc, _) =>
+      (1 to 6).foldLeft(acc) { (a, dig) => s"replace($a, '$dig$dig', '$dig')" }
+    }
+    s"concat(substring(upper($c), 1, 1), " +
+      s"substring(concat(replace(substring($collapsed, 2), '0', ''), '000'), 1, 3))"
+  }
+
+  /** d29: PHONETIC key encoding — the fourth ER blocking strategy
+    * (d20 equi-key, d21 multi-pass, d27 sort-window, d29 phonetic):
+    * names that SOUND alike land in one block even when spelled apart,
+    * the standard census/MDM move for human-entered name fields. The
+    * registry entry emits the encoding table over the corpus vocabulary
+    * (word → code → code population) — hash-green because the entire
+    * encoder is shared SQL text; the pairing step (block + Jaro-Winkler
+    * verify through the d26 kernel) is exercised by QueriesSpec on a
+    * planted surname corpus where Robert/Rupert and Smith/Smyth collide
+    * and the cross-block negative holds. Scale: the encoder is a
+    * zero-shuffle scan projection; blocking bounds pairs at Σ|block|²
+    * over phonetic classes (the d20 economics with a fuzzier key).
+    */
+  private def d29Sql(split: String): String =
+    s"""WITH w AS (SELECT DISTINCT $split AS word FROM documents),
+       |e AS (SELECT word, ${soundexSql("word")} AS sx FROM w)
+       |SELECT word, sx,
+       |       CAST(count(*) OVER (PARTITION BY sx) AS BIGINT) AS n_in_code
+       |FROM e""".stripMargin
+
+  def d29_phonetic_keys(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(d29Sql("explode(split(text, ' '))"))
+  }
+
+  /** Phonetic-blocked pairing over any (id, name) frame — block on the
+    * shared-text soundex, verify with the native Jaro-Winkler kernel.
+    */
+  private[graft] def phoneticPairs(names: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.jaro_winkler
+    val e = names.withColumn("sx", expr(soundexSql("name")))
+    e.select(col("id").as("id_a"), col("name").as("name_a"), col("sx"))
+      .join(e.select(col("id").as("id_b"), col("name").as("name_b"), col("sx")),
+        Seq("sx"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jw_micro",
+        round(jaro_winkler(col("name_a"), col("name_b")) * 1000000).cast("long"))
+      .select(col("sx"), col("id_a"), col("id_b"), col("name_a"),
+        col("name_b"), col("jw_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d27_snm_linkage" -> (d27_snm_linkage _),
     "d28_winnowing" -> (d28_winnowing _),
+    "d29_phonetic_keys" -> (d29_phonetic_keys _),
     "d26_jaro_linkage" -> (d26_jaro_linkage _),
     "d25_lsh_tuning_curve" -> (d25_lsh_tuning_curve _),
     "d21_multiblock_linkage" -> (d21_multiblock_linkage _),
@@ -1341,6 +1405,7 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
     "d27_snm_linkage" ->
       """WITH recs AS (
         |  SELECT 0 AS side, c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nat,

@@ -341,6 +341,38 @@ object MultimodalQueries {
         col("pe").as("prev_energy"))
   }
 
+  /** m16: VAD-style activity segmentation — the gating pass every audio
+    * pipeline runs before transcription (WebRTC-VAD shape): frames whose
+    * mean per-byte energy clears a threshold are "active", and maximal
+    * RUNS of ≥ 2 consecutive active frames become segments (single active
+    * frames are clicks, not speech). The threshold compare is
+    * cross-multiplied exact integers (energy·10 ≥ bytes·950 ⇔ mean ≥
+    * 95.0 — sweep-chosen against the fixture's 87..121 frame-mean range
+    * so the gate genuinely splits: ~half the frames pass, single-frame
+    * blips get dropped by the run-length floor); runs
+    * merge via the q74/d17 gaps-and-islands trick (frame_no −
+    * row_number per doc). One frame-kernel pass + one per-doc window +
+    * one aggregate — all integers → hash-green against DuckDB running
+    * the same passes over the shared frame-energy formulation. At scale
+    * the window partitions by doc (frames-per-doc bounded), never a
+    * global sort.
+    */
+  def m16_vad_segments(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    m06_frame_energy(s, d)
+      .filter(col("energy") * 10 >= col("frame_bytes") * 950)
+      .withColumn("island", col("frame_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("seg_energy"))
+      .filter(col("n_frames") >= 2)
+      .select(col("doc_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("seg_energy"))
+  }
+
   def m09_feature_neardup(s: SparkSession, d: String): DataFrame = {
     val f = m03_byte_features(s, d)
       .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
@@ -540,6 +572,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "m16_vad_segments" -> (m16_vad_segments _),
     "m15_dhash_neardup" -> (m15_dhash_neardup _),
     "m12_delta_transfer" -> (m12_delta_transfer _),
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
@@ -558,6 +591,20 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m16_vad_segments" ->
+      s"""WITH fe AS ($frameEnergyOracle),
+         |act AS (
+         |  SELECT doc_id, frame_no, energy,
+         |         frame_no - row_number() OVER (PARTITION BY doc_id
+         |                                       ORDER BY frame_no) AS island
+         |  FROM fe WHERE energy * 10 >= frame_bytes * 950)
+         |SELECT doc_id,
+         |       CAST(min(frame_no) AS BIGINT) AS seg_start,
+         |       CAST(max(frame_no) AS BIGINT) AS seg_end,
+         |       CAST(count(*) AS BIGINT) AS n_frames,
+         |       CAST(sum(energy) AS BIGINT) AS seg_energy
+         |FROM act GROUP BY doc_id, island
+         |HAVING count(*) >= 2""".stripMargin,
     "m15_dhash_neardup" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |allrows AS (

@@ -382,6 +382,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q120_winsorize(spark, sf).count())
       time(s"$tag s29_centroid_drift")(
         graft.operators.SimilarityQueries.s29_centroid_drift(spark, sf).count())
+      // wave 28: m16 is the frame kernel + per-doc windows; d29 is a
+      // zero-shuffle scan projection + vocab-sized window
+      time(s"$tag m16_vad_segments")(
+        graft.operators.MultimodalQueries.m16_vad_segments(spark, sf).count())
+      time(s"$tag d29_phonetic_keys")(
+        graft.operators.DedupQueries.d29_phonetic_keys(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

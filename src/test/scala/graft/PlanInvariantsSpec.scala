@@ -568,6 +568,32 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"corpus x pool must not shuffle the corpus:\n${p.take(1200)}")
   }
 
+  test("d27 SNM: candidate join keyed on position, never all-pairs") {
+    // the pid-keyed two-phase position windows run BEFORE the
+    // localCheckpoint barrier (q99's situation), so the final plan starts
+    // at the checkpointed RDD — the pin here is that the window-w
+    // candidate stage stays an equi-join on position
+    val p = finalPlan("d27_snm_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"window-offset candidate join degraded to all-pairs:\n${p.take(1200)}")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"candidate join must be keyed on position:\n${p.take(1200)}")
+  }
+
+  test("d28 winnowing: fingerprint join keyed, never a cartesian") {
+    val p = finalPlan("d28_winnowing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint pair join degraded to all-pairs:\n${p.take(1200)}")
+  }
+
+  test("t28 trigram search: pattern side broadcasts; candidate join keyed on trigram") {
+    val p = finalPlan("t28_trigram_search")
+    assert(p.contains("BroadcastExchange"),
+      s"4-pattern trigram side must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degraded to all-pairs:\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

@@ -1089,6 +1089,50 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("m16 VAD segments equal a byte-level driver-side replay of gate + runs") {
+    val out = SparkEntry.queries("m16_vad_segments")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seg_start"),
+        r.getAs[Long]("seg_end"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("seg_energy"))).toSet
+    assert(out.nonEmpty, "threshold should admit some multi-frame runs")
+    val expect = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val bytes = r.getAs[String]("text").getBytes("UTF-8")
+        val frames = bytes.grouped(256).zipWithIndex.map { case (fr, i) =>
+          (i.toLong, fr.length.toLong, fr.map(b => (b & 0xff).toLong).sum)
+        }.toSeq
+        val active = frames.filter { case (_, fb, e) => e * 10 >= fb * 950 }
+        // islands: group consecutive frame numbers
+        active.zipWithIndex.groupBy { case ((fn, _, _), idx) => fn - idx }
+          .values.filter(_.length >= 2).map { run =>
+            val fns = run.map(_._1._1)
+            (r.getAs[Long]("doc_id"), fns.min, fns.max, run.length.toLong,
+              run.map(_._1._3).sum)
+          }
+      }.toSet
+    assert(out == expect,
+      s"VAD mismatch: only-spark=${out.diff(expect).take(3)} only-replay=${expect.diff(out).take(3)}")
+  }
+
+  test("d29 phonetic pairing: textbook homophones collide, strangers don't") {
+    import spark.implicits._
+    val names = Seq((1L, "Robert"), (2L, "Rupert"), (3L, "Smith"),
+      (4L, "Smyth"), (5L, "Jones")).toDF("id", "name")
+    val pairs = operators.DedupQueries.phoneticPairs(names).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[String]("sx"))).toSet
+    assert(pairs == Set((1L, 2L, "R163"), (3L, 4L, "S530")),
+      s"phonetic blocks wrong: $pairs")
+    // registry entry: vocabulary encoding is well-formed
+    val keys = SparkEntry.queries("d29_phonetic_keys")(spark, sf).collect()
+    assert(keys.nonEmpty)
+    keys.foreach { r =>
+      assert(r.getAs[String]("sx").matches("[A-Z][0-9]{3}"),
+        s"malformed soundex: ${r.getAs[String]("sx")} for ${r.getAs[String]("word")}")
+      assert(r.getAs[Long]("n_in_code") >= 1L)
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
