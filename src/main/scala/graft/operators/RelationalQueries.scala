@@ -2584,7 +2584,54 @@ object RelationalQueries {
   def q120_winsorize(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "events")(q120Sql)
 
+  /** q121: decile LIFT/GAINS table — the model-eval artifact next to
+    * t19's AUC: rank customers by a score (here: total revenue, standing
+    * in for a model score), cut into deciles, and report each decile's
+    * response rate (big-ticket purchase, q110's conversion flag),
+    * cumulative gain and cumulative lift — "the top 20% of scores capture
+    * X% of responders" is THE campaign-targeting readout. Deciles come
+    * from ntile(10) over a UNIQUE order (score desc, custkey — ntile over
+    * ties without a tie-break is engine-defined, the q70 lesson);
+    * everything downstream is integer counts over 10 partial rows, gains
+    * and lift in per-mille via cross-multiplied integer division →
+    * hash-green. Scale: the score aggregate is map-side; the one global
+    * sort is |customers| rows (the q108 note: two-phase scan is the
+    * giant-dimension path), windows after that see 10 rows.
+    */
+  private def q121Sql(div: String): String =
+    s"""WITH score AS (
+       |  SELECT o_custkey,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |           AS revenue_cents,
+       |         max(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS responder
+       |  FROM orders GROUP BY o_custkey),
+       |dec AS (
+       |  SELECT o_custkey, revenue_cents, responder,
+       |         CAST(ntile(10) OVER (ORDER BY revenue_cents DESC, o_custkey)
+       |              AS BIGINT) AS decile
+       |  FROM score),
+       |agg AS (
+       |  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(responder) AS BIGINT) AS responders
+       |  FROM dec GROUP BY decile),
+       |cum AS (
+       |  SELECT decile, n, responders,
+       |         CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+       |         CAST(sum(responders) OVER (ORDER BY decile) AS BIGINT) AS cum_resp,
+       |         CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+       |         CAST(sum(responders) OVER () AS BIGINT) AS tot_resp
+       |  FROM agg)
+       |SELECT decile, n, responders,
+       |       (responders * 1000) $div n AS response_pm,
+       |       (cum_resp * 1000) $div tot_resp AS cum_gain_pm,
+       |       (cum_resp * tot_n * 1000) $div (cum_n * tot_resp) AS cum_lift_pm
+       |FROM cum""".stripMargin
+
+  def q121_lift_gains(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q121Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "q121_lift_gains" -> (q121_lift_gains _),
     "q119_psi_drift" -> (q119_psi_drift _),
     "q120_winsorize" -> (q120_winsorize _),
     "q116_cusum" -> (q116_cusum _),
@@ -3100,6 +3147,7 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q121_lift_gains" -> q121Sql("//"),
     "q119_psi_drift" -> q119Sql("//"),
     "q120_winsorize" -> q120Sql,
     "q116_cusum" -> q116Sql(

@@ -1097,7 +1097,62 @@ object TextQueries {
       .select(col("doc_id"))
   }
 
+  /** t29: TextRank keyword extraction (Mihalcea & Tarau EMNLP'04) — the
+    * graph-based complement of t27's RAKE and t05's TF-IDF: words vote
+    * for their neighbors through weighted PageRank over the adjacency
+    * graph (edge weight = corpus-wide count of the two words appearing
+    * adjacent), so a word is important when important words sit next to
+    * it — frequency alone doesn't win. Arithmetic is g01's integer
+    * micro-rank scheme, weighted: each round every node distributes its
+    * whole rank proportionally to edge weights ((w·r) div strength —
+    * mass-conserving, so ranks stay bounded), damping 0.85 as
+    * 150000 + 85·c div 100, four rounds unrolled identically in the
+    * DuckDB oracle's CTE chain → hash-green. Scale: the adjacency
+    * aggregate is one map-side count over the token scan (|V|² keys at
+    * worst — vocabulary-sized, Heaps' law); each round is one keyed join
+    * + partial-agg sum over |E| rows; top-10 through the native heaps.
+    */
+  def t29_textrank(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.TopKPerGroup
+    import graft.plans.TopKPerGroup.Ord
+    val rounds = 4
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val co = tok.alias("a")
+      .join(tok.alias("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1 && col("a.w") =!= col("b.w"))
+      .groupBy(col("a.w").as("u"), col("b.w").as("v"))
+      .agg(count(lit(1)).as("n"))
+    // symmetrize: adjacency is undirected, weights add across directions
+    val edges = co.select(col("u").as("src"), col("v").as("dst"), col("n"))
+      .unionByName(co.select(col("v").as("src"), col("u").as("dst"), col("n")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("wgt"))
+      .localCheckpoint() // feeds strength, nodes, and every round
+    val strength = edges.groupBy(col("src")).agg(sum(col("wgt")).as("st"))
+    val nodes = edges.select(col("src").as("word")).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(strength, "src")
+        .join(ranks.select(col("word").as("src"), col("r")), "src")
+        .groupBy(col("dst").as("word"))
+        .agg(sum(expr("(wgt * r) div st")).as("c"))
+      ranks = nodes.join(contrib, Seq("word"), "left")
+        .select(col("word"),
+          expr("150000L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+    }
+    TopKPerGroup.topK(
+      ranks.join(strength.select(col("src").as("word"), col("st")), "word")
+        .select(lit(1).as("g"), col("word"), col("r").as("rank"), col("st")),
+      Seq("g"), Seq(Ord("rank", desc = true), Ord("word")), 10)
+      .select(col("word"), col("rank"), col("st"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t29_textrank" -> (t29_textrank _),
     "t28_trigram_search" -> (t28_trigram_search _),
     "t27_rake_keyphrases" -> (t27_rake_keyphrases _),
     "t26_collocations" -> (t26_collocations _),
@@ -1159,7 +1214,49 @@ object TextQueries {
       |  FROM scored) t
       |WHERE rk <= 10""".stripMargin
 
+  /** t29's oracle: identical integer arithmetic with the four rounds
+    * unrolled as a CTE chain (the g01 oracle pattern).
+    */
+  private val textrankOracle: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""r$i AS (
+         |  SELECT n.word,
+         |         CAST(150000 + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS word, CAST(sum((e.wgt * r.r) // st.st) AS BIGINT) AS c
+         |    FROM edges e
+         |    JOIN strength st ON st.src = e.src
+         |    JOIN r${i - 1} r ON r.word = e.src
+         |    GROUP BY e.dst) s ON s.word = n.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS pos, ts[i] AS w
+       |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)),
+       |co AS (
+       |  SELECT a.w AS u, b.w AS v, CAST(count(*) AS BIGINT) AS n
+       |  FROM pos a JOIN pos b
+       |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND a.w <> b.w
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT src, dst, CAST(sum(n) AS BIGINT) AS wgt FROM (
+       |    SELECT u AS src, v AS dst, n FROM co
+       |    UNION ALL
+       |    SELECT v AS src, u AS dst, n FROM co) GROUP BY 1, 2),
+       |strength AS (SELECT src, CAST(sum(wgt) AS BIGINT) AS st
+       |             FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS word FROM edges),
+       |r0 AS (SELECT word, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$rounds,
+       |fin AS (
+       |  SELECT n.word, n.r AS rank, st.st,
+       |         row_number() OVER (ORDER BY n.r DESC, n.word) AS rn
+       |  FROM r4 n JOIN strength st ON st.src = n.word)
+       |SELECT word, rank, st FROM fin WHERE rn <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t29_textrank" -> textrankOracle,
     "t28_trigram_search" ->
       """WITH q(pattern) AS (VALUES ('window'), ('vector'), ('merge slow'), ('the fast')),
         |m AS (

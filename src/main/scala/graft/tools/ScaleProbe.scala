@@ -388,6 +388,12 @@ object ScaleProbe {
         graft.operators.MultimodalQueries.m16_vad_segments(spark, sf).count())
       time(s"$tag d29_phonetic_keys")(
         graft.operators.DedupQueries.d29_phonetic_keys(spark, sf).count())
+      // wave 29: t29's rounds are keyed joins over the vocab-sized edge
+      // list; q121's one sort is |customers| rows, windows see 10
+      time(s"$tag t29_textrank")(
+        graft.operators.TextQueries.t29_textrank(spark, sf).count())
+      time(s"$tag q121_lift_gains")(
+        graft.operators.RelationalQueries.q121_lift_gains(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1133,6 +1133,50 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t29 TextRank equals a literal driver-side replay of the weighted rounds") {
+    val out = SparkEntry.queries("t29_textrank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("rank"), r.getAs[Long]("st")))
+    assert(out.length == 10)
+    // rebuild the adjacency graph and replay 4 rounds in plain Scala
+    val toks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ws = r.getAs[String]("text").split(" ")
+        ws.zip(ws.drop(1)).filter { case (a, b) => a != b }
+      }
+    val co = toks.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.length.toLong) }
+    val edges = co.flatMap { case (u, v, n) => Seq((u, v, n), (v, u, n)) }
+      .groupBy { case (u, v, _) => (u, v) }
+      .map { case ((u, v), xs) => (u, v, xs.map(_._3).sum) }.toSeq
+    val strength = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val words = edges.map(_._1).distinct
+    var r = words.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => (w * r(src)) / strength(src) }.sum
+      }
+      r = words.map(w => w -> (150000L + (85L * contrib.getOrElse(w, 0L)) / 100L)).toMap
+    }
+    val expect = words.map(w => (w, r(w), strength(w)))
+      .sortBy { case (w, rk, _) => (-rk, w) }.take(10)
+    assert(out.toSeq == expect,
+      s"TextRank replay mismatch:\nspark=${out.toSeq}\nreplay=$expect")
+  }
+
+  test("q121 lift table: gains monotone, final lift exactly 1000, top decile over-indexes") {
+    val rows = SparkEntry.queries("q121_lift_gains")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val gains = rows.map(_.getAs[Long]("cum_gain_pm"))
+    gains.sliding(2).foreach { case Array(a, b) =>
+      assert(a <= b, s"cumulative gain must be monotone: ${gains.toSeq}")
+    }
+    assert(gains.last == 1000L, "all responders captured at decile 10")
+    assert(rows.last.getAs[Long]("cum_lift_pm") == 1000L,
+      "cumulative lift over the whole population is exactly 1.0")
+    assert(rows.head.getAs[Long]("cum_lift_pm") > 1000L,
+      "revenue-ranked top decile must over-index on big-ticket responders")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
