@@ -964,7 +964,32 @@ object CurationQueries {
       .withColumn("waste_pm", expr("(padding_tokens * 1000) div useful_tokens"))
   }
 
+  /** c32: tokenizer FERTILITY audit — the per-language tokenizer-equity
+    * readout every multilingual pipeline publishes (a language whose
+    * words shatter into many pieces pays more sequence budget for the
+    * same content, trains worse, and costs more to serve): per language,
+    * pieces per 1000 whitespace words (fertility) and chars per 1000
+    * pieces (compression) under t10's real rank-ordered BPE — not a
+    * whitespace estimate. One zero-shuffle tokenize pass (the merge
+    * table is compiled constants), one map-side aggregate; integer
+    * per-mille ratios → hash-green against DuckDB running the identical
+    * merge chain.
+    */
+  def c32_tokenizer_fertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pieces",
+        size(TextQueries.bpePieces(col("text"))).cast("long"))
+      .withColumn("words", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(col("pieces")).as("n_pieces"),
+        sum(col("words")).as("n_words"))
+      .withColumn("fertility_pm", expr("(n_pieces * 1000) div n_words"))
+      .withColumn("chars_per_1000_pieces", expr("(n_chars * 1000) div n_pieces"))
+
   val queries: Map[String, Q] = Map(
+    "c32_tokenizer_fertility" -> (c32_tokenizer_fertility _),
     "c31_padding_sweep" -> (c31_padding_sweep _),
     "c30_exemplar_selection" -> (c30_exemplar_selection _),
     "c22_preprocess_recipe" -> (c22_preprocess_recipe _),
@@ -1193,6 +1218,23 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "c32_tokenizer_fertility" ->
+      s"""WITH p AS (
+         |  SELECT lang, length(text) AS nc,
+         |         len(regexp_split_to_array(trim(${TextQueries.duckBpeEncode}), ' +'))
+         |           AS pieces,
+         |         len(string_split(text, ' ')) AS words
+         |  FROM documents),
+         |a AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(nc) AS BIGINT) AS n_chars,
+         |         CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |         CAST(sum(words) AS BIGINT) AS n_words
+         |  FROM p GROUP BY lang)
+         |SELECT lang, n_docs, n_chars, n_pieces, n_words,
+         |       (n_pieces * 1000) // n_words AS fertility_pm,
+         |       (n_chars * 1000) // n_pieces AS chars_per_1000_pieces
+         |FROM a""".stripMargin,
     "c31_padding_sweep" ->
       """WITH dd AS (
         |  SELECT least(len(string_split(text, ' ')), 128) AS len FROM documents),

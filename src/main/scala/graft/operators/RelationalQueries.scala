@@ -2519,19 +2519,17 @@ object RelationalQueries {
     * hash-checks. Scale: two filtered map-side count aggregates over the
     * scan; everything after runs on |buckets| rows.
     */
-  private def q119Sql(div: String): String =
-    s"""WITH b AS (
-       |  SELECT event_type,
-       |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
-       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
-       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-       |  FROM events GROUP BY event_type),
-       |t AS (
+  /** The PSI arithmetic over any (event_type, n_ref, n_cur) relation —
+    * shared verbatim between q119 (counts inline from events) and st13
+    * (counts merged from stored per-batch partials), so the incremental
+    * path provably computes the identical statistic.
+    */
+  private[graft] def psiTail(div: String, src: String): String =
+    s"""t AS (
        |  SELECT event_type, n_ref, n_cur,
        |         CAST(sum(n_ref) OVER () AS BIGINT) AS tot_ref,
        |         CAST(sum(n_cur) OVER () AS BIGINT) AS tot_cur
-       |  FROM b),
+       |  FROM $src),
        |c AS (
        |  SELECT event_type, n_ref, n_cur,
        |         (n_ref * 1000) $div tot_ref AS ref_pm,
@@ -2547,6 +2545,16 @@ object RelationalQueries {
        |       CAST(psi_part AS DOUBLE) AS psi_part,
        |       CAST(CAST(sum(psi_part) OVER () AS DECIMAL(38,9)) AS DOUBLE) AS psi_total
        |FROM c""".stripMargin
+
+  private[graft] def q119Sql(div: String): String =
+    s"""WITH pc AS (
+       |  SELECT event_type,
+       |         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+       |  FROM events GROUP BY event_type),
+       |${psiTail(div, "pc")}""".stripMargin
 
   def q119_psi_drift(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "events")(q119Sql("div"))
@@ -2630,7 +2638,43 @@ object RelationalQueries {
   def q121_lift_gains(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q121Sql("div"))
 
+  /** q122: SPRT sequential test ledger (Wald 1945) — the always-valid
+    * monitor q110's fixed-horizon z-test can't be: peeking at a z-test
+    * daily inflates false positives, while the sequential
+    * probability-ratio test is DESIGNED to be read every day. Testing
+    * H0: conversion = 4% vs H1: 8% at α = β = 0.05, each day's
+    * log-likelihood increment is x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)) —
+    * and because p0/p1 are design CONSTANTS, both logs enter as
+    * pre-rounded integer micro-literals (693147 = ln 2·10⁶, −42560) just
+    * like q117's Benford table: the entire ledger is exact int64
+    * arithmetic, no libm at query time. Cumulative LLR is one prefix sum
+    * over day partials; crossing ln((1−β)/α) = ±2944439 micro decides.
+    * Scale: the corpus-sized work is the map-side daily aggregate
+    * (q112/q116's economics); the window sees |days| rows.
+    */
+  private def q122Sql(dayExpr: String, div: String): String =
+    s"""WITH daily AS (
+       |  SELECT $dayExpr AS day, CAST(count(*) AS BIGINT) AS n_trials,
+       |         CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_conv
+       |  FROM orders GROUP BY 1),
+       |l AS (
+       |  SELECT day, n_trials, n_conv,
+       |         CAST(sum(n_conv * 693147 + (n_trials - n_conv) * (-42560))
+       |              OVER (ORDER BY day) AS BIGINT) AS llr_micro
+       |  FROM daily)
+       |SELECT day, n_trials, n_conv, llr_micro,
+       |       CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+       |            WHEN llr_micro <= -2944439 THEN 'accept_h0'
+       |            ELSE 'continue' END AS verdict
+       |FROM l""".stripMargin
+
+  def q122_sprt(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q122Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
   val queries: Map[String, Q] = Map(
+    "q122_sprt" -> (q122_sprt _),
     "q121_lift_gains" -> (q121_lift_gains _),
     "q119_psi_drift" -> (q119_psi_drift _),
     "q120_winsorize" -> (q120_winsorize _),
@@ -3147,6 +3191,8 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS signup,
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
+    "q122_sprt" -> q122Sql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q121_lift_gains" -> q121Sql("//"),
     "q119_psi_drift" -> q119Sql("//"),
     "q120_winsorize" -> q120Sql,

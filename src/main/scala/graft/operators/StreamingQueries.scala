@@ -376,7 +376,43 @@ object StreamingQueries {
     }
   }
 
+  /** st13: INCREMENTAL PSI drift monitor — q119's statistic maintained
+    * under continuous ingest: each micro-batch appends its (event_type,
+    * half, count) partial; the monitor merges STORED partials only and
+    * feeds the merged counts through q119's psiTail SQL verbatim. Counts
+    * add exactly, so the incremental path is bit-identical to one-shot
+    * q119 — the oracle IS q119's (the st06/st10 pattern), and
+    * StreamingSpec drives the same rollup under a real
+    * readStream/foreachBatch. This is how a production drift alarm
+    * actually runs: the reference window's counts are computed once and
+    * frozen; only the current window accumulates.
+    */
+  def st13_incremental_psi(s: SparkSession, d: String): DataFrame = {
+    val dir = SketchQueries.partialsDir("psi_partials", d)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"), lit("ref"))
+          .otherwise(lit("cur")).as("half"),
+        (col("event_id") % 4).as("batch_id"))
+    (0 until 4).foreach { b =>
+      ev.filter(col("batch_id") === b)
+        .groupBy(col("event_type"), col("half"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
+    }
+    s.read.parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("half") === "ref", col("n")).otherwise(0L))
+          .cast("long").as("n_ref"),
+        sum(when(col("half") === "cur", col("n")).otherwise(0L))
+          .cast("long").as("n_cur"))
+      .createOrReplaceTempView("psi_counts")
+    s.sql("WITH " + RelationalQueries.psiTail("div", "psi_counts"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st13_incremental_psi" -> (st13_incremental_psi _),
     "st12_view_maintain" -> (st12_view_maintain _),
     "st11_stateful_sessions" -> (st11_stateful_sessions _),
     "st10_incremental_vocab" -> (st10_incremental_vocab _),
@@ -392,6 +428,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // count partials add exactly, so merged-partials PSI == one-shot
+    // q119 — its oracle verbatim
+    "st13_incremental_psi" -> RelationalQueries.oracles("q119_psi_drift"),
     // any batching of the changelog folds to the same view — q94's
     // full-recompute oracle verbatim proves the 3-way split is invariant
     "st12_view_maintain" -> RelationalQueries.oracles("q94_view_maintain"),

@@ -394,6 +394,14 @@ object ScaleProbe {
         graft.operators.TextQueries.t29_textrank(spark, sf).count())
       time(s"$tag q121_lift_gains")(
         graft.operators.RelationalQueries.q121_lift_gains(spark, sf).count())
+      // wave 30: q122 windows over day partials; c32 is the zero-shuffle
+      // tokenize scan; st13 merges stored count partials
+      time(s"$tag q122_sprt")(
+        graft.operators.RelationalQueries.q122_sprt(spark, sf).count())
+      time(s"$tag c32_tokenizer_fertility")(
+        graft.operators.CurationQueries.c32_tokenizer_fertility(spark, sf).count())
+      time(s"$tag st13_incremental_psi")(
+        graft.operators.StreamingQueries.st13_incremental_psi(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1177,6 +1177,41 @@ class QueriesSpec extends SparkTestBase {
       "revenue-ranked top decile must over-index on big-ticket responders")
   }
 
+  test("q122 SPRT ledger: constants are the rounded logs, cumulative LLR replays exactly") {
+    // the design constants must BE the rounded micro-logs they claim
+    assert(math.round(math.log(0.08 / 0.04) * 1e6) == 693147L)
+    assert(math.round(math.log(0.92 / 0.96) * 1e6) == -42560L)
+    assert(math.round(math.log(0.95 / 0.05) * 1e6) == 2944439L)
+    val rows = SparkEntry.queries("q122_sprt")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("day"))
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, x) = (r.getAs[Long]("n_trials"), r.getAs[Long]("n_conv"))
+      cum += x * 693147L + (n - x) * -42560L
+      assert(r.getAs[Long]("llr_micro") == cum,
+        s"LLR prefix sum diverges at day ${r.getAs[Long]("day")}")
+      val v = r.getAs[String]("verdict")
+      if (cum >= 2944439L) assert(v == "accept_h1")
+      else if (cum <= -2944439L) assert(v == "accept_h0")
+      else assert(v == "continue")
+    }
+    assert(rows.map(_.getAs[String]("verdict")).distinct.length >= 2,
+      "fixture should exercise more than one verdict state")
+  }
+
+  test("c32 fertility: ratios reconcile and BPE never merges across words") {
+    val rows = SparkEntry.queries("c32_tokenizer_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, w, c) = (r.getAs[Long]("n_pieces"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"))
+      assert(p >= w, "every whitespace word is at least one BPE piece")
+      assert(r.getAs[Long]("fertility_pm") == p * 1000L / w)
+      assert(r.getAs[Long]("chars_per_1000_pieces") == c * 1000L / p)
+      assert(r.getAs[Long]("fertility_pm") >= 1000L)
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)

@@ -544,6 +544,47 @@ class StreamingSpec extends SparkTestBase {
       s"streamed $streamed vs one-shot $oneShot")
   }
 
+  test("streaming PSI: per-batch count partials merge to one-shot q119 exactly") {
+    // st13's architecture under a REAL stream: each micro-batch appends
+    // its (event_type, half, n) count partial; merged counts through
+    // q119's psiTail must equal the one-shot statistic EXACTLY — counts
+    // add, so like the vocab rollup there is no error budget.
+    Sessions.tune(spark)
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("ts"))
+    val srcDir = Files.createTempDirectory("psi_stream_src").toString
+    ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("psi_stream_partials").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select(col("event_type"),
+            when(col("ts") < expr("TIMESTAMP '2024-01-16 00:00:00'"), lit("ref"))
+              .otherwise(lit("cur")).as("half"))
+          .groupBy(col("event_type"), col("half"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(partialsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(partialsDir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("half") === "ref", col("n")).otherwise(0L))
+          .cast("long").as("n_ref"),
+        sum(when(col("half") === "cur", col("n")).otherwise(0L))
+          .cast("long").as("n_cur"))
+      .createOrReplaceTempView("psi_counts_spec")
+    val merged = spark.sql(
+      "WITH " + operators.RelationalQueries.psiTail("div", "psi_counts_spec"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val oneShot = SparkEntry.queries("q119_psi_drift")(spark, sf)
+    assert(canon(merged) == canon(oneShot))
+    assert(merged.count() > 0)
+  }
+
   test("streaming vocab rollup: per-batch word-count partials merge to one-shot t16") {
     // st10's architecture under a REAL stream: each micro-batch appends
     // its (lang, token, count) partial; the merge-only rollup must equal
