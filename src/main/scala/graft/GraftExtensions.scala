@@ -69,6 +69,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           { arity("jaro_winkler", 2, exprs); functions.JaroWinkler(exprs(0), exprs(1)) }))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fingerprints"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[functions.WinnowFingerprints].getName, "winnow_fingerprints"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          { arity("winnow_fingerprints", 1, exprs); functions.WinnowFingerprints(exprs.head, 8, 4) }))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kll_agg"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[functions.KllBuildAgg].getName, "kll_agg"),

@@ -340,6 +340,64 @@ object JaroWinkler {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken
+  * SIGMOD'03) as one native kernel — the whole per-document pipeline of
+  * d28 (stride-1 char k-gram polynomial hashes → min per w-hash window
+  * with leftmost tie-break → distinct selected hashes in first-occurrence
+  * order) in a single O(n·k + n·w) pass. Bit-identical to the HOF
+  * spelling (transform/aggregate/slice/array_min over the hash·2^20+pos
+  * encoding — kept as the parity oracle in FunctionsSpec), which runs
+  * interpreted per element; this runs as one compiled method call with
+  * the surrounding expressions still fused ([[KernelCodegen]]).
+  * Hash: base-31 polynomial over codepoints mod 1e9+7 (t04's).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints needs a string (and k, w >= 1), got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = codes.length
+    val g = n - (k - 1) // number of k-grams
+    if (g < w) return new GenericArrayData(Array.empty[Any])
+    val p = 1000000007L
+    // encoded(i) = hash of gram at 1-based pos i+1, shifted to carry pos
+    val enc = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var h = 0L
+      var o = 0
+      while (o < k) { h = (h * 31L + codes(i + o)) % p; o += 1 }
+      enc(i) = h * 1048576L + (i + 1)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= g - w) {
+      var m = enc(j)
+      var t = 1
+      while (t < w) { if (enc(j + t) < m) m = enc(j + t); t += 1 }
+      seen.add(m / 1048576L)
+      j += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { arr(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -358,6 +416,9 @@ object TextFunctions {
   def jaro_winkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
 
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    column(WinnowFingerprints(expression(text), k, w))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -370,5 +431,7 @@ object TextFunctions {
       "cdc_boundaries", exprs => { graft.GraftExtensions.arity("cdc_boundaries", 1, exprs); CdcBoundaries(exprs.head, 8, 64) }, "built-in")
     reg.createOrReplaceTempFunction(
       "jaro_winkler", exprs => { graft.GraftExtensions.arity("jaro_winkler", 2, exprs); JaroWinkler(exprs(0), exprs(1)) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fingerprints", exprs => { graft.GraftExtensions.arity("winnow_fingerprints", 1, exprs); WinnowFingerprints(exprs.head, 8, 4) }, "built-in")
   }
 }

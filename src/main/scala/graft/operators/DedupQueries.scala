@@ -1222,22 +1222,13 @@ object DedupQueries {
     * detection guarantee hold.
     */
   private[graft] def winnowPairs(docs: DataFrame, minShared: Long = 2L): DataFrame = {
+    import graft.functions.TextFunctions.winnow_fingerprints
     val k = 8; val w = 4
-    // per-position polynomial hash of the k-gram starting there, encoded
-    // as hash * 2^20 + pos so one array_min is min-by-(hash, pos)
-    val codes = docs
-      .withColumn("g", length(col("text")) - (k - 1))
-      .filter(col("g") >= w) // shorter docs yield no full window
-      .withColumn("codes", expr(
-        s"""transform(sequence(1, g), i ->
-           |  aggregate(transform(sequence(0, ${k - 1}),
-           |              o -> CAST(ascii(substring(text, i + o, 1)) AS LONG)),
-           |            0L, (acc, c) -> (acc * 31 + c) % 1000000007)
-           |  * 1048576 + i)""".stripMargin))
-    val fps = codes
-      .withColumn("fp", explode(expr(
-        s"""array_distinct(transform(sequence(1, g - ${w - 1}), j ->
-           |  array_min(slice(codes, j, $w)) div 1048576))""".stripMargin)))
+    // the whole per-doc selection is one native codegen'd kernel
+    // ([[graft.functions.WinnowFingerprints]]); the HOF spelling it
+    // replaced is pinned bit-identical in FunctionsSpec (hofWinnowExpr)
+    val fps = docs
+      .withColumn("fp", explode(winnow_fingerprints(col("text"), k, w)))
       .select(col("doc_id"), col("fp"))
       .localCheckpoint() // one kernel pass feeds the df agg AND both join sides
     val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))

@@ -2673,7 +2673,47 @@ object RelationalQueries {
     withViews(s, d, "orders")(
       q122Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
 
+  /** q123: weekday SEASONAL-INDEX decomposition — the classical-
+    * decomposition prep step before any forecast or anomaly rule on
+    * business metrics (q95 normalizes within (type × hour) cells; this
+    * produces the reusable multiplicative index itself): per-weekday
+    * index = weekday mean over global mean in per-mille, computed
+    * CROSS-MULTIPLIED ((Σ_wd · n_total · 1000) div (n_wd · Σ_total)) so
+    * no float mean ever forms, then each day's revenue deseasonalizes by
+    * integer division against its weekday's index. Weekday comes from
+    * the epoch-day index mod 7 — engines disagree on dayofweek()
+    * numbering (a cross-engine hazard class like NULL ordering, pinned
+    * here by construction instead). All int64 → hash-green; windows see
+    * |days| partials, the 7-row index broadcasts.
+    */
+  private def q123Sql(dayExpr: String, div: String): String =
+    s"""WITH daily AS (
+       |  SELECT $dayExpr AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |w AS (
+       |  SELECT day % 7 AS weekday,
+       |         CAST(sum(cents) AS BIGINT) AS wd_sum,
+       |         CAST(count(*) AS BIGINT) AS wd_days
+       |  FROM daily GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(cents) AS BIGINT) AS tot_sum,
+       |         CAST(count(*) AS BIGINT) AS tot_days
+       |  FROM daily),
+       |idx AS (
+       |  SELECT weekday,
+       |         (wd_sum * tot_days * 1000) $div (wd_days * tot_sum) AS idx_pm
+       |  FROM w CROSS JOIN t)
+       |SELECT d.day, d.day % 7 AS weekday, d.cents, i.idx_pm,
+       |       (d.cents * 1000) $div i.idx_pm AS deseas_cents
+       |FROM daily d JOIN idx i ON i.weekday = d.day % 7""".stripMargin
+
+  def q123_seasonal_index(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q123Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
   val queries: Map[String, Q] = Map(
+    "q123_seasonal_index" -> (q123_seasonal_index _),
     "q122_sprt" -> (q122_sprt _),
     "q121_lift_gains" -> (q121_lift_gains _),
     "q119_psi_drift" -> (q119_psi_drift _),
@@ -3192,6 +3232,8 @@ object RelationalQueries {
         |       CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(38,6))) AS DOUBLE) AS "error"
         |FROM events GROUP BY user_id""".stripMargin,
     "q122_sprt" -> q122Sql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
+    "q123_seasonal_index" -> q123Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q121_lift_gains" -> q121Sql("//"),
     "q119_psi_drift" -> q119Sql("//"),

@@ -402,6 +402,9 @@ object ScaleProbe {
         graft.operators.CurationQueries.c32_tokenizer_fertility(spark, sf).count())
       time(s"$tag st13_incremental_psi")(
         graft.operators.StreamingQueries.st13_incremental_psi(spark, sf).count())
+      // wave 31: q123 windows over day partials + a 7-row broadcast
+      time(s"$tag q123_seasonal_index")(
+        graft.operators.RelationalQueries.q123_seasonal_index(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

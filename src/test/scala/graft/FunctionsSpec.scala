@@ -229,6 +229,50 @@ class TextFunctionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("winnow_fingerprints: hand case, HOF bit-parity, codegen parity") {
+    import graft.functions.TextFunctions.winnow_fingerprints
+    // hand case, k=2, w=2 on "abab": grams ab,ba,ab hash to
+    // h(ab)=97*31+98=3105, h(ba)=98*31+97=3135; encoded 3105*2^20+1,
+    // 3135*2^20+2, 3105*2^20+3; window mins: min(e1,e2)=e1, min(e2,e3)=e3
+    // -> selected hashes [3105] (distinct, first-occurrence order)
+    val hand = Seq("abab").toDF("text")
+      .select(winnow_fingerprints($"text", 2, 2)).as[Seq[Long]].head()
+    assert(hand == Seq(3105L), s"hand case got $hand")
+    // bit-parity with the HOF spelling (the original d28 formulation,
+    // two-stage with a checkpoint barrier against CollapseProject
+    // inlining — the m11 lesson)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").limit(100)
+    val withCodes = docs
+      .withColumn("g", length($"text") - 7)
+      .filter($"g" >= 4)
+      .withColumn("codes", expr(
+        """transform(sequence(1, g), i ->
+          |  aggregate(transform(sequence(0, 7),
+          |              o -> CAST(ascii(substring(text, i + o, 1)) AS LONG)),
+          |            0L, (acc, c) -> (acc * 31 + c) % 1000000007)
+          |  * 1048576 + i)""".stripMargin))
+      .localCheckpoint()
+    val hof = withCodes.withColumn("fps", expr(
+        "array_distinct(transform(sequence(1, g - 3), j -> " +
+          "array_min(slice(codes, j, 4)) div 1048576))"))
+      .select($"doc_id", $"fps").as[(Long, Seq[Long])].collect().toMap
+    val native = docs.filter(length($"text") >= 11)
+      .select($"doc_id", winnow_fingerprints($"text", 8, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, fps) =>
+      assert(fps == hof(id), s"doc $id: native $fps != HOF ${hof(id)}")
+    }
+    // codegen vs interpreted parity
+    val viaCodegen = docs.select(winnow_fingerprints($"text")).as[Seq[Long]].collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val viaEval = docs.select(winnow_fingerprints($"text")).as[Seq[Long]].collect()
+      assert(viaCodegen.toSeq == viaEval.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("minhash_signature: 16 hashes; equal sets equal sigs; similar sets share components") {
     val df = Seq(
       Seq("a b c", "b c d", "c d e", "d e f"),

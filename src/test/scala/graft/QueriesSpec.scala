@@ -1212,6 +1212,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q123 seasonal index: weighted indices reconcile to 1000 and deseasonalization replays") {
+    val rows = SparkEntry.queries("q123_seasonal_index")(spark, sf).collect()
+    val byDay = rows.map(r => r.getAs[Long]("day") ->
+      (r.getAs[Long]("cents"), r.getAs[Long]("idx_pm"), r.getAs[Long]("deseas_cents")))
+    assert(byDay.nonEmpty)
+    // replay the cross-multiplied index from the emitted daily series
+    val daily = byDay.map { case (day, (c, _, _)) => (day, c) }
+    val totSum = daily.map(_._2).sum; val totDays = daily.length.toLong
+    val wd = daily.groupBy(_._1 % 7).map { case (w, xs) =>
+      w -> (xs.map(_._2).sum * totDays * 1000L) / (xs.length * totSum)
+    }
+    byDay.foreach { case (day, (c, idx, des)) =>
+      assert(idx == wd(day % 7), s"index mismatch on weekday ${day % 7}")
+      assert(des == c * 1000L / idx, s"deseasonalization mismatch on day $day")
+    }
+    // day-weighted mean of indices is 1000 up to integer truncation
+    val weighted = wd.map { case (w, idx) =>
+      idx * daily.count(_._1 % 7 == w) }.sum / totDays
+    assert(math.abs(weighted - 1000L) <= 1L, s"weighted index mean $weighted")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
