@@ -988,7 +988,58 @@ object CurationQueries {
       .withColumn("fertility_pm", expr("(n_pieces * 1000) div n_words"))
       .withColumn("chars_per_1000_pieces", expr("(n_chars * 1000) div n_pieces"))
 
+  /** c33: the full training-data ASSEMBLY — c22's preprocess recipe
+    * (normalize → exact-dedup-on-the-rewrite → 13-gram decontaminate)
+    * extended with the two remaining production stages so ONE operator
+    * emits the ordered manifest a trainer actually consumes: a quality
+    * GATE (≥10 tokens and ≥20% distinct-token ratio — the integer-exact
+    * repetition screen; degenerate "spam spam spam" docs fail it) and
+    * c28's deterministic seedless INTERLEAVE (Knuth-hash scramble +
+    * exact global positions from the two-phase distributed prefix scan).
+    * Every stage is the already-oracle-checked building block — the
+    * point of this row is that the COMPOSITION is itself hash-green end
+    * to end, the "could a reference user run their whole pipeline"
+    * claim made checkable. Scale: each stage inherits its component's
+    * audit (normalize scan-bound, dedup hash-agg, decont broadcast
+    * probe, gate scan-bound, order two-phase).
+    */
+  def c33_assembly(s: SparkSession, d: String): DataFrame =
+    assemble(s, Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The assembly over any (doc_id, lang, text) frame — QueriesSpec
+    * drives it with a planted corpus where the quality gate provably
+    * bites (a degenerate repeated-token doc survives c22's stages but
+    * fails the distinct-ratio rule; a short doc fails the token floor).
+    */
+  private[graft] def assemble(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rec = preprocessRecipe(docsIn)
+    val gated = rec
+      .withColumn("n_distinct",
+        size(array_distinct(split(col("cleaned"), " "))).cast("long"))
+      .filter(col("n_tokens") >= 10 &&
+        col("n_distinct") * 1000 >= col("n_tokens") * 200)
+    val keyed = gated
+      .withColumn("k",
+        expr("((doc_id % 1000003) * 2654435761 + 40503) % 1000000007"))
+      .repartitionByRange(32, col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offDf), "pid")
+      .withColumn("position", col("off") + count(lit(1)).over(w) - 1)
+      .select(col("position"), col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c33_assembly" -> (c33_assembly _),
     "c32_tokenizer_fertility" -> (c32_tokenizer_fertility _),
     "c31_padding_sweep" -> (c31_padding_sweep _),
     "c30_exemplar_selection" -> (c30_exemplar_selection _),
@@ -1217,6 +1268,37 @@ object CurationQueries {
     s"$head,\n$rounds\n$sel"
   }
 
+  /** The c22 recipe's DuckDB CTE chain (normalize → length gate → dedup
+    * → corpus/eval split → 13-gram contamination) — shared verbatim by
+    * the c22 oracle and c33's extended-assembly oracle.
+    */
+  private val recipeOracleCtes: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang,
+      |         trim(regexp_replace(regexp_replace(lower(text),
+      |           '[^a-z0-9 .,]', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
+      |  FROM documents),
+      |f AS (SELECT * FROM c WHERE length(cleaned) >= 20),
+      |keep AS (SELECT cleaned, min(doc_id) AS doc_id FROM f GROUP BY cleaned),
+      |dd AS (
+      |  SELECT f.doc_id, f.lang, f.cleaned
+      |  FROM f JOIN keep ON f.cleaned = keep.cleaned AND f.doc_id = keep.doc_id),
+      |corpus AS (SELECT * FROM dd WHERE doc_id % 19 <> 0),
+      |evald AS (SELECT * FROM f WHERE doc_id % 19 = 0),
+      |cg AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 12)) AS i
+      |        FROM (SELECT doc_id, string_split(cleaned, ' ') AS toks
+      |              FROM corpus) z
+      |        WHERE len(toks) >= 13) u),
+      |eg AS (
+      |  SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS ng
+      |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 12)) AS i
+      |        FROM (SELECT string_split(cleaned, ' ') AS toks FROM evald) z
+      |        WHERE len(toks) >= 13) u),
+      |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c32_tokenizer_fertility" ->
       s"""WITH p AS (
@@ -1251,36 +1333,33 @@ object CurationQueries {
         |FROM u GROUP BY n_buckets""".stripMargin,
     "c30_exemplar_selection" -> c30Oracle,
     "c22_preprocess_recipe" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang,
-        |         trim(regexp_replace(regexp_replace(lower(text),
-        |           '[^a-z0-9 .,]', ' ', 'g'), ' {2,}', ' ', 'g')) AS cleaned
-        |  FROM documents),
-        |f AS (SELECT * FROM c WHERE length(cleaned) >= 20),
-        |keep AS (SELECT cleaned, min(doc_id) AS doc_id FROM f GROUP BY cleaned),
-        |dd AS (
-        |  SELECT f.doc_id, f.lang, f.cleaned
-        |  FROM f JOIN keep ON f.cleaned = keep.cleaned AND f.doc_id = keep.doc_id),
-        |corpus AS (SELECT * FROM dd WHERE doc_id % 19 <> 0),
-        |evald AS (SELECT * FROM f WHERE doc_id % 19 = 0),
-        |cg AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 12)) AS i
-        |        FROM (SELECT doc_id, string_split(cleaned, ' ') AS toks
-        |              FROM corpus) z
-        |        WHERE len(toks) >= 13) u),
-        |eg AS (
-        |  SELECT DISTINCT array_to_string(toks[i:i+12], ' ') AS ng
-        |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 12)) AS i
-        |        FROM (SELECT string_split(cleaned, ' ') AS toks FROM evald) z
-        |        WHERE len(toks) >= 13) u),
-        |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))
-        |SELECT c2.doc_id, c2.lang,
-        |       CAST(len(string_split(c2.cleaned, ' ')) AS BIGINT) AS n_tokens,
-        |       c2.cleaned
-        |FROM corpus c2 LEFT JOIN bad ON c2.doc_id = bad.doc_id
-        |WHERE bad.doc_id IS NULL""".stripMargin,
+      s"""$recipeOracleCtes
+         |SELECT c2.doc_id, c2.lang,
+         |       CAST(len(string_split(c2.cleaned, ' ')) AS BIGINT) AS n_tokens,
+         |       c2.cleaned
+         |FROM corpus c2 LEFT JOIN bad ON c2.doc_id = bad.doc_id
+         |WHERE bad.doc_id IS NULL""".stripMargin,
+    "c33_assembly" ->
+      s"""$recipeOracleCtes,
+         |rec AS (
+         |  SELECT c2.doc_id, c2.lang,
+         |         CAST(len(string_split(c2.cleaned, ' ')) AS BIGINT) AS n_tokens,
+         |         c2.cleaned
+         |  FROM corpus c2 LEFT JOIN bad ON c2.doc_id = bad.doc_id
+         |  WHERE bad.doc_id IS NULL),
+         |g AS (
+         |  SELECT doc_id, lang, n_tokens
+         |  FROM rec
+         |  WHERE n_tokens >= 10
+         |    AND CAST(len(list_distinct(string_split(cleaned, ' '))) AS BIGINT)
+         |        * 1000 >= n_tokens * 200),
+         |sk AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         ((doc_id % 1000003) * 2654435761 + 40503) % 1000000007 AS k
+         |  FROM g)
+         |SELECT row_number() OVER (ORDER BY k, doc_id) - 1 AS position,
+         |       doc_id, lang, n_tokens
+         |FROM sk""".stripMargin,
     "c21_sample_k_per_group" ->
       """SELECT lang, doc_id,
         |       (doc_id * 2654435761) % 4294967296 AS rnd

@@ -405,6 +405,9 @@ object ScaleProbe {
       // wave 31: q123 windows over day partials + a 7-row broadcast
       time(s"$tag q123_seasonal_index")(
         graft.operators.RelationalQueries.q123_seasonal_index(spark, sf).count())
+      // wave 32: c33 inherits its five components' audited shapes
+      time(s"$tag c33_assembly")(
+        graft.operators.CurationQueries.c33_assembly(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

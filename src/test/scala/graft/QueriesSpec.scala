@@ -1233,6 +1233,30 @@ class QueriesSpec extends SparkTestBase {
     assert(math.abs(weighted - 1000L) <= 1L, s"weighted index mean $weighted")
   }
 
+  test("c33 assembly: every stage bites on a planted corpus; positions are a clean permutation") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over a lazy dog near the river bank today"
+    val planted = Seq(
+      (2L, "en", good),                            // survivor
+      (40L, "en", good),                           // exact dup of 2 -> dropped
+      (3L, "en", "spam " * 19 + "spam"),           // repetition -> distinct-ratio gate drops
+      (4L, "en", "one two three four five six"),   // 6 tokens -> token floor drops
+      (5L, "de", "ein anderes dokument mit vielen verschiedenen woertern " +
+        "und noch mehr inhalt dazu heute")         // survivor
+    ).toDF("doc_id", "lang", "text")
+    val out = operators.CurationQueries.assemble(spark, planted).collect()
+      .map(r => (r.getAs[Long]("position"), r.getAs[Long]("doc_id")))
+    val ids = out.map(_._2).toSet
+    assert(ids == Set(2L, 5L),
+      s"expected only the two clean docs to survive: $ids")
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L),
+      "positions must be the contiguous 0..n-1 permutation")
+    // the fixture-scale run reconciles too: positions are a permutation
+    val full = SparkEntry.queries("c33_assembly")(spark, sf).collect()
+      .map(_.getAs[Long]("position")).sorted
+    assert(full.toSeq == (0L until full.length).toSeq)
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
