@@ -2712,7 +2712,52 @@ object RelationalQueries {
     withViews(s, d, "orders")(
       q123Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
 
+  /** q124: NEAREST as-of join — pandas `merge_asof(direction='nearest')`:
+    * q30/q104 answer "latest at-or-before"; sensor/feature alignment often
+    * wants the temporally CLOSEST reading either side. Rewrite: ONE
+    * (user, ts) sort carries both a last-at-or-before and a
+    * first-after window (q30's union trick, both directions), then an
+    * exact epoch-µs integer compare picks the nearer (tie → the earlier,
+    * i.e. the backward match; same-ts clicks sort before the probe so a
+    * zero-gap match is a backward match on both engines). Probes with no
+    * click either side survive with NULLs (q104's contract). The DuckDB
+    * oracle is an INDEPENDENT LATERAL top-1-by-|gap| per probe — a
+    * different algorithm reaching the same rows, cross-validating the
+    * two-window rewrite. Scale: one exchange on user_id serves both
+    * windows; no probes×candidates join ever forms.
+    */
+  def q124_asof_nearest(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("is_probe", when(col("event_type") === "error", 1).otherwise(0))
+      .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev
+      .withColumn("prev_ts", last(col("click_ts"), ignoreNulls = true).over(back))
+      .withColumn("next_ts", first(col("click_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("is_probe") === 1)
+      .withColumn("gap_back", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .withColumn("gap_fwd", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .withColumn("take_back",
+        col("prev_ts").isNotNull &&
+          (col("next_ts").isNull || col("gap_back") <= col("gap_fwd")))
+      .select(col("event_id"),
+        date_format(
+          when(col("take_back"), col("prev_ts")).otherwise(col("next_ts")),
+          "yyyy-MM-dd HH:mm:ss").as("nearest_click_s"),
+        when(col("take_back"), col("gap_back"))
+          .otherwise(col("gap_fwd")).as("gap_us"),
+        when(col("prev_ts").isNull && col("next_ts").isNull, lit(null))
+          .otherwise(when(col("take_back"), "back").otherwise("fwd"))
+          .as("direction"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_asof_nearest" -> (q124_asof_nearest _),
     "q123_seasonal_index" -> (q123_seasonal_index _),
     "q122_sprt" -> (q122_sprt _),
     "q121_lift_gains" -> (q121_lift_gains _),
@@ -3235,6 +3280,23 @@ object RelationalQueries {
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q123_seasonal_index" -> q123Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
+    "q124_asof_nearest" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type,
+        |         CAST(date_trunc('microsecond', ts) AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |probes AS (SELECT * FROM base WHERE event_type = 'error'),
+        |clicks AS (SELECT * FROM base WHERE event_type = 'click')
+        |SELECT p.event_id,
+        |       strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS nearest_click_s,
+        |       n.gap_us, n.direction
+        |FROM probes p LEFT JOIN LATERAL (
+        |  SELECT c.ts,
+        |         abs(epoch_us(c.ts) - epoch_us(p.ts)) AS gap_us,
+        |         CASE WHEN c.ts <= p.ts THEN 'back' ELSE 'fwd' END AS direction
+        |  FROM clicks c WHERE c.user_id = p.user_id
+        |  ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)), c.ts
+        |  LIMIT 1) n ON true""".stripMargin,
     "q121_lift_gains" -> q121Sql("//"),
     "q119_psi_drift" -> q119Sql("//"),
     "q120_winsorize" -> q120Sql,

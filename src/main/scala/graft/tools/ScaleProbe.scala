@@ -408,6 +408,9 @@ object ScaleProbe {
       // wave 32: c33 inherits its five components' audited shapes
       time(s"$tag c33_assembly")(
         graft.operators.CurationQueries.c33_assembly(spark, sf).count())
+      // wave 33: q124 is two windows on one (user, ts) exchange
+      time(s"$tag q124_asof_nearest")(
+        graft.operators.RelationalQueries.q124_asof_nearest(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

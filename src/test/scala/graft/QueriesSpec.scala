@@ -1257,6 +1257,41 @@ class QueriesSpec extends SparkTestBase {
     assert(full.toSeq == (0L until full.length).toSeq)
   }
 
+  test("q124 nearest as-of equals a brute-force nearest scan; both directions occur") {
+    val out = SparkEntry.queries("q124_asof_nearest")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("nearest_click_s"), r.getAs[java.lang.Long]("gap_us"),
+          r.getAs[String]("direction"))).toMap
+    // brute force: every error against every same-user click
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("ts"))
+      .filter(col("event_type").isin("click", "error")).collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .groupBy(_.getAs[Long]("user_id"))
+    val errors = ev.filter(_.getAs[String]("event_type") == "error")
+    assert(out.size == errors.length)
+    var (nBack, nFwd) = (0, 0)
+    errors.foreach { e =>
+      val (id, us) = (e.getAs[Long]("event_id"), e.getAs[Long]("us"))
+      val cand = clicks.getOrElse(e.getAs[Long]("user_id"), Array.empty)
+      if (cand.isEmpty) {
+        assert(out(id)._1 == null && out(id)._2 == null && out(id)._3 == null,
+          s"probe $id should emit NULLs")
+      } else {
+        val best = cand.minBy(c =>
+          (math.abs(c.getAs[Long]("us") - us), c.getAs[Long]("us")))
+        val bus = best.getAs[Long]("us")
+        assert(out(id)._2.longValue == math.abs(bus - us),
+          s"gap mismatch for probe $id")
+        val dir = if (bus <= us) "back" else "fwd"
+        assert(out(id)._3 == dir, s"direction mismatch for probe $id")
+        if (dir == "back") nBack += 1 else nFwd += 1
+      }
+    }
+    assert(nBack > 0 && nFwd > 0, "fixture should exercise both directions")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
