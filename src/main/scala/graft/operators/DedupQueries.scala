@@ -1305,7 +1305,100 @@ object DedupQueries {
         col("name_b"), col("jw_micro"))
   }
 
+  /** d31: BLOCKING-QUALITY audit — the methodology table every record-
+    * linkage deployment publishes before trusting a blocker (Christen's
+    * two numbers): REDUCTION RATIO (what fraction of the full cross
+    * product the blocker avoided scoring) and PAIR COMPLETENESS (what
+    * fraction of true matches its candidates retain), measured here for
+    * the repo's own three strategies — d20 nation equi-blocking, d21
+    * multi-pass union, d27 sorted-neighborhood w=6 — against the
+    * exhaustively-scored truth. The truth IS the full customer×supplier
+    * cross — affordable precisely because linkage runs on DIMENSION
+    * tables (15M pairs at the bench SF; a fact-scale audit samples one
+    * block stratum instead, and the scaladoc is the contract saying so).
+    * The SNM order here rides one row_number window for the same reason.
+    * All integer counts and per-mille ratios → hash-green with identical
+    * SQL text on both engines.
+    */
+  private def d31Sql(div: String): String =
+    s"""WITH c AS (
+       |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS cnat,
+       |         CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) % 50 AS csuf,
+       |         CAST(round(c_acctbal * 100) AS BIGINT) AS ccents
+       |  FROM customer),
+       |s AS (
+       |  SELECT s_suppkey AS sk, CAST(s_nationkey AS BIGINT) AS snat,
+       |         CAST(regexp_extract(s_name, '([0-9]+)', 1) AS BIGINT) % 50 AS ssuf,
+       |         CAST(round(s_acctbal * 100) AS BIGINT) AS scents
+       |  FROM supplier),
+       |full_scored AS (
+       |  SELECT ck, sk,
+       |         (CASE WHEN csuf = ssuf THEN 22 ELSE -5 END
+       |        + CASE WHEN (ccents + 10000000) $div 200000
+       |               = (scents + 10000000) $div 200000 THEN 8 ELSE -3 END
+       |        + CASE WHEN (ccents >= 0) = (scents >= 0) THEN 4 ELSE -2 END)
+       |           AS score,
+       |         cnat, snat, csuf, ssuf, ccents, scents
+       |  FROM c CROSS JOIN s),
+       |truth AS (SELECT ck, sk FROM full_scored WHERE score >= 26),
+       |cand_nation AS (
+       |  SELECT ck, sk FROM full_scored WHERE cnat = snat),
+       |cand_multi AS (
+       |  SELECT DISTINCT ck, sk FROM full_scored
+       |  WHERE cnat = snat
+       |     OR ((ccents + 10000000) $div 200000
+       |         = (scents + 10000000) $div 200000 AND csuf = ssuf)),
+       |recs AS (
+       |  SELECT 0 AS side, ck AS key, csuf AS suffix, ccents AS cents FROM c
+       |  UNION ALL
+       |  SELECT 1, sk, ssuf, scents FROM s),
+       |pos AS (
+       |  SELECT side, key,
+       |         row_number() OVER (ORDER BY suffix, cents, side, key) AS p
+       |  FROM recs),
+       |offs AS (SELECT 1 AS i UNION ALL SELECT 2 UNION ALL SELECT 3
+       |         UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6),
+       |cand_snm AS (
+       |  SELECT CASE WHEN a.side = 0 THEN a.key ELSE b.key END AS ck,
+       |         CASE WHEN a.side = 0 THEN b.key ELSE a.key END AS sk
+       |  FROM pos a CROSS JOIN offs o JOIN pos b
+       |    ON b.p = a.p + o.i AND a.side <> b.side),
+       |sizes AS (
+       |  SELECT 'full' AS strategy,
+       |         CAST((SELECT count(*) FROM full_scored) AS BIGINT) AS n_candidates,
+       |         CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_matches_found
+       |  UNION ALL
+       |  SELECT 'nation',
+       |         CAST((SELECT count(*) FROM cand_nation) AS BIGINT),
+       |         CAST((SELECT count(*) FROM cand_nation n JOIN truth t
+       |               ON t.ck = n.ck AND t.sk = n.sk) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'multipass',
+       |         CAST((SELECT count(*) FROM cand_multi) AS BIGINT),
+       |         CAST((SELECT count(*) FROM cand_multi n JOIN truth t
+       |               ON t.ck = n.ck AND t.sk = n.sk) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'snm_w6',
+       |         CAST((SELECT count(*) FROM cand_snm) AS BIGINT),
+       |         CAST((SELECT count(*) FROM cand_snm n JOIN truth t
+       |               ON t.ck = n.ck AND t.sk = n.sk) AS BIGINT))
+       |SELECT strategy, n_candidates, n_matches_found,
+       |       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+       |       1000 - (n_candidates * 1000)
+       |         $div (SELECT count(*) FROM full_scored) AS reduction_pm,
+       |       CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000
+       |            ELSE (n_matches_found * 1000)
+       |              $div (SELECT count(*) FROM truth) END AS completeness_pm
+       |FROM sizes""".stripMargin
+
+  def d31_blocking_audit(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    s.sql(d31Sql("div"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d31_blocking_audit" -> (d31_blocking_audit _),
     "d27_snm_linkage" -> (d27_snm_linkage _),
     "d28_winnowing" -> (d28_winnowing _),
     "d29_phonetic_keys" -> (d29_phonetic_keys _),
@@ -1396,6 +1489,7 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
     "d27_snm_linkage" ->
       """WITH recs AS (

@@ -664,7 +664,49 @@ object GraphQueries {
     alive.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** g17: 4-CYCLE (square) census — the motif one step past g02's
+    * triangles: squares are the bipartite-ish redundancy signature
+    * (two nodes sharing TWO+ distinct neighbors — co-purchase rings,
+    * mirror/scraper pairs in a link graph) that triangle counts miss
+    * entirely on bipartite-leaning graphs. Identity: every square has
+    * two diagonals, and a pair with c common neighbors closes C(c,2)
+    * squares through itself, so n_squares = Σ_{u<v} C(codeg(u,v), 2) / 2
+    * — one wedge join (2-paths through each middle node) + one pair
+    * aggregate, never cycle enumeration. Wedge fan-out is the g12/g14
+    * bound (Σ deg² over the support-thinned projection; AQE splits any
+    * residual hub). Pure integers, identical SQL both engines →
+    * hash-green; K4-and-square planted spec pins the closed forms.
+    */
+  private def g17Sql(div: String): String =
+    s"""WITH co AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $CoSupport),
+       |und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
+       |codeg AS (
+       |  SELECT a.u AS x, b.v AS y, CAST(count(*) AS BIGINT) AS cd
+       |  FROM und a JOIN und b ON a.v = b.u AND a.u < b.v
+       |  GROUP BY 1, 2)
+       |SELECT CAST(sum(cd * (cd - 1)) AS BIGINT) $div 4 AS n_squares,
+       |       CAST(count(*) AS BIGINT) AS n_connected_pairs,
+       |       CAST(max(cd) AS BIGINT) AS max_codegree
+       |FROM codeg""".stripMargin
+
+  def g17_squares(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(g17Sql("div"))
+  }
+
+  /** The census over any registered `lineitem` view — split out so the
+    * spec can plant a known co-occurrence structure.
+    */
+  private[graft] def squaresFromViews(s: SparkSession): DataFrame =
+    s.sql(g17Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "g17_squares" -> (g17_squares _),
     "g01_pagerank" -> (g01_pagerank _),
     "g02_triangles" -> (g02_triangles _),
     "g03_components" -> (g03_components _),
@@ -913,6 +955,7 @@ object GraphQueries {
          |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
     }.mkString(",\n")
     Map(
+      "g17_squares" -> g17Sql("//"),
       "g13_assortativity" -> g13Sql,
       "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),
       "g15_modularity" -> g15SqlTmpl.replace("$DIV$", "//"),

@@ -2756,7 +2756,37 @@ object RelationalQueries {
           .as("direction"))
   }
 
+  /** q125: SHARE-OF-PARENT drilldown — the hierarchy presentation every
+    * BI drill (region → nation) leads with: each nation's revenue with
+    * its per-mille share WITHIN its region and the region's share of the
+    * grand total, so the two window scopes nest (q113 bounds one level's
+    * legend; this walks the hierarchy). Revenue aggregates to the
+    * |nations| grain map-side before any window — the windows see 25
+    * rows — and every share is cross-multiplied integer division →
+    * hash-green with identical SQL text. The dimension joins broadcast.
+    */
+  private def q125Sql(div: String): String =
+    s"""WITH rev AS (
+       |  SELECT r_name AS region, n_name AS nation,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |           AS rev_cents
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY r_name, n_name)
+       |SELECT region, nation, rev_cents,
+       |       (rev_cents * 1000) $div CAST(sum(rev_cents)
+       |          OVER (PARTITION BY region) AS BIGINT) AS share_in_region_pm,
+       |       (CAST(sum(rev_cents) OVER (PARTITION BY region) AS BIGINT) * 1000)
+       |         $div CAST(sum(rev_cents) OVER () AS BIGINT) AS region_share_pm
+       |FROM rev""".stripMargin
+
+  def q125_share_of_parent(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders", "customer", "nation", "region")(q125Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "q125_share_of_parent" -> (q125_share_of_parent _),
     "q124_asof_nearest" -> (q124_asof_nearest _),
     "q123_seasonal_index" -> (q123_seasonal_index _),
     "q122_sprt" -> (q122_sprt _),
@@ -3280,6 +3310,7 @@ object RelationalQueries {
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q123_seasonal_index" -> q123Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
+    "q125_share_of_parent" -> q125Sql("//"),
     "q124_asof_nearest" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

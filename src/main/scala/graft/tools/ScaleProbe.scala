@@ -411,6 +411,14 @@ object ScaleProbe {
       // wave 33: q124 is two windows on one (user, ts) exchange
       time(s"$tag q124_asof_nearest")(
         graft.operators.RelationalQueries.q124_asof_nearest(spark, sf).count())
+      // wave 34: d31 scores the dim-sized cross once per strategy; g17 is
+      // one wedge join; q125 windows over |nations| partials
+      time(s"$tag d31_blocking_audit")(
+        graft.operators.DedupQueries.d31_blocking_audit(spark, sf).count())
+      time(s"$tag g17_squares")(
+        graft.operators.GraphQueries.g17_squares(spark, sf).count())
+      time(s"$tag q125_share_of_parent")(
+        graft.operators.RelationalQueries.q125_share_of_parent(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1292,6 +1292,68 @@ class QueriesSpec extends SparkTestBase {
     assert(nBack > 0 && nFwd > 0, "fixture should exercise both directions")
   }
 
+  test("d31 blocking audit: full row is exact, multipass is complete, ratios reconcile") {
+    val rows = SparkEntry.queries("d31_blocking_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_matches_found"),
+          r.getAs[Long]("n_truth"), r.getAs[Long]("reduction_pm"),
+          r.getAs[Long]("completeness_pm"))).toMap
+    assert(rows.keySet == Set("full", "nation", "multipass", "snm_w6"))
+    val (fullCand, fullFound, truth, fullRed, fullComp) = rows("full")
+    assert(fullRed == 0L && fullComp == 1000L && fullFound == truth)
+    rows.foreach { case (strat, (cand, found, t, red, comp)) =>
+      assert(t == truth)
+      assert(found <= truth && cand <= fullCand)
+      assert(red == 1000L - cand * 1000L / fullCand, s"$strat reduction")
+      assert(comp == (if (truth == 0) 1000L else found * 1000L / truth),
+        s"$strat completeness")
+    }
+    // the match rule demands suffix AND bucket agreement, and pass 2 of
+    // d21 blocks on exactly (bucket, suffix) — so multipass can't miss
+    assert(rows("multipass")._5 == 1000L,
+      "multi-pass blocking must retain every true match by construction")
+    assert(rows("nation")._4 > 900L, "equi-blocking should avoid >90% of the cross")
+  }
+
+  test("g17 squares: planted K4 and 4-ring close the exact counts") {
+    import spark.implicits._
+    // K4 on suppliers 1-4 (10 shared orders -> all 6 pairs co-occur 10x):
+    // C4 count in K4 = 3. Plus a pure 4-ring on 11-14 (each EDGE gets its
+    // own 10 orders; diagonals never co-occur): exactly 1 square.
+    val k4 = for (o <- 0 until 10; sup <- 1 to 4)
+      yield (100L + o, sup.toLong)
+    val ringEdges = Seq((11L, 12L), (12L, 13L), (13L, 14L), (11L, 14L))
+    val ring = for (((a, b), ei) <- ringEdges.zipWithIndex; o <- 0 until 10;
+                    sup <- Seq(a, b))
+      yield (1000L + ei * 10 + o, sup)
+    (k4 ++ ring).toDF("l_orderkey", "l_suppkey")
+      .createOrReplaceTempView("lineitem")
+    val row = operators.GraphQueries.squaresFromViews(spark).collect().head
+    assert(row.getAs[Long]("n_squares") == 4L,
+      s"expected 3 (K4) + 1 (ring): $row")
+    assert(row.getAs[Long]("max_codegree") == 2L)
+    // restore the real view
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+  }
+
+  test("q125 share-of-parent: both window scopes reconcile to 1000 per-mille") {
+    val rows = SparkEntry.queries("q125_share_of_parent")(spark, sf).collect()
+      .map(r => (r.getAs[String]("region"), r.getAs[String]("nation"),
+        r.getAs[Long]("rev_cents"), r.getAs[Long]("share_in_region_pm"),
+        r.getAs[Long]("region_share_pm")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val sum = ns.map(_._4).sum
+      assert(sum <= 1000L && sum >= 1000L - ns.length,
+        s"$region nation shares sum to $sum")
+      assert(ns.map(_._5).distinct.length == 1,
+        s"$region share must be constant across its nations")
+    }
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5).sum
+    val nRegions = rows.map(_._1).distinct.length
+    assert(regionShares <= 1000L && regionShares >= 1000L - nRegions)
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
