@@ -806,6 +806,31 @@ object SimilarityQueries {
         .unionByName(s.read.parquet(s"$dir/pq_codes_delta")))
   }
 
+  /** s30: index COMPACTION — the segment-merge step that closes s18's
+    * lifecycle (Lucene merges segments; Delta/Iceberg compact small
+    * files; an ANN index folds its append deltas back into the base on a
+    * schedule): base ∪ delta codes rewrite ONCE into a compacted codes
+    * table committed by its own marker, and queries thereafter read the
+    * single table — no per-query two-table union, no delta file listing.
+    * Codes are already encoded, so compaction MOVES rows and never
+    * re-encodes: results are bit-identical to pre-compaction s18
+    * (QueriesSpec pins equality, plus marker idempotence and that the
+    * base/delta inputs survive untouched for audit/rollback). At 100 TB
+    * this rewrite is one codes-table scan — 8 bytes/vector, not the
+    * 256-byte floats — which is exactly why the compaction schedule is
+    * affordable where full retrains are not (s18's scaladoc contract).
+    */
+  def s30_index_compaction(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureIncrementalIndex(s, d)
+    if (!new java.io.File(dir, "_compact_complete").exists()) {
+      s.read.parquet(s"$dir/pq_codes")
+        .unionByName(s.read.parquet(s"$dir/pq_codes_delta"))
+        .write.mode("overwrite").parquet(s"$dir/pq_codes_compacted")
+      new java.io.File(dir, "_compact_complete").createNewFile()
+    }
+    queryStoredIndex(s, d, dir, s.read.parquet(s"$dir/pq_codes_compacted"))
+  }
+
   /** s19: ColBERT-style late-interaction (MaxSim) retrieval. Each 64-d
     * embedding is viewed as 8 contiguous token sub-vectors of 8 dims (the
     * multi-vector-per-document representation late-interaction models emit;
@@ -1062,6 +1087,7 @@ object SimilarityQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "s30_index_compaction" -> (s30_index_compaction _),
     "s29_centroid_drift" -> (s29_centroid_drift _),
     "s26_mips_augmented" -> (s26_mips_augmented _),
     "s24_binary_quant" -> (s24_binary_quant _),

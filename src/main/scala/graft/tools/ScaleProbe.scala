@@ -419,6 +419,9 @@ object ScaleProbe {
         graft.operators.GraphQueries.g17_squares(spark, sf).count())
       time(s"$tag q125_share_of_parent")(
         graft.operators.RelationalQueries.q125_share_of_parent(spark, sf).count())
+      // wave 35: s30's rewrite is one codes-table scan
+      time(s"$tag s30_index_compaction")(
+        graft.operators.SimilarityQueries.s30_index_compaction(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

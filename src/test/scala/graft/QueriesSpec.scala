@@ -1354,6 +1354,23 @@ class QueriesSpec extends SparkTestBase {
     assert(regionShares <= 1000L && regionShares >= 1000L - nRegions)
   }
 
+  test("s30 compaction is lossless: compacted == base-union-delta; inputs survive; idempotent") {
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val before = SparkEntry.queries("s18_incremental_append")(spark, sf).collect()
+    val compacted = SparkEntry.queries("s30_index_compaction")(spark, sf).collect()
+    assert(canon(compacted) == canon(before),
+      "compaction must not change a single served result")
+    // base and delta tables survive for audit/rollback
+    val dir = operators.SimilarityQueries.ensureIncrementalIndex(spark, sf)
+    assert(new java.io.File(dir, "pq_codes").exists())
+    assert(new java.io.File(dir, "pq_codes_delta").exists())
+    assert(new java.io.File(dir, "_compact_complete").exists())
+    // second run reuses the marker-committed compacted table
+    val again = SparkEntry.queries("s30_index_compaction")(spark, sf).collect()
+    assert(canon(again) == canon(before))
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
