@@ -1397,7 +1397,85 @@ object DedupQueries {
     s.sql(d31Sql("div"))
   }
 
+  /** d32: ALL-PAIRS weighted-cosine similarity join (Bayardo, Ma &
+    * Srikant WWW'07) — the WEIGHTED completion of the candidate-
+    * generation triptych (d03 MinHash sketches sets, d24 PPJoin
+    * prefix-filters sets, d32 prefix-filters tf-idf VECTORS): documents
+    * as L2-normalized tf-idf vectors, pairs with cosine ≥ 0.9 emitted
+    * exactly. Everything after the one sqrt normalization is integer:
+    * weights quantize to micro-units (the s07 trick — the operator's
+    * semantics are DEFINED on the quantized vectors, so the method is
+    * exact, not approximate), and the Bayardo bound runs in int64: terms
+    * order globally by descending max quantized weight, each doc indexes
+    * only the rows whose remaining-suffix bound Σ q·maxq still reaches
+    * τ, and a pair missing both prefixes provably has dot < τ (take the
+    * earliest shared term in either doc's order: the dot is bounded by
+    * that term's suffix bound). The tf-idf weighting IS the hot-term
+    * economics: a stopword's tiny idf puts it last in every order, so it
+    * never enters a prefix and never explodes the candidate join —
+    * where d05/d24 needed an explicit df cap, AllPairs gets the same
+    * protection from the weights themselves, WITHOUT losing
+    * completeness. DedupScaleSpec pins output == driver-side brute force
+    * over every pair. Verification is one term-equi join + integer dot
+    * per candidate; all counts/dots exact → hash-green.
+    */
+  private def d32Sql: String = {
+    val tau = 900000000000L // cos >= 0.9 over micro-unit vectors
+    s"""WITH tok AS (
+       |  SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, $$SPLIT$$ AS word FROM documents) t
+       |  GROUP BY 1, 2),
+       |stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+       |wgt AS (
+       |  SELECT t.doc_id, t.term,
+       |         t.tf * CAST(round(ln(CAST(s.n_docs AS DOUBLE)
+       |                              / CAST(d.df AS DOUBLE)) * 1000) AS BIGINT) AS w
+       |  FROM tok t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s),
+       |wnz AS (SELECT * FROM wgt WHERE w > 0),
+       |nrm AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
+       |        FROM wnz GROUP BY 1),
+       |qv AS (
+       |  SELECT w.doc_id, w.term,
+       |         CAST(round(1000000.0 * CAST(w.w AS DOUBLE) / n.nn) AS BIGINT) AS q
+       |  FROM wnz w JOIN nrm n ON n.doc_id = w.doc_id),
+       |mx AS (SELECT term, CAST(max(q) AS BIGINT) AS mq FROM qv GROUP BY 1),
+       |ordq AS (
+       |  SELECT qv.doc_id, qv.term, qv.q,
+       |         CAST(sum(qv.q * mx.mq) OVER (PARTITION BY qv.doc_id
+       |              ORDER BY mx.mq DESC, qv.term
+       |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |           AS BIGINT) AS rem
+       |  FROM qv JOIN mx ON mx.term = qv.term),
+       |pref AS (SELECT doc_id, term FROM ordq WHERE rem >= $tau),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da,
+       |         greatest(a.doc_id, b.doc_id) AS db
+       |  FROM qv a JOIN pref b ON b.term = a.term AND a.doc_id <> b.doc_id),
+       |dots AS (
+       |  SELECT c.da, c.db, CAST(sum(x.q * y.q) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN qv x ON x.doc_id = c.da
+       |  JOIN qv y ON y.doc_id = c.db AND y.term = x.term
+       |  GROUP BY 1, 2)
+       |SELECT da, db, dot FROM dots WHERE dot >= $tau""".stripMargin
+  }
+
+  def d32_allpairs_cosine(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    s.sql(d32Sql.replace("$SPLIT$", "explode(split(text, ' '))"))
+  }
+
+  /** The join over whatever `documents` view is registered — split out so
+    * DedupScaleSpec can pin completeness against a brute force.
+    */
+  private[graft] def allPairsFromViews(s: SparkSession): DataFrame =
+    s.sql(d32Sql.replace("$SPLIT$", "explode(split(text, ' '))"))
+
   val queries: Map[String, Q] = Map(
+    "d32_allpairs_cosine" -> (d32_allpairs_cosine _),
     "d31_blocking_audit" -> (d31_blocking_audit _),
     "d27_snm_linkage" -> (d27_snm_linkage _),
     "d28_winnowing" -> (d28_winnowing _),
@@ -1489,6 +1567,8 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
+    "d32_allpairs_cosine" ->
+      d32Sql.replace("$SPLIT$", "unnest(string_split(text, ' '))"),
     "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
     "d27_snm_linkage" ->

@@ -422,6 +422,10 @@ object ScaleProbe {
       // wave 35: s30's rewrite is one codes-table scan
       time(s"$tag s30_index_compaction")(
         graft.operators.SimilarityQueries.s30_index_compaction(spark, sf).count())
+      // wave 36: d32's candidate join is prefix-filtered; clone output
+      // grows with true pairs, never corpus^2
+      time(s"$tag d32_allpairs_cosine")(
+        graft.operators.DedupQueries.d32_allpairs_cosine(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -130,6 +130,35 @@ class DedupScaleSpec extends SparkTestBase {
       s"prefix filter missed or invented pairs: got=$got want=$want")
   }
 
+  test("d32 AllPairs prefix filter is COMPLETE: equals brute force at cosine >= 0.9") {
+    val sf = "/root/testdata/sf0.001"
+    val got = DedupQueries.d32_allpairs_cosine(spark, sf).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+        r.getAs[Long]("dot"))).toSet
+    // driver-side replay of the exact quantization + an ALL-pairs dot
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").groupBy(identity)
+          .map { case (w, xs) => w -> xs.length.toLong })
+    val n = docs.length.toLong
+    val df = docs.flatMap(_._2.keys).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val qvs = docs.map { case (id, tf) =>
+      val w = tf.map { case (t, f) =>
+        t -> f * math.round(math.log(n.toDouble / df(t)) * 1000)
+      }.filter(_._2 > 0L)
+      val nn = math.sqrt(w.values.map(x => (x * x).toDouble).sum)
+      id -> w.map { case (t, x) => t -> math.round(1000000.0 * x / nn) }
+    }
+    val want = (for {
+      (ida, qa) <- qvs; (idb, qb) <- qvs if ida < idb
+      dot = qa.map { case (t, q) => q * qb.getOrElse(t, 0L) }.sum
+      if dot >= 900000000000L
+    } yield (ida, idb, dot)).toSet
+    assert(got == want,
+      s"AllPairs missed or invented pairs: only-got=${got.diff(want)} only-want=${want.diff(got)}")
+    assert(want.nonEmpty, "fixture should contain cosine>=0.9 pairs")
+  }
+
   test("d22's score: a planted quote is contained where jaccard misses it") {
     import spark.implicits._
     // doc 2 embeds doc 1 verbatim inside 10x unrelated filler: containment
