@@ -594,6 +594,39 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"candidate generation degraded to all-pairs:\n${p.take(1200)}")
   }
 
+  test("q124 nearest asof: both direction windows ride ONE user_id shuffle") {
+    val p = finalPlan("q124_asof_nearest")
+    // the back and forward windows share the (user, ts) sort, so one
+    // Exchange must serve both — a second means the frames split
+    val finalSection = p.split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalSection).size == 1,
+      s"q124 must shuffle exactly once on user_id:\n${finalSection.take(1200)}")
+  }
+
+  test("t29 TextRank rounds: keyed joins only, never a nested loop") {
+    val p = finalPlan("t29_textrank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a TextRank round degraded to all-pairs:\n${p.take(1200)}")
+  }
+
+  test("d32 AllPairs: candidate and verify joins stay keyed on term") {
+    val p = finalPlan("d32_allpairs_cosine")
+    assert(!p.contains("CartesianProduct"),
+      s"AllPairs degraded to a cartesian:\n${p.take(1200)}")
+    // the only nested loops allowed are the 1-row n_docs scalar crosses
+    val bnlj = p.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("n_docs")),
+      s"a non-scalar nested loop appeared:\n${bnlj.mkString("\n").take(1200)}")
+  }
+
+  test("s30 compacted index: query path reads ONLY the compacted codes files") {
+    val df = SparkEntry.queries("s30_index_compaction")(spark, sf)
+    df.collect()
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("pq_codes_compacted")),
+      s"s30 must serve from the compacted table alone: ${files.take(5).mkString(", ")}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
