@@ -1038,7 +1038,72 @@ object CurationQueries {
       .select(col("position"), col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** c34: SPLIT-BALANCE audit — the covariate-shift check run BEFORE
+    * trusting any eval number: c03's seedless hash split is unbiased by
+    * construction, but "unbiased" is a claim about expectation, and a
+    * finite corpus can still deal an unlucky language mix into val/test.
+    * This measures it: per-language counts per split, per-mille shares,
+    * and the q119 PSI between train and each eval split (same 9dp-ln +
+    * decimal-sum discipline, keyed per split pair) — PSI > 0.1 means the
+    * eval set is distributionally stale before a single model run.
+    * Inner-join semantics: languages present in both sides (a language
+    * MISSING from one side is c15/c23's leakage-family problem, not a
+    * drift number). All corpus-sized work is one hash + one count
+    * aggregate; everything after runs on |splits|×|langs| rows.
+    */
+  private def c34Sql(div: String): String = {
+    def side(pair: String, a: String, b: String) =
+      s"""SELECT '$pair' AS pair, a.lang, a.n AS n_a, b.n AS n_b,
+         |       ta.t AS t_a, tb.t AS t_b
+         |FROM cnt a JOIN cnt b ON b.lang = a.lang
+         |  AND a.split = '$a' AND b.split = '$b'
+         |JOIN tot ta ON ta.split = '$a'
+         |JOIN tot tb ON tb.split = '$b'""".stripMargin
+    s"""WITH h AS (
+       |  SELECT lang, ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
+       |  FROM documents),
+       |sp AS (
+       |  SELECT lang, CASE WHEN h < 800 THEN 'train'
+       |                    WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+       |  FROM h),
+       |cnt AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+       |        FROM sp GROUP BY 1, 2),
+       |tot AS (SELECT split, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |pairs AS (
+       |${side("train_vs_val", "train", "val")}
+       |UNION ALL
+       |${side("train_vs_test", "train", "test")}),
+       |c AS (
+       |  SELECT pair, lang, n_a, n_b,
+       |         (n_a * 1000) $div t_a AS a_pm,
+       |         (n_b * 1000) $div t_b AS b_pm,
+       |         CAST(round(
+       |           (CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+       |            - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+       |           * round(ln((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
+       |                      / (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))), 9),
+       |           9) AS DECIMAL(20,9)) AS psi_part
+       |  FROM pairs)
+       |SELECT pair, lang, n_a, n_b, a_pm, b_pm,
+       |       CAST(psi_part AS DOUBLE) AS psi_part,
+       |       CAST(CAST(sum(psi_part) OVER (PARTITION BY pair) AS DECIMAL(38,9))
+       |            AS DOUBLE) AS psi_total
+       |FROM c""".stripMargin
+  }
+
+  def c34_split_balance(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(c34Sql("div"))
+  }
+
+  /** The audit over whatever `documents` view is registered — split out
+    * so the spec can plant an identical-mix control that must read zero.
+    */
+  private[graft] def splitBalanceFromViews(s: SparkSession): DataFrame =
+    s.sql(c34Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "c34_split_balance" -> (c34_split_balance _),
     "c33_assembly" -> (c33_assembly _),
     "c32_tokenizer_fertility" -> (c32_tokenizer_fertility _),
     "c31_padding_sweep" -> (c31_padding_sweep _),
@@ -1300,6 +1365,7 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c34_split_balance" -> c34Sql("//"),
     "c32_tokenizer_fertility" ->
       s"""WITH p AS (
          |  SELECT lang, length(text) AS nc,

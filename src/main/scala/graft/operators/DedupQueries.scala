@@ -1401,7 +1401,9 @@ object DedupQueries {
     * Srikant WWW'07) — the WEIGHTED completion of the candidate-
     * generation triptych (d03 MinHash sketches sets, d24 PPJoin
     * prefix-filters sets, d32 prefix-filters tf-idf VECTORS): documents
-    * as L2-normalized tf-idf vectors, pairs with cosine ≥ 0.9 emitted
+    * as L2-normalized idf-weighted BINARY shingle vectors (tf is 0/1 —
+    * the standard for shingle features, and what makes the two dialects'
+    * gram generators agree), pairs with cosine ≥ 0.9 emitted
     * exactly. Everything after the one sqrt normalization is integer:
     * weights quantize to micro-units (the s07 trick — the operator's
     * semantics are DEFINED on the quantized vectors, so the method is
@@ -1418,13 +1420,22 @@ object DedupQueries {
     * completeness. DedupScaleSpec pins output == driver-side brute force
     * over every pair. Verification is one term-equi join + integer dot
     * per candidate; all counts/dots exact → hash-green.
+    *
+    * Features are word TRIGRAM shingles, not unigrams — the choice that
+    * makes AllPairs work at all: over the fixture's 31-word unigram
+    * vocabulary every doc is a near-identical dense vector, the prefix
+    * filter prunes nothing, and candidates go quadratic (measured: the
+    * first cut ground >20 CPU-minutes at the 10x probe). The shingle
+    * vocabulary grows with the corpus, vectors are sparse and
+    * near-orthogonal except for genuine near-duplicates, and the filter
+    * bites — the same reason production similarity joins run on
+    * shingles/q-grams.
     */
   private def d32Sql: String = {
     val tau = 900000000000L // cos >= 0.9 over micro-unit vectors
     s"""WITH tok AS (
-       |  SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf
-       |  FROM (SELECT doc_id, $$SPLIT$$ AS word FROM documents) t
-       |  GROUP BY 1, 2),
+       |  SELECT DISTINCT doc_id, term, CAST(1 AS BIGINT) AS tf
+       |  FROM ($$GRAMS$$) t),
        |stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
        |wgt AS (
@@ -1461,18 +1472,34 @@ object DedupQueries {
        |SELECT da, db, dot FROM dots WHERE dot >= $tau""".stripMargin
   }
 
+  /** Word-trigram shingle generation per dialect (the c09 oracle pairing:
+    * Spark uses the native word_shingles kernel, DuckDB slices token
+    * lists — different text, identical strings).
+    */
+  private val sparkGrams = // SQL registration fixes n = 3
+    "SELECT doc_id, explode(word_shingles(split(text, ' '))) AS term " +
+      "FROM documents"
+  private val duckGrams =
+    """SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS term
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) z,
+      |     unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      |WHERE len(toks) >= 3""".stripMargin
+
   def d32_allpairs_cosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TextFunctions.register(s)
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .createOrReplaceTempView("documents")
-    s.sql(d32Sql.replace("$SPLIT$", "explode(split(text, ' '))"))
+    s.sql(d32Sql.replace("$GRAMS$", sparkGrams))
   }
 
   /** The join over whatever `documents` view is registered — split out so
     * DedupScaleSpec can pin completeness against a brute force.
     */
-  private[graft] def allPairsFromViews(s: SparkSession): DataFrame =
-    s.sql(d32Sql.replace("$SPLIT$", "explode(split(text, ' '))"))
+  private[graft] def allPairsFromViews(s: SparkSession): DataFrame = {
+    graft.functions.TextFunctions.register(s)
+    s.sql(d32Sql.replace("$GRAMS$", sparkGrams))
+  }
 
   val queries: Map[String, Q] = Map(
     "d32_allpairs_cosine" -> (d32_allpairs_cosine _),
@@ -1567,8 +1594,7 @@ object DedupQueries {
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
   val oracles: Map[String, String] = Map(
-    "d32_allpairs_cosine" ->
-      d32Sql.replace("$SPLIT$", "unnest(string_split(text, ' '))"),
+    "d32_allpairs_cosine" -> d32Sql.replace("$GRAMS$", duckGrams),
     "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
     "d27_snm_linkage" ->

@@ -1151,7 +1151,41 @@ object TextQueries {
       .select(col("word"), col("rank"), col("st"))
   }
 
+  /** t30: cross-source VOCABULARY-OVERLAP matrix — the governance view
+    * next to c27's per-source datasheet: pairwise Jaccard between source
+    * vocabularies says which feeds are near-mirrors (candidate dedup
+    * targets at the SOURCE level, before any doc-level pass) and which
+    * contribute genuinely novel language. Distinct (source, word) is one
+    * hash aggregate over the token scan; the pair join runs on the
+    * vocabulary sliver (Heaps' law — vocab grows ~√corpus) and the
+    * matrix is |sources|² rows. Exact integers → hash-green.
+    */
+  private def t30Sql(div: String): String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT source, word
+       |  FROM (SELECT source, $$SPLIT$$ AS word FROM documents) t),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vs FROM v GROUP BY 1),
+       |inter AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |         CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM v a JOIN v b ON b.word = a.word AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.source_a, i.source_b, sa.vs AS vocab_a, sb.vs AS vocab_b,
+       |       i.n_shared,
+       |       (i.n_shared * 1000) $div (sa.vs + sb.vs - i.n_shared) AS jaccard_pm
+       |FROM inter i
+       |JOIN sz sa ON sa.source = i.source_a
+       |JOIN sz sb ON sb.source = i.source_b""".stripMargin
+
+  def t30_vocab_overlap(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    s.sql(t30Sql("div").replace("$SPLIT$", "explode(split(text, ' '))"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t30_vocab_overlap" -> (t30_vocab_overlap _),
     "t29_textrank" -> (t29_textrank _),
     "t28_trigram_search" -> (t28_trigram_search _),
     "t27_rake_keyphrases" -> (t27_rake_keyphrases _),
@@ -1256,6 +1290,8 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t30_vocab_overlap" ->
+      t30Sql("//").replace("$SPLIT$", "unnest(string_split(text, ' '))"),
     "t29_textrank" -> textrankOracle,
     "t28_trigram_search" ->
       """WITH q(pattern) AS (VALUES ('window'), ('vector'), ('merge slow'), ('the fast')),

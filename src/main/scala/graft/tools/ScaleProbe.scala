@@ -426,6 +426,11 @@ object ScaleProbe {
       // grows with true pairs, never corpus^2
       time(s"$tag d32_allpairs_cosine")(
         graft.operators.DedupQueries.d32_allpairs_cosine(spark, sf).count())
+      // wave 38: c34 is one hash + count agg; t30 joins vocab slivers
+      time(s"$tag c34_split_balance")(
+        graft.operators.CurationQueries.c34_split_balance(spark, sf).count())
+      time(s"$tag t30_vocab_overlap")(
+        graft.operators.TextQueries.t30_vocab_overlap(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -136,16 +136,19 @@ class DedupScaleSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
         r.getAs[Long]("dot"))).toSet
     // driver-side replay of the exact quantization + an ALL-pairs dot
+    // (binary trigram-shingle features, matching the operator)
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        r.getAs[String]("text").split(" ").groupBy(identity)
-          .map { case (w, xs) => w -> xs.length.toLong })
+      .map { r =>
+        val toks = r.getAs[String]("text").split(" ")
+        r.getAs[Long]("doc_id") ->
+          toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
     val n = docs.length.toLong
-    val df = docs.flatMap(_._2.keys).groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
-    val qvs = docs.map { case (id, tf) =>
-      val w = tf.map { case (t, f) =>
-        t -> f * math.round(math.log(n.toDouble / df(t)) * 1000)
-      }.filter(_._2 > 0L)
+    val df = docs.flatMap(_._2).groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val qvs = docs.map { case (id, grams) =>
+      val w = grams.toSeq.map { t =>
+        t -> math.round(math.log(n.toDouble / df(t)) * 1000)
+      }.filter(_._2 > 0L).toMap
       val nn = math.sqrt(w.values.map(x => (x * x).toDouble).sum)
       id -> w.map { case (t, x) => t -> math.round(1000000.0 * x / nn) }
     }

@@ -1371,6 +1371,57 @@ class QueriesSpec extends SparkTestBase {
     assert(canon(again) == canon(before))
   }
 
+  test("c34 split balance: shares and PSI reconcile; identical-mix control reads zero") {
+    val rows = SparkEntry.queries("c34_split_balance")(spark, sf).collect()
+    val pairs = rows.map(_.getAs[String]("pair")).distinct.sorted
+    assert(pairs.toSeq == Seq("train_vs_test", "train_vs_val"))
+    rows.groupBy(_.getAs[String]("pair")).foreach { case (pair, rs) =>
+      val parts = rs.map(r => BigDecimal(r.getAs[Double]("psi_part")))
+      parts.foreach(p => assert(p >= 0, s"$pair PSI term negative"))
+      val totals = rs.map(r => BigDecimal(r.getAs[Double]("psi_total"))).distinct
+      assert(totals.length == 1 && totals.head == parts.sum,
+        s"$pair total must equal the sum of its parts")
+    }
+    // control: both langs ride the SAME doc_ids, so every split sees an
+    // identical mix by construction and every PSI term must be exactly 0
+    import spark.implicits._
+    def h(id: Long) = ((id % 1000003L) * 2654435761L + 97L) % 1000L
+    val ids = (0L until 5000L)
+    val chosen = ids.filter(h(_) < 800).take(8) ++
+      ids.filter(x => h(x) >= 800 && h(x) < 900).take(1) ++
+      ids.filter(h(_) >= 900).take(1)
+    (for (lang <- Seq("en", "de"); id <- chosen) yield (id, lang))
+      .toDF("doc_id", "lang").createOrReplaceTempView("documents")
+    val zero = operators.CurationQueries.splitBalanceFromViews(spark).collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getAs[Double]("psi_part") == 0.0 &&
+        r.getAs[Double]("psi_total") == 0.0,
+        s"identical-mix control must read zero PSI: $r")
+    }
+  }
+
+  test("t30 vocab overlap equals a driver-side set recomputation") {
+    val out = SparkEntry.queries("t30_vocab_overlap")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("vocab_a"), r.getAs[Long]("vocab_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_pm"))).toMap
+    val vocab = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) =>
+        s -> rs.flatMap(_.getAs[String]("text").split(" ")).toSet }
+    val sources = vocab.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val inter = (vocab(a) & vocab(b)).size.toLong
+      if (inter > 0) {
+        val (va, vb, sh, j) = out((a, b))
+        assert(va == vocab(a).size.toLong && vb == vocab(b).size.toLong)
+        assert(sh == inter)
+        assert(j == inter * 1000L / (va + vb - inter))
+      } else assert(!out.contains((a, b)))
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
