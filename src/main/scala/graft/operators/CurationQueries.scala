@@ -1102,7 +1102,51 @@ object CurationQueries {
   private[graft] def splitBalanceFromViews(s: SparkSession): DataFrame =
     s.sql(c34Sql("div"))
 
+  /** c35: MIXTURE DRIFT under dedup — the audit c05/c14/c16 all assume
+    * away: mixture weights are set on the RAW corpus, but exact dedup
+    * strikes different sources unevenly (a crawl with 40% boilerplate
+    * dupes shrinks; a curated source doesn't), so the REALIZED training
+    * mixture drifts from the plan the moment d01/d02 runs. Per source:
+    * raw vs post-dedup docs and tokens (keep-smallest-doc_id policy, the
+    * d02 rule), per-mille shares of each pool, and the signed drift —
+    * the number that says "your 20% code split is actually 26% now".
+    * One md5 aggregate + one keyed semi-join + two count aggregates; all
+    * integers → hash-green with identical SQL text.
+    */
+  private def c35Sql(div: String): String =
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |per_doc AS (
+       |  SELECT d.doc_id, d.source,
+       |         CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+       |              AS BIGINT) AS n_toks,
+       |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+       |  FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id),
+       |agg AS (
+       |  SELECT source,
+       |         CAST(count(*) AS BIGINT) AS raw_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS raw_toks,
+       |         CAST(sum(kept) AS BIGINT) AS kept_docs,
+       |         CAST(sum(kept * n_toks) AS BIGINT) AS kept_toks
+       |  FROM per_doc GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(raw_toks) AS BIGINT) AS tot_raw,
+       |         CAST(sum(kept_toks) AS BIGINT) AS tot_kept
+       |  FROM agg)
+       |SELECT source, raw_docs, kept_docs, raw_toks, kept_toks,
+       |       (raw_toks * 1000) $div tot_raw AS raw_share_pm,
+       |       (kept_toks * 1000) $div tot_kept AS kept_share_pm,
+       |       (kept_toks * 1000) $div tot_kept
+       |         - (raw_toks * 1000) $div tot_raw AS drift_pm
+       |FROM agg CROSS JOIN tot""".stripMargin
+
+  def c35_mixture_drift(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(c35Sql("div"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c35_mixture_drift" -> (c35_mixture_drift _),
     "c34_split_balance" -> (c34_split_balance _),
     "c33_assembly" -> (c33_assembly _),
     "c32_tokenizer_fertility" -> (c32_tokenizer_fertility _),
@@ -1365,6 +1409,7 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c35_mixture_drift" -> c35Sql("//"),
     "c34_split_balance" -> c34Sql("//"),
     "c32_tokenizer_fertility" ->
       s"""WITH p AS (

@@ -1485,16 +1485,67 @@ object DedupQueries {
       |     unnest(generate_series(1, len(toks) - 2)) AS u(i)
       |WHERE len(toks) >= 3""".stripMargin
 
-  def d32_allpairs_cosine(s: SparkSession, d: String): DataFrame = {
-    graft.functions.TextFunctions.register(s)
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .createOrReplaceTempView("documents")
-    s.sql(d32Sql.replace("$GRAMS$", sparkGrams))
+  def d32_allpairs_cosine(s: SparkSession, d: String): DataFrame =
+    allPairsOver(s, Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The Spark execution of [[d32Sql]]'s semantics as a checkpointed
+    * DataFrame pipeline: Spark inlines CTEs, so the literal SQL text
+    * re-evaluates the whole shingle+normalize prefix once per reference
+    * (~5x — measured 13 s at sf0.1 and a 25 GB shuffle spill at the 10x
+    * probe); here the quantized-vector frame materializes ONCE and every
+    * downstream stage (max-weights, prefix, candidates, verification)
+    * reuses it. Every expression mirrors the oracle's arithmetic exactly
+    * (the one driver-side value is the scalar doc count), so the hash
+    * gate still proves value equality.
+    */
+  private[graft] def allPairsOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val tau = 900000000000L
+    val grams = docsIn
+      .select(col("doc_id"),
+        explode(word_shingles(split(col("text"), " "), 3)).as("term"))
+      .distinct()
+      .localCheckpoint() // feeds n_docs, df, and the weight join
+    val nDocs = grams.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val dfreq = grams.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wnz = grams.join(dfreq, "term")
+      .withColumn("w", expr(
+        s"CAST(round(ln(CAST($nDocs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000) AS BIGINT)"))
+      .filter(col("w") > 0)
+    val nrm = wnz.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nn"))
+    val qv = wnz.join(nrm, "doc_id")
+      .withColumn("q", expr("CAST(round(1000000.0 * CAST(w AS DOUBLE) / nn) AS BIGINT)"))
+      .select(col("doc_id"), col("term"), col("q"))
+      .localCheckpoint() // ONE evaluation serves prefix, probe, and both verify sides
+    val mx = qv.groupBy(col("term")).agg(max(col("q")).as("mq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("mq").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val pref = qv.join(mx, "term")
+      .withColumn("rem", sum(col("q") * col("mq")).over(w))
+      .filter(col("rem") >= tau)
+      .select(col("doc_id"), col("term"))
+    val cand = qv.select(col("doc_id").as("id_a"), col("term"))
+      .join(pref.select(col("doc_id").as("id_b"), col("term")), "term")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("da"),
+        greatest(col("id_a"), col("id_b")).as("db"))
+      .distinct()
+    cand
+      .join(qv.select(col("doc_id").as("da"), col("term"), col("q").as("qa")),
+        Seq("da"))
+      .join(qv.select(col("doc_id").as("db"), col("term"), col("q").as("qb")),
+        Seq("db", "term"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+      .filter(col("dot") >= tau)
   }
 
-  /** The join over whatever `documents` view is registered — split out so
-    * DedupScaleSpec can pin completeness against a brute force.
+  /** The join over whatever `documents` view is registered — kept for
+    * completeness checks that want the literal shared-SQL formulation.
     */
   private[graft] def allPairsFromViews(s: SparkSession): DataFrame = {
     graft.functions.TextFunctions.register(s)

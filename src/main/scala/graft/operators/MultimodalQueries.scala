@@ -373,6 +373,56 @@ object MultimodalQueries {
         col("n_frames"), col("seg_energy"))
   }
 
+  /** m17: byte-ENTROPY gate — the payload classifier run before wasting
+    * decode/dedup effort: Shannon entropy of the symbol distribution
+    * separates degenerate/repetitive payloads (low H — stuck sensors,
+    * zero-filled blobs) from plausibly-compressed-or-encrypted ones
+    * (H at the alphabet ceiling — already-encoded media a text pipeline
+    * must not re-tokenize). Per-symbol counts are one aggregate over the
+    * char explode; each term −p·ln p follows the t11 discipline
+    * (9dp-rounded ln, 9dp-rounded term, DECIMAL(38,9) summation — so
+    * the per-doc entropy is order-independent and hash-checks), and the
+    * two gate flags are integer comparisons on the nano-scaled value.
+    * Scale: scan + two keyed aggregates, nothing else.
+    */
+  private def m17Sql(chars: String, div: String): String =
+    s"""WITH ch AS ($chars),
+       |cnt AS (
+       |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+       |  FROM ch GROUP BY 1, 2),
+       |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+       |terms AS (
+       |  SELECT cnt.doc_id,
+       |         CAST(round(-1.0 * (CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+       |              * round(ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)), 9), 9)
+       |           AS DECIMAL(20,9)) AS term,
+       |         n.n
+       |  FROM cnt JOIN n ON n.doc_id = cnt.doc_id),
+       |e AS (
+       |  SELECT doc_id, CAST(min(n) AS BIGINT) AS n_symbols,
+       |         CAST(count(*) AS BIGINT) AS n_distinct,
+       |         CAST(CAST(sum(term) AS DECIMAL(38,9)) * 1000000000
+       |              AS BIGINT) AS entropy_nano
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_symbols, n_distinct, entropy_nano,
+       |       CASE WHEN entropy_nano < 2500000000 THEN 1 ELSE 0 END AS flag_low,
+       |       CASE WHEN entropy_nano > 3300000000 THEN 1 ELSE 0 END AS flag_high
+       |FROM e""".stripMargin
+
+  def m17_entropy_gate(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    entropyFromViews(s)
+  }
+
+  /** The gate over whatever `documents` view is registered — split out so
+    * the spec can plant constant (H = 0) and uniform (H = ln k) payloads.
+    */
+  private[graft] def entropyFromViews(s: SparkSession): DataFrame =
+    s.sql(m17Sql(
+      "SELECT doc_id, explode(split(text, '')) AS ch FROM documents", "div"))
+
   def m09_feature_neardup(s: SparkSession, d: String): DataFrame = {
     val f = m03_byte_features(s, d)
       .withColumn("t", col("f0") + col("f1") + col("f2") + col("f3"))
@@ -572,6 +622,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "m17_entropy_gate" -> (m17_entropy_gate _),
     "m16_vad_segments" -> (m16_vad_segments _),
     "m15_dhash_neardup" -> (m15_dhash_neardup _),
     "m12_delta_transfer" -> (m12_delta_transfer _),
@@ -591,6 +642,8 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m17_entropy_gate" -> m17Sql(
+      "SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents", "//"),
     "m16_vad_segments" ->
       s"""WITH fe AS ($frameEnergyOracle),
          |act AS (

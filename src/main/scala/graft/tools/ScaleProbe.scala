@@ -431,6 +431,11 @@ object ScaleProbe {
         graft.operators.CurationQueries.c34_split_balance(spark, sf).count())
       time(s"$tag t30_vocab_overlap")(
         graft.operators.TextQueries.t30_vocab_overlap(spark, sf).count())
+      // wave 39: c35 is one md5 agg + semi join; m17 two keyed aggs
+      time(s"$tag c35_mixture_drift")(
+        graft.operators.CurationQueries.c35_mixture_drift(spark, sf).count())
+      time(s"$tag m17_entropy_gate")(
+        graft.operators.MultimodalQueries.m17_entropy_gate(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1422,6 +1422,71 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c35 mixture drift: dedup accounting replays and shares reconcile") {
+    val rows = SparkEntry.queries("c35_mixture_drift")(spark, sf).collect()
+    // independent replay: keep-smallest-doc_id per distinct text
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text")))
+    val keep = docs.groupBy(_._3).map(_._2.map(_._1).min).toSet
+    def toks(t: String) = t.count(_ == ' ').toLong + 1L
+    val bySource = docs.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val ds = bySource(src)
+      assert(r.getAs[Long]("raw_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("kept_docs") == ds.count(d => keep(d._1)).toLong)
+      assert(r.getAs[Long]("raw_toks") == ds.map(d => toks(d._3)).sum)
+      assert(r.getAs[Long]("kept_toks") ==
+        ds.filter(d => keep(d._1)).map(d => toks(d._3)).sum)
+      assert(r.getAs[Long]("drift_pm") ==
+        r.getAs[Long]("kept_share_pm") - r.getAs[Long]("raw_share_pm"))
+    }
+    val nSrc = rows.length
+    Seq("raw_share_pm", "kept_share_pm").foreach { c =>
+      val sum = rows.map(_.getAs[Long](c)).sum
+      assert(sum <= 1000L && sum >= 1000L - nSrc, s"$c sums to $sum")
+    }
+  }
+
+  test("m17 entropy gate: planted constant reads zero, uniform reads ln k; fixture replays") {
+    import spark.implicits._
+    val uniform = "abcdefghijklmnopqrstuvwxyz0123456789.," // 38 distinct
+    Seq((1L, "aaaaaaaaaaaaaaaa"), (2L, uniform))
+      .toDF("doc_id", "text").createOrReplaceTempView("documents")
+    val planted = operators.MultimodalQueries.entropyFromViews(spark).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("entropy_nano"), r.getAs[Int]("flag_low"),
+          r.getAs[Int]("flag_high"))).toMap
+    assert(planted(1L) == ((0L, 1, 0)), s"constant payload: ${planted(1L)}")
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expectUniform = {
+      val p = 1.0 / 38
+      val term = BigDecimal(round9(-p * round9(math.log(p))))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      (term * 38 * BigDecimal(1000000000)).toLong
+    }
+    assert(planted(2L)._1 == expectUniform && planted(2L)._3 == 1,
+      s"uniform payload: ${planted(2L)} vs $expectUniform")
+    // fixture-scale replay of the 9dp discipline for a sample of docs
+    val out = SparkEntry.queries("m17_entropy_gate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("entropy_nano")).toMap
+    Tables.documents(spark, sf).select("doc_id", "text").limit(50).collect()
+      .foreach { r =>
+        val t = r.getAs[String]("text")
+        val n = t.length.toDouble
+        val h = t.groupBy(identity).values.map { xs =>
+          val p = xs.length / n
+          BigDecimal(round9(-p * round9(math.log(p))))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+        assert(out(r.getAs[Long]("doc_id")) == (h * BigDecimal(1000000000)).toLong,
+          s"entropy replay mismatch for doc ${r.getAs[Long]("doc_id")}")
+      }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
