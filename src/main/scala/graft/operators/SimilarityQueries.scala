@@ -1086,7 +1086,38 @@ object SimilarityQueries {
           .cast("long").as("cos_micro"))
   }
 
+  /** s31: COMPRESSION-RECALL frontier — the one-table summary an ANN
+    * deployment reads before choosing its storage tier (d25/s28's
+    * tuning-table idea for the whole quantization family): for each
+    * hash-green member — exact float32 (256 B/vec), int8 scalar
+    * quantization (64 B), JL ±1 projection (compute-compressed), 1-bit
+    * sign signatures (8 B) — the measured recall@5 against the exact
+    * truth, in integer per-mille. Each family's shortlist comes from its
+    * own already-oracle-checked pipeline; the DuckDB twin re-runs the
+    * component oracles verbatim as subqueries, so even this measurement
+    * TABLE is hash-green. Spec pins the monotone storage/recall
+    * trade-off ladder (exact ≥ int8 ≥ sign at these widths).
+    */
+  def s31_compression_frontier(s: SparkSession, d: String): DataFrame = {
+    val truth = s01_knn_bruteforce(s, d)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val nTruth = truth.count()
+    def hits(name: String, bytes: Long, df: DataFrame): DataFrame = {
+      val h = df.select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id")).count()
+      import s.implicits._
+      Seq((name, bytes, h)).toDF("family", "bytes_per_vec", "n_hits")
+    }
+    hits("float32_exact", 256L, truth)
+      .unionByName(hits("int8_sq", 64L, s07_quantized_cosine(s, d)))
+      .unionByName(hits("jl_proj32", 256L, s22_jl_projection(s, d)))
+      .unionByName(hits("sign_1bit", 8L, s24_binary_quant(s, d)))
+      .withColumn("n_truth", lit(nTruth))
+      .withColumn("recall_pm", expr("(n_hits * 1000) div n_truth"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s31_compression_frontier" -> (s31_compression_frontier _),
     "s30_index_compaction" -> (s30_index_compaction _),
     "s29_centroid_drift" -> (s29_centroid_drift _),
     "s26_mips_augmented" -> (s26_mips_augmented _),
@@ -1307,7 +1338,7 @@ object SimilarityQueries {
     s"$head,\n$steps\n$tail"
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "s29_centroid_drift" ->
       s"""WITH ex AS (
          |  SELECT label, generate_subscripts(embedding, 1) AS pos,
@@ -1610,6 +1641,41 @@ object SimilarityQueries {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
   )
+
+  /** s31's oracle reuses the component oracles verbatim as subqueries:
+    * each family's stored twin recomputes its shortlist, truth comes from
+    * the s01 twin, recall is an integer hit count.
+    */
+  private def frontierOracle(base: Map[String, String]): String = {
+    def sq(name: String) = base(name).replace("\n", "\n  ")
+    s"""WITH truth AS (SELECT q_id, vec_id FROM (
+       |  ${sq("s01_knn_bruteforce")}) t),
+       |f07 AS (SELECT q_id, vec_id FROM (
+       |  ${sq("s07_quantized_cosine")}) t),
+       |f22 AS (SELECT q_id, vec_id FROM (
+       |  ${sq("s22_jl_projection")}) t),
+       |f24 AS (SELECT q_id, vec_id FROM (
+       |  ${sq("s24_binary_quant")}) t),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |hits AS (
+       |  SELECT 'float32_exact' AS family, CAST(256 AS BIGINT) AS bytes_per_vec,
+       |         CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_hits
+       |  UNION ALL
+       |  SELECT 'int8_sq', 64,
+       |         CAST((SELECT count(*) FROM f07 JOIN truth USING (q_id, vec_id)) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'jl_proj32', 256,
+       |         CAST((SELECT count(*) FROM f22 JOIN truth USING (q_id, vec_id)) AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'sign_1bit', 8,
+       |         CAST((SELECT count(*) FROM f24 JOIN truth USING (q_id, vec_id)) AS BIGINT))
+       |SELECT family, bytes_per_vec, n_hits, n.n_truth,
+       |       (n_hits * 1000) // n.n_truth AS recall_pm
+       |FROM hits CROSS JOIN n""".stripMargin
+  }
+
+  val oracles: Map[String, String] =
+    baseOracles + ("s31_compression_frontier" -> frontierOracle(baseOracles))
 
   /** Shared by s24 (inline signatures) and s27 (stored signatures): one
     * recompute oracle proving the persisted index lossless.

@@ -436,6 +436,9 @@ object ScaleProbe {
         graft.operators.CurationQueries.c35_mixture_drift(spark, sf).count())
       time(s"$tag m17_entropy_gate")(
         graft.operators.MultimodalQueries.m17_entropy_gate(spark, sf).count())
+      // wave 40: s31 runs four scan-bound family pipelines once each
+      time(s"$tag s31_compression_frontier")(
+        graft.operators.SimilarityQueries.s31_compression_frontier(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

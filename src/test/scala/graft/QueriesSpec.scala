@@ -1487,6 +1487,25 @@ class QueriesSpec extends SparkTestBase {
       }
   }
 
+  test("s31 frontier: exact is perfect, trade-off ladder holds, counts reconcile") {
+    val rows = SparkEntry.queries("s31_compression_frontier")(spark, sf).collect()
+      .map(r => r.getAs[String]("family") ->
+        (r.getAs[Long]("bytes_per_vec"), r.getAs[Long]("n_hits"),
+          r.getAs[Long]("n_truth"), r.getAs[Long]("recall_pm"))).toMap
+    assert(rows.keySet ==
+      Set("float32_exact", "int8_sq", "jl_proj32", "sign_1bit"))
+    val truth = rows("float32_exact")
+    assert(truth._4 == 1000L, "exact vs itself must be perfect recall")
+    rows.values.foreach { case (_, h, t, pm) =>
+      assert(t == truth._3 && h <= t && pm == h * 1000L / t)
+    }
+    // storage/recall ladder: 4x-compressed int8 loses less than the
+    // 32x-compressed sign bits
+    assert(rows("int8_sq")._4 >= rows("sign_1bit")._4,
+      s"int8 should dominate 1-bit signatures: $rows")
+    assert(rows("sign_1bit")._4 > 0L, "1-bit recall must be non-degenerate")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
