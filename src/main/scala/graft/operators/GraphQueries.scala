@@ -705,7 +705,66 @@ object GraphQueries {
   private[graft] def squaresFromViews(s: SparkSession): DataFrame =
     s.sql(g17Sql("div"))
 
+  /** g18: TIME-RESPECTING reachability (Holme & Saramäki's temporal
+    * paths) — the semantics static BFS (g04) cannot express: influence
+    * only flows along edges whose timestamps are NON-DECREASING on the
+    * path, so a partner acquired in 1995 cannot forward something
+    * received through a 1993-only tie. Edges are g16's monthly
+    * co-supplier projection keyed by integer month index; state is one
+    * (node, earliest_arrival_month) row; each of the 6 bounded rounds is
+    * one keyed join (edges usable only when month ≥ the source's
+    * arrival) + one min aggregate — g04's shape with the temporal
+    * constraint in the join predicate. The DuckDB oracle unrolls the
+    * identical rounds as a CTE chain; integer months → hash-green.
+    * Spec contrasts against STATIC reachability on the union graph:
+    * time-ignorant BFS reaches a superset, and the fixture plants the
+    * gap. At 100 TB: rounds are join-bound in |temporal edges|, state
+    * is one row per node, months add edge keys, never rounds.
+    */
+  private def g18Sql(div: String): String = {
+    val rounds = (1 to 6).map { i =>
+      s"""r$i AS (
+         |  SELECT node, CAST(min(arr) AS BIGINT) AS arr FROM (
+         |    SELECT node, arr FROM r${i - 1}
+         |    UNION ALL
+         |    SELECT e.v AS node, e.m AS arr
+         |    FROM und e JOIN r${i - 1} s ON s.node = e.u AND e.m >= s.arr) t
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH om AS (
+       |  SELECT o_orderkey,
+       |         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+       |              AS BIGINT) AS m
+       |  FROM orders),
+       |co AS (
+       |  SELECT om.m, a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a
+       |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |                 AND a.l_suppkey < b.l_suppkey
+       |  JOIN om ON om.o_orderkey = a.l_orderkey
+       |  GROUP BY om.m, a.l_suppkey, b.l_suppkey
+       |  HAVING count(*) >= 2),
+       |und AS (SELECT m, u, v FROM co UNION ALL SELECT m, v AS u, u AS v FROM co),
+       |seed AS (SELECT min(u) AS node FROM und),
+       |r0 AS (SELECT node, CAST(-1 AS BIGINT) AS arr FROM seed),
+       |$rounds
+       |SELECT node, arr AS arrival_month FROM r6""".stripMargin
+  }
+
+  def g18_temporal_reach(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(g18Sql("div"))
+  }
+
+  /** The reachability over registered views — split out so the spec can
+    * plant a temporal chain whose static union-graph reach is larger.
+    */
+  private[graft] def temporalReachFromViews(s: SparkSession): DataFrame =
+    s.sql(g18Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "g18_temporal_reach" -> (g18_temporal_reach _),
     "g17_squares" -> (g17_squares _),
     "g01_pagerank" -> (g01_pagerank _),
     "g02_triangles" -> (g02_triangles _),
@@ -955,6 +1014,7 @@ object GraphQueries {
          |e$i AS MATERIALIZED (SELECT u, v FROM r$i WHERE sup >= ${TrussK - 2})""".stripMargin
     }.mkString(",\n")
     Map(
+      "g18_temporal_reach" -> g18Sql("//"),
       "g17_squares" -> g17Sql("//"),
       "g13_assortativity" -> g13Sql,
       "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),

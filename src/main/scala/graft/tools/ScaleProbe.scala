@@ -439,6 +439,9 @@ object ScaleProbe {
       // wave 40: s31 runs four scan-bound family pipelines once each
       time(s"$tag s31_compression_frontier")(
         graft.operators.SimilarityQueries.s31_compression_frontier(spark, sf).count())
+      // wave 41: g18 is six keyed join+min rounds over monthly edges
+      time(s"$tag g18_temporal_reach")(
+        graft.operators.GraphQueries.g18_temporal_reach(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1506,6 +1506,30 @@ class QueriesSpec extends SparkTestBase {
     assert(rows("sign_1bit")._4 > 0L, "1-bit recall must be non-degenerate")
   }
 
+  test("g18 temporal reach: a later-month edge cannot carry earlier influence") {
+    import spark.implicits._
+    // A(1)-B(2) tie exists only in month 5; B(2)-C(3) only in month 2.
+    // Static BFS reaches {A,B,C}; time-respecting reach from A is {A,B}:
+    // by the time A's influence arrives at B (month 5), the B-C tie is
+    // two years stale and can't forward it.
+    val orders = Seq(
+      (10L, "1992-06-10"), (11L, "1992-06-20"), // month idx 5
+      (20L, "1992-03-05"), (21L, "1992-03-15")  // month idx 2
+    ).toDF("o_orderkey", "d")
+      .select(col("o_orderkey"), col("d").cast("date").as("o_orderdate"))
+    orders.createOrReplaceTempView("orders")
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (20L, 2L), (20L, 3L), (21L, 2L), (21L, 3L))
+      .toDF("l_orderkey", "l_suppkey").createOrReplaceTempView("lineitem")
+    val reach = operators.GraphQueries.temporalReachFromViews(spark).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("arrival_month")).toMap
+    assert(reach == Map(1L -> -1L, 2L -> 5L),
+      s"time-respecting reach must exclude the stale B-C hop: $reach")
+    // restore the real views for later tests
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
