@@ -2785,7 +2785,56 @@ object RelationalQueries {
   def q125_share_of_parent(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders", "customer", "nation", "region")(q125Sql("div"))
 
+  /** q126: sample AUTOCORRELATION at lags 1/7/30 — the seasonality
+    * DETECTOR that justifies q123's weekday index and q112's smoothing
+    * choices (a spike at lag 7 ⇒ weekly structure; slow decay ⇒ trend
+    * first, then model): classic ACF over the daily revenue series,
+    * computed center-free so no float mean ever forms — r_k =
+    * Σ(N·x_t − S)(N·x_{t−k} − S) / Σ(N·x_t − S)², with the centered
+    * operands exact int64 (N·x ≈ 2.4e12) and their PRODUCTS carried as
+    * DECIMAL(38,0) (the square tops 5e24 — past int64, exact in
+    * decimal; the t20 rule: no intermediate downcast anywhere). Only
+    * the final ratio is a double, micro-rounded. Gaps in the day spine
+    * are treated as missing pairs (the lag join simply finds no row —
+    * the standard irregular-series convention, stated here). Windows
+    * and joins all ride |days| partial rows.
+    */
+  private def q126Sql(dayExpr: String, div: String): String =
+    s"""WITH daily AS (
+       |  SELECT $dayExpr AS day,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY 1),
+       |t AS (
+       |  SELECT day, cents,
+       |         CAST(count(*) OVER () AS BIGINT) AS n,
+       |         CAST(sum(cents) OVER () AS BIGINT) AS s
+       |  FROM daily),
+       |c AS (SELECT day, n * cents - s AS dev, n FROM t),
+       |lags AS (SELECT 1 AS lag UNION ALL SELECT 7 UNION ALL SELECT 30),
+       |num AS (
+       |  SELECT l.lag,
+       |         CAST(sum(CAST(a.dev AS DECIMAL(38,0))
+       |                   * CAST(b.dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS a_k,
+       |         CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM lags l
+       |  JOIN c a ON 1 = 1
+       |  JOIN c b ON b.day = a.day - l.lag
+       |  GROUP BY l.lag),
+       |den AS (
+       |  SELECT CAST(sum(CAST(dev AS DECIMAL(38,0))
+       |                  * CAST(dev AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS d
+       |  FROM c)
+       |SELECT lag, n_pairs,
+       |       CAST(round(1000000.0 * CAST(a_k AS DOUBLE) / CAST(d AS DOUBLE))
+       |            AS BIGINT) AS acf_micro
+       |FROM num CROSS JOIN den""".stripMargin
+
+  def q126_autocorrelation(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q126Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
+
   val queries: Map[String, Q] = Map(
+    "q126_autocorrelation" -> (q126_autocorrelation _),
     "q125_share_of_parent" -> (q125_share_of_parent _),
     "q124_asof_nearest" -> (q124_asof_nearest _),
     "q123_seasonal_index" -> (q123_seasonal_index _),
@@ -3311,6 +3360,8 @@ object RelationalQueries {
     "q123_seasonal_index" -> q123Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q125_share_of_parent" -> q125Sql("//"),
+    "q126_autocorrelation" -> q126Sql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q124_asof_nearest" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

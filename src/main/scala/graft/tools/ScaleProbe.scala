@@ -442,6 +442,9 @@ object ScaleProbe {
       // wave 41: g18 is six keyed join+min rounds over monthly edges
       time(s"$tag g18_temporal_reach")(
         graft.operators.GraphQueries.g18_temporal_reach(spark, sf).count())
+      // wave 42: q126 joins and sums over |days| partials
+      time(s"$tag q126_autocorrelation")(
+        graft.operators.RelationalQueries.q126_autocorrelation(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1530,6 +1530,33 @@ class QueriesSpec extends SparkTestBase {
     Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
   }
 
+  test("q126 ACF equals a driver-side replay and stays inside [-1, 1] micro") {
+    val rows = SparkEntry.queries("q126_autocorrelation")(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("acf_micro"))).toMap
+    assert(rows.keySet == Set(1L, 7L, 30L))
+    val daily = Tables.orders(spark, sf)
+      .select(datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+        .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents")).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("cents")).toMap
+    val n = daily.size.toLong
+    val s = daily.values.sum
+    val dev = daily.map { case (d, x) => d -> (n * x - s) }
+    val den = dev.values.map(v => BigInt(v) * BigInt(v)).sum
+    Seq(1L, 7L, 30L).foreach { k =>
+      val pairs = dev.toSeq.flatMap { case (d, va) =>
+        dev.get(d - k).map(vb => BigInt(va) * BigInt(vb)) }
+      val expect = math.round(
+        1000000.0 * (BigDecimal(pairs.sum) / BigDecimal(den)).toDouble)
+      assert(rows(k)._1 == pairs.size.toLong, s"lag $k pair count")
+      assert(math.abs(rows(k)._2 - expect) <= 1L,
+        s"lag $k ACF ${rows(k)._2} vs replay $expect")
+      assert(math.abs(rows(k)._2) <= 1000000L)
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
