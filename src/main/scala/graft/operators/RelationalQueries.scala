@@ -2833,7 +2833,47 @@ object RelationalQueries {
     withViews(s, d, "orders")(
       q126Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div"))
 
+  /** q127: GINI coefficient of customer revenue — the single-number
+    * concentration measure behind q108's ABC curve (a portfolio at
+    * G≈0.6+ depends on its head; the number that goes on the risk
+    * dashboard where the curve doesn't fit): the rank formulation
+    * G = Σ(2r−n−1)·x / (n·Σx) over ascending revenue with a unique
+    * (revenue, custkey) tie-break, every term an exact integer carried
+    * through DECIMAL(38,0) (per-term products reach ~1e12 at bench SF
+    * and ~1e15 at SF100 — the t20 no-downcast rule keeps the sum exact
+    * at any scale), one final micro-rounded double division. The rank
+    * is the q108 honest-scale note: |customers| rows through one ordered
+    * window, two-phase scan at giant dimensions. Emitted alongside n
+    * and total cents so the spec can replay the closed form.
+    */
+  private def q127Sql(div: String): String =
+    s"""WITH r AS (
+       |  SELECT o_custkey,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |           AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |rk AS (
+       |  SELECT cents,
+       |         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rnk,
+       |         CAST(count(*) OVER () AS BIGINT) AS n,
+       |         CAST(sum(cents) OVER () AS BIGINT) AS s
+       |  FROM r),
+       |g AS (
+       |  SELECT CAST(sum(CAST((2 * rnk - n - 1) AS DECIMAL(38,0))
+       |                  * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num,
+       |         CAST(min(n) AS BIGINT) AS n, CAST(min(s) AS BIGINT) AS s
+       |  FROM rk)
+       |SELECT n AS n_customers, s AS total_cents,
+       |       CAST(round(1000000.0 * CAST(num AS DOUBLE)
+       |                  / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)))
+       |            AS BIGINT) AS gini_micro
+       |FROM g""".stripMargin
+
+  def q127_gini(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q127Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "q127_gini" -> (q127_gini _),
     "q126_autocorrelation" -> (q126_autocorrelation _),
     "q125_share_of_parent" -> (q125_share_of_parent _),
     "q124_asof_nearest" -> (q124_asof_nearest _),
@@ -3362,6 +3402,7 @@ object RelationalQueries {
     "q125_share_of_parent" -> q125Sql("//"),
     "q126_autocorrelation" -> q126Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
+    "q127_gini" -> q127Sql("//"),
     "q124_asof_nearest" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

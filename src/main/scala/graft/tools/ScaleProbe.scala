@@ -445,6 +445,9 @@ object ScaleProbe {
       // wave 42: q126 joins and sums over |days| partials
       time(s"$tag q126_autocorrelation")(
         graft.operators.RelationalQueries.q126_autocorrelation(spark, sf).count())
+      // wave 43: q127 ranks |customers| partials once
+      time(s"$tag q127_gini")(
+        graft.operators.RelationalQueries.q127_gini(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

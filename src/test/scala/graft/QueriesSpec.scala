@@ -1557,6 +1557,36 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q127 Gini replays from raw revenues; planted extremes hit 0 and (n-1)/n") {
+    val row = SparkEntry.queries("q127_gini")(spark, sf).collect().head
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("c")).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("c")))
+      .sortBy { case (k, c) => (c, k) }
+    val n = cents.length.toLong
+    val s = cents.map(_._2).sum
+    val num = cents.zipWithIndex.map { case ((_, c), i) =>
+      BigInt(2 * (i + 1) - n - 1) * BigInt(c) }.sum
+    val expect = math.round(
+      1000000.0 * (BigDecimal(num) / (BigDecimal(n) * BigDecimal(s))).toDouble)
+    assert(row.getAs[Long]("n_customers") == n)
+    assert(row.getAs[Long]("total_cents") == s)
+    assert(row.getAs[Long]("gini_micro") == expect)
+    assert(row.getAs[Long]("gini_micro") > 0L &&
+      row.getAs[Long]("gini_micro") < 1000000L)
+    // closed-form extremes: perfect equality -> 0; one-takes-all -> (n-1)/n
+    def gini(xs: Seq[Long]): Long = {
+      val srt = xs.sorted; val m = srt.length.toLong; val t = srt.sum
+      val nm = srt.zipWithIndex.map { case (x, i) =>
+        BigInt(2 * (i + 1) - m - 1) * BigInt(x) }.sum
+      math.round(1000000.0 * (BigDecimal(nm) / (BigDecimal(m) * BigDecimal(t))).toDouble)
+    }
+    assert(gini(Seq(5L, 5L, 5L, 5L)) == 0L)
+    assert(gini(Seq(0L, 0L, 0L, 100L)) == 750000L)
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
