@@ -2872,7 +2872,65 @@ object RelationalQueries {
   def q127_gini(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q127Sql("div"))
 
+  /** q128: THEIL index with exact between/within-region decomposition —
+    * the property that earns Theil its place next to q127's Gini: total
+    * inequality splits ADDITIVELY into "inequality between regions" plus
+    * the revenue-weighted within-region terms (Gini admits no such
+    * split), which is how a dashboard answers "is concentration a
+    * regional story or a within-market story". Every term follows the
+    * q119 PSI discipline — deterministic IEEE ratios, 9dp-rounded ln,
+    * 9dp-rounded term, DECIMAL(38,9) summation — so all three statistics
+    * hash-check; the decomposition identity itself is pinned in the spec
+    * to within the rounding budget. Corpus-sized work is the per-customer
+    * aggregate; the Theil sums run over |customers| and |regions| rows.
+    */
+  private val q128Sql: String = {
+    def term(share: String, lnArg: String) =
+      s"""CAST(sum(CAST(round(($share)
+         |       * round(ln($lnArg), 9), 9) AS DECIMAL(20,9))) AS DECIMAL(38,9))""".stripMargin
+    s"""WITH cr AS (
+       |  SELECT r_name AS region, o_custkey,
+       |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+       |  FROM orders
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  GROUP BY r_name, o_custkey),
+       |tot AS (SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+       |        FROM cr),
+       |gr AS (SELECT region, CAST(sum(x) AS BIGINT) AS sg,
+       |              CAST(count(*) AS BIGINT) AS ng
+       |       FROM cr GROUP BY region),
+       |tw AS (
+       |  SELECT cr.region,
+       |         ${term(
+             "CAST(x AS DOUBLE) / CAST(sg AS DOUBLE)",
+             "CAST(ng AS DOUBLE) * CAST(x AS DOUBLE) / CAST(sg AS DOUBLE)")} AS t_within
+       |  FROM cr JOIN gr ON gr.region = cr.region
+       |  GROUP BY cr.region),
+       |tt AS (
+       |  SELECT ${term(
+             "CAST(x AS DOUBLE) / CAST(s AS DOUBLE)",
+             "CAST(n AS DOUBLE) * CAST(x AS DOUBLE) / CAST(s AS DOUBLE)")} AS t_total
+       |  FROM cr CROSS JOIN tot),
+       |tb AS (
+       |  SELECT ${term(
+             "CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)",
+             "(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) * (CAST(n AS DOUBLE) / CAST(ng AS DOUBLE))")} AS t_between
+       |  FROM gr CROSS JOIN tot)
+       |SELECT g.region, g.ng AS n_customers, g.sg AS revenue_cents,
+       |       CAST(w.t_within AS DOUBLE) AS t_within,
+       |       CAST(t.t_total AS DOUBLE) AS t_total,
+       |       CAST(b.t_between AS DOUBLE) AS t_between
+       |FROM gr g JOIN tw w ON w.region = g.region
+       |CROSS JOIN tt t CROSS JOIN tb b""".stripMargin
+  }
+
+  def q128_theil(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders", "customer", "nation", "region")(q128Sql)
+
   val queries: Map[String, Q] = Map(
+    "q128_theil" -> (q128_theil _),
     "q127_gini" -> (q127_gini _),
     "q126_autocorrelation" -> (q126_autocorrelation _),
     "q125_share_of_parent" -> (q125_share_of_parent _),
@@ -3403,6 +3461,7 @@ object RelationalQueries {
     "q126_autocorrelation" -> q126Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q127_gini" -> q127Sql("//"),
+    "q128_theil" -> q128Sql,
     "q124_asof_nearest" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

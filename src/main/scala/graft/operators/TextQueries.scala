@@ -1184,7 +1184,35 @@ object TextQueries {
     s.sql(t30Sql("div").replace("$SPLIT$", "explode(split(text, ' '))"))
   }
 
+  /** t31: term BURSTINESS (Church & Gale's cf/df dispersion) — the
+    * one-number term characterization IR weighting schemes lean on:
+    * function words spread evenly (cf ≈ df, ratio → 1000 pm) while
+    * content words clump (a doc that mentions a topic mentions it
+    * repeatedly, cf ≫ df) — the empirical justification for t05's
+    * idf and t07's BM25 saturation, made measurable per term. One
+    * aggregate over the token scan (collection frequency + document
+    * frequency per term), integer per-mille ratio, full deterministic
+    * order over the vocabulary-sized result → hash-green.
+    */
+  private def t31Sql(split: String, div: String): String =
+    s"""WITH occ AS (SELECT doc_id, $split AS term FROM documents),
+       |st AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+       |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM occ GROUP BY term)
+       |SELECT term, cf, df, (cf * 1000) $div df AS burst_pm
+       |FROM st
+       |ORDER BY burst_pm DESC, term""".stripMargin
+
+  def t31_burstiness(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .createOrReplaceTempView("documents")
+    s.sql(t31Sql("explode(split(text, ' '))", "div"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t31_burstiness" -> (t31_burstiness _),
     "t30_vocab_overlap" -> (t30_vocab_overlap _),
     "t29_textrank" -> (t29_textrank _),
     "t28_trigram_search" -> (t28_trigram_search _),
@@ -1290,6 +1318,8 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t31_burstiness" ->
+      t31Sql("unnest(string_split(text, ' '))", "//"),
     "t30_vocab_overlap" ->
       t30Sql("//").replace("$SPLIT$", "unnest(string_split(text, ' '))"),
     "t29_textrank" -> textrankOracle,

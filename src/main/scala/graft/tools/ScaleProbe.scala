@@ -448,6 +448,11 @@ object ScaleProbe {
       // wave 43: q127 ranks |customers| partials once
       time(s"$tag q127_gini")(
         graft.operators.RelationalQueries.q127_gini(spark, sf).count())
+      // wave 44: q128 sums |customers| terms; t31 is one vocab aggregate
+      time(s"$tag q128_theil")(
+        graft.operators.RelationalQueries.q128_theil(spark, sf).count())
+      time(s"$tag t31_burstiness")(
+        graft.operators.TextQueries.t31_burstiness(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

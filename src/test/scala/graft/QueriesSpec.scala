@@ -1587,6 +1587,36 @@ class QueriesSpec extends SparkTestBase {
     assert(gini(Seq(0L, 0L, 0L, 100L)) == 750000L)
   }
 
+  test("q128 Theil: decomposition identity holds within the rounding budget") {
+    val rows = SparkEntry.queries("q128_theil")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tTotal = rows.map(_.getAs[Double]("t_total")).distinct
+    val tBetween = rows.map(_.getAs[Double]("t_between")).distinct
+    assert(tTotal.length == 1 && tBetween.length == 1)
+    assert(tTotal.head > 0 && tBetween.head >= 0)
+    val s = rows.map(_.getAs[Long]("revenue_cents")).sum.toDouble
+    // T == T_between + sum_g share_g * T_g for exact reals; each term
+    // here carries a 9dp round, so pin the identity inside that budget
+    val within = rows.map(r =>
+      r.getAs[Long]("revenue_cents") / s * r.getAs[Double]("t_within")).sum
+    assert(math.abs(tTotal.head - (tBetween.head + within)) < 1e-5,
+      s"decomposition broke: T=${tTotal.head} TB=${tBetween.head} W=$within")
+    rows.foreach(r => assert(r.getAs[Double]("t_within") >= 0))
+  }
+
+  test("t31 burstiness: cf >= df always; function-word floor sits at 1000pm") {
+    val rows = SparkEntry.queries("t31_burstiness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cf, df, b) = (r.getAs[Long]("cf"), r.getAs[Long]("df"),
+        r.getAs[Long]("burst_pm"))
+      assert(cf >= df && b == cf * 1000L / df && b >= 1000L)
+    }
+    // the ranking is genuinely discriminative on the fixture
+    val bursts = rows.map(_.getAs[Long]("burst_pm"))
+    assert(bursts.max > bursts.min, "burstiness should separate terms")
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
