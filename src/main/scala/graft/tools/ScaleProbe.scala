@@ -63,6 +63,12 @@ object ScaleProbe {
     (0 until 10).map(i => supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/supplier.parquet")
+    // tiny dimensions copy verbatim — queries joining nation/region
+    // (q125/q128) crash on a corpus dir missing them (found when the
+    // 10x q125 probe silently killed the rest of its run)
+    for (t <- Seq("nation", "region", "part"))
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$big/$t.parquet")
     // dev-only filter: `runMain graft.tools.ScaleProbe d24,g10` times only
     // probes whose name contains one of the substrings (new-wave iteration
     // without re-running the whole shelf)
