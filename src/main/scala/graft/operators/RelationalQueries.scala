@@ -2929,7 +2929,52 @@ object RelationalQueries {
   def q128_theil(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders", "customer", "nation", "region")(q128Sql)
 
+  /** q129: calendar-GAP audit — the spine-completeness check every
+    * daily-series operator here silently assumes (q112's lags, q116's
+    * prefix sums and q126's lag pairs all treat "no row" as "no day"):
+    * generate the min..max day spine, anti-join the observed days, and
+    * collapse missing days into maximal runs via the d17/q74
+    * gaps-and-islands trick — one row per OUTAGE with its span, which
+    * is what a monitoring page actually lists. Integer day indexes end
+    * to end → hash-green; the spine is |days| rows (sequence explode,
+    * zero shuffle) and the windows see only the missing sliver.
+    */
+  private def q129Sql(dayExpr: String, div: String): String =
+    s"""WITH obs AS (
+       |  SELECT DISTINCT $dayExpr AS day FROM orders),
+       |bounds AS (
+       |  SELECT CAST(min(day) AS BIGINT) AS lo, CAST(max(day) AS BIGINT) AS hi
+       |  FROM obs),
+       |spine AS ($$SPINE$$),
+       |missing AS (
+       |  SELECT s.day FROM spine s LEFT JOIN obs o ON o.day = s.day
+       |  WHERE o.day IS NULL),
+       |isl AS (
+       |  SELECT day,
+       |         day - row_number() OVER (ORDER BY day) AS island
+       |  FROM missing)
+       |SELECT CAST(min(day) AS BIGINT) AS gap_start,
+       |       CAST(max(day) AS BIGINT) AS gap_end,
+       |       CAST(count(*) AS BIGINT) AS n_missing_days
+       |FROM isl GROUP BY island""".stripMargin
+
+  def q129_calendar_gaps(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q129Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div")
+        .replace("$SPINE$",
+          "SELECT explode(sequence(lo, hi)) AS day FROM bounds"))
+
+  /** The audit over whatever `orders` view is registered — split out so
+    * the spec can plant known outages.
+    */
+  private[graft] def calendarGapsFromViews(s: SparkSession): DataFrame =
+    s.sql(
+      q129Sql("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)", "div")
+        .replace("$SPINE$",
+          "SELECT explode(sequence(lo, hi)) AS day FROM bounds"))
+
   val queries: Map[String, Q] = Map(
+    "q129_calendar_gaps" -> (q129_calendar_gaps _),
     "q128_theil" -> (q128_theil _),
     "q127_gini" -> (q127_gini _),
     "q126_autocorrelation" -> (q126_autocorrelation _),
@@ -3462,6 +3507,10 @@ object RelationalQueries {
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q127_gini" -> q127Sql("//"),
     "q128_theil" -> q128Sql,
+    "q129_calendar_gaps" -> q129Sql(
+      "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//")
+      .replace("$SPINE$",
+        "SELECT unnest(generate_series(lo, hi)) AS day FROM bounds"),
     "q124_asof_nearest" ->
       """WITH base AS (
         |  SELECT event_id, user_id, event_type,

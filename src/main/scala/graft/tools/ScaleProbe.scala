@@ -459,6 +459,9 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q128_theil(spark, sf).count())
       time(s"$tag t31_burstiness")(
         graft.operators.TextQueries.t31_burstiness(spark, sf).count())
+      // wave 45: q129 anti-joins the |days| spine
+      time(s"$tag q129_calendar_gaps")(
+        graft.operators.RelationalQueries.q129_calendar_gaps(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -1617,6 +1617,31 @@ class QueriesSpec extends SparkTestBase {
     assert(bursts.max > bursts.min, "burstiness should separate terms")
   }
 
+  test("q129 calendar gaps: planted outages come back as exact maximal runs") {
+    import spark.implicits._
+    // observed days 0,1,2, 6, 10,11 -> gaps [3..5] and [7..9]
+    Seq(0, 1, 2, 6, 10, 11)
+      .map(dd => Tuple1(java.sql.Date.valueOf(java.time.LocalDate
+        .parse("1992-01-01").plusDays(dd))))
+      .toDF("o_orderdate").createOrReplaceTempView("orders")
+    val gaps = operators.RelationalQueries.calendarGapsFromViews(spark)
+      .collect().map(r => (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_end"),
+        r.getAs[Long]("n_missing_days"))).toSet
+    assert(gaps == Set((3L, 5L, 3L), (7L, 9L, 3L)),
+      s"planted outages mis-detected: $gaps")
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    // fixture gaps are internally consistent maximal runs
+    val rows = SparkEntry.queries("q129_calendar_gaps")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_end"),
+        r.getAs[Long]("n_missing_days"))).sortBy(_._1)
+    rows.foreach { case (a, b, n) => assert(n == b - a + 1) }
+    rows.sliding(2).foreach {
+      case Array((_, e1, _), (s2, _, _)) =>
+        assert(s2 > e1 + 1, "adjacent gaps must be separated by observed days")
+      case _ =>
+    }
+  }
+
   test("q118 join-skew audit agrees with an independent driver-side recount") {
     val rows = SparkEntry.queries("q118_join_skew")(spark, sf).collect()
     assert(rows.length == 10)
