@@ -345,11 +345,17 @@ object JaroWinkler {
   * d28 (stride-1 char k-gram polynomial hashes → min per w-hash window
   * with leftmost tie-break → distinct selected hashes in first-occurrence
   * order) in a single O(n·k + n·w) pass. Bit-identical to the HOF
-  * spelling (transform/aggregate/slice/array_min over the hash·2^20+pos
+  * spelling (transform/aggregate/slice/array_min over the hash·2^33+pos
   * encoding — kept as the parity oracle in FunctionsSpec), which runs
   * interpreted per element; this runs as one compiled method call with
   * the surrounding expressions still fused ([[KernelCodegen]]).
   * Hash: base-31 polynomial over codepoints mod 1e9+7 (t04's).
+  *
+  * Encoding bounds: hash < 2^30 (mod 1e9+7) rides the top bits, the
+  * 1-based gram position the low 33 (enc = h·2^33 + pos < 2^63), so
+  * documents up to 2^33 k-grams (~8G chars) keep hash and position
+  * disjoint — the >= w+k-1 shared-substring guarantee holds at any
+  * realistic document length.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with KernelCodegen {
@@ -375,7 +381,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       var h = 0L
       var o = 0
       while (o < k) { h = (h * 31L + codes(i + o)) % p; o += 1 }
-      enc(i) = h * 1048576L + (i + 1)
+      enc(i) = h * 8589934592L + (i + 1)
       i += 1
     }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -384,7 +390,7 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       var m = enc(j)
       var t = 1
       while (t < w) { if (enc(j + t) < m) m = enc(j + t); t += 1 }
-      seen.add(m / 1048576L)
+      seen.add(m / 8589934592L)
       j += 1
     }
     val arr = new Array[Any](seen.size)

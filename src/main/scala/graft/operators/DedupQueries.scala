@@ -1143,7 +1143,12 @@ object DedupQueries {
         bal: String): DataFrame =
       df.select(lit(tag).as("side"), col(key).cast("long").as("key"),
         col(nat).cast("long").as("nat"),
-        (regexp_extract(col(name), "(\\d+)", 1).cast("long") % 50).as("suffix"),
+        // coalesce(-1): a name with no digits would yield NULL, and NULL
+        // sorts FIRST in Spark but LAST in DuckDB (the q85 hazard) —
+        // breaking the two-phase global-position parity this operator
+        // depends on; with the floor the key is provably non-null
+        (coalesce(regexp_extract(col(name), "(\\d+)", 1).cast("long"),
+          lit(-1L)) % 50).as("suffix"),
         round(col(bal) * 100).cast("long").as("cents"))
     val recs = side(Tables.customer(s, d), 0, "c_custkey", "c_name",
       "c_nationkey", "c_acctbal")
@@ -1651,12 +1656,14 @@ object DedupQueries {
     "d27_snm_linkage" ->
       """WITH recs AS (
         |  SELECT 0 AS side, c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nat,
-        |         CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) % 50 AS suffix,
+        |         coalesce(TRY_CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT), -1)
+        |           % 50 AS suffix,
         |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
         |  FROM customer
         |  UNION ALL
         |  SELECT 1, s_suppkey, CAST(s_nationkey AS BIGINT),
-        |         CAST(regexp_extract(s_name, '(\d+)', 1) AS BIGINT) % 50,
+        |         coalesce(TRY_CAST(regexp_extract(s_name, '(\d+)', 1) AS BIGINT), -1)
+        |           % 50,
         |         CAST(round(s_acctbal * 100) AS BIGINT)
         |  FROM supplier),
         |p AS (
@@ -1697,12 +1704,12 @@ object DedupQueries {
         |             list_prepend(0, list_transform(range(0, 8),
         |               o -> CAST(ascii(substring(text, i + o, 1)) AS BIGINT))),
         |             (acc, ch) -> (acc * 31 + ch) % 1000000007)
-        |           * 1048576 + i) AS codes
+        |           * 8589934592 + i) AS codes
         |  FROM c),
         |f AS (
         |  SELECT doc_id,
         |         unnest(list_distinct(list_transform(range(1, g - 2), j ->
-        |           list_min(codes[j:j+3]) // 1048576))) AS fp
+        |           list_min(codes[j:j+3]) // 8589934592))) AS fp
         |  FROM codes),
         |keep AS (SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 16),
         |fk AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))

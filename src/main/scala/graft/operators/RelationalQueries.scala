@@ -2444,10 +2444,14 @@ object RelationalQueries {
     * log10(1+1/d) values rounded once, summing exactly to 1000) via one
     * CASE — no libm at query time — and each digit row carries observed
     * vs expected per-mille, the signed gap, and its Pearson chi²
-    * contribution ×1000 (integer: (1000·n_d − N·exp_pm)² div
-    * (N·exp_pm·1000)). One scan + a 9-group aggregate; the digit
-    * extraction is a cast-to-string head, pure codegen. All integers →
-    * hash-green.
+    * contribution ×1000: floor((1000·n_d − N·exp_pm)² / (N·exp_pm·1000)).
+    * The squared deviation is carried through IEEE DOUBLE (the operands
+    * stay < 2^53 so the cast is exact, and one multiply + one divide +
+    * floor is bit-deterministic on both engines) — int64 would wrap
+    * silently in Spark past N ≈ 1e8 while DuckDB promotes to HUGEINT,
+    * diverging the engines exactly when the audit matters. One scan + a
+    * 9-group aggregate; the digit extraction is a cast-to-string head,
+    * pure codegen. Deterministic integers out → hash-green.
     */
   private def q117Sql(str: String, div: String): String =
     s"""WITH digits AS (
@@ -2468,8 +2472,10 @@ object RelationalQueries {
        |       (n * 1000) $div total AS obs_pm,
        |       exp_pm,
        |       (n * 1000) $div total - exp_pm AS gap_pm,
-       |       ((1000 * n - total * exp_pm) * (1000 * n - total * exp_pm))
-       |         $div (total * exp_pm * 1000) AS chi2_milli
+       |       CAST(floor(CAST(1000 * n - total * exp_pm AS DOUBLE)
+       |                  * CAST(1000 * n - total * exp_pm AS DOUBLE)
+       |                  / CAST(total * exp_pm * 1000 AS DOUBLE))
+       |            AS BIGINT) AS chi2_milli
        |FROM e""".stripMargin
 
   def q117_benford(s: SparkSession, d: String): DataFrame =
@@ -2523,6 +2529,14 @@ object RelationalQueries {
     * shared verbatim between q119 (counts inline from events) and st13
     * (counts merged from stored per-batch partials), so the incremental
     * path provably computes the identical statistic.
+    *
+    * Zero-count floor: a bucket (or a whole window) with n = 0 would put
+    * ln(0) in the term — Spark's ln returns NULL (silently dropping the
+    * term from psi_total) while DuckDB raises, so the standard PSI floor
+    * applies: every count entering a ratio rides greatest(n, 1). The
+    * fixture never hits it, but st13's per-batch ingest makes an empty
+    * current window plausible in production; with the floor an absent
+    * bucket contributes its maximal finite penalty instead of vanishing.
     */
   private[graft] def psiTail(div: String, src: String): String =
     s"""t AS (
@@ -2532,13 +2546,13 @@ object RelationalQueries {
        |  FROM $src),
        |c AS (
        |  SELECT event_type, n_ref, n_cur,
-       |         (n_ref * 1000) $div tot_ref AS ref_pm,
-       |         (n_cur * 1000) $div tot_cur AS cur_pm,
+       |         (n_ref * 1000) $div greatest(tot_ref, 1) AS ref_pm,
+       |         (n_cur * 1000) $div greatest(tot_cur, 1) AS cur_pm,
        |         CAST(round(
-       |           (CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE)
-       |            - CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))
-       |           * round(ln((CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
-       |                      / (CAST(n_cur AS DOUBLE) / CAST(tot_cur AS DOUBLE))), 9),
+       |           (CAST(greatest(n_ref, 1) AS DOUBLE) / CAST(greatest(tot_ref, 1) AS DOUBLE)
+       |            - CAST(greatest(n_cur, 1) AS DOUBLE) / CAST(greatest(tot_cur, 1) AS DOUBLE))
+       |           * round(ln((CAST(greatest(n_ref, 1) AS DOUBLE) / CAST(greatest(tot_ref, 1) AS DOUBLE))
+       |                      / (CAST(greatest(n_cur, 1) AS DOUBLE) / CAST(greatest(tot_cur, 1) AS DOUBLE))), 9),
        |           9) AS DECIMAL(20,9)) AS psi_part
        |  FROM t)
        |SELECT event_type, n_ref, n_cur, ref_pm, cur_pm,

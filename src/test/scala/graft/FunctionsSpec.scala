@@ -232,8 +232,8 @@ class TextFunctionsSpec extends SparkTestBase {
   test("winnow_fingerprints: hand case, HOF bit-parity, codegen parity") {
     import graft.functions.TextFunctions.winnow_fingerprints
     // hand case, k=2, w=2 on "abab": grams ab,ba,ab hash to
-    // h(ab)=97*31+98=3105, h(ba)=98*31+97=3135; encoded 3105*2^20+1,
-    // 3135*2^20+2, 3105*2^20+3; window mins: min(e1,e2)=e1, min(e2,e3)=e3
+    // h(ab)=97*31+98=3105, h(ba)=98*31+97=3135; encoded 3105*2^33+1,
+    // 3135*2^33+2, 3105*2^33+3; window mins: min(e1,e2)=e1, min(e2,e3)=e3
     // -> selected hashes [3105] (distinct, first-occurrence order)
     val hand = Seq("abab").toDF("text")
       .select(winnow_fingerprints($"text", 2, 2)).as[Seq[Long]].head()
@@ -251,11 +251,11 @@ class TextFunctionsSpec extends SparkTestBase {
           |  aggregate(transform(sequence(0, 7),
           |              o -> CAST(ascii(substring(text, i + o, 1)) AS LONG)),
           |            0L, (acc, c) -> (acc * 31 + c) % 1000000007)
-          |  * 1048576 + i)""".stripMargin))
+          |  * 8589934592 + i)""".stripMargin))
       .localCheckpoint()
     val hof = withCodes.withColumn("fps", expr(
         "array_distinct(transform(sequence(1, g - 3), j -> " +
-          "array_min(slice(codes, j, 4)) div 1048576))"))
+          "array_min(slice(codes, j, 4)) div 8589934592))"))
       .select($"doc_id", $"fps").as[(Long, Seq[Long])].collect().toMap
     val native = docs.filter(length($"text") >= 11)
       .select($"doc_id", winnow_fingerprints($"text", 8, 4).as("fps"))
