@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Persisted co-supplier co-occurrence store — the g-family's shared edge
+  * generator (lineitem self-join on l_orderkey → per-pair co-occurrence
+  * counts) built ONCE per corpus version and committed by a `_complete`
+  * marker, exactly the s17/t24/d18 economics applied to graph structure:
+  * at 100 TB the self-join + aggregate is the one expensive pass (it
+  * shuffles the fact table), and every graph query thereafter reads a
+  * pair-count table that is orders of magnitude smaller than lineitem.
+  *
+  * ONE table is stored — monthly pair counts `(m, u, v, n)` where `m` is
+  * the integer month index since 1992-01 and `n` the lineitem-pair count
+  * within that month — because every projection the family needs derives
+  * from it losslessly:
+  *
+  *   - global pair counts  = Σ over months (each lineitem pair belongs to
+  *     exactly one order, each order to exactly one month, so the monthly
+  *     counts PARTITION the global count) → g02-g06, g10-g14, g17;
+  *   - the frequent graph  = global counts filtered `n >= CoSupport`;
+  *   - the strongest-k graph (g12) = global counts ordered by `n`;
+  *   - the temporal graphs (g16, g18) = the monthly rows themselves.
+  *
+  * The store is keyed by the IDENTITY of both inputs (size + mtime of
+  * lineitem.parquet and orders.parquet, the ivfPqIndexDir discipline): a
+  * regenerated dataset at the same path orphans the old store rather than
+  * serving stale edges under a valid marker. Orders join LEFT so an
+  * orphan orderkey (RI violation) could never silently change the global
+  * counts vs. the oracle's plain self-join — its pairs land in a
+  * null-month row that the global sum still includes and the monthly
+  * views exclude (matching the oracles' inner join on orders).
+  *
+  * DuckDB oracles are UNCHANGED — they rebuild from lineitem per query,
+  * so the hash gate cross-checks persistence losslessness on every run;
+  * PlanInvariantsSpec pins that the query paths never rescan
+  * lineitem.parquet once the marker exists.
+  *
+  * Reference scope: the co-occurrence projection itself is this engine's
+  * §2C graph extension (SURVEY §2C); the reference (loader.py) has no
+  * graph surface.
+  */
+object CoGraph {
+
+  private val Version = "v1"
+
+  private[graft] def coDir(d: String): String = {
+    val li = new java.io.File(d, "lineitem.parquet")
+    val or = new java.io.File(d, "orders.parquet")
+    SketchQueries.partialsDir(
+      s"co_${Version}_${li.length()}_${li.lastModified()}" +
+        s"_${or.length()}_${or.lastModified()}", d)
+  }
+
+  /** OFFLINE build: one lineitem self-join + month-keyed aggregate,
+    * written then marker-committed. Idempotent and cheap on re-entry: a
+    * present marker skips the build entirely.
+    */
+  private[graft] def ensure(s: SparkSession, d: String): String = {
+    val dir = coDir(d)
+    if (new java.io.File(dir, "_complete").exists()) return dir
+    val om = Tables.orders(s, d).select(col("o_orderkey"),
+      (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long")).as("m"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .join(om, col("o_orderkey") === col("a.l_orderkey"), "left")
+      .groupBy(col("m"), col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/monthly")
+    new java.io.File(dir, "_complete").createNewFile()
+    dir
+  }
+
+  /** Monthly pair counts `(m, u, v, n)` — rows with a resolvable order
+    * month only (the temporal queries' inner-join-on-orders semantics).
+    */
+  def monthly(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/monthly").filter(col("m").isNotNull)
+
+  /** Global pair counts `(u, v, n)` — the monthly partition summed back
+    * up (null-month rows included, mirroring the oracle's plain
+    * self-join). The aggregate runs over the stored table, never
+    * lineitem.
+    */
+  def pairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/monthly")
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
+
+  /** The frequent co-supplier edge list `(u, v)` with `u < v` — the
+    * projection g02-g05, g10, g11, g13-g15, g17 consume.
+    */
+  def frequentPairs(s: SparkSession, d: String, support: Int): DataFrame =
+    pairs(s, d).filter(col("n") >= support).select(col("u"), col("v"))
+
+  /** Registers `co_pairs (u, v, n)` as a temp view for the SQL-text query
+    * paths (g02, g13-g15, g17).
+    */
+  private[graft] def registerPairsView(s: SparkSession, d: String): Unit =
+    pairs(s, d).createOrReplaceTempView("co_pairs")
+
+  /** Registers `co_monthly (m, u, v, n)` for the temporal query paths
+    * (g16, g18).
+    */
+  private[graft] def registerMonthlyView(s: SparkSession, d: String): Unit =
+    monthly(s, d).createOrReplaceTempView("co_monthly")
+}

@@ -99,6 +99,26 @@ object GraphQueries {
     */
   private val CoSupport = 10
 
+  /** The frequent-co CTE body rebuilt inline from a registered `lineitem`
+    * view — the form the DuckDB oracles and the planted-graph spec
+    * helpers drive. Production Spark paths read [[CoGraph]]'s persisted
+    * pair counts instead (identical rows by construction — the monthly
+    * counts partition the global count — and the unchanged oracles
+    * cross-check losslessness on every gate run).
+    */
+  private def coRebuild: String =
+    s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $CoSupport""".stripMargin
+
+  /** The same projection served from the persisted store's `co_pairs`
+    * view ([[CoGraph.registerPairsView]]) — no lineitem rescan.
+    */
+  private def coStored: String =
+    s"SELECT u, v FROM co_pairs WHERE n >= $CoSupport"
+
   /** Triangle counting + global clustering coefficient over the frequent
     * co-supplier graph (suppliers co-occurring in >= [[CoSupport]] orders)
     * — the
@@ -116,13 +136,9 @@ object GraphQueries {
     * a real-world projection sparse; the wedge denominator comes from the
     * degree sum, never a second wedge enumeration.
     */
-  private val g02Sql: String =
+  private def g02Sql(co: String): String =
     s"""WITH co AS (
-      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2
-      |  HAVING count(*) >= $CoSupport),
+      |  $co),
       |und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
       |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY 1),
       |dir AS (
@@ -146,8 +162,8 @@ object GraphQueries {
       |FROM tri CROSS JOIN wcnt w""".stripMargin
 
   def g02_triangles(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    trianglesFromView(s)
+    CoGraph.registerPairsView(s, d)
+    s.sql(g02Sql(coStored))
   }
 
   /** The triangle SQL over whatever `lineitem` view is registered —
@@ -155,7 +171,7 @@ object GraphQueries {
     * a hand-built graph with a known answer (K4 -> 4 triangles, coeff 1).
     */
   private[graft] def trianglesFromView(s: SparkSession): DataFrame =
-    s.sql(g02Sql)
+    s.sql(g02Sql(coRebuild))
 
   /** Connected components of the frequent co-supplier graph — supplier
     * "communities" from the same thresholded projection as g02, resolved
@@ -167,13 +183,8 @@ object GraphQueries {
     * pattern as d10/d13's.
     */
   def g03_components(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val pairs = s.sql(
-      s"""SELECT a.l_suppkey AS doc_a, b.l_suppkey AS doc_b
-        |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |GROUP BY 1, 2
-        |HAVING count(*) >= $CoSupport""".stripMargin)
+    val pairs = CoGraph.frequentPairs(s, d, CoSupport)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
     DedupQueries.starContract(pairs)
       .select(col("doc_id").as("node"), col("cluster_rep").as("component"))
   }
@@ -197,20 +208,14 @@ object GraphQueries {
   private val Hops = 6
 
   def g04_bfs_hops(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val co = s.sql(
-      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |GROUP BY 1, 2
-        |HAVING count(*) >= $CoSupport""".stripMargin)
-    // symmetrize by explode, not union-of-two-selects: a union would run
-    // the lineitem self-join once per branch inside the checkpoint job
+    val co = CoGraph.frequentPairs(s, d, CoSupport)
+    // symmetrize by explode, not union-of-two-selects: a union would read
+    // the stored pair counts once per branch inside the checkpoint job
     val edges = co.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint() // feeds every round; ONE lineitem self-join pass
+      .localCheckpoint() // feeds every round; ONE store read
     // driver-tiny scalar (one source id), same as KMeans' k centroids
     val srcRow = edges.agg(min(col("src"))).head()
     if (srcRow.isNullAt(0))
@@ -248,18 +253,12 @@ object GraphQueries {
   private val KCoreRounds = 8
 
   def g05_kcore(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val co = s.sql(
-      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |GROUP BY 1, 2
-        |HAVING count(*) >= $CoSupport""".stripMargin)
+    val co = CoGraph.frequentPairs(s, d, CoSupport)
     val edges = co.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint() // feeds every peel round; ONE lineitem self-join
+      .localCheckpoint() // feeds every peel round; ONE store read
     kcoreFrom(edges, KCoreK, KCoreRounds)
   }
 
@@ -288,16 +287,8 @@ object GraphQueries {
   private val TrussK = 4
   private val TrussRounds = 3
 
-  def g10_ktruss(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val co = s.sql(
-      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |GROUP BY 1, 2
-        |HAVING count(*) >= $CoSupport""".stripMargin)
-    trussFrom(co, TrussK, TrussRounds)
-  }
+  def g10_ktruss(s: SparkSession, d: String): DataFrame =
+    trussFrom(CoGraph.frequentPairs(s, d, CoSupport), TrussK, TrussRounds)
 
   /** g11: seeded HARMONIC centrality — the practical form of
     * closeness/harmonic centrality at scale (Boldi & Vigna '14: harmonic
@@ -314,13 +305,7 @@ object GraphQueries {
     * oracle -> hash-green.
     */
   def g11_harmonic_centrality(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val co = s.sql(
-      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v
-        |FROM lineitem a JOIN lineitem b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |GROUP BY 1, 2
-        |HAVING count(*) >= $CoSupport""".stripMargin)
+    val co = CoGraph.frequentPairs(s, d, CoSupport)
     val edges = co.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst")),
         struct(col("v").as("src"), col("u").as("dst")))).as("e"))
@@ -357,20 +342,15 @@ object GraphQueries {
     * (ra desc, pair) through the native heaps.
     */
   def g12_link_prediction(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     // top-200 STRONGEST co-occurrence edges, not a fixed count threshold:
     // a threshold that leaves the small-SF projection near-complete makes
     // "non-adjacent distance-2 pair" vacuous (every pair is linked), and
     // one that suits small SF empties sf0.1 — the k-bounded strongest-edge
     // graph is sparse by construction at EVERY scale, and it is also the
     // scale-safe form (the edge list entering the wedge join is k rows)
-    val co = s.sql(
-      s"""SELECT u, v FROM (
-        |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
-        |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |  GROUP BY 1, 2
-        |  ORDER BY c DESC, u, v LIMIT 200) t""".stripMargin)
+    val co = CoGraph.pairs(s, d)
+      .orderBy(col("n").desc, col("u"), col("v")).limit(200)
+      .select(col("u"), col("v"))
     linkPredictionFrom(co)
   }
 
@@ -411,12 +391,9 @@ object GraphQueries {
     * q67's recipe on graph structure. One degree aggregate + two keyed
     * joins + one global sum: scan-shaped at any graph size.
     */
-  private lazy val g13Sql: String =
+  private def g13Sql(co: String): String =
     s"""WITH co AS (
-      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |  $co),
       |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
       |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
       |e AS (
@@ -439,8 +416,8 @@ object GraphQueries {
       |FROM sums""".stripMargin
 
   def g13_assortativity(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(g13Sql)
+    CoGraph.registerPairsView(s, d)
+    s.sql(g13Sql(coStored))
   }
 
   /** g14: LOCAL clustering coefficient (Watts–Strogatz) — g02 reports the
@@ -460,12 +437,9 @@ object GraphQueries {
     * group-agg, the triangle join is edge-oriented (never wedge-per-node
     * quadratic at hubs), and the rest is two keyed aggregates.
     */
-  private val g14SqlTmpl: String =
+  private def g14Sql(co: String): String =
     s"""WITH co AS (
-      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |  $co),
       |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
       |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
       |tri AS (
@@ -503,12 +477,9 @@ object GraphQueries {
     * two keyed joins against the broadcast-size supplier attribute, and
     * two community-keyed aggregates — no iteration, no per-node state.
     */
-  private val g15SqlTmpl: String =
+  private def g15Sql(co: String): String =
     s"""WITH co AS (
-      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
-      |  FROM lineitem a JOIN lineitem b
-      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-      |  GROUP BY 1, 2 HAVING count(*) >= $CoSupport),
+      |  $co),
       |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
       |nat AS (SELECT s_suppkey AS node, s_nationkey AS comm FROM supplier),
       |deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
@@ -538,12 +509,12 @@ object GraphQueries {
     * same magnitude negative... exact values asserted).
     */
   private[graft] def modularityFromViews(s: SparkSession): DataFrame =
-    s.sql(g15SqlTmpl.replace("$DIV$", "div"))
+    s.sql(g15Sql(coRebuild).replace("$DIV$", "div"))
 
   def g15_modularity(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    CoGraph.registerPairsView(s, d)
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
-    modularityFromViews(s)
+    s.sql(g15Sql(coStored).replace("$DIV$", "div"))
   }
 
   /** g16: temporal graph EVOLUTION panel — the co-supplier graph rebuilt
@@ -558,8 +529,13 @@ object GraphQueries {
     * the same shuffle (month rides the join key — no per-month passes),
     * then two tiny keyed aggregates; months only add keys, never rounds.
     */
-  private val g16SqlTmpl: String =
-    """WITH om AS (
+  /** The monthly-co CTE prefix rebuilt from lineitem+orders views (oracle
+    * + spec form) vs. served from the stored monthly counts (production
+    * form — the month string is reconstructed arithmetically from the
+    * stored month index, bit-identical to the date-substring spelling).
+    */
+  private val g16CoRebuild: String =
+    """om AS (
       |  SELECT o_orderkey, substring(CAST(CAST(o_orderdate AS DATE) AS $STR$), 1, 7)
       |           AS month
       |  FROM orders),
@@ -570,7 +546,16 @@ object GraphQueries {
       |                 AND a.l_suppkey < b.l_suppkey
       |  JOIN om m ON m.o_orderkey = a.l_orderkey
       |  GROUP BY m.month, a.l_suppkey, b.l_suppkey
-      |  HAVING count(*) >= 2),
+      |  HAVING count(*) >= 2)""".stripMargin
+
+  private val g16CoStored: String =
+    """co AS (
+      |  SELECT format_string('%04d-%02d', 1992 + m div 12, m % 12 + 1) AS month,
+      |         u, v
+      |  FROM co_monthly WHERE n >= 2)""".stripMargin
+
+  private def g16Sql(co: String): String =
+    s"""WITH $co,
       |nodes AS (
       |  SELECT month, count(*) AS n_nodes FROM (
       |    SELECT month, u AS node FROM co
@@ -579,15 +564,14 @@ object GraphQueries {
       |edges AS (SELECT month, count(*) AS n_edges FROM co GROUP BY month)
       |SELECT n.month, n.n_nodes, e.n_edges,
       |       CASE WHEN n.n_nodes >= 2
-      |            THEN (2 * e.n_edges * 1000) $DIV$ (n.n_nodes * (n.n_nodes - 1))
+      |            THEN (2 * e.n_edges * 1000) $$DIV$$ (n.n_nodes * (n.n_nodes - 1))
       |            ELSE 0 END AS density_pm,
-      |       (2 * e.n_edges * 1000000) $DIV$ n.n_nodes AS mean_degree_micro
+      |       (2 * e.n_edges * 1000000) $$DIV$$ n.n_nodes AS mean_degree_micro
       |FROM nodes n JOIN edges e ON e.month = n.month""".stripMargin
 
   def g16_graph_evolution(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(g16SqlTmpl.replace("$STR$", "STRING").replace("$DIV$", "div"))
+    CoGraph.registerMonthlyView(s, d)
+    s.sql(g16Sql(g16CoStored).replace("$DIV$", "div"))
   }
 
   /** The per-node coefficient SQL over whatever `lineitem` view is
@@ -595,11 +579,11 @@ object GraphQueries {
     * graphs: K4 -> every corner coeff 1e6; a star -> hub and leaves 0.
     */
   private[graft] def localClusteringFromView(s: SparkSession): DataFrame =
-    s.sql(g14SqlTmpl.replace("$DIV$", "div"))
+    s.sql(g14Sql(coRebuild).replace("$DIV$", "div"))
 
   def g14_local_clustering(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    localClusteringFromView(s)
+    CoGraph.registerPairsView(s, d)
+    s.sql(g14Sql(coStored).replace("$DIV$", "div"))
   }
 
   /** The truss peel over a canonical (u < v) edge list — separated so the
@@ -677,13 +661,9 @@ object GraphQueries {
     * residual hub). Pure integers, identical SQL both engines →
     * hash-green; K4-and-square planted spec pins the closed forms.
     */
-  private def g17Sql(div: String): String =
+  private def g17Sql(co: String, div: String): String =
     s"""WITH co AS (
-       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
-       |  FROM lineitem a JOIN lineitem b
-       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-       |  GROUP BY 1, 2
-       |  HAVING count(*) >= $CoSupport),
+       |  $co),
        |und AS (SELECT u, v FROM co UNION ALL SELECT v AS u, u AS v FROM co),
        |codeg AS (
        |  SELECT a.u AS x, b.v AS y, CAST(count(*) AS BIGINT) AS cd
@@ -695,15 +675,15 @@ object GraphQueries {
        |FROM codeg""".stripMargin
 
   def g17_squares(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(g17Sql("div"))
+    CoGraph.registerPairsView(s, d)
+    s.sql(g17Sql(coStored, "div"))
   }
 
   /** The census over any registered `lineitem` view — split out so the
     * spec can plant a known co-occurrence structure.
     */
   private[graft] def squaresFromViews(s: SparkSession): DataFrame =
-    s.sql(g17Sql("div"))
+    s.sql(g17Sql(coRebuild, "div"))
 
   /** g18: TIME-RESPECTING reachability (Holme & Saramäki's temporal
     * paths) — the semantics static BFS (g04) cannot express: influence
@@ -753,23 +733,14 @@ object GraphQueries {
 
   def g18_temporal_reach(s: SparkSession, d: String): DataFrame = {
     // the SQL spelling re-evaluates the co-occurrence projection once per
-    // round (CTE inlining — the d32 lesson: 20.7 s at sf0.1); build the
-    // temporal edge list ONCE, checkpoint it, and run the rounds as
-    // DataFrame joins — identical arithmetic, one projection pass
-    val om = Tables.orders(s, d).select(col("o_orderkey"),
-      (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
-        .cast("long")).as("m"))
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-    val co = li.alias("a")
-      .join(li.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .join(om, col("o_orderkey") === col("a.l_orderkey"))
-      .groupBy(col("m"), col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+    // round (CTE inlining — the d32 lesson: 20.7 s at sf0.1); the
+    // persisted store goes further: the projection is built ONCE PER
+    // CORPUS ([[CoGraph]]), not once per call, and the rounds run as
+    // DataFrame joins over the stored monthly counts
+    val co = CoGraph.monthly(s, d).filter(col("n") >= 2)
       .select(col("m"), col("u"), col("v"))
     val und = co.unionByName(co.select(col("m"), col("v").as("u"), col("u").as("v")))
-      .localCheckpoint() // one projection pass serves all six rounds
+      .localCheckpoint() // one store read serves all six rounds
     val seed = und.agg(min(col("u")).as("node"))
     var state = seed.withColumn("arr", lit(-1L))
     for (_ <- 1 to 6) {
@@ -825,19 +796,14 @@ object GraphQueries {
     * all-integer distances hash-check.
     */
   def g06_weighted_paths(s: SparkSession, d: String): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    val co = s.sql(
-      s"""SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS c
-         |FROM lineitem a JOIN lineitem b
-         |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-         |GROUP BY 1, 2
-         |HAVING count(*) >= $CoSupport""".stripMargin)
+    val co = CoGraph.pairs(s, d).filter(col("n") >= CoSupport)
+      .select(col("u"), col("v"), col("n").as("c"))
     val edges = co.select(explode(array(
         struct(col("u").as("src"), col("v").as("dst"), col("c")),
         struct(col("v").as("src"), col("u").as("dst"), col("c")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         expr("1000 div e.c").cast("long").as("w"))
-      .localCheckpoint() // feeds every round; ONE lineitem self-join pass
+      .localCheckpoint() // feeds every round; ONE store read
     val srcRow = edges.agg(min(col("src"))).head()
     if (srcRow.isNullAt(0))
       return s.range(0).select(col("id").as("node"), col("id").as("dist"))
@@ -1044,12 +1010,12 @@ object GraphQueries {
     }.mkString(",\n")
     Map(
       "g18_temporal_reach" -> g18Sql("//"),
-      "g17_squares" -> g17Sql("//"),
-      "g13_assortativity" -> g13Sql,
-      "g14_local_clustering" -> g14SqlTmpl.replace("$DIV$", "//"),
-      "g15_modularity" -> g15SqlTmpl.replace("$DIV$", "//"),
+      "g17_squares" -> g17Sql(coRebuild, "//"),
+      "g13_assortativity" -> g13Sql(coRebuild),
+      "g14_local_clustering" -> g14Sql(coRebuild).replace("$DIV$", "//"),
+      "g15_modularity" -> g15Sql(coRebuild).replace("$DIV$", "//"),
       "g16_graph_evolution" ->
-        g16SqlTmpl.replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
+        g16Sql(g16CoRebuild).replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
       "g12_link_prediction" ->
         s"""WITH co AS (
            |  SELECT u, v FROM (
@@ -1151,7 +1117,7 @@ object GraphQueries {
            |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
            |$pprIters
            |SELECT node, r AS rank FROM p$Iters WHERE r > 0""".stripMargin,
-      "g02_triangles" -> g02Sql,
+      "g02_triangles" -> g02Sql(coRebuild),
       "g03_components" ->
         s"""WITH RECURSIVE co AS (
           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v

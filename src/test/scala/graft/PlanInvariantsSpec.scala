@@ -185,6 +185,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"s17 grew a rank window:\n${p.take(1200)}")
   }
 
+  test("g-family: query paths read the persisted co-edge store, never lineitem") {
+    // the store's whole point (s17's economics on graph structure): the
+    // lineitem self-join is paid once per corpus version at build time; a
+    // query plan that still scans lineitem.parquet has silently regressed
+    // to the inline rebuild the round-6 bench tail exposed
+    for (name <- Seq("g02_triangles", "g16_graph_evolution", "g13_assortativity")) {
+      val p = finalPlan(name)
+      assert(!p.contains("lineitem.parquet"),
+        s"$name rescanned lineitem:\n${p.take(1200)}")
+      assert(p.contains("graft_co_"),
+        s"$name does not read the persisted co-edge store:\n${p.take(1200)}")
+    }
+  }
+
   test("c13: bloom bit-test screens the corpus before the broadcast verify join") {
     val p = finalPlan("c13_decontaminate_bloom")
     assert(p.contains("BroadcastHashJoin"), p.take(1200))

@@ -2023,4 +2023,34 @@ class QueriesSpec extends SparkTestBase {
         "no duplicated chunk on a corpus with planted duplicate docs")
     }
   }
+
+  test("co-graph store: persisted counts equal the inline rebuild; marker skips rebuild") {
+    // losslessness — the monthly partition summed back up must be
+    // row-identical to the oracle-side self-join (the property every
+    // g-query's hash-green row already cross-checks end-to-end; this pins
+    // it directly at the store boundary, including the count VALUES the
+    // thresholded projections discard)
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    val rebuilt = spark.sql(
+      """SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |GROUP BY 1, 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = operators.CoGraph.pairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stored == rebuilt,
+      s"persisted pair counts diverge from rebuild: ${(stored diff rebuilt).take(3)} / ${(rebuilt diff stored).take(3)}")
+    // monthly rows partition the global count exactly
+    val monthlySum = operators.CoGraph.monthly(spark, sf)
+      .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(monthlySum == rebuilt, "monthly counts do not partition the global count")
+    // idempotence: a present marker must skip the build (store untouched)
+    val marker = new java.io.File(operators.CoGraph.coDir(sf), "_complete")
+    assert(marker.exists())
+    val before = marker.lastModified()
+    operators.CoGraph.ensure(spark, sf)
+    assert(marker.lastModified() == before, "ensure() rebuilt under a valid marker")
+  }
 }
