@@ -1241,12 +1241,13 @@ object SimilarityQueries {
         col("label").as("pred_label"), col("n_votes"))
   }
 
-  /** s02 depends on JVM-side LCG hyperplanes → rows-only check. The manual
-    * DuckDB double formulation below is bit-identical to the codegen'd
-    * sequential-double kernel (verified, see VectorFunctions scaladoc).
-    * The oracles rank with a row_number window (fine at oracle scale);
-    * the Spark side uses TopKPerGroup — same top-k set, same (sim desc,
-    * vec_id) order contract, no rank column in either output.
+  /** The manual DuckDB double formulations below are bit-identical to the
+    * codegen'd sequential-double kernel (verified, see VectorFunctions
+    * scaladoc); even the LCG-hashed family (s02/s20) is hash-checked, via
+    * [[duckBucket]]'s embedded plane literals. The oracles rank with a
+    * row_number window (fine at oracle scale); the Spark side uses
+    * TopKPerGroup — same top-k set, same (sim desc, vec_id) order
+    * contract, no rank column in either output.
     */
   /** DuckDB cosine fold over two DOUBLE[] expressions — the exact
     * sequential-double twin of the native kernel (see s01's oracle).
@@ -1255,6 +1256,42 @@ object SimilarityQueries {
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
        |  / (sqrt(list_sum(list_transform($a, v -> v*v)))
        |     * sqrt(list_sum(list_transform($b, v -> v*v))))""".stripMargin
+
+  /** The LCG hyperplanes' VALUES embedded as DuckDB list literals — the
+    * planes are deterministic JVM constants (fixed-seed LCG, [[planes]]),
+    * so the oracle carries the +-1 vectors verbatim while Spark derives
+    * them; both engines then fold dot(emb, plane_j) over the identical
+    * double sequence (s01's proven arithmetic parity) and the 4-bit
+    * bucket is bit-equal. This is s24's signature-rebuild recipe applied
+    * to the hashed family — it moves s02/s20 from rows-only to
+    * hash-green.
+    */
+  private def duckBucket(emb: String): String =
+    planes().zipWithIndex.map { case (p, j) =>
+      val lit = p.map(v => if (v > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip($emb, $lit),
+         |        x -> x[1] * x[2])) > 0 THEN ${1 << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+
+  /** Sign-LSH oracle shared by s02 (probes = own bucket only) and s20
+    * (multiprobe: own bucket + the four 1-bit flips).
+    */
+  private def signLshOracle(probeFlips: Seq[Int]): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+       |      FROM sig WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, q_emb, xor(q_bucket, f) AS probe
+       |  FROM q, (SELECT unnest([${probeFlips.mkString(", ")}]) AS f) flips),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id, ${duckCosine("p.q_emb", "c.emb")} AS sim
+       |  FROM probes p JOIN sig c ON c.bucket = p.probe AND c.vec_id <> p.q_id)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM cand) t
+       |WHERE rk <= $K""".stripMargin
 
   /** IVF oracle, parameterized by nprobe: quantized-mean centroids per
     * cell (integer sums — order-independent, matching quantizedMeanCells
@@ -1633,6 +1670,8 @@ object SimilarityQueries {
         |WHERE rk <= 5""".stripMargin,
     "s27_persisted_signatures" -> binaryQuantOracle,
     "s24_binary_quant" -> binaryQuantOracle,
+    "s02_ann_lsh" -> signLshOracle(Seq(0)),
+    "s20_multiprobe_lsh" -> signLshOracle(Seq(0, 1, 2, 4, 8)),
     "s03_dot_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,
