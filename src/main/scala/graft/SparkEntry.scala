@@ -26,7 +26,8 @@ object SparkEntry {
         operators.StreamingQueries.queries ++
         operators.CurationQueries.queries ++
         operators.SketchQueries.queries ++
-        operators.GraphQueries.queries
+        operators.GraphQueries.queries ++
+        operators.TpchQueries.queries
     all.map { case (name, fn) =>
       name -> ((s: SparkSession, dir: String) => fn(Sessions.tune(s), dir))
     }
@@ -45,5 +46,6 @@ object SparkEntry {
       operators.StreamingQueries.oracles ++
       operators.CurationQueries.oracles ++
       operators.SketchQueries.oracles ++
-      operators.GraphQueries.oracles
+      operators.GraphQueries.oracles ++
+      operators.TpchQueries.oracles
 }

@@ -1,0 +1,473 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The classic TPC-H optimizer workload (Q2-Q22), adapted to the
+  * provisioned schema — the registry's other entries each pin ONE operator
+  * shape; these stress the paths only deep multi-join plans reach: join
+  * REORDERING across 5-6 relations, build-side selection under AQE,
+  * correlated-subquery decorrelation (scalar, EXISTS, NOT EXISTS, IN),
+  * and mixed agg-over-join pipelines. Spark runs the declarative SQL over
+  * registered views and Catalyst picks the physical plan — exactly the
+  * engine surface a reference user exercises through delegated SELECTs
+  * (`/root/reference/src/loader.py:231` ships whatever SQL the folder
+  * holds to the warehouse; TPC-H is the canonical such workload).
+  *
+  * Schema adaptations (the provisioned tables are TPC-H-ish, TESTDATA.md —
+  * no partsupp, no comment/phone/address/date-pair columns):
+  *   - partsupp-based pricing (Q2/Q11/Q16/Q20) reprojects over lineitem's
+  *     observed part-supplier pairs (unit price = extendedprice/quantity);
+  *   - receipt-vs-commit lateness (Q4/Q12/Q21) becomes ship-vs-order-date
+  *     lateness via datediff;
+  *   - free-text filters (comments, phone prefixes, containers) become
+  *     filters on provisioned columns with matching selectivity shape;
+  *   - every LIMIT carries a deterministic final tiebreak column so the
+  *     cross-engine hash cannot straddle a tie at the cutoff.
+  *
+  * Determinism discipline: every aggregated money expression rides
+  * `CAST(sum(CAST(expr AS DECIMAL(38,6))) AS DOUBLE)` (RelationalQueries'
+  * dsum) so summation ORDER cannot drift between engines; per-row double
+  * arithmetic is IEEE-identical everywhere. All 21 entries hash-green.
+  *
+  * Scale notes (the plans these pin at 100 TB): dimension joins broadcast
+  * (region/nation/supplier/part under AQE thresholds), fact-fact
+  * self-joins (h21) shuffle on the order key they group by, and the
+  * decorrelated scalar subqueries become one extra aggregate over the
+  * same scan rather than per-row probes.
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** dialect-split day difference: days from `b` to `a` (a - b). */
+  private def ddSpark(a: String, b: String) = s"datediff($a, $b)"
+  private def ddDuck(a: String, b: String) = s"datediff('day', $b, $a)"
+
+  private def osum(e: String): String =
+    s"CAST(sum(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private val Rev = "l_extendedprice * (1 - l_discount)"
+
+  private def reg(s: SparkSession, d: String, ts: String*): Unit =
+    ts.foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+
+  // ------------------------------------------------------------------ h02
+  /** Q2 minimum-cost supplier: 5-relation join + correlated MIN subquery
+    * repeating the join — the decorrelation benchmark. Unit price from
+    * lineitem replaces ps_supplycost.
+    */
+  private val h02Sql: String =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 15 AND p_type = 'STANDARD'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------ h03
+  /** Q3 shipping priority: segment-filtered 3-way join, revenue top-10.
+    * o_orderpriority stands in for the missing o_shippriority.
+    */
+  private val h03Sql: String =
+    s"""SELECT l_orderkey, ${osum(Rev)} AS revenue, o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------ h04
+  /** Q4 order-priority checking: date-windowed orders with an EXISTS
+    * lineitem probe. Lateness = shipped >60 days after the order date
+    * (no commit/receipt dates in the provisioned schema).
+    */
+  private def h04Sql(dd: (String, String) => String): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1997-07-01' AND o_orderdate < DATE '1997-10-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND ${dd("l_shipdate", "o_orderdate")} > 60)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------------------------------ h05
+  /** Q5 local-supplier volume: the classic 6-relation join with the
+    * customer-nation = supplier-nation constraint that forces a join
+    * ORDER decision (joining through either side first is legal).
+    */
+  private val h05Sql: String =
+    s"""SELECT n_name, ${osum(Rev)} AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ------------------------------------------------------------------ h06
+  /** Q6 forecasting-revenue change: pure scan+filter+agg — the pushdown
+    * floor every other h-query's fact scan should also hit.
+    */
+  private val h06Sql: String =
+    s"""SELECT ${osum("l_extendedprice * l_discount")} AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ------------------------------------------------------------------ h07
+  /** Q7 volume shipping: nation-pair flows with the symmetric OR join
+    * predicate and a year rollup of the ship date.
+    */
+  private val h07Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year, ${osum("volume")} AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |         $Rev AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |    AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |  ) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------------ h08
+  /** Q8 national market share: 2-level nation join (supplier nation for
+    * the share, customer region for the market) + conditional share
+    * ratio per order year.
+    */
+  private val h08Sql: String =
+    s"""SELECT o_year,
+      |       ${osum("CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END")}
+      |         / ${osum("volume")} AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, $Rev AS volume,
+      |         n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+      |       region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+      |    AND p_type = 'ECONOMY'
+      |  ) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------------ h09
+  /** Q9 product-type profit: 5-relation join grouped by nation x year.
+    * Profit margin substitutes retail price for the missing
+    * ps_supplycost: cost = 80% of retail, pro-rated by quantity.
+    */
+  private val h09Sql: String =
+    s"""SELECT nation, o_year, ${osum("amount")} AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         $Rev - 0.8 * p_retailprice * l_quantity AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%red%'
+      |  ) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ------------------------------------------------------------------ h10
+  /** Q10 returned-item reporting: quarter of returned lines, customer
+    * revenue top-20.
+    */
+  private val h10Sql: String =
+    s"""SELECT c_custkey, c_name, ${osum(Rev)} AS revenue, c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= DATE '1997-10-01' AND o_orderdate < DATE '1998-01-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------ h11
+  /** Q11 important stock: per-part shipped value vs a scalar subquery
+    * holding the GLOBAL value — two aggregates over the same relation,
+    * the shape the optimizer should share the scan for. Lineitem value
+    * replaces partsupp stock value.
+    */
+  private val h11Sql: String =
+    s"""SELECT l_partkey, ${osum(Rev)} AS value
+      |FROM lineitem, supplier, nation
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_name = 'NATION_3'
+      |GROUP BY l_partkey
+      |HAVING ${osum(Rev)} > (
+      |  SELECT ${osum(Rev)} * 0.001
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |    AND n_name = 'NATION_3')
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  // ------------------------------------------------------------------ h12
+  /** Q12 shipping modes vs priority: late lines bucketed by return flag
+    * (the provisioned stand-in for l_shipmode), counting high- vs
+    * low-priority orders through a conditional aggregate.
+    */
+  private def h12Sql(dd: (String, String) => String): String =
+    s"""SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND ${dd("l_shipdate", "o_orderdate")} > 60
+      |  AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------ h13
+  /** Q13 customer order distribution: LEFT join with a filtered ON
+    * clause, then a histogram of per-customer counts (two stacked
+    * aggregates; zero-order customers must appear in bucket 0).
+    */
+  private val h13Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey
+      |  ) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------------------------ h14
+  /** Q14 promotion effect: conditional revenue share over one month. */
+  private val h14Sql: String =
+    s"""SELECT 100.00
+      |  * ${osum(s"CASE WHEN p_type = 'PROMO' THEN $Rev ELSE 0 END")}
+      |  / ${osum(Rev)} AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'""".stripMargin
+
+  // ------------------------------------------------------------------ h15
+  /** Q15 top supplier: CTE revenue view consumed twice (join + scalar
+    * MAX) — equality on a DECIMAL-exact total, so the tie is principled.
+    */
+  private val h15Sql: String =
+    s"""WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no, ${osum(Rev)} AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------------ h16
+  /** Q16 part/supplier relationship: distinct-supplier counts per part
+    * class with a NOT IN anti subquery. Observed lineitem pairs replace
+    * partsupp; negative balance replaces the complaint-comment filter.
+    */
+  private val h16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#15' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  // ------------------------------------------------------------------ h17
+  /** Q17 small-quantity-order revenue: per-part correlated AVG threshold
+    * (sum of integral double quantities — exact, so the 0.2x cut is
+    * bit-deterministic on both engines).
+    */
+  private val h17Sql: String =
+    s"""SELECT ${osum("l_extendedprice")} / CAST(7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23' AND p_size <= 5
+      |  AND l_quantity < (
+      |    SELECT CAST(0.2 AS DOUBLE) * (sum(l2.l_quantity) / count(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ------------------------------------------------------------------ h18
+  /** Q18 large-volume customers: IN over a HAVING aggregate of the fact
+    * table, then the 3-way join regrouped on the order grain.
+    */
+  private val h18Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       sum(l_quantity) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey HAVING sum(l_quantity) > 270)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------ h19
+  /** Q19 discounted revenue: three OR'd brand/size/quantity predicate
+    * bundles — the disjunctive join predicate the planner should still
+    * turn into one hash join with a residual filter.
+    */
+  private val h19Sql: String =
+    s"""SELECT ${osum(Rev)} AS revenue
+      |FROM lineitem, part
+      |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+      |       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+      |       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+      |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ------------------------------------------------------------------ h20
+  /** Q20 potential part promotion: nested IN with a correlated scalar
+    * share-of-part threshold — dominant suppliers (>10% of a part's
+    * shipped volume; the synthetic corpus spreads pairs thinner than
+    * real TPC-H, max share ~0.25) for a part-name class, per nation.
+    */
+  private val h20Sql: String =
+    """SELECT s_name, s_suppkey
+      |FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT ls.l_suppkey
+      |    FROM (
+      |      SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+      |      FROM lineitem GROUP BY l_partkey, l_suppkey) ls
+      |    WHERE ls.l_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      AND ls.q > CAST(0.1 AS DOUBLE) * (
+      |        SELECT sum(l2.l_quantity) FROM lineitem l2
+      |        WHERE l2.l_partkey = ls.l_partkey))
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------------ h21
+  /** Q21 suppliers who kept orders waiting: the EXISTS + NOT EXISTS
+    * double self-join on the fact table. A line is "late" when shipped
+    * >90 days after the order date; the supplier must be the ONLY late
+    * shipper on a finished multi-supplier order.
+    */
+  private def h21Sql(dd: (String, String) => String): String =
+    s"""SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND ${dd("l1.l_shipdate", "o_orderdate")} > 90
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND ${dd("l3.l_shipdate", "o_orderdate")} > 90)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------------ h22
+  /** Q22 global sales opportunity: anti join against orders + a scalar
+    * AVG threshold. Nation-key buckets replace the missing phone country
+    * codes; "never ordered" becomes "dormant since 2001" (the synthetic
+    * corpus gives every customer at least one lifetime order).
+    */
+  private val h22Sql: String =
+    s"""SELECT cntrycode, count(*) AS numcust, ${osum("c_acctbal")} AS totacctbal
+      |FROM (
+      |  SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+      |  FROM customer
+      |  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      |    AND c_acctbal > (
+      |      SELECT ${osum("c_acctbal")} / count(*)
+      |      FROM customer
+      |      WHERE c_acctbal > 0.00 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
+      |  ) custsale
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2001-01-01')
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  // ---------------------------------------------------------------- wiring
+
+  private val All = "region" :: "nation" :: "customer" :: "supplier" ::
+    "part" :: "orders" :: "lineitem" :: Nil
+
+  private def run(sql: String): Q = (s, d) => {
+    reg(s, d, All: _*)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "h02_min_cost_supplier" -> run(h02Sql),
+    "h03_shipping_priority" -> run(h03Sql),
+    "h04_order_priority" -> run(h04Sql(ddSpark)),
+    "h05_local_supplier_volume" -> run(h05Sql),
+    "h06_forecast_revenue" -> run(h06Sql),
+    "h07_volume_shipping" -> run(h07Sql),
+    "h08_market_share" -> run(h08Sql),
+    "h09_product_profit" -> run(h09Sql),
+    "h10_returned_items" -> run(h10Sql),
+    "h11_important_stock" -> run(h11Sql),
+    "h12_late_lines" -> run(h12Sql(ddSpark)),
+    "h13_customer_distribution" -> run(h13Sql),
+    "h14_promo_effect" -> run(h14Sql),
+    "h15_top_supplier" -> run(h15Sql),
+    "h16_parts_suppliers" -> run(h16Sql),
+    "h17_small_qty_revenue" -> run(h17Sql),
+    "h18_large_volume_customer" -> run(h18Sql),
+    "h19_discounted_revenue" -> run(h19Sql),
+    "h20_part_promotion" -> run(h20Sql),
+    "h21_waiting_suppliers" -> run(h21Sql(ddSpark)),
+    "h22_sales_opportunity" -> run(h22Sql))
+
+  val oracles: Map[String, String] = Map(
+    "h02_min_cost_supplier" -> h02Sql,
+    "h03_shipping_priority" -> h03Sql,
+    "h04_order_priority" -> h04Sql(ddDuck),
+    "h05_local_supplier_volume" -> h05Sql,
+    "h06_forecast_revenue" -> h06Sql,
+    "h07_volume_shipping" -> h07Sql,
+    "h08_market_share" -> h08Sql,
+    "h09_product_profit" -> h09Sql,
+    "h10_returned_items" -> h10Sql,
+    "h11_important_stock" -> h11Sql,
+    "h12_late_lines" -> h12Sql(ddDuck),
+    "h13_customer_distribution" -> h13Sql,
+    "h14_promo_effect" -> h14Sql,
+    "h15_top_supplier" -> h15Sql,
+    "h16_parts_suppliers" -> h16Sql,
+    "h17_small_qty_revenue" -> h17Sql,
+    "h18_large_volume_customer" -> h18Sql,
+    "h19_discounted_revenue" -> h19Sql,
+    "h20_part_promotion" -> h20Sql,
+    "h21_waiting_suppliers" -> h21Sql(ddDuck),
+    "h22_sales_opportunity" -> h22Sql)
+}
