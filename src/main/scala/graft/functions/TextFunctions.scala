@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSession}
@@ -10,9 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Native expressions for document fingerprinting (SURVEY.md §2C: near-dup
   * text dedup, document fingerprinting).
   *
-  * All are single-pass per-row kernels over a token array. They use Spark's
-  * own XxHash64 (`XxHash64Function`, seed 42) so token hashes agree with the
-  * built-in `xxhash64()` SQL function.
+  * All are single-pass per-row kernels over a token array. Token hashes
+  * are engine-portable polynomial folds ([[TokenHash]]) so the DuckDB
+  * oracles rebuild bit-equal signatures.
   */
 
 /** Codegen that keeps the expression inside WholeStageCodegen by emitting a
@@ -38,12 +38,22 @@ trait KernelCodegen extends UnaryExpression {
   final def evalKernel(input: Any): Any = nullSafeEval(input)
 }
 
-/** 64-bit SimHash over an `array<string>` of tokens.
+/** 64-bit-layout SimHash over an `array<string>` of tokens.
   *
-  * For each token t: h = xxhash64(t); each bit of h votes +1/-1 on the
-  * corresponding output bit; the sign of the tally gives the final bit
-  * (tie counts as 1, fixed for determinism). Documents with similar token
-  * multisets land within small Hamming distance.
+  * For each token t: h = a 60-bit token hash (two independent polynomial
+  * hashes over codepoints — base 31 mod 1e9+7 in bits 0-29, base 131 mod
+  * 1e9+9 shifted into bits 30-59; see [[TokenHash]]); each bit of h votes
+  * +1/-1 on the corresponding output bit; the sign of the tally gives the
+  * final bit (tie counts as 1, fixed for determinism). Bits 60-63 of the
+  * token hash are always 0, so those output bits are 0 for any non-empty
+  * doc — a constant offset that cancels in every Hamming distance.
+  * Documents with similar token multisets land within small Hamming
+  * distance.
+  *
+  * The polynomial hashes (not xxhash64) are deliberate: both engines can
+  * spell the identical integer arithmetic, so d04's DuckDB oracle
+  * rebuilds bit-equal signatures and the query is hash-checked
+  * end-to-end rather than rows-only.
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with KernelCodegen {
@@ -63,7 +73,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = TokenHash.hash60(arr.getUTF8String(i).toString)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -85,9 +95,45 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-portable token hashes: polynomial folds over codepoints whose
+  * every step is exact int64 arithmetic both Spark and DuckDB can spell —
+  * the property that lets the near-dup oracles rebuild signatures
+  * bit-equal (d03/d04 hash-green). t04/d28's hash family.
+  */
+object TokenHash {
+  /** base-31 polynomial over codepoints mod 1e9+7 — in [0, 1e9+6] < 2^30. */
+  def poly31(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** base-131 polynomial over codepoints mod 1e9+9 — independent of
+    * [[poly31]] (different base AND modulus).
+    */
+  def poly131(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131L + cp) % 1000000009L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** 60 usable bits: poly31 in bits 0-29, poly131 in bits 30-59. */
+  def hash60(s: String): Long = poly31(s) | (poly131(s) << 30)
+}
+
 /** MinHash signature (k independent permutations) over an `array<string>` of
-  * shingles: sig_j = min over shingles of ((a_j * (xxhash64(s) mod p) + b_j) mod p),
-  * p = 2^31 - 1. Returns `array<long>` of length k. Banding the signature
+  * shingles: sig_j = min over shingles of ((a_j * poly31(s) + b_j) mod p),
+  * p = 2^31 - 1 (the base hash [[TokenHash.poly31]] is already < p). Returns `array<long>` of length k. Banding the signature
   * (see DedupQueries) gives the standard LSH candidate generation whose
   * collision probability per band is J(A,B)^r.
   */
@@ -112,8 +158,9 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h0 = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-        val h = java.lang.Math.floorMod(h0, p)
+        // portable polynomial base hash (already < p): both engines can
+        // rebuild it, so d03's oracle re-derives identical signatures
+        val h = TokenHash.poly31(arr.getUTF8String(i).toString)
         var j = 0
         while (j < k) {
           val v = (as(j) * h + bs(j)) % p

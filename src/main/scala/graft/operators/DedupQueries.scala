@@ -79,16 +79,20 @@ object DedupQueries {
     * hash-colliding rows.
     */
   /** LSH banding of a (doc_id, sig) frame: 4 bands of 4 minhash components
-    * each, hashed to a 64-bit bucket key — shared by the inline pass (d03)
+    * each, packed INJECTIVELY into two int64 keys (component values are
+    * < p = 2^31-1, so lo = c1*p + c2 and hi = c3*p + c4 fit in 62 bits
+    * with zero collisions — a band matches iff all 4 components match,
+    * the true LSH banding, and exact arithmetic both engines can spell,
+    * unlike the earlier xxhash64 bucket). Shared by the inline pass (d03)
     * and the persisted index (d18).
     */
   private def bandsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band_no, " +
-        "xxhash64(element_at(sig, 4*b+1), element_at(sig, 4*b+2), " +
-        "element_at(sig, 4*b+3), element_at(sig, 4*b+4)) AS band_hash))"))
+        "element_at(sig, 4*b+1) * 2147483647 + element_at(sig, 4*b+2) AS b_lo, " +
+        "element_at(sig, 4*b+3) * 2147483647 + element_at(sig, 4*b+4) AS b_hi))"))
       .as("band"))
-      .select(col("doc_id"), col("band.band_no"), col("band.band_hash"))
+      .select(col("doc_id"), col("band.band_no"), col("band.b_lo"), col("band.b_hi"))
 
   def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     // The (shingles, sig) projection feeds FOUR subtrees (bands.x, bands.y,
@@ -105,7 +109,8 @@ object DedupQueries {
     val bands = bandsOf(docs)
     val cands = bands.as("x").join(bands.as("y"),
         col("x.band_no") === col("y.band_no") &&
-          col("x.band_hash") === col("y.band_hash") &&
+          col("x.b_lo") === col("y.b_lo") &&
+          col("x.b_hi") === col("y.b_hi") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -735,7 +740,7 @@ object DedupQueries {
     * tables under a corpus-identity-keyed dir (the s17 convention: size +
     * mtime in the name orphans stale indexes on regeneration):
     *
-    *   {{{<dir>/bands     (doc_id, band_no, band_hash)}}}
+    *   {{{<dir>/bands     (doc_id, band_no, b_lo, b_hi)}}}
     *   {{{<dir>/shingles  (doc_id, shingles string[])}}}
     *
     * committed by a `_complete` marker. The query path computes signatures
@@ -752,7 +757,8 @@ object DedupQueries {
   private[graft] def ensureMinhashIndex(s: SparkSession, d: String): String = {
     val f = new java.io.File(d, "documents.parquet")
     val dir = SketchQueries.partialsDir(
-      s"minhash_v1_${f.length()}_${f.lastModified()}", d)
+      // v2: portable polynomial base hash + injective 2-long band keys
+      s"minhash_v2_${f.length()}_${f.lastModified()}", d)
     if (!new java.io.File(dir, "_complete").exists()) {
       val base = docShingles(s, d).filter(col("doc_id") % 17 =!= 0)
         .select(col("doc_id"), col("shingles"))
@@ -780,7 +786,8 @@ object DedupQueries {
     val cands = bandsOf(batch).as("x")
       .join(s.read.parquet(s"$dir/bands").as("y"),
         col("x.band_no") === col("y.band_no") &&
-          col("x.band_hash") === col("y.band_hash"))
+          col("x.b_lo") === col("y.b_lo") &&
+          col("x.b_hi") === col("y.b_hi"))
       .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("corpus_doc"))
       .distinct()
     cands
@@ -1649,7 +1656,98 @@ object DedupQueries {
   /** d03/d04 rely on xxhash64-derived signatures (not reproducible in
     * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
     */
+  /** DuckDB rebuild of the MinHash signature list for d03's oracle: the
+    * permutation coefficients are deterministic JVM constants
+    * ([[graft.functions.MinHashSignature.coeffA]]), embedded verbatim —
+    * the s02/duckBucket recipe for the minhash family. `hh` must be a
+    * list of poly31 base hashes.
+    */
+  private def duckMinhashSig(hh: String): String = {
+    val as = graft.functions.MinHashSignature.coeffA(16)
+    val bs = graft.functions.MinHashSignature.coeffB(16)
+    (0 until 16).map(j =>
+      s"list_min(list_transform($hh, h -> (${as(j)} * h + ${bs(j)}) % 2147483647))")
+      .mkString("[", ",\n          ", "]")
+  }
+
+  /** poly31 over a string expression — the DuckDB twin of
+    * [[graft.functions.TokenHash.poly31]] (d28's proven list_reduce
+    * phrasing).
+    */
+  private def duckPoly(base: Int, mod: Long, t: String): String =
+    s"""list_reduce(list_prepend(0, list_transform(range(1, length($t) + 1),
+       |             ci -> CAST(ascii(substring($t, ci, 1)) AS BIGINT))),
+       |           (acc, ch) -> (acc * $base + ch) % $mod)""".stripMargin
+
+  private lazy val d03Oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, len(toks) - 1), i ->
+       |           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM f),
+       |hs AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, sg -> ${duckPoly(31, 1000000007L, "sg")})
+       |           AS hh
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, shingles, ${duckMinhashSig("hh")} AS sig FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b AS band_no,
+       |         sig[4*b+1] * 2147483647 + sig[4*b+2] AS b_lo,
+       |         sig[4*b+3] * 2147483647 + sig[4*b+4] AS b_hi
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_no = y.band_no AND x.b_lo = y.b_lo AND x.b_hi = y.b_hi
+       |   AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |           / (len(a.shingles) + len(b.shingles)
+       |              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |  FROM cands JOIN sigs a ON a.doc_id = doc_a
+       |             JOIN sigs b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin
+
+  private lazy val d04Oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_transform(toks, t ->
+       |           ${duckPoly(31, 1000000007L, "t")}
+       |           | (${duckPoly(131, 1000000009L, "t")} << 30)) AS hh
+       |  FROM f),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 60), b ->
+       |           CASE WHEN 2 * len(list_filter(hh, h -> ((h >> b) & 1) = 1))
+       |                     - len(hh) >= 0
+       |                THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+       |              AS BIGINT) AS sh64
+       |  FROM th),
+       |chunks AS (
+       |  SELECT doc_id, sh64, c AS chunk_no,
+       |         (sh64 >> (16 * c)) & 65535 AS chunk_val
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c) cc),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, x.sh64 AS sa,
+       |                  y.doc_id AS doc_b, y.sh64 AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk_no = y.chunk_no AND x.chunk_val = y.chunk_val
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cands WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d03_dedup_minhash_lsh" -> d03Oracle,
+    "d04_dedup_simhash" -> d04Oracle,
     "d32_allpairs_cosine" -> d32Sql.replace("$GRAMS$", duckGrams),
     "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
