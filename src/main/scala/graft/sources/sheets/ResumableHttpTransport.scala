@@ -1,0 +1,171 @@
+package graft.sources.sheets
+
+import java.io.{IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+/** Chunked, RESUMABLE upload transport — the production shape of the
+  * reference's Drive publication path
+  * (`/root/reference/src/loader.py:78-102, 137-139, 180-183`: start an
+  * upload session, stream fixed-size chunks, finalize-or-resume), behind
+  * the same [[SheetTransport]] seam the sink already writes through, so
+  * the CSV assembly, cell-guard and commit bookkeeping are unchanged.
+  *
+  * Protocol (the standard resumable-media contract):
+  *
+  *   1. `POST <endpoint>/start?name=<sheet>` with the total byte length in
+  *      `X-Upload-Content-Length` → `Location` header carries the session
+  *      URL.
+  *   2. `PUT <session>` per chunk with `Content-Range: bytes a-b/N`.
+  *      Server replies 308 (resume-incomplete) with `Range: bytes=0-k`
+  *      confirming its durable prefix, or 200/201 on the final chunk —
+  *      publication is ATOMIC on the server (temp file + move), so a
+  *      reader never observes a partial sheet.
+  *   3. On ANY transport error the client does not guess: it re-asks the
+  *      server where it stands (`Content-Range: bytes *` slash `N` — the
+  *      status probe) and resumes from the server-confirmed offset. A
+  *      chunk the server half-received is re-sent from the confirmed
+  *      byte, so the upload converges under arbitrary mid-chunk kills.
+  *
+  * The body is spooled to a local temp file first: the protocol needs the
+  * total length up front, and re-sending an arbitrary byte range after a
+  * failure requires a seekable source (a Writer stream is neither). That
+  * is also the reference's shape — it uploads a finished local CSV.
+  *
+  * Zero-egress note: nothing in this class knows about any real service;
+  * it speaks the protocol to whatever `endpoint` it is given (the spec
+  * drives it against an in-process stub server and kills chunks
+  * mid-flight).
+  */
+final class ResumableHttpTransport(endpoint: String,
+    chunkSize: Int = 64 * 1024, maxRetries: Int = 8) extends SheetTransport {
+  require(chunkSize > 0)
+
+  /** visible for the spec: how many status probes (resume round-trips)
+    * this transport issued.
+    */
+  @volatile private[graft] var resumeProbes: Int = 0
+
+  override def upsert(name: String, content: java.io.Writer => Unit): Unit = {
+    val tmp = Files.createTempFile("graft_upload_", ".spool")
+    try {
+      val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      try content(w) finally w.close()
+      val total = Files.size(tmp)
+      val session = startSession(name, total)
+      uploadChunks(session, tmp, total)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def startSession(name: String, total: Long): String = {
+    val enc = java.net.URLEncoder.encode(name, "UTF-8")
+    val c = open(s"$endpoint/start?name=$enc", "POST")
+    c.setRequestProperty("X-Upload-Content-Length", total.toString)
+    c.setFixedLengthStreamingMode(0)
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    val code = c.getResponseCode
+    val loc = c.getHeaderField("Location")
+    c.disconnect()
+    if (code != 200 || loc == null)
+      throw new IOException(s"resumable start failed: HTTP $code")
+    if (loc.startsWith("http")) loc else endpoint.stripSuffix("/") + loc
+  }
+
+  private def uploadChunks(session: String, file: Path, total: Long): Unit = {
+    var offset = 0L
+    var retries = 0
+    while (offset < total) {
+      val len = math.min(chunkSize.toLong, total - offset)
+      try {
+        offset = putChunk(session, file, offset, len, total)
+        retries = 0
+      } catch {
+        case e: IOException =>
+          retries += 1
+          if (retries > maxRetries)
+            throw new IOException(s"upload of $file gave up after $maxRetries retries", e)
+          // never assume what the server kept: probe, then resume from its
+          // confirmed prefix (loader.py's next_chunk() loop re-entering)
+          offset = queryOffset(session, total)
+      }
+    }
+  }
+
+  /** Sends bytes [off, off+len) and returns the server-confirmed NEXT
+    * offset (which may be less than off+len if the server kept a shorter
+    * durable prefix).
+    */
+  private def putChunk(session: String, file: Path,
+      off: Long, len: Long, total: Long): Long = {
+    val c = open(session, "PUT")
+    c.setRequestProperty("Content-Range", s"bytes $off-${off + len - 1}/$total")
+    c.setFixedLengthStreamingMode(len)
+    c.setDoOutput(true)
+    val out = c.getOutputStream
+    try copyRange(file, off, len, out) finally out.close()
+    val code = c.getResponseCode
+    val confirmed = nextOffset(c, code, total)
+    c.disconnect()
+    confirmed
+  }
+
+  /** The status probe: an empty PUT with `Content-Range: bytes *` slash
+    * total; the reply's Range header is the server's durable prefix.
+    */
+  private def queryOffset(session: String, total: Long): Long = {
+    resumeProbes += 1
+    val c = open(session, "PUT")
+    c.setRequestProperty("Content-Range", s"bytes */$total")
+    c.setFixedLengthStreamingMode(0)
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    val code = c.getResponseCode
+    val confirmed = nextOffset(c, code, total)
+    c.disconnect()
+    confirmed
+  }
+
+  private def nextOffset(c: HttpURLConnection, code: Int, total: Long): Long =
+    code match {
+      case 200 | 201 => total
+      case 308 =>
+        val r = c.getHeaderField("Range") // "bytes=0-<last>"
+        if (r == null) 0L
+        else r.substring(r.indexOf('-') + 1).toLong + 1
+      case other => throw new IOException(s"chunk rejected: HTTP $other")
+    }
+
+  private def copyRange(file: Path, off: Long, len: Long, out: OutputStream): Unit = {
+    val in = Files.newInputStream(file)
+    try {
+      skipFully(in, off)
+      val buf = new Array[Byte](8192)
+      var remaining = len
+      while (remaining > 0) {
+        val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+        if (n < 0) throw new IOException("spool truncated under upload")
+        out.write(buf, 0, n)
+        remaining -= n
+      }
+    } finally in.close()
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var remaining = n
+    while (remaining > 0) {
+      val s = in.skip(remaining)
+      if (s <= 0) throw new IOException("spool truncated under skip")
+      remaining -= s
+    }
+  }
+
+  private def open(url: String, method: String): HttpURLConnection = {
+    val c = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c.setConnectTimeout(5000)
+    c.setReadTimeout(10000)
+    c
+  }
+}

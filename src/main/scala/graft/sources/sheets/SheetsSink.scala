@@ -87,7 +87,13 @@ final class SheetsTable(tblSchema: StructType, dir: Option[String],
             throw new IllegalArgumentException("sheets sink: missing 'name' option"))
           val limit = Option(opts.get("cellLimit")).map(_.toLong)
             .getOrElse(graft.etl.CellGuard.DefaultLimit)
-          new SheetsBatchWrite(dest, sheet, limit, info.schema())
+          // transport selection: an `endpoint` option routes publication
+          // through the chunked resumable-upload client; default stays the
+          // zero-egress local folder
+          val transport: SheetTransport = Option(opts.get("endpoint"))
+            .map(e => new ResumableHttpTransport(e))
+            .getOrElse(new LocalFolderTransport(dest))
+          new SheetsBatchWrite(dest, sheet, limit, info.schema(), transport)
         }
       }
     }
