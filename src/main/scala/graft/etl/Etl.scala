@@ -86,28 +86,63 @@ final case class EtlSkipped(name: String, reason: String) extends EtlOutcome
 object EtlRunner {
   def run(spark: SparkSession, sqlDir: String, destDir: String,
           cellLimit: Long = CellGuard.DefaultLimit): Seq[EtlOutcome] =
-    SqlFolderSource.discover(sqlDir).map { q =>
-      Try(spark.sql(q.sql)) match {
-        case Failure(e) =>
-          EtlSkipped(q.name, s"SQL error: ${e.getMessage.linesIterator.next()}")
-        case Success(df) =>
-          Try {
-            df.write.format("sheets")
-              .option("name", q.name)
-              .option("cellLimit", cellLimit.toString)
-              .mode("overwrite")
-              .save(destDir)
-          } match {
-            case Success(_) =>
-              graft.sources.sheets.SheetsSink.takeCommit(q.name) match {
-                case Some(meta) if meta.skipped =>
-                  EtlSkipped(q.name, s"cell limit: ${meta.cells} >= $cellLimit")
-                case Some(meta) => EtlLoaded(q.name, meta.rows, meta.cells)
-                case None => EtlLoaded(q.name, -1, -1) // committed, counts unknown
-              }
-            case Failure(e) =>
-              EtlSkipped(q.name, s"write error: ${e.getMessage.linesIterator.next()}")
-          }
-      }
+    SqlFolderSource.discover(sqlDir).map(runOne(spark, _, destDir, cellLimit))
+
+  /** P10 parallelized: the reference runs its loop serially because it
+    * holds ONE DB cursor and ONE Drive client (`src/loader.py:228-253`);
+    * the queries themselves are independent (each reads its own SQL text
+    * and upserts its own sheet), so on Spark they can be submitted as
+    * CONCURRENT jobs — the scheduler interleaves their stages, and a
+    * short query's stages fill the scheduling gaps of a long shuffle.
+    * Bounded by `maxConcurrent` (a fixed pool, not unbounded futures) so
+    * driver memory and sink fd pressure stay capped; per-query failure
+    * isolation is inside [[runOne]], so one bad query can never fail a
+    * sibling or the pool. Outcomes return in discovery order regardless
+    * of completion order — byte-for-byte the serial contract.
+    */
+  def runParallel(spark: SparkSession, sqlDir: String, destDir: String,
+          cellLimit: Long = CellGuard.DefaultLimit,
+          maxConcurrent: Int = 4): Seq[EtlOutcome] = {
+    val specs = SqlFolderSource.discover(sqlDir)
+    if (specs.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, specs.size)))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = specs.map(q => Future(runOne(spark, q, destDir, cellLimit)))
+      Await.result(Future.sequence(futs), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
+  /** One query end-to-end with the reference's isolation contract:
+    * SQL error → skip + continue; oversize → skip; commit meta read back
+    * from the sink's per-sheet records (keyed by name, so concurrent
+    * submissions cannot misattribute counts).
+    */
+  private def runOne(spark: SparkSession, q: QuerySpec, destDir: String,
+          cellLimit: Long): EtlOutcome =
+    Try(spark.sql(q.sql)) match {
+      case Failure(e) =>
+        EtlSkipped(q.name, s"SQL error: ${e.getMessage.linesIterator.next()}")
+      case Success(df) =>
+        Try {
+          df.write.format("sheets")
+            .option("name", q.name)
+            .option("cellLimit", cellLimit.toString)
+            .mode("overwrite")
+            .save(destDir)
+        } match {
+          case Success(_) =>
+            graft.sources.sheets.SheetsSink.takeCommit(q.name) match {
+              case Some(meta) if meta.skipped =>
+                EtlSkipped(q.name, s"cell limit: ${meta.cells} >= $cellLimit")
+              case Some(meta) => EtlLoaded(q.name, meta.rows, meta.cells)
+              case None => EtlLoaded(q.name, -1, -1) // committed, counts unknown
+            }
+          case Failure(e) =>
+            EtlSkipped(q.name, s"write error: ${e.getMessage.linesIterator.next()}")
+        }
     }
 }

@@ -91,6 +91,39 @@ class EtlRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("runParallel: outcomes identical to serial, all sheets byte-equal, faster wall") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_etl")
+    val src = Files.createTempDirectory("sqlsrc_par")
+    val destSer = Files.createTempDirectory("sheets_ser")
+    val destPar = Files.createTempDirectory("sheets_par")
+    (0 until 8).foreach { i =>
+      Files.writeString(src.resolve(f"q$i%02d.sql"),
+        s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+           |FROM lineitem_etl WHERE l_partkey % 8 = $i
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }
+    Files.writeString(src.resolve("r_broken.sql"), "SELEC nope") // isolation
+    val t0 = System.nanoTime()
+    val ser = EtlRunner.run(spark, src.toString, destSer.toString)
+    val serMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val par = EtlRunner.runParallel(spark, src.toString, destPar.toString,
+      maxConcurrent = 4)
+    val parMs = (System.nanoTime() - t1) / 1e6
+    // identical outcome values, in discovery order — the serial contract
+    assert(par == ser, s"parallel outcomes diverge:\n$par\nvs\n$ser")
+    assert(par.count(_.isInstanceOf[EtlLoaded]) == 8)
+    (0 until 8).foreach { i =>
+      val a = Files.readString(destSer.resolve(f"q$i%02d.csv"))
+      val b = Files.readString(destPar.resolve(f"q$i%02d.csv"))
+      assert(a == b && a.nonEmpty, f"sheet q$i%02d bytes differ")
+    }
+    assert(!Files.exists(destPar.resolve("r_broken.csv")))
+    info(f"serial $serMs%.0f ms vs parallel(4) $parMs%.0f ms")
+    assert(parMs < serMs,
+      f"parallel ($parMs%.0f ms) not faster than serial ($serMs%.0f ms)")
+  }
+
   test("csv quoting matches python csv.writer minimal style") {
     assert(etl.CellGuard.cells(0, 1) == 1)
     import graft.sources.sheets.CsvFormat
