@@ -365,12 +365,11 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
   }
 
-  /** The apply step again, but driven by d05's fully SQL-expressible
-    * jaccard pairs instead of d03's minhash candidates — which puts the
-    * whole candidate -> verify -> apply chain under the DuckDB hash gate
-    * (d08's chain is rows-only because xxhash64 signatures aren't
-    * reproducible in SQL). Same greedy keep-smallest-id resolution, same
-    * anti-join shape.
+  /** The apply step again, driven by d05's jaccard pairs instead of
+    * d03's minhash candidates — a second, independently-derived pair
+    * source under the same greedy keep-smallest-id resolution and
+    * anti-join shape. (Both chains are hash-checked now that the minhash
+    * signatures are engine-portable.)
     */
   def d09_dedup_apply_exact(s: SparkSession, d: String): DataFrame = {
     val drops = d05_ngram_jaccard(s, d).filter(col("jaccard") >= 0.5)
@@ -1679,8 +1678,11 @@ object DedupQueries {
        |             ci -> CAST(ascii(substring($t, ci, 1)) AS BIGINT))),
        |           (acc, ch) -> (acc * $base + ch) % $mod)""".stripMargin
 
-  private lazy val d03Oracle: String =
-    s"""WITH docs AS (
+  /** The shingle → signature → band CTE chain shared by d03's oracle, the
+    * apply step (d08) and the persisted-index split (d18).
+    */
+  private lazy val minhashCtes: String =
+    s"""docs AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
        |sh AS (
@@ -1699,7 +1701,11 @@ object DedupQueries {
        |  SELECT doc_id, b AS band_no,
        |         sig[4*b+1] * 2147483647 + sig[4*b+2] AS b_lo,
        |         sig[4*b+3] * 2147483647 + sig[4*b+4] AS b_hi
-       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb)""".stripMargin
+
+  /** ...and the verified-pair tail (band collisions → exact jaccard). */
+  private lazy val minhashPairCtes: String =
+    s"""$minhashCtes,
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
@@ -1711,8 +1717,51 @@ object DedupQueries {
        |           / (len(a.shingles) + len(b.shingles)
        |              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
        |  FROM cands JOIN sigs a ON a.doc_id = doc_a
-       |             JOIN sigs b ON b.doc_id = doc_b)
+       |             JOIN sigs b ON b.doc_id = doc_b)""".stripMargin
+
+  private lazy val d03Oracle: String =
+    s"""WITH $minhashPairCtes
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin
+
+  private lazy val d08Oracle: String =
+    s"""WITH $minhashPairCtes,
+       |drops AS (SELECT DISTINCT doc_b AS drop_id FROM j WHERE jaccard >= 0.8),
+       |kept AS (
+       |  SELECT d.lang, d.n_chars FROM documents d
+       |  LEFT JOIN drops ON d.doc_id = drops.drop_id
+       |  WHERE drops.drop_id IS NULL)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM kept GROUP BY lang""".stripMargin
+
+  private lazy val d18Oracle: String =
+    s"""WITH $minhashCtes,
+       |bx AS (SELECT * FROM bands WHERE doc_id % 17 = 0),
+       |by AS (SELECT * FROM bands WHERE doc_id % 17 <> 0),
+       |cands AS (
+       |  SELECT DISTINCT bx.doc_id AS new_doc, by.doc_id AS corpus_doc
+       |  FROM bx JOIN by
+       |    ON bx.band_no = by.band_no AND bx.b_lo = by.b_lo
+       |   AND bx.b_hi = by.b_hi),
+       |j AS (
+       |  SELECT new_doc, corpus_doc,
+       |         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |           / (len(a.shingles) + len(b.shingles)
+       |              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+       |  FROM cands JOIN sigs a ON a.doc_id = new_doc
+       |             JOIN sigs b ON b.doc_id = corpus_doc)
+       |SELECT new_doc, corpus_doc, jaccard FROM j WHERE jaccard >= 0.05""".stripMargin
+
+  private lazy val d07Oracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, emb, ${SimilarityQueries.duckBucket("emb")} AS bucket
+       |        FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         ${SimilarityQueries.duckCosine("a.emb", "b.emb")} AS sim
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, sim FROM p WHERE sim > 0.3""".stripMargin
 
   private lazy val d04Oracle: String =
     s"""WITH docs AS (
@@ -1748,6 +1797,9 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d03_dedup_minhash_lsh" -> d03Oracle,
     "d04_dedup_simhash" -> d04Oracle,
+    "d07_embed_neardup_lsh" -> d07Oracle,
+    "d08_dedup_apply" -> d08Oracle,
+    "d18_persisted_minhash" -> d18Oracle,
     "d32_allpairs_cosine" -> d32Sql.replace("$GRAMS$", duckGrams),
     "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),

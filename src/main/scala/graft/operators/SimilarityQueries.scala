@@ -1252,7 +1252,7 @@ object SimilarityQueries {
   /** DuckDB cosine fold over two DOUBLE[] expressions — the exact
     * sequential-double twin of the native kernel (see s01's oracle).
     */
-  private def duckCosine(a: String, b: String): String =
+  private[operators] def duckCosine(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
        |  / (sqrt(list_sum(list_transform($a, v -> v*v)))
        |     * sqrt(list_sum(list_transform($b, v -> v*v))))""".stripMargin
@@ -1266,7 +1266,7 @@ object SimilarityQueries {
     * to the hashed family — it moves s02/s20 from rows-only to
     * hash-green.
     */
-  private def duckBucket(emb: String): String =
+  private[operators] def duckBucket(emb: String): String =
     planes().zipWithIndex.map { case (p, j) =>
       val lit = p.map(v => if (v > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]::DOUBLE[]")
