@@ -462,6 +462,43 @@ object ScaleProbe {
       // wave 45: q129 anti-joins the |days| spine
       time(s"$tag q129_calendar_gaps")(
         graft.operators.RelationalQueries.q129_calendar_gaps(spark, sf).count())
+      // round-7 wave: the TPC-H optimizer workload — the stress is the
+      // JOIN SHAPES under 10x fact rows: h02's decorrelated min-subquery
+      // re-join, h05's 6-relation reorder, h11's two-aggregates-one-scan,
+      // h18's IN-over-HAVING, h21's double EXISTS self-joins (10x lines
+      // per order on the shared-supplier clone corpus makes every order
+      // multi-supplier, so the anti side grows too). All must stay
+      // join/agg-bound — no plan may flip to nested-loop at scale (the
+      // h-family PlanInvariantsSpec pin, re-verified here by wall-clock)
+      time(s"$tag h02_min_cost_supplier")(
+        graft.operators.TpchQueries.queries("h02_min_cost_supplier")(spark, sf).count())
+      time(s"$tag h05_local_supplier_volume")(
+        graft.operators.TpchQueries.queries("h05_local_supplier_volume")(spark, sf).count())
+      time(s"$tag h11_important_stock")(
+        graft.operators.TpchQueries.queries("h11_important_stock")(spark, sf).count())
+      time(s"$tag h18_large_volume_customer")(
+        graft.operators.TpchQueries.queries("h18_large_volume_customer")(spark, sf).count())
+      time(s"$tag h21_waiting_suppliers")(
+        graft.operators.TpchQueries.queries("h21_waiting_suppliers")(spark, sf).count())
+      // round-7 wave: the persisted co-graph — time the one-off BUILD
+      // (the corpus-scan pass every g-query used to pay inline) and the
+      // post-build query side separately; the 10x build faces 10x lines
+      // per order over shared suppliers (pair counts x10, pair SET ~flat)
+      time(s"$tag co_graph_build") {
+        val dir = new java.io.File(graft.operators.CoGraph.coDir(sf))
+        val marker = new java.io.File(dir, "_complete")
+        if (marker.exists()) { // force a fresh build so the probe times it
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(dir)
+        }
+        graft.operators.CoGraph.pairs(spark, sf).count()
+      }
+      time(s"$tag g02_triangles_stored")(
+        graft.operators.GraphQueries.g02_triangles(spark, sf).count())
+      time(s"$tag g18_temporal_stored")(
+        graft.operators.GraphQueries.g18_temporal_reach(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -185,6 +185,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"s17 grew a rank window:\n${p.take(1200)}")
   }
 
+  test("h-family: deep multi-join plans never degrade to nested-loop or cartesian") {
+    // the TPC-H workload's whole point is join reordering + decorrelation;
+    // the two silent catastrophes at 100 TB are a BroadcastNestedLoopJoin
+    // (h19's disjunctive join predicate if the common p_partkey = l_partkey
+    // conjunct is not extracted) and a CartesianProduct (a correlated
+    // subquery decorrelated without its equality condition)
+    for (name <- Seq("h02_min_cost_supplier", "h05_local_supplier_volume",
+        "h11_important_stock", "h19_discounted_revenue",
+        "h21_waiting_suppliers")) {
+      val p = finalPlan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name degraded to BNLJ:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"),
+        s"$name grew a cartesian product:\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its dimension broadcasts:\n${p.take(1500)}")
+    }
+  }
+
   test("g-family: query paths read the persisted co-edge store, never lineitem") {
     // the store's whole point (s17's economics on graph structure): the
     // lineitem self-join is paid once per corpus version at build time; a
