@@ -1145,7 +1145,44 @@ object CurationQueries {
     s.sql(c35Sql("div"))
   }
 
+  /** c36: SEMANTIC decontamination — the embedding-space complement of
+    * the n-gram family (c08/c09/c13): an eval item leaks into training
+    * data through paraphrase with zero 13-gram overlap, so modern
+    * contamination audits ALSO screen by embedding similarity. Shape:
+    * the eval side is k-bounded and asserted so before use
+    * ([[requireEvalBounded]]'s contract — here a 50-vector slice of the
+    * fixture entering through the same parameterized seam), broadcast
+    * against ONE corpus scan scored by the native sequential-double
+    * cosine kernel; every (corpus, eval) pair at sim >= 0.35 is flagged
+    * with its best-matching eval item. The threshold is corpus-tuned
+    * (max cross-sim in the synthetic fixture is 0.49); real deployments
+    * sweep it against c24's filter-sweep harness. Hash-green: the
+    * kernel's fold is bit-identical to the DuckDB twin (s01's proven
+    * parity). At 100 TB: broadcast-eval × one scan — c13's economics
+    * with vectors instead of grams.
+    */
+  def c36_decontaminate_semantic(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    val emb = Tables.embeddings(s, d)
+    decontaminateSemantic(s,
+      emb.filter(col("vec_id") >= 50),
+      emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")))
+  }
+
+  /** The parameterized core — corpus frame × independent eval frame. */
+  private[graft] def decontaminateSemantic(s: SparkSession,
+      corpus: DataFrame, evalSide: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.cosine_similarity
+    requireEvalBounded(evalSide)
+    corpus.join(broadcast(evalSide))
+      .select(col("vec_id").as("corpus_vec"), col("eval_id"),
+        cosine_similarity(col("embedding"), col("eval_emb")).as("sim"))
+      .filter(col("sim") >= 0.35)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c36_decontaminate_semantic" -> (c36_decontaminate_semantic _),
     "c35_mixture_drift" -> (c35_mixture_drift _),
     "c34_split_balance" -> (c34_split_balance _),
     "c33_assembly" -> (c33_assembly _),
@@ -1409,6 +1446,14 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c36_decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS eval_id, emb AS qe FROM e WHERE vec_id < 50),
+         |p AS (
+         |  SELECT c.vec_id AS corpus_vec, q.eval_id,
+         |         ${SimilarityQueries.duckCosine("c.emb", "q.qe")} AS sim
+         |  FROM e c CROSS JOIN q WHERE c.vec_id >= 50)
+         |SELECT corpus_vec, eval_id, sim FROM p WHERE sim >= 0.35""".stripMargin,
     "c35_mixture_drift" -> c35Sql("//"),
     "c34_split_balance" -> c34Sql("//"),
     "c32_tokenizer_fertility" ->

@@ -2987,7 +2987,53 @@ object RelationalQueries {
         .replace("$SPINE$",
           "SELECT explode(sequence(lo, hi)) AS day FROM bounds"))
 
+  /** q130: two-sample KOLMOGOROV-SMIRNOV test — "is this slice's length
+    * distribution the same as the rest of the corpus?", the
+    * distribution-level drift check PSI's binned form (q119) only
+    * approximates: D = max |CDF_en − CDF_rest| over document lengths.
+    * Exact-integer formulation: per distinct length, grouped counts →
+    * one running-sum window → D carried SCALED as
+    * max |cumA·nB − cumB·nA| (int64; the division to a double happens
+    * once at the end), so the statistic hash-checks. The α=0.05 decision
+    * uses the standard asymptotic critical value 1.358·sqrt((nA+nB)/
+    * (nA·nB)) — sqrt is correctly rounded everywhere. One scan, one
+    * |distinct lengths| window — scan-shaped at any corpus size.
+    */
+  private val q130Sql: String =
+    """WITH v AS (
+      |  SELECT n_chars,
+      |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS is_a
+      |  FROM documents),
+      |tot AS (
+      |  SELECT CAST(sum(is_a) AS BIGINT) AS na,
+      |         CAST(sum(1 - is_a) AS BIGINT) AS nb
+      |  FROM v),
+      |g AS (
+      |  SELECT n_chars, CAST(sum(is_a) AS BIGINT) AS ca,
+      |         CAST(sum(1 - is_a) AS BIGINT) AS cb
+      |  FROM v GROUP BY n_chars),
+      |cum AS (
+      |  SELECT n_chars,
+      |         CAST(sum(ca) OVER (ORDER BY n_chars) AS BIGINT) AS cum_a,
+      |         CAST(sum(cb) OVER (ORDER BY n_chars) AS BIGINT) AS cum_b
+      |  FROM g),
+      |dd AS (
+      |  SELECT CAST(max(abs(cum_a * t.nb - cum_b * t.na)) AS BIGINT) AS d_scaled
+      |  FROM cum CROSS JOIN tot t)
+      |SELECT t.na AS n_a, t.nb AS n_b, d.d_scaled,
+      |       CAST(d.d_scaled AS DOUBLE) / (t.na * t.nb) AS ks_d,
+      |       round(1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)), 9)
+      |         AS crit_05,
+      |       (CAST(d.d_scaled AS DOUBLE) / (t.na * t.nb) >
+      |        1.358 * sqrt(CAST(t.na + t.nb AS DOUBLE) / (t.na * t.nb)))
+      |         AS reject_05
+      |FROM dd d CROSS JOIN tot t""".stripMargin
+
+  def q130_ks_test(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "documents")(q130Sql)
+
   val queries: Map[String, Q] = Map(
+    "q130_ks_test" -> (q130_ks_test _),
     "q129_calendar_gaps" -> (q129_calendar_gaps _),
     "q128_theil" -> (q128_theil _),
     "q127_gini" -> (q127_gini _),
@@ -3521,6 +3567,7 @@ object RelationalQueries {
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//"),
     "q127_gini" -> q127Sql("//"),
     "q128_theil" -> q128Sql,
+    "q130_ks_test" -> q130Sql,
     "q129_calendar_gaps" -> q129Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//")
       .replace("$SPINE$",

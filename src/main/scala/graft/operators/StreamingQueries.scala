@@ -411,7 +411,47 @@ object StreamingQueries {
     s.sql("WITH " + RelationalQueries.psiTail("div", "psi_counts"))
   }
 
+  /** st14: INCREMENTAL co-graph maintenance — [[graft.operators.CoGraph]]'s
+    * one-shot build maintained under continuous ingest: each micro-batch
+    * (orders arriving in three arbitrary slices, l_orderkey % 3 — NOT
+    * month-aligned, so per-(month, pair) counts must genuinely MERGE
+    * across batches) computes its own monthly pair-count partial from
+    * only its own orders, appends it to a stored partials table, and the
+    * maintained graph is a merge over STORED partials only. Pair counts
+    * add exactly (each lineitem pair belongs to one order, one batch),
+    * so the incrementally-maintained frequent monthly graph is
+    * bit-identical to the one-shot rebuild — the DuckDB oracle IS the
+    * one-shot form (st06/st13's pattern applied to graph structure).
+    * This is how the production co-edge store absorbs a day's ingest
+    * without rescanning the corpus: one self-join over the BATCH's
+    * lines, one append, one partials-sized merge.
+    */
+  def st14_incremental_co_graph(s: SparkSession, d: String): DataFrame = {
+    val dir = SketchQueries.partialsDir("co_graph_partials", d)
+    val om = Tables.orders(s, d).select(col("o_orderkey"),
+      (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long")).as("m"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    (0L until 3L).foreach { b =>
+      val batchLines = li.filter(pmod(col("l_orderkey"), lit(3L)) === b)
+      batchLines.alias("a")
+        .join(batchLines.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .join(om, col("o_orderkey") === col("a.l_orderkey"))
+        .groupBy(col("m"), col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
+    }
+    // merge-only: sum across stored partials, never the raw lineitem
+    s.read.parquet(dir)
+      .groupBy(col("m"), col("u"), col("v"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .filter(col("n") >= 2)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st14_incremental_co_graph" -> (st14_incremental_co_graph _),
     "st13_incremental_psi" -> (st13_incremental_psi _),
     "st12_view_maintain" -> (st12_view_maintain _),
     "st11_stateful_sessions" -> (st11_stateful_sessions _),
@@ -428,6 +468,20 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st14_incremental_co_graph" ->
+      """WITH om AS (
+        |  SELECT o_orderkey,
+        |         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |              AS BIGINT) AS m
+        |  FROM orders)
+        |SELECT om.m, a.l_suppkey AS u, b.l_suppkey AS v,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |               AND a.l_suppkey < b.l_suppkey
+        |JOIN om ON om.o_orderkey = a.l_orderkey
+        |GROUP BY om.m, a.l_suppkey, b.l_suppkey
+        |HAVING count(*) >= 2""".stripMargin,
     // count partials add exactly, so merged-partials PSI == one-shot
     // q119 — its oracle verbatim
     "st13_incremental_psi" -> RelationalQueries.oracles("q119_psi_drift"),

@@ -1211,7 +1211,95 @@ object TextQueries {
     s.sql(t31Sql("explode(split(text, ' '))", "div"))
   }
 
+  /** t32: classifier CALIBRATION (reliability diagram + ECE) — before a
+    * quality/lang filter threshold is trusted at corpus scale, the score
+    * must be calibrated: per score-bin, mean predicted vs observed
+    * positive rate, plus the Expected Calibration Error rollup
+    * Σ_b (n_b/N)·|mean_p − obs| = Σ_b |Σp − n_pos| / N. t01's
+    * en-stopword ratio is the score, the labeled lang the truth —
+    * the same pair t13's confusion matrix and t19's AUC audit, giving
+    * the eval panel its third leg. Per-bin mean scores ride
+    * DECIMAL(38,9) sums (q67's discipline) so binning, means and the
+    * ECE all hash-check. One scan + a 5-group aggregate.
+    */
+  private def t32Sql(toks: String, sz: String, flt: String,
+      contains: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $toks AS toks FROM documents),
+       |u AS (
+       |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |         $sz($flt(toks, x -> $contains)) / $sz(toks) AS p
+       |  FROM t),
+       |b AS (
+       |  SELECT least(CAST(floor(p * 25) AS BIGINT), 4) AS bin, y, p FROM u),
+       |g AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(y) AS BIGINT) AS n_pos,
+       |         CAST(sum(CAST(p AS DECIMAL(38,9))) AS DOUBLE) AS sum_p
+       |  FROM b GROUP BY bin),
+       |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+       |e AS (
+       |  SELECT CAST(sum(CAST(abs(sum_p - n_pos) AS DECIMAL(38,9))) AS DOUBLE)
+       |           AS ece_num
+       |  FROM g)
+       |SELECT bin, n, n_pos,
+       |       round(sum_p / n, 9) AS mean_p,
+       |       CAST(n_pos AS DOUBLE) / n AS obs_rate,
+       |       round(abs(sum_p / n - CAST(n_pos AS DOUBLE) / n), 9) AS gap,
+       |       round(e.ece_num / tt.n_total, 9) AS ece
+       |FROM g CROSS JOIN tt CROSS JOIN e""".stripMargin
+
+  def t32_calibration(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t32Sql("split(text, ' ')", "size", "filter",
+      "array_contains(array('the', 'a', 'of', 'and'), x)"))
+  }
+
+  /** t33: COHEN'S KAPPA — chance-corrected agreement between t01's
+    * binary en/other prediction and the labeled lang, the one-number
+    * follow-up to t13's confusion matrix (accuracy alone flatters any
+    * classifier on an imbalanced corpus; kappa subtracts the agreement
+    * expected by chance). Closed-form over the 2x2 cells:
+    * κ = (N·(tp+tn) − [(tp+fp)(tp+fn) + (fn+tn)(fp+tn)]) /
+    *     (N² − [...]) — exact int64 numerator/denominator, ONE double
+    * division at the end → hash-green. One scan, one global aggregate.
+    */
+  private def t33Sql(toks: String, sz: String, flt: String,
+      contains: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $toks AS toks FROM documents),
+       |u AS (
+       |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |         CAST(CASE WHEN $sz($flt(toks, x -> $contains)) / $sz(toks)
+       |                        >= 0.04
+       |              THEN 1 ELSE 0 END AS BIGINT) AS yhat
+       |  FROM t),
+       |c AS (
+       |  SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+       |         CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+       |         CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+       |         CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+       |  FROM u)
+       |SELECT tp, fp, fn, tn,
+       |       tp + fp + fn + tn AS n,
+       |       CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS po,
+       |       CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn) AS DOUBLE)
+       |         / ((tp + fp + fn + tn) * (tp + fp + fn + tn)) AS pe,
+       |       CAST((tp + fp + fn + tn) * (tp + tn)
+       |            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) AS DOUBLE)
+       |         / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+       |            - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))) AS kappa
+       |FROM c""".stripMargin
+
+  def t33_kappa(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t33Sql("split(text, ' ')", "size", "filter",
+      "array_contains(array('the', 'a', 'of', 'and'), x)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t32_calibration" -> (t32_calibration _),
+    "t33_kappa" -> (t33_kappa _),
     "t31_burstiness" -> (t31_burstiness _),
     "t30_vocab_overlap" -> (t30_vocab_overlap _),
     "t29_textrank" -> (t29_textrank _),
@@ -1318,6 +1406,10 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "t32_calibration" -> t32Sql("string_split(text, ' ')", "len",
+      "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
+    "t33_kappa" -> t33Sql("string_split(text, ' ')", "len",
+      "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
     "t31_burstiness" ->
       t31Sql("unnest(string_split(text, ' '))", "//"),
     "t30_vocab_overlap" ->
