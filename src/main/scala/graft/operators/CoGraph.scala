@@ -12,10 +12,10 @@ import graft.Tables
   * shuffles the fact table), and every graph query thereafter reads a
   * pair-count table that is orders of magnitude smaller than lineitem.
   *
-  * ONE table is stored — monthly pair counts `(m, u, v, n)` where `m` is
-  * the integer month index since 1992-01 and `n` the lineitem-pair count
-  * within that month — because every projection the family needs derives
-  * from it losslessly:
+  * The SOURCE table is the monthly pair counts `(m, u, v, n)` — `m` the
+  * integer month index since 1992-01, `n` the lineitem-pair count within
+  * that month — because every co-occurrence projection derives from it
+  * losslessly:
   *
   *   - global pair counts  = Σ over months (each lineitem pair belongs to
   *     exactly one order, each order to exactly one month, so the monthly
@@ -23,6 +23,12 @@ import graft.Tables
   *   - the frequent graph  = global counts filtered `n >= CoSupport`;
   *   - the strongest-k graph (g12) = global counts ordered by `n`;
   *   - the temporal graphs (g16, g18) = the monthly rows themselves.
+  *
+  * Two derived tables are stored beside it at build time: the global
+  * `pairs` rollup (read directly by most queries) and the distinct
+  * customer→supplier `bipartite` projection (the order-graph family —
+  * g01/g07/g08/g09 — whose orders×lineitem join is otherwise rebuilt
+  * inline per query).
   *
   * The store is keyed by the IDENTITY of both inputs (size + mtime of
   * lineitem.parquet and orders.parquet, the ivfPqIndexDir discipline): a
@@ -44,9 +50,10 @@ import graft.Tables
   */
 object CoGraph {
 
-  // v2: added the stored global `pairs` rollup (a marker from a prior
-  // format must not satisfy the new reader, so the version keys the dir)
-  private val Version = "v2"
+  // v3: + the stored distinct customer->supplier `bipartite` projection
+  // (a marker from a prior format must not satisfy the new reader, so
+  // the version keys the dir)
+  private val Version = "v3"
 
   private[graft] def coDir(d: String): String = {
     val li = new java.io.File(d, "lineitem.parquet")
@@ -81,6 +88,16 @@ object CoGraph {
     s.read.parquet(s"$dir/monthly")
       .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
       .write.mode("overwrite").parquet(s"$dir/pairs")
+    // the DISTINCT customer->supplier bipartite projection shares the
+    // same inputs and serves the order-graph family (g01 pagerank, g07
+    // personalized pagerank, g08 CF similarity, g09 degree distribution)
+    // -- one orders x lineitem join paid at build time instead of inline
+    // by each of the four
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/bipartite")
     new java.io.File(dir, "_complete").createNewFile()
     dir
   }
@@ -103,6 +120,12 @@ object CoGraph {
     */
   def frequentPairs(s: SparkSession, d: String, support: Int): DataFrame =
     pairs(s, d).filter(col("n") >= support).select(col("u"), col("v"))
+
+  /** Distinct customer->supplier pairs `(cust, supp)` — the order-graph
+    * projection g01/g07/g08/g09 consume.
+    */
+  def bipartite(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/bipartite")
 
   /** Registers `co_pairs (u, v, n)` as a temp view for the SQL-text query
     * paths (g02, g13-g15, g17).

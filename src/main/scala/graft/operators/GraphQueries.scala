@@ -45,12 +45,9 @@ object GraphQueries {
     */
   private[graft] def graphParts(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .localCheckpoint() // feeds every iteration; one orders x lineitem pass
+    val edges = CoGraph.bipartite(s, d)
+      .select((col("cust") * 2).as("src"), (col("supp") * 2 + 1).as("dst"))
+      .localCheckpoint() // feeds every iteration; the join was paid at build
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
@@ -877,11 +874,7 @@ object GraphQueries {
     * bit-identical cross-engine, so the pairs AND scores hash-check.
     */
   def g08_cf_similarity(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    val edges = CoGraph.bipartite(s, d)
       .localCheckpoint() // feeds the pair join AND the degree table
     val deg = edges.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
     val co = edges.as("a").join(edges.as("b"),
@@ -911,11 +904,7 @@ object GraphQueries {
   def g09_degree_dist(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
-    val deg = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      .distinct()
+    val deg = CoGraph.bipartite(s, d)
       .groupBy(col("supp")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // feeds the histogram AND the alpha reduction
     val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))

@@ -2046,6 +2046,16 @@ class QueriesSpec extends SparkTestBase {
       .groupBy(col("u"), col("v")).agg(sum(col("n")).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(monthlySum == rebuilt, "monthly counts do not partition the global count")
+    // the stored bipartite projection equals its inline derivation
+    val bipRebuilt = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bipStored = operators.CoGraph.bipartite(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bipStored == bipRebuilt, "stored bipartite diverges from rebuild")
     // idempotence: a present marker must skip the build (store untouched)
     val marker = new java.io.File(operators.CoGraph.coDir(sf), "_complete")
     assert(marker.exists())
