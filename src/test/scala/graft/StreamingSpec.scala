@@ -950,6 +950,62 @@ class StreamingSpec extends SparkTestBase {
       s"disagreement: ${(machine diff declarative).take(3)} / ${(declarative diff machine).take(3)}")
   }
 
+  test("streaming co-graph maintenance == one-shot rebuild (st14 under a real stream)") {
+    // st14's architecture under a REAL readStream: lineitem arrives in
+    // micro-batches, each batch computes ITS OWN monthly pair counts
+    // (one batch-local self-join — never rescanning earlier arrivals)
+    // and appends the partial; the maintained graph merges STORED
+    // partials only. Ingest contract, stated not assumed: an order's
+    // lines must co-arrive (the batch-local self-join counts pairs
+    // within an order, so splitting an order across batches would lose
+    // its cross-batch pairs) — hence the source files are hash-bucketed
+    // by l_orderkey, the production "ingest complete orders" contract.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("cograph_stream_src").toString
+    Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .repartition(3, col("l_orderkey")) // complete orders per file
+      .write.mode("overwrite").parquet(srcDir)
+    val partialsDir = Files.createTempDirectory("cograph_stream_parts").toString
+    val om = Tables.orders(spark, sf).select(col("o_orderkey"),
+      (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long")).as("m"))
+      .localCheckpoint()
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val lines = b.localCheckpoint()
+          lines.alias("a")
+            .join(lines.alias("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_suppkey") < col("b.l_suppkey"))
+            .join(om, col("o_orderkey") === col("a.l_orderkey"))
+            .groupBy(col("m"), col("a.l_suppkey").as("u"),
+              col("b.l_suppkey").as("v"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(partialsDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // merge-only over stored partials (counts add exactly across batches)
+    val maintained = canon(spark.read.parquet(partialsDir)
+      .groupBy(col("m"), col("u"), col("v"))
+      .agg(sum(col("n")).cast("long").as("n"))
+      .filter(col("n") >= 2))
+    val oneShot = canon(operators.CoGraph.monthly(spark, sf)
+      .filter(col("n") >= 2).select(col("m"), col("u"), col("v"),
+        col("n").cast("long")))
+    assert(maintained.nonEmpty)
+    assert(maintained == oneShot,
+      s"streamed co-graph diverged: ${maintained.diff(oneShot).take(3)} / ${oneShot.diff(maintained).take(3)}")
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
