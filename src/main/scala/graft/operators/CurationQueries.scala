@@ -1181,7 +1181,46 @@ object CurationQueries {
       .filter(col("sim") >= 0.35)
   }
 
+  /** c37: the CONTAMINATION PANEL — one eval identity (id % 19 = 0),
+    * BOTH screens, one verdict per corpus document: exact 13-gram
+    * collisions (c09's screen) and embedding similarity (c36's screen,
+    * vec_id ≡ doc_id — d15's modeling) left-joined onto the corpus with
+    * a 'both'/'ngram'/'semantic'/'clean' verdict. This is the report a
+    * contamination audit actually ships: the union matters (paraphrase
+    * leaks have zero 13-gram overlap; verbatim leaks of rare strings can
+    * sit far apart in embedding space), and per-method hit counts say
+    * WHY each doc was flagged. Shape: the two screens' own plans
+    * (broadcast eval side each) + two left joins on the doc key —
+    * scan-bound at any corpus size.
+    */
+  def c37_contamination_panel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+    val ngram = decontaminateExact(corpus, docs.filter(col("doc_id") % 19 === 0))
+      .select(col("doc_id"), col("n_hit_ngrams").as("ngram_hits"))
+    val emb = Tables.embeddings(s, d)
+    val sem = decontaminateSemantic(s,
+        emb.filter(col("vec_id") % 19 =!= 0),
+        emb.filter(col("vec_id") % 19 === 0)
+          .select(col("vec_id").as("eval_id"), col("embedding").as("eval_emb")))
+      .groupBy(col("corpus_vec").as("doc_id"))
+      .agg(count(lit(1)).as("semantic_hits"))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(ngram, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("ngram_hits"), lit(0L)).as("ngram_hits"),
+        coalesce(col("semantic_hits"), lit(0L)).as("semantic_hits"),
+        when(col("ngram_hits").isNotNull && col("semantic_hits").isNotNull, "both")
+          .when(col("ngram_hits").isNotNull, "ngram")
+          .when(col("semantic_hits").isNotNull, "semantic")
+          .otherwise("clean").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c37_contamination_panel" -> (c37_contamination_panel _),
     "c36_decontaminate_semantic" -> (c36_decontaminate_semantic _),
     "c35_mixture_drift" -> (c35_mixture_drift _),
     "c34_split_balance" -> (c34_split_balance _),
@@ -1446,6 +1485,39 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c37_contamination_panel" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+         |  FROM (SELECT doc_id, toks,
+         |               unnest(generate_series(1, len(toks) - 12)) AS i
+         |        FROM t WHERE len(toks) >= 13) u),
+         |ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 19 = 0),
+         |nh AS (
+         |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS ngram_hits
+         |  FROM g JOIN ev USING (ng)
+         |  WHERE g.doc_id % 19 <> 0
+         |  GROUP BY g.doc_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS eid, emb AS qe FROM e WHERE vec_id % 19 = 0),
+         |sh AS (
+         |  SELECT c.vec_id AS doc_id, CAST(count(*) AS BIGINT) AS semantic_hits
+         |  FROM e c CROSS JOIN q
+         |  WHERE c.vec_id % 19 <> 0
+         |    AND ${SimilarityQueries.duckCosine("c.emb", "q.qe")} >= 0.35
+         |  GROUP BY c.vec_id),
+         |corpus AS (SELECT doc_id, lang FROM documents WHERE doc_id % 19 <> 0)
+         |SELECT c.doc_id, c.lang,
+         |       coalesce(nh.ngram_hits, 0) AS ngram_hits,
+         |       coalesce(sh.semantic_hits, 0) AS semantic_hits,
+         |       CASE WHEN nh.doc_id IS NOT NULL AND sh.doc_id IS NOT NULL
+         |              THEN 'both'
+         |            WHEN nh.doc_id IS NOT NULL THEN 'ngram'
+         |            WHEN sh.doc_id IS NOT NULL THEN 'semantic'
+         |            ELSE 'clean' END AS verdict
+         |FROM corpus c LEFT JOIN nh ON nh.doc_id = c.doc_id
+         |              LEFT JOIN sh ON sh.doc_id = c.doc_id""".stripMargin,
     "c36_decontaminate_semantic" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |q AS (SELECT vec_id AS eval_id, emb AS qe FROM e WHERE vec_id < 50),

@@ -1652,9 +1652,6 @@ object DedupQueries {
        |  SELECT doc_id, min(lbl) AS cluster_rep
        |  FROM reach GROUP BY doc_id)""".stripMargin
 
-  /** d03/d04 rely on xxhash64-derived signatures (not reproducible in
-    * DuckDB SQL) → rows-only checks; the rest are oracle-checked.
-    */
   /** DuckDB rebuild of the MinHash signature list for d03's oracle: the
     * permutation coefficients are deterministic JVM constants
     * ([[graft.functions.MinHashSignature.coeffA]]), embedded verbatim —

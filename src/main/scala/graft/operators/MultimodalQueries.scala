@@ -440,6 +440,21 @@ object MultimodalQueries {
         col("l1x"))
   }
 
+  /** m18: media near-dup CLUSTERS — the resolution step after m09's pair
+    * report (what d10/d13 are to d05 on text): connected components over
+    * the perceptual near-dup pairs via the large/small-star contraction
+    * ([[DedupQueries.starContract]], O(log n) rounds on adversarial
+    * diameters), each media doc mapped to its component's min doc_id —
+    * the keep-one-per-cluster key a media dedup APPLY joins on. Oracle
+    * is the same recursive-CTE reachability as d10's over m09's pair SQL;
+    * integer ids → hash-green. Scale: m09's bucket-banded pair join +
+    * star rounds linear in edges.
+    */
+  def m18_media_clusters(s: SparkSession, d: String): DataFrame =
+    DedupQueries.starContract(
+      m09_feature_neardup(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("cluster_rep"))
+
   /** m11: CONTENT-DEFINED chunking (CDC) — the dedup primitive for big
     * binary payloads (backup systems, LLM-corpus media stores): chunk
     * boundaries are placed where a rolling hash of the last [[CdcW]]
@@ -628,6 +643,7 @@ object MultimodalQueries {
     "m12_delta_transfer" -> (m12_delta_transfer _),
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
+    "m18_media_clusters" -> (m18_media_clusters _),
     "m13_visual_search" -> (m13_visual_search _),
     "m14_shot_boundaries" -> (m14_shot_boundaries _),
     "m08_media_dedup" -> (m08_media_dedup _),
@@ -790,6 +806,31 @@ object MultimodalQueries {
     // the one oracle with a literal path: read_blob has no table-view
     // indirection, and the driver's correctness gate always runs at sf0.01
     "m09_feature_neardup" -> featureNeardupOracle,
+    "m18_media_clusters" ->
+      s"""WITH RECURSIVE feat AS ($byteFeaturesOracle),
+         |g AS (SELECT *, f0 + f1 + f2 + f3 AS t,
+         |             (f0 + f1 + f2 + f3) // 64 AS bucket FROM feat),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         abs(a.f0*b.t - b.f0*a.t) + abs(a.f1*b.t - b.f1*a.t)
+         |       + abs(a.f2*b.t - b.f2*a.t) + abs(a.f3*b.t - b.f3*a.t) AS l1x,
+         |         a.t AS ta, b.t AS tb
+         |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM p WHERE l1x * 50 <= ta * tb),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS lbl FROM nodes
+         |  UNION
+         |  SELECT e2.dst AS doc_id, r.lbl
+         |  FROM reach r JOIN edges e2 ON e2.src = r.doc_id),
+         |cc AS (
+         |  SELECT doc_id, min(lbl) AS cluster_rep
+         |  FROM reach GROUP BY doc_id)
+         |SELECT doc_id, cluster_rep FROM cc""".stripMargin,
     "m13_visual_search" -> visualSearchOracle,
     "m10_compaction_plan" ->
       """WITH f AS (
