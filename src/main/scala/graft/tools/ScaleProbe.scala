@@ -499,6 +499,23 @@ object ScaleProbe {
         graft.operators.GraphQueries.g02_triangles(spark, sf).count())
       time(s"$tag g18_temporal_stored")(
         graft.operators.GraphQueries.g18_temporal_reach(spark, sf).count())
+      // round-7 second wave: q130 is one grouped window over distinct
+      // lengths; t32/t33 are scan + tiny aggregates; c36/c37 broadcast a
+      // k-bounded eval side against one scan (clone corpora multiply HIT
+      // rows, never the scan count); st14's batch self-joins partition
+      // the one-shot work; m18's star rounds are linear in m09's edges
+      time(s"$tag q130_ks_test")(
+        graft.operators.RelationalQueries.q130_ks_test(spark, sf).count())
+      time(s"$tag t32_calibration")(
+        graft.operators.TextQueries.t32_calibration(spark, sf).count())
+      time(s"$tag c36_semantic_decontam")(
+        graft.operators.CurationQueries.c36_decontaminate_semantic(spark, sf).count())
+      time(s"$tag c37_contamination_panel")(
+        graft.operators.CurationQueries.c37_contamination_panel(spark, sf).count())
+      time(s"$tag st14_incremental_co_graph")(
+        graft.operators.StreamingQueries.st14_incremental_co_graph(spark, sf).count())
+      time(s"$tag m18_media_clusters")(
+        graft.operators.MultimodalQueries.m18_media_clusters(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
