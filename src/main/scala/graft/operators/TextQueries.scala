@@ -1297,9 +1297,68 @@ object TextQueries {
       "array_contains(array('the', 'a', 'of', 'and'), x)"))
   }
 
+  /** t34: SEGMENT-level language ID — code-switching detection, the
+    * per-document flag t01's whole-doc classifier cannot express (a doc
+    * that is half en / half de classifies as one or the other; mixed
+    * documents need per-segment labels). Each doc splits into 20-token
+    * non-overlapping segments; a segment is 'en' iff it contains ≥1 en
+    * stopword (exactly t01's 0.04 ratio rule at the 20-token grain,
+    * applied as an integer count so partial tail segments get the same
+    * rule). Per doc: segment counts per class, the number of adjacent
+    *-segment LANGUAGE SWITCHES (one lag window partitioned by doc — the
+    * code-switching statistic), and the mixed flag. All integers →
+    * hash-green. One scan + explode + per-doc window/agg; segments ride
+    * the scan stage, the window partitions per document.
+    */
+  private def t34Sql(segCte: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $$SPLIT$$ AS toks FROM documents),
+       |seg AS ($segCte),
+       |sw AS (
+       |  SELECT doc_id, seg_no, is_en,
+       |         CASE WHEN lag(is_en) OVER (PARTITION BY doc_id ORDER BY seg_no)
+       |                   IS NOT NULL
+       |               AND lag(is_en) OVER (PARTITION BY doc_id ORDER BY seg_no)
+       |                   <> is_en
+       |              THEN 1 ELSE 0 END AS switched
+       |  FROM seg)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_segments,
+       |       CAST(sum(is_en) AS BIGINT) AS n_en_segments,
+       |       CAST(sum(1 - is_en) AS BIGINT) AS n_other_segments,
+       |       CAST(sum(switched) AS BIGINT) AS n_switches,
+       |       (sum(is_en) > 0 AND sum(1 - is_en) > 0) AS is_mixed
+       |FROM sw GROUP BY doc_id""".stripMargin
+
+  private val t34SegSpark: String =
+    """SELECT doc_id, CAST(k AS BIGINT) AS seg_no,
+      |       CAST(CASE WHEN size(filter(slice(toks, 20 * k + 1, 20),
+      |                        x -> array_contains(array('the', 'a', 'of', 'and'), x)))
+      |                      >= 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_en
+      |FROM t
+      |LATERAL VIEW explode(sequence(0, CAST((size(toks) - 1) DIV 20 AS INT))) s AS k""".stripMargin
+
+  private val t34SegDuck: String =
+    """SELECT doc_id, CAST(k AS BIGINT) AS seg_no,
+      |       CAST(CASE WHEN len(list_filter(toks[20 * k + 1 : 20 * k + 20],
+      |                        x -> list_contains(['the', 'a', 'of', 'and'], x)))
+      |                      >= 1
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_en
+      |FROM (SELECT doc_id, toks,
+      |             unnest(generate_series(0, CAST((len(toks) - 1) // 20 AS INT)))
+      |               AS k
+      |      FROM t) u""".stripMargin
+
+  def t34_segment_lang(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t34Sql(t34SegSpark).replace("$SPLIT$", "split(text, ' ')"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t32_calibration" -> (t32_calibration _),
     "t33_kappa" -> (t33_kappa _),
+    "t34_segment_lang" -> (t34_segment_lang _),
     "t31_burstiness" -> (t31_burstiness _),
     "t30_vocab_overlap" -> (t30_vocab_overlap _),
     "t29_textrank" -> (t29_textrank _),
@@ -1410,6 +1469,8 @@ object TextQueries {
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
     "t33_kappa" -> t33Sql("string_split(text, ' ')", "len",
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
+    "t34_segment_lang" ->
+      t34Sql(t34SegDuck).replace("$SPLIT$", "string_split(text, ' ')"),
     "t31_burstiness" ->
       t31Sql("unnest(string_split(text, ' '))", "//"),
     "t30_vocab_overlap" ->
