@@ -1352,8 +1352,14 @@ object TextQueries {
 
   def t34_segment_lang(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d).createOrReplaceTempView("documents")
-    s.sql(t34Sql(t34SegSpark).replace("$SPLIT$", "split(text, ' ')"))
+    segmentLangFromView(s)
   }
+
+  /** The segment classifier over whatever `documents` view is registered —
+    * split out so the spec can plant a known code-switching structure.
+    */
+  private[graft] def segmentLangFromView(s: SparkSession): DataFrame =
+    s.sql(t34Sql(t34SegSpark).replace("$SPLIT$", "split(text, ' ')"))
 
   val queries: Map[String, Q] = Map(
     "t32_calibration" -> (t32_calibration _),

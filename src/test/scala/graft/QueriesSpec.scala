@@ -2024,6 +2024,56 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t34 segment lang-ID: planted code-switching doc counted exactly") {
+    import spark.implicits._
+    // 60 tokens = 20 en-stopword-laden | 20 stopword-free | 20 laden
+    // -> segments en, other, en: 2 switches, mixed; plus a pure-other doc
+    val en = Seq.fill(10)("the word").mkString(" ")   // 20 toks, has stopwords
+    val de = Seq.fill(10)("das wort").mkString(" ")   // 20 toks, none
+    Seq((1L, "xx", s"$en $de $en"), (2L, "yy", de))
+      .toDF("doc_id", "lang", "text").createOrReplaceTempView("documents")
+    val rows = operators.TextQueries.segmentLangFromView(spark)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(rows(1L) == ((3L, 2L, 1L, 2L, true)), s"mixed doc wrong: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 0L, 1L, 0L, false)), s"pure doc wrong: ${rows(2L)}")
+  }
+
+  test("c37 panel: per-method hits agree with the standalone screens") {
+    val panel = SparkEntry.queries("c37_contamination_panel")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ngram_hits"), r.getAs[Long]("semantic_hits"),
+          r.getAs[String]("verdict"))).toMap
+    // verdict is consistent with the hit counts on every row
+    panel.foreach { case (id, (ng, sem, v)) =>
+      val expect =
+        if (ng > 0 && sem > 0) "both"
+        else if (ng > 0) "ngram" else if (sem > 0) "semantic" else "clean"
+      assert(v == expect, s"doc $id verdict $v but hits ($ng, $sem)")
+    }
+    // the ngram side equals c09's standalone screen restricted to the panel
+    val c09 = SparkEntry.queries("c09_decontaminate_ngram")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_hit_ngrams")).toMap
+    assert(panel.collect { case (id, (ng, _, _)) if ng > 0 => id -> ng }.toMap
+      == c09, "panel ngram hits diverge from c09")
+  }
+
+  test("m18 clusters: every m09 pair co-clusters; rep is the member minimum") {
+    val pairs = SparkEntry.queries("m09_feature_neardup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val cl = SparkEntry.queries("m18_media_clusters")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cluster_rep")).toMap
+    assert(pairs.nonEmpty && cl.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a, $b) split across clusters")
+    }
+    cl.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep, s"cluster $rep rep is not its minimum")
+    }
+  }
+
   test("co-graph store: persisted counts equal the inline rebuild; marker skips rebuild") {
     // losslessness — the monthly partition summed back up must be
     // row-identical to the oracle-side self-join (the property every
