@@ -1219,7 +1219,73 @@ object CurationQueries {
           .otherwise("clean").as("verdict"))
   }
 
+  /** c38: WATERFILLING budget allocation — the mixture-planning step
+    * c16's apportionment cannot express: c16 splits a budget by quota
+    * alone, but real sources have CAPS (a 2%-of-web source cannot supply
+    * a 20% share), and the standard fix is iterative waterfilling —
+    * allocate proportionally among UNCAPPED sources, cap out the ones
+    * that fill, re-spread the shortfall over the rest. Three unrolled
+    * rounds (equal weights over 20 sources converge in 2; the third
+    * proves the fixpoint), every round = one |sources|-row state CTE +
+    * one global (active count, remaining) aggregate — metadata-sized at
+    * any corpus scale; the only corpus pass is the per-source avail
+    * aggregate. Budget = 90% of total corpus chars (sweep-chosen so the fixture's
+    * smallest sources genuinely CAP and their shortfall spreads — at 60%
+    * the near-uniform fixture never exercises the redistribution);
+    * floor division
+    * leaves an explicit integer `unallocated` residual column rather
+    * than hiding rounding. All int64 → hash-green with the identical
+    * unrolled SQL on both engines.
+    */
+  private def c38Sql(div: String): String = {
+    val rounds = (1 to 3).map { r =>
+      s"""a$r AS (
+         |  SELECT source, avail, alloc,
+         |         CASE WHEN alloc < avail THEN 1 ELSE 0 END AS active
+         |  FROM s${r - 1}),
+         |g$r AS (
+         |  SELECT CAST(sum(active) AS BIGINT) AS na,
+         |         (SELECT budget FROM b) - CAST(sum(alloc) AS BIGINT)
+         |           AS remaining
+         |  FROM a$r),
+         |s$r AS (
+         |  SELECT a.source, a.avail,
+         |         a.alloc + CASE WHEN a.active = 1 AND g.na > 0
+         |                        THEN least(a.avail - a.alloc,
+         |                                   g.remaining $div g.na)
+         |                        ELSE 0 END AS alloc
+         |  FROM a$r a CROSS JOIN g$r g)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH src AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT CAST(sum(avail) * 9 $div 10 AS BIGINT) AS budget FROM src),
+       |s0 AS (SELECT source, avail, CAST(0 AS BIGINT) AS alloc FROM src),
+       |$rounds,
+       |res AS (
+       |  SELECT (SELECT budget FROM b) - CAST(sum(alloc) AS BIGINT)
+       |           AS unallocated
+       |  FROM s3)
+       |SELECT f.source, f.avail, f.alloc,
+       |       (f.alloc = f.avail) AS capped,
+       |       r.unallocated
+       |FROM s3 f CROSS JOIN res r""".stripMargin
+  }
+
+  def c38_waterfill_budget(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    waterfillFromView(s)
+  }
+
+  /** The allocation over whatever `documents` view is registered — split
+    * out so the spec can plant a capping structure with a hand-computed
+    * fixpoint.
+    */
+  private[graft] def waterfillFromView(s: SparkSession): DataFrame =
+    s.sql(c38Sql("div"))
+
   val queries: Map[String, Q] = Map(
+    "c38_waterfill_budget" -> (c38_waterfill_budget _),
     "c37_contamination_panel" -> (c37_contamination_panel _),
     "c36_decontaminate_semantic" -> (c36_decontaminate_semantic _),
     "c35_mixture_drift" -> (c35_mixture_drift _),
@@ -1485,6 +1551,7 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c38_waterfill_budget" -> c38Sql("//"),
     "c37_contamination_panel" ->
       s"""WITH t AS (
          |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),

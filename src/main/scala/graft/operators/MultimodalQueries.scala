@@ -455,6 +455,39 @@ object MultimodalQueries {
       m09_feature_neardup(s, d).select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("cluster_rep"))
 
+  /** m19: KEYFRAME selection — the pass after m14's cut detection that a
+    * video pipeline actually ships downstream: one representative frame
+    * per SHOT (the frame embedded/captioned instead of all frames —
+    * 10-100x fewer decode+embed calls). Shots are the runs between m14's
+    * boundaries (shot_no = running count of boundary frames per doc, one
+    * window over the frame stream); the keyframe is each shot's
+    * max-energy frame (min frame_no on ties), selected through the
+    * native partial-heap top-k — never a rank window funneling a doc's
+    * frames through one reducer. Integers end to end → hash-green
+    * against DuckDB running the same passes over the shared
+    * frame-energy formulation.
+    */
+  def m19_keyframes(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    val frames = m06_frame_energy(s, d)
+      .withColumn("pe", lag(col("energy"), 1).over(w))
+      .withColumn("pb", lag(col("frame_bytes"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("pe").isNotNull &&
+          abs(col("energy") * col("pb") - col("pe") * col("frame_bytes")) * 5
+            >= col("pe") * col("frame_bytes"), 1L).otherwise(0L))
+      .withColumn("shot_no", sum(col("is_cut")).over(w))
+    graft.plans.TopKPerGroup.topK(
+      frames.select(col("doc_id"), col("shot_no"), col("frame_no"),
+        col("energy")),
+      Seq("doc_id", "shot_no"),
+      Seq(graft.plans.TopKPerGroup.Ord("energy", desc = true),
+        graft.plans.TopKPerGroup.Ord("frame_no")), 1)
+      .select(col("doc_id"), col("shot_no"),
+        col("frame_no").as("keyframe_no"), col("energy"))
+  }
+
   /** m11: CONTENT-DEFINED chunking (CDC) — the dedup primitive for big
     * binary payloads (backup systems, LLM-corpus media stores): chunk
     * boundaries are placed where a rolling hash of the last [[CdcW]]
@@ -644,6 +677,7 @@ object MultimodalQueries {
     "m11_cdc_chunks" -> (m11_cdc_chunks _),
     "m09_feature_neardup" -> (m09_feature_neardup _),
     "m18_media_clusters" -> (m18_media_clusters _),
+    "m19_keyframes" -> (m19_keyframes _),
     "m13_visual_search" -> (m13_visual_search _),
     "m14_shot_boundaries" -> (m14_shot_boundaries _),
     "m08_media_dedup" -> (m08_media_dedup _),
@@ -897,6 +931,30 @@ object MultimodalQueries {
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
     "m06_frame_energy" -> frameEnergyOracle,
+    "m19_keyframes" ->
+      s"""WITH fe AS ($frameEnergyOracle),
+        |l AS (
+        |  SELECT doc_id, frame_no, frame_bytes, energy,
+        |         lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pe,
+        |         lag(frame_bytes) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pb
+        |  FROM fe),
+        |c AS (
+        |  SELECT doc_id, frame_no, energy,
+        |         CASE WHEN pe IS NOT NULL
+        |               AND abs(energy * pb - pe * frame_bytes) * 5
+        |                   >= pe * frame_bytes
+        |              THEN 1 ELSE 0 END AS is_cut
+        |  FROM l),
+        |sh AS (
+        |  SELECT doc_id, frame_no, energy,
+        |         CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no)
+        |              AS BIGINT) AS shot_no
+        |  FROM c)
+        |SELECT doc_id, shot_no, frame_no AS keyframe_no, energy FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, shot_no
+        |              ORDER BY energy DESC, frame_no) AS rk
+        |  FROM sh) t
+        |WHERE rk = 1""".stripMargin,
     "m14_shot_boundaries" ->
       s"""WITH fe AS ($frameEnergyOracle),
         |l AS (

@@ -2074,6 +2074,23 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c38 waterfill: planted caps redistribute exactly to the hand-computed fixpoint") {
+    import spark.implicits._
+    // avail A=100 B=100 C=1000, budget = 90% of 1200 = 1080
+    // round 1: 360 each -> A,B cap at 100; C takes 360
+    // round 2: C alone, remaining 1080-560=520, headroom 640 -> C=880
+    // fixpoint: (100 capped, 100 capped, 880), unallocated 0
+    (Seq.fill(100)(("A", 1L)) ++ Seq.fill(100)(("B", 1L)) ++
+      Seq.fill(100)(("C", 10L)))
+      .toDF("source", "n_chars").createOrReplaceTempView("documents")
+    val rows = operators.CurationQueries.waterfillFromView(spark)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(rows("A") == ((100L, 100L, true, 0L)), s"A wrong: ${rows("A")}")
+    assert(rows("B") == ((100L, 100L, true, 0L)), s"B wrong: ${rows("B")}")
+    assert(rows("C") == ((1000L, 880L, false, 0L)), s"C wrong: ${rows("C")}")
+  }
+
   test("co-graph store: persisted counts equal the inline rebuild; marker skips rebuild") {
     // losslessness — the monthly partition summed back up must be
     // row-identical to the oracle-side self-join (the property every
