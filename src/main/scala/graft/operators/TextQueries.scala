@@ -1361,10 +1361,38 @@ object TextQueries {
   private[graft] def segmentLangFromView(s: SparkSession): DataFrame =
     s.sql(t34Sql(t34SegSpark).replace("$SPLIT$", "split(text, ' ')"))
 
+  /** t35: CCNet head/middle/tail PERPLEXITY BUCKETS (Wenzek et al. 2020
+    * §3.3 — the split that became the de-facto quality stratification for
+    * web-corpus training data: per language, the best-scoring third of
+    * documents is 'head', the next 'middle', the rest 'tail', and
+    * downstream mixtures sample the strata at different rates). Scores
+    * are t11's bigram-LM mean log-probs; the cuts are per-language exact
+    * 1/3 and 2/3 quantiles (Spark `percentile` ↔ DuckDB `quantile_cont`,
+    * q40's proven interpolation parity) broadcast back onto the scored
+    * stream — value-based assignment, so no per-language rank window
+    * funnels a whole language through one reducer. The boundary rule is
+    * explicit (>= cut goes to the better bucket). Hash-green end to end.
+    */
+  def t35_ccnet_buckets(s: SparkSession, d: String): DataFrame = {
+    val scored = t11_lm_quality(s, d)
+      .select(col("doc_id"), col("avg_logprob"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint() // one scoring pass feeds cuts + assignment
+    val cuts = scored.groupBy(col("lang"))
+      .agg(expr("percentile(avg_logprob, CAST(1 AS DOUBLE) / 3)").as("c_lo"),
+        expr("percentile(avg_logprob, CAST(2 AS DOUBLE) / 3)").as("c_hi"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("avg_logprob") >= col("c_hi"), "head")
+          .when(col("avg_logprob") >= col("c_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t32_calibration" -> (t32_calibration _),
     "t33_kappa" -> (t33_kappa _),
     "t34_segment_lang" -> (t34_segment_lang _),
+    "t35_ccnet_buckets" -> (t35_ccnet_buckets _),
     "t31_burstiness" -> (t31_burstiness _),
     "t30_vocab_overlap" -> (t30_vocab_overlap _),
     "t29_textrank" -> (t29_textrank _),
@@ -1469,6 +1497,27 @@ object TextQueries {
        |  FROM r4 n JOIN strength st ON st.src = n.word)
        |SELECT word, rank, st FROM fin WHERE rn <= 10""".stripMargin
   }
+
+  /** t11's LM-scoring chain, shared with t35's bucket assignment. */
+  private lazy val t11Ctes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 1)) AS i
+      |        FROM t WHERE len(toks) >= 2) u),
+      |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+      |lm AS (
+      |  SELECT w1, w2,
+      |         CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(38,9)) AS lp
+      |  FROM c2 JOIN c1 USING (w1)),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |         CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
+      |  FROM b JOIN lm USING (w1, w2)
+      |  GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t32_calibration" -> t32Sql("string_split(text, ' ')", "len",
@@ -1751,23 +1800,23 @@ object TextQueries {
         |       count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1""".stripMargin,
     "t11_lm_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-        |b AS (
-        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 1)) AS i
-        |        FROM t WHERE len(toks) >= 2) u),
-        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
-        |lm AS (
-        |  SELECT w1, w2,
-        |         CAST(round(ln(CAST(c12 AS DOUBLE) / c1), 9) AS DECIMAL(38,9)) AS lp
-        |  FROM c2 JOIN c1 USING (w1))
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       CAST(sum(lp) AS DOUBLE) / count(*) AS avg_logprob
-        |FROM b JOIN lm USING (w1, w2)
-        |GROUP BY doc_id""".stripMargin,
+      s"""WITH $t11Ctes
+        |SELECT doc_id, n_bigrams, avg_logprob FROM scored""".stripMargin,
+    "t35_ccnet_buckets" ->
+      s"""WITH $t11Ctes,
+        |sl AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logprob
+        |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+        |cuts AS (
+        |  SELECT lang,
+        |         quantile_cont(avg_logprob, CAST(1 AS DOUBLE) / 3) AS c_lo,
+        |         quantile_cont(avg_logprob, CAST(2 AS DOUBLE) / 3) AS c_hi
+        |  FROM sl GROUP BY lang)
+        |SELECT sl.doc_id, sl.lang, sl.avg_logprob,
+        |       CASE WHEN sl.avg_logprob >= c.c_hi THEN 'head'
+        |            WHEN sl.avg_logprob >= c.c_lo THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sl JOIN cuts c ON c.lang = sl.lang""".stripMargin,
     "t10_bpe_tokenize" ->
       s"""SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_tokens,
          |       array_to_string(pieces[1:12], '|') AS head_pieces,
