@@ -31,7 +31,14 @@ object EtlDemo {
         (s.toString, Files.createTempDirectory("etl_sheets").toString)
       }
 
-    val outcomes = EtlRunner.run(spark, sqlDir, destDir, cellLimit = 50000)
+    // bounded-parallel is the production form (the queries are
+    // independent); pass GRAFT_ETL_SERIAL=1 to compare against the
+    // reference's serial loop
+    val outcomes =
+      if (sys.env.contains("GRAFT_ETL_SERIAL"))
+        EtlRunner.run(spark, sqlDir, destDir, cellLimit = 50000)
+      else
+        EtlRunner.runParallel(spark, sqlDir, destDir, cellLimit = 50000)
     outcomes.foreach {
       case EtlLoaded(n, rows, cells) =>
         val f = Paths.get(destDir, s"$n.csv")

@@ -516,6 +516,18 @@ object ScaleProbe {
         graft.operators.StreamingQueries.st14_incremental_co_graph(spark, sf).count())
       time(s"$tag m18_media_clusters")(
         graft.operators.MultimodalQueries.m18_media_clusters(spark, sf).count())
+      // round-7 third wave: t34 is explode + one per-doc window; t35 is
+      // t11's keyed joins + a 5-row broadcast cut table; m19 is one frame
+      // window + the k=1 heaps; c38's rounds are |sources|-row CTEs over
+      // one corpus aggregate
+      time(s"$tag t34_segment_lang")(
+        graft.operators.TextQueries.t34_segment_lang(spark, sf).count())
+      time(s"$tag t35_ccnet_buckets")(
+        graft.operators.TextQueries.t35_ccnet_buckets(spark, sf).count())
+      time(s"$tag m19_keyframes")(
+        graft.operators.MultimodalQueries.m19_keyframes(spark, sf).count())
+      time(s"$tag c38_waterfill_budget")(
+        graft.operators.CurationQueries.c38_waterfill_budget(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
