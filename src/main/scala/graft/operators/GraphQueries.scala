@@ -779,6 +779,7 @@ object GraphQueries {
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
     "g09_degree_dist" -> (g09_degree_dist _),
+    "g19_hits" -> (g19_hits _),
   )
 
   /** g06: bounded-hop WEIGHTED shortest paths (Bellman-Ford rounds over
@@ -919,6 +920,50 @@ object GraphQueries {
       .select(col("deg"), col("n_nodes"),
         round(col("cum").cast("double") / col("n_total"), 9).as("ccdf"),
         round(lit(1.0) + col("n_total") / col("sum_ln"), 9).as("alpha_hat"))
+  }
+
+  /** Mutual-reinforcement rounds for g19 (also the spec entry point). */
+  private val HitsRounds = 3
+
+  /** g19: HITS hub/authority scores (Kleinberg, JACM'99) over the stored
+    * customer→supplier bipartite order graph — the OTHER classic link
+    * centrality, and the one that fits a bipartite graph natively where
+    * PageRank (g01) needs the symmetrized projection: customers are hubs
+    * (good buyers point at many good suppliers), suppliers are
+    * authorities (good suppliers are bought by many good hubs), and the
+    * two scores reinforce through alternating matrix-vector products
+    * Aᵀh / Aa. Arithmetic is the g-family integer scheme: hubs start at
+    * 1000, each half-round is ONE keyed join + sum aggregate, and a
+    * broadcast-scalar per-mille rescale (x·1000 div max) bounds every
+    * score ≤ 1000 — the normalization HITS needs anyway, done in exact
+    * integer math, so values can never overflow regardless of graph
+    * size or round count and both engines agree bit-for-bit. Scale
+    * shape: state is one row per node, each round shuffles |edges| rows
+    * keyed by node — g01/g06's iteration economics; the bipartite table
+    * itself is read from [[CoGraph]]'s marker-committed store (built
+    * once, never rescanning orders×lineitem), while the oracle rebuilds
+    * it inline so the hash gate re-proves store losslessness.
+    */
+  def g19_hits(s: SparkSession, d: String): DataFrame = {
+    val edges = CoGraph.bipartite(s, d)
+      .localCheckpoint() // drives both half-rounds of every iteration
+    var hub = edges.select(col("cust")).distinct()
+      .withColumn("h", lit(1000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsRounds) {
+      val a0 = edges.join(hub, "cust")
+        .groupBy(col("supp")).agg(sum(col("h")).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("am"))))
+        .select(col("supp"), expr("a * 1000 div am").as("a"))
+        .localCheckpoint()
+      val h0 = edges.join(auth, "supp")
+        .groupBy(col("cust")).agg(sum(col("a")).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("hm"))))
+        .select(col("cust"), expr("h * 1000 div hm").as("h"))
+        .localCheckpoint()
+    }
+    auth.orderBy(col("a").desc, col("supp")).limit(20)
+      .select(col("supp").as("s_suppkey"), col("a").as("authority"))
   }
 
   /** The oracle unrolls the 5 integer iterations as chained CTEs — DuckDB's
@@ -1163,6 +1208,25 @@ object GraphQueries {
            |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM sq),
            |$rounds
            |SELECT node, dist FROM d$Hops""".stripMargin
+      },
+      "g19_hits" -> {
+        val rounds = (1 to HitsRounds).map { r =>
+          s"""a${r}r AS (SELECT supp, sum(h) AS a FROM edges
+             |         JOIN h${r - 1} USING (cust) GROUP BY 1),
+             |a$r AS (SELECT supp, CAST(a * 1000 // (SELECT max(a) FROM a${r}r)
+             |                         AS BIGINT) AS a FROM a${r}r),
+             |h${r}r AS (SELECT cust, sum(a) AS h FROM edges
+             |         JOIN a$r USING (supp) GROUP BY 1),
+             |h$r AS (SELECT cust, CAST(h * 1000 // (SELECT max(h) FROM h${r}r)
+             |                         AS BIGINT) AS h FROM h${r}r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |h0 AS (SELECT DISTINCT cust, CAST(1000 AS BIGINT) AS h FROM edges),
+           |$rounds
+           |SELECT supp AS s_suppkey, a AS authority FROM a$HitsRounds
+           |ORDER BY a DESC, supp LIMIT 20""".stripMargin
       },
     )
   }

@@ -1116,7 +1116,61 @@ object SimilarityQueries {
       .withColumn("recall_pm", expr("(n_hits * 1000) div n_truth"))
   }
 
+  /** s32: k-NN GRAPH construction — the all-nodes neighbor manifest the
+    * SemDeDup / kNN-LM / graph-ANN-build family starts from. Unlike the
+    * query-side stack (s01-s26: ten broadcast queries against a corpus
+    * scan), BOTH sides here are the corpus, so there is no broadcast
+    * side at any scale: candidates come from a shuffle join
+    * CO-PARTITIONED on the deterministic sign-LSH bucket ([[planes]] —
+    * s02's fixed LCG hyperplanes), so pairs are only ever generated
+    * within a bucket, and each node's top-3 runs through the native
+    * partial heaps (never a full candidate set through one reducer).
+    * Approximate by construction (bucket pruning) yet hash-green: the
+    * planes are JVM constants the DuckDB twin embeds verbatim, so both
+    * engines derive identical buckets, candidates, and cosines. Scale
+    * dial: plane count grows with log2(n) to hold per-bucket population
+    * (and the within-bucket quadratic) at a constant per-vector factor;
+    * s20's multiprobe buys recall back at the same corpus-scan cost.
+    */
+  def s32_knn_graph(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val cand = e.alias("a").join(e.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+    TopKPerGroup.topK(cand, Seq("vec_id"),
+      Seq(Ord("sim", desc = true), Ord("nbr_id")), 3)
+  }
+
+  /** s33: HARD-NEGATIVE mining — the contrastive-retriever training
+    * manifest (the DPR/ANCE recipe): for each query vector, the top-5
+    * most-similar corpus vectors with a DIFFERENT label — confusable
+    * enough to carry gradient, guaranteed non-positive — under a 0.95
+    * cosine ceiling so near-duplicates (probable mislabeled positives;
+    * the false-negative hazard every hard-negative miner filters) never
+    * enter the pool. Shape: s01's broadcast-query corpus scan with the
+    * label disqualifier folded into the join predicate and the ceiling
+    * into the scan filter, per-query top-5 through the partial heaps.
+    */
+  def s33_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    TopKPerGroup.topK(
+      e.join(broadcast(q), col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+        .filter(col("sim") < 0.95),
+      Seq("q_id"), Seq(Ord("sim", desc = true), Ord("neg_id")), K)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s32_knn_graph" -> (s32_knn_graph _),
+    "s33_hard_negatives" -> (s33_hard_negatives _),
     "s31_compression_frontier" -> (s31_compression_frontier _),
     "s30_index_compaction" -> (s30_index_compaction _),
     "s29_centroid_drift" -> (s29_centroid_drift _),
@@ -1670,6 +1724,32 @@ object SimilarityQueries {
         |WHERE rk <= 5""".stripMargin,
     "s27_persisted_signatures" -> binaryQuantOracle,
     "s24_binary_quant" -> binaryQuantOracle,
+    "s32_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         ${duckCosine("a.emb", "b.emb")} AS sim
+         |  FROM sig a JOIN sig b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, nbr_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY sim DESC, nbr_id) AS rk FROM cand) t
+         |WHERE rk <= 3""".stripMargin,
+    "s33_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, label AS q_label
+         |      FROM e WHERE vec_id < $NQueries),
+         |cand AS (
+         |  SELECT q.q_id, e.vec_id AS neg_id,
+         |         ${duckCosine("q.q_emb", "e.emb")} AS sim
+         |  FROM q JOIN e ON e.label <> q.q_label)
+         |SELECT q_id, neg_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY sim DESC, neg_id) AS rk
+         |  FROM cand WHERE sim < 0.95) t
+         |WHERE rk <= $K""".stripMargin,
     "s02_ann_lsh" -> signLshOracle(Seq(0)),
     "s20_multiprobe_lsh" -> signLshOracle(Seq(0, 1, 2, 4, 8)),
     "s03_dot_topk" ->
