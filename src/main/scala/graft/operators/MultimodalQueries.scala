@@ -669,7 +669,65 @@ object MultimodalQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Fixed images-per-batch for m20 (the SDXL-style bucketing contract:
+    * batches are homogeneous in aspect, constant in count).
+    */
+  private val AspectBatch = 8L
+
+  /** m20: ASPECT-RATIO bucket batching manifest — the image/video
+    * training loader's answer to "you can't batch a portrait with a
+    * panorama": every asset is routed to the nearest bucket of a fixed
+    * aspect ladder (50/75/100/133/200 per-cent width:height — the
+    * SDXL-style bucketing recipe), and within a bucket assets are packed
+    * into constant-size batches of [[AspectBatch]] in descending
+    * byte-size order (big-first keeps per-batch decode cost even). The
+    * nearest-bucket pick is argmin-by-sort over (|ar−L|, L) pairs —
+    * array_sort of structs, lexicographic in BOTH engines, so ties
+    * break identically. Within-bucket positions do NOT come from one
+    * ORDER BY window (a global sort per bucket funnels the whole corpus
+    * through |ladder| reducers): they come from d27/c28's two-phase
+    * distributed prefix scan — range-partition on (bucket, size desc,
+    * doc_id), per-(partition, bucket) subtotals to the driver (≤
+    * 32·|ladder| rows at any corpus size), broadcast offsets back —
+    * while the DuckDB oracle uses its native one-window row_number over
+    * the same total order, cross-validating the two-phase positions
+    * hash-for-hash. batch_no/slot are integer div/mod of the position.
+    */
+  def m20_aspect_buckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ladder = Seq(50L, 75L, 100L, 133L, 200L)
+    val pick = element_at(array_sort(array(ladder.map(l =>
+      struct(abs(expr("(width * 100) div height") - lit(l)).as("dist"),
+        lit(l).as("b"))): _*)), 1).getField("b")
+    val recs = media(s, d)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"))
+      .withColumn("bucket", pick)
+      .repartitionByRange(32, col("bucket"), col("byte_len").desc,
+        col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = recs.groupBy(col("pid"), col("bucket"))
+      .agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val offsets = subtotals.groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, off) => (pid, b, off) }
+    }
+    import s.implicits._
+    val offDf = broadcast(offsets.toDF("pid", "bucket", "off"))
+    val ww = Window.partitionBy(col("pid"), col("bucket"))
+      .orderBy(col("byte_len").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    recs.join(offDf, Seq("pid", "bucket"))
+      .withColumn("rk", col("off") + count(lit(1)).over(ww) - 1)
+      .select(col("doc_id"), col("width"), col("height"), col("bucket"),
+        expr(s"rk div $AspectBatch").as("batch_no"),
+        expr(s"rk % $AspectBatch").as("slot"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m20_aspect_buckets" -> (m20_aspect_buckets _),
     "m17_entropy_gate" -> (m17_entropy_gate _),
     "m16_vad_segments" -> (m16_vad_segments _),
     "m15_dhash_neardup" -> (m15_dhash_neardup _),
@@ -692,6 +750,30 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m20_aspect_buckets" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 48 AS height
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, byte_len, width, height,
+        |         list_sort([{'dist': abs((width * 100) // height - 50), 'b': 50},
+        |                    {'dist': abs((width * 100) // height - 75), 'b': 75},
+        |                    {'dist': abs((width * 100) // height - 100), 'b': 100},
+        |                    {'dist': abs((width * 100) // height - 133), 'b': 133},
+        |                    {'dist': abs((width * 100) // height - 200), 'b': 200}]
+        |           )[1].b AS bucket
+        |  FROM m),
+        |r AS (
+        |  SELECT doc_id, width, height, CAST(bucket AS BIGINT) AS bucket,
+        |         row_number() OVER (PARTITION BY bucket
+        |           ORDER BY byte_len DESC, doc_id) - 1 AS rk
+        |  FROM b)
+        |SELECT doc_id, width, height, bucket,
+        |       CAST(rk // 8 AS BIGINT) AS batch_no,
+        |       CAST(rk % 8 AS BIGINT) AS slot
+        |FROM r""".stripMargin,
     "m17_entropy_gate" -> m17Sql(
       "SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents", "//"),
     "m16_vad_segments" ->

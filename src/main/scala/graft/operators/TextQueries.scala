@@ -1388,7 +1388,109 @@ object TextQueries {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Feature-hash width for t36 — word buckets via poly31 mod 1e9+7. */
+  private val RocchioDims = 32
+
+  /** t36: TRAINED linear quality classifier — Rocchio / nearest-centroid
+    * over hashed bag-of-words features, the fastText-filter recipe
+    * (CCNet / GPT-3 train a cheap linear model to MIMIC an expensive
+    * quality labeler, then run it over the whole corpus): the teacher
+    * label here is the stopword-density heuristic (10·stopwords ≥ words
+    * — t02's family), the student is a linear scorer over word-hash
+    * buckets that never tokenizes beyond a split. Features are per-mille
+    * word-bucket frequencies (poly31 word hash mod [[RocchioDims]] —
+    * d28's dialect-shared fold, so both engines bucket identically);
+    * training is CLOSED-FORM: w = per-mille positive centroid − negative
+    * centroid, threshold = the midpoint of the projected centroids —
+    * ONE distributed aggregation pass over the train split (h<800 of
+    * c03's doc_id hash), no driver loop at all, every quantity int64
+    * and overflow-proof at any corpus size (centroids are per-mille ≤
+    * 10^6 per dim regardless of row count). Output is the ENTIRE model
+    * plus its evaluation in one long-format frame — w_00..w_31, theta,
+    * and the held-out confusion counts with balanced accuracy in
+    * per-mille (the honest metric under the filter's 1:6 class skew) —
+    * so the gate pins training AND generalization bit-for-bit. Scale:
+    * feature build is one word scan + keyed agg; train reduce is 32
+    * rows; scoring is a broadcast join (the model is 33 numbers at any
+    * scale) + one aggregate. The batch perceptron was tried and
+    * rejected here: on near-collinear per-mille features its
+    * whole-population updates cycle between majority predictors
+    * (Gallant's pocket caveat) — the closed form is the scale-sane
+    * trainer.
+    */
+  def t36_rocchio_classifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("y",
+        when(expr("10 * size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))") >=
+          size(split(col("text"), " ")), 1L).otherwise(-1L))
+      .withColumn("h",
+        ((col("doc_id") % 1000003L) * 2654435761L + 97L) % 1000L)
+    val words = docs
+      .select(col("doc_id"), col("y"), col("h"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("y"), col("h"), (expr(
+        "aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS LONG)), " +
+          "0L, (acc, ch) -> (acc * 31 + ch) % 1000000007)")
+        % RocchioDims).as("dim"))
+    val cnt = words.groupBy(col("doc_id"), col("y"), col("h"), col("dim"))
+      .agg(count(lit(1)).as("c"))
+    val tot = words.groupBy(col("doc_id")).agg(count(lit(1)).as("tot"))
+    val feats = cnt.join(tot, "doc_id")
+      .select(col("doc_id"), col("y"), col("h"), col("dim"),
+        expr("(c * 1000) div tot").as("pm"))
+      .localCheckpoint() // feeds the train reduce AND both scoring passes
+    // train reduce: 2 classes x 32 dims -> k-bounded collect
+    val sums = feats.filter(col("h") < 800)
+      .groupBy(col("y"), col("dim")).agg(sum(col("pm")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nByClass = docs.filter(col("h") < 800)
+      .groupBy(col("y")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dims = (0L until RocchioDims).toArray
+    def centroid(y: Long): Array[Long] =
+      dims.map(k => 1000L * sums.getOrElse((y, k), 0L) /
+        math.max(nByClass.getOrElse(y, 0L), 1L))
+    val cp = centroid(1L)
+    val cn = centroid(-1L)
+    val w = dims.map(k => cp(k.toInt) - cn(k.toInt))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, yv) => x * yv }.sum
+    // midpoint threshold kept UNDIVIDED (theta2 = 2*theta): score is
+    // compared as 2000*score > theta2, so no negative-operand division
+    // ever happens (Spark div truncates, DuckDB // floors — q85's hazard)
+    val theta2 = dot(w, cp) + dot(w, cn)
+    // score every doc: broadcast the 32-number model, one keyed agg
+    val wDf = broadcast(dims.map(k => (k, w(k.toInt))).toSeq.toDF("dim", "wt"))
+    val conf = feats.join(wDf, "dim")
+      .groupBy(col("doc_id"), col("y"), col("h"))
+      .agg(sum(col("wt") * col("pm")).as("score"))
+      .select(col("y"), col("h"),
+        when(col("score") * 2000 > theta2, 1L).otherwise(-1L).as("pred"))
+      .groupBy(when(col("h") < 800, "train").otherwise("test").as("part"))
+      .agg(
+        sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }
+    val model = dims.map(k => ("model", f"w_$k%02d", w(k.toInt))) :+
+      (("model", "theta2", theta2))
+    val eval = conf.flatMap { case (part, tp, fp, fn, tn) =>
+      val balacc = (tp * 1000 / math.max(tp + fn, 1L) +
+        tn * 1000 / math.max(fp + tn, 1L)) / 2
+      Seq((part, "tp", tp), (part, "fp", fp), (part, "fn", fn),
+        (part, "tn", tn), (part, "balacc_pm", balacc))
+    }
+    (model ++ eval).toSeq.toDF("part", "metric", "value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t36_rocchio_classifier" -> (t36_rocchio_classifier _),
     "t32_calibration" -> (t32_calibration _),
     "t33_kappa" -> (t33_kappa _),
     "t34_segment_lang" -> (t34_segment_lang _),
@@ -1520,6 +1622,74 @@ object TextQueries {
       |  GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t36_rocchio_classifier" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN 10 * len(list_filter(string_split(text, ' '),
+         |              w -> w IN ('the', 'a', 'of', 'and')))
+         |              >= len(string_split(text, ' ')) THEN 1 ELSE -1 END AS y,
+         |    ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
+         |  FROM documents),
+         |wd AS (
+         |  SELECT doc_id, y, h, unnest(string_split(text, ' ')) AS w
+         |  FROM docs),
+         |dimmed AS (
+         |  SELECT doc_id, y, h,
+         |         list_reduce(list_prepend(0, list_transform(
+         |             range(1, length(w) + 1),
+         |             ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT))),
+         |           (acc, ch) -> (acc * 31 + ch) % 1000000007)
+         |           % $RocchioDims AS dim
+         |  FROM wd WHERE length(w) > 0),
+         |cnt AS (SELECT doc_id, y, h, dim, count(*) AS c
+         |        FROM dimmed GROUP BY 1, 2, 3, 4),
+         |tot AS (SELECT doc_id, count(*) AS tot FROM dimmed GROUP BY 1),
+         |feats AS (
+         |  SELECT c.doc_id, c.y, c.h, c.dim, (c.c * 1000) // t.tot AS pm
+         |  FROM cnt c JOIN tot t USING (doc_id)),
+         |dims AS (SELECT unnest(generate_series(0, ${RocchioDims - 1})) AS dim),
+         |ncls AS (SELECT y, count(*) AS n FROM docs WHERE h < 800 GROUP BY 1),
+         |tsum AS (SELECT dim, y, sum(pm) AS s
+         |         FROM feats WHERE h < 800 GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT d.dim,
+         |    CAST((1000 * coalesce(sp.s, 0)) // greatest(
+         |      coalesce((SELECT n FROM ncls WHERE y = 1), 0), 1) AS BIGINT) AS cp,
+         |    CAST((1000 * coalesce(sn.s, 0)) // greatest(
+         |      coalesce((SELECT n FROM ncls WHERE y = -1), 0), 1) AS BIGINT) AS cn
+         |  FROM dims d
+         |  LEFT JOIN tsum sp ON sp.dim = d.dim AND sp.y = 1
+         |  LEFT JOIN tsum sn ON sn.dim = d.dim AND sn.y = -1),
+         |w AS (SELECT dim, cp - cn AS wt, cp, cn FROM cent),
+         |th AS (SELECT CAST(sum(wt * cp) + sum(wt * cn) AS BIGINT) AS theta2
+         |       FROM w),
+         |scored AS (
+         |  SELECT f.doc_id, f.y, f.h, sum(w.wt * f.pm) AS score
+         |  FROM feats f JOIN w USING (dim) GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT y, h, CASE WHEN score * 2000 > (SELECT theta2 FROM th)
+         |               THEN 1 ELSE -1 END AS pred
+         |  FROM scored),
+         |conf AS (
+         |  SELECT CASE WHEN h < 800 THEN 'train' ELSE 'test' END AS part,
+         |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM pred GROUP BY 1)
+         |SELECT 'model' AS part, printf('w_%02d', dim) AS metric,
+         |       CAST(wt AS BIGINT) AS value FROM w
+         |UNION ALL
+         |SELECT 'model', 'theta2', theta2 FROM th
+         |UNION ALL
+         |SELECT part, m.metric,
+         |  CAST(CASE m.metric
+         |    WHEN 'tp' THEN tp WHEN 'fp' THEN fp
+         |    WHEN 'fn' THEN fn WHEN 'tn' THEN tn
+         |    ELSE ((tp * 1000 // greatest(tp + fn, 1))
+         |        + (tn * 1000 // greatest(fp + tn, 1))) // 2 END AS BIGINT) AS value
+         |FROM conf CROSS JOIN (SELECT unnest(
+         |  ['tp', 'fp', 'fn', 'tn', 'balacc_pm']) AS metric) m""".stripMargin,
     "t32_calibration" -> t32Sql("string_split(text, ' ')", "len",
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
     "t33_kappa" -> t33Sql("string_split(text, ' ')", "len",

@@ -2130,4 +2130,98 @@ class QueriesSpec extends SparkTestBase {
     operators.CoGraph.ensure(spark, sf)
     assert(marker.lastModified() == before, "ensure() rebuilt under a valid marker")
   }
+
+  test("g19 HITS: per-mille bounds, saturated max, authorities are suppliers") {
+    val rows = SparkEntry.queries("g19_hits")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall { case (_, a) => a >= 0 && a <= 1000 },
+      "rescale must bound authority to [0, 1000]")
+    assert(rows.map(_._2).max == 1000, "the top authority defines the scale")
+    val supps = operators.CoGraph.bipartite(spark, sf)
+      .select(col("supp")).distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => supps(r._1)), "authority outside the supplier side")
+  }
+
+  test("s32 kNN graph: query nodes' lists agree with s02's in-bucket ranking") {
+    val g = SparkEntry.queries("s32_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(g.forall { case (v, n, _) => v != n }, "self-loop in kNN graph")
+    assert(g.groupBy(_._1).values.forall(_.length <= 3))
+    assert(g.forall { case (_, _, s) => s >= -1.0000001 && s <= 1.0000001 })
+    // same buckets, same candidates, same order: s32's top-3 for the ten
+    // query ids must be exactly the first 3 of s02's in-bucket top-5
+    val s02Top3 = SparkEntry.queries("s02_ann_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._2, t._3)).toSeq).toMap
+    val s32Q = g.filter(_._1 < 10).groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).map(t => (t._2, t._3)).toSeq).toMap
+    s32Q.foreach { case (q, nbrs) =>
+      assert(nbrs == s02Top3.getOrElse(q, Seq.empty).take(nbrs.length),
+        s"query $q: kNN-graph list diverges from s02's ranking")
+    }
+  }
+
+  test("s33 hard negatives: label-disjoint, capped similarity, k <= 5") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("s33_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).values.forall(_.length <= 5))
+    rows.foreach { case (q, n, s) =>
+      assert(labels(q) != labels(n), s"negative $n shares query $q's label")
+      assert(s < 0.95, s"near-duplicate (sim $s) entered the negative pool")
+    }
+  }
+
+  test("t36 Rocchio: learns beyond chance on both splits; confusion closes") {
+    val rows = SparkEntry.queries("t36_rocchio_classifier")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rows.keys.count(_._1 == "model") == 33, "32 weights + theta2")
+    for (part <- Seq("train", "test")) {
+      val balacc = rows((part, "balacc_pm"))
+      assert(balacc > 500,
+        s"$part balanced accuracy $balacc does not beat chance")
+      val n = rows((part, "tp")) + rows((part, "fp")) +
+        rows((part, "fn")) + rows((part, "tn"))
+      assert(n > 0, s"$part split empty")
+    }
+  }
+
+  test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
+    val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val ladder = Set(50L, 75L, 100L, 133L, 200L)
+    assert(rows.forall(r => ladder(r._4)), "bucket off the aspect ladder")
+    assert(rows.forall(r => r._6 >= 0 && r._6 < 8), "slot out of range")
+    // every batch below the last is exactly full; slots unique per batch
+    rows.groupBy(r => (r._4, r._5)).foreach { case ((b, bn), batch) =>
+      assert(batch.map(_._6).distinct.length == batch.length,
+        s"duplicate slot in batch ($b, $bn)")
+      val lastBatch = rows.filter(_._4 == b).map(_._5).max
+      if (bn < lastBatch)
+        assert(batch.length == 8, s"non-final batch ($b, $bn) not full")
+    }
+    // descending byte-size packing: a batch's smallest asset is no smaller
+    // than the next batch's largest
+    val sizes = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("bl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._4).foreach { case (b, rs) =>
+      val byBatch = rs.groupBy(_._5).view
+        .mapValues(_.map(r => sizes(r._1))).toMap
+      byBatch.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(x, y) =>
+          assert(byBatch(x).min >= byBatch(y).max,
+            s"bucket $b: batch $x not size-dominant over $y")
+        case _ =>
+      }
+    }
+  }
 }
