@@ -1284,7 +1284,38 @@ object CurationQueries {
   private[graft] def waterfillFromView(s: SparkSession): DataFrame =
     s.sql(c38Sql("div"))
 
+  /** c39: PERSISTED-MODEL corpus filter — the production lifecycle of
+    * t36's trained quality classifier: train ONCE into a marker-committed
+    * model store ([[TextQueries.ensureRocchioModel]] — the
+    * s17/t24/d18/CoGraph recipe applied to a model), then APPLY the
+    * stored 33 numbers as a corpus filter with per-source keep
+    * accounting (the "what did the filter do to my mixture" audit every
+    * quality-filtered pretraining corpus publishes). The apply path
+    * featurizes and scores in one broadcast join + keyed agg and NEVER
+    * re-runs the training reduce; the DuckDB oracle RETRAINS inline from
+    * scratch, so the hash gate cross-checks the stored model's
+    * losslessness on every run. Docs with no tokens score null and are
+    * dropped (never silently kept) in both engines.
+    */
+  def c39_persisted_model_apply(s: SparkSession, d: String): DataFrame = {
+    val dir = TextQueries.ensureRocchioModel(s, d)
+    val model = s.read.parquet(s"$dir/model")
+    val theta2 = model.filter(col("dim") === -1L)
+      .collect()(0).getAs[Long]("wt")
+    val wDf = broadcast(model.filter(col("dim") >= 0))
+    val (_, feats) = TextQueries.rocchioFeatures(s, d)
+    val scored = feats.join(wDf, "dim")
+      .groupBy(col("doc_id")).agg(sum(col("wt") * col("pm")).as("score"))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") * 2000 > theta2, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_pm", expr("(n_kept * 1000) div n_docs"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c39_persisted_model_apply" -> (c39_persisted_model_apply _),
     "c38_waterfill_budget" -> (c38_waterfill_budget _),
     "c37_contamination_panel" -> (c37_contamination_panel _),
     "c36_decontaminate_semantic" -> (c36_decontaminate_semantic _),
@@ -1551,6 +1582,19 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c39_persisted_model_apply" -> (TextQueries.rocchioOracleCtes +
+      """,
+        |scored AS (
+        |  SELECT f.doc_id, sum(w.wt * f.pm) AS score
+        |  FROM feats f JOIN w USING (dim) GROUP BY 1),
+        |k AS (SELECT doc_id, CASE WHEN score * 2000 > (SELECT theta2 FROM th)
+        |              THEN 1 ELSE 0 END AS kept FROM scored)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(coalesce(k.kept, 0)) AS BIGINT) AS n_kept,
+        |       (CAST(sum(coalesce(k.kept, 0)) AS BIGINT) * 1000) // count(*)
+        |         AS keep_pm
+        |FROM documents d LEFT JOIN k USING (doc_id)
+        |GROUP BY 1""".stripMargin),
     "c38_waterfill_budget" -> c38Sql("//"),
     "c37_contamination_panel" ->
       s"""WITH t AS (

@@ -3032,7 +3032,37 @@ object RelationalQueries {
   def q130_ks_test(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "documents")(q130Sql)
 
+  /** q131: QUANTIFIED comparison subqueries (`> ALL` / `> ANY`) — the
+    * ANSI surface Spark's parser lacks, emulated the q86-q89 way: the
+    * quantifier collapses to a scalar extreme (`> ALL s ⇔ > max(s)`,
+    * `> ANY s ⇔ > min(s)` — s is non-empty and non-null here), while the
+    * DuckDB oracle runs the REAL `ALL`/`ANY` clauses, so the rewrite is
+    * hash-checked against the native semantics. The subquery is the
+    * per-month average order value carried as exact integer cents
+    * (sum·100 div count — operands non-negative, so Spark's `div` and
+    * DuckDB's `//` agree); output keeps orders beating ANY monthly
+    * average, flagging those beating ALL of them. Scale: one grouped
+    * aggregate (12·years rows), broadcast back as two scalars — the scan
+    * never shuffles.
+    */
+  private val q131SparkSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, substring(CAST(o_orderdate AS STRING), 1, 7) AS m,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |mavg AS (
+      |  SELECT m, sum(cents) div count(*) AS cents_avg
+      |  FROM o GROUP BY m)
+      |SELECT o_orderkey, cents,
+      |       cents > (SELECT max(cents_avg) FROM mavg) AS above_all
+      |FROM o
+      |WHERE cents > (SELECT min(cents_avg) FROM mavg)""".stripMargin
+
+  def q131_quantified(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q131SparkSql)
+
   val queries: Map[String, Q] = Map(
+    "q131_quantified" -> (q131_quantified _),
     "q130_ks_test" -> (q130_ks_test _),
     "q129_calendar_gaps" -> (q129_calendar_gaps _),
     "q128_theil" -> (q128_theil _),
@@ -3568,6 +3598,19 @@ object RelationalQueries {
     "q127_gini" -> q127Sql("//"),
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
+    "q131_quantified" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |         substring(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS m,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mavg AS (
+        |  SELECT m, cast(sum(cents) // count(*) AS BIGINT) AS cents_avg
+        |  FROM o GROUP BY m)
+        |SELECT o_orderkey, cents,
+        |       cents > ALL (SELECT cents_avg FROM mavg) AS above_all
+        |FROM o
+        |WHERE cents > ANY (SELECT cents_avg FROM mavg)""".stripMargin,
     "q129_calendar_gaps" -> q129Sql(
       "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)", "//")
       .replace("$SPINE$",

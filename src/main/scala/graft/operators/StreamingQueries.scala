@@ -450,7 +450,55 @@ object StreamingQueries {
       .filter(col("n") >= 2)
   }
 
+  /** st15: INCREMENTAL classifier training — the closed-form payoff t36
+    * bought by rejecting iterative updates: Rocchio's sufficient
+    * statistics are pure SUMS (per-class per-dim feature totals + class
+    * counts), so continuous ingest maintains the model by appending
+    * per-batch partials and merging — no epochs, no replay of old
+    * batches, no state beyond 2·(dims+1) numbers per batch. Four
+    * micro-batches (doc_id % 4 — arbitrary, not split-aligned, so the
+    * partials must genuinely merge) each write their train-split partial
+    * sums; the merge-only read derives the SAME weights and threshold as
+    * t36's one-shot train — the oracle is t36's retrain-from-scratch
+    * restricted to the model rows, so batching invariance is
+    * hash-checked. Class counts ride the same partial table as dim −2
+    * rows. At 100 TB each batch's partial is 66 rows; the merge reads
+    * partials only, never any batch's documents again.
+    */
+  def st15_incremental_rocchio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = SketchQueries.partialsDir("rocchio_partials", d)
+    val (docs, feats) = TextQueries.rocchioFeatures(s, d)
+    (0 until 4).foreach { b =>
+      val fp = feats.filter(col("h") < 800 && col("doc_id") % 4 === b)
+        .groupBy(col("y"), col("dim")).agg(sum(col("pm")).as("v"))
+      val np = docs.filter(col("h") < 800 && col("doc_id") % 4 === b)
+        .groupBy(col("y")).agg(count(lit(1)).as("v"))
+        .select(col("y"), lit(-2L).as("dim"), col("v"))
+      fp.unionByName(np)
+        .write.mode(if (b == 0) "overwrite" else "append").parquet(dir)
+    }
+    // merge-only: the model falls out of the summed partials
+    val merged = s.read.parquet(dir)
+      .groupBy(col("y"), col("dim")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dims = (0L until TextQueries.RocchioDims.toLong).toArray
+    def centroid(y: Long): Array[Long] =
+      dims.map(k => 1000L * merged.getOrElse((y, k), 0L) /
+        math.max(merged.getOrElse((y, -2L), 0L), 1L))
+    val cp = centroid(1L)
+    val cn = centroid(-1L)
+    val w = dims.map(k => cp(k.toInt) - cn(k.toInt))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, yv) => x * yv }.sum
+    val theta2 = dot(w, cp) + dot(w, cn)
+    (dims.map(k => ("model", f"w_$k%02d", w(k.toInt))) :+
+      (("model", "theta2", theta2)))
+      .toSeq.toDF("part", "metric", "value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "st15_incremental_rocchio" -> (st15_incremental_rocchio _),
     "st14_incremental_co_graph" -> (st14_incremental_co_graph _),
     "st13_incremental_psi" -> (st13_incremental_psi _),
     "st12_view_maintain" -> (st12_view_maintain _),
@@ -468,6 +516,12 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st15_incremental_rocchio" -> (TextQueries.rocchioOracleCtes +
+      """
+        |SELECT 'model' AS part, printf('w_%02d', dim) AS metric,
+        |       CAST(wt AS BIGINT) AS value FROM w
+        |UNION ALL
+        |SELECT 'model', 'theta2', theta2 FROM th""".stripMargin),
     "st14_incremental_co_graph" ->
       """WITH om AS (
         |  SELECT o_orderkey,

@@ -1389,7 +1389,7 @@ object TextQueries {
   }
 
   /** Feature-hash width for t36 — word buckets via poly31 mod 1e9+7. */
-  private val RocchioDims = 32
+  private[operators] val RocchioDims = 32
 
   /** t36: TRAINED linear quality classifier — Rocchio / nearest-centroid
     * over hashed bag-of-words features, the fastText-filter recipe
@@ -1418,8 +1418,12 @@ object TextQueries {
     * (Gallant's pocket caveat) — the closed form is the scale-sane
     * trainer.
     */
-  def t36_rocchio_classifier(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Labeled docs (doc_id, y, h) + per-mille word-bucket features
+    * (doc_id, y, h, dim, pm) — shared by t36 (train + eval) and c39's
+    * persisted-model apply path.
+    */
+  private[operators] def rocchioFeatures(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .withColumn("y",
@@ -1442,7 +1446,15 @@ object TextQueries {
       .select(col("doc_id"), col("y"), col("h"), col("dim"),
         expr("(c * 1000) div tot").as("pm"))
       .localCheckpoint() // feeds the train reduce AND both scoring passes
-    // train reduce: 2 classes x 32 dims -> k-bounded collect
+    (docs, feats)
+  }
+
+  /** Closed-form Rocchio train over the h<800 split: the 32 per-dim
+    * weights and the doubled midpoint threshold. Driver holds 33 numbers
+    * at any corpus size.
+    */
+  private[operators] def trainRocchio(
+      docs: DataFrame, feats: DataFrame): (Array[Long], Long) = {
     val sums = feats.filter(col("h") < 800)
       .groupBy(col("y"), col("dim")).agg(sum(col("pm")).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -1461,7 +1473,36 @@ object TextQueries {
     // midpoint threshold kept UNDIVIDED (theta2 = 2*theta): score is
     // compared as 2000*score > theta2, so no negative-operand division
     // ever happens (Spark div truncates, DuckDB // floors — q85's hazard)
-    val theta2 = dot(w, cp) + dot(w, cn)
+    (w, dot(w, cp) + dot(w, cn))
+  }
+
+  /** Marker-committed Rocchio MODEL store keyed by the documents corpus
+    * identity (size + mtime — the ivfPqIndexDir discipline): the
+    * s17/t24/d18/CoGraph persistence recipe applied to a TRAINED MODEL.
+    * Training's distributed reduce runs ONCE per corpus version; every
+    * apply thereafter reads 33 parquet rows. A regenerated corpus at the
+    * same path orphans the store rather than serving a stale model.
+    */
+  private[graft] def ensureRocchioModel(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"rocchio_v1_${f.length()}_${f.lastModified()}", d)
+    if (new java.io.File(dir, "_complete").exists()) return dir
+    val (docs, feats) = rocchioFeatures(s, d)
+    val (w, theta2) = trainRocchio(docs, feats)
+    import s.implicits._
+    ((-1L, theta2) +: (0L until RocchioDims).map(k => (k, w(k.toInt))))
+      .toDF("dim", "wt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/model")
+    new java.io.File(dir, "_complete").createNewFile()
+    dir
+  }
+
+  def t36_rocchio_classifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, feats) = rocchioFeatures(s, d)
+    val (w, theta2) = trainRocchio(docs, feats)
+    val dims = (0L until RocchioDims).toArray
     // score every doc: broadcast the 32-number model, one keyed agg
     val wDf = broadcast(dims.map(k => (k, w(k.toInt))).toSeq.toDF("dim", "wt"))
     val conf = feats.join(wDf, "dim")
@@ -1621,48 +1662,56 @@ object TextQueries {
       |  FROM b JOIN lm USING (w1, w2)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** The featurize→train CTE chain of the Rocchio model (docs, feats,
+    * weights `w`, threshold `th`) — shared by t36's oracle and c39's
+    * persisted-model-apply oracle, which retrains INLINE so the hash gate
+    * cross-checks the stored model's losslessness on every run.
+    */
+  private[operators] val rocchioOracleCtes: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN 10 * len(list_filter(string_split(text, ' '),
+       |              w -> w IN ('the', 'a', 'of', 'and')))
+       |              >= len(string_split(text, ' ')) THEN 1 ELSE -1 END AS y,
+       |    ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
+       |  FROM documents),
+       |wd AS (
+       |  SELECT doc_id, y, h, unnest(string_split(text, ' ')) AS w
+       |  FROM docs),
+       |dimmed AS (
+       |  SELECT doc_id, y, h,
+       |         list_reduce(list_prepend(0, list_transform(
+       |             range(1, length(w) + 1),
+       |             ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT))),
+       |           (acc, ch) -> (acc * 31 + ch) % 1000000007)
+       |           % $RocchioDims AS dim
+       |  FROM wd WHERE length(w) > 0),
+       |cnt AS (SELECT doc_id, y, h, dim, count(*) AS c
+       |        FROM dimmed GROUP BY 1, 2, 3, 4),
+       |tot AS (SELECT doc_id, count(*) AS tot FROM dimmed GROUP BY 1),
+       |feats AS (
+       |  SELECT c.doc_id, c.y, c.h, c.dim, (c.c * 1000) // t.tot AS pm
+       |  FROM cnt c JOIN tot t USING (doc_id)),
+       |dims AS (SELECT unnest(generate_series(0, ${RocchioDims - 1})) AS dim),
+       |ncls AS (SELECT y, count(*) AS n FROM docs WHERE h < 800 GROUP BY 1),
+       |tsum AS (SELECT dim, y, sum(pm) AS s
+       |         FROM feats WHERE h < 800 GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT d.dim,
+       |    CAST((1000 * coalesce(sp.s, 0)) // greatest(
+       |      coalesce((SELECT n FROM ncls WHERE y = 1), 0), 1) AS BIGINT) AS cp,
+       |    CAST((1000 * coalesce(sn.s, 0)) // greatest(
+       |      coalesce((SELECT n FROM ncls WHERE y = -1), 0), 1) AS BIGINT) AS cn
+       |  FROM dims d
+       |  LEFT JOIN tsum sp ON sp.dim = d.dim AND sp.y = 1
+       |  LEFT JOIN tsum sn ON sn.dim = d.dim AND sn.y = -1),
+       |w AS (SELECT dim, cp - cn AS wt, cp, cn FROM cent),
+       |th AS (SELECT CAST(sum(wt * cp) + sum(wt * cn) AS BIGINT) AS theta2
+       |       FROM w)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "t36_rocchio_classifier" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN 10 * len(list_filter(string_split(text, ' '),
-         |              w -> w IN ('the', 'a', 'of', 'and')))
-         |              >= len(string_split(text, ' ')) THEN 1 ELSE -1 END AS y,
-         |    ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
-         |  FROM documents),
-         |wd AS (
-         |  SELECT doc_id, y, h, unnest(string_split(text, ' ')) AS w
-         |  FROM docs),
-         |dimmed AS (
-         |  SELECT doc_id, y, h,
-         |         list_reduce(list_prepend(0, list_transform(
-         |             range(1, length(w) + 1),
-         |             ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT))),
-         |           (acc, ch) -> (acc * 31 + ch) % 1000000007)
-         |           % $RocchioDims AS dim
-         |  FROM wd WHERE length(w) > 0),
-         |cnt AS (SELECT doc_id, y, h, dim, count(*) AS c
-         |        FROM dimmed GROUP BY 1, 2, 3, 4),
-         |tot AS (SELECT doc_id, count(*) AS tot FROM dimmed GROUP BY 1),
-         |feats AS (
-         |  SELECT c.doc_id, c.y, c.h, c.dim, (c.c * 1000) // t.tot AS pm
-         |  FROM cnt c JOIN tot t USING (doc_id)),
-         |dims AS (SELECT unnest(generate_series(0, ${RocchioDims - 1})) AS dim),
-         |ncls AS (SELECT y, count(*) AS n FROM docs WHERE h < 800 GROUP BY 1),
-         |tsum AS (SELECT dim, y, sum(pm) AS s
-         |         FROM feats WHERE h < 800 GROUP BY 1, 2),
-         |cent AS (
-         |  SELECT d.dim,
-         |    CAST((1000 * coalesce(sp.s, 0)) // greatest(
-         |      coalesce((SELECT n FROM ncls WHERE y = 1), 0), 1) AS BIGINT) AS cp,
-         |    CAST((1000 * coalesce(sn.s, 0)) // greatest(
-         |      coalesce((SELECT n FROM ncls WHERE y = -1), 0), 1) AS BIGINT) AS cn
-         |  FROM dims d
-         |  LEFT JOIN tsum sp ON sp.dim = d.dim AND sp.y = 1
-         |  LEFT JOIN tsum sn ON sn.dim = d.dim AND sn.y = -1),
-         |w AS (SELECT dim, cp - cn AS wt, cp, cn FROM cent),
-         |th AS (SELECT CAST(sum(wt * cp) + sum(wt * cn) AS BIGINT) AS theta2
-         |       FROM w),
+    "t36_rocchio_classifier" -> (rocchioOracleCtes +
+      s""",
          |scored AS (
          |  SELECT f.doc_id, f.y, f.h, sum(w.wt * f.pm) AS score
          |  FROM feats f JOIN w USING (dim) GROUP BY 1, 2, 3),
@@ -1689,7 +1738,7 @@ object TextQueries {
          |    ELSE ((tp * 1000 // greatest(tp + fn, 1))
          |        + (tn * 1000 // greatest(fp + tn, 1))) // 2 END AS BIGINT) AS value
          |FROM conf CROSS JOIN (SELECT unnest(
-         |  ['tp', 'fp', 'fn', 'tn', 'balacc_pm']) AS metric) m""".stripMargin,
+         |  ['tp', 'fp', 'fn', 'tn', 'balacc_pm']) AS metric) m""".stripMargin),
     "t32_calibration" -> t32Sql("string_split(text, ' ')", "len",
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
     "t33_kappa" -> t33Sql("string_split(text, ' ')", "len",

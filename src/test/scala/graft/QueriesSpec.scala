@@ -2192,6 +2192,52 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q131 quantified: ALL implies ANY; flags match the scalar extremes") {
+    val rows = SparkEntry.queries("q131_quantified")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    val mavg = Tables.orders(spark, sf)
+      .groupBy(expr("substring(CAST(o_orderdate AS STRING), 1, 7)").as("m"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) div count(*)")
+        .as("a"))
+      .collect().map(_.getLong(1))
+    val (lo, hi) = (mavg.min, mavg.max)
+    rows.foreach { case (k, cents, all) =>
+      assert(cents > lo, s"order $k fails the ANY floor")
+      assert(all == (cents > hi), s"order $k: above_all flag wrong")
+    }
+  }
+
+  test("c39 applies the STORED model losslessly; accounting closes per source") {
+    // the persisted model must be byte-identical to t36's inline train
+    val t36 = SparkEntry.queries("t36_rocchio_classifier")(spark, sf)
+      .filter(col("part") === "model").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val dir = operators.TextQueries.ensureRocchioModel(spark, sf)
+    val stored = spark.read.parquet(s"$dir/model").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 32).foreach { k =>
+      assert(stored(k.toLong) == t36(f"w_$k%02d"), s"stored w_$k diverges")
+    }
+    assert(stored(-1L) == t36("theta2"), "stored theta2 diverges")
+    val acc = SparkEntry.queries("c39_persisted_model_apply")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = Tables.documents(spark, sf).count()
+    assert(acc.map(_._2).sum == total, "per-source doc counts do not close")
+    acc.foreach { case (src, n, kept) =>
+      assert(kept >= 0 && kept <= n, s"source $src: kept $kept of $n")
+    }
+  }
+
+  test("st15 incremental train reproduces t36's one-shot model exactly") {
+    val inc = SparkEntry.queries("st15_incremental_rocchio")(spark, sf)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val oneShot = SparkEntry.queries("t36_rocchio_classifier")(spark, sf)
+      .filter(col("part") === "model").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(inc == oneShot, "merged partials diverge from the one-shot train")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
