@@ -482,18 +482,9 @@ object StreamingQueries {
     val merged = s.read.parquet(dir)
       .groupBy(col("y"), col("dim")).agg(sum(col("v")).as("v"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val dims = (0L until TextQueries.RocchioDims.toLong).toArray
-    def centroid(y: Long): Array[Long] =
-      dims.map(k => 1000L * merged.getOrElse((y, k), 0L) /
-        math.max(merged.getOrElse((y, -2L), 0L), 1L))
-    val cp = centroid(1L)
-    val cn = centroid(-1L)
-    val w = dims.map(k => cp(k.toInt) - cn(k.toInt))
-    def dot(a: Array[Long], b: Array[Long]): Long =
-      a.zip(b).map { case (x, yv) => x * yv }.sum
-    val theta2 = dot(w, cp) + dot(w, cn)
-    (dims.map(k => ("model", f"w_$k%02d", w(k.toInt))) :+
-      (("model", "theta2", theta2)))
+    val (w, theta2) = TextQueries.rocchioModelFromSums(merged)
+    ((0 until TextQueries.RocchioDims).map(k =>
+      ("model", f"w_$k%02d", w(k))) :+ (("model", "theta2", theta2)))
       .toSeq.toDF("part", "metric", "value")
   }
 

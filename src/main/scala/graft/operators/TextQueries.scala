@@ -1423,8 +1423,16 @@ object TextQueries {
     * persisted-model apply path.
     */
   private[operators] def rocchioFeatures(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    rocchioFeaturesFrom(Tables.documents(s, d))
+
+  /** The same featurizer over any (doc_id, text) frame — split out so the
+    * streaming spec can featurize each micro-batch batch-locally
+    * (per-doc features have no cross-doc dependency, so any batching of
+    * the corpus yields mergeable partials).
+    */
+  private[graft] def rocchioFeaturesFrom(raw: DataFrame): (DataFrame, DataFrame) = {
+    val docs = raw
       .select(col("doc_id"), col("text"))
       .withColumn("y",
         when(expr("10 * size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))") >=
@@ -1473,6 +1481,24 @@ object TextQueries {
     // midpoint threshold kept UNDIVIDED (theta2 = 2*theta): score is
     // compared as 2000*score > theta2, so no negative-operand division
     // ever happens (Spark div truncates, DuckDB // floors — q85's hazard)
+    (w, dot(w, cp) + dot(w, cn))
+  }
+
+  /** Model from merged sufficient statistics — per-(class, dim) pm sums
+    * with class counts as dim −2 rows. Shared by st15's partial-merge
+    * path and the streaming spec; the arithmetic is [[trainRocchio]]'s.
+    */
+  private[graft] def rocchioModelFromSums(
+      m: Map[(Long, Long), Long]): (Array[Long], Long) = {
+    val dims = (0L until RocchioDims.toLong).toArray
+    def centroid(y: Long): Array[Long] =
+      dims.map(k => 1000L * m.getOrElse((y, k), 0L) /
+        math.max(m.getOrElse((y, -2L), 0L), 1L))
+    val cp = centroid(1L)
+    val cn = centroid(-1L)
+    val w = dims.map(k => cp(k.toInt) - cn(k.toInt))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, yv) => x * yv }.sum
     (w, dot(w, cp) + dot(w, cn))
   }
 

@@ -1006,6 +1006,49 @@ class StreamingSpec extends SparkTestBase {
       s"streamed co-graph diverged: ${maintained.diff(oneShot).take(3)} / ${oneShot.diff(maintained).take(3)}")
   }
 
+  test("streaming classifier maintenance == one-shot train (st15 under a real stream)") {
+    // st15's architecture under a REAL readStream: documents arrive in
+    // micro-batches, each batch featurizes ITSELF (per-doc features have
+    // no cross-doc dependency — any batching of the corpus works, unlike
+    // st14's co-arrival contract) and appends its sufficient-statistic
+    // partial (per-class per-dim pm sums + class counts); the maintained
+    // model is derived from MERGED partials only and must equal the
+    // one-shot train bit-for-bit.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("rocchio_stream_src").toString
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val partsDir = Files.createTempDirectory("rocchio_stream_parts").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val (docs, feats) = operators.TextQueries.rocchioFeaturesFrom(b)
+          val fp = feats.filter(col("h") < 800)
+            .groupBy(col("y"), col("dim")).agg(sum(col("pm")).as("v"))
+          val np = docs.filter(col("h") < 800)
+            .groupBy(col("y")).agg(count(lit(1)).as("v"))
+            .select(col("y"), lit(-2L).as("dim"), col("v"))
+          fp.unionByName(np).write.mode("append").parquet(partsDir)
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val merged = spark.read.parquet(partsDir)
+      .groupBy(col("y"), col("dim")).agg(sum(col("v")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (wS, thS) = operators.TextQueries.rocchioModelFromSums(merged)
+    val oneShot = SparkEntry.queries("t36_rocchio_classifier")(spark, sf)
+      .filter(col("part") === "model").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    (0 until 32).foreach { k =>
+      assert(wS(k) == oneShot(f"w_$k%02d"), s"streamed w_$k diverges")
+    }
+    assert(thS == oneShot("theta2"), "streamed theta2 diverges")
+  }
+
   test("stateful stream: running per-user event count via groupBy on keys") {
     Sessions.tune(spark)
     val dir = eventsStreamDir
