@@ -3061,7 +3061,30 @@ object RelationalQueries {
   def q131_quantified(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q131SparkSql)
 
+  /** q132: DISTRIBUTION-rank window trio — percent_rank, cume_dist,
+    * ntile — the last ANSI window functions the registry didn't exercise
+    * (q12 covers rank/dense_rank/row_number, q42 the offset family).
+    * percent_rank = (rank−1)/(n−1) and cume_dist = rank/n are single
+    * IEEE divisions of integers (bit-identical cross-engine; rounded to
+    * 9dp anyway per t05's discipline), ntile is integer arithmetic; the
+    * ORDER BY carries the key tie-break so ranks are total. One shuffle
+    * on the partition key, same as any window — both engines run the
+    * IDENTICAL SQL text (shared dialect, WINDOW clause included).
+    */
+  private val q132Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       round(percent_rank() OVER w, 9) AS pr,
+      |       round(cume_dist() OVER w, 9) AS cd,
+      |       CAST(ntile(10) OVER w AS BIGINT) AS decile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)""".stripMargin
+
+  def q132_distribution_ranks(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q132Sql)
+
   val queries: Map[String, Q] = Map(
+    "q132_distribution_ranks" -> (q132_distribution_ranks _),
     "q131_quantified" -> (q131_quantified _),
     "q130_ks_test" -> (q130_ks_test _),
     "q129_calendar_gaps" -> (q129_calendar_gaps _),
@@ -3598,6 +3621,7 @@ object RelationalQueries {
     "q127_gini" -> q127Sql("//"),
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
+    "q132_distribution_ranks" -> q132Sql,
     "q131_quantified" ->
       """WITH o AS (
         |  SELECT o_orderkey,

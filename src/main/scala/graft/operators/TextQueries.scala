@@ -1556,7 +1556,59 @@ object TextQueries {
     (model ++ eval).toSeq.toDF("part", "metric", "value")
   }
 
+  /** t37's span plan over either dialect — `posGen` is the only divergent
+    * spelling (explode(sequence) vs unnest(generate_series)).
+    */
+  private def t37Sql(posGen: String): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, $$N$$ AS n FROM documents),
+       |pos AS (SELECT doc_id, $posGen AS i FROM docs WHERE n >= 1),
+       |st AS (
+       |  SELECT doc_id, i,
+       |    CASE WHEN (((doc_id % 1000003) * 31 + i) * 2654435761 + 13) % 97 < 5
+       |         THEN 1 ELSE 0 END AS s
+       |  FROM pos),
+       |mk AS (
+       |  SELECT doc_id, i,
+       |    max(s) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+       |  FROM st),
+       |isl AS (
+       |  SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+       |  FROM mk WHERE m = 1),
+       |sp AS (
+       |  SELECT doc_id, g, CAST(min(i) AS BIGINT) AS start_tok,
+       |    CAST(max(i) AS BIGINT) AS end_tok,
+       |    CAST(count(*) AS BIGINT) AS span_len
+       |  FROM isl GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_tok)
+       |            - 1 AS BIGINT) AS sentinel_id,
+       |       start_tok, end_tok, span_len
+       |FROM sp""".stripMargin
+
+  /** t37: SPAN-CORRUPTION manifest — T5's denoising objective as a data
+    * op (Raffel et al. JMLR'20 §3.1.4): deterministically select ~15% of
+    * each document's tokens in mean-length-3 spans and emit the
+    * (sentinel_id, start, end) plan a training loader replaces with
+    * sentinel tokens. Span starts come from a dialect-shared
+    * multiplicative hash of (doc_id, position) (~5% of positions start a
+    * 3-token span — T5's 15%/3 defaults), overlapping spans MERGE via
+    * the d17 gaps-and-islands trick (position − row_number over masked
+    * positions), and sentinel ids number the merged islands in order —
+    * exactly the contract sentinel replacement needs (no nested or
+    * overlapping spans, ids dense per doc). All integers; one explode +
+    * three per-doc windows — scan-shaped, no joins at all.
+    */
+  def t37_span_corruption(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t37Sql("explode(sequence(1, n))")
+      .replace("$N$", "size(split(text, ' '))"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t37_span_corruption" -> (t37_span_corruption _),
     "t36_rocchio_classifier" -> (t36_rocchio_classifier _),
     "t32_calibration" -> (t32_calibration _),
     "t33_kappa" -> (t33_kappa _),
@@ -1736,6 +1788,8 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t37_span_corruption" -> t37Sql("unnest(generate_series(1, n))")
+      .replace("$N$", "len(string_split(text, ' '))"),
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

@@ -528,6 +528,35 @@ object ScaleProbe {
         graft.operators.MultimodalQueries.m19_keyframes(spark, sf).count())
       time(s"$tag c38_waterfill_budget")(
         graft.operators.CurationQueries.c38_waterfill_budget(spark, sf).count())
+      // round-7 fourth wave: g19 alternates keyed joins over 10x edges
+      // (hub-skewed supplier side); s32's in-bucket candidate join faces
+      // 10x-deeper sign buckets — ~100x pairs on the clone corpus, the
+      // plane-count dial's cost curve made visible; s33 is a 10x corpus
+      // scan against a constant query side; t36/c39/st15 are one feature
+      // scan + broadcast-model joins; m20 is scan + two-phase prefix
+      // scan; q131 is scan + a 12-row-per-year aggregate
+      time(s"$tag g19_hits")(
+        graft.operators.GraphQueries.g19_hits(spark, sf).count())
+      time(s"$tag s32_knn_graph")(
+        graft.operators.SimilarityQueries.s32_knn_graph(spark, sf).count())
+      time(s"$tag s33_hard_negatives")(
+        graft.operators.SimilarityQueries.s33_hard_negatives(spark, sf).count())
+      time(s"$tag t36_rocchio")(
+        graft.operators.TextQueries.t36_rocchio_classifier(spark, sf).count())
+      time(s"$tag c39_model_apply")(
+        graft.operators.CurationQueries.c39_persisted_model_apply(spark, sf).count())
+      time(s"$tag st15_incremental_rocchio")(
+        graft.operators.StreamingQueries.st15_incremental_rocchio(spark, sf).count())
+      time(s"$tag m20_aspect_buckets")(
+        graft.operators.MultimodalQueries.m20_aspect_buckets(spark, sf).count())
+      time(s"$tag q131_quantified")(
+        graft.operators.RelationalQueries.q131_quantified(spark, sf).count())
+      // q132 is one partition-keyed window pass; t37 is explode + three
+      // per-doc windows — both scan-shaped, both should track corpus size
+      time(s"$tag q132_distribution_ranks")(
+        graft.operators.RelationalQueries.q132_distribution_ranks(spark, sf).count())
+      time(s"$tag t37_span_corruption")(
+        graft.operators.TextQueries.t37_span_corruption(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2238,6 +2238,46 @@ class QueriesSpec extends SparkTestBase {
     assert(inc == oneShot, "merged partials diverge from the one-shot train")
   }
 
+  test("q132 distribution ranks: cume_dist tops at 1, deciles near-balanced") {
+    val rows = SparkEntry.queries("q132_distribution_ranks")(spark, sf)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).min == 0.0, s"$p: percent_rank must start at 0")
+      assert(rs.map(_._3).max == 1.0, s"$p: cume_dist must reach 1")
+      val deciles = rs.groupBy(_._4).view.mapValues(_.length)
+      assert(deciles.keySet == (1L to 10L).toSet, s"$p: missing deciles")
+      assert(deciles.values.max - deciles.values.min <= 1,
+        s"$p: ntile imbalance beyond 1")
+    }
+  }
+
+  test("t37 span corruption: merged spans, dense sentinels, ~15% masked") {
+    val spans = SparkEntry.queries("t37_span_corruption")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, _, s0, e0, len) =>
+      assert(len == e0 - s0 + 1 && len >= 1)
+    }
+    spans.groupBy(_._1).foreach { case (doc, ss) =>
+      val ordered = ss.sortBy(_._3).toSeq
+      assert(ordered.map(_._2) == ordered.indices.map(_.toLong),
+        s"doc $doc: sentinel ids not dense in span order")
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b._3 > a._4 + 1,
+            s"doc $doc: spans ${a._2}/${b._2} overlap or touch — not merged")
+        case _ =>
+      }
+    }
+    val nTokens = Tables.documents(spark, sf)
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    val masked = spans.map(_._5).sum.toDouble / nTokens
+    assert(masked > 0.08 && masked < 0.25,
+      s"mask fraction $masked outside the T5-ish band")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
