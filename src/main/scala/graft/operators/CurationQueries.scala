@@ -1314,7 +1314,51 @@ object CurationQueries {
       .withColumn("keep_pm", expr("(n_kept * 1000) div n_docs"))
   }
 
+  /** c40: post-FILTER mixture repair — c35's drift audit pointed at the
+    * LEARNED filter instead of dedup, closed with the repair number: a
+    * quality filter strikes sources unevenly (boilerplate-heavy crawls
+    * lose more than curated text), so the surviving token mixture drifts
+    * from the plan; per source this emits before/after token pools,
+    * per-mille shares of each, and the resampling CORRECTION factor
+    * (share_before/share_after, per-mille) a loader multiplies into its
+    * sampling rate to restore the planned mixture — c23's split-repair
+    * idea applied to mixtures. Keep decisions come from the STORED
+    * Rocchio model (c39's store); the oracle retrains inline, so model
+    * persistence is cross-checked here too. Null-scoring docs (no
+    * tokens) count as dropped in both engines. Shape: one feature scan +
+    * broadcast-model join, two keyed aggregates, one broadcast-scalar
+    * total.
+    */
+  def c40_filter_mixture_repair(s: SparkSession, d: String): DataFrame = {
+    val dir = TextQueries.ensureRocchioModel(s, d)
+    val model = s.read.parquet(s"$dir/model")
+    val theta2 = model.filter(col("dim") === -1L)
+      .collect()(0).getAs[Long]("wt")
+    val wDf = broadcast(model.filter(col("dim") >= 0))
+    val (_, feats) = TextQueries.rocchioFeatures(s, d)
+    val scored = feats.join(wDf, "dim")
+      .groupBy(col("doc_id")).agg(sum(col("wt") * col("pm")).as("score"))
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)")
+          .as("n_toks"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("score") * 2000 > theta2, 1L).otherwise(0L))
+    val agg = per.groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("toks_before"),
+        sum(col("kept") * col("n_toks")).as("toks_after"))
+    val tot = agg.agg(sum(col("toks_before")).as("tb"),
+      sum(col("toks_after")).as("ta"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks_before"), col("toks_after"),
+        expr("(toks_before * 1000) div tb").as("share_before_pm"),
+        expr("(toks_after * 1000) div greatest(ta, 1)").as("share_after_pm"))
+      .withColumn("correction_pm",
+        expr("(share_before_pm * 1000) div greatest(share_after_pm, 1)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c40_filter_mixture_repair" -> (c40_filter_mixture_repair _),
     "c39_persisted_model_apply" -> (c39_persisted_model_apply _),
     "c38_waterfill_budget" -> (c38_waterfill_budget _),
     "c37_contamination_panel" -> (c37_contamination_panel _),
@@ -1582,6 +1626,31 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c40_filter_mixture_repair" -> (TextQueries.rocchioOracleCtes +
+      """,
+        |scored AS (
+        |  SELECT f.doc_id, sum(w.wt * f.pm) AS score
+        |  FROM feats f JOIN w USING (dim) GROUP BY 1),
+        |per AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1
+        |              AS BIGINT) AS n_toks,
+        |         CASE WHEN s.score * 2000 > (SELECT theta2 FROM th)
+        |              THEN 1 ELSE 0 END AS kept
+        |  FROM documents d LEFT JOIN scored s USING (doc_id)),
+        |agg AS (
+        |  SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks_before,
+        |         CAST(sum(kept * n_toks) AS BIGINT) AS toks_after
+        |  FROM per GROUP BY 1),
+        |tt AS (SELECT CAST(sum(toks_before) AS BIGINT) AS tb,
+        |              CAST(sum(toks_after) AS BIGINT) AS ta FROM agg)
+        |SELECT source, toks_before, toks_after,
+        |       (toks_before * 1000) // tb AS share_before_pm,
+        |       (toks_after * 1000) // greatest(ta, 1) AS share_after_pm,
+        |       (((toks_before * 1000) // tb) * 1000)
+        |         // greatest((toks_after * 1000) // greatest(ta, 1), 1)
+        |         AS correction_pm
+        |FROM agg CROSS JOIN tt""".stripMargin),
     "c39_persisted_model_apply" -> (TextQueries.rocchioOracleCtes +
       """,
         |scored AS (

@@ -950,17 +950,19 @@ object GraphQueries {
     var hub = edges.select(col("cust")).distinct()
       .withColumn("h", lit(1000L))
     var auth: DataFrame = null
+    // g01's idiom: NO per-round checkpoint — a fixed 3-round tree over
+    // the checkpointed edge table is one job, and each round's
+    // double-read (the agg feeding both the rescale and its max) is
+    // served by exchange reuse, not recomputation
     for (_ <- 1 to HitsRounds) {
       val a0 = edges.join(hub, "cust")
         .groupBy(col("supp")).agg(sum(col("h")).as("a"))
       auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("am"))))
         .select(col("supp"), expr("a * 1000 div am").as("a"))
-        .localCheckpoint()
       val h0 = edges.join(auth, "supp")
         .groupBy(col("cust")).agg(sum(col("a")).as("h"))
       hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("hm"))))
         .select(col("cust"), expr("h * 1000 div hm").as("h"))
-        .localCheckpoint()
     }
     auth.orderBy(col("a").desc, col("supp")).limit(20)
       .select(col("supp").as("s_suppkey"), col("a").as("authority"))

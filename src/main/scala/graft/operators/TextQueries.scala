@@ -1607,7 +1607,45 @@ object TextQueries {
       .replace("$N$", "size(split(text, ' '))"))
   }
 
+  /** t38's sweep plan — `split` and `div` are the dialect-divergent
+    * spellings; the k ladder is a shared literal.
+    */
+  private def t38Sql(split: String, un: String, div: String): String =
+    s"""WITH words AS (SELECT $split AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM words WHERE length(w) > 0 GROUP BY 1),
+       |rk AS (SELECT w, cnt,
+       |         row_number() OVER (ORDER BY cnt DESC, w) AS r FROM wc),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM wc),
+       |ks AS (SELECT $un AS k)
+       |SELECT k.k AS vocab_size,
+       |  CAST(coalesce(sum(CASE WHEN r.r > k.k THEN r.cnt END), 0)
+       |       AS BIGINT) AS oov_tokens,
+       |  CAST(coalesce(sum(CASE WHEN r.r > k.k THEN 1 END), 0)
+       |       AS BIGINT) AS oov_types,
+       |  (CAST(coalesce(sum(CASE WHEN r.r > k.k THEN r.cnt END), 0)
+       |        AS BIGINT) * 1000) $div t.t AS oov_pm
+       |FROM ks k CROSS JOIN rk r CROSS JOIN tot t
+       |GROUP BY k.k, t.t""".stripMargin
+
+  /** t38: VOCABULARY-size sweep — the "how big must the vocab be" table a
+    * tokenizer design reads before t17 trains anything: for each
+    * candidate vocab size k, the OOV token rate (per-mille) and stranded
+    * type count if the vocab were the top-k words by corpus frequency.
+    * Rank ties break lexicographically (dialect-shared). The word-count
+    * table IS the sketch — |types| rows at any corpus size — so the
+    * sweep's cross join is |types|·|ks|, metadata-sized; the one corpus
+    * scan is the only data-sized work. Complements t16 (point stats)
+    * and c32 (fertility under a FIXED vocab).
+    */
+  def t38_vocab_sweep(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t38Sql("explode(split(text, ' '))",
+      "explode(array(1, 2, 4, 8, 16, 32, 64))", "div"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t38_vocab_sweep" -> (t38_vocab_sweep _),
     "t37_span_corruption" -> (t37_span_corruption _),
     "t36_rocchio_classifier" -> (t36_rocchio_classifier _),
     "t32_calibration" -> (t32_calibration _),
@@ -1790,6 +1828,8 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "t37_span_corruption" -> t37Sql("unnest(generate_series(1, n))")
       .replace("$N$", "len(string_split(text, ' '))"),
+    "t38_vocab_sweep" -> t38Sql("unnest(string_split(text, ' '))",
+      "unnest([1, 2, 4, 8, 16, 32, 64])", "//"),
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

@@ -557,6 +557,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q132_distribution_ranks(spark, sf).count())
       time(s"$tag t37_span_corruption")(
         graft.operators.TextQueries.t37_span_corruption(spark, sf).count())
+      // c40 is c39's scan + two keyed aggs; t38's sweep join is
+      // |types| x |ks| — metadata-sized at any corpus scale
+      time(s"$tag c40_mixture_repair")(
+        graft.operators.CurationQueries.c40_filter_mixture_repair(spark, sf).count())
+      time(s"$tag t38_vocab_sweep")(
+        graft.operators.TextQueries.t38_vocab_sweep(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2278,6 +2278,41 @@ class QueriesSpec extends SparkTestBase {
       s"mask fraction $masked outside the T5-ish band")
   }
 
+  test("c40 mixture repair: internally consistent shares and corrections") {
+    val rows = SparkEntry.queries("c40_filter_mixture_repair")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, tb, ta, sb, sa, corr) =>
+      assert(ta <= tb, s"$src: filter grew the pool")
+      assert(corr == sb * 1000 / math.max(sa, 1L),
+        s"$src: correction inconsistent with its own shares")
+    }
+    val sumBefore = rows.map(_._4).sum
+    assert(math.abs(sumBefore - 1000) <= rows.length,
+      s"before-shares sum $sumBefore strays beyond floor rounding")
+  }
+
+  test("t38 vocab sweep: OOV monotone in vocab size, exhausted at the tail") {
+    val rows = SparkEntry.queries("t38_vocab_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq(1, 2, 4, 8, 16, 32, 64))
+    rows.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b._2 <= a._2 && b._3 <= a._3,
+          "OOV must not grow with a larger vocab")
+      case _ =>
+    }
+    val nTypes = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    rows.foreach { case (k, _, oovTypes, _) =>
+      assert(oovTypes == math.max(nTypes - k, 0L),
+        s"k=$k: stranded-type count wrong")
+    }
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
