@@ -1644,7 +1644,50 @@ object TextQueries {
       "explode(array(1, 2, 4, 8, 16, 32, 64))", "div"))
   }
 
+  /** t39's gate plan — `split`/`div` are the dialect-divergent spellings;
+    * the blocklist itself is a shared literal IN-list.
+    */
+  private def t39Sql(split: String, div: String): String =
+    s"""WITH words AS (SELECT doc_id, $split AS w FROM documents),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM words WHERE w IN ('slow', 'broken', 'kill') GROUP BY 1),
+       |per AS (
+       |  SELECT d.doc_id, d.source, coalesce(h.n_hits, 0) AS n_hits
+       |  FROM documents d LEFT JOIN hits h USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  (CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    $div count(*) AS drop_pm
+       |FROM per GROUP BY 1""".stripMargin
+
+  /** t39: BLOCKLIST document gate — C4's "bad words" filter (Raffel et
+    * al. JMLR'20 §2.2: drop any document containing a listed word) as a
+    * per-source audit: docs are TOKENIZED and matched on whole words —
+    * never substring-scanned, which is the classic false-positive bug
+    * this formulation structurally avoids — and a single listed token
+    * sinks the document (C4's any-hit rule). The list rides the query as
+    * a literal IN-list (a real deployment broadcasts a list table; same
+    * plan shape). Output: per-source doc counts, drop counts, total
+    * hits, and the per-mille drop rate the corpus datasheet publishes.
+    * One token scan + keyed count + left join back — scan-shaped.
+    */
+  def t39_blocklist_filter(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    blocklistFromView(s)
+  }
+
+  /** The gate over whatever `documents` view is registered — split out so
+    * the spec can plant whole-word vs substring cases (the scunthorpe
+    * check).
+    */
+  private[graft] def blocklistFromView(s: SparkSession): DataFrame =
+    s.sql(t39Sql("explode(split(text, ' '))", "div"))
+
   val queries: Map[String, Q] = Map(
+    "t39_blocklist_filter" -> (t39_blocklist_filter _),
     "t38_vocab_sweep" -> (t38_vocab_sweep _),
     "t37_span_corruption" -> (t37_span_corruption _),
     "t36_rocchio_classifier" -> (t36_rocchio_classifier _),
@@ -1830,6 +1873,8 @@ object TextQueries {
       .replace("$N$", "len(string_split(text, ' '))"),
     "t38_vocab_sweep" -> t38Sql("unnest(string_split(text, ' '))",
       "unnest([1, 2, 4, 8, 16, 32, 64])", "//"),
+    "t39_blocklist_filter" ->
+      t39Sql("unnest(string_split(text, ' '))", "//"),
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

@@ -563,6 +563,8 @@ object ScaleProbe {
         graft.operators.CurationQueries.c40_filter_mixture_repair(spark, sf).count())
       time(s"$tag t38_vocab_sweep")(
         graft.operators.TextQueries.t38_vocab_sweep(spark, sf).count())
+      time(s"$tag t39_blocklist_filter")(
+        graft.operators.TextQueries.t39_blocklist_filter(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2313,6 +2313,22 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("t39 blocklist: whole-word hits only — the scunthorpe case passes") {
+    import spark.implicits._
+    Seq(
+      (1L, "sA", "this pipeline is slow today"),      // listed word -> drop
+      (2L, "sA", "slowly is not the listed word"),    // substring only -> keep
+      (3L, "sB", "broken and slow and broken again"), // 3 hits, 1 doc
+      (4L, "sB", "perfectly clean text"))
+      .toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val rows = operators.TextQueries.blocklistFromView(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows("sA") == ((2L, 1L, 1L, 500L)),
+      s"sA wrong (substring must NOT match): ${rows("sA")}")
+    assert(rows("sB") == ((2L, 1L, 3L, 500L)), s"sB wrong: ${rows("sB")}")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
