@@ -606,6 +606,56 @@ object DedupQueries {
           .otherwise("keep").as("verdict"))
   }
 
+  /** d33: SOFT dedup — down-WEIGHT repeated content instead of dropping
+    * it (SoftDedup, She et al. ACL'24: sampling weight ∝ 1/commonness,
+    * commonness = how corpus-frequent a document's n-grams are; the
+    * data-constrained-scaling alternative to d08's hard drop, which
+    * preserves rare-tail coverage while de-emphasizing boilerplate).
+    * Per doc over its DISTINCT 13-grams: commonness_pm = mean gram
+    * document-frequency ×1000 (>= 1000; all-unique docs sit exactly at
+    * 1000), weight_pm = 1e6 DIV commonness_pm (the 1/x reweighting in
+    * per-mille), effective tokens = n_tokens * weight_pm DIV 1000. Docs
+    * too short to shingle (< 13 tokens) repeat nothing — weight 1000 by
+    * contract. Output: the per-source datasheet line a mixture plan
+    * bills against (docs, raw vs effective tokens, retention per-mille).
+    *
+    * Shape at scale: d12's economics exactly — one gram pass (distinct
+    * grams linear in tokens), gram-DF keyed agg with map-side partials,
+    * one join back on gram, then keys-only doc/source rollups. Nothing
+    * pairwise, nothing driver-side; integer arithmetic end-to-end so the
+    * weights themselves hash-check cross-engine.
+    */
+  def d33_soft_dedup(s: SparkSession, d: String): DataFrame =
+    softDedupFrom(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** d33 over an arbitrary (doc_id, source, text) frame — split out so the
+    * spec can plant exact-duplicate and too-short-to-shingle cases.
+    */
+  private[graft] def softDedupFrom(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.word_shingles
+    val docs = documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        word_shingles(split(lower(col("text")), " "), 13).as("ngs"))
+      .localCheckpoint() // gram pass + census share one tokenize
+    val grams = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
+      .localCheckpoint() // df agg + join-back share one explode
+    val dfreq = grams.groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+    val common = grams.join(dfreq, "ng")
+      .groupBy(col("doc_id"))
+      .agg(expr("sum(n_docs) * 1000 DIV count(1)").as("commonness_pm"))
+    docs.join(common, Seq("doc_id"), "left")
+      .withColumn("w_pm",
+        expr("1000000 DIV coalesce(commonness_pm, 1000)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("n_tokens * w_pm DIV 1000")).as("eff_tokens"))
+      .withColumn("retention_pm",
+        expr("eff_tokens * 1000 DIV raw_tokens"))
+  }
+
   /** Passage-level dedup APPLY — the transformation d12 only measures
     * (RefinedWeb, Penedo et al. 2023, arXiv:2306.01116 §3.3: duplicated
     * spans are REMOVED from documents before training, not whole docs
@@ -1564,6 +1614,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "d33_soft_dedup" -> (d33_soft_dedup _),
     "d32_allpairs_cosine" -> (d32_allpairs_cosine _),
     "d31_blocking_audit" -> (d31_blocking_audit _),
     "d27_snm_linkage" -> (d27_snm_linkage _),
@@ -1792,6 +1843,35 @@ object DedupQueries {
        |FROM cands WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d33_soft_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM t WHERE len(toks) >= 13) u),
+        |dfreq AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY ng),
+        |common AS (
+        |  SELECT g.doc_id,
+        |         CAST(sum(dfreq.n_docs) AS BIGINT) * 1000 // count(*)
+        |           AS commonness_pm
+        |  FROM g JOIN dfreq USING (ng) GROUP BY g.doc_id),
+        |w AS (
+        |  SELECT t.source, t.n_tokens,
+        |         1000000 // coalesce(common.commonness_pm, 1000) AS w_pm
+        |  FROM t LEFT JOIN common USING (doc_id)),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+        |         CAST(sum(n_tokens * w_pm // 1000) AS BIGINT) AS eff_tokens
+        |  FROM w GROUP BY 1)
+        |SELECT source, n_docs, raw_tokens, eff_tokens,
+        |       eff_tokens * 1000 // raw_tokens AS retention_pm
+        |FROM agg""".stripMargin,
     "d03_dedup_minhash_lsh" -> d03Oracle,
     "d04_dedup_simhash" -> d04Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,

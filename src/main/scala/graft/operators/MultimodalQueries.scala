@@ -726,7 +726,57 @@ object MultimodalQueries {
         expr(s"rk % $AspectBatch").as("slot"))
   }
 
+  /** m21: INTERLEAVED multimodal sequence packing — the vision-language
+    * pretraining shape (Flamingo, Alayrac et al. NeurIPS'22 §2; MM1:
+    * interleaved image-text sequences): each sample's budget cost is its
+    * text tokens PLUS the patch tokens its image expands to (m04's 8×8
+    * grid: ceil(w/8)·ceil(h/8) — a ViT patch embedding consumes sequence
+    * positions exactly like text), and samples pack greedily into
+    * fixed 2048-token training sequences. c07 packs text alone; the
+    * multimodal twist is that the image side DOMINATES the budget for
+    * small captions, so per-pack per-modality accounting (text vs patch
+    * share, fill rate) is what the curriculum/batching plan consumes.
+    * Same streaming-pack idiom as c07: sharded cumulative window, pack
+    * boundary at budget multiples — one shuffle per shard key, no global
+    * sort, integer arithmetic end-to-end.
+    */
+  def m21_interleaved_packing(s: SparkSession, d: String): DataFrame =
+    interleavedPackingFrom(Tables.documents(s, d))
+
+  /** m21 over an arbitrary (doc_id, text) frame — split out so the spec
+    * can plant exact patch-cost and pack-boundary cases.
+    */
+  private[graft] def interleavedPackingFrom(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    // one scan: the media metadata derives from the same document row as
+    // the caption, so no self-join — width/height inline like media()
+    val t = documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("text_tokens"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("byte_len"))
+      .withColumn("width", lit(1L) + col("byte_len") % 64)
+      .withColumn("height", lit(1L) + col("byte_len") % 48)
+      .withColumn("image_tokens",
+        (expr("(width - 1) DIV 8") + lit(1L)) *
+          (expr("(height - 1) DIV 8") + lit(1L)))
+      .withColumn("n_tokens", col("text_tokens") + col("image_tokens"))
+      .withColumn("shard",
+        ((col("doc_id") % 1000003L) * 2654435761L + 421L) % 32L)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr(s"(cum - n_tokens) DIV $budget"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("text_tokens")).as("text_tokens"),
+        sum(col("image_tokens")).as("image_tokens"),
+        sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("fill_pm", expr(s"pack_tokens * 1000 DIV $budget"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m21_interleaved_packing" -> (m21_interleaved_packing _),
     "m20_aspect_buckets" -> (m20_aspect_buckets _),
     "m17_entropy_gate" -> (m17_entropy_gate _),
     "m16_vad_segments" -> (m16_vad_segments _),
@@ -750,6 +800,32 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m21_interleaved_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         ((doc_id % 1000003) * 2654435761 + 421) % 32 AS shard
+        |  FROM documents),
+        |m AS (
+        |  SELECT shard, doc_id, text_tokens,
+        |         ((1 + byte_len % 64 - 1) // 8 + 1)
+        |           * ((1 + byte_len % 48 - 1) // 8 + 1) AS image_tokens
+        |  FROM t),
+        |p AS (
+        |  SELECT shard, text_tokens, image_tokens,
+        |         text_tokens + image_tokens AS n_tokens,
+        |         CAST((CAST(sum(text_tokens + image_tokens) OVER (
+        |            PARTITION BY shard ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - (text_tokens + image_tokens)) // 2048 AS BIGINT) AS pack_id
+        |  FROM m)
+        |SELECT shard, pack_id, count(*) AS n_samples,
+        |       CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+        |       CAST(sum(image_tokens) AS BIGINT) AS image_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       CAST(sum(n_tokens) AS BIGINT) * 1000 // 2048 AS fill_pm
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "m20_aspect_buckets" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

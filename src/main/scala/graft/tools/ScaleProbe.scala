@@ -565,6 +565,10 @@ object ScaleProbe {
         graft.operators.TextQueries.t38_vocab_sweep(spark, sf).count())
       time(s"$tag t39_blocklist_filter")(
         graft.operators.TextQueries.t39_blocklist_filter(spark, sf).count())
+      time(s"$tag d33_soft_dedup")(
+        graft.operators.DedupQueries.d33_soft_dedup(spark, sf).count())
+      time(s"$tag m21_interleaved_packing")(
+        graft.operators.MultimodalQueries.m21_interleaved_packing(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

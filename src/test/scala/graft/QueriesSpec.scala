@@ -2329,6 +2329,47 @@ class QueriesSpec extends SparkTestBase {
     assert(rows("sB") == ((2L, 1L, 3L, 500L)), s"sB wrong: ${rows("sB")}")
   }
 
+  test("d33 soft dedup: duplicated grams halve the weight, short docs keep 1000") {
+    import spark.implicits._
+    val thirteen = (1 to 13).map(i => s"w$i").mkString(" ")
+    val uniq = (1 to 13).map(i => s"u$i").mkString(" ")
+    val planted = Seq(
+      (1L, "sA", thirteen), // identical pair: 1 gram, df=2 -> w_pm 500
+      (2L, "sA", thirteen),
+      (3L, "sB", uniq),     // all-unique -> w_pm 1000
+      (4L, "sB", "hi there")) // too short to shingle -> w_pm 1000
+      .toDF("doc_id", "source", "text")
+    val rows = operators.DedupQueries.softDedupFrom(planted).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // sA: 2 docs x 13 tokens, eff 13*500/1000 = 6 each -> 12/26 = 461pm
+    assert(rows("sA") == ((2L, 26L, 12L, 461L)), s"sA wrong: ${rows("sA")}")
+    // sB: unique 13 + short 2 both keep full weight
+    assert(rows("sB") == ((2L, 15L, 15L, 1000L)), s"sB wrong: ${rows("sB")}")
+  }
+
+  test("m21 interleaved packing: patch cost fills the budget, boundary splits packs") {
+    import spark.implicits._
+    // doc ids 0/32/64 share shard 5 (17*id + 421 mod 32); byte lengths
+    // chosen so patch grids are 1, 3, and 9 tokens respectively
+    val planted = Seq(
+      (0L, "a b c"),                         // 3 text + 1 patch  = 4
+      (32L, Seq.fill(2050)("x").mkString(" ")), // 2050 text + 3 patch = 2053
+      (64L, Seq.fill(10)("y").mkString(" ")))   // 10 text + 9 patch = 19
+      .toDF("doc_id", "text")
+    val rows = operators.MultimodalQueries.interleavedPackingFrom(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows.keySet == Set((5L, 0L), (5L, 1L)), s"packs wrong: $rows")
+    // doc 32 STARTS inside pack 0 (start-position assignment, c07's rule)
+    assert(rows((5L, 0L)) == ((2L, 2053L, 4L, 2057L, 1004L)),
+      s"pack 0 wrong: ${rows((5L, 0L))}")
+    // doc 64 starts past the boundary -> new pack, patch-dominated fill
+    assert(rows((5L, 1L)) == ((1L, 10L, 9L, 19L, 9L)),
+      s"pack 1 wrong: ${rows((5L, 1L))}")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
