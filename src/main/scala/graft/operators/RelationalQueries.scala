@@ -3083,7 +3083,36 @@ object RelationalQueries {
   def q132_distribution_ranks(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(q132Sql)
 
+  /** q133: the orderkey fact-fact join over the PERSISTED BUCKETED layout
+    * ([[Buckets]]) — per-order revenue from a ZERO-EXCHANGE sort-merge
+    * join (both sides hash-clustered into the same 16 buckets on the
+    * join key, so Spark joins bucket pairs in place), then a rollup of
+    * the 15k pre-aggregated order rows to priority level (the single,
+    * tiny shuffle bucketing leaves behind). The merge hint is the 100 TB
+    * choice made explicit: at scale neither fact side broadcasts, and
+    * the bucketed SMJ is exactly the plan a deployment wants — the pin
+    * in PlanInvariantsSpec asserts no exchange ever touches the fact
+    * rows. Oracle rebuilds from the raw parquet, so the hash gate also
+    * proves the bucketed layout is lossless.
+    */
+  def q133_bucketed_join(s: SparkSession, d: String): DataFrame = {
+    val (oT, lT) = Buckets.tables(s, d)
+    val o = s.table(oT).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = s.table(lT).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    l.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .as("rev"), count(lit(1)).as("n_items"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_lineitems"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_bucketed_join" -> (q133_bucketed_join _),
     "q132_distribution_ranks" -> (q132_distribution_ranks _),
     "q131_quantified" -> (q131_quantified _),
     "q130_ks_test" -> (q130_ks_test _),
@@ -3622,6 +3651,18 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q133_bucketed_join" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(38,6))) AS rev,
+        |         count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(rev) AS DOUBLE) AS revenue,
+        |       CAST(sum(n_items) AS BIGINT) AS n_lineitems
+        |FROM per_order GROUP BY 1""".stripMargin,
     "q131_quantified" ->
       """WITH o AS (
         |  SELECT o_orderkey,

@@ -569,6 +569,10 @@ object ScaleProbe {
         graft.operators.DedupQueries.d33_soft_dedup(spark, sf).count())
       time(s"$tag m21_interleaved_packing")(
         graft.operators.MultimodalQueries.m21_interleaved_packing(spark, sf).count())
+      time(s"$tag q133_bucketed_join")(
+        graft.operators.RelationalQueries.q133_bucketed_join(spark, sf).count())
+      time(s"$tag q133_bucketed_join warm")(
+        graft.operators.RelationalQueries.q133_bucketed_join(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -660,6 +660,20 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"s30 must serve from the compacted table alone: ${files.take(5).mkString(", ")}")
   }
 
+  test("q133 bucketed join: fact rows never shuffle; one exchange total (the rollup)") {
+    val p = finalPlan("q133_bucketed_join").split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    // the plan string is top-down: everything from the join node on is the
+    // fact-side subtree — bucketed scans feed it with no exchange anywhere
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"bucketed fact sides must not shuffle:\n${below.take(1200)}")
+    // the only exchange in the whole plan is the 5-row priority rollup of
+    // per-order partials — the layout's residual shuffle
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange (the rollup):\n${p.take(1200)}")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
