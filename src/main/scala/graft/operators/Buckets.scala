@@ -55,6 +55,35 @@ object Buckets {
       (oT, lT)
     }
 
+  /** The OTHER half of the storage-layout story: documents HIVE-PARTITIONED
+    * by `lang` on disk (`.../lang=en/part-*.parquet`), so a
+    * language-filtered scan opens only that language's directory —
+    * partition pruning eliminates I/O before a single row is read, where
+    * q02-style row-group pushdown still opens every file. At 100 TB the
+    * corpus IS laid out this way (language, then source, is the universal
+    * outer key of a multilingual training corpus); the q134 pin asserts
+    * the pruning actually happens (PartitionFilters + inputFiles all under
+    * one lang= directory). Same identity-keyed marker discipline as the
+    * bucketed tables; path-returning because partition discovery needs no
+    * catalog.
+    */
+  private[graft] def langPartitionedDocs(s: SparkSession, d: String): String =
+    synchronized {
+      val f = new java.io.File(d, "documents.parquet")
+      val dir = SketchQueries.partialsDir(
+        s"docs_bylang_${Version}_${f.length()}_${f.lastModified()}", d)
+      val marker = new java.io.File(dir, "_complete")
+      if (!marker.exists()) {
+        // one shuffle by the partition key so each lang directory gets one
+        // file per corpus-sized task wave, not one file per input split
+        Tables.documents(s, d)
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+        marker.createNewFile()
+      }
+      s"$dir/docs"
+    }
+
   private def ensureOne(s: SparkSession, name: String, loc: String,
       df: DataFrame, key: String): Unit = {
     if (s.catalog.tableExists(name)) return

@@ -3111,7 +3111,64 @@ object RelationalQueries {
         sum(col("n_items")).as("n_lineitems"))
   }
 
+  /** q134: language-filtered census over the lang-PARTITIONED layout
+    * ([[Buckets.langPartitionedDocs]]) — the scan's PartitionFilters
+    * prune every non-matching language directory before any I/O, the
+    * layout-level complement to q133's bucketing (pinned: inputFiles all
+    * live under `lang=de/`). `lang` comes back from the directory name as
+    * a partition column; the oracle filters the raw corpus, so the hash
+    * gate proves the partitioned layout lossless, round-tripped values
+    * included.
+    */
+  def q134_partitioned_scan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(Buckets.langPartitionedDocs(s, d))
+      .filter(col("lang") === "de")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+
+  /** q135: SALTED join — the manual skew-mitigation pattern for the case
+    * AQE's skew-split cannot reach (it only splits sort-merge partitions
+    * AFTER a shuffle materializes; a stream-stream join, a stubborn
+    * hot-key aggregation, or a pre-AQE engine needs the rewrite itself):
+    * the probe side carries `salt = deterministic_hash(row) % 8`, the
+    * build side replicates each key 8× with every salt value, and the
+    * join key widens to (key, salt) — a hot key's rows now land on 8
+    * reducers instead of one, at the price of an 8× build-side blowup
+    * that is SIZED, not guessed (q118 is the preflight that measures
+    * whether a key is hot enough to warrant it). Salting is
+    * correctness-neutral by construction, which is exactly what the
+    * oracle checks: DuckDB runs the UNSALTED join and the hash gate
+    * must not see a difference. The merge hint pins the
+    * two-big-tables shape (at 100 TB `part` is TBs — not broadcastable);
+    * the plan pin asserts the join really runs on the widened key pair.
+    */
+  /** The probe-side salt — deterministic per row (no RNG to ship), shared
+    * with the spec that pins a hot key's rows really spread over all
+    * salts.
+    */
+  private[graft] def saltOf(orderkey: Column, linenumber: Column,
+      salts: Int): Column = (orderkey * 31L + linenumber) % salts
+
+  def q135_salted_join(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val li = Tables.lineitem(s, d).select(col("l_partkey"),
+      col("l_extendedprice"), col("l_discount"),
+      saltOf(col("l_orderkey"), col("l_linenumber"), salts).as("salt"))
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    li.hint("merge")
+      .join(p, li("l_partkey") === p("p_partkey") && li("salt") === p("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_salted_join" -> (q135_salted_join _),
+    "q134_partitioned_scan" -> (q134_partitioned_scan _),
     "q133_bucketed_join" -> (q133_bucketed_join _),
     "q132_distribution_ranks" -> (q132_distribution_ranks _),
     "q131_quantified" -> (q131_quantified _),
@@ -3651,6 +3708,16 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q135_salted_join" ->
+      s"""SELECT p_brand, count(*) AS n_items,
+         |       ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1""".stripMargin,
+    "q134_partitioned_scan" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents WHERE lang = 'de' GROUP BY 1""".stripMargin,
     "q133_bucketed_join" ->
       """WITH per_order AS (
         |  SELECT l_orderkey, o_orderpriority,

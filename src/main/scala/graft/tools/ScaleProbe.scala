@@ -573,6 +573,10 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q133_bucketed_join(spark, sf).count())
       time(s"$tag q133_bucketed_join warm")(
         graft.operators.RelationalQueries.q133_bucketed_join(spark, sf).count())
+      time(s"$tag q134_partitioned_scan")(
+        graft.operators.RelationalQueries.q134_partitioned_scan(spark, sf).count())
+      time(s"$tag q135_salted_join")(
+        graft.operators.RelationalQueries.q135_salted_join(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

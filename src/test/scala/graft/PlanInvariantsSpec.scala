@@ -674,6 +674,41 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"expected exactly one exchange (the rollup):\n${p.take(1200)}")
   }
 
+  test("q134 partitioned layout: non-matching lang directories never read") {
+    val df = SparkEntry.queries("q134_partitioned_scan")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("lang"),
+      s"lang filter must prune partitions, not rows:\n${p.take(1200)}")
+    // inputFiles lists the whole relation pre-pruning; the scan's runtime
+    // numFiles metric is what pruning actually left — one file (the single
+    // lang=de directory holds one file by the store's repartition-by-lang)
+    def collectScans(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectScans(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(st.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, p.take(800))
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == 1,
+      s"pruned scan must read exactly the lang=de file, read $filesRead")
+  }
+
+  test("q135 salted join: runs on the widened (key, salt) pair, no broadcast") {
+    val p = finalPlan("q135_salted_join").split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin [l_partkey"), p.take(800))
+    val keys = p.substring(p.indexOf("SortMergeJoin"),
+      p.indexOf("\n", p.indexOf("SortMergeJoin")))
+    assert(keys.contains("salt"), s"join must include the salt key: $keys")
+    assert(!p.contains("BroadcastHashJoin"),
+      "salting targets the no-broadcast case; a broadcast voids the demo")
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)

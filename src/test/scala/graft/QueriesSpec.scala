@@ -2370,6 +2370,22 @@ class QueriesSpec extends SparkTestBase {
       s"pack 1 wrong: ${rows((5L, 1L))}")
   }
 
+  test("q135 salt: a hot key's rows spread across every salt bucket") {
+    import spark.implicits._
+    // one part key hammered by 640 lineitems (80 orders x 8 lines) — the
+    // planted hot key q118 would flag; the salt must fan it out to all 8
+    val hot = (1 to 80).flatMap(o => (1 to 8).map(l => (o.toLong, l.toLong)))
+      .toDF("l_orderkey", "l_linenumber")
+    val spread = hot
+      .select(operators.RelationalQueries
+        .saltOf(col("l_orderkey"), col("l_linenumber"), 8).as("salt"))
+      .groupBy(col("salt")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spread.keySet == (0L to 7L).toSet, s"salts missing: $spread")
+    val (mn, mx) = (spread.values.min, spread.values.max)
+    assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
