@@ -1357,7 +1357,31 @@ object CurationQueries {
         expr("(share_before_pm * 1000) div greatest(share_after_pm, 1)"))
   }
 
+  /** c41: the mixture a pipeline ACTUALLY trains on — c14's temperature
+    * weights computed over d33's soft-dedup EFFECTIVE tokens instead of
+    * raw counts. Boilerplate-heavy sources lose mixture share exactly in
+    * proportion to how much of their mass is repeated (raw-token mixtures
+    * over-sample them; the d33 reweighting corrects the denominator
+    * before the sqrt-temperature flattening). Composition is the point:
+    * the d33 stage is reused verbatim, so the hash gate checks the whole
+    * two-stage pipeline end-to-end, same discipline as c33's assembly.
+    * One extra keyed rollup over d33's 5-source output — the gram pass
+    * dominates and is paid once.
+    */
+  def c41_softdedup_mixture(s: SparkSession, d: String): DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val st = DedupQueries.d33_soft_dedup(s, d)
+      .select(col("source"), col("eff_tokens"))
+      .withColumn("sq", round(sqrt(col("eff_tokens")), 9).cast(dec9))
+    val tot = st.agg(sum(col("sq")).cast("double").as("t"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("sq").cast("double") / col("t"), 9))
+      .select(col("source"), col("eff_tokens"), col("weight"),
+        round(lit(100000) * col("weight"), 9).as("expected_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c41_softdedup_mixture" -> (c41_softdedup_mixture _),
     "c40_filter_mixture_repair" -> (c40_filter_mixture_repair _),
     "c39_persisted_model_apply" -> (c39_persisted_model_apply _),
     "c38_waterfill_budget" -> (c38_waterfill_budget _),
@@ -1626,6 +1650,19 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d33's stage text shared verbatim — the composition is what's checked
+    "c41_softdedup_mixture" -> (DedupQueries.d33OracleCtes +
+      """,
+        |sq AS (
+        |  SELECT source, eff_tokens,
+        |         CAST(round(sqrt(eff_tokens), 9) AS DECIMAL(38,9)) AS sq
+        |  FROM agg),
+        |tot AS (SELECT CAST(sum(sq) AS DOUBLE) AS t FROM sq)
+        |SELECT source, eff_tokens,
+        |       round(CAST(sq AS DOUBLE) / t, 9) AS weight,
+        |       round(100000 * round(CAST(sq AS DOUBLE) / t, 9), 9)
+        |         AS expected_tokens
+        |FROM sq CROSS JOIN tot""".stripMargin),
     "c40_filter_mixture_repair" -> (TextQueries.rocchioOracleCtes +
       """,
         |scored AS (

@@ -1842,36 +1842,42 @@ object DedupQueries {
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cands WHERE bit_count(xor(sa, sb)) <= 8""".stripMargin
 
+  /** d33's oracle CTEs through the per-source `agg` — shared with c41's
+    * mixture oracle so the composed pipeline re-runs the identical stage.
+    */
+  private[operators] val d33OracleCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+      |  FROM (SELECT doc_id, toks,
+      |               unnest(generate_series(1, len(toks) - 12)) AS i
+      |        FROM t WHERE len(toks) >= 13) u),
+      |dfreq AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY ng),
+      |common AS (
+      |  SELECT g.doc_id,
+      |         CAST(sum(dfreq.n_docs) AS BIGINT) * 1000 // count(*)
+      |           AS commonness_pm
+      |  FROM g JOIN dfreq USING (ng) GROUP BY g.doc_id),
+      |w AS (
+      |  SELECT t.source, t.n_tokens,
+      |         1000000 // coalesce(common.commonness_pm, 1000) AS w_pm
+      |  FROM t LEFT JOIN common USING (doc_id)),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+      |         CAST(sum(n_tokens * w_pm // 1000) AS BIGINT) AS eff_tokens
+      |  FROM w GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "d33_soft_dedup" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |         string_split(lower(text), ' ') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
-        |  FROM (SELECT doc_id, toks,
-        |               unnest(generate_series(1, len(toks) - 12)) AS i
-        |        FROM t WHERE len(toks) >= 13) u),
-        |dfreq AS (SELECT ng, count(*) AS n_docs FROM g GROUP BY ng),
-        |common AS (
-        |  SELECT g.doc_id,
-        |         CAST(sum(dfreq.n_docs) AS BIGINT) * 1000 // count(*)
-        |           AS commonness_pm
-        |  FROM g JOIN dfreq USING (ng) GROUP BY g.doc_id),
-        |w AS (
-        |  SELECT t.source, t.n_tokens,
-        |         1000000 // coalesce(common.commonness_pm, 1000) AS w_pm
-        |  FROM t LEFT JOIN common USING (doc_id)),
-        |agg AS (
-        |  SELECT source, count(*) AS n_docs,
-        |         CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
-        |         CAST(sum(n_tokens * w_pm // 1000) AS BIGINT) AS eff_tokens
-        |  FROM w GROUP BY 1)
+    "d33_soft_dedup" -> (d33OracleCtes +
+      """
         |SELECT source, n_docs, raw_tokens, eff_tokens,
         |       eff_tokens * 1000 // raw_tokens AS retention_pm
-        |FROM agg""".stripMargin,
+        |FROM agg""".stripMargin),
     "d03_dedup_minhash_lsh" -> d03Oracle,
     "d04_dedup_simhash" -> d04Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,
