@@ -376,6 +376,34 @@ object StreamingQueries {
     }
   }
 
+  /** st16: REPLAY-SAFE view maintenance — the idempotence contract st12's
+    * fold quietly assumes but foreachBatch does not provide: delivery is
+    * AT-LEAST-ONCE (a crash between the view swap and the offset commit
+    * redelivers the batch), and an unguarded delta-apply double-counts
+    * the replay. The production fix is a committed-batch LEDGER
+    * transacted with the view (Spark's own file sinks keep exactly this
+    * batchId log); the apply step consults it and a redelivered batch
+    * folds to a NO-OP. This twin replays batch 1 (sequence 0, 1,
+    * 1-again, 2) through the guard; the oracle is q94's one-shot
+    * recompute verbatim, so the hash gate proves the replay was really
+    * dropped — without the guard, batch 1's revenue deltas apply twice
+    * and the gate fails. The ledger here is the driver-side set standing
+    * in for the transacted store; StreamingSpec drives the same guarded
+    * apply under a real readStream with a forced handler redelivery and
+    * a ledger PERSISTED as parquet between micro-batches.
+    */
+  def st16_replay_safe_apply(s: SparkSession, d: String): DataFrame = {
+    val (va, vb) = RelationalQueries.orderSnapshots(s, d)
+    val rows = RelationalQueries.changelogRows(va, vb).localCheckpoint()
+    val delivered = Seq(0L, 1L, 1L, 2L) // batch 1 redelivered
+    val ledger = scala.collection.mutable.Set.empty[Long]
+    delivered.foldLeft(RelationalQueries.revenueView(va)) { (view, b) =>
+      if (!ledger.add(b)) view // ledger hit: replay folds to a no-op
+      else RelationalQueries.applyViewDelta(view,
+        rows.filter(pmod(col("o_orderkey"), lit(3L)) === b))
+    }
+  }
+
   /** st13: INCREMENTAL PSI drift monitor — q119's statistic maintained
     * under continuous ingest: each micro-batch appends its (event_type,
     * half, count) partial; the monitor merges STORED partials only and
@@ -489,6 +517,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "st16_replay_safe_apply" -> (st16_replay_safe_apply _),
     "st15_incremental_rocchio" -> (st15_incremental_rocchio _),
     "st14_incremental_co_graph" -> (st14_incremental_co_graph _),
     "st13_incremental_psi" -> (st13_incremental_psi _),
@@ -507,6 +536,8 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the replay is dropped, so one-shot recompute is the exact answer
+    "st16_replay_safe_apply" -> RelationalQueries.oracles("q94_view_maintain"),
     "st15_incremental_rocchio" -> (TextQueries.rocchioOracleCtes +
       """
         |SELECT 'model' AS part, printf('w_%02d', dim) AS metric,

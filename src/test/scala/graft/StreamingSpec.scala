@@ -931,6 +931,67 @@ class StreamingSpec extends SparkTestBase {
       s"stored-view fold diverged: ${(streamed diff batch).take(3)} / ${(batch diff streamed).take(3)}")
   }
 
+  test("st16 replay safety: a redelivered batch folds to a no-op via the persisted ledger") {
+    // foreachBatch is at-least-once: simulate the crash-between-swap-and-
+    // offset-commit redelivery by invoking the guarded apply TWICE for
+    // batch 1. The ledger is marker files persisted beside the view (the
+    // transacted commit log a production sink keeps); the second delivery
+    // must not advance the view version, and the final view must equal
+    // the one-shot recompute (st16's oracle)
+    import operators.RelationalQueries
+    Sessions.tune(spark)
+    val (va, vb) = RelationalQueries.orderSnapshots(spark, sf)
+    val rows = RelationalQueries.changelogRows(va, vb).localCheckpoint()
+    val srcDir = Files.createTempDirectory("replay_stream")
+    (0L until 3L).foreach { i =>
+      val tmp = Files.createTempDirectory(s"replay_b$i")
+      rows.filter(pmod(col("o_orderkey"), lit(3L)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"batch$i%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+    }
+    val viewRoot = Files.createTempDirectory("replay_view").toString
+    val ledgerDir = Files.createTempDirectory("replay_ledger").toFile
+    RelationalQueries.revenueView(va)
+      .write.mode("overwrite").parquet(s"$viewRoot/v0")
+    var version = 0
+    var deliveries = 0
+    def applyGuarded(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      deliveries += 1
+      val marker = new java.io.File(ledgerDir, s"batch_$id")
+      if (marker.exists()) return // ledger hit: replay dropped
+      val cur = batch.sparkSession.read.parquet(s"$viewRoot/v$version")
+      RelationalQueries.applyViewDelta(cur, batch)
+        .write.mode("overwrite").parquet(s"$viewRoot/v${version + 1}")
+      version += 1
+      marker.createNewFile() // committed with the view swap
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        applyGuarded(batch, id)
+        if (id == 1L) applyGuarded(batch, id) // the redelivery
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(deliveries == 4, s"expected 4 deliveries (3 + 1 replay), saw $deliveries")
+    assert(version == 3, s"replay must not advance the view, version=$version")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("o_custkey"), col("n_orders"), col("rev_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rowsOf(spark.read.parquet(s"$viewRoot/v$version"))
+    val twin = rowsOf(operators.StreamingQueries.st16_replay_safe_apply(spark, sf))
+    assert(streamed.nonEmpty && streamed == twin,
+      s"replay-guarded fold diverged: ${(streamed diff twin).take(3)} / ${(twin diff streamed).take(3)}")
+  }
+
   test("st11 state machine == q74 declarative formulation, row for row") {
     // the driver's oracle for st11 IS q74's SQL — pin the agreement locally
     // so a hash mismatch can never reach CORRECTNESS: both formulations of
