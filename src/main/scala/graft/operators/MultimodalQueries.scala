@@ -775,7 +775,40 @@ object MultimodalQueries {
       .withColumn("fill_pm", expr(s"pack_tokens * 1000 DIV $budget"))
   }
 
+  /** m22: FORMAT SNIFFING — the first gate of any binary ingest: classify
+    * payloads by their magic bytes (JPEG FF D8 FF, PNG 89 50 4E 47, RIFF
+    * containers, gzip 1F 8B), never by filename or declared MIME — the
+    * mislabeled-extension problem every crawled-media pipeline hits. One
+    * scan: 4-byte binary prefix → hex → CASE ladder, then the per-format
+    * census (counts, byte mass, size range) a datasheet publishes. The
+    * fixture's stub payloads are text bytes, so they all land in the
+    * `data` arm and the census keys on the leading hex — the planted
+    * spec feeds REAL signatures through the same ladder. Scan-shaped;
+    * the agg keys on |formats| + |prefixes| which is vocabulary-bounded.
+    */
+  def m22_format_sniff(s: SparkSession, d: String): DataFrame =
+    formatSniffFrom(media(s, d))
+
+  /** m22 over any (media, byte_len) frame — split out so the spec can
+    * plant true JPEG/PNG/RIFF/gzip signatures.
+    */
+  private[graft] def formatSniffFrom(recs: DataFrame): DataFrame =
+    recs.select(col("byte_len"),
+      hex(expr("substring(media, 1, 4)")).as("magic"))
+      .withColumn("format",
+        when(col("magic").startsWith("FFD8FF"), "jpeg")
+          .when(col("magic") === "89504E47", "png")
+          .when(col("magic") === "52494646", "riff")
+          .when(col("magic").startsWith("1F8B"), "gzip")
+          .otherwise("data"))
+      .groupBy(col("format"), substring(col("magic"), 1, 2).as("lead_byte"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("byte_len")).as("total_bytes"),
+        min(col("byte_len")).as("min_bytes"),
+        max(col("byte_len")).as("max_bytes"))
+
   val queries: Map[String, Q] = Map(
+    "m22_format_sniff" -> (m22_format_sniff _),
     "m21_interleaved_packing" -> (m21_interleaved_packing _),
     "m20_aspect_buckets" -> (m20_aspect_buckets _),
     "m17_entropy_gate" -> (m17_entropy_gate _),
@@ -800,6 +833,24 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m22_format_sniff" ->
+      """WITH m AS (
+        |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |         upper(substring(hex(encode(text)), 1, 8)) AS magic
+        |  FROM documents),
+        |f AS (
+        |  SELECT byte_len, magic,
+        |         CASE WHEN magic LIKE 'FFD8FF%' THEN 'jpeg'
+        |              WHEN magic = '89504E47' THEN 'png'
+        |              WHEN magic = '52494646' THEN 'riff'
+        |              WHEN magic LIKE '1F8B%' THEN 'gzip'
+        |              ELSE 'data' END AS format
+        |  FROM m)
+        |SELECT format, magic[1:2] AS lead_byte, count(*) AS n_files,
+        |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |       CAST(min(byte_len) AS BIGINT) AS min_bytes,
+        |       CAST(max(byte_len) AS BIGINT) AS max_bytes
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "m21_interleaved_packing" ->
       """WITH t AS (
         |  SELECT doc_id,

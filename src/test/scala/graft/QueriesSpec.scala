@@ -2386,6 +2386,29 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("m22 sniff: real magic bytes classify, extension-free; text is data") {
+    import spark.implicits._
+    def payload(hexSig: String, pad: Int) =
+      (hexSig.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ Array.fill[Byte](pad)(0x41))
+    val planted = Seq(
+      payload("FFD8FFE0", 96),  // JPEG/JFIF
+      payload("FFD8FFE1", 60),  // JPEG/Exif — same format arm, same lead
+      payload("89504E47", 200), // PNG
+      payload("52494646", 40),  // RIFF (wav/avi/webp family)
+      payload("1F8B0800", 10),  // gzip
+      "plain text bytes".getBytes("UTF-8"))
+      .map(b => (b, b.length.toLong)).toDF("media", "byte_len")
+    val rows = operators.MultimodalQueries.formatSniffFrom(planted)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(rows(("jpeg", "FF")) == ((2L, 164L)), s"jpeg wrong: $rows")
+    assert(rows(("png", "89"))._1 == 1L && rows(("riff", "52"))._1 == 1L &&
+      rows(("gzip", "1F"))._1 == 1L, s"signature arms wrong: $rows")
+    assert(rows(("data", "70"))._1 == 1L, // 'p' = 0x70: text falls through
+      s"text must classify as data: $rows")
+  }
+
   test("m20 aspect buckets: constant batches, ladder buckets, size-ordered") {
     val rows = SparkEntry.queries("m20_aspect_buckets")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
