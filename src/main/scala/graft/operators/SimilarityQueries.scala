@@ -873,7 +873,16 @@ object SimilarityQueries {
     * ladder: recall non-decreasing in nprobe, and the nprobe=2 row equals
     * s08's recall by construction.
     */
-  def s28_recall_sweep(s: SparkSession, d: String): DataFrame = {
+  def s28_recall_sweep(s: SparkSession, d: String): DataFrame =
+    ivfSweepParts(s, d)._1
+
+  /** s28/s34 shared internals: the (sweep table, per-nprobe top-5) pair —
+    * s28 publishes the sweep, s34 reuses the already-scored shortlists so
+    * the auto-tuned query provably serves the same rows the calibration
+    * measured.
+    */
+  private def ivfSweepParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding"))
@@ -900,13 +909,34 @@ object SimilarityQueries {
       Seq("nprobe", "q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
     val exact = s01_knn_bruteforce(s, d)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    top5.join(exact, Seq("q_id", "vec_id"), "left")
+    val sweep = top5.join(exact, Seq("q_id", "vec_id"), "left")
       .groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_shortlist"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .select(col("nprobe").cast("long").as("nprobe"), col("n_shortlist"),
         col("n_hits"),
         expr(s"(n_hits * 1000) div ${NQueries.toLong * K}").as("recall_pm"))
+    (sweep, top5)
+  }
+
+  /** s34: AUTO-TUNED nprobe serving — close the calibration loop s28
+    * opens: pick the CHEAPEST nprobe whose measured recall@5 clears the
+    * 900‰ target (falling back to the deepest probe if none does) and
+    * serve the top-5 at that setting. This is how an ANN deployment
+    * actually picks its operating point — from the stored sweep, not a
+    * guess — and because the pick rides a broadcast 1-row join (never a
+    * driver branch), the whole decision is inside the plan and the
+    * DuckDB twin makes the identical pick from the identical sweep: the
+    * hash gate checks calibration, decision, and served rows end-to-end.
+    */
+  def s34_auto_nprobe(s: SparkSession, d: String): DataFrame = {
+    val (sweep, top5) = ivfSweepParts(s, d)
+    val pick = sweep.agg(
+      coalesce(min(when(col("recall_pm") >= 900, col("nprobe"))),
+        max(col("nprobe"))).as("np"))
+    top5.join(broadcast(pick), col("nprobe") === col("np"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("q_id"),
+        col("vec_id"))
   }
 
   /** Cosine threshold for s23 range search — chosen so each query returns
@@ -1201,6 +1231,7 @@ object SimilarityQueries {
     "s05_zipwith_cosine" -> (s05_zipwith_cosine _),
     "s21_knn_classify" -> (s21_knn_classify _),
     "s28_recall_sweep" -> (s28_recall_sweep _),
+    "s34_auto_nprobe" -> (s34_auto_nprobe _),
   )
 
   /** s21: k-NN label CLASSIFICATION — the label-transfer use of the
@@ -1429,6 +1460,64 @@ object SimilarityQueries {
     s"$head,\n$steps\n$tail"
   }
 
+  /** s28's sweep pipeline as shared oracle CTE text through `sweepagg`
+    * (the measured recall table) — s28 publishes it, s34 picks its
+    * operating point from it.
+    */
+  private lazy val ivfSweepOracleCtes: String =
+    s"""WITH ex AS (
+       |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
+       |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS qv
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT cell, list(sd ORDER BY pos) AS centroid FROM (
+       |    SELECT cell, pos,
+       |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+       |    FROM ex GROUP BY cell, pos) GROUP BY cell),
+       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |r AS (
+       |  SELECT q_id, q_emb, cell, rk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY c_sim DESC, cell) AS rk
+       |    FROM (
+       |      SELECT q.q_id, q.q_emb, c.cell,
+       |             ${duckCosine("q.q_emb", "c.centroid")} AS c_sim
+       |      FROM q CROSS JOIN cent c) s0) s1
+       |  WHERE rk <= 4),
+       |np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
+       |pr AS (SELECT np.nprobe, r.q_id, r.q_emb, r.cell
+       |       FROM r CROSS JOIN np WHERE r.rk <= np.nprobe),
+       |p AS (
+       |  SELECT pr.nprobe, pr.q_id, e.vec_id,
+       |         ${duckCosine("pr.q_emb", "e.embedding::DOUBLE[]")} AS sim
+       |  FROM pr JOIN embeddings e ON e.label = pr.cell AND e.vec_id <> pr.q_id),
+       |t5 AS (
+       |  SELECT nprobe, q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+       |                ORDER BY sim DESC, vec_id) AS rk FROM p) t
+       |  WHERE rk <= 5),
+       |ep AS (
+       |  SELECT q.q_id, e.vec_id,
+       |         ${duckCosine("q.q_emb", "e.embedding::DOUBLE[]")} AS sim
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY sim DESC, vec_id) AS rk FROM ep) t
+       |  WHERE rk <= 5)
+       |,sweepagg AS (
+       |  SELECT CAST(t5.nprobe AS BIGINT) AS nprobe,
+       |         count(*) AS n_shortlist,
+       |         CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_hits,
+       |         (CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
+       |               AS BIGINT) * 1000) // 50 AS recall_pm
+       |  FROM t5 LEFT JOIN exact
+       |    ON exact.q_id = t5.q_id AND exact.vec_id = t5.vec_id
+       |  GROUP BY t5.nprobe
+       |)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     "s29_centroid_drift" ->
       s"""WITH ex AS (
@@ -1566,57 +1655,20 @@ object SimilarityQueries {
         |WHERE rk <= 5""".stripMargin,
     "s04_ivf_ann" -> ivfOracle(1),
     "s08_ivf_nprobe" -> ivfOracle(2),
-    "s28_recall_sweep" ->
-      s"""WITH ex AS (
-         |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
-         |         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS qv
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT cell, list(sd ORDER BY pos) AS centroid FROM (
-         |    SELECT cell, pos,
-         |           CAST(sum(qv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
-         |    FROM ex GROUP BY cell, pos) GROUP BY cell),
-         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
-         |      FROM embeddings WHERE vec_id < 10),
-         |r AS (
-         |  SELECT q_id, q_emb, cell, rk FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |                ORDER BY c_sim DESC, cell) AS rk
-         |    FROM (
-         |      SELECT q.q_id, q.q_emb, c.cell,
-         |             ${duckCosine("q.q_emb", "c.centroid")} AS c_sim
-         |      FROM q CROSS JOIN cent c) s0) s1
-         |  WHERE rk <= 4),
-         |np AS (SELECT unnest([1, 2, 3, 4]) AS nprobe),
-         |pr AS (SELECT np.nprobe, r.q_id, r.q_emb, r.cell
-         |       FROM r CROSS JOIN np WHERE r.rk <= np.nprobe),
-         |p AS (
-         |  SELECT pr.nprobe, pr.q_id, e.vec_id,
-         |         ${duckCosine("pr.q_emb", "e.embedding::DOUBLE[]")} AS sim
-         |  FROM pr JOIN embeddings e ON e.label = pr.cell AND e.vec_id <> pr.q_id),
-         |t5 AS (
-         |  SELECT nprobe, q_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
-         |                ORDER BY sim DESC, vec_id) AS rk FROM p) t
-         |  WHERE rk <= 5),
-         |ep AS (
-         |  SELECT q.q_id, e.vec_id,
-         |         ${duckCosine("q.q_emb", "e.embedding::DOUBLE[]")} AS sim
-         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
-         |exact AS (
-         |  SELECT q_id, vec_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY q_id
-         |                ORDER BY sim DESC, vec_id) AS rk FROM ep) t
-         |  WHERE rk <= 5)
-         |SELECT CAST(t5.nprobe AS BIGINT) AS nprobe,
-         |       count(*) AS n_shortlist,
-         |       CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
-         |            AS BIGINT) AS n_hits,
-         |       (CAST(sum(CASE WHEN exact.q_id IS NOT NULL THEN 1 ELSE 0 END)
-         |             AS BIGINT) * 1000) // 50 AS recall_pm
-         |FROM t5 LEFT JOIN exact
-         |  ON exact.q_id = t5.q_id AND exact.vec_id = t5.vec_id
-         |GROUP BY t5.nprobe""".stripMargin,
+    "s28_recall_sweep" -> (ivfSweepOracleCtes +
+      """
+        |SELECT nprobe, n_shortlist, n_hits, recall_pm FROM sweepagg"""
+        .stripMargin),
+    // the identical sweep makes the identical pick — calibration,
+    // decision and served shortlist all inside one checked query
+    "s34_auto_nprobe" -> (ivfSweepOracleCtes +
+      """,
+        |pick AS (
+        |  SELECT coalesce(min(nprobe) FILTER (WHERE recall_pm >= 900),
+        |                  max(nprobe)) AS np
+        |  FROM sweepagg)
+        |SELECT CAST(t5.nprobe AS BIGINT) AS nprobe, t5.q_id, t5.vec_id
+        |FROM t5 JOIN pick ON t5.nprobe = pick.np""".stripMargin),
     "s19_late_interaction" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -2386,6 +2386,18 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("s34 auto-nprobe: serves one operating point, the cheapest clearing 900pm") {
+    val sweep = SparkEntry.queries("s28_recall_sweep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val expected = sweep.filter(_._2 >= 900).keys
+      .reduceOption(_ min _).getOrElse(sweep.keys.max)
+    val served = SparkEntry.queries("s34_auto_nprobe")(spark, sf).collect()
+    val points = served.map(_.getLong(0)).distinct
+    assert(points.sameElements(Array(expected)),
+      s"picked ${points.mkString(",")}, sweep says $expected ($sweep)")
+    assert(served.length == 50, s"5 per query x 10 queries, got ${served.length}")
+  }
+
   test("m22 sniff: real magic bytes classify, extension-free; text is data") {
     import spark.implicits._
     def payload(hexSig: String, pad: Int) =
