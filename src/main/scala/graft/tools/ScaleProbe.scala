@@ -577,6 +577,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q134_partitioned_scan(spark, sf).count())
       time(s"$tag q135_salted_join")(
         graft.operators.RelationalQueries.q135_salted_join(spark, sf).count())
+      time(s"$tag m22_format_sniff")(
+        graft.operators.MultimodalQueries.m22_format_sniff(spark, sf).count())
+      time(s"$tag s34_auto_nprobe")(
+        graft.operators.SimilarityQueries.s34_auto_nprobe(spark, sf).count())
+      time(s"$tag st16_replay_safe_apply")(
+        graft.operators.StreamingQueries.st16_replay_safe_apply(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
