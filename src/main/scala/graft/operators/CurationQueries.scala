@@ -1380,7 +1380,44 @@ object CurationQueries {
         round(lit(100000) * col("weight"), 9).as("expected_tokens"))
   }
 
+  /** c42: REJECTION SAMPLING to a target length distribution — the
+    * distribution-matching gate (balance a corpus whose length histogram
+    * is lopsided toward a uniform target before packing, so no length
+    * bucket dominates the curriculum): per length octile (n_tokens DIV
+    * 32, capped at 7), the acceptance rate that maps the ACTUAL histogram
+    * onto the uniform TARGET while keeping as much data as possible —
+    * with a uniform target that is accept_pm = 1000·min_bucket_count /
+    * bucket_count (the scarcest bucket keeps everything, every other
+    * bucket thins to match it). Acceptance itself is the c03
+    * multiplicative doc_id hash against the per-bucket per-mille gate —
+    * no RNG state, so accepted counts and token mass hash-check.
+    * Shape: one tokenize scan → 8-row census → broadcast min → one
+    * hash-filter pass; the decision table is metadata-sized at any scale.
+    */
+  def c42_rejection_to_target(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", least(expr("n_tokens DIV 32"), lit(7L)))
+      .localCheckpoint() // census + filter pass share one tokenize
+    val census = docs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val minDf = census.agg(min(col("n_docs")).as("n_min"))
+    docs.join(broadcast(census), "bucket")
+      .crossJoin(broadcast(minDf))
+      .withColumn("accept_pm", expr("n_min * 1000 DIV n_docs"))
+      .withColumn("accepted",
+        (hashCol(col("doc_id"), 733L, 1000L) < col("accept_pm"))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(max(col("n_docs")).as("n_docs"), // constant within bucket
+        max(col("accept_pm")).as("accept_pm"),
+        sum(col("accepted")).as("n_accepted"),
+        sum(col("accepted") * col("n_tokens")).as("accepted_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c42_rejection_to_target" -> (c42_rejection_to_target _),
     "c41_softdedup_mixture" -> (c41_softdedup_mixture _),
     "c40_filter_mixture_repair" -> (c40_filter_mixture_repair _),
     "c39_persisted_model_apply" -> (c39_persisted_model_apply _),
@@ -1650,6 +1687,27 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c42_rejection_to_target" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_tokens, least(n_tokens // 32, 7) AS bucket
+        |  FROM t),
+        |census AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+        |mn AS (SELECT min(n_docs) AS n_min FROM census),
+        |acc AS (
+        |  SELECT b.bucket, b.n_tokens, census.n_docs,
+        |         mn.n_min * 1000 // census.n_docs AS accept_pm,
+        |         CASE WHEN ((b.doc_id % 1000003) * 2654435761 + 733) % 1000
+        |                   < mn.n_min * 1000 // census.n_docs
+        |              THEN 1 ELSE 0 END AS accepted
+        |  FROM b JOIN census USING (bucket) CROSS JOIN mn)
+        |SELECT bucket, max(n_docs) AS n_docs, max(accept_pm) AS accept_pm,
+        |       CAST(sum(accepted) AS BIGINT) AS n_accepted,
+        |       CAST(sum(accepted * n_tokens) AS BIGINT) AS accepted_tokens
+        |FROM acc GROUP BY 1""".stripMargin,
     // d33's stage text shared verbatim — the composition is what's checked
     "c41_softdedup_mixture" -> (DedupQueries.d33OracleCtes +
       """,

@@ -3166,7 +3166,46 @@ object RelationalQueries {
           .as("revenue"))
   }
 
+  /** q136: exact EQUI-DEPTH range boundaries — the split-point table a
+    * range-partitioned writer needs (q134's layout planning step):
+    * 32 buckets of equal row mass over (l_orderkey, l_linenumber), each
+    * bucket's max key = the boundary. Spark's own repartitionByRange
+    * SAMPLES its boundaries (good enough to route, wrong to publish);
+    * this computes them EXACTLY with the c28/d27/m20 two-phase scan —
+    * range-partition, per-partition subtotals to the driver (≤32 rows at
+    * any corpus size), broadcast offsets back, positions from pid-local
+    * windows — no global sort ever lands on one reducer. Bucket =
+    * position·32 DIV N (the remainder-spreading rule both engines can
+    * spell; ntile's all-big-buckets-first convention differs, so the
+    * oracle uses the same row_number arithmetic).
+    */
+  def q136_range_boundaries(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .repartitionByRange(32, col("l_orderkey"), col("l_linenumber"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid must be identical in both passes
+    val subtotals = keyed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = subtotals.map(_._2).sum
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offDf), "pid")
+      .withColumn("position", col("off") + count(lit(1)).over(w) - 1)
+      .withColumn("bucket", expr(s"position * 32 DIV $total") + lit(1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("l_orderkey")).as("boundary_key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_range_boundaries" -> (q136_range_boundaries _),
     "q135_salted_join" -> (q135_salted_join _),
     "q134_partitioned_scan" -> (q134_partitioned_scan _),
     "q133_bucketed_join" -> (q133_bucketed_join _),
@@ -3708,6 +3747,16 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q136_range_boundaries" ->
+      """WITH p AS (
+        |  SELECT l_orderkey,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1
+        |           AS pos,
+        |         count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT pos * 32 // n + 1 AS bucket, count(*) AS n_rows,
+        |       max(l_orderkey) AS boundary_key
+        |FROM p GROUP BY 1""".stripMargin,
     "q135_salted_join" ->
       s"""SELECT p_brand, count(*) AS n_items,
          |       ${osum("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -583,6 +583,10 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s34_auto_nprobe(spark, sf).count())
       time(s"$tag st16_replay_safe_apply")(
         graft.operators.StreamingQueries.st16_replay_safe_apply(spark, sf).count())
+      time(s"$tag q136_range_boundaries")(
+        graft.operators.RelationalQueries.q136_range_boundaries(spark, sf).count())
+      time(s"$tag c42_rejection_to_target")(
+        graft.operators.CurationQueries.c42_rejection_to_target(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2386,6 +2386,31 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("q136 boundaries: 32 equal-depth buckets, monotone split keys, full coverage") {
+    val rows = SparkEntry.queries("q136_range_boundaries")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 32L).toSeq, "bucket ids wrong")
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "buckets must cover every row")
+    val (mn, mx) = (rows.map(_._2).min, rows.map(_._2).max)
+    assert(mx - mn <= 1, s"equi-depth violated: sizes $mn..$mx")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "boundary keys must be non-decreasing")
+  }
+
+  test("c42 rejection: scarcest bucket keeps all, others thin to match it") {
+    val rows = SparkEntry.queries("c42_rejection_to_target")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nMin = rows.map(_._2).min
+    rows.foreach { case (b, nDocs, acceptPm, nAcc) =>
+      assert(acceptPm == nMin * 1000 / nDocs, s"bucket $b gate wrong")
+      assert(nAcc <= nDocs, s"bucket $b accepted more than it has")
+    }
+    val scarcest = rows.filter(_._2 == nMin)
+    assert(scarcest.forall(r => r._3 == 1000L && r._4 == r._2),
+      s"scarcest bucket must keep everything: ${scarcest.mkString(",")}")
+  }
+
   test("s34 auto-nprobe: serves one operating point, the cheapest clearing 900pm") {
     val sweep = SparkEntry.queries("s28_recall_sweep")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
