@@ -215,6 +215,46 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
 
+  /** d34: dedup ROI curve — the threshold-decision table an operator
+    * reads before fixing a near-dup cutoff (d25 tunes the LSH recall
+    * side; this prices the APPLY side): at each candidate jaccard
+    * threshold, how many pairs flag, how many docs the keep-min rule
+    * drops, and the token mass saved. One pair pass (d05's df-capped
+    * generator, shared verbatim) fanned across a 5-row broadcast
+    * threshold ladder; the threshold test is the cross-multiplied
+    * integer `inter·1000 >= tau·union` so no float ever decides a row —
+    * the whole table hash-checks. Ladder rows with zero hits survive as
+    * explicit zeros (a decision table with silent gaps misreads as
+    * "nothing to save").
+    */
+  def d34_dedup_roi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint() // pair generator + token lookup share one scan
+    val pairs = ngramJaccardPairs(docs, DfCap)
+      .select(col("doc_b"), col("na"), col("nb"), col("inter"))
+    val taus = broadcast(Seq(100L, 300L, 500L, 700L, 900L).toDF("tau_pm"))
+    val hits = pairs.crossJoin(taus)
+      .filter(col("inter") * 1000 >=
+        col("tau_pm") * (col("na") + col("nb") - col("inter")))
+      .localCheckpoint() // pair census + drop census share the fan-out
+    val pairCounts = hits.groupBy(col("tau_pm")).agg(count(lit(1)).as("n_pairs"))
+    val toks = docs.select(col("doc_id").as("doc_b"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dropAgg = hits.select(col("tau_pm"), col("doc_b")).distinct()
+      .join(toks, "doc_b")
+      .groupBy(col("tau_pm"))
+      .agg(count(lit(1)).as("n_docs_dropped"),
+        sum(col("n_tokens")).as("tokens_dropped"))
+    taus.join(pairCounts, Seq("tau_pm"), "left")
+      .join(dropAgg, Seq("tau_pm"), "left")
+      .select(col("tau_pm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        coalesce(col("tokens_dropped"), lit(0L)).as("tokens_dropped"))
+  }
+
   /** d23: quality-aware CANONICAL selection — the apply-side policy choice
     * d08/d09 hard-code as keep-smallest-id: when a near-dup cluster
     * collapses to one survivor, production pipelines keep the BEST
@@ -1614,6 +1654,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "d34_dedup_roi" -> (d34_dedup_roi _),
     "d33_soft_dedup" -> (d33_soft_dedup _),
     "d32_allpairs_cosine" -> (d32_allpairs_cosine _),
     "d31_blocking_audit" -> (d31_blocking_audit _),
@@ -2176,6 +2217,36 @@ object DedupQueries {
          |  FROM p)
          |SELECT doc_small, doc_big, n_small, n_big, containment, jaccard
          |FROM o WHERE containment >= 0.8""".stripMargin,
+    "d34_dedup_roi" ->
+      s"""WITH $ShingleIndexCte,
+         |pl AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.n AS na, b.n AS nb, count(*) AS inter
+         |  FROM f a JOIN f b
+         |    ON a.shingle = b.shingle AND a.lang = b.lang
+         |   AND a.source = b.source AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |taus AS (SELECT CAST(unnest([100, 300, 500, 700, 900]) AS BIGINT)
+         |                  AS tau_pm),
+         |hits AS (
+         |  SELECT taus.tau_pm, pl.doc_b
+         |  FROM pl CROSS JOIN taus
+         |  WHERE pl.inter * 1000 >= taus.tau_pm * (pl.na + pl.nb - pl.inter)),
+         |pc AS (SELECT tau_pm, count(*) AS n_pairs FROM hits GROUP BY 1),
+         |tok AS (SELECT doc_id AS doc_b,
+         |               CAST(len(string_split(text, ' ')) AS BIGINT)
+         |                 AS n_tokens
+         |        FROM documents),
+         |dr AS (
+         |  SELECT tau_pm, count(*) AS n_docs_dropped,
+         |         CAST(sum(n_tokens) AS BIGINT) AS tokens_dropped
+         |  FROM (SELECT DISTINCT tau_pm, doc_b FROM hits) h
+         |  JOIN tok USING (doc_b) GROUP BY 1)
+         |SELECT taus.tau_pm, coalesce(pc.n_pairs, 0) AS n_pairs,
+         |       coalesce(dr.n_docs_dropped, 0) AS n_docs_dropped,
+         |       coalesce(dr.tokens_dropped, 0) AS tokens_dropped
+         |FROM taus LEFT JOIN pc USING (tau_pm)
+         |LEFT JOIN dr USING (tau_pm)""".stripMargin,
     "d05_ngram_jaccard" ->
       s"""WITH $ShingleIndexCte,
          |pl AS (

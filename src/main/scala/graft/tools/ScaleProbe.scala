@@ -587,6 +587,8 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q136_range_boundaries(spark, sf).count())
       time(s"$tag c42_rejection_to_target")(
         graft.operators.CurationQueries.c42_rejection_to_target(spark, sf).count())
+      time(s"$tag d34_dedup_roi")(
+        graft.operators.DedupQueries.d34_dedup_roi(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2386,6 +2386,21 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("d34 ROI curve: monotone in tau, tau=100 row agrees with d05's pair set") {
+    val rows = SparkEntry.queries("d34_dedup_roi")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(100L, 300L, 500L, 700L, 900L))
+    Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach { f =>
+      assert(rows.map(f).sliding(2).forall(p => p(0) >= p(1)),
+        s"curve must be non-increasing in tau: ${rows.mkString(",")}")
+    }
+    // the integer cross-multiplied gate at tau=100 IS d05's jaccard >= 0.1
+    val d05Pairs = SparkEntry.queries("d05_ngram_jaccard")(spark, sf).count()
+    assert(rows.head._2 == d05Pairs,
+      s"tau=100 pairs ${rows.head._2} != d05 $d05Pairs")
+  }
+
   test("q136 boundaries: 32 equal-depth buckets, monotone split keys, full coverage") {
     val rows = SparkEntry.queries("q136_range_boundaries")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
