@@ -1686,7 +1686,57 @@ object TextQueries {
   private[graft] def blocklistFromView(s: SparkSession): DataFrame =
     s.sql(t39Sql("explode(split(text, ' '))", "div"))
 
+  /** t40's census — `cnt` is the dialect-divergent occurrence counter
+    * (Spark `regexp_count`, DuckDB `len(regexp_extract_all(...))`); the
+    * regex patterns are shared RE2/Java-compatible text (2-digit `\xNN`
+    * class ranges, braced `\x{FFFD}`).
+    */
+  private def t40Sql(cnt: (String, String) => String, div: String): String =
+    s"""WITH per AS (
+       |  SELECT source, length(text) AS n_chars,
+       |         ${cnt("text", "[^\\x00-\\x7F]")} AS nonascii,
+       |         ${cnt("text", "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")}
+       |           AS ctrl,
+       |         ${cnt("text", "\\x{FFFD}")} AS repl
+       |  FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(nonascii) AS BIGINT) AS nonascii_chars,
+       |       CAST(sum(CASE WHEN nonascii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS docs_nonascii,
+       |       CAST(sum(ctrl) AS BIGINT) AS control_chars,
+       |       CAST(sum(repl) AS BIGINT) AS replacement_chars,
+       |       (CAST(sum(n_chars) AS BIGINT) - CAST(sum(nonascii) AS BIGINT))
+       |         * 1000 $div CAST(sum(n_chars) AS BIGINT) AS ascii_pm
+       |FROM per GROUP BY 1""".stripMargin
+
+  /** t40: CHARSET / MOJIBAKE audit — the encoding-hygiene census every
+    * crawled-text ingest runs before anything downstream trusts the
+    * bytes: per source, non-ASCII mass (expected for non-English, a red
+    * flag for `source=en` config errors), C0/C1-style control characters
+    * (terminal escapes, nulls from truncated reads), and U+FFFD
+    * replacement characters — the smoking gun of a wrong-charset decode
+    * (mojibake), since FFFD only enters text when a decoder already gave
+    * up. Patterns are engine-shared RE2/Java text so the per-mille ASCII
+    * ratio and all counts hash-check; one scan, vocabulary-bounded agg.
+    * The fixture is clean (zeros), so the spec plants control bytes and
+    * FFFD docs to prove each arm fires.
+    */
+  def t40_charset_audit(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    charsetFromView(s)
+  }
+
+  /** The audit over whatever `documents` view is registered — split out
+    * for the planted-mojibake spec.
+    */
+  private[graft] def charsetFromView(s: SparkSession): DataFrame =
+    // Spark SQL string literals process C-style escapes, so the regex
+    // backslashes must be doubled; DuckDB standard strings are raw
+    s.sql(t40Sql((c, p) =>
+      s"regexp_count($c, '${p.replace("\\", "\\\\")}')", "div"))
+
   val queries: Map[String, Q] = Map(
+    "t40_charset_audit" -> (t40_charset_audit _),
     "t39_blocklist_filter" -> (t39_blocklist_filter _),
     "t38_vocab_sweep" -> (t38_vocab_sweep _),
     "t37_span_corruption" -> (t37_span_corruption _),
@@ -1875,6 +1925,8 @@ object TextQueries {
       "unnest([1, 2, 4, 8, 16, 32, 64])", "//"),
     "t39_blocklist_filter" ->
       t39Sql("unnest(string_split(text, ' '))", "//"),
+    "t40_charset_audit" ->
+      t40Sql((c, p) => s"len(regexp_extract_all($c, '$p'))", "//"),
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

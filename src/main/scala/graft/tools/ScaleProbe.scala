@@ -589,6 +589,8 @@ object ScaleProbe {
         graft.operators.CurationQueries.c42_rejection_to_target(spark, sf).count())
       time(s"$tag d34_dedup_roi")(
         graft.operators.DedupQueries.d34_dedup_roi(spark, sf).count())
+      time(s"$tag t40_charset_audit")(
+        graft.operators.TextQueries.t40_charset_audit(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

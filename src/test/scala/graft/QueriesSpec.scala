@@ -2386,6 +2386,23 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("t40 charset: planted control bytes and U+FFFD fire their arms") {
+    import spark.implicits._
+    Seq(
+      (1L, "sA", "clean ascii text"),
+      (2L, "sA", "bad\u0000ctl\u001Fbytes"), // 2 control chars, still ASCII
+      (3L, "sB", "moji�bake�!"),   // 2 replacement chars
+      (4L, "sB", "naïve café"))    // non-ascii but healthy
+      .toDF("doc_id", "source", "text").createOrReplaceTempView("documents")
+    val rows = operators.TextQueries.charsetFromView(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // sA: control bytes are ASCII-range -> ascii_pm stays 1000
+    assert(rows("sA") == ((2L, 0L, 0L, 2L, 0L, 1000L)), s"sA: ${rows("sA")}")
+    // sB: 21 chars, 4 non-ascii (2 of them FFFD) -> 17000/21 = 809pm
+    assert(rows("sB") == ((2L, 4L, 2L, 0L, 2L, 809L)), s"sB: ${rows("sB")}")
+  }
+
   test("d34 ROI curve: monotone in tau, tau=100 row agrees with d05's pair set") {
     val rows = SparkEntry.queries("d34_dedup_roi")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
