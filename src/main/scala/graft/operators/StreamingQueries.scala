@@ -404,6 +404,63 @@ object StreamingQueries {
     }
   }
 
+  /** st17: LATE-DATA audit — the watermark-tuning table read BEFORE
+    * deploying st01's windows: for a ladder of candidate watermark delays,
+    * how many events would be dropped as late. An event is late under
+    * delay W iff its event time sits more than W behind the arrival
+    * high-water mark (the max event time over everything that arrived
+    * STRICTLY earlier — exclusive, matching Spark's watermark being
+    * computed from prior progress). The fixture's feed arrives perfectly
+    * ordered (an audit of it is all zeros), so arrival order is DERIVED
+    * with deterministic inversions — every 7th event arrives 50 sequence
+    * slots late (st04's replay stand-in applied to reordering), giving
+    * the ladder a real late tail to measure.
+    *
+    * Scale shape: the exclusive running max over a global order is a
+    * distributed PREFIX-MAX, not a single-partition window — the c17/c28
+    * two-phase discipline with max in place of sum: range-partition by
+    * event_id, per-pid exclusive running max locally, per-pid max
+    * subtotals to the driver (≤32 rows), scanLeft prefix maxima broadcast
+    * back, global = greatest(local, carry-in). Comparisons in integer
+    * epoch-µs; the ladder fans out over a 4-row broadcast.
+    */
+  /** Pre-history marker for st17's exclusive prefix max — far below any
+    * real epoch-µs yet safe under the W·60s subtraction (Long.MinValue
+    * would overflow ANSI arithmetic on the first row).
+    */
+  private val LateSentinelUs = -1000000000000000000L
+
+  def st17_late_data_audit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arr",
+        col("event_id") + when(col("event_id") % 7 === 0, 50L).otherwise(0L))
+      .repartitionByRange(32, col("arr"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid identical in subtotal and window passes
+    val pidMax = ev.groupBy(col("pid")).agg(max(col("us")).as("pm"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val carry = pidMax.map(_._2).scanLeft(LateSentinelUs)(math.max)
+    val carryDf = broadcast(
+      pidMax.map(_._1).zip(carry).toSeq.toDF("pid", "carry_us"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ladder = broadcast(Seq(0L, 60L, 240L, 480L).toDF("w_minutes"))
+    ev.join(carryDf, "pid")
+      .withColumn("hwm_us",
+        greatest(coalesce(max(col("us")).over(w), lit(LateSentinelUs)),
+          col("carry_us")))
+      .crossJoin(ladder)
+      .withColumn("late",
+        (col("us") < col("hwm_us") - col("w_minutes") * 60000000L)
+          .cast("long"))
+      .groupBy(col("w_minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+      .withColumn("late_pm", expr("n_late * 1000 DIV n_events"))
+  }
+
   /** st13: INCREMENTAL PSI drift monitor — q119's statistic maintained
     * under continuous ingest: each micro-batch appends its (event_type,
     * half, count) partial; the monitor merges STORED partials only and
@@ -517,6 +574,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "st17_late_data_audit" -> (st17_late_data_audit _),
     "st16_replay_safe_apply" -> (st16_replay_safe_apply _),
     "st15_incremental_rocchio" -> (st15_incremental_rocchio _),
     "st14_incremental_co_graph" -> (st14_incremental_co_graph _),
@@ -536,6 +594,29 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st17_late_data_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         event_id + CASE WHEN event_id % 7 = 0 THEN 50 ELSE 0 END
+        |           AS arr
+        |  FROM events),
+        |h AS (
+        |  SELECT us,
+        |         max(us) OVER (ORDER BY arr, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS hwm_us
+        |  FROM e),
+        |lad AS (SELECT CAST(unnest([0, 60, 240, 480]) AS BIGINT) AS w_minutes),
+        |x AS (
+        |  SELECT lad.w_minutes,
+        |         CASE WHEN h.us < coalesce(h.hwm_us, -1000000000000000000)
+        |                          - lad.w_minutes * 60000000
+        |              THEN 1 ELSE 0 END AS late
+        |  FROM h CROSS JOIN lad)
+        |SELECT w_minutes, count(*) AS n_events,
+        |       CAST(sum(late) AS BIGINT) AS n_late,
+        |       CAST(sum(late) AS BIGINT) * 1000 // count(*) AS late_pm
+        |FROM x GROUP BY 1""".stripMargin,
     // the replay is dropped, so one-shot recompute is the exact answer
     "st16_replay_safe_apply" -> RelationalQueries.oracles("q94_view_maintain"),
     "st15_incremental_rocchio" -> (TextQueries.rocchioOracleCtes +

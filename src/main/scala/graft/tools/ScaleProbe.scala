@@ -591,6 +591,8 @@ object ScaleProbe {
         graft.operators.DedupQueries.d34_dedup_roi(spark, sf).count())
       time(s"$tag t40_charset_audit")(
         graft.operators.TextQueries.t40_charset_audit(spark, sf).count())
+      time(s"$tag st17_late_data_audit")(
+        graft.operators.StreamingQueries.st17_late_data_audit(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

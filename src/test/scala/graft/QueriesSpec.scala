@@ -2386,6 +2386,28 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("st17 late audit: distributed prefix-max == naive global window; monotone ladder") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = SparkEntry.queries("st17_late_data_audit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 60L, 240L, 480L))
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) >= p(1)),
+      s"late counts must fall as the watermark widens: ${rows.mkString(",")}")
+    assert(rows.head._2 > 0, "the derived inversions must produce a late tail")
+    // independent check of the two-phase prefix max: the naive (single
+    // partition) global window, fine at spec scale, forbidden at 100 TB
+    val naive = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arr",
+        col("event_id") + when(col("event_id") % 7 === 0, 50L).otherwise(0L))
+      .withColumn("hwm", max(col("us")).over(Window
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("us") < col("hwm")).count()
+    assert(rows.head._2 == naive,
+      s"two-phase prefix max diverged from the naive window: ${rows.head._2} vs $naive")
+  }
+
   test("t40 charset: planted control bytes and U+FFFD fire their arms") {
     import spark.implicits._
     Seq(
