@@ -1735,7 +1735,84 @@ object TextQueries {
     s.sql(t40Sql((c, p) =>
       s"regexp_count($c, '${p.replace("\\", "\\\\")}')", "div"))
 
+  /** t41: HEAPS'-LAW fit — the other classic corpus power law (t20 fits
+    * Zipf's rank-frequency; this fits vocabulary GROWTH, V = k·N^β): how
+    * fast the type count grows as tokens accumulate in arrival order.
+    * The measured β feeds capacity planning everywhere a vocabulary is
+    * materialized (tokenizer training corpus sizing, t17's merge-table
+    * growth, embedding-table budgets) and a β drifting toward 1 flags
+    * machine-generated text (unbounded novel types). Corpus prefix
+    * checkpoints come from the c28/q136 two-phase DOC-position scan (8
+    * equal-depth arrival octiles — the window runs over per-doc rows,
+    * never tokens); each word's first-occurrence octile is one
+    * min-aggregate (t23's first-seen economics at word level); the 8
+    * cumulative (N, V) points then take t20's exact-moment least squares
+    * on 9dp-rounded logs with DECIMAL sums, so β and ln k hash-check.
+    */
+  def t41_heaps_fit(s: SparkSession, d: String): DataFrame =
+    heapsFitFrom(s, Tables.documents(s, d))
+
+  /** t41 over any (doc_id, text) frame — the fixture's closed 31-word
+    * synthetic vocabulary saturates in the first octile (β = 0, itself a
+    * meaningful verdict: no type growth), so the spec plants an
+    * open-vocabulary corpus to exercise the fit.
+    */
+  private[graft] def heapsFitFrom(s: SparkSession, documents: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val docs = documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid identical in subtotal and window passes
+    val subtotals = docs.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val dd = subtotals.map(_._2).sum
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = broadcast(s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bk = docs.join(offDf, "pid")
+      .withColumn("pos", col("off") + count(lit(1)).over(w) - 1)
+      .withColumn("ckpt", expr(s"pos * 8 DIV $dd") + lit(1))
+      .localCheckpoint() // token-mass rollup + first-seen share positions
+    val bt = bk.groupBy(col("ckpt")).agg(sum(col("n")).as("bt"))
+    val nv = bk.select(col("ckpt"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("ckpt")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+    val ck = broadcast((1L to 8L).toDF("ckpt"))
+    val cumN = ck.as("c").join(bt.as("b"), expr("b.ckpt <= c.ckpt"))
+      .groupBy(col("c.ckpt").as("ckpt")).agg(sum(col("bt")).as("n_tokens"))
+    val cumV = ck.as("c").join(nv.as("f"), expr("f.fb <= c.ckpt"))
+      .groupBy(col("c.ckpt").as("ckpt")).agg(sum(col("nv")).as("vocab"))
+    val pts = cumN.join(cumV, "ckpt")
+      .withColumn("x", round(log(col("n_tokens").cast("double")), 9).cast(dec9))
+      .withColumn("y", round(log(col("vocab").cast("double")), 9).cast(dec9))
+      .localCheckpoint() // the 8 points feed the fit and ride the output
+    val fit = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(expr("x * x")).cast("double").as("sx2"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(expr("x * y")).cast("double").as("sxy"))
+      .select(
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sx2") - col("sx") * col("sx")), 9).as("beta"),
+        round(col("sy") / col("n") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx"))) *
+          (col("sx") / col("n")), 9).as("ln_k"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("ckpt"), col("n_tokens"), col("vocab"),
+        col("beta"), col("ln_k"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t41_heaps_fit" -> (t41_heaps_fit _),
     "t40_charset_audit" -> (t40_charset_audit _),
     "t39_blocklist_filter" -> (t39_blocklist_filter _),
     "t38_vocab_sweep" -> (t38_vocab_sweep _),
@@ -1927,6 +2004,46 @@ object TextQueries {
       t39Sql("unnest(string_split(text, ' '))", "//"),
     "t40_charset_audit" ->
       t40Sql((c, p) => s"len(regexp_extract_all($c, '$p'))", "//"),
+    "t41_heaps_fit" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |         row_number() OVER (ORDER BY doc_id) - 1 AS pos,
+        |         count(*) OVER () AS dd
+        |  FROM t),
+        |bk AS (SELECT doc_id, toks, n, pos * 8 // dd + 1 AS ckpt FROM p),
+        |bt AS (SELECT ckpt, CAST(sum(n) AS BIGINT) AS bt FROM bk GROUP BY 1),
+        |fw AS (
+        |  SELECT w, min(ckpt) AS fb
+        |  FROM (SELECT ckpt, unnest(toks) AS w FROM bk) u GROUP BY 1),
+        |nv AS (SELECT fb, count(*) AS nv FROM fw GROUP BY 1),
+        |ck AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS BIGINT)
+        |                AS ckpt),
+        |cum AS (
+        |  SELECT ck.ckpt,
+        |         (SELECT CAST(sum(bt.bt) AS BIGINT) FROM bt
+        |          WHERE bt.ckpt <= ck.ckpt) AS n_tokens,
+        |         (SELECT CAST(sum(nv.nv) AS BIGINT) FROM nv
+        |          WHERE nv.fb <= ck.ckpt) AS vocab
+        |  FROM ck),
+        |pts AS (
+        |  SELECT ckpt, n_tokens, vocab,
+        |         CAST(round(ln(n_tokens), 9) AS DECIMAL(18,9)) AS x,
+        |         CAST(round(ln(vocab), 9) AS DECIMAL(18,9)) AS y
+        |  FROM cum),
+        |ft AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+        |         CAST(sum(x * x) AS DOUBLE) AS sx2,
+        |         CAST(sum(y) AS DOUBLE) AS sy,
+        |         CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM pts)
+        |SELECT pts.ckpt, pts.n_tokens, pts.vocab,
+        |       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS beta,
+        |       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+        |             * (sx / n), 9) AS ln_k
+        |FROM pts CROSS JOIN ft""".stripMargin,
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

@@ -2386,6 +2386,27 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("t41 heaps: all-unique corpus fits beta=1 exactly; fixture saturates to 0") {
+    import spark.implicits._
+    // 8 docs x 4 globally-unique tokens: V = N at every checkpoint, so the
+    // log-log regression is y == x -> slope exactly 1, intercept exactly 0
+    val open = (0L until 8L).map(c =>
+      (c, (0 until 4).map(j => s"w${c}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fit = operators.TextQueries.heapsFitFrom(spark, open).collect()
+    assert(fit.length == 8)
+    fit.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"V must equal N: $r")
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0,
+        s"open vocab must fit beta=1, ln_k=0: $r")
+    }
+    // the synthetic fixture's vocabulary is CLOSED (31 types, all seen in
+    // octile 1) -> beta saturates to exactly 0 — itself the right verdict
+    val sat = SparkEntry.queries("t41_heaps_fit")(spark, sf).collect()
+    assert(sat.forall(_.getDouble(3) == 0.0),
+      s"closed fixture vocab must fit beta=0: ${sat.take(2).mkString(",")}")
+  }
+
   test("st17 late audit: distributed prefix-max == naive global window; monotone ladder") {
     import org.apache.spark.sql.expressions.Window
     val rows = SparkEntry.queries("st17_late_data_audit")(spark, sf).collect()
