@@ -1416,7 +1416,48 @@ object CurationQueries {
         sum(col("accepted") * col("n_tokens")).as("accepted_tokens"))
   }
 
+  /** c43: decontamination CANARY recall — the validation every decontam
+    * deployment owes itself (the practice behind published canary GUIDs:
+    * plant known sentinel strings, then prove the pipeline would catch
+    * them): ten 15-token canaries with globally-unique vocabulary, the
+    * even-numbered five COPIED into the training side (the planted leak),
+    * the odd five kept clean. Detection is the family's own 13-gram
+    * machinery (c08/c09/c13's gram projection, canary grams broadcast,
+    * train grams probe map-side). Ground truth is known by construction,
+    * so the output is the 2×2 audit: every leak must land `caught_leak`
+    * and every clean canary `clean_pass` — `missed_leak` (a false
+    * negative: the decontam screen has a hole) and `false_flag` (gram
+    * collision with real text) rows are defects the hash gate AND the
+    * spec both surface.
+    */
+  def c43_canary_recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canaries = (0L until 10L).map { k =>
+      (k, k % 2 == 0,
+        (0 until 15).map(j => s"c${k}canary$j").mkString(" "))
+    }.toDF("canary_id", "leaked", "text")
+    val train = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .unionByName(canaries.filter(col("leaked"))
+        .select((col("canary_id") + 2000000L).as("doc_id"), col("text")))
+    val canaryGrams = grams13(
+      canaries.select(col("canary_id").as("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id").as("canary_id"), col("ng"))
+    val det = grams13(train, "doc_id")
+      .join(broadcast(canaryGrams), "ng")
+      .groupBy(col("canary_id"))
+      .agg(countDistinct(col("doc_id")).as("n_hit_docs"))
+    canaries.join(det, Seq("canary_id"), "left")
+      .select(col("canary_id"), col("leaked").cast("long").as("leaked"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        when(col("leaked") && coalesce(col("n_hit_docs"), lit(0L)) > 0,
+          "caught_leak")
+          .when(col("leaked"), "missed_leak")
+          .when(coalesce(col("n_hit_docs"), lit(0L)) > 0, "false_flag")
+          .otherwise("clean_pass").as("verdict"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c43_canary_recall" -> (c43_canary_recall _),
     "c42_rejection_to_target" -> (c42_rejection_to_target _),
     "c41_softdedup_mixture" -> (c41_softdedup_mixture _),
     "c40_filter_mixture_repair" -> (c40_filter_mixture_repair _),
@@ -1687,6 +1728,41 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c43_canary_recall" ->
+      """WITH can AS (
+        |  SELECT k AS canary_id, k % 2 = 0 AS leaked,
+        |         array_to_string(list_transform(range(0, 15),
+        |           j -> 'c' || k || 'canary' || j), ' ') AS text
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS k)),
+        |train AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT canary_id + 2000000 AS doc_id, text FROM can WHERE leaked),
+        |cg AS (
+        |  SELECT DISTINCT canary_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT canary_id, string_split(lower(text), ' ') AS toks
+        |        FROM can) t,
+        |       (SELECT unnest(generate_series(1, 3)) AS i)),
+        |tg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+12], ' ') AS ng
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |              FROM train) u
+        |        WHERE len(toks) >= 13) v),
+        |det AS (
+        |  SELECT cg.canary_id, count(DISTINCT tg.doc_id) AS n_hit_docs
+        |  FROM tg JOIN cg USING (ng) GROUP BY 1)
+        |SELECT CAST(can.canary_id AS BIGINT) AS canary_id,
+        |       CAST(CASE WHEN can.leaked THEN 1 ELSE 0 END AS BIGINT)
+        |         AS leaked,
+        |       CAST(coalesce(det.n_hit_docs, 0) AS BIGINT) AS n_hit_docs,
+        |       CASE WHEN can.leaked AND coalesce(det.n_hit_docs, 0) > 0
+        |              THEN 'caught_leak'
+        |            WHEN can.leaked THEN 'missed_leak'
+        |            WHEN coalesce(det.n_hit_docs, 0) > 0 THEN 'false_flag'
+        |            ELSE 'clean_pass' END AS verdict
+        |FROM can LEFT JOIN det USING (canary_id)""".stripMargin,
     "c42_rejection_to_target" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -595,6 +595,8 @@ object ScaleProbe {
         graft.operators.StreamingQueries.st17_late_data_audit(spark, sf).count())
       time(s"$tag t41_heaps_fit")(
         graft.operators.TextQueries.t41_heaps_fit(spark, sf).count())
+      time(s"$tag c43_canary_recall")(
+        graft.operators.CurationQueries.c43_canary_recall(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2386,6 +2386,18 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("c43 canaries: every planted leak caught, every clean canary passes") {
+    val rows = SparkEntry.queries("c43_canary_recall")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (k, leaked, verdict) =>
+      val want = if (leaked == 1L) "caught_leak" else "clean_pass"
+      assert(verdict == want,
+        s"canary $k: $verdict (a missed_leak means the decontam screen " +
+          s"has a hole; a false_flag means gram collision with real text)")
+    }
+  }
+
   test("t41 heaps: all-unique corpus fits beta=1 exactly; fixture saturates to 0") {
     import spark.implicits._
     // 8 docs x 4 globally-unique tokens: V = N at every checkpoint, so the
