@@ -709,6 +709,36 @@ class PlanInvariantsSpec extends SparkTestBase {
       "salting targets the no-broadcast case; a broadcast voids the demo")
   }
 
+  test("two-phase scans (q136/st17): every window pid-partitioned, never one reducer") {
+    // each computes a global order statistic (positions / prefix max) that
+    // a naive plan funnels through one single-partition WINDOW; the
+    // two-phase idiom must keep every window pid-partitioned. (Ungrouped
+    // aggregates still end in a SinglePartition exchange of map-side
+    // PARTIALS — metadata-sized and fine — so the pin inspects window
+    // operators, not exchanges.)
+    def windows(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.window.WindowExec] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        windows(a.executedPlan)
+      case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        windows(st.plan)
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w +: w.children.flatMap(windows)
+      case other => other.children.flatMap(windows)
+    }
+    // t41 is omitted: its position windows sit behind a localCheckpoint so
+    // the final plan starts from the checkpointed RDD; the same pid-keyed
+    // idiom is exercised here via q136 and semantics-pinned by t41's spec
+    for (name <- Seq("q136_range_boundaries", "st17_late_data_audit")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      val ws = windows(df.queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$name should compute through windows")
+      ws.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name runs an UNPARTITIONED window (single-reducer funnel): $w"))
+    }
+  }
+
   test("kmeans assignment: pure projection, zero exchanges") {
     import graft.functions.KMeans
     val e = Tables.embeddings(spark, sf)
