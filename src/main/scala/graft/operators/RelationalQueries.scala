@@ -3204,7 +3204,43 @@ object RelationalQueries {
         max(col("l_orderkey")).as("boundary_key"))
   }
 
+  /** q137: COLUMN-GROUP statistics — the ANALYZE-table pass a cost-based
+    * optimizer needs before it can price multi-column predicates: per
+    * column pair, the individual NDVs, the JOINT NDV, and the
+    * independence ratio joint·1000 / min(ndv_a·ndv_b, rows) — 1000 means
+    * the columns combine independently (multiplying selectivities is
+    * sound), low values flag functional-dependence-like correlation
+    * (where independence assumptions underestimate selectivity by orders
+    * of magnitude — the classic CBO misestimate). One scan: all nine
+    * distinct-aggregates ride a single Expand-based aggregate, then the
+    * 1-row wide result unpivots to the 3-row stats table.
+    */
+  def q137_column_stats(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_returnflag")).as("a1"),
+      countDistinct(col("l_linestatus")).as("b1"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("j1"),
+      countDistinct(col("l_shipdate")).as("a2"),
+      countDistinct(col("l_returnflag")).as("b2"),
+      countDistinct(col("l_shipdate"), col("l_returnflag")).as("j2"),
+      countDistinct(col("l_partkey")).as("a3"),
+      countDistinct(col("l_suppkey")).as("b3"),
+      countDistinct(col("l_partkey"), col("l_suppkey")).as("j3"))
+    wide.select(expr(
+      """stack(3,
+        |  'l_returnflag,l_linestatus', a1, b1, j1,
+        |  'l_shipdate,l_returnflag',   a2, b2, j2,
+        |  'l_partkey,l_suppkey',       a3, b3, j3)
+        |  AS (col_pair, ndv_a, ndv_b, ndv_joint)""".stripMargin),
+      col("n_rows"))
+      .withColumn("independence_pm",
+        expr("ndv_joint * 1000 DIV least(ndv_a * ndv_b, n_rows)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_column_stats" -> (q137_column_stats _),
     "q136_range_boundaries" -> (q136_range_boundaries _),
     "q135_salted_join" -> (q135_salted_join _),
     "q134_partitioned_scan" -> (q134_partitioned_scan _),
@@ -3747,6 +3783,30 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q137_column_stats" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT l_returnflag) AS a1,
+        |         count(DISTINCT l_linestatus) AS b1,
+        |         count(DISTINCT (l_returnflag, l_linestatus)) AS j1,
+        |         count(DISTINCT l_shipdate) AS a2,
+        |         count(DISTINCT l_returnflag) AS b2,
+        |         count(DISTINCT (l_shipdate, l_returnflag)) AS j2,
+        |         count(DISTINCT l_partkey) AS a3,
+        |         count(DISTINCT l_suppkey) AS b3,
+        |         count(DISTINCT (l_partkey, l_suppkey)) AS j3
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT 'l_returnflag,l_linestatus' AS col_pair,
+        |         a1 AS ndv_a, b1 AS ndv_b, j1 AS ndv_joint, n_rows FROM w
+        |  UNION ALL
+        |  SELECT 'l_shipdate,l_returnflag', a2, b2, j2, n_rows FROM w
+        |  UNION ALL
+        |  SELECT 'l_partkey,l_suppkey', a3, b3, j3, n_rows FROM w)
+        |SELECT col_pair, ndv_a, ndv_b, ndv_joint, n_rows,
+        |       ndv_joint * 1000 // least(ndv_a * ndv_b, n_rows)
+        |         AS independence_pm
+        |FROM st""".stripMargin,
     "q136_range_boundaries" ->
       """WITH p AS (
         |  SELECT l_orderkey,
