@@ -807,7 +807,46 @@ object MultimodalQueries {
         min(col("byte_len")).as("min_bytes"),
         max(col("byte_len")).as("max_bytes"))
 
+  /** m23: SHARD MANIFEST — the WebDataset/tar-shard assembly plan every
+    * large multimodal corpus ships as (samples streamed in training order
+    * into ~fixed-byte shards; trainers then read whole shards
+    * sequentially): each sample's payload bytes accumulate in doc order
+    * and a sample opens a new shard when its START crosses the byte
+    * budget (c07's start-position rule applied to bytes). m10 bins
+    * existing FILES for compaction; this bins SAMPLES into the shard
+    * layout to be written. The global byte prefix-sum is the two-phase
+    * pid-keyed scan (never a single-reducer window — pinned class);
+    * output is the manifest a shard writer executes: samples, bytes,
+    * fill, and the contiguous [first_key, last_key] range per shard
+    * (contiguity spec-pinned — ranges must tile without overlap).
+    */
+  def m23_shard_manifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val target = 65536L
+    val docs = media(s, d).select(col("doc_id"), col("byte_len"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid identical in subtotal and window passes
+    val subtotals = docs.groupBy(col("pid")).agg(sum(col("byte_len")).as("pb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val offDf = broadcast(s.createDataFrame(
+      subtotals.map(_._1).zip(offsets).toSeq).toDF("pid", "off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(offDf, "pid")
+      .withColumn("cum", col("off") + sum(col("byte_len")).over(w))
+      .withColumn("shard_id", expr(s"(cum - byte_len) DIV $target"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("byte_len")).as("shard_bytes"),
+        min(col("doc_id")).as("first_key"),
+        max(col("doc_id")).as("last_key"))
+      .withColumn("fill_pm", expr(s"shard_bytes * 1000 DIV $target"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m23_shard_manifest" -> (m23_shard_manifest _),
     "m22_format_sniff" -> (m22_format_sniff _),
     "m21_interleaved_packing" -> (m21_interleaved_packing _),
     "m20_aspect_buckets" -> (m20_aspect_buckets _),
@@ -833,6 +872,26 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m23_shard_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, byte_len,
+        |         CAST(sum(byte_len) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum
+        |  FROM m),
+        |sh AS (
+        |  SELECT doc_id, byte_len,
+        |         (cum - byte_len) // 65536 AS shard_id
+        |  FROM p)
+        |SELECT shard_id, count(*) AS n_samples,
+        |       CAST(sum(byte_len) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS first_key, max(doc_id) AS last_key,
+        |       CAST(sum(byte_len) AS BIGINT) * 1000 // 65536 AS fill_pm
+        |FROM sh GROUP BY 1""".stripMargin,
     "m22_format_sniff" ->
       """WITH m AS (
         |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

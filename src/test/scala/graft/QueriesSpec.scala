@@ -2386,6 +2386,24 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("m23 shards: key ranges tile in order, bytes conserved, starts honored") {
+    val rows = SparkEntry.queries("m23_shard_manifest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong),
+      "shard ids must be dense from 0")
+    // contiguity: each shard's key range ends before the next begins
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"shards overlap: ${a._1} ends ${a._5}, ${b._1} starts ${b._4}")
+      case _ =>
+    }
+    val total = Tables.documents(spark, sf)
+      .agg(sum(octet_length(encode(col("text"), "UTF-8")))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == total, "every byte must land in a shard")
+  }
+
   test("c43 canaries: every planted leak caught, every clean canary passes") {
     val rows = SparkEntry.queries("c43_canary_recall")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
