@@ -1653,7 +1653,41 @@ object DedupQueries {
     s.sql(d32Sql.replace("$GRAMS$", sparkGrams))
   }
 
+  /** d35: cluster CHAINING audit — the transitivity artifact every
+    * threshold-clustered dedup pipeline owes a report on: connected
+    * components glue A~B~C into one cluster even when A and C share
+    * nothing (pair edges are thresholded, membership is transitive), so
+    * a cluster's keep-one-drop-rest apply step can delete documents that
+    * resemble the keeper not at all. Per multi-doc cluster: size, the
+    * direct pair edges present, pair DENSITY per-mille (1000 = clique,
+    * every pair directly similar; low = a chain), and the weakest direct
+    * edge (glue near the threshold = borderline merges). Reads d10's
+    * clusters and d05's pairs — one keyed join from pairs to cluster
+    * labels, metadata-sized output.
+    */
+  def d35_chaining_audit(s: SparkSession, d: String): DataFrame =
+    chainingAuditFrom(d10_dedup_clusters(s, d), d05_ngram_jaccard(s, d))
+
+  /** The audit over any (doc_id, cluster_rep) + (doc_a, doc_b, jaccard)
+    * pair of frames — split out so the spec can plant a genuine A~B~C
+    * chain (the fixture's only multi-doc cluster is a clique of two).
+    */
+  private[graft] def chainingAuditFrom(clusters: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val cl = clusters.localCheckpoint()
+    val sz = cl.groupBy(col("cluster_rep")).agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+    val pj = pairs
+      .join(cl.select(col("doc_id").as("doc_a"), col("cluster_rep")), "doc_a")
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("jaccard")).as("min_jaccard"))
+    sz.join(pj, "cluster_rep")
+      .withColumn("density_pm",
+        expr("n_pairs * 2000 DIV (size * (size - 1))"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d35_chaining_audit" -> (d35_chaining_audit _),
     "d34_dedup_roi" -> (d34_dedup_roi _),
     "d33_soft_dedup" -> (d33_soft_dedup _),
     "d32_allpairs_cosine" -> (d32_allpairs_cosine _),
@@ -2217,6 +2251,23 @@ object DedupQueries {
          |  FROM p)
          |SELECT doc_small, doc_big, n_small, n_big, containment, jaccard
          |FROM o WHERE containment >= 0.8""".stripMargin,
+    "d35_chaining_audit" ->
+      s"""WITH RECURSIVE $ClustersCte,
+         |pj AS (
+         |  SELECT cc1.cluster_rep,
+         |         p.inter / (p.na + p.nb - p.inter) AS jaccard
+         |  FROM p JOIN cc cc1 ON cc1.doc_id = p.doc_a
+         |  WHERE p.inter / (p.na + p.nb - p.inter) >= 0.1),
+         |sz AS (
+         |  SELECT cluster_rep, count(*) AS size FROM cc GROUP BY 1
+         |  HAVING count(*) >= 2),
+         |pg AS (
+         |  SELECT cluster_rep, count(*) AS n_pairs,
+         |         min(jaccard) AS min_jaccard
+         |  FROM pj GROUP BY 1)
+         |SELECT sz.cluster_rep, sz.size, pg.n_pairs, pg.min_jaccard,
+         |       pg.n_pairs * 2000 // (sz.size * (sz.size - 1)) AS density_pm
+         |FROM sz JOIN pg USING (cluster_rep)""".stripMargin,
     "d34_dedup_roi" ->
       s"""WITH $ShingleIndexCte,
          |pl AS (

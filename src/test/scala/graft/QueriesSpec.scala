@@ -2386,6 +2386,21 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("d35 chaining: a planted A~B~C chain reports sub-clique density") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_rep")
+    val pairs = Seq((1L, 2L, 0.5), (2L, 3L, 0.4), (7L, 8L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val rows = operators.DedupQueries.chainingAuditFrom(clusters, pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    // the chain: 3 docs, 2 of 3 possible edges -> 666pm, weakest glue 0.4
+    assert(rows(1L) == ((3L, 2L, 0.4, 666L)), s"chain wrong: ${rows(1L)}")
+    // the honest pair: full clique density
+    assert(rows(7L) == ((2L, 1L, 0.9, 1000L)), s"clique wrong: ${rows(7L)}")
+  }
+
   test("m23 shards: key ranges tile in order, bytes conserved, starts honored") {
     val rows = SparkEntry.queries("m23_shard_manifest")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
