@@ -1456,7 +1456,49 @@ object CurationQueries {
           .otherwise("clean_pass").as("verdict"))
   }
 
+  /** c44: corpus RELEASE DIFF — the delta datasheet every corpus version
+    * ships beside itself (what changed since v1: how many documents were
+    * added, removed, edited, and what happened to the token mass, per
+    * source) — q93's CDC snapshot-diff discipline applied to the corpus
+    * itself. Versions are derived deterministically (v1 drops doc_id ≡ 0
+    * mod 17 — "added later"; v2 drops ≡ 3 mod 19 — "removed" — and
+    * appends an edit marker to ≡ 0 mod 13 — "modified"); classification
+    * is one full outer join on doc_id with text equality deciding
+    * modified vs unchanged, then a keyed per-(source, class) rollup with
+    * both versions' token mass and the delta. At 100 TB the join keys on
+    * doc_id and the text compare can ride content hashes — same plan.
+    */
+  def c44_corpus_diff(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .localCheckpoint() // both derived versions read one scan
+    val v1 = base.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source").as("src1"),
+        col("text").as("t1"), col("n_tokens").as("k1"))
+    val v2 = base.filter(col("doc_id") % 19 =!= 3)
+      .withColumn("text2",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2edit")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("src2"), col("text2").as("t2"),
+        (col("n_tokens") +
+          when(col("doc_id") % 13 === 0, 1L).otherwise(0L)).as("k2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("source", coalesce(col("src2"), col("src1")))
+      .withColumn("class",
+        when(col("t1").isNull, "added")
+          .when(col("t2").isNull, "removed")
+          .when(col("t1") =!= col("t2"), "modified")
+          .otherwise("unchanged"))
+      .groupBy(col("source"), col("class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("k1"), lit(0L))).as("tokens_v1"),
+        sum(coalesce(col("k2"), lit(0L))).as("tokens_v2"))
+      .withColumn("token_delta", col("tokens_v2") - col("tokens_v1"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c44_corpus_diff" -> (c44_corpus_diff _),
     "c43_canary_recall" -> (c43_canary_recall _),
     "c42_rejection_to_target" -> (c42_rejection_to_target _),
     "c41_softdedup_mixture" -> (c41_softdedup_mixture _),
@@ -1728,6 +1770,35 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c44_corpus_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |v1 AS (
+        |  SELECT doc_id, source AS src1, text AS t1, n_tokens AS k1
+        |  FROM base WHERE doc_id % 17 <> 0),
+        |v2 AS (
+        |  SELECT doc_id, source AS src2,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2edit'
+        |              ELSE text END AS t2,
+        |         n_tokens + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END
+        |           AS k2
+        |  FROM base WHERE doc_id % 19 <> 3),
+        |j AS (
+        |  SELECT coalesce(v2.src2, v1.src1) AS source,
+        |         CASE WHEN v1.t1 IS NULL THEN 'added'
+        |              WHEN v2.t2 IS NULL THEN 'removed'
+        |              WHEN v1.t1 <> v2.t2 THEN 'modified'
+        |              ELSE 'unchanged' END AS class,
+        |         coalesce(v1.k1, 0) AS k1, coalesce(v2.k2, 0) AS k2
+        |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT source, class, count(*) AS n_docs,
+        |       CAST(sum(k1) AS BIGINT) AS tokens_v1,
+        |       CAST(sum(k2) AS BIGINT) AS tokens_v2,
+        |       CAST(sum(k2) AS BIGINT) - CAST(sum(k1) AS BIGINT)
+        |         AS token_delta
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "c43_canary_recall" ->
       """WITH can AS (
         |  SELECT k AS canary_id, k % 2 = 0 AS leaked,
