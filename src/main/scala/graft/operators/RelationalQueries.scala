@@ -3239,7 +3239,45 @@ object RelationalQueries {
         expr("ndv_joint * 1000 DIV least(ndv_a * ndv_b, n_rows)"))
   }
 
+  /** q138: SAMPLED-aggregation audit — the approximate-query-processing
+    * play (BlinkDB-lineage: answer a grouped aggregate from a p=10%
+    * sample, scaled by 1/p) measured against its own ground truth: per
+    * group, the exact count/revenue, the sample-scaled estimates, and
+    * the realized relative error in per-mille. At 100 TB the sampled
+    * scan is the product (10× less I/O for ~1-2% error on big groups);
+    * the audit form is what makes it shippable — it shows the error the
+    * operator actually delivers per group, not a hoped-for bound. The
+    * sample is the stateless multiplicative hash over the row identity
+    * (no RNG, no seed state), so sample membership — and therefore every
+    * estimate — is deterministic and the whole table hash-checks.
+    * One scan computes both sides (conditional aggregates), map-side
+    * partial throughout.
+    */
+  def q138_sampled_agg_audit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("in_sample",
+        (((col("l_orderkey") * 8L + col("l_linenumber")) % 1000003L)
+          * 2654435761L + 911L) % 1000L < 100L)
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_n"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("exact_rev"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("sample_n"),
+        dsum(when(col("in_sample"),
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0))).as("sample_rev"))
+      .withColumn("est_n", col("sample_n") * 10L)
+      .withColumn("n_err_pm",
+        expr("abs(est_n - exact_n) * 1000 DIV exact_n"))
+      .withColumn("est_rev", round(col("sample_rev") * 10d, 6))
+      .withColumn("rev_err_pm",
+        expr("CAST(abs(est_rev - exact_rev) * 1000 / exact_rev AS BIGINT)"))
+      .select(col("l_returnflag"), col("exact_n"), col("est_n"),
+        col("n_err_pm"), col("exact_rev"), col("est_rev"), col("rev_err_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q138_sampled_agg_audit" -> (q138_sampled_agg_audit _),
     "q137_column_stats" -> (q137_column_stats _),
     "q136_range_boundaries" -> (q136_range_boundaries _),
     "q135_salted_join" -> (q135_salted_join _),
@@ -3783,6 +3821,29 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q138_sampled_agg_audit" ->
+      s"""WITH t AS (
+         |  SELECT l_returnflag,
+         |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+         |           AS rev,
+         |         (((l_orderkey * 8 + l_linenumber) % 1000003)
+         |           * 2654435761 + 911) % 1000 < 100 AS in_sample
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT l_returnflag, count(*) AS exact_n,
+         |         CAST(sum(rev) AS DOUBLE) AS exact_rev,
+         |         CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS sample_n,
+         |         CAST(sum(CASE WHEN in_sample THEN rev
+         |                       ELSE CAST(0 AS DECIMAL(38,6)) END)
+         |              AS DOUBLE) AS sample_rev
+         |  FROM t GROUP BY 1)
+         |SELECT l_returnflag, exact_n, sample_n * 10 AS est_n,
+         |       abs(sample_n * 10 - exact_n) * 1000 // exact_n AS n_err_pm,
+         |       exact_rev, round(sample_rev * 10, 6) AS est_rev,
+         |       CAST(abs(round(sample_rev * 10, 6) - exact_rev) * 1000
+         |            / exact_rev AS BIGINT) AS rev_err_pm
+         |FROM g""".stripMargin,
     "q137_column_stats" ->
       """WITH w AS (
         |  SELECT count(*) AS n_rows,

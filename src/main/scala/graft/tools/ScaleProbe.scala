@@ -605,6 +605,8 @@ object ScaleProbe {
         graft.operators.DedupQueries.d35_chaining_audit(spark, sf).count())
       time(s"$tag c44_corpus_diff")(
         graft.operators.CurationQueries.c44_corpus_diff(spark, sf).count())
+      time(s"$tag q138_sampled_agg_audit")(
+        graft.operators.RelationalQueries.q138_sampled_agg_audit(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
