@@ -1232,6 +1232,7 @@ object SimilarityQueries {
     "s21_knn_classify" -> (s21_knn_classify _),
     "s28_recall_sweep" -> (s28_recall_sweep _),
     "s34_auto_nprobe" -> (s34_auto_nprobe _),
+    "s35_embedding_audit" -> (s35_embedding_audit _),
   )
 
   /** s21: k-NN label CLASSIFICATION — the label-transfer use of the
@@ -1337,6 +1338,44 @@ object SimilarityQueries {
   /** DuckDB cosine fold over two DOUBLE[] expressions — the exact
     * sequential-double twin of the native kernel (see s01's oracle).
     */
+  /** s35: EMBEDDING-QUALITY audit — the vector-QA gate that runs before
+    * any index build or similarity job trusts a new embedding drop: per
+    * label cell, vector counts, dimension consistency (a mixed-dim cell
+    * breaks every kernel downstream), zero vectors (a dead encoder
+    * output — cosine against it is undefined), NaN payloads, and the
+    * norm profile (min/mean/max — un-normalized mixtures silently skew
+    * dot-product rankings). Norms fold per-row in list order (the same
+    * sequential fold both engines spell — duckCosine's discipline) and
+    * round at 6dp before the decimal-summed mean, so the whole QA table
+    * hash-checks. One scan, |labels| output rows.
+    */
+  def s35_embedding_audit(s: SparkSession, d: String): DataFrame =
+    embeddingAuditFrom(Tables.embeddings(s, d))
+
+  /** s35 over any (label, embedding) frame — the fixture is clean (unit
+    * norms, one dim, no NaN/zero), so the spec plants each defect class.
+    */
+  private[graft] def embeddingAuditFrom(embeddings: DataFrame): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    embeddings
+      .withColumn("dim", size(col("embedding")).cast("long"))
+      .withColumn("norm2", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("n_nan",
+        expr("size(filter(embedding, x -> isnan(x)))").cast("long"))
+      .withColumn("norm", round(sqrt(col("norm2")), 6))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("dims_seen"),
+        sum(when(col("norm2") === 0d, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("n_nan")).as("n_nan_values"),
+        min(col("norm")).as("min_norm"),
+        round(sum(col("norm").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_norm"),
+        max(col("norm")).as("max_norm"))
+  }
+
   private[operators] def duckCosine(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
        |  / (sqrt(list_sum(list_transform($a, v -> v*v)))
@@ -1519,6 +1558,26 @@ object SimilarityQueries {
        |)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "s35_embedding_audit" ->
+      """WITH e AS (
+        |  SELECT label, len(embedding) AS dim,
+        |         list_sum(list_transform(embedding::DOUBLE[], x -> x * x))
+        |           AS norm2,
+        |         len(list_filter(embedding::DOUBLE[], x -> isnan(x)))
+        |           AS n_nan
+        |  FROM embeddings),
+        |n AS (SELECT label, dim, norm2, n_nan,
+        |             round(sqrt(norm2), 6) AS norm FROM e)
+        |SELECT label, count(*) AS n_vecs,
+        |       count(DISTINCT dim) AS dims_seen,
+        |       CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       CAST(sum(n_nan) AS BIGINT) AS n_nan_values,
+        |       min(norm) AS min_norm,
+        |       round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*), 6) AS mean_norm,
+        |       max(norm) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
     "s29_centroid_drift" ->
       s"""WITH ex AS (
          |  SELECT label, generate_subscripts(embedding, 1) AS pos,

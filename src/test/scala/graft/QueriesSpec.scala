@@ -2386,6 +2386,24 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("s35 embedding audit: planted zero/NaN/mixed-dim vectors fire their arms") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, Array(3.0f, 4.0f)),          // norm 5
+      (1L, Array(0.0f, 0.0f)),          // zero vector
+      (1L, Array(1.0f, Float.NaN)),     // NaN payload
+      (2L, Array(1.0f, 0.0f)),          // healthy
+      (2L, Array(0.0f, 1.0f, 0.0f)))    // wrong dim
+      .toDF("label", "embedding")
+    val rows = operators.SimilarityQueries.embeddingAuditFrom(planted)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // label 1: 3 vecs, 1 dim, one zero vector, one NaN value
+    assert(rows(1L) == ((3L, 1L, 1L, 1L)), s"label 1 wrong: ${rows(1L)}")
+    // label 2: mixed dims must show dims_seen = 2
+    assert(rows(2L) == ((2L, 2L, 0L, 0L)), s"label 2 wrong: ${rows(2L)}")
+  }
+
   test("d35 chaining: a planted A~B~C chain reports sub-clique density") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
