@@ -779,6 +779,7 @@ object GraphQueries {
     "g07_ppr" -> (g07_ppr _),
     "g08_cf_similarity" -> (g08_cf_similarity _),
     "g09_degree_dist" -> (g09_degree_dist _),
+    "g20_graph_audit" -> (g20_graph_audit _),
     "g19_hits" -> (g19_hits _),
   )
 
@@ -944,6 +945,44 @@ object GraphQueries {
     * once, never rescanning orders×lineitem), while the oracle rebuilds
     * it inline so the hash gate re-proves store losslessness.
     */
+  /** g20: graph CONTRACT audit — s35's QA-gate pattern applied to the
+    * persisted co-graph store before the g-family trusts it: edge and
+    * node counts, weight mass/extremes, the three structural invariants
+    * the store guarantees (no self-loops, strict u < v orientation, no
+    * duplicate pairs — each must read 0; a nonzero row means the store
+    * build is corrupt and every downstream triangle/component/centrality
+    * number is wrong), and the isolated-supplier count (suppliers that
+    * co-occur with nobody — the coverage the graph actually has over the
+    * dimension). The DuckDB oracle rebuilds the same census from
+    * lineitem, so the audit doubles as one more store-losslessness
+    * cross-check. Metadata-sized everywhere after the pair read.
+    */
+  def g20_graph_audit(s: SparkSession, d: String): DataFrame = {
+    val pairs = CoGraph.pairs(s, d).localCheckpoint()
+    val nodes = pairs.select(col("u").as("k"))
+      .union(pairs.select(col("v").as("k"))).distinct()
+    val nNodes = nodes.count()
+    val nSupp = Tables.supplier(s, d).count()
+    val wide = pairs.agg(
+      count(lit(1)).as("n_edges"),
+      sum(when(col("u") === col("v"), 1L).otherwise(0L)).as("self_loops"),
+      sum(when(col("u") >= col("v"), 1L).otherwise(0L)).as("orient_viol"),
+      (count(lit(1)) - countDistinct(col("u"), col("v"))).as("dup_edges"),
+      sum(col("n")).as("total_weight"),
+      max(col("n")).as("max_weight"))
+    wide.select(expr(
+      s"""stack(8,
+         |  'n_edges', n_edges,
+         |  'n_nodes', ${nNodes}L,
+         |  'self_loops', self_loops,
+         |  'orientation_violations', orient_viol,
+         |  'duplicate_edges', dup_edges,
+         |  'total_weight', total_weight,
+         |  'max_weight', max_weight,
+         |  'isolated_suppliers', ${nSupp - nNodes}L)
+         |  AS (metric, value)""".stripMargin))
+  }
+
   def g19_hits(s: SparkSession, d: String): DataFrame = {
     val edges = CoGraph.bipartite(s, d)
       .localCheckpoint() // drives both half-rounds of every iteration
@@ -1153,6 +1192,34 @@ object GraphQueries {
            |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
            |$pprIters
            |SELECT node, r AS rank FROM p$Iters WHERE r > 0""".stripMargin,
+      "g20_graph_audit" ->
+        s"""WITH co AS (
+           |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+           |  FROM lineitem a JOIN lineitem b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+           |  GROUP BY 1, 2),
+           |nodes AS (SELECT u AS k FROM co UNION SELECT v FROM co),
+           |agg AS (
+           |  SELECT count(*) AS n_edges,
+           |         CAST(sum(CASE WHEN u = v THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS self_loops,
+           |         CAST(sum(CASE WHEN u >= v THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS orient_viol,
+           |         count(*) - count(DISTINCT (u, v)) AS dup_edges,
+           |         CAST(sum(n) AS BIGINT) AS total_weight,
+           |         CAST(max(n) AS BIGINT) AS max_weight
+           |  FROM co),
+           |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+           |ns AS (SELECT count(*) AS n_supp FROM supplier)
+           |SELECT 'n_edges' AS metric, n_edges AS value FROM agg
+           |UNION ALL SELECT 'n_nodes', n_nodes FROM nn
+           |UNION ALL SELECT 'self_loops', self_loops FROM agg
+           |UNION ALL SELECT 'orientation_violations', orient_viol FROM agg
+           |UNION ALL SELECT 'duplicate_edges', dup_edges FROM agg
+           |UNION ALL SELECT 'total_weight', total_weight FROM agg
+           |UNION ALL SELECT 'max_weight', max_weight FROM agg
+           |UNION ALL SELECT 'isolated_suppliers', ns.n_supp - nn.n_nodes
+           |          FROM ns CROSS JOIN nn""".stripMargin,
       "g02_triangles" -> g02Sql(coRebuild),
       "g03_components" ->
         s"""WITH RECURSIVE co AS (

@@ -609,6 +609,8 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q138_sampled_agg_audit(spark, sf).count())
       time(s"$tag s35_embedding_audit")(
         graft.operators.SimilarityQueries.s35_embedding_audit(spark, sf).count())
+      time(s"$tag g20_graph_audit")(
+        graft.operators.GraphQueries.g20_graph_audit(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
