@@ -1175,6 +1175,36 @@ object DedupQueries {
   def d25_lsh_tuning_curve(s: SparkSession, d: String): DataFrame =
     s.sql(sCurveSql)
 
+  /** d36: LSH AUTO-TUNER — s34's close-the-calibration-loop pattern
+    * applied to d25's S-curve: given the target similarity threshold
+    * (700‰ jaccard), pick the (bands, rows-per-band) whose 50%-collision
+    * point sits closest to it (ties break toward more bands — the
+    * higher-recall side), and emit the chosen configuration's full
+    * catch-probability curve. This is the decision an operator otherwise
+    * eyeballs off d25's table, made deterministic and INSIDE the checked
+    * query (ORDER BY distance LIMIT 1 — both engines spell it
+    * identically, so the pick itself is hash-gated). Pure arithmetic,
+    * one shared SQL text for both engines, d25's discipline.
+    */
+  private def lshAutoTuneSql: String = {
+    // reuse sCurveSql's curve CTE verbatim (it is already margin-stripped)
+    val curveWith = sCurveSql.substring(0, sCurveSql.indexOf("thr AS"))
+    curveWith + """thr AS (
+      |  SELECT bands, rows_per_band, min(j_pm) AS threshold_j_pm
+      |  FROM curve WHERE p_collide >= 0.5 GROUP BY 1, 2),
+      |pick AS (
+      |  SELECT bands, rows_per_band, threshold_j_pm FROM thr
+      |  ORDER BY abs(threshold_j_pm - 700), bands DESC LIMIT 1)
+      |SELECT c.bands, c.rows_per_band, c.j_pm, c.p_collide,
+      |       p.threshold_j_pm
+      |FROM curve c JOIN pick p
+      |  ON c.bands = p.bands AND c.rows_per_band = p.rows_per_band"""
+      .stripMargin
+  }
+
+  def d36_lsh_auto_tune(s: SparkSession, d: String): DataFrame =
+    s.sql(lshAutoTuneSql)
+
   /** d26: FUZZY name linkage by Jaro-Winkler — d20's rule-score linkage
     * replayed with the string-similarity kernel production MDM systems
     * actually rank on (Winkler built it for census name matching): nation
@@ -1687,6 +1717,7 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "d36_lsh_auto_tune" -> (d36_lsh_auto_tune _),
     "d35_chaining_audit" -> (d35_chaining_audit _),
     "d34_dedup_roi" -> (d34_dedup_roi _),
     "d33_soft_dedup" -> (d33_soft_dedup _),
@@ -2038,6 +2069,7 @@ object DedupQueries {
         |  FROM f) t
         |WHERE rk = 1""".stripMargin,
     "d25_lsh_tuning_curve" -> sCurveSql,
+    "d36_lsh_auto_tune" -> lshAutoTuneSql,
     "d21_multiblock_linkage" ->
       """WITH c AS (
         |  SELECT c_custkey, c_nationkey,
