@@ -40,20 +40,54 @@ object Buckets {
     * needed) and return their catalog names as (orders, lineitem).
     */
   private[graft] def tables(s: SparkSession, d: String): (String, String) =
-    synchronized {
-      def ident(f: String) = {
-        val fl = new java.io.File(d, f)
-        s"${fl.length()}_${fl.lastModified()}"
-      }
-      val dk = (d.hashCode & 0x7fffffff).toString
-      val oT = s"orders_bkt_${Version}_${dk}_${ident("orders.parquet")}"
-      val lT = s"lineitem_bkt_${Version}_${dk}_${ident("lineitem.parquet")}"
-      val dir = SketchQueries.partialsDir(
-        s"bkt_${Version}_${ident("orders.parquet")}_${ident("lineitem.parquet")}", d)
-      ensureOne(s, oT, s"$dir/orders", Tables.orders(s, d), "o_orderkey")
-      ensureOne(s, lT, s"$dir/lineitem", Tables.lineitem(s, d), "l_orderkey")
-      (oT, lT)
+    tablesTagged(s, d, "")
+
+  private def tablesTagged(s: SparkSession, d: String, tag: String)
+      : (String, String) = synchronized {
+    def ident(f: String) = {
+      val fl = new java.io.File(d, f)
+      s"${fl.length()}_${fl.lastModified()}"
     }
+    val dk = (d.hashCode & 0x7fffffff).toString
+    val oT = s"orders_bkt$tag${Version}_${dk}_${ident("orders.parquet")}"
+    val lT = s"lineitem_bkt$tag${Version}_${dk}_${ident("lineitem.parquet")}"
+    val dir = SketchQueries.partialsDir(
+      s"bkt$tag${Version}_${ident("orders.parquet")}_${ident("lineitem.parquet")}", d)
+    ensureOne(s, oT, s"$dir/orders", Tables.orders(s, d), "o_orderkey")
+    ensureOne(s, lT, s"$dir/lineitem", Tables.lineitem(s, d), "l_orderkey")
+    (oT, lT)
+  }
+
+  /** The q139 pair: an independent bucketed layout (q133's tables stay
+    * pristine) that then receives an incremental delta APPEND — s18's
+    * discipline for the layout store. Spark buckets inserted rows by the
+    * same hash, so the zero-exchange join survives growth (each bucket
+    * just gains a file). Marker-guarded idempotent: re-entry (bench reps,
+    * repeated Verify runs) must not double-append.
+    */
+  private[graft] def deltaTables(s: SparkSession, d: String)
+      : (String, String) = synchronized {
+    val (oT, lT) = tablesTagged(s, d, "d_")
+    def ident(f: String) = {
+      val fl = new java.io.File(d, f)
+      s"${fl.length()}_${fl.lastModified()}"
+    }
+    val dir = SketchQueries.partialsDir(
+      s"bktd_${Version}_${ident("orders.parquet")}_${ident("lineitem.parquet")}", d)
+    val marker = new java.io.File(dir, "_delta1_complete")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      val offset = 1000000000L
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + offset)
+        .write.insertInto(oT)
+      Tables.lineitem(s, d).filter(col("l_orderkey") % 10 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + offset)
+        .write.insertInto(lT)
+      marker.createNewFile()
+    }
+    (oT, lT)
+  }
 
   /** The OTHER half of the storage-layout story: documents HIVE-PARTITIONED
     * by `lang` on disk (`.../lang=en/part-*.parquet`), so a

@@ -3276,7 +3276,37 @@ object RelationalQueries {
         col("n_err_pm"), col("exact_rev"), col("est_rev"), col("rev_err_pm"))
   }
 
+  /** q139: INCREMENTAL bucketed-layout maintenance — the lifecycle step
+    * q133's build-once story needs to be production-true (a layout you
+    * cannot grow gets rebuilt nightly, forfeiting its economics): a
+    * delta slice (orders ending in 0, re-keyed past the base range,
+    * standing in for the day's new orders) is APPENDED into an
+    * independent bucketed pair via INSERT — Spark buckets the inserted
+    * rows with the same hash, so each bucket gains a file and the
+    * zero-exchange sort-merge join SURVIVES growth (plan-pinned). The
+    * oracle rebuilds base ∪ delta from raw parquet, proving the appended
+    * layout lossless; the append itself is marker-committed idempotent
+    * (re-runs must not double the delta — the hash gate would catch a
+    * double-append as inflated counts on every re-keyed order).
+    */
+  def q139_bucketed_append(s: SparkSession, d: String): DataFrame = {
+    val (oT, lT) = Buckets.deltaTables(s, d)
+    val o = s.table(oT).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = s.table(lT).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    l.hint("merge")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec))
+        .as("rev"), count(lit(1)).as("n_items"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n_items")).as("n_lineitems"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q139_bucketed_append" -> (q139_bucketed_append _),
     "q138_sampled_agg_audit" -> (q138_sampled_agg_audit _),
     "q137_column_stats" -> (q137_column_stats _),
     "q136_range_boundaries" -> (q136_range_boundaries _),
@@ -3821,6 +3851,28 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q139_bucketed_append" ->
+      """WITH o2 AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 10 = 0),
+        |l2 AS (
+        |  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 1000000000, l_extendedprice, l_discount
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |per_order AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |         sum(CAST(l_extendedprice * (1 - l_discount)
+        |             AS DECIMAL(38,6))) AS rev,
+        |         count(*) AS n_items
+        |  FROM l2 JOIN o2 ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(rev) AS DOUBLE) AS revenue,
+        |       CAST(sum(n_items) AS BIGINT) AS n_lineitems
+        |FROM per_order GROUP BY 1""".stripMargin,
     "q138_sampled_agg_audit" ->
       s"""WITH t AS (
          |  SELECT l_returnflag,

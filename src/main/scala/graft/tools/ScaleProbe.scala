@@ -611,6 +611,10 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s35_embedding_audit(spark, sf).count())
       time(s"$tag g20_graph_audit")(
         graft.operators.GraphQueries.g20_graph_audit(spark, sf).count())
+      time(s"$tag q139_bucketed_append")(
+        graft.operators.RelationalQueries.q139_bucketed_append(spark, sf).count())
+      time(s"$tag q139_bucketed_append warm")(
+        graft.operators.RelationalQueries.q139_bucketed_append(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -674,6 +674,16 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"expected exactly one exchange (the rollup):\n${p.take(1200)}")
   }
 
+  test("q139 appended layout: the zero-exchange join survives growth") {
+    val p = finalPlan("q139_bucketed_append").split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"delta-appended bucketed sides must still not shuffle:\n${below.take(1200)}")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one exchange (the rollup):\n${p.take(1200)}")
+  }
+
   test("q134 partitioned layout: non-matching lang directories never read") {
     val df = SparkEntry.queries("q134_partitioned_scan")(spark, sf)
     df.collect()
