@@ -1222,7 +1222,8 @@ object TextQueries {
     * DECIMAL(38,9) sums (q67's discipline) so binning, means and the
     * ECE all hash-check. One scan + a 5-group aggregate.
     */
-  private def t32Sql(toks: String, sz: String, flt: String,
+  /** t32/t42's shared calibration CTEs through `g` (per-bin counts). */
+  private def t32Ctes(toks: String, sz: String, flt: String,
       contains: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, $toks AS toks FROM documents),
@@ -1236,7 +1237,11 @@ object TextQueries {
        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(y) AS BIGINT) AS n_pos,
        |         CAST(sum(CAST(p AS DECIMAL(38,9))) AS DOUBLE) AS sum_p
-       |  FROM b GROUP BY bin),
+       |  FROM b GROUP BY bin)""".stripMargin
+
+  private def t32Sql(toks: String, sz: String, flt: String,
+      contains: String): String =
+    t32Ctes(toks, sz, flt, contains) + s""",
        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
        |e AS (
        |  SELECT CAST(sum(CAST(abs(sum_p - n_pos) AS DECIMAL(38,9))) AS DOUBLE)
@@ -1248,6 +1253,59 @@ object TextQueries {
        |       round(abs(sum_p / n - CAST(n_pos AS DOUBLE) / n), 9) AS gap,
        |       round(e.ece_num / tt.n_total, 9) AS ece
        |FROM g CROSS JOIN tt CROSS JOIN e""".stripMargin
+
+  /** t42: AUTO-PICKED quality threshold — the s34/d36 calibration-loop
+    * pattern for the text-quality filter: from t32's calibration bins,
+    * choose the LOWEST score bin whose kept set (that bin and above)
+    * clears 800‰ precision on the en-label proxy, i.e. the most
+    * permissive filter meeting the quality bar — the operating point an
+    * operator otherwise eyeballs off the calibration table. The pick is
+    * a cross-multiplied integer test + ORDER BY LIMIT 1 inside the
+    * checked query, totalized with a best-achievable fallback (no bin
+    * meets the bar: the highest-precision cut ships with met_target=0
+    * -- an empty threshold table would misread as no-filter-needed);
+    * output is the chosen bin with its achieved precision and kept
+    * fraction. Shares t32's CTE text verbatim, so calibration
+    * and decision are gated together.
+    */
+  private def t42Sql(toks: String, sz: String, flt: String,
+      contains: String, div: String): String =
+    t32Ctes(toks, sz, flt, contains) + s""",
+       |cum AS (
+       |  SELECT bin,
+       |         (SELECT CAST(sum(n_pos) AS BIGINT) FROM g g2
+       |          WHERE g2.bin >= g.bin) AS kept_pos,
+       |         (SELECT CAST(sum(n) AS BIGINT) FROM g g2
+       |          WHERE g2.bin >= g.bin) AS kept_n
+       |  FROM g),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+       |pick AS (
+       |  SELECT bin, kept_pos, kept_n,
+       |         CASE WHEN kept_pos * 1000 >= 800 * kept_n
+       |              THEN 1 ELSE 0 END AS met_target
+       |  FROM cum
+       |  ORDER BY met_target DESC,
+       |           CASE WHEN kept_pos * 1000 >= 800 * kept_n THEN bin
+       |                ELSE -(kept_pos * 1000 $div kept_n) END,
+       |           bin
+       |  LIMIT 1)
+       |SELECT p.bin AS threshold_bin, CAST(p.met_target AS BIGINT)
+       |         AS met_target, p.kept_n, p.kept_pos,
+       |       p.kept_pos * 1000 $div p.kept_n AS precision_pm,
+       |       p.kept_n * 1000 $div t.n_total AS kept_pm
+       |FROM pick p CROSS JOIN tot t""".stripMargin
+
+  /** t42's Spark-dialect SQL over whatever `documents` view is registered
+    * — exposed so the spec can plant a corpus that MEETS the bar.
+    */
+  private[graft] def t42SparkSql: String =
+    t42Sql("split(text, ' ')", "size", "filter",
+      "array_contains(array('the', 'a', 'of', 'and'), x)", "div")
+
+  def t42_quality_threshold(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t42SparkSql)
+  }
 
   def t32_calibration(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d).createOrReplaceTempView("documents")
@@ -1818,6 +1876,7 @@ object TextQueries {
     "t38_vocab_sweep" -> (t38_vocab_sweep _),
     "t37_span_corruption" -> (t37_span_corruption _),
     "t36_rocchio_classifier" -> (t36_rocchio_classifier _),
+    "t42_quality_threshold" -> (t42_quality_threshold _),
     "t32_calibration" -> (t32_calibration _),
     "t33_kappa" -> (t33_kappa _),
     "t34_segment_lang" -> (t34_segment_lang _),
@@ -2075,6 +2134,8 @@ object TextQueries {
          |  ['tp', 'fp', 'fn', 'tn', 'balacc_pm']) AS metric) m""".stripMargin),
     "t32_calibration" -> t32Sql("string_split(text, ' ')", "len",
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
+    "t42_quality_threshold" -> t42Sql("string_split(text, ' ')", "len",
+      "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)", "//"),
     "t33_kappa" -> t33Sql("string_split(text, ' ')", "len",
       "list_filter", "list_contains(['the', 'a', 'of', 'and'], x)"),
     "t34_segment_lang" ->

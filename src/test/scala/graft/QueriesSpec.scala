@@ -2386,6 +2386,28 @@ class QueriesSpec extends SparkTestBase {
     assert(mx <= 2 * mn, s"salt spread too lumpy: $spread")
   }
 
+  test("t42 threshold pick: planted corpus meets the bar; fixture ships best-achievable") {
+    import spark.implicits._
+    // 5 high-stopword docs (bin 4): 4 en + 1 de -> exactly 800pm precision
+    // at the bin-4 cut; 5 stopword-free zh docs land in bin 0 and drag
+    // any lower cut to 400pm — the pick must be bin 4 with met_target=1
+    val planted = ((1 to 4).map(i => (i.toLong, "en", "the a of and x")) ++
+      Seq((5L, "de", "the a of and x")) ++
+      (6 to 10).map(i => (i.toLong, "zh", "x y z w v")))
+      .toDF("doc_id", "lang", "text")
+    planted.createOrReplaceTempView("documents")
+    val r = spark.sql(
+      operators.TextQueries.t42SparkSql).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(4),
+      r(0).getLong(5)) == ((4L, 1L, 5L, 800L, 500L)),
+      s"planted pick wrong: ${r(0)}")
+    // the real fixture cannot reach 800pm: best-achievable cut, flagged
+    val f = SparkEntry.queries("t42_quality_threshold")(spark, sf).collect()
+    assert(f.length == 1 && f(0).getLong(1) == 0L && f(0).getLong(4) < 800L,
+      s"fixture must ship the fallback: ${f(0)}")
+  }
+
   test("s35 embedding audit: planted zero/NaN/mixed-dim vectors fire their arms") {
     import spark.implicits._
     val planted = Seq(
