@@ -106,6 +106,20 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(r.passed, s"word_shingles diverged from the reference: $r")
   }
 
+  test("simhash: permutation-invariant (bit votes sum, order never matters)") {
+    import graft.functions.SimHash64
+    def sh(xs: Seq[String]): Long =
+      SimHash64(strArr(xs)).eval(null).asInstanceOf[Long]
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(word)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (xs, new scala.util.Random(seed).shuffle(xs))
+    val r = check(params, Prop.forAll(gen) { case (xs, shuffled) =>
+      sh(xs) == sh(shuffled)
+    })
+    assert(r.passed, s"simhash order-dependence detected: $r")
+  }
+
   test("jaro-winkler: symmetric, bounded, and exactly 1 on identical strings") {
     def jw(a: String, b: String): Double =
       JaroWinkler(str(a), str(b)).eval(null).asInstanceOf[Double]
