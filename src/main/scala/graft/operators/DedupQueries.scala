@@ -929,17 +929,28 @@ object DedupQueries {
         explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $k)").as("gram"))
+        expr(s"substring(text, pos, $k)").as("gram"),
+        xxhash64(expr(s"substring(text, pos, $k)")).as("gh"))
       .localCheckpoint() // explode+substring feeds the df agg AND both join sides
     // only grams occurring 2..16 times can ever produce a pair: df=1 is
     // pair-sterile (the bulk of the table) and df>16 is the boilerplate
     // cap — so the survivor list is tiny and the self-join input collapses
     // from |corpus| shingles to just the duplicated ones (sf0.1: 5.4s →
     // 2.5s; at 100 TB this is the difference between self-joining the
-    // corpus and self-joining its duplicate sliver)
-    val keep = sh.groupBy("gram").count()
+    // corpus and self-joining its duplicate sliver). TWO-LEVEL and exact:
+    // the corpus-sized aggregate keys on xxhash64(gram) — 8 bytes through
+    // the big shuffle instead of 40-char strings — and only prunes
+    // hash-groups of size 1 (a df>=2 gram's hash group necessarily has
+    // >= 2 rows, so no true survivor is ever lost; a colliding df=1 gram
+    // merely rides along); the EXACT string-keyed 2..16 filter then runs
+    // on that duplicated sliver alone, so the semantics are bit-identical
+    // to the one-level string aggregate at any corpus size.
+    val cand = sh.groupBy("gh").count()
+      .filter(col("count") >= 2).select("gh")
+    val shc = sh.join(cand, "gh")
+    val keep = shc.groupBy("gram").count()
       .filter(col("count").between(2, 16)).select("gram")
-    val sk = sh.join(keep, "gram")
+    val sk = shc.join(keep, "gram")
     val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
       .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram")),
         Seq("gram"))
