@@ -628,6 +628,27 @@ object DedupQueries {
     * unlike candidate generation). The gram stream is localCheckpointed so
     * the shingle kernel runs once for both consumers (the d03 lesson).
     */
+  /** The df>=2 distinct-gram set of a (…, ng) frame, computed with d17's
+    * two-level scheme: the corpus-sized aggregate keys on xxhash64(ng)
+    * (8 bytes through the big shuffle, not ~90-char gram strings) and
+    * only prunes size-1 hash groups — provably lossless, since a df>=2
+    * gram's hash group always has >= 2 rows; the exact string-keyed
+    * df>=2 filter then runs on the duplicated sliver alone. Shared by
+    * the gram-df family (d12/d14) whose downstream only consumes
+    * shared-or-not.
+    */
+  private[operators] def sharedGramDf(grams: DataFrame): DataFrame = {
+    val g = grams.withColumn("gh", xxhash64(col("ng")))
+    val cand = g.groupBy("gh").count()
+      .filter(col("count") >= 2).select("gh")
+    g.join(cand, "gh")
+      .groupBy("ng").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  private def sharedGramSet(grams: DataFrame): DataFrame =
+    sharedGramDf(grams).select("ng")
+
   def d12_passage_stats(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.word_shingles
     val grams = Tables.documents(s, d)
@@ -635,11 +656,15 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
       .localCheckpoint() // df agg + join-back share one kernel pass
-    val dfreq = grams.groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
-    grams.join(dfreq, "ng")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    // shared-or-not is all the census needs, so the df aggregate runs
+    // two-level ([[sharedGramSet]]) and the join back is a semi join
+    // carrying only membership
+    val shared = sharedGramSet(grams)
+    val sharedCnt = grams.join(shared, Seq("ng"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(sharedCnt, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
         (col("n_shared") / col("n_grams")).as("dup_frac"),
         when((col("n_shared") / col("n_grams")) > 0.5, "prune")
@@ -681,10 +706,19 @@ object DedupQueries {
       .localCheckpoint() // gram pass + census share one tokenize
     val grams = docs.select(col("doc_id"), explode(col("ngs")).as("ng"))
       .localCheckpoint() // df agg + join-back share one explode
-    val dfreq = grams.groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
-    val common = grams.join(dfreq, "ng")
+    // two-level df ([[sharedGramDf]]): a df=1 gram contributes exactly 1
+    // to its doc's df sum, so sum_df = n_grams + Σ over SHARED grams of
+    // (df - 1) — the join back touches only the duplicated sliver and
+    // the corpus-sized aggregate keys on 8-byte hashes
+    val extra = grams.join(sharedGramDf(grams), "ng")
       .groupBy(col("doc_id"))
-      .agg(expr("sum(n_docs) * 1000 DIV count(1)").as("commonness_pm"))
+      .agg(sum(col("n_docs") - 1).as("extra"))
+    val common = grams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(extra, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("(n_grams + coalesce(extra, 0)) * 1000 DIV n_grams")
+          .as("commonness_pm"))
     docs.join(common, Seq("doc_id"), "left")
       .withColumn("w_pm",
         expr("1000000 DIV coalesce(commonness_pm, 1000)"))
@@ -730,11 +764,12 @@ object DedupQueries {
           "array_join(slice(toks, i, 13), ' ') AS ng))")).as("pg"))
       .select(col("doc_id"), col("pg.i").as("i"), col("pg.ng").as("ng"))
     // document frequency over DISTINCT docs (a gram repeated inside one
-    // doc is not "shared" — identical to d12's distinct-gram df)
-    val dfreq = posGrams.select(col("doc_id"), col("ng")).distinct()
-      .groupBy(col("ng")).agg(count(lit(1)).as("n_docs"))
+    // doc is not "shared" — identical to d12's distinct-gram df), through
+    // the same two-level hash-keyed aggregate
+    val shared = sharedGramSet(
+      posGrams.select(col("doc_id"), col("ng")).distinct())
     val starts = posGrams
-      .join(dfreq.filter(col("n_docs") >= 2).select(col("ng")), Seq("ng"), "left_semi")
+      .join(shared, Seq("ng"), "left_semi")
       .groupBy(col("doc_id")).agg(collect_set(col("i")).as("starts"))
     toks.join(starts, Seq("doc_id"), "left")
       .withColumn("kept", expr(

@@ -821,12 +821,22 @@ object TextQueries {
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
       .distinct()
       .localCheckpoint() // feeds the first-occurrence index AND the join back
-    val first = g.groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
-    g.join(first, "ng")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    // two-level (DedupQueries.sharedGramDf): a df=1 gram is novel by
+    // construction, so only the SHARED sliver needs its first-occurrence
+    // index — n_novel = n_grams − |shared grams first seen elsewhere|;
+    // the corpus-sized aggregate keys on 8-byte hashes, the min-index
+    // and join back run on the duplicated sliver alone
+    val sharedFirst = g
+      .join(DedupQueries.sharedGramDf(g).select(col("ng")), "ng")
+      .groupBy(col("ng")).agg(min(col("doc_id")).as("first_doc"))
+    val seenBefore = g.join(sharedFirst, "ng")
+      .filter(col("first_doc") =!= col("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+    g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(seenBefore, Seq("doc_id"), "left")
+      .withColumn("n_novel",
+        col("n_grams") - coalesce(col("n_old"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"))
       .withColumn("novelty_pm", expr("(n_novel * 1000) div n_grams"))
   }
 
