@@ -118,6 +118,181 @@ object Buckets {
       s"$dir/docs"
     }
 
+  /** ZONE-MAP layout for orders: data range-clustered on `o_orderdate`
+    * into 16 files plus a per-file (min, max, n_rows) stats table — the
+    * file-skipping index Delta/Iceberg keep in their manifests. Clustering
+    * is what makes the map sharp: after `repartitionByRange` each file
+    * covers a narrow disjoint date band, so a range predicate overlaps few
+    * files and the rest are eliminated BEFORE any footer is opened (parquet
+    * row-group stats still require opening every file; hive partitioning
+    * (q134) forces a coarse categorical key — zone maps give per-file
+    * pruning on a continuous column). Stats are harvested from the
+    * committed files themselves (one scan at layout time, `_metadata`
+    * grouping), so the map can never disagree with the data. Returns
+    * (dataDir, statsDir); same identity-keyed `_complete`-marker
+    * discipline as the bucketed tables.
+    */
+  private[graft] def zoneMapOrders(s: SparkSession, d: String)
+      : (String, String) = synchronized {
+    val f = new java.io.File(d, "orders.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"orders_zonemap_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      s.read.parquet(s"$dir/data")
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      marker.createNewFile()
+    }
+    (s"$dir/data", s"$dir/stats")
+  }
+
+  /** POSITIONAL DELETION VECTORS over lineitem — merge-on-read deletes
+    * (Iceberg v2 position deletes / Delta deletion vectors): a retention
+    * purge (`l_shipdate < 1995-07-01`) is recorded as (file_path,
+    * row_index) pairs in a side table and the base parquet is NEVER
+    * rewritten — at 100 TB rewriting TB-scale immutable files to drop a
+    * few percent of rows is the thing this layout exists to avoid.
+    * `_metadata.row_index` is the row's position within its file, stable
+    * across split planning, so the vector remains valid however the scan
+    * is parallelized. Readers anti-join the (small) vector; a compaction
+    * pass (m10's economics) eventually folds vectors back into data files.
+    */
+  private[graft] def lineitemDeleteVectors(s: SparkSession, d: String)
+      : String = synchronized {
+    val f = new java.io.File(d, "lineitem.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"li_dv_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1995-07-01").cast("timestamp"))
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$dir/dv")
+      marker.createNewFile()
+    }
+    s"$dir/dv"
+  }
+
+  /** SNAPSHOT log for orders — time travel by manifest: immutable data
+    * files plus versioned manifests (`v1.txt`, `v2.txt`), each listing
+    * exactly the files visible at that version. v1 = orders before
+    * 1997-01-01 (two files); the v2 commit APPENDS a delta file and
+    * publishes a new manifest — the old manifest still names only the old
+    * files, so a v1 reader after the v2 commit sees the v1 rows bit-for-
+    * bit (snapshot isolation, the Delta/Iceberg transaction-log core).
+    * Manifests are driver-side metadata (file lists), exactly what a
+    * lakehouse driver reads at planning time.
+    */
+  private[graft] def ordersSnapshots(s: SparkSession, d: String): String =
+    synchronized {
+      val f = new java.io.File(d, "orders.parquet")
+      val dir = SketchQueries.partialsDir(
+        s"orders_snap_${Version}_${f.length()}_${f.lastModified()}", d)
+      val marker = new java.io.File(dir, "_complete")
+      if (!marker.exists()) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        Tables.orders(s, d).filter(col("o_orderdate") < cut)
+          .coalesce(2).write.mode("overwrite").parquet(s"$dir/base")
+        Tables.orders(s, d).filter(col("o_orderdate") >= cut)
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/delta")
+        def parts(sub: String): Seq[String] =
+          new java.io.File(s"$dir/$sub").listFiles()
+            .filter(x => x.getName.startsWith("part-") &&
+              x.getName.endsWith(".parquet"))
+            .map(_.getAbsolutePath).sorted.toSeq
+        val base = parts("base")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/v1.txt"),
+          base.mkString("\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/v2.txt"),
+          (base ++ parts("delta")).mkString("\n").getBytes("UTF-8"))
+        marker.createNewFile()
+      }
+      dir
+    }
+
+  /** q148's INCREMENTAL zone-map maintenance — an independent copy of the
+    * q140 layout (that store stays pristine) that then receives a delta
+    * file append, after which stats are computed ONLY for files missing
+    * from the stats table (anti-join on file_path) and appended — the
+    * incremental step that keeps a 100 TB layout's manifest current
+    * without ever rescanning committed files. Delta = the orderkey%10==0
+    * slice re-keyed past the base range (q139's discipline), dates
+    * unchanged so the delta file genuinely lands inside query ranges.
+    * Marker-committed idempotent per phase.
+    */
+  private[graft] def zoneMapOrdersWithDelta(s: SparkSession, d: String)
+      : (String, String) = synchronized {
+    val f = new java.io.File(d, "orders.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"orders_zmd_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      Tables.orders(s, d)
+        .repartitionByRange(16, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/data")
+      s.read.parquet(s"$dir/data")
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stats")
+      marker.createNewFile()
+    }
+    val deltaMarker = new java.io.File(dir, "_delta1_complete")
+    if (!deltaMarker.exists()) {
+      Tables.orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/data")
+      // incremental: scan ONLY files the stats table doesn't know yet (the
+      // file listing is metadata; committed files are never re-read — if a
+      // path-format mismatch ever double-listed a file, the duplicate
+      // stats row would double-read it at query time and the hash gate
+      // would catch it)
+      // inputFiles spells file:///x where _metadata wrote file:/x —
+      // compare on the scheme-stripped path (the predicted mismatch mode;
+      // without this every base file doubles in stats and the hash gate
+      // fails on doubled counts)
+      def norm(p: String) = new java.net.URI(p).getPath
+      val known = s.read.parquet(s"$dir/stats")
+        .select(col("file_path")).collect().map(r => norm(r.getString(0))).toSet
+      val fresh = s.read.parquet(s"$dir/data").inputFiles
+        .filterNot(p => known(norm(p)))
+      s.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(col("_metadata.file_path").as("file_path"))
+        .agg(min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("append").parquet(s"$dir/stats")
+      deltaMarker.createNewFile()
+    }
+    (s"$dir/data", s"$dir/stats")
+  }
+
+  /** Read one snapshot version: the manifest's file list, nothing else. */
+  private[graft] def snapshotRead(s: SparkSession, dir: String, v: Int)
+      : DataFrame = {
+    val files = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/v$v.txt")), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty)
+    s.read.parquet(files: _*)
+  }
+
   private def ensureOne(s: SparkSession, name: String, loc: String,
       df: DataFrame, key: String): Unit = {
     if (s.catalog.tableExists(name)) return

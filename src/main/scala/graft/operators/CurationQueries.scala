@@ -1497,7 +1497,43 @@ object CurationQueries {
       .withColumn("token_delta", col("tokens_v2") - col("tokens_v1"))
   }
 
+  /** c45: K-ANONYMITY audit (Sweeney 2002) — the privacy gate a dataset
+    * release runs beside t06's PII redaction: redaction strips direct
+    * identifiers, but a row can still be re-identified through its
+    * QUASI-IDENTIFIER combination. Each customer's QI tuple is audited at
+    * three generalization levels — (nation, segment, balance-band),
+    * (nation, segment), (segment) — and for each k ∈ {2, 5, 10} the
+    * report counts equivalence classes below k and the rows at risk
+    * inside them (risk as per-mille of the table). Reading DOWN the
+    * levels is the generalization ladder itself: risk falls as the QI
+    * coarsens, and the release picks the coarsest level meeting its k
+    * target. Scan-bound grouped counts (the class-size frame is
+    * |classes| rows, re-aggregated against a 3-literal broadcast k
+    * ladder); at 100 TB each level is one map-side-combined groupBy.
+    */
+  def c45_k_anonymity(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    def classes(level: Int, keys: Seq[Column]): DataFrame =
+      c.groupBy(keys: _*).agg(count(lit(1)).as("class_size"))
+        .select(lit(level).as("qi_level"), col("class_size"))
+    val all = classes(0, Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_kb")))
+      .unionByName(classes(1, Seq(col("c_nationkey"), col("c_mktsegment"))))
+      .unionByName(classes(2, Seq(col("c_mktsegment"))))
+    all.crossJoin(broadcast(
+        s.range(1).select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))))
+      .groupBy(col("qi_level"), col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") < col("k"), 1L).otherwise(0L))
+          .as("classes_below_k"),
+        sum(when(col("class_size") < col("k"), col("class_size"))
+          .otherwise(0L)).as("rows_at_risk"),
+        expr("(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)" +
+          " * 1000) div sum(class_size)").as("risk_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c45_k_anonymity" -> (c45_k_anonymity _),
     "c44_corpus_diff" -> (c44_corpus_diff _),
     "c43_canary_recall" -> (c43_canary_recall _),
     "c42_rejection_to_target" -> (c42_rejection_to_target _),
@@ -1770,6 +1806,28 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c45_k_anonymity" ->
+      """WITH l0 AS (
+        |  SELECT 0 AS qi_level, count(*) AS class_size FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment,
+        |           CAST(floor(c_acctbal / 1000) AS BIGINT)),
+        |l1 AS (
+        |  SELECT 1 AS qi_level, count(*) AS class_size FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment),
+        |l2 AS (
+        |  SELECT 2 AS qi_level, count(*) AS class_size FROM customer
+        |  GROUP BY c_mktsegment),
+        |cls AS (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |        UNION ALL SELECT * FROM l2),
+        |ks AS (SELECT CAST(unnest([2, 5, 10]) AS BIGINT) AS k)
+        |SELECT qi_level, k, count(*) AS n_classes,
+        |       CAST(sum(CASE WHEN class_size < k THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS classes_below_k,
+        |       CAST(sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+        |            AS BIGINT) AS rows_at_risk,
+        |       CAST((sum(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+        |             * 1000) // sum(class_size) AS BIGINT) AS risk_pm
+        |FROM cls CROSS JOIN ks GROUP BY 1, 2""".stripMargin,
     "c44_corpus_diff" ->
       """WITH base AS (
         |  SELECT doc_id, source, text,

@@ -3305,7 +3305,318 @@ object RelationalQueries {
         sum(col("n_items")).as("n_lineitems"))
   }
 
+  /** q140: ZONE-MAP file skipping ([[Buckets.zoneMapOrders]]) — a date-
+    * range query plans its file list from the per-file (min, max) stats
+    * table and reads ONLY overlapping files; the stats read is file-level
+    * METADATA (16 rows here; one row per data file at any scale — the
+    * manifest scan every Delta/Iceberg driver performs at planning time,
+    * so the driver-side collect is the planning step, not a data
+    * collect). The residual predicate still applies inside the surviving
+    * files (zone maps are conservative). The oracle filters raw orders,
+    * so the hash gate proves skipping lossless; the plan pin asserts the
+    * scan's numFiles really dropped to the overlap count.
+    */
+  def q140_zone_map_skip(s: SparkSession, d: String): DataFrame = {
+    val (dataDir, statsDir) = Buckets.zoneMapOrders(s, d)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-12-31 23:59:59").cast("timestamp")
+    val files = s.read.parquet(statsDir)
+      .filter(col("max_date") >= lo && col("min_date") <= hi)
+      .select(col("file_path"))
+      .collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, s"zone map pruned every file under $dataDir")
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** q141: merge-on-read DELETION VECTORS
+    * ([[Buckets.lineitemDeleteVectors]]) — the retention purge is served
+    * by anti-joining the positional delete table against the base scan on
+    * (file_path, row_index); base files are never rewritten (pinned: the
+    * read path's data inputs are exactly the original lineitem parquet
+    * plus the vector table). The vector side is deletes-sized, orders of
+    * magnitude under the base, so it broadcasts; at 100 TB this is the
+    * point — a few-GB delete set streams past every executor instead of a
+    * full-table rewrite. Oracle applies the purge predicate to raw
+    * lineitem, proving the positional vector captures exactly those rows.
+    */
+  def q141_deletion_vectors(s: SparkSession, d: String): DataFrame = {
+    val dv = s.read.parquet(Buckets.lineitemDeleteVectors(s, d))
+    val li = Tables.lineitem(s, d).select(
+      col("_metadata.file_path").as("file_path"),
+      col("_metadata.row_index").as("row_index"),
+      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    li.join(broadcast(dv), Seq("file_path", "row_index"), "left_anti")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("l_quantity")).cast("long").as("qty"),
+        dsum(col("l_extendedprice")).as("gross"))
+  }
+
+  /** q142: TIME TRAVEL over the snapshot log ([[Buckets.ordersSnapshots]])
+    * — the same census read at v1 (pre-1997 base files) and v2 (base +
+    * appended delta), each resolving its file list from its own manifest.
+    * The v1 read runs AFTER the v2 commit exists, so matching the oracle's
+    * pre-1997 slice proves snapshot isolation: a published version is
+    * immutable however the log grows. The pin additionally asserts the v1
+    * scan never touches the delta file.
+    */
+  def q142_time_travel(s: SparkSession, d: String): DataFrame = {
+    val dir = Buckets.ordersSnapshots(s, d)
+    def census(v: Int) =
+      Buckets.snapshotRead(s, dir, v)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .withColumn("version", lit(v))
+    census(1).unionByName(census(2))
+  }
+
+  /** q143: KAPLAN-MEIER survival over customer lifetimes — the retention
+    * curve with CENSORING done right (naive churn rates over-count: a
+    * recently-acquired active customer is not a survivor to month 60, he
+    * is censored at his observation length). Lifetime = months between
+    * first and last order; churn = no order in the trailing 6 months of
+    * the observation window, else censored. S(t) = Π(1 − d/n) over event
+    * months, computed as a DECIMAL-summed 9dp-log cumulative product
+    * (t20's discipline; exp re-rounded at 9 dp) so the curve
+    * hash-checks. Risk sets come from one running count over the
+    * MONTH-GRAIN frame — bounded by the calendar (≤ a few hundred rows at
+    * any corpus size), so the global-ordered window is a driver-scale
+    * fold, not a data funnel. The degenerate all-events-at-max-t stratum
+    * is floored at 1e-12 before ln (documented; fixture never hits it).
+    */
+  private val q143Sql: String =
+    """WITH spans AS (
+      |  SELECT o_custkey,
+      |         min(year(o_orderdate) * 12 + month(o_orderdate)) AS m0,
+      |         max(year(o_orderdate) * 12 + month(o_orderdate)) AS m1
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT max(m1) AS mmax, CAST(count(*) AS BIGINT) AS n_total
+      |      FROM spans),
+      |sp AS (SELECT CAST(m1 - m0 AS BIGINT) AS t,
+      |              CASE WHEN m1 <= h.mmax - 6 THEN 1 ELSE 0 END AS ev,
+      |              h.n_total
+      |       FROM spans CROSS JOIN h),
+      |bt AS (SELECT t, n_total, CAST(sum(ev) AS BIGINT) AS d,
+      |              CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |       FROM sp GROUP BY t, n_total),
+      |r AS (SELECT t, d, n_censored,
+      |             n_total - CAST(coalesce(sum(d + n_censored) OVER
+      |               (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      |      FROM bt),
+      |lf AS (SELECT t, n_risk, d, n_censored,
+      |              CAST(round(ln(greatest(
+      |                1.0 - CAST(d AS DOUBLE) / n_risk, 1e-12)), 9)
+      |                AS DECIMAL(18,9)) AS lf
+      |       FROM r)
+      |SELECT t, n_risk, d, n_censored,
+      |       round(exp(CAST(sum(lf) OVER (ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)),
+      |         9) AS surv
+      |FROM lf""".stripMargin
+
+  def q143_kaplan_meier(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q143Sql)
+
+  /** q144: CUPED variance reduction (Deng et al., WSDM 2013) — the
+    * standard experimentation adjustment: the pre-period covariate
+    * (1995 revenue) absorbs between-customer variance from the
+    * experiment metric (1996 revenue), θ = cov(X,Y)/var(X) from EXACT
+    * integer-cent moment sums carried in DECIMAL (q39's discipline —
+    * wide sums never round), adjusted mean = ȳ_arm − θ·(x̄_arm − x̄).
+    * Arms assigned by custkey parity (the deterministic hash split a
+    * real experiment uses, c03's recipe). One grouped pass per customer,
+    * a 2-row arm aggregate joined to broadcast pooled moments — at
+    * 100 TB this is one map-side-combined groupBy plus driver-scale
+    * arithmetic.
+    */
+  private val q144Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = 1995
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN year(o_orderdate) = 1996
+      |           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+      |           ELSE 0 END) AS BIGINT) AS y
+      |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+      |  GROUP BY o_custkey),
+      |ca AS (SELECT x, y, CAST(o_custkey % 2 AS INTEGER) AS arm FROM cust),
+      |p AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+      |      FROM ca),
+      |th AS (SELECT n, sx,
+      |             round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS theta
+      |      FROM p),
+      |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_cust,
+      |             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS asx,
+      |             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS asy
+      |      FROM ca GROUP BY arm)
+      |SELECT arm, n_cust,
+      |       round(asy / n_cust, 9) AS mean_y_cents,
+      |       round(asy / n_cust - theta * (asx / n_cust - sx / n), 9)
+      |         AS mean_y_adj_cents,
+      |       CAST(floor(theta * 1000000.0) AS BIGINT) AS theta_micro
+      |FROM a CROSS JOIN th""".stripMargin
+
+  def q144_cuped(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(q144Sql)
+
+  /** q145: DIFFERENTIALLY-PRIVATE release with DETERMINISTIC Laplace
+    * noise — per-nation customer counts released under an ε ladder
+    * (0.1, 1.0), noise drawn via the inverse CDF
+    * (−(1/ε)·sgn(u−½)·ln(1−2|u−½|)) from a per-(group, ε) LCG uniform:
+    * a real deployment seeds its sampler; pinning the seed makes the
+    * MECHANISM (sensitivity-1 counts, ε-scaled Laplace, half-up integer
+    * rounding) fully hash-checkable cross-engine, and the released table
+    * carries its own honesty column (abs_err) the ε tradeoff reads
+    * directly. Noise ln's are 9dp-rounded (the transcendental
+    * discipline); rounding is floor(x+½) — no half-even ambiguity. One
+    * grouped count; everything after is per-released-row arithmetic.
+    */
+  private val q145Sql: String =
+    """WITH g AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+      |           FROM customer GROUP BY c_nationkey),
+      |e AS (SELECT CAST(100 AS BIGINT) AS eps_milli
+      |      UNION ALL SELECT CAST(1000 AS BIGINT)),
+      |u AS (SELECT g.c_nationkey, g.n_true, e.eps_milli,
+      |             ((CAST(1103515245 AS BIGINT)
+      |               * (g.c_nationkey + e.eps_milli * 131) + 12345)
+      |              % 1000003) / 1000003.0 AS u
+      |      FROM g CROSS JOIN e),
+      |nz AS (SELECT c_nationkey, n_true, eps_milli,
+      |              -(1000.0 / eps_milli) * sign(u - 0.5)
+      |                * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9) AS noise
+      |       FROM u)
+      |SELECT eps_milli, c_nationkey, n_true,
+      |       n_true + CAST(floor(noise + 0.5) AS BIGINT) AS n_noisy,
+      |       abs(CAST(floor(noise + 0.5) AS BIGINT)) AS abs_err
+      |FROM nz""".stripMargin
+
+  def q145_dp_release(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer")(q145Sql)
+
+  /** q146: column ENCODING ADVISOR — the storage-layout ANALYZE pass
+    * (q137's column-group stats are for the optimizer; this one is for
+    * the writer): for each candidate string column, exact NDV, plain
+    * bytes, and a dictionary-encoding estimate (distinct-value bytes +
+    * n·⌈log₂ ndv⌉ bits of indices — bit width via the binary-string
+    * length of ndv−1, integer-exact in both engines), with the
+    * per-mille ratio and the pick. Each column costs one pruned
+    * single-column scan pre-aggregated by value (map-side combine;
+    * the value frame is |ndv| rows).
+    */
+  /** One shared text parameterized on the byte-length spelling
+    * (`octet_length` / `strlen`) and integer division — values are the
+    * same on the ASCII fixture but the byte semantics is the honest one.
+    */
+  private[graft] def q146Sql(len: String, div: String): String = {
+    def one(table: String, c: String): String =
+      s"""SELECT '$table' AS table_name, '$c' AS column_name,
+         |       n, ndv, plain_bytes,
+         |       dict_value_bytes
+         |         + (n * (CASE WHEN ndv <= 1 THEN 0
+         |                 ELSE length(bin(ndv - 1)) END) + 7) $div 8
+         |         AS dict_bytes,
+         |       ((dict_value_bytes
+         |         + (n * (CASE WHEN ndv <= 1 THEN 0
+         |                 ELSE length(bin(ndv - 1)) END) + 7) $div 8) * 1000)
+         |         $div plain_bytes AS ratio_pm,
+         |       CASE WHEN ((dict_value_bytes
+         |         + (n * (CASE WHEN ndv <= 1 THEN 0
+         |                 ELSE length(bin(ndv - 1)) END) + 7) $div 8) * 1000)
+         |         $div plain_bytes < 500
+         |         THEN 'dictionary' ELSE 'plain' END AS encoding
+         |FROM (
+         |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |         CAST(count(*) AS BIGINT) AS ndv,
+         |         CAST(sum(cnt * $len(v)) AS BIGINT) AS plain_bytes,
+         |         CAST(sum($len(v)) AS BIGINT) AS dict_value_bytes
+         |  FROM (SELECT $c AS v, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM $table GROUP BY $c) g) t""".stripMargin
+    Seq(one("lineitem", "l_returnflag"), one("lineitem", "l_linestatus"),
+      one("orders", "o_orderstatus"), one("orders", "o_orderpriority"),
+      one("customer", "c_mktsegment")).mkString("\nUNION ALL\n")
+  }
+
+  def q146_encoding_advisor(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "lineitem", "orders", "customer")(
+      q146Sql("octet_length", "div"))
+
+  /** q147: RUNTIME BLOOM-FILTER join pruning — Spark's automatic
+    * semi-join reduction (`InjectRuntimeFilter`): when BOTH join sides
+    * are too big to broadcast (the 100 TB default — modeled here by
+    * disabling auto-broadcast) and the build side carries a selective
+    * predicate, the optimizer plants a bloom-filter aggregate on the
+    * build side and a `might_contain` filter on the probe side's SCAN,
+    * so most probe rows die before the shuffle instead of after it.
+    * The result is computed EAGERLY under the demo confs (checkpointed
+    * 5-row output) and the confs restored, so nothing leaks into other
+    * queries' plans; the spec pins might_contain really appears. The
+    * oracle runs the plain join — the filter is semantically free.
+    */
+  def q147_bloom_join_pruning(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "-1")
+      s.conf.set(keys(1), "0")
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .localCheckpoint(true)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
+  /** q148: INCREMENTAL zone-map maintenance
+    * ([[Buckets.zoneMapOrdersWithDelta]]) — q140's layout receiving a
+    * delta-file append whose stats are computed by scanning ONLY the new
+    * file (committed files never re-read — the manifest-update economics
+    * that keep a 100 TB layout's planning metadata current). Query path
+    * identical to q140; the oracle covers base ∪ delta, so the hash gate
+    * proves the incrementally-maintained stats still plan a lossless
+    * read, and the pin proves the file count read grew by exactly the
+    * delta file.
+    */
+  def q148_zone_map_append(s: SparkSession, d: String): DataFrame = {
+    val (_, statsDir) = Buckets.zoneMapOrdersWithDelta(s, d)
+    val lo = lit("1995-01-01").cast("timestamp")
+    val hi = lit("1995-12-31 23:59:59").cast("timestamp")
+    val files = s.read.parquet(statsDir)
+      .filter(col("max_date") >= lo && col("min_date") <= hi)
+      .select(col("file_path"))
+      .collect().map(_.getString(0)).sorted
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_zone_map_append" -> (q148_zone_map_append _),
+    "q147_bloom_join_pruning" -> (q147_bloom_join_pruning _),
+    "q146_encoding_advisor" -> (q146_encoding_advisor _),
+    "q145_dp_release" -> (q145_dp_release _),
+    "q144_cuped" -> (q144_cuped _),
+    "q143_kaplan_meier" -> (q143_kaplan_meier _),
+    "q142_time_travel" -> (q142_time_travel _),
+    "q141_deletion_vectors" -> (q141_deletion_vectors _),
+    "q140_zone_map_skip" -> (q140_zone_map_skip _),
     "q139_bucketed_append" -> (q139_bucketed_append _),
     "q138_sampled_agg_audit" -> (q138_sampled_agg_audit _),
     "q137_column_stats" -> (q137_column_stats _),
@@ -3851,6 +4162,51 @@ object RelationalQueries {
     "q128_theil" -> q128Sql,
     "q130_ks_test" -> q130Sql,
     "q132_distribution_ranks" -> q132Sql,
+    "q140_zone_map_skip" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |       ${osum("o_totalprice")} AS revenue
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+         |GROUP BY 1""".stripMargin,
+    "q143_kaplan_meier" -> q143Sql,
+    "q144_cuped" -> q144Sql,
+    "q145_dp_release" -> q145Sql,
+    "q146_encoding_advisor" -> q146Sql("strlen", "//"),
+    "q147_bloom_join_pruning" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |       ${osum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 400000.0
+         |GROUP BY 1""".stripMargin,
+    "q148_zone_map_append" ->
+      s"""WITH all_orders AS (
+         |  SELECT o_orderdate, o_orderpriority, o_totalprice FROM orders
+         |  UNION ALL
+         |  SELECT o_orderdate, o_orderpriority, o_totalprice FROM orders
+         |  WHERE o_orderkey % 10 = 0)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |       ${osum("o_totalprice")} AS revenue
+         |FROM all_orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1995-12-31 23:59:59'
+         |GROUP BY 1""".stripMargin,
+    "q141_deletion_vectors" ->
+      s"""SELECT l_returnflag, count(*) AS n_live,
+         |       CAST(sum(l_quantity) AS BIGINT) AS qty,
+         |       ${osum("l_extendedprice")} AS gross
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1995-07-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "q142_time_travel" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |       ${osum("o_totalprice")} AS revenue, 1 AS version
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT o_orderstatus, count(*) AS n_orders,
+         |       ${osum("o_totalprice")} AS revenue, 2 AS version
+         |FROM orders GROUP BY 1""".stripMargin,
     "q139_bucketed_append" ->
       """WITH o2 AS (
         |  SELECT o_orderkey, o_orderpriority FROM orders

@@ -1198,7 +1198,73 @@ object SimilarityQueries {
       Seq("q_id"), Seq(Ord("sim", desc = true), Ord("neg_id")), K)
   }
 
+  /** s36: margin-based BITEXT MINING (Artetxe & Schwenk, ACL 2019 — the
+    * LASER/CCMatrix recipe): for a batch of "language A" sentences (even
+    * labels, bounded mining batch) find their best "language B" match
+    * (odd labels, full side scanned once), scored not by raw cosine but by
+    * the RATIO MARGIN — sim(a,b) divided by the mean of a's and b's k-NN
+    * similarity neighborhoods — which cancels hubness (a vector that is
+    * everyone's neighbor gains no margin), plus the mutual-argmax flag
+    * (forward-backward consistency). Kernel is s07's int8 quantization so
+    * every similarity is exact integer per-mille arithmetic and this
+    * approximate-by-nature miner still hash-checks end-to-end; candidate
+    * pairs are checkpointed once so forward and backward neighborhoods
+    * reuse one kernel pass (the d03 discipline). At 100 TB candidate
+    * generation routes through s32's bucketed kNN graph instead of the
+    * broadcast batch; margin rescoring (this operator's contribution) is
+    * unchanged — it only ever touches top-k lists, k·|batch| rows.
+    * Filters pin both margin operands positive so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree (the q85 hazard).
+    */
+  def s36_bitext_margin(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    def quantized(df: DataFrame, vecCol: String, out: String): DataFrame =
+      df.withColumn("__amax",
+          expr(s"array_max(transform(CAST($vecCol AS ARRAY<DOUBLE>), v -> abs(v)))"))
+        .withColumn(out, expr(
+          s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(round(x * (127.0D / __amax)) AS BIGINT))"))
+        .drop("__amax", vecCol)
+    val base = Tables.embeddings(s, d)
+    val qa = quantized(
+      base.filter(col("label") % 2 === 0 && col("vec_id") < 400)
+        .select(col("vec_id").as("q_id"), col("embedding")), "embedding", "q_qv")
+    val qb = quantized(
+      base.filter(col("label") % 2 === 1)
+        .select(col("vec_id"), col("embedding")), "embedding", "qv")
+    val simPm =
+      "CAST(floor(1000.0D * CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
+        " / (sqrt(CAST(aggregate(transform(q_qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE))" +
+        " * sqrt(CAST(aggregate(transform(qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE)))) AS BIGINT)"
+    val cand = qb.crossJoin(broadcast(qa))
+      .withColumn("sim_pm", expr(simPm))
+      .select(col("q_id"), col("vec_id"), col("sim_pm"))
+      .localCheckpoint()
+    val fwd = TopKPerGroup.topK(cand, Seq("q_id"),
+      Seq(Ord("sim_pm", desc = true), Ord("vec_id")), k)
+    val fwdAgg = fwd.groupBy(col("q_id")).agg(
+        sum(col("sim_pm")).as("fwd_sum"),
+        max(struct(col("sim_pm"), (-col("vec_id")).as("nid"))).as("t1"))
+      .select(col("q_id"), col("fwd_sum"),
+        col("t1.sim_pm").as("top_sim"), (-col("t1.nid")).as("match_id"))
+    val bwdTop = TopKPerGroup.topK(
+      cand.join(broadcast(fwdAgg.select(col("match_id")).distinct()),
+        col("vec_id") === col("match_id"), "left_semi"),
+      Seq("vec_id"), Seq(Ord("sim_pm", desc = true), Ord("q_id")), k)
+    val bwdAgg = bwdTop.groupBy(col("vec_id")).agg(
+        sum(col("sim_pm")).as("bwd_sum"),
+        max(struct(col("sim_pm"), (-col("q_id")).as("nq"))).as("b1"))
+      .select(col("vec_id").as("b_id"), col("bwd_sum"),
+        (-col("b1.nq")).as("b_top_q"))
+    fwdAgg.join(broadcast(bwdAgg), col("match_id") === col("b_id"))
+      .filter(col("top_sim") > 0 && col("fwd_sum") + col("bwd_sum") > 0)
+      .select(col("q_id"), col("match_id"), col("top_sim").as("sim_pm"),
+        expr(s"(${2 * k * 1000}L * top_sim) div (fwd_sum + bwd_sum)")
+          .as("margin_pm"),
+        when(col("b_top_q") === col("q_id"), 1L).otherwise(0L).as("mutual"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s36_bitext_margin" -> (s36_bitext_margin _),
     "s32_knn_graph" -> (s32_knn_graph _),
     "s33_hard_negatives" -> (s33_hard_negatives _),
     "s31_compression_frontier" -> (s31_compression_frontier _),
@@ -1558,6 +1624,46 @@ object SimilarityQueries {
        |)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "s36_bitext_margin" ->
+      """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, label,
+        |         list_transform(v, x -> CAST(round(x * (127.0 /
+        |           list_max(list_transform(v, y -> abs(y))))) AS BIGINT)) AS qv
+        |  FROM emb),
+        |a AS (SELECT vec_id AS q_id, qv AS q_qv FROM qz
+        |      WHERE label % 2 = 0 AND vec_id < 400),
+        |b AS (SELECT vec_id, qv FROM qz WHERE label % 2 = 1),
+        |cand AS (
+        |  SELECT a.q_id, b.vec_id,
+        |         CAST(floor(1000.0 * CAST(list_sum(list_transform(
+        |                 list_zip(a.q_qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+        |           / (sqrt(CAST(list_sum(list_transform(a.q_qv, v -> v * v)) AS DOUBLE))
+        |              * sqrt(CAST(list_sum(list_transform(b.qv, v -> v * v)) AS DOUBLE))))
+        |           AS BIGINT) AS sim_pm
+        |  FROM a CROSS JOIN b),
+        |fwd AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |             ORDER BY sim_pm DESC, vec_id) AS rk FROM cand) t
+        |  WHERE rk <= 4),
+        |fa AS (SELECT q_id, sum(sim_pm) AS fwd_sum FROM fwd GROUP BY 1),
+        |f1 AS (SELECT q_id, vec_id AS match_id, sim_pm AS top_sim
+        |       FROM fwd WHERE rk = 1),
+        |bw AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |             ORDER BY sim_pm DESC, q_id) AS rk
+        |  FROM cand WHERE vec_id IN (SELECT match_id FROM f1)) t
+        |  WHERE rk <= 4),
+        |ba AS (SELECT vec_id AS b_id, sum(sim_pm) AS bwd_sum FROM bw GROUP BY 1),
+        |b1 AS (SELECT vec_id AS b_id, q_id AS b_top_q FROM bw WHERE rk = 1)
+        |SELECT f1.q_id, f1.match_id, f1.top_sim AS sim_pm,
+        |       CAST((8000 * f1.top_sim) // (fa.fwd_sum + ba.bwd_sum) AS BIGINT) AS margin_pm,
+        |       CAST(CASE WHEN b1.b_top_q = f1.q_id THEN 1 ELSE 0 END AS BIGINT) AS mutual
+        |FROM f1
+        |JOIN fa USING (q_id)
+        |JOIN ba ON ba.b_id = f1.match_id
+        |JOIN b1 ON b1.b_id = f1.match_id
+        |WHERE f1.top_sim > 0 AND fa.fwd_sum + ba.bwd_sum > 0""".stripMargin,
     "s35_embedding_audit" ->
       """WITH e AS (
         |  SELECT label, len(embedding) AS dim,

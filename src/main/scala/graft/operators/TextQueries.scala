@@ -1879,7 +1879,46 @@ object TextQueries {
         col("beta"), col("ln_k"))
   }
 
+  /** t43: "Fightin' Words" DISTINGUISHING TERMS (Monroe, Colaresi &
+    * Quinn 2008) — per language, the terms most over-represented vs the
+    * rest of the corpus, scored by log-odds-ratio with an INFORMATIVE
+    * Dirichlet prior (α_w = α0 · corpus share; α0 = 1000 total prior
+    * mass): the prior shrinks rare-word noise that raw log-odds or PMI
+    * would rank first, and the z-score (delta / sqrt(1/(y+α) + 1/(y_r+α)))
+    * is the paper's variance normalization. This is the corpus-comparison
+    * report a curation run reads to see WHAT distinguishes a source/slice
+    * before deciding weights — t05's tf-idf ranks within-doc, this ranks
+    * between-slice. Determinism: each ln is rounded at 9 dp and pinned to
+    * DECIMAL(18,9) (t20's discipline) so the delta subtraction is exact;
+    * the z lands as integer MICROS via floor. One token scan, vocab-keyed
+    * joins (never broadcast — at 100 TB the vocab is huge; lang totals and
+    * the corpus scalar broadcast), top-3 per lang through the partial
+    * heaps.
+    */
+  def t43_log_odds(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val lw = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("y"))
+    val wt = lw.groupBy(col("tok")).agg(sum(col("y")).as("yw"))
+    val lt = lw.groupBy(col("lang")).agg(sum(col("y")).as("nl"))
+    val nt = lw.agg(sum(col("y")).as("n"))
+    val scored = lw.join(wt, "tok").join(broadcast(lt), "lang")
+      .crossJoin(broadcast(nt))
+      .withColumn("aw", expr("1000.0D * yw / n"))
+      .withColumn("l1", expr(
+        "CAST(round(ln((y + aw) / (nl + 1000.0D - y - aw)), 9) AS DECIMAL(18,9))"))
+      .withColumn("l2", expr(
+        "CAST(round(ln((yw - y + aw) / (n - nl + 1000.0D - (yw - y) - aw)), 9) AS DECIMAL(18,9))"))
+      .withColumn("z_micro", expr(
+        "floor(CAST(l1 - l2 AS DOUBLE) / sqrt(1.0D / (y + aw) + 1.0D / (yw - y + aw)) * 1000000.0D)"))
+      .select(col("lang"), col("tok"), col("y"), col("yw"), col("z_micro"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("lang"),
+      Seq(graft.plans.TopKPerGroup.Ord("z_micro", desc = true),
+        graft.plans.TopKPerGroup.Ord("tok")), 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t43_log_odds" -> (t43_log_odds _),
     "t41_heaps_fit" -> (t41_heaps_fit _),
     "t40_charset_audit" -> (t40_charset_audit _),
     "t39_blocklist_filter" -> (t39_blocklist_filter _),
@@ -2065,6 +2104,33 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t43_log_odds" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lw AS (SELECT lang, tok, count(*) AS y FROM toks GROUP BY 1, 2),
+        |wt AS (SELECT tok, CAST(sum(y) AS BIGINT) AS yw FROM lw GROUP BY 1),
+        |lt AS (SELECT lang, CAST(sum(y) AS BIGINT) AS nl FROM lw GROUP BY 1),
+        |nt AS (SELECT CAST(sum(y) AS BIGINT) AS n FROM lw),
+        |sc AS (
+        |  SELECT lw.lang, lw.tok, lw.y, wt.yw, lt.nl, nt.n,
+        |         1000.0 * wt.yw / nt.n AS aw
+        |  FROM lw JOIN wt USING (tok) JOIN lt ON lt.lang = lw.lang
+        |  CROSS JOIN nt),
+        |z AS (
+        |  SELECT lang, tok, y, yw,
+        |         CAST(floor(CAST(
+        |             CAST(round(ln((y + aw) / (nl + 1000.0 - y - aw)), 9)
+        |                  AS DECIMAL(18,9))
+        |             - CAST(round(ln((yw - y + aw)
+        |                             / (n - nl + 1000.0 - (yw - y) - aw)), 9)
+        |                    AS DECIMAL(18,9)) AS DOUBLE)
+        |           / sqrt(1.0 / (y + aw) + 1.0 / (yw - y + aw))
+        |           * 1000000.0) AS BIGINT) AS z_micro
+        |  FROM sc)
+        |SELECT lang, tok, y, yw, z_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |              ORDER BY z_micro DESC, tok) AS rk FROM z) t
+        |WHERE rk <= 3""".stripMargin,
     "t37_span_corruption" -> t37Sql("unnest(generate_series(1, n))")
       .replace("$N$", "len(string_split(text, ' '))"),
     "t38_vocab_sweep" -> t38Sql("unnest(string_split(text, ' '))",

@@ -615,6 +615,47 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q139_bucketed_append(spark, sf).count())
       time(s"$tag q139_bucketed_append warm")(
         graft.operators.RelationalQueries.q139_bucketed_append(spark, sf).count())
+      // fifteenth wave: the lakehouse trio's cold runs include their layout
+      // builds (range-cluster+stats / DV extraction / snapshot log); the
+      // warm runs are the served query — file-pruned scan, broadcast
+      // anti-join, manifest-listed reads — which should scale with rows
+      // read, not corpus
+      time(s"$tag q140_zone_map_skip")(
+        graft.operators.RelationalQueries.q140_zone_map_skip(spark, sf).count())
+      time(s"$tag q140_zone_map_skip warm")(
+        graft.operators.RelationalQueries.q140_zone_map_skip(spark, sf).count())
+      time(s"$tag q141_deletion_vectors")(
+        graft.operators.RelationalQueries.q141_deletion_vectors(spark, sf).count())
+      time(s"$tag q141_deletion_vectors warm")(
+        graft.operators.RelationalQueries.q141_deletion_vectors(spark, sf).count())
+      time(s"$tag q142_time_travel")(
+        graft.operators.RelationalQueries.q142_time_travel(spark, sf).count())
+      // s36: candidate pass = batch x 10x B-side (linear); margin rescore
+      // stays top-k-bounded
+      time(s"$tag s36_bitext_margin")(
+        graft.operators.SimilarityQueries.s36_bitext_margin(spark, sf).count())
+      // t43: one token scan + vocab-keyed joins; c45: dimension-scan aggs
+      time(s"$tag t43_log_odds")(
+        graft.operators.TextQueries.t43_log_odds(spark, sf).count())
+      time(s"$tag c45_k_anonymity")(
+        graft.operators.CurationQueries.c45_k_anonymity(spark, sf).count())
+      // sixteenth wave: q143/q144 are grouped scans + calendar-bounded
+      // folds; q145/q146 dimension-scale; q147 includes the bloom build
+      // each run; q148 cold includes layout+append, warm is the pruned read
+      time(s"$tag q143_kaplan_meier")(
+        graft.operators.RelationalQueries.q143_kaplan_meier(spark, sf).count())
+      time(s"$tag q144_cuped")(
+        graft.operators.RelationalQueries.q144_cuped(spark, sf).count())
+      time(s"$tag q145_dp_release")(
+        graft.operators.RelationalQueries.q145_dp_release(spark, sf).count())
+      time(s"$tag q146_encoding_advisor")(
+        graft.operators.RelationalQueries.q146_encoding_advisor(spark, sf).count())
+      time(s"$tag q147_bloom_join_pruning")(
+        graft.operators.RelationalQueries.q147_bloom_join_pruning(spark, sf).count())
+      time(s"$tag q148_zone_map_append")(
+        graft.operators.RelationalQueries.q148_zone_map_append(spark, sf).count())
+      time(s"$tag q148_zone_map_append warm")(
+        graft.operators.RelationalQueries.q148_zone_map_append(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -760,4 +760,120 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"nearest-centroid assignment must not shuffle:\n${p.take(1200)}")
     assert(!p.contains("Window"), "assignment must not use a per-row window")
   }
+
+  private def fileScans(pl: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = pl match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(st.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(fileScans)
+  }
+
+  test("q140 zone maps: only date-overlapping files are read") {
+    val df = SparkEntry.queries("q140_zone_map_skip")(spark, sf)
+    df.collect()
+    val (_, statsDir) = graft.operators.Buckets.zoneMapOrders(spark, sf)
+    import org.apache.spark.sql.functions.expr
+    val stats = spark.read.parquet(statsDir)
+      .select(
+        expr("CAST(max_date >= TIMESTAMP'1995-01-01 00:00:00' AND " +
+          "min_date <= TIMESTAMP'1995-12-31 23:59:59' AS BOOLEAN)").as("hit"))
+      .collect().map(_.getBoolean(0))
+    val overlap = stats.count(identity)
+    // the 1995 predicate must not survive a full read: the range-clustered
+    // layout puts ~1 year in a few of the 16 files
+    assert(overlap < stats.length,
+      s"fixture degenerate: predicate overlaps all ${stats.length} files")
+    val filesRead =
+      fileScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    assert(filesRead == overlap,
+      s"zone-map skip must read exactly the $overlap overlapping files, read $filesRead")
+  }
+
+  test("q141 deletion vectors: anti-join broadcasts; base files never rewritten") {
+    val df = SparkEntry.queries("q141_deletion_vectors")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV apply must be a broadcast anti-join:\n${p.take(1200)}")
+    // merge-on-read: the only data inputs are the ORIGINAL base parquet and
+    // the vector table — no rewritten copy of lineitem anywhere
+    val files = df.inputFiles
+    assert(files.exists(_.contains("lineitem.parquet")) &&
+      files.exists(_.contains("li_dv")),
+      s"unexpected inputs: ${files.take(5).mkString(", ")}")
+    assert(files.forall(f => f.contains("lineitem.parquet") || f.contains("li_dv")),
+      s"DV read must not touch a rewritten base: ${files.take(5).mkString(", ")}")
+  }
+
+  test("q147 bloom pruning: might_contain injected on the probe side; confs restored") {
+    val before = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => spark.conf.getOption(k))
+    // the registry entry checkpoints eagerly; to see the plan, rebuild the
+    // join under the same demo confs
+    import org.apache.spark.sql.functions.{col, count, lit}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val j = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${p.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        before(0).getOrElse("10MB"))
+      before(1).fold(spark.conf.unset(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))(
+        spark.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", _))
+    }
+    // and the registry entry itself must leave no conf residue
+    val snap = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => spark.conf.getOption(k))
+    SparkEntry.queries("q147_bloom_join_pruning")(spark, sf).collect()
+    val after = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => spark.conf.getOption(k))
+    assert(after == snap, s"q147 leaked conf changes: $snap -> $after")
+  }
+
+  test("q148 appended zone map: reads base overlap plus exactly the delta file") {
+    val df = SparkEntry.queries("q148_zone_map_append")(spark, sf)
+    df.collect()
+    val q140 = SparkEntry.queries("q140_zone_map_skip")(spark, sf)
+    q140.collect()
+    val baseOverlap =
+      fileScans(q140.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    val filesRead =
+      fileScans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    // the delta file spans the full date range, so it always overlaps; the
+    // base partitioning is identical to q140's layout
+    assert(filesRead == baseOverlap + 1,
+      s"expected base overlap $baseOverlap + 1 delta, read $filesRead")
+  }
+
+  test("q142 time travel: the v1 manifest never reads the delta file") {
+    SparkEntry.queries("q142_time_travel")(spark, sf).collect()
+    val dir = graft.operators.Buckets.ordersSnapshots(spark, sf)
+    val v1 = graft.operators.Buckets.snapshotRead(spark, dir, 1)
+    val v1Files = v1.inputFiles
+    assert(v1Files.nonEmpty && v1Files.forall(_.contains("/base/")),
+      s"v1 snapshot leaked post-commit files: ${v1Files.mkString(", ")}")
+    // snapshot isolation: v1 re-read AFTER the v2 commit still equals the
+    // pre-1997 slice exactly
+    import org.apache.spark.sql.functions.{col, lit}
+    val expected = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
+    assert(v1.count() == expected)
+  }
 }

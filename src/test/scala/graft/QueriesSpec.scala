@@ -2638,4 +2638,123 @@ class QueriesSpec extends SparkTestBase {
       }
     }
   }
+
+  test("s36 bitext margin: matches are true argmaxes over the B side") {
+    val rows = SparkEntry.queries("s36_bitext_margin")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent brute-force recompute of each query's best B match under
+    // the same int8 quantization (fixture-sized; the query runs heaps)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def qz(v: Array[Double]): Array[Long] = {
+      val amax = v.map(math.abs).max
+      v.map(x => math.round(x * (127.0 / amax)))
+    }
+    val a = emb.filter(e => e._2 % 2 == 0 && e._1 < 400)
+      .map(e => e._1 -> qz(e._3)).toMap
+    val b = emb.filter(_._2 % 2 == 1).map(e => e._1 -> qz(e._3))
+    def simPm(x: Array[Long], y: Array[Long]): Long = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum.toDouble
+      val nx = math.sqrt(x.map(v => v * v).sum.toDouble)
+      val ny = math.sqrt(y.map(v => v * v).sum.toDouble)
+      math.floor(1000.0 * dot / (nx * ny)).toLong
+    }
+    rows.foreach { r =>
+      val (qId, matchId, simOut) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val best = b.map { case (id, v) => (simPm(a(qId), v), -id) }.max
+      assert((best._1, -best._2) == ((simOut, matchId)),
+        s"q$qId: expected argmax ${(best._1, -best._2)}, got ($simOut, $matchId)")
+      assert(r.getLong(3) > 0, s"q$qId margin must be positive")
+    }
+    // hubness cancellation does something: margins are not all identical
+    assert(rows.map(_.getLong(3)).distinct.length > 1)
+  }
+
+  test("t43 log-odds: emitted terms are genuinely over-represented") {
+    val rows = SparkEntry.queries("t43_log_odds")(spark, sf).collect()
+    val langs = rows.map(_.getString(0)).distinct
+    assert(langs.length >= 3 && rows.length == langs.length * 3)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "y must not exceed corpus yw")
+      assert(r.getLong(4) > 0,
+        s"${r.getString(0)}/${r.getString(1)}: top term must have z > 0")
+    }
+  }
+
+  test("c45 k-anonymity: risk monotone in k and down the generalization ladder") {
+    val rows = SparkEntry.queries("c45_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size == 9)
+    for (level <- 0 to 2; Seq(k1, k2) <- Seq(2L, 5L, 10L).sliding(2))
+      assert(rows((level, k1))._3 <= rows((level, k2))._3,
+        s"level $level: rows_at_risk must grow with k")
+    for (k <- Seq(2L, 5L, 10L); level <- 1 to 2)
+      assert(rows((level, k))._3 <= rows((level - 1, k))._3,
+        s"k=$k: generalizing level ${level - 1}->$level must not raise risk")
+    // the ladder is non-degenerate on the fixture: the finest level has
+    // real risk and the coarsest has none at k=2
+    assert(rows((0, 2L))._3 > 0 && rows((2, 2L))._3 == 0)
+  }
+
+  test("q143 Kaplan-Meier: survival monotone, risk sets conserve customers") {
+    val rows = SparkEntry.queries("q143_kaplan_meier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nRisk, d, c, surv) =>
+      assert(surv > 0 && surv <= 1.0, s"t=$t surv=$surv out of range")
+      assert(d + c <= nRisk, s"t=$t strata exceed risk set")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 <= a._5, s"survival rose ${a._1}->${b._1}")
+        assert(b._2 < a._2, s"risk set must shrink ${a._1}->${b._1}")
+      case _ =>
+    }
+    // every customer leaves through exactly one stratum
+    val total = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(r => r._3 + r._4).sum == total)
+    assert(rows.head._2 == total, "first risk set must be everyone")
+  }
+
+  test("q144 CUPED: adjustment preserves the pooled mean; theta shared") {
+    val rows = SparkEntry.queries("q144_cuped")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length == 2)
+    assert(rows.map(_._5).distinct.length == 1, "theta must be global")
+    val pooledRaw = rows.map(r => r._2 * r._3).sum / rows.map(_._2).sum
+    val pooledAdj = rows.map(r => r._2 * r._4).sum / rows.map(_._2).sum
+    // Σ n·(y − θ(x − x̄)) = Σ n·y because the pooled covariate centers out
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-4,
+      s"CUPED shifted the pooled mean: $pooledRaw vs $pooledAdj")
+  }
+
+  test("q145 DP release: noise scales inversely with epsilon") {
+    val rows = SparkEntry.queries("q145_dp_release")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3) - r.getLong(2), r.getLong(4)))
+    val tight = rows.filter(_._1 == 1000L)
+    val loose = rows.filter(_._1 == 100L)
+    assert(tight.nonEmpty && loose.nonEmpty)
+    // Laplace b = 1/ε: the ε=0.1 release must be much noisier in total
+    assert(loose.map(_._3).sum > tight.map(_._3).sum * 3,
+      s"eps=0.1 total err ${loose.map(_._3).sum} vs eps=1 ${tight.map(_._3).sum}")
+    // the mechanism actually perturbs
+    assert(rows.exists(_._2 != 0L))
+  }
+
+  test("q146 encoding advisor: low-cardinality strings pick dictionary") {
+    val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("ndv") < 10, s"${r.getString(1)}: fixture NDV grew")
+      assert(r.getAs[Long]("dict_bytes") < r.getAs[Long]("plain_bytes"))
+      assert(r.getAs[String]("encoding") == "dictionary",
+        s"${r.getString(1)} must recommend dictionary")
+    }
+  }
 }
