@@ -258,20 +258,30 @@ object Buckets {
         .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/data")
-      // incremental: scan ONLY files the stats table doesn't know yet (the
-      // file listing is metadata; committed files are never re-read — if a
-      // path-format mismatch ever double-listed a file, the duplicate
-      // stats row would double-read it at query time and the hash gate
-      // would catch it)
-      // inputFiles spells file:///x where _metadata wrote file:/x —
-      // compare on the scheme-stripped path (the predicted mismatch mode;
-      // without this every base file doubles in stats and the hash gate
-      // fails on doubled counts)
-      def norm(p: String) = new java.net.URI(p).getPath
-      val known = s.read.parquet(s"$dir/stats")
+      appendFreshStats(s, dir)
+      deltaMarker.createNewFile()
+    }
+    (s"$dir/data", s"$dir/stats")
+  }
+
+  /** Incremental stats maintenance shared by the delta-append layout and
+    * the streamed layout: scan ONLY files the stats table doesn't know
+    * yet and append their zone rows — committed files are never re-read
+    * (the file listing is metadata). inputFiles spells file:///x where
+    * _metadata wrote file:/x, so known-file comparison is on the
+    * scheme-stripped path (the mismatch mode the hash gate caught as
+    * doubled base stats until normalized).
+    */
+  private[graft] def appendFreshStats(s: SparkSession, dir: String): Unit = {
+    def norm(p: String) = new java.net.URI(p).getPath
+    val statsExist = new java.io.File(s"$dir/stats").exists()
+    val known: Set[String] =
+      if (!statsExist) Set.empty
+      else s.read.parquet(s"$dir/stats")
         .select(col("file_path")).collect().map(r => norm(r.getString(0))).toSet
-      val fresh = s.read.parquet(s"$dir/data").inputFiles
-        .filterNot(p => known(norm(p)))
+    val fresh = s.read.parquet(s"$dir/data").inputFiles
+      .filterNot(p => known(norm(p)))
+    if (fresh.nonEmpty)
       s.read.parquet(fresh.toIndexedSeq: _*)
         .groupBy(col("_metadata.file_path").as("file_path"))
         .agg(min(col("o_orderdate")).as("min_date"),
@@ -279,10 +289,66 @@ object Buckets {
           count(lit(1)).as("n_rows"))
         .coalesce(1)
         .write.mode("append").parquet(s"$dir/stats")
-      deltaMarker.createNewFile()
+  }
+
+  /** st18's STREAMED layout — the zone-map manifest maintained by a
+    * streaming ingest: order batches (orderkey mod 4) arrive one at a
+    * time, each appending a data file and ONLY-new-file stats rows via
+    * [[appendFreshStats]] — the foreachBatch body a production ingest
+    * runs (StreamingSpec proves the same fold under a real readStream,
+    * including idempotence when a batch is redelivered). The final
+    * manifest serves zone-pruned reads exactly like the batch-built q140
+    * layout.
+    */
+  private[graft] def streamedLayout(s: SparkSession, d: String)
+      : (String, String) = synchronized {
+    val f = new java.io.File(d, "orders.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"orders_streamzm_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      // batches arrive in TIME order (the realistic ingest), so each data
+      // file covers a narrow date band and the zone map stays sharp — a
+      // random-key batching would give every file the full date range and
+      // prune nothing
+      val yr = year(col("o_orderdate"))
+      val batches = Seq(yr < 1996, yr === 1996, yr === 1997, yr >= 1998)
+      for (p <- batches) {
+        Tables.orders(s, d).filter(p)
+          .coalesce(1).write.mode("append").parquet(s"$dir/data")
+        appendFreshStats(s, dir)
+      }
+      marker.createNewFile()
     }
     (s"$dir/data", s"$dir/stats")
   }
+
+  /** q149's MATERIALIZED CUBE — the aggregate-navigator store: orders
+    * pre-aggregated once at the finest useful grain (month × status ×
+    * priority; additive measures only, so every coarser rollup is a
+    * re-aggregation of cube rows, never of facts). At 100 TB the cube is
+    * |grain| rows (thousands) versus billions of facts — the oldest
+    * OLAP economics there is, same marker discipline as every store.
+    */
+  private[graft] def ordersCube(s: SparkSession, d: String): String =
+    synchronized {
+      val f = new java.io.File(d, "orders.parquet")
+      val dir = SketchQueries.partialsDir(
+        s"orders_cube_${Version}_${f.length()}_${f.lastModified()}", d)
+      val marker = new java.io.File(dir, "_complete")
+      if (!marker.exists()) {
+        Tables.orders(s, d)
+          .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .as("ym"),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/cube")
+        marker.createNewFile()
+      }
+      s"$dir/cube"
+    }
 
   /** Read one snapshot version: the manifest's file list, nothing else. */
   private[graft] def snapshotRead(s: SparkSession, dir: String, v: Int)

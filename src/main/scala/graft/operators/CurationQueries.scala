@@ -1532,7 +1532,84 @@ object CurationQueries {
           " * 1000) div sum(class_size)").as("risk_pm"))
   }
 
+  /** c46: LEAVE-ONE-OUT SOURCE VALUATION — data valuation made EXACT by
+    * the model's algebra: Rocchio's sufficient statistics are sums, so
+    * the model trained without source S is (total stats − S's stats),
+    * no retraining pass per source (the economics that make per-source
+    * ablation feasible at 100 TB: one distributed stats reduce, then
+    * |sources|+1 models assembled from ≤ |sources|·2·32 driver-held
+    * numbers). Every LOO model is evaluated on the SAME held-out split
+    * (h ≥ 800) and reported as balanced accuracy beside its delta vs the
+    * full model — delta > 0 means the corpus is better off without the
+    * source, the signal a mixture step (c14/c40) consumes. The DuckDB
+    * oracle rebuilds every LOO model inline from the same integer
+    * arithmetic, so model assembly, scoring, and the verdict all
+    * hash-check. Scoring joins the test features against the broadcast
+    * (model, dim) weight table once — one pass however many sources.
+    */
+  def c46_loo_source_value(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, feats) = TextQueries.rocchioFeatures(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val featsS = feats.join(src, "doc_id")
+    // per-(source, class, dim) train-split sufficient stats — bounded by
+    // |sources| * 2 * dims rows at any corpus size
+    val sums = featsS.filter(col("h") < 800)
+      .groupBy(col("source"), col("y"), col("dim"))
+      .agg(sum(col("pm")).as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val nDocs = docs.join(src, "doc_id").filter(col("h") < 800)
+      .groupBy(col("source"), col("y")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sources = nDocs.keys.map(_._1).toSeq.distinct.sorted
+    val dims = 0L until TextQueries.RocchioDims.toLong
+    def statsFor(excluded: Option[String]): Map[(Long, Long), Long] = {
+      val kept = sources.filterNot(excluded.contains)
+      val m = scala.collection.mutable.Map[(Long, Long), Long]()
+      for (y <- Seq(1L, -1L)) {
+        m((y, -2L)) = kept.map(s0 => nDocs.getOrElse((s0, y), 0L)).sum
+        for (k <- dims)
+          m((y, k)) = kept.map(s0 => sums.getOrElse((s0, y, k), 0L)).sum
+      }
+      m.toMap
+    }
+    val models = (sources.map(Option(_)) :+ None).map { ex =>
+      val (w, theta2) = TextQueries.rocchioModelFromSums(statsFor(ex))
+      (ex.getOrElse("__full__"), w, theta2)
+    }
+    val wDf = broadcast(models.flatMap { case (name, w, _) =>
+      dims.map(k => (name, k, w(k.toInt)))
+    }.toDF("model", "dim", "wt"))
+    val thetas = models.map { case (name, _, t) => name -> t }.toMap
+    val thDf = broadcast(thetas.toSeq.toDF("model", "theta2"))
+    val conf = featsS.filter(col("h") >= 800)
+      .join(wDf, "dim")
+      .groupBy(col("model"), col("doc_id"), col("y"))
+      .agg(sum(col("wt") * col("pm")).as("score"))
+      .join(thDf, "model")
+      .select(col("model"), col("y"),
+        when(col("score") * 2000 > col("theta2"), 1L).otherwise(-1L).as("pred"))
+      .groupBy(col("model"))
+      .agg(
+        sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
+      .withColumn("balacc_pm", expr(
+        "((tp * 1000) div greatest(tp + fn, 1)" +
+          " + (tn * 1000) div greatest(fp + tn, 1)) div 2"))
+      .collect().map(r => r.getAs[String]("model") -> r.getAs[Long]("balacc_pm"))
+      .toMap
+    val full = conf("__full__")
+    sources.map { s0 =>
+      (s0, Seq(1L, -1L).map(y => nDocs.getOrElse((s0, y), 0L)).sum,
+        conf(s0), conf(s0) - full)
+    }.toDF("source", "n_train", "balacc_pm", "delta_pm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c46_loo_source_value" -> (c46_loo_source_value _),
     "c45_k_anonymity" -> (c45_k_anonymity _),
     "c44_corpus_diff" -> (c44_corpus_diff _),
     "c43_canary_recall" -> (c43_canary_recall _),
@@ -1806,6 +1883,99 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c46_loo_source_value" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text, source,
+         |    CASE WHEN 10 * len(list_filter(string_split(text, ' '),
+         |              w -> w IN ('the', 'a', 'of', 'and')))
+         |              >= len(string_split(text, ' ')) THEN 1 ELSE -1 END AS y,
+         |    ((doc_id % 1000003) * 2654435761 + 97) % 1000 AS h
+         |  FROM documents),
+         |wd AS (
+         |  SELECT doc_id, source, y, h,
+         |         unnest(string_split(text, ' ')) AS w
+         |  FROM docs),
+         |dimmed AS (
+         |  SELECT doc_id, source, y, h,
+         |         list_reduce(list_prepend(0, list_transform(
+         |             range(1, length(w) + 1),
+         |             ci -> CAST(ascii(substring(w, ci, 1)) AS BIGINT))),
+         |           (acc, ch) -> (acc * 31 + ch) % 1000000007)
+         |           % 32 AS dim
+         |  FROM wd WHERE length(w) > 0),
+         |cnt AS (SELECT doc_id, source, y, h, dim, count(*) AS c
+         |        FROM dimmed GROUP BY 1, 2, 3, 4, 5),
+         |tot AS (SELECT doc_id, count(*) AS tot FROM dimmed GROUP BY 1),
+         |feats AS (
+         |  SELECT c.doc_id, c.source, c.y, c.h, c.dim,
+         |         (c.c * 1000) // t.tot AS pm
+         |  FROM cnt c JOIN tot t USING (doc_id)),
+         |dims AS (SELECT unnest(generate_series(0, 31)) AS dim),
+         |yy AS (SELECT 1 AS y UNION ALL SELECT -1),
+         |mods AS (SELECT DISTINCT source AS model FROM docs
+         |         UNION ALL SELECT '__full__'),
+         |ncls AS (SELECT source, y, CAST(count(*) AS BIGINT) AS n
+         |         FROM docs WHERE h < 800 GROUP BY 1, 2),
+         |ssum AS (SELECT source, y, dim, CAST(sum(pm) AS BIGINT) AS s
+         |         FROM feats WHERE h < 800 GROUP BY 1, 2, 3),
+         |tn AS (SELECT y, CAST(sum(n) AS BIGINT) AS n FROM ncls GROUP BY 1),
+         |ts AS (SELECT y, dim, CAST(sum(s) AS BIGINT) AS s
+         |       FROM ssum GROUP BY 1, 2),
+         |loo_n AS (
+         |  SELECT m.model, t.y, t.n - coalesce(nc.n, 0) AS n
+         |  FROM mods m CROSS JOIN tn t
+         |  LEFT JOIN ncls nc ON nc.source = m.model AND nc.y = t.y),
+         |loo_s AS (
+         |  SELECT m.model, d.dim, yy.y,
+         |         coalesce(t.s, 0) - coalesce(st.s, 0) AS s
+         |  FROM mods m CROSS JOIN dims d CROSS JOIN yy
+         |  LEFT JOIN ts t ON t.dim = d.dim AND t.y = yy.y
+         |  LEFT JOIN ssum st ON st.source = m.model AND st.dim = d.dim
+         |                    AND st.y = yy.y),
+         |cent AS (
+         |  SELECT l.model, l.dim,
+         |    CAST((1000 * max(CASE WHEN l.y = 1 THEN l.s END))
+         |      // greatest(max(CASE WHEN n.y = 1 THEN n.n END), 1)
+         |      AS BIGINT) AS cp,
+         |    CAST((1000 * max(CASE WHEN l.y = -1 THEN l.s END))
+         |      // greatest(max(CASE WHEN n.y = -1 THEN n.n END), 1)
+         |      AS BIGINT) AS cn
+         |  FROM loo_s l JOIN loo_n n ON n.model = l.model AND n.y = l.y
+         |  GROUP BY 1, 2),
+         |w AS (SELECT model, dim, cp - cn AS wt, cp, cn FROM cent),
+         |th AS (SELECT model,
+         |              CAST(sum(wt * cp) + sum(wt * cn) AS BIGINT) AS theta2
+         |       FROM w GROUP BY 1),
+         |scored AS (
+         |  SELECT w.model, f.doc_id, f.y, sum(w.wt * f.pm) AS score
+         |  FROM feats f JOIN w ON w.dim = f.dim
+         |  WHERE f.h >= 800 GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT s.model, s.y,
+         |         CASE WHEN s.score * 2000 > t.theta2 THEN 1 ELSE -1 END
+         |           AS pred
+         |  FROM scored s JOIN th t ON t.model = s.model),
+         |conf AS (
+         |  SELECT model,
+         |    sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         |    sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END) AS tn
+         |  FROM pred GROUP BY 1),
+         |ba AS (
+         |  SELECT model,
+         |    CAST(((tp * 1000) // greatest(tp + fn, 1)
+         |          + (tn * 1000) // greatest(fp + tn, 1)) // 2 AS BIGINT)
+         |      AS balacc_pm
+         |  FROM conf)
+         |SELECT b.model AS source,
+         |       CAST((SELECT sum(n) FROM ncls WHERE source = b.model)
+         |            AS BIGINT) AS n_train,
+         |       b.balacc_pm,
+         |       b.balacc_pm - f.balacc_pm AS delta_pm
+         |FROM ba b CROSS JOIN (SELECT balacc_pm FROM ba
+         |                      WHERE model = '__full__') f
+         |WHERE b.model <> '__full__'""".stripMargin,
     "c45_k_anonymity" ->
       """WITH l0 AS (
         |  SELECT 0 AS qi_level, count(*) AS class_size FROM customer

@@ -3607,7 +3607,115 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** q149: AGGREGATE NAVIGATOR over the materialized cube
+    * ([[Buckets.ordersCube]]) — two different rollup grains (by status,
+    * by year) both answered by RE-AGGREGATING cube rows; the fact table
+    * is never scanned (pinned: the plan's only data input is the cube
+    * store). Additivity is what makes the rewrite lossless, and the
+    * DuckDB oracle aggregates the RAW facts — so the hash gate proves
+    * cube losslessness end-to-end, including the cents-exact revenue.
+    */
+  def q149_cube_reuse(s: SparkSession, d: String): DataFrame = {
+    val cube = s.read.parquet(Buckets.ordersCube(s, d))
+    val byStatus = cube.groupBy(col("o_orderstatus").as("grain_value"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .withColumn("grain", lit("status"))
+    val byYear = cube
+      .groupBy(expr("CAST((ym - 1) div 12 AS STRING)").as("grain_value"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .withColumn("grain", lit("year"))
+    byStatus.unionByName(byYear)
+      .select(col("grain"), col("grain_value"), col("n_orders"), col("cents"))
+  }
+
+  /** q150: HOLT LINEAR-TREND forecasting (double exponential smoothing,
+    * α=0.5 β=0.3) over the monthly revenue series — the sequential
+    * recurrence Spark cannot window (each level needs the previous
+    * SMOOTHED level, not the previous observation) expressed through the
+    * recursive CTE (q54's UnionLoop), one row per month, joined forward
+    * against the static series. Both engines run the IDENTICAL text with
+    * every step's level/trend quantized to WHOLE CENTS via floor — 9dp
+    * rounding cannot quantize at 1e8-cent magnitudes (the double grid is
+    * coarser than 1e-9 there, so cross-engine ulp drift compounded); cent
+    * resolution stays exactly representable to 2^53, i.e. petabyte-scale
+    * monthly revenue, and ~80 chained IEEE steps stay bit-aligned. Depth is the CALENDAR length — bounded at any
+    * corpus size; the heavy part (monthly cents) is one grouped scan.
+    * Emits the fitted path plus a 3-month-ahead linear forecast.
+    */
+  /** The recursion over `ser` — Spark's UnionLoop re-evaluates
+    * non-recursive CTE references EVERY iteration, so the Spark path
+    * materializes the ~80-row monthly series behind a localCheckpoint
+    * first (46 s → ~2 s measured; 80 re-scans of the fact table
+    * otherwise); DuckDB inlines the series CTE, same text otherwise.
+    */
+  private def q150Sql(serCte: String): String =
+    s"""WITH RECURSIVE $serCte,
+       |n AS (SELECT max(i) AS t FROM ser),
+       |hw AS (
+       |  SELECT CAST(1 AS BIGINT) AS i,
+       |         CAST(s1.cents AS DOUBLE) AS lv,
+       |         CAST(s2.cents - s1.cents AS DOUBLE) AS tr
+       |  FROM (SELECT cents FROM ser WHERE i = 1) s1,
+       |       (SELECT cents FROM ser WHERE i = 2) s2
+       |  UNION ALL
+       |  SELECT s.i,
+       |         floor(0.5 * CAST(s.cents AS DOUBLE) + 0.5 * (h.lv + h.tr)),
+       |         floor(0.3 * (floor(0.5 * CAST(s.cents AS DOUBLE)
+       |                            + 0.5 * (h.lv + h.tr)) - h.lv)
+       |               + 0.7 * h.tr)
+       |  FROM hw h JOIN ser s ON s.i = h.i + 1)
+       |SELECT i AS m_idx, CAST(lv AS BIGINT) AS level_cents,
+       |       CAST(tr AS BIGINT) AS trend_cents, CAST(0 AS BIGINT) AS horizon
+       |FROM hw
+       |UNION ALL
+       |SELECT n.t + hz.h, CAST(hl.lv + hz.h * hl.tr AS BIGINT),
+       |       CAST(hl.tr AS BIGINT), CAST(hz.h AS BIGINT)
+       |FROM (SELECT lv, tr FROM hw WHERE i = (SELECT t FROM n)) hl
+       |CROSS JOIN n
+       |CROSS JOIN (SELECT 1 AS h UNION ALL SELECT 2 UNION ALL SELECT 3) hz""".stripMargin
+
+  private val q150SerSql: String =
+    """ser AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY ym) AS BIGINT) AS i, cents
+      |  FROM (SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+      |               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS cents
+      |        FROM orders
+      |        GROUP BY year(o_orderdate) * 12 + month(o_orderdate)) m)""".stripMargin
+
+  def q150_holt_forecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the monthly reduction is the distributed part; the recurrence is a
+    // CALENDAR-BOUNDED scalar fold (≤ a few hundred steps at any corpus
+    // size) and runs on the driver — the recursive-CTE formulation (the
+    // oracle text, and q54's covered machinery) was measured at ~0.25 s
+    // PER STEP on Spark's UnionLoop (one job per iteration, 21 s total):
+    // the wrong altitude for 80 scalar steps
+    val series = Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("ym"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .orderBy(col("ym")).collect().map(_.getLong(1))
+    var lv = series(0).toDouble
+    var tr = (series(1) - series(0)).toDouble
+    val out = scala.collection.mutable.ArrayBuffer(
+      (1L, lv.toLong, tr.toLong, 0L))
+    for (i <- 1 until series.length) {
+      val nl = math.floor(0.5 * series(i) + 0.5 * (lv + tr))
+      tr = math.floor(0.3 * (nl - lv) + 0.7 * tr)
+      lv = nl
+      out += (((i + 1).toLong, lv.toLong, tr.toLong, 0L))
+    }
+    for (h <- 1L to 3L)
+      out += ((series.length + h, lv.toLong + h * tr.toLong, tr.toLong, h))
+    out.toSeq.toDF("m_idx", "level_cents", "trend_cents", "horizon")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_holt_forecast" -> (q150_holt_forecast _),
+    "q149_cube_reuse" -> (q149_cube_reuse _),
     "q148_zone_map_append" -> (q148_zone_map_append _),
     "q147_bloom_join_pruning" -> (q147_bloom_join_pruning _),
     "q146_encoding_advisor" -> (q146_encoding_advisor _),
@@ -4171,6 +4279,23 @@ object RelationalQueries {
          |GROUP BY 1""".stripMargin,
     "q143_kaplan_meier" -> q143Sql,
     "q144_cuped" -> q144Sql,
+    "q150_holt_forecast" -> q150Sql(q150SerSql),
+    "q149_cube_reuse" ->
+      """WITH cube AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,
+        |         o_orderstatus, o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT 'status' AS grain, o_orderstatus AS grain_value,
+        |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM cube GROUP BY 2
+        |UNION ALL
+        |SELECT 'year', CAST((ym - 1) // 12 AS VARCHAR),
+        |       CAST(sum(n_orders) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM cube GROUP BY 2""".stripMargin,
     "q145_dp_release" -> q145Sql,
     "q146_encoding_advisor" -> q146Sql("strlen", "//"),
     "q147_bloom_join_pruning" ->

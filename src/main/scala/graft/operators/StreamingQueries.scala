@@ -573,7 +573,35 @@ object StreamingQueries {
       .toSeq.toDF("part", "metric", "value")
   }
 
+  /** st18: streaming ingest MAINTAINS THE LAYOUT MANIFEST
+    * ([[Buckets.streamedLayout]]) — four order batches fold into a
+    * zone-mapped layout, each appending its data file plus stats for ONLY
+    * the new file; the final manifest then serves this 1996 census
+    * through zone pruning exactly like the batch-built q140 layout. The
+    * oracle aggregates raw orders, proving the streamed manifest lossless
+    * end-to-end; StreamingSpec re-proves the same fold under a REAL
+    * readStream (foreachBatch body identical; redelivery of a batch folds
+    * to a no-op through an st16-style ledger marker guarding the data
+    * append, while the stats step is idempotent by construction — it
+    * only ever covers files the manifest doesn't know).
+    */
+  def st18_stream_layout(s: SparkSession, d: String): DataFrame = {
+    val (_, statsDir) = Buckets.streamedLayout(s, d)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-12-31 23:59:59").cast("timestamp")
+    val files = s.read.parquet(statsDir)
+      .filter(col("max_date") >= lo && col("min_date") <= hi)
+      .select(col("file_path"))
+      .collect().map(_.getString(0)).sorted
+    s.read.parquet(files.toIndexedSeq: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st18_stream_layout" -> (st18_stream_layout _),
     "st17_late_data_audit" -> (st17_late_data_audit _),
     "st16_replay_safe_apply" -> (st16_replay_safe_apply _),
     "st15_incremental_rocchio" -> (st15_incremental_rocchio _),
@@ -594,6 +622,14 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st18_stream_layout" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY 1""".stripMargin,
     "st17_late_data_audit" ->
       """WITH e AS (
         |  SELECT event_id, epoch_us(ts::TIMESTAMP) AS us,

@@ -656,6 +656,22 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q148_zone_map_append(spark, sf).count())
       time(s"$tag q148_zone_map_append warm")(
         graft.operators.RelationalQueries.q148_zone_map_append(spark, sf).count())
+      // seventeenth wave: c46 = one stats reduce + one broadcast-scored
+      // test pass regardless of |sources|; q149 cold includes the cube
+      // build, warm is cube-rows-only; q150 is one grouped scan + an
+      // ~80-deep calendar-bounded recursion; st18 cold folds 4 batches
+      time(s"$tag c46_loo_source_value")(
+        graft.operators.CurationQueries.c46_loo_source_value(spark, sf).count())
+      time(s"$tag q149_cube_reuse")(
+        graft.operators.RelationalQueries.q149_cube_reuse(spark, sf).count())
+      time(s"$tag q149_cube_reuse warm")(
+        graft.operators.RelationalQueries.q149_cube_reuse(spark, sf).count())
+      time(s"$tag q150_holt_forecast")(
+        graft.operators.RelationalQueries.q150_holt_forecast(spark, sf).count())
+      time(s"$tag st18_stream_layout")(
+        graft.operators.StreamingQueries.st18_stream_layout(spark, sf).count())
+      time(s"$tag st18_stream_layout warm")(
+        graft.operators.StreamingQueries.st18_stream_layout(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -862,6 +862,27 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"expected base overlap $baseOverlap + 1 delta, read $filesRead")
   }
 
+  test("q149 cube navigator: fact table never scanned, only the cube store") {
+    val df = SparkEntry.queries("q149_cube_reuse")(spark, sf)
+    df.collect()
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("orders_cube")),
+      s"rollups must serve from the cube alone: ${files.take(5).mkString(", ")}")
+  }
+
+  test("st18 streamed layout: the 1996 census reads exactly one band file") {
+    val df = SparkEntry.queries("st18_stream_layout")(spark, sf)
+    df.collect()
+    // four year-band files in the streamed manifest; the 1996 predicate
+    // must prune to its own band
+    val files = df.inputFiles
+    assert(files.length == 1,
+      s"zone pruning over the streamed manifest failed: ${files.length} files")
+    val (_, statsDir) = graft.operators.Buckets.streamedLayout(spark, sf)
+    assert(spark.read.parquet(statsDir).count() == 4,
+      "manifest must know exactly the four band files")
+  }
+
   test("q142 time travel: the v1 manifest never reads the delta file") {
     SparkEntry.queries("q142_time_travel")(spark, sf).collect()
     val dir = graft.operators.Buckets.ordersSnapshots(spark, sf)

@@ -2747,6 +2747,67 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.exists(_._2 != 0L))
   }
 
+  test("c46 LOO valuation: implied full model matches t36's held-out accuracy") {
+    val rows = SparkEntry.queries("c46_loo_source_value")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // balacc_pm - delta_pm must be one shared constant: the full model
+    val implied = rows.map(r => r._3 - r._4).distinct
+    assert(implied.length == 1, s"full-model baselines diverged: $implied")
+    // and that constant is exactly t36's test-split balanced accuracy
+    val t36 = SparkEntry.queries("t36_rocchio_classifier")(spark, sf)
+      .filter(col("part") === "test" && col("metric") === "balacc_pm")
+      .collect().head.getLong(2)
+    assert(implied.head == t36,
+      s"c46 full model ${implied.head} != t36 test balacc $t36")
+    // n_train conservation: every train doc belongs to exactly one source
+    val totalTrain = Tables.documents(spark, sf)
+      .filter(expr("((doc_id % 1000003) * 2654435761 + 97) % 1000 < 800"))
+      .count()
+    assert(rows.map(_._2).sum == totalTrain)
+  }
+
+  test("q150 Holt forecast: matches an independent Scala recompute") {
+    val rows = SparkEntry.queries("q150_holt_forecast")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val series = Tables.orders(spark, sf)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("ym"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .orderBy(col("ym")).collect().map(_.getLong(1))
+    var lv = series(0).toDouble
+    var tr = (series(1) - series(0)).toDouble
+    val expected = scala.collection.mutable.ArrayBuffer((lv.toLong, tr.toLong))
+    for (i <- 1 until series.length) {
+      val nl = math.floor(0.5 * series(i) + 0.5 * (lv + tr))
+      tr = math.floor(0.3 * (nl - lv) + 0.7 * tr)
+      lv = nl
+      expected += ((lv.toLong, tr.toLong))
+    }
+    val fitted = rows.filter(_._4 == 0L)
+    assert(fitted.length == series.length)
+    fitted.zip(expected).foreach { case ((i, l, t, _), (el, et)) =>
+      assert(l == el && t == et, s"month $i: ($l,$t) != ($el,$et)")
+    }
+    // forecasts extrapolate the last level/trend linearly
+    val (lastL, lastT) = (expected.last._1, expected.last._2)
+    rows.filter(_._4 > 0L).foreach { case (m, l, t, h) =>
+      assert(m == series.length + h && t == lastT && l == lastL + h * lastT)
+    }
+  }
+
+  test("q149 cube rollups: both grains conserve the order total") {
+    val rows = SparkEntry.queries("q149_cube_reuse")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val total = Tables.orders(spark, sf).count()
+    Seq("status", "year").foreach { g =>
+      val slice = rows.filter(_._1 == g)
+      assert(slice.map(_._2).sum == total, s"grain $g lost orders")
+    }
+    assert(rows.filter(_._1 == "status").map(_._3).sum ==
+      rows.filter(_._1 == "year").map(_._3).sum, "revenue differs across grains")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)

@@ -1127,4 +1127,67 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("streaming layout maintenance == batch zone-mapped layout (st18 under a real stream)") {
+    import operators.{Buckets, StreamingQueries}
+    Sessions.tune(spark)
+    val orders = Tables.orders(spark, sf)
+    val srcDir = Files.createTempDirectory("layout_stream")
+    val yr = year(col("o_orderdate"))
+    val bands = Seq(yr < 1996, yr === 1996, yr === 1997, yr >= 1998)
+    bands.zipWithIndex.foreach { case (p, i) =>
+      val tmp = Files.createTempDirectory(s"layout_b$i")
+      orders.filter(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"batch$i%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+    }
+    val layout = Files.createTempDirectory("layout_store").toString
+    val ledger = Files.createTempDirectory("layout_ledger").toFile
+    var deliveries = 0
+    def ingest(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      deliveries += 1
+      val marker = new java.io.File(ledger, s"batch_$id")
+      if (marker.exists()) return // at-least-once redelivery drops here
+      batch.coalesce(1).write.mode("append").parquet(s"$layout/data")
+      Buckets.appendFreshStats(batch.sparkSession, layout)
+      marker.createNewFile()
+    }
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ingest(batch, id)
+        if (id == 2L) ingest(batch, id) // the redelivery
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(deliveries == 5, s"expected 4 + 1 replay deliveries, saw $deliveries")
+    // the manifest knows every data file exactly once
+    val nFiles = spark.read.parquet(s"$layout/data").inputFiles.length
+    val stats = spark.read.parquet(s"$layout/stats")
+    assert(nFiles == 4 && stats.count() == 4,
+      s"manifest drifted: $nFiles files, ${stats.count()} stats rows")
+    // zone-pruned 1996 census over the STREAMED store == the batch twin
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-12-31 23:59:59").cast("timestamp")
+    val files = stats.filter(col("max_date") >= lo && col("min_date") <= hi)
+      .select(col("file_path")).collect().map(_.getString(0))
+    assert(files.length == 1, s"1996 must prune to its band, got ${files.length}")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamedCensus = rowsOf(
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents")))
+    val twin = rowsOf(StreamingQueries.st18_stream_layout(spark, sf))
+    assert(streamedCensus.nonEmpty && streamedCensus == twin)
+  }
 }
