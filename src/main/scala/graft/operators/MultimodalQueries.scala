@@ -845,7 +845,86 @@ object MultimodalQueries {
       .withColumn("fill_pm", expr(s"shard_bytes * 1000 DIV $target"))
   }
 
+  /** m24: CONTRASTIVE BATCH ASSEMBLY with in-batch FALSE-NEGATIVE repair
+    * — CLIP-style training treats every other caption in the batch as a
+    * negative, so two near-identical captions in one batch poison the
+    * loss (the known false-negative hazard of web-scale pair data). Here
+    * (image, caption) pairs = (doc bytes, doc text), near-dup caption key
+    * = the 3-token prefix (stand-in for a d03 MinHash key at production),
+    * and the training order is deliberately CURRICULUM-like (similar
+    * captions adjacent — c18's shape), i.e. the worst case the repair
+    * exists for. Batches of 16 fill in order; within a (batch, key) only
+    * the FIRST occurrence stays — later ones defer to overflow batches
+    * with EXCLUSIVE per-occurrence-class ranges, which provably cannot
+    * collide (within one class every caption key appears once; classes
+    * never share a batch). Positions come from the m20 two-phase
+    * (pid, class) prefix scan — no global-sort reducer at any scale; the
+    * per-class batch offsets are a ≤3-row driver fold. Spec pins every
+    * emitted batch all-distinct on the key and the overflow machinery
+    * actually exercised.
+    */
+  def m24_contrastive_batches(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val B = 16L
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("ckey"))
+      .repartitionByRange(32, col("ckey"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid identical across subtotal + window passes
+    val sub = recs.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val total = sub.map(_._2).sum
+    val nMain = (total + B - 1) / B
+    val offDf = broadcast(sub.map(_._1)
+      .zip(sub.map(_._2).scanLeft(0L)(_ + _)).toSeq.toDF("pid", "off"))
+    val wp = Window.partitionBy(col("pid")).orderBy(col("ckey"), col("doc_id"))
+    val pos = recs.join(offDf, "pid")
+      .withColumn("p", col("off") + row_number().over(wp) - 1)
+      .withColumn("b0", expr(s"p div $B"))
+    val wocc = Window.partitionBy(col("b0"), col("ckey")).orderBy(col("p"))
+    val flagged = pos.withColumn("occ",
+        (row_number().over(wocc) - 1).cast("long"))
+      .localCheckpoint()
+    val wslot = Window.partitionBy(col("b0")).orderBy(col("p"))
+    val clean = flagged.filter(col("occ") === 0)
+      .withColumn("slot", (row_number().over(wslot) - 1).cast("long"))
+      .select(col("doc_id"), col("ckey"), col("b0").as("batch_no"),
+        col("slot"), lit(0L).as("deferred"))
+    // occurrence classes get exclusive overflow ranges (driver fold over
+    // ≤ max-multiplicity rows)
+    val jCounts = flagged.filter(col("occ") > 0)
+      .groupBy(col("occ")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = nMain
+    val jOff = jCounts.map { case (j, c) =>
+      val o = acc; acc += (c + B - 1) / B; (j, o)
+    }
+    val jDf = broadcast(jOff.toSeq.toDF("occ", "joff"))
+    val sub2 = flagged.filter(col("occ") > 0)
+      .groupBy(col("pid"), col("occ")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val off2 = sub2.groupBy(_._2).toSeq.flatMap { case (j, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, o) => (pid, j, o) }
+    }
+    val off2Df = broadcast(off2.toDF("pid", "occ", "doff"))
+    val wd = Window.partitionBy(col("pid"), col("occ"))
+      .orderBy(col("ckey"), col("doc_id"))
+    val deferred = flagged.filter(col("occ") > 0)
+      .join(off2Df, Seq("pid", "occ")).join(jDf, "occ")
+      .withColumn("dp", col("doff") + row_number().over(wd) - 1)
+      .select(col("doc_id"), col("ckey"),
+        (col("joff") + expr(s"dp div $B")).as("batch_no"),
+        expr(s"dp % $B").as("slot"), lit(1L).as("deferred"))
+    clean.unionByName(deferred)
+      .select(col("doc_id"), col("batch_no"), col("slot"), col("deferred"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m24_contrastive_batches" -> (m24_contrastive_batches _),
     "m23_shard_manifest" -> (m23_shard_manifest _),
     "m22_format_sniff" -> (m22_format_sniff _),
     "m21_interleaved_packing" -> (m21_interleaved_packing _),
@@ -872,6 +951,48 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m24_contrastive_batches" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         list_aggregate(string_split(text, ' ')[1:3],
+        |                        'string_agg', ' ') AS ckey
+        |  FROM documents),
+        |pos AS (SELECT doc_id, ckey,
+        |               row_number() OVER (ORDER BY ckey, doc_id) - 1 AS p
+        |        FROM base),
+        |b AS (SELECT *, p // 16 AS b0 FROM pos),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY b0, ckey
+        |                                   ORDER BY p) - 1 AS occ
+        |      FROM b),
+        |nmain AS (SELECT (count(*) + 15) // 16 AS nm FROM base),
+        |clean AS (
+        |  SELECT doc_id, b0 AS batch_no,
+        |         row_number() OVER (PARTITION BY b0 ORDER BY p) - 1 AS slot,
+        |         0 AS deferred
+        |  FROM f WHERE occ = 0),
+        |jc AS (SELECT occ, count(*) AS c FROM f WHERE occ > 0 GROUP BY 1),
+        |joff AS (
+        |  SELECT occ, nm + coalesce(sum((c + 15) // 16) OVER
+        |    (ORDER BY occ ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND 1 PRECEDING), 0) AS joff
+        |  FROM jc CROSS JOIN nmain),
+        |defr AS (
+        |  SELECT f.doc_id,
+        |         j.joff + ((row_number() OVER (PARTITION BY f.occ
+        |            ORDER BY f.ckey, f.doc_id) - 1) // 16) AS batch_no,
+        |         (row_number() OVER (PARTITION BY f.occ
+        |            ORDER BY f.ckey, f.doc_id) - 1) % 16 AS slot,
+        |         1 AS deferred
+        |  FROM f JOIN joff j ON j.occ = f.occ
+        |  WHERE f.occ > 0)
+        |SELECT doc_id, CAST(batch_no AS BIGINT) AS batch_no,
+        |       CAST(slot AS BIGINT) AS slot,
+        |       CAST(deferred AS BIGINT) AS deferred
+        |FROM clean
+        |UNION ALL
+        |SELECT doc_id, CAST(batch_no AS BIGINT), CAST(slot AS BIGINT),
+        |       CAST(deferred AS BIGINT)
+        |FROM defr""".stripMargin,
     "m23_shard_manifest" ->
       """WITH m AS (
         |  SELECT doc_id,

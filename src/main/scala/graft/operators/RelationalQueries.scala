@@ -3713,7 +3713,121 @@ object RelationalQueries {
     out.toSeq.toDF("m_idx", "level_cents", "trend_cents", "horizon")
   }
 
+  /** q151's journey→transition extraction, shared verbatim by both
+    * engines (param: events relation and the epoch-µs spelling). Journeys
+    * are 30-min-gap sessions per user (st02's definition), truncated at
+    * the first purchase (→ CONV); non-converting sessions close with an
+    * explicit → NULL edge; START opens every session. All windows are
+    * user/session-partitioned.
+    */
+  private[graft] def q151TransSql(tbl: String, us: String): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, $us AS us FROM $tbl),
+       |brks AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         CASE WHEN lag(us) OVER w IS NULL
+       |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+       |           AS brk
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM brks),
+       |idxd AS (
+       |  SELECT user_id, sid, event_type,
+       |         row_number() OVER (PARTITION BY user_id, sid
+       |                            ORDER BY us, event_id) AS idx
+       |  FROM sess),
+       |fp AS (
+       |  SELECT user_id, sid,
+       |         min(CASE WHEN event_type = 'purchase' THEN idx END) AS pidx,
+       |         max(idx) AS midx
+       |  FROM idxd GROUP BY user_id, sid),
+       |kept AS (
+       |  SELECT x.user_id, x.sid, x.idx,
+       |         CASE WHEN x.event_type = 'purchase' THEN 'CONV'
+       |              ELSE x.event_type END AS st,
+       |         f.pidx, f.midx
+       |  FROM idxd x JOIN fp f ON f.user_id = x.user_id AND f.sid = x.sid
+       |  WHERE x.idx <= coalesce(f.pidx, f.midx)),
+       |tr AS (
+       |  SELECT user_id, sid,
+       |         coalesce(lag(st) OVER (PARTITION BY user_id, sid
+       |                                ORDER BY idx), 'START') AS src,
+       |         st AS dst
+       |  FROM kept
+       |  UNION ALL
+       |  SELECT user_id, sid, st, 'NULL'
+       |  FROM kept WHERE idx = midx AND pidx IS NULL)
+       |SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |FROM tr GROUP BY src, dst""".stripMargin
+
+  /** q151: MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016) — the
+    * multi-touch attribution model beyond last-touch (q59): user journeys
+    * become a first-order Markov chain (START → channels → CONV/NULL),
+    * and a channel's value is its REMOVAL EFFECT — how much conversion
+    * probability disappears if every path through it dies. Absorption
+    * probabilities come from 100 fixed value-iteration rounds; the
+    * channel-count-bounded fold runs on the driver (k ≤ |event types|,
+    * the q150 altitude call — the distributed work is the journey scan
+    * and transition count), while the DuckDB oracle runs the SAME
+    * iteration as a recursive CTE over the shared transition extraction,
+    * so two independent formulations must agree bit-for-bit. Determinism
+    * discipline: every product is 9dp-rounded then summed as
+    * DECIMAL(18,9) (addition order-free — a raw double Σ would depend on
+    * engine visit order), per-state results re-rounded at 9dp each round.
+    */
+  def q151_markov_attribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).createOrReplaceTempView("events_n")
+    val trans = s.sql(q151TransSql("events_n", "unix_micros(ts)"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rowTot = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = trans.map { case (src, dst, n) =>
+      (src, dst, n.toDouble / rowTot(src)) }
+    val states = (p.map(_._1) ++ p.map(_._2))
+      .filterNot(Set("CONV", "NULL").contains).distinct.sorted
+    def round9(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dec(x: Double) = new java.math.BigDecimal(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+    def converge(rm: String): Map[String, Double] = {
+      var v = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 100) {
+        v = states.map { s0 =>
+          if (s0 == rm) s0 -> 0.0
+          else {
+            val terms = p.filter(_._1 == s0).map { case (_, dst, pv) =>
+              val vd = dst match {
+                case "CONV" => 1.0
+                case "NULL" => 0.0
+                case `rm` => 0.0
+                case other => v(other)
+              }
+              dec(round9(pv * vd))
+            }
+            s0 -> round9(
+              terms.foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue())
+          }
+        }.toMap
+      }
+      v
+    }
+    val base = converge("__none__")("START")
+    val channels = states.filterNot(_ == "START")
+    channels.toSeq.map { c =>
+      val vc = converge(c)("START")
+      (c, math.floor(base * 1000000.0).toLong,
+        math.floor(vc * 1000000.0).toLong,
+        math.floor(1000.0 * (base - vc) / base).toLong)
+    }.toDF("channel", "base_conv_micro", "conv_without_micro",
+      "removal_effect_pm")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_markov_attribution" -> (q151_markov_attribution _),
     "q150_holt_forecast" -> (q150_holt_forecast _),
     "q149_cube_reuse" -> (q149_cube_reuse _),
     "q148_zone_map_append" -> (q148_zone_map_append _),
@@ -4280,6 +4394,49 @@ object RelationalQueries {
     "q143_kaplan_meier" -> q143Sql,
     "q144_cuped" -> q144Sql,
     "q150_holt_forecast" -> q150Sql(q150SerSql),
+    "q151_markov_attribution" ->
+      s"""WITH RECURSIVE counts AS (
+         |  SELECT * FROM (
+         |    ${q151TransSql("events", "epoch_us(ts::TIMESTAMP)")
+                 .replace("\n", "\n    ")}) q),
+         |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS rt
+         |        FROM counts GROUP BY 1),
+         |tr AS (
+         |  SELECT c.src, c.dst, CAST(c.n AS DOUBLE) / t.rt AS p
+         |  FROM counts c JOIN tot t ON t.src = c.src
+         |  UNION ALL SELECT 'CONV', 'CONV', 1.0
+         |  UNION ALL SELECT 'NULL', 'NULL', 1.0),
+         |states AS (SELECT DISTINCT src AS st FROM counts
+         |           UNION SELECT DISTINCT dst FROM counts),
+         |rms AS (SELECT '__none__' AS rm
+         |        UNION ALL
+         |        SELECT st FROM states
+         |        WHERE st NOT IN ('CONV', 'NULL', 'START')),
+         |it(k, rm, st, v) AS (
+         |  SELECT 0, r.rm, s.st,
+         |         CASE WHEN s.st = 'CONV' THEN CAST(1.0 AS DOUBLE)
+         |              ELSE CAST(0.0 AS DOUBLE) END
+         |  FROM rms r CROSS JOIN states s
+         |  UNION ALL
+         |  SELECT i.k + 1, i.rm, t.src,
+         |    CASE WHEN t.src = i.rm THEN 0.0
+         |         WHEN t.src = 'CONV' THEN 1.0
+         |         WHEN t.src = 'NULL' THEN 0.0
+         |         ELSE round(CAST(sum(CAST(round(t.p *
+         |                CASE WHEN i.st = i.rm THEN 0.0 ELSE i.v END, 9)
+         |              AS DECIMAL(18,9))) AS DOUBLE), 9) END
+         |  FROM it i JOIN tr t ON t.dst = i.st
+         |  WHERE i.k < 100
+         |  GROUP BY i.k, i.rm, t.src),
+         |fin AS (SELECT rm, v FROM it WHERE k = 100 AND st = 'START'),
+         |base AS (SELECT v FROM fin WHERE rm = '__none__')
+         |SELECT f.rm AS channel,
+         |       CAST(floor(b.v * 1000000.0) AS BIGINT) AS base_conv_micro,
+         |       CAST(floor(f.v * 1000000.0) AS BIGINT) AS conv_without_micro,
+         |       CAST(floor(1000.0 * (b.v - f.v) / b.v) AS BIGINT)
+         |         AS removal_effect_pm
+         |FROM fin f CROSS JOIN base b
+         |WHERE f.rm <> '__none__'""".stripMargin,
     "q149_cube_reuse" ->
       """WITH cube AS (
         |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS ym,

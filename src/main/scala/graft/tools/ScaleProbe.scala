@@ -672,6 +672,13 @@ object ScaleProbe {
         graft.operators.StreamingQueries.st18_stream_layout(spark, sf).count())
       time(s"$tag st18_stream_layout warm")(
         graft.operators.StreamingQueries.st18_stream_layout(spark, sf).count())
+      // eighteenth wave: q151's distributed half is the journey scan
+      // (transition matrix is |types|^2, driver fold constant); m24 is
+      // two two-phase position scans — output-linear
+      time(s"$tag q151_markov_attribution")(
+        graft.operators.RelationalQueries.q151_markov_attribution(spark, sf).count())
+      time(s"$tag m24_contrastive_batches")(
+        graft.operators.MultimodalQueries.m24_contrastive_batches(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

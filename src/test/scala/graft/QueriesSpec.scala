@@ -2808,6 +2808,46 @@ class QueriesSpec extends SparkTestBase {
       rows.filter(_._1 == "year").map(_._3).sum, "revenue differs across grains")
   }
 
+  test("q151 Markov attribution: effects bounded, base shared, channels complete") {
+    val rows = SparkEntry.queries("q151_markov_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq ==
+      Seq("click", "error", "signup", "view"),
+      "every non-absorbing event type is a channel")
+    assert(rows.map(_._2).distinct.length == 1 && rows.head._2 > 0,
+      "base conversion must be one shared positive value")
+    rows.foreach { case (c, base, without, eff) =>
+      assert(without <= base, s"$c: removal cannot raise conversion")
+      assert(eff >= 0 && eff <= 1000, s"$c: effect $eff out of range")
+    }
+    // the fixture's journeys traverse channels, so removal must bite
+    assert(rows.exists(_._4 > 0), "no channel has any effect — degenerate")
+  }
+
+  test("m24 contrastive batches: no caption key repeats inside any batch") {
+    val rows = SparkEntry.queries("m24_contrastive_batches")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keys = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, 3), ' ')").as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == keys.size, "every sample must land in a batch")
+    rows.groupBy(_._2).foreach { case (b, batch) =>
+      assert(batch.length <= 16, s"batch $b overfull")
+      val ks = batch.map(r => keys(r._1))
+      assert(ks.distinct.length == ks.length,
+        s"batch $b carries duplicate caption keys — in-batch false negative")
+      assert(batch.map(_._3).distinct.length == batch.length,
+        s"batch $b has duplicate slots")
+    }
+    val nMain = (keys.size + 15) / 16
+    val deferred = rows.filter(_._4 == 1L)
+    assert(deferred.nonEmpty, "repair path not exercised — fixture degenerate")
+    assert(deferred.forall(_._2 >= nMain),
+      "deferred samples must land in overflow batches")
+    assert(rows.filter(_._4 == 0L).forall(_._2 < nMain))
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
