@@ -1608,7 +1608,63 @@ object CurationQueries {
     }.toDF("source", "n_train", "balacc_pm", "delta_pm")
   }
 
+  /** c47: QUANTILE NORMALIZATION across sources — the cross-source
+    * distribution-matching step (microarray's classic, applied to corpus
+    * stats): each document's token count is replaced by the POOLED
+    * distribution's value at the document's within-source quantile, so
+    * every source ends up with the same marginal length distribution
+    * while preserving each source's internal ordering — the fair way to
+    * compare/mix sources whose length profiles differ (a source of long
+    * docs would otherwise dominate any length-gated filter). Mapping is
+    * nearest-rank: idx = ⌊(2r−1)(N−1)/(2n_s)⌋, all integer. Both rank
+    * passes (global pooled positions, within-source positions) run as
+    * m20's two-phase (pid[, source]) prefix scans — no global-sort
+    * reducer at any scale; the final step is one keyed join on the
+    * pooled index.
+    */
+  def c47_quantile_normalize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(32, col("n_tokens"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid stable across the subtotal + window passes
+    // global pooled positions
+    val sub = docs.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = sub.map(_._2).sum
+    val offDf = broadcast(sub.map(_._1)
+      .zip(sub.map(_._2).scanLeft(0L)(_ + _)).toSeq.toDF("pid", "goff"))
+    val wg = Window.partitionBy(col("pid")).orderBy(col("n_tokens"), col("doc_id"))
+    val pooled = docs.join(offDf, "pid")
+      .withColumn("gpos", col("goff") + row_number().over(wg) - 1)
+      .select(col("gpos"), col("n_tokens").as("pooled_tokens"))
+    // within-source positions (pid, source) two-phase
+    val sub2 = docs.groupBy(col("pid"), col("source"))
+      .agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val off2 = sub2.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, o) => (pid, src, o) }
+    }
+    val srcN = broadcast(sub2.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.toDF("source", "ns"))
+    val off2Df = broadcast(off2.toDF("pid", "source", "soff"))
+    val ws = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    docs.join(off2Df, Seq("pid", "source")).join(srcN, "source")
+      .withColumn("r", col("soff") + row_number().over(ws))
+      .withColumn("gpos", expr(s"((2 * r - 1) * (${n}L - 1)) div (2 * ns)"))
+      .join(pooled, "gpos")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pooled_tokens").as("n_norm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c47_quantile_normalize" -> (c47_quantile_normalize _),
     "c46_loo_source_value" -> (c46_loo_source_value _),
     "c45_k_anonymity" -> (c45_k_anonymity _),
     "c44_corpus_diff" -> (c44_corpus_diff _),
@@ -1883,6 +1939,27 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c47_quantile_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |pooled AS (
+        |  SELECT row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS gpos,
+        |         n_tokens AS pooled_tokens
+        |  FROM d),
+        |ns AS (SELECT source, count(*) AS ns FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT d.doc_id, d.source, d.n_tokens, s.ns,
+        |         row_number() OVER (PARTITION BY d.source
+        |                            ORDER BY d.n_tokens, d.doc_id) AS r
+        |  FROM d JOIN ns s ON s.source = d.source)
+        |SELECT r.doc_id, r.source, r.n_tokens,
+        |       CAST(p.pooled_tokens AS BIGINT) AS n_norm
+        |FROM r CROSS JOIN nn
+        |JOIN pooled p
+        |  ON p.gpos = ((2 * r.r - 1) * (nn.n - 1)) // (2 * r.ns)""".stripMargin,
     "c46_loo_source_value" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text, source,

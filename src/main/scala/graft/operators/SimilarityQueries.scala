@@ -1263,7 +1263,26 @@ object SimilarityQueries {
         when(col("b_top_q") === col("q_id"), 1L).otherwise(0L).as("mutual"))
   }
 
+  /** s37: TOMBSTONE-AWARE index search — the q141 deletion-vector story
+    * applied to the vector store: deletion requests (vec_id ≡ 3 mod 7 —
+    * the deterministic stand-in for a user-deletion table) are served by
+    * a broadcast anti-join against s27's PERSISTED signature index, the
+    * index itself untouched — at 100 TB rebuilding a billion-vector
+    * index for a few-permille delete set is the thing this path avoids;
+    * a compaction pass (s30) eventually folds tombstones in. The
+    * shortlist is generated over live signatures only, so every query
+    * still comes back with a full top-k (deletes are replaced, not
+    * holes); the oracle threads the same mask through s24's proven text.
+    */
+  def s37_tombstoned_search(s: SparkSession, d: String): DataFrame = {
+    val store = s.read.parquet(s"${ensureSignIndex(s, d)}/signatures")
+    val tomb = store.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    signatureSearch(s, d,
+      store.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s37_tombstoned_search" -> (s37_tombstoned_search _),
     "s36_bitext_margin" -> (s36_bitext_margin _),
     "s32_knn_graph" -> (s32_knn_graph _),
     "s33_hard_negatives" -> (s33_hard_negatives _),
@@ -1941,6 +1960,8 @@ object SimilarityQueries {
         |WHERE rk <= 5""".stripMargin,
     "s27_persisted_signatures" -> binaryQuantOracle,
     "s24_binary_quant" -> binaryQuantOracle,
+    "s37_tombstoned_search" ->
+      binaryQuantOracleWhere(" AND c.vec_id % 7 <> 3"),
     "s32_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
@@ -2016,8 +2037,14 @@ object SimilarityQueries {
   /** Shared by s24 (inline signatures) and s27 (stored signatures): one
     * recompute oracle proving the persisted index lossless.
     */
-  private lazy val binaryQuantOracle: String =
-      """WITH sig AS (
+  private lazy val binaryQuantOracle: String = binaryQuantOracleWhere("")
+
+  /** s24's oracle with an optional corpus predicate — s37 threads the
+    * tombstone mask through the SAME text, so the delete-aware variant
+    * shares every other character with the proven base oracle.
+    */
+  private def binaryQuantOracleWhere(corpusPred: String): String =
+      s"""WITH sig AS (
         |  SELECT vec_id,
         |         CAST(list_sum(list_transform(range(32), i ->
         |           CASE WHEN embedding[CAST(i + 1 AS INT)] > 0
@@ -2030,7 +2057,7 @@ object SimilarityQueries {
         |h AS (
         |  SELECT q.q_id, c.vec_id,
         |         bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) AS hdist
-        |  FROM q JOIN sig c ON c.vec_id <> q.q_id),
+        |  FROM q JOIN sig c ON c.vec_id <> q.q_id$corpusPred),
         |short AS (
         |  SELECT q_id, vec_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY q_id

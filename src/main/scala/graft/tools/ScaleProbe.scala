@@ -679,6 +679,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q151_markov_attribution(spark, sf).count())
       time(s"$tag m24_contrastive_batches")(
         graft.operators.MultimodalQueries.m24_contrastive_batches(spark, sf).count())
+      // c47: two two-phase rank scans + one keyed join (output-linear);
+      // s37: the stored-signature scan + broadcast anti-mask
+      time(s"$tag c47_quantile_normalize")(
+        graft.operators.CurationQueries.c47_quantile_normalize(spark, sf).count())
+      time(s"$tag s37_tombstoned_search")(
+        graft.operators.SimilarityQueries.s37_tombstoned_search(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2848,6 +2848,39 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.filter(_._4 == 0L).forall(_._2 < nMain))
   }
 
+  test("c47 quantile normalization: order preserved, values from the pool") {
+    val rows = SparkEntry.queries("c47_quantile_normalize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pool = rows.map(_._3).sorted
+    assert(rows.map(_._4).forall(pool.contains),
+      "every normalized value must come from the pooled distribution")
+    rows.groupBy(_._2).foreach { case (src, docs) =>
+      // within a source, the mapping is monotone in the original ranks
+      val byRank = docs.sortBy(r => (r._3, r._1)).map(_._4)
+      assert(byRank.sameElements(byRank.sorted),
+        s"$src: normalization broke the internal ordering")
+      // extremes map near the pool extremes
+      assert(byRank.head <= pool(pool.length / 4) &&
+        byRank.last >= pool(3 * pool.length / 4),
+        s"$src: normalized range did not stretch to the pool")
+    }
+  }
+
+  test("s37 tombstoned search: deletes never surface, top-k stays full") {
+    val rows = SparkEntry.queries("s37_tombstoned_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall(_._2 % 7 != 3), "a tombstoned vector surfaced")
+    rows.groupBy(_._1).foreach { case (q, hits) =>
+      assert(hits.length == 5, s"query $q: deletes left a hole in top-k")
+    }
+    // the mask bites: s27 (no tombstones) surfaces at least one id s37
+    // had to replace
+    val s27 = SparkEntry.queries("s27_persisted_signatures")(spark, sf)
+      .collect().map(r => r.getLong(1))
+    assert(s27.exists(_ % 7 == 3),
+      "fixture degenerate: no tombstoned id was ever a neighbor")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
