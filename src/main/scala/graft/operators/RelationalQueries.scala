@@ -3826,7 +3826,48 @@ object RelationalQueries {
       "removal_effect_pm")
   }
 
+  /** q152: ingestion SCHEMA-DRIFT audit over semi-structured payloads —
+    * the contract check an event pipeline runs before a new producer
+    * version breaks consumers: per (era, key) presence rates over the
+    * JSON props, keys discovered FROM THE DATA (json_object_keys /
+    * json_keys — no schema declared anywhere), drift = per-mille
+    * presence delta between the first and second half of the feed. The
+    * payloads are derived deterministically from typed columns (the
+    * fixture's props is a bare {"k": n}): clicks carry a `page`,
+    * purchases an `amount`, and the feed's second half adds a `v`
+    * version key — the exact producer-upgrade shape the audit exists to
+    * catch (v: 0‰ → 1000‰). One scan + explode + grouped counts.
+    */
+  def q152_schema_drift(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val n = ev.agg(count(lit(1)).as("n_ev"))
+    ev.crossJoin(broadcast(n))
+      .withColumn("era", when(col("event_id") * 2 >= col("n_ev"), 1).otherwise(0))
+      .withColumn("body", expr(
+        "CASE WHEN event_type = 'click' THEN" +
+          " concat('{\"k\": ', CAST(event_id % 100 AS STRING)," +
+          " ', \"page\": \"p', CAST(user_id % 10 AS STRING), '\"')" +
+          " WHEN event_type = 'purchase' THEN" +
+          " concat('{\"k\": ', CAST(event_id % 100 AS STRING)," +
+          " ', \"amount\": ', CAST(CAST(round(value * 100) AS BIGINT) AS STRING))" +
+          " ELSE concat('{\"k\": ', CAST(event_id % 100 AS STRING)) END"))
+      .withColumn("props2", expr(
+        "concat(body, CASE WHEN era = 1 THEN ', \"v\": 2}' ELSE '}' END)"))
+      .select(col("era"), col("n_ev"),
+        explode(expr("json_object_keys(props2)")).as("key"))
+      .groupBy(col("key"))
+      .agg(
+        sum(when(col("era") === 0, 1L).otherwise(0L)).as("n_era0"),
+        sum(when(col("era") === 1, 1L).otherwise(0L)).as("n_era1"),
+        expr("(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) * 1000)" +
+          " div max(n_ev - n_ev div 2)").as("pm_era0"),
+        expr("(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) * 1000)" +
+          " div max(n_ev div 2)").as("pm_era1"))
+      .withColumn("drift_pm", col("pm_era1") - col("pm_era0"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_schema_drift" -> (q152_schema_drift _),
     "q151_markov_attribution" -> (q151_markov_attribution _),
     "q150_holt_forecast" -> (q150_holt_forecast _),
     "q149_cube_reuse" -> (q149_cube_reuse _),
@@ -4394,6 +4435,38 @@ object RelationalQueries {
     "q143_kaplan_meier" -> q143Sql,
     "q144_cuped" -> q144Sql,
     "q150_holt_forecast" -> q150Sql(q150SerSql),
+    "q152_schema_drift" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_ev FROM events),
+        |b AS (SELECT event_id, event_type, value, user_id,
+        |        CASE WHEN event_id * 2 >= n.n_ev THEN 1 ELSE 0 END AS era,
+        |        n.n_ev
+        |      FROM events CROSS JOIN n),
+        |j AS (SELECT era, n_ev,
+        |        concat(
+        |          CASE event_type
+        |            WHEN 'click' THEN concat('{"k": ',
+        |              CAST(event_id % 100 AS VARCHAR), ', "page": "p',
+        |              CAST(user_id % 10 AS VARCHAR), '"')
+        |            WHEN 'purchase' THEN concat('{"k": ',
+        |              CAST(event_id % 100 AS VARCHAR), ', "amount": ',
+        |              CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR))
+        |            ELSE concat('{"k": ', CAST(event_id % 100 AS VARCHAR))
+        |          END,
+        |          CASE WHEN era = 1 THEN ', "v": 2}' ELSE '}' END) AS props2
+        |      FROM b),
+        |k AS (SELECT era, n_ev, unnest(json_keys(props2)) AS key FROM j),
+        |g AS (
+        |  SELECT key,
+        |    CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_era0,
+        |    CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_era1,
+        |    CAST((sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) * 1000)
+        |         // max(n_ev - n_ev // 2) AS BIGINT) AS pm_era0,
+        |    CAST((sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) * 1000)
+        |         // max(n_ev // 2) AS BIGINT) AS pm_era1
+        |  FROM k GROUP BY 1)
+        |SELECT key, n_era0, n_era1, pm_era0, pm_era1,
+        |       pm_era1 - pm_era0 AS drift_pm
+        |FROM g""".stripMargin,
     "q151_markov_attribution" ->
       s"""WITH RECURSIVE counts AS (
          |  SELECT * FROM (

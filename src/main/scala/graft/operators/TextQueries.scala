@@ -1917,7 +1917,49 @@ object TextQueries {
         graft.plans.TopKPerGroup.Ord("tok")), 3)
   }
 
+  /** t44: PII CANARY RECALL — c43's planted-ground-truth discipline
+    * applied to t06's redaction: one synthetic PII instance per class
+    * (email / long number / 12+-char word) is appended to a deterministic
+    * doc slice, and detection is measured as the COUNT DELTA between
+    * planted and base text — the word-soup fixture has natural long-word
+    * and digit hits, so the delta (exactly +1 in the planted class,
+    * exactly 0 elsewhere) is what isolates the canary from background.
+    * This is the validation a redaction deployment owes itself before
+    * release: recall per class with the false-positive background
+    * reported beside it. One scan, all regex work codegen'd per row.
+    */
+  def t44_pii_canary(s: SparkSession, d: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val num = "[0-9]{6,}"
+    val longw = "[a-z]{12,}"
+    def cnt(c: Column, p: String) = regexp_count(c, lit(p)).cast("long")
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("pii_class",
+        when(col("doc_id") % 13 === 0, "email")
+          .when(col("doc_id") % 13 === 1, "number")
+          .when(col("doc_id") % 13 === 2, "longword")
+          .otherwise("none"))
+      .withColumn("planted", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN concat(text, ' contact bob@example.com now')" +
+          " WHEN doc_id % 13 = 1 THEN concat(text, ' call 5551234567 today')" +
+          " WHEN doc_id % 13 = 2 THEN concat(text, ' ref antidisestablishment case')" +
+          " ELSE text END"))
+      .select(col("pii_class"),
+        (cnt(col("planted"), email) - cnt(col("text"), email)).as("de"),
+        (cnt(col("planted"), num) - cnt(col("text"), num)).as("dn"),
+        (cnt(col("planted"), longw) - cnt(col("text"), longw)).as("dl"),
+        (cnt(col("text"), email) + cnt(col("text"), num) +
+          cnt(col("text"), longw)).as("bg"))
+      .groupBy(col("pii_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("de") === 1, 1L).otherwise(0L)).as("caught_email"),
+        sum(when(col("dn") === 1, 1L).otherwise(0L)).as("caught_number"),
+        sum(when(col("dl") === 1, 1L).otherwise(0L)).as("caught_longword"),
+        sum(col("bg")).as("background_hits"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t44_pii_canary" -> (t44_pii_canary _),
     "t43_log_odds" -> (t43_log_odds _),
     "t41_heaps_fit" -> (t41_heaps_fit _),
     "t40_charset_audit" -> (t40_charset_audit _),
@@ -2104,6 +2146,39 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t44_pii_canary" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'email'
+        |         WHEN doc_id % 13 = 1 THEN 'number'
+        |         WHEN doc_id % 13 = 2 THEN 'longword' ELSE 'none' END
+        |      AS pii_class,
+        |    CASE WHEN doc_id % 13 = 0 THEN concat(text, ' contact bob@example.com now')
+        |         WHEN doc_id % 13 = 1 THEN concat(text, ' call 5551234567 today')
+        |         WHEN doc_id % 13 = 2 THEN concat(text, ' ref antidisestablishment case')
+        |         ELSE text END AS planted
+        |  FROM documents),
+        |c AS (
+        |  SELECT pii_class,
+        |    len(regexp_extract_all(planted, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |      - len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS de,
+        |    len(regexp_extract_all(planted, '[0-9]{6,}'))
+        |      - len(regexp_extract_all(text, '[0-9]{6,}')) AS dn,
+        |    len(regexp_extract_all(planted, '[a-z]{12,}'))
+        |      - len(regexp_extract_all(text, '[a-z]{12,}')) AS dl,
+        |    len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        |      + len(regexp_extract_all(text, '[0-9]{6,}'))
+        |      + len(regexp_extract_all(text, '[a-z]{12,}')) AS bg
+        |  FROM p)
+        |SELECT pii_class, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN de = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS caught_email,
+        |       CAST(sum(CASE WHEN dn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS caught_number,
+        |       CAST(sum(CASE WHEN dl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS caught_longword,
+        |       CAST(sum(bg) AS BIGINT) AS background_hits
+        |FROM c GROUP BY 1""".stripMargin,
     "t43_log_odds" ->
       """WITH toks AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -685,6 +685,11 @@ object ScaleProbe {
         graft.operators.CurationQueries.c47_quantile_normalize(spark, sf).count())
       time(s"$tag s37_tombstoned_search")(
         graft.operators.SimilarityQueries.s37_tombstoned_search(spark, sf).count())
+      // t44/q152: single-scan regex / JSON-key audits
+      time(s"$tag t44_pii_canary")(
+        graft.operators.TextQueries.t44_pii_canary(spark, sf).count())
+      time(s"$tag q152_schema_drift")(
+        graft.operators.RelationalQueries.q152_schema_drift(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

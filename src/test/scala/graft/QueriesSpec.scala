@@ -2881,6 +2881,36 @@ class QueriesSpec extends SparkTestBase {
       "fixture degenerate: no tombstoned id was ever a neighbor")
   }
 
+  test("t44 PII canary: perfect recall per class, zero cross-class leakage") {
+    val rows = SparkEntry.queries("t44_pii_canary")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet == Set("email", "number", "longword", "none"))
+    val (ne, ce) = (rows("email")._1, rows("email")._2)
+    assert(ce == ne, s"email recall ${ce}/$ne")
+    assert(rows("number")._3 == rows("number")._1, "number recall imperfect")
+    assert(rows("longword")._4 == rows("longword")._1, "longword recall imperfect")
+    // unplanted docs must show zero deltas in every class
+    assert(rows("none")._2 == 0 && rows("none")._3 == 0 && rows("none")._4 == 0,
+      "a canary delta appeared where nothing was planted")
+  }
+
+  test("q152 schema drift: the v2 producer key is flagged, stable keys are not") {
+    val rows = SparkEntry.queries("q152_schema_drift")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(rows.keySet == Set("k", "page", "amount", "v"))
+    assert(rows("k") == ((1000L, 1000L, 0L)), s"k drifted: ${rows("k")}")
+    assert(rows("v")._1 == 0L && rows("v")._2 == 1000L && rows("v")._3 == 1000L,
+      s"v must appear only in era 1: ${rows("v")}")
+    // conditional keys present in both eras at far-below-full rates
+    Seq("page", "amount").foreach { k =>
+      val (p0, p1, d) = rows(k)
+      assert(p0 > 0 && p1 > 0 && p0 < 500 && p1 < 500 && math.abs(d) < 200,
+        s"$k unexpectedly drifted: ${rows(k)}")
+    }
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
