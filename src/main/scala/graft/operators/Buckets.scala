@@ -323,6 +323,73 @@ object Buckets {
     (s"$dir/data", s"$dir/stats")
   }
 
+  /** st19's STREAMED deletion vectors — delete REQUESTS (by key:
+    * orderkey ≡ 0 mod 83, the GDPR-erasure shape) arrive in three
+    * batches; each batch resolves its keys to (file, row) positions
+    * against the base scan and APPENDS them to the vector store. The
+    * property st19 exists to prove: DV append is IDEMPOTENT BY
+    * SEMANTICS — an anti-join cannot over-delete on duplicate positions
+    * — so at-least-once redelivery needs no ledger for correctness
+    * (unlike st16/st18, whose folds corrupt under replay); batch 1 is
+    * therefore deliberately applied TWICE here, and the hash gate
+    * proves the census unharmed. A ledger remains storage hygiene, not
+    * a correctness requirement.
+    */
+  private[graft] def streamedDeleteVectors(s: SparkSession, d: String)
+      : String = synchronized {
+    val f = new java.io.File(d, "lineitem.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"li_dvstream_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      val batches = Seq(0L, 1L, 1L, 2L) // batch 1 redelivered
+      for (b <- batches)
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 83 === 0 && col("l_orderkey") % 3 === b)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("row_index"))
+          .coalesce(1)
+          .write.mode("append").parquet(s"$dir/dv")
+      marker.createNewFile()
+    }
+    s"$dir/dv"
+  }
+
+  /** q153's MERGE-ON-READ change application — the full CRUD lifecycle
+    * over an immutable base: one deterministic change set (updates:
+    * quantity+5 where orderkey≡0 mod 97; deletes: orderkey≡0 mod 89;
+    * upserts never rewrite the base) lands as TWO artifacts — a
+    * positional deletion vector covering deleted AND updated rows
+    * (an update is delete+reinsert, Iceberg v2's copy-on-write-free
+    * path), and one appended delta file carrying the updated images.
+    * Readers reconstruct the table as (base ∖ DV) ∪ delta. Same
+    * marker-committed identity-keyed store discipline as everything
+    * else; returns (dvDir, deltaDir).
+    */
+  private[graft] def lineitemMerge(s: SparkSession, d: String)
+      : (String, String) = synchronized {
+    val f = new java.io.File(d, "lineitem.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"li_merge_${Version}_${f.length()}_${f.lastModified()}", d)
+    val marker = new java.io.File(dir, "_complete")
+    if (!marker.exists()) {
+      val touched = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 97 === 0 || col("l_orderkey") % 89 === 0)
+      touched
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .write.mode("overwrite").parquet(s"$dir/dv")
+      // updated images re-enter through the delta (deletes do not)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 97 === 0 && col("l_orderkey") % 89 =!= 0)
+        .withColumn("l_quantity", col("l_quantity") + 5)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/delta")
+      marker.createNewFile()
+    }
+    (s"$dir/dv", s"$dir/delta")
+  }
+
   /** q149's MATERIALIZED CUBE — the aggregate-navigator store: orders
     * pre-aggregated once at the finest useful grain (month × status ×
     * priority; additive measures only, so every coarser rollup is a

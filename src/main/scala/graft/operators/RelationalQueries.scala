@@ -3866,7 +3866,38 @@ object RelationalQueries {
       .withColumn("drift_pm", col("pm_era1") - col("pm_era0"))
   }
 
+  /** q153: MERGE-ON-READ — the full CRUD lifecycle over an immutable
+    * base ([[Buckets.lineitemMerge]]): updates land as DV-masked old
+    * rows plus re-inserted new images in a delta file, deletes as DV
+    * rows alone; the reader reconstructs (base ∖ DV) ∪ delta with the
+    * base parquet never rewritten (pinned). This is q141's delete path
+    * and q139's append path composed into the general writer — what
+    * Delta/Iceberg MERGE compiles to when copy-on-write is too
+    * expensive, i.e. always at 100 TB. The oracle reconstructs the
+    * post-merge table from raw lineitem with the change rules inlined,
+    * so the hash gate proves the DV+delta encoding equals the logical
+    * MERGE exactly.
+    */
+  def q153_merge_on_read(s: SparkSession, d: String): DataFrame = {
+    val (dvDir, deltaDir) = Buckets.lineitemMerge(s, d)
+    val dv = s.read.parquet(dvDir)
+    val live = Tables.lineitem(s, d)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(dv), Seq("file_path", "row_index"), "left_anti")
+      .drop("file_path", "row_index")
+    val delta = s.read.parquet(deltaDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    live.unionByName(delta)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("l_quantity")).cast("long").as("qty"),
+        dsum(col("l_extendedprice")).as("gross"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q153_merge_on_read" -> (q153_merge_on_read _),
     "q152_schema_drift" -> (q152_schema_drift _),
     "q151_markov_attribution" -> (q151_markov_attribution _),
     "q150_holt_forecast" -> (q150_holt_forecast _),
@@ -4467,6 +4498,18 @@ object RelationalQueries {
         |SELECT key, n_era0, n_era1, pm_era0, pm_era1,
         |       pm_era1 - pm_era0 AS drift_pm
         |FROM g""".stripMargin,
+    "q153_merge_on_read" ->
+      s"""WITH merged AS (
+         |  SELECT l_returnflag,
+         |         CASE WHEN l_orderkey % 97 = 0 AND l_orderkey % 89 <> 0
+         |              THEN l_quantity + 5 ELSE l_quantity END AS q,
+         |         l_extendedprice
+         |  FROM lineitem
+         |  WHERE l_orderkey % 89 <> 0)
+         |SELECT l_returnflag, count(*) AS n_live,
+         |       CAST(sum(q) AS BIGINT) AS qty,
+         |       ${osum("l_extendedprice")} AS gross
+         |FROM merged GROUP BY 1""".stripMargin,
     "q151_markov_attribution" ->
       s"""WITH RECURSIVE counts AS (
          |  SELECT * FROM (

@@ -600,7 +600,31 @@ object StreamingQueries {
         sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
   }
 
+  /** st19: STREAMING DELETE-REQUEST maintenance
+    * ([[Buckets.streamedDeleteVectors]]) — erasure requests fold into the
+    * positional DV store batch by batch, with batch 1 deliberately
+    * applied twice: anti-join deletion is idempotent by SEMANTICS
+    * (duplicate positions cannot over-delete), so this is the one
+    * maintenance fold that needs no replay ledger for correctness — the
+    * deliberate duplicate is IN the hash-gated result, proving it. The
+    * census reads (base ∖ DV); oracle filters raw lineitem by the
+    * request predicate. StreamingSpec re-proves the fold under a real
+    * readStream of key batches resolved to positions per micro-batch.
+    */
+  def st19_stream_deletes(s: SparkSession, d: String): DataFrame = {
+    val dv = s.read.parquet(Buckets.streamedDeleteVectors(s, d))
+    Tables.lineitem(s, d)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"),
+        col("l_linestatus"), col("l_quantity"))
+      .join(broadcast(dv), Seq("file_path", "row_index"), "left_anti")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st19_stream_deletes" -> (st19_stream_deletes _),
     "st18_stream_layout" -> (st18_stream_layout _),
     "st17_late_data_audit" -> (st17_late_data_audit _),
     "st16_replay_safe_apply" -> (st16_replay_safe_apply _),
@@ -622,6 +646,12 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "st19_stream_deletes" ->
+      """SELECT l_linestatus, count(*) AS n_live,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey % 83 <> 0
+        |GROUP BY 1""".stripMargin,
     "st18_stream_layout" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))

@@ -690,6 +690,14 @@ object ScaleProbe {
         graft.operators.TextQueries.t44_pii_canary(spark, sf).count())
       time(s"$tag q152_schema_drift")(
         graft.operators.RelationalQueries.q152_schema_drift(spark, sf).count())
+      // q153/st19: base-scan-bound reads behind broadcast DV anti-joins;
+      // cold runs include the one-time change-set / DV-fold builds
+      time(s"$tag q153_merge_on_read")(
+        graft.operators.RelationalQueries.q153_merge_on_read(spark, sf).count())
+      time(s"$tag q153_merge_on_read warm")(
+        graft.operators.RelationalQueries.q153_merge_on_read(spark, sf).count())
+      time(s"$tag st19_stream_deletes")(
+        graft.operators.StreamingQueries.st19_stream_deletes(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

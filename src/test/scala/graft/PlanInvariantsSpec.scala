@@ -883,6 +883,38 @@ class PlanInvariantsSpec extends SparkTestBase {
       "manifest must know exactly the four band files")
   }
 
+  test("q153 merge-on-read: base untouched; anti-join broadcasts") {
+    val df = SparkEntry.queries("q153_merge_on_read")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"merge DV must apply as a broadcast anti-join:\n${p.take(1200)}")
+    val files = df.inputFiles
+    assert(files.exists(_.contains("lineitem.parquet")) &&
+      files.exists(_.contains("li_merge")),
+      s"unexpected inputs: ${files.take(5).mkString(", ")}")
+    assert(files.forall(f =>
+      f.contains("lineitem.parquet") || f.contains("li_merge")),
+      s"merge read must not touch a rewritten base: ${files.take(5).mkString(", ")}")
+  }
+
+  test("st19 streamed deletes: the redelivered batch left duplicate DV rows, harmlessly") {
+    SparkEntry.queries("st19_stream_deletes")(spark, sf).collect()
+    val dv = spark.read.parquet(
+      graft.operators.Buckets.streamedDeleteVectors(spark, sf))
+    val (all, distinct) = (dv.count(), dv.distinct().count())
+    assert(all > distinct,
+      s"batch-1 redelivery should have duplicated positions: $all vs $distinct")
+    // and the hash gate (st19 vs the raw-predicate oracle) proves those
+    // duplicates cannot over-delete — checked here too for fast failure
+    import org.apache.spark.sql.functions.col
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 83 =!= 0).count()
+    val live = SparkEntry.queries("st19_stream_deletes")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(col("n_live"))).collect()(0).getLong(0)
+    assert(live == expected)
+  }
+
   test("q142 time travel: the v1 manifest never reads the delta file") {
     SparkEntry.queries("q142_time_travel")(spark, sf).collect()
     val dir = graft.operators.Buckets.ordersSnapshots(spark, sf)

@@ -1190,4 +1190,63 @@ class StreamingSpec extends SparkTestBase {
     val twin = rowsOf(StreamingQueries.st18_stream_layout(spark, sf))
     assert(streamedCensus.nonEmpty && streamedCensus == twin)
   }
+
+  test("streaming delete requests need no replay ledger (st19 under a real stream)") {
+    import operators.StreamingQueries
+    Sessions.tune(spark)
+    // three key-batch files: erasure requests by orderkey, mod-3 split
+    val srcDir = Files.createTempDirectory("del_stream")
+    val keys = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 83 === 0)
+      .select(col("l_orderkey")).distinct()
+    (0L until 3L).foreach { b =>
+      val tmp = Files.createTempDirectory(s"del_b$b")
+      keys.filter(col("l_orderkey") % 3 === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = srcDir.resolve(f"batch$b%02d.parquet")
+      Files.copy(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + b * 60000L))
+    }
+    val dvDir = Files.createTempDirectory("del_dv").toString + "/dv"
+    // NO ledger, deliberately: the redelivery lands twice and must not
+    // matter — anti-join deletion is idempotent by semantics
+    def ingest(batch: org.apache.spark.sql.DataFrame): Unit =
+      Tables.lineitem(spark, sf)
+        .join(org.apache.spark.sql.functions.broadcast(
+          batch.select(col("l_orderkey").as("k"))), col("l_orderkey") === col("k"), "left_semi")
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("row_index"))
+        .coalesce(1).write.mode("append").parquet(dvDir)
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        ingest(batch)
+        if (id == 1L) ingest(batch) // the redelivery — no guard on purpose
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val dv = spark.read.parquet(dvDir)
+    assert(dv.count() > dv.distinct().count(),
+      "the redelivery should be visible as duplicate DV rows")
+    val live = Tables.lineitem(spark, sf)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"), col("l_linestatus"),
+        col("l_quantity"))
+      .join(org.apache.spark.sql.functions.broadcast(dv),
+        Seq("file_path", "row_index"), "left_anti")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(col("l_quantity")).cast("long").as("qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val twin = StreamingQueries.st19_stream_deletes(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(live.nonEmpty && live == twin,
+      s"streamed DV census diverged: ${(live diff twin).take(3)}")
+  }
 }
