@@ -1663,7 +1663,88 @@ object CurationQueries {
         col("pooled_tokens").as("n_norm"))
   }
 
+  /** c48: CHAT/CONVERSATION ASSEMBLY — the SFT-data prep step that turns a
+    * raw interaction log into trainable multi-turn conversations. The event
+    * stream is sessionized into conversations (q74's gap rule at a 24-hour
+    * threshold — a day of silence closes the conversation),
+    * each event is assigned a role (`click`/`view` → user, everything else
+    * → assistant) and a deterministic token estimate, then the four
+    * normalizations every chat-template pipeline applies run in order:
+    *
+    *   1. MERGE consecutive same-role messages into one turn (tokens sum,
+    *      message count kept) — gaps-and-islands run numbering;
+    *   2. TRIM leading assistant turns (a conversation must open with the
+    *      user; orphan assistant prefixes are untrainable);
+    *   3. TRUNCATE to a token budget keeping the MOST RECENT complete
+    *      turns (suffix running sum over a descending window — the
+    *      standard "keep the tail that fits the context" rule);
+    *   4. RE-TRIM: the kept suffix may now open mid-exchange, so leading
+    *      assistant turns are dropped again and turns are re-indexed.
+    *
+    * Output is one row per kept turn with an `alt_ok` audit column
+    * (role == user on odd turn indices) that the pipeline guarantees by
+    * construction — the spec pins it all-green, that truncation really
+    * bites at sf0.01, and that every conversation's kept tokens fit the
+    * budget. Scale: every pass is a window over (user_id[, conv_idx]) —
+    * one shuffle key family, no global sort, no driver state; at 100 TB
+    * conversations are bounded by the session gap so no partition key is
+    * data-sized. Reference scope: §2C extension (the reference has no
+    * conversational surface; sessionization semantics shared with q74).
+    */
+  def c48_chat_assembly(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 64L
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val runU = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wC = Window.partitionBy(col("user_id"), col("conv_idx"))
+      .orderBy(col("us"), col("event_id"))
+    val wCR = Window.partitionBy(col("user_id"), col("conv_idx"), col("role"))
+      .orderBy(col("us"), col("event_id"))
+    val turns = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type").isin("click", "view"), "user")
+          .otherwise("assistant").as("role"),
+        expr("CAST(length(event_type) AS BIGINT) + CAST(length(props) AS BIGINT) div 4 + 2")
+          .as("tok"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wU).isNull ||
+          col("us") - lag(col("us"), 1).over(wU) > 86400000000L, 1L).otherwise(0L))
+      .withColumn("conv_idx", sum(col("new_s")).over(runU))
+      .withColumn("grp", row_number().over(wC) - row_number().over(wCR))
+      .groupBy(col("user_id"), col("conv_idx"), col("role"), col("grp"))
+      .agg(sum(col("tok")).as("tokens"), count(lit(1)).as("n_msgs"),
+        min(col("us")).as("fus"), min(col("event_id")).as("lead_event_id"))
+    val wT = Window.partitionBy(col("user_id"), col("conv_idx"))
+      .orderBy(col("fus"), col("lead_event_id"))
+    val wAll = Window.partitionBy(col("user_id"), col("conv_idx"))
+    val wDesc = Window.partitionBy(col("user_id"), col("conv_idx"))
+      .orderBy(col("turn_idx").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wT2 = Window.partitionBy(col("user_id"), col("conv_idx"))
+      .orderBy(col("turn_idx"))
+    turns
+      .withColumn("turn_idx", row_number().over(wT).cast("long"))
+      .withColumn("first_user",
+        min(when(col("role") === "user", col("turn_idx"))).over(wAll))
+      .where(col("turn_idx") >= col("first_user"))
+      .withColumn("suffix_tokens", sum(col("tokens")).over(wDesc))
+      .where(col("suffix_tokens") <= budget)
+      .withColumn("first_user2",
+        min(when(col("role") === "user", col("turn_idx"))).over(wAll))
+      .where(col("turn_idx") >= col("first_user2"))
+      .withColumn("turn_out", row_number().over(wT2).cast("long"))
+      .withColumn("kept_tokens", sum(col("tokens")).over(wAll))
+      .withColumn("alt_ok",
+        (col("role") === when(col("turn_out") % 2 === 1, "user")
+          .otherwise("assistant")).cast("long"))
+      .select(col("user_id"), col("conv_idx"), col("turn_out"), col("role"),
+        col("n_msgs"), col("tokens"), col("lead_event_id"),
+        col("kept_tokens"), col("alt_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c48_chat_assembly" -> (c48_chat_assembly _),
     "c47_quantile_normalize" -> (c47_quantile_normalize _),
     "c46_loo_source_value" -> (c46_loo_source_value _),
     "c45_k_anonymity" -> (c45_k_anonymity _),
@@ -1939,6 +2020,63 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c48_chat_assembly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         CASE WHEN event_type IN ('click','view') THEN 'user'
+        |              ELSE 'assistant' END AS role,
+        |         length(event_type) + length(props) // 4 + 2 AS tok
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |conv AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS conv_idx
+        |  FROM sess),
+        |runs AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, conv_idx
+        |                               ORDER BY us, event_id)
+        |          - row_number() OVER (PARTITION BY user_id, conv_idx, role
+        |                               ORDER BY us, event_id) AS grp
+        |  FROM conv),
+        |merged AS (
+        |  SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx, role,
+        |         CAST(sum(tok) AS BIGINT) AS tokens, count(*) AS n_msgs,
+        |         min(us) AS fus, min(event_id) AS lead_event_id
+        |  FROM runs GROUP BY user_id, conv_idx, role, grp),
+        |idx AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id, conv_idx
+        |                                    ORDER BY fus, lead_event_id) AS BIGINT) AS turn_idx
+        |  FROM merged),
+        |trimmed AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
+        |                OVER (PARTITION BY user_id, conv_idx) AS first_user
+        |    FROM idx) WHERE turn_idx >= first_user),
+        |fitted AS (
+        |  SELECT * FROM (
+        |    SELECT *, sum(tokens) OVER (PARTITION BY user_id, conv_idx
+        |                                ORDER BY turn_idx DESC
+        |                                ROWS UNBOUNDED PRECEDING) AS suffix_tokens
+        |    FROM trimmed) WHERE suffix_tokens <= 64),
+        |retrim AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
+        |                OVER (PARTITION BY user_id, conv_idx) AS first_user2
+        |    FROM fitted) WHERE turn_idx >= first_user2)
+        |SELECT user_id, conv_idx,
+        |       CAST(row_number() OVER (PARTITION BY user_id, conv_idx
+        |                               ORDER BY turn_idx) AS BIGINT) AS turn_out,
+        |       role, n_msgs, tokens, lead_event_id,
+        |       CAST(sum(tokens) OVER (PARTITION BY user_id, conv_idx) AS BIGINT)
+        |         AS kept_tokens,
+        |       CAST(CASE WHEN role = (CASE WHEN (row_number() OVER (
+        |                PARTITION BY user_id, conv_idx ORDER BY turn_idx)) % 2 = 1
+        |              THEN 'user' ELSE 'assistant' END)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS alt_ok
+        |FROM retrim""".stripMargin,
     "c47_quantile_normalize" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -3896,7 +3896,62 @@ object RelationalQueries {
         dsum(col("l_extendedprice")).as("gross"))
   }
 
+  /** q154: POISSON BOOTSTRAP confidence interval — the one bootstrap that
+    * works at 100 TB. The classical bootstrap resamples n rows WITH
+    * replacement per replicate (R full shuffles of a 100 TB table: dead on
+    * arrival); the Poisson bootstrap (the standard large-scale substitute —
+    * multinomial(n, 1/n) counts factorize into independent Poisson(1)
+    * weights as n → ∞) gives every row an i.i.d. Poisson(1) weight per
+    * replicate, so ALL R replicates ride ONE scan: each row emits R
+    * weighted contributions via a constant-folded `sequence(1, R)`
+    * generator and map-side partial aggregation collapses them to R rows
+    * per partition before the only shuffle (R × partitions tiny rows).
+    *
+    * Determinism across engines: the weight is Poisson(1) by inverse-CDF
+    * over a MINSTD-scrambled LCG of (row id, replicate) — pure int64
+    * arithmetic with the CDF embedded as ⌊P(X≤k)·(2³¹−1)⌋ literals, the
+    * s02/s20 embedded-plane discipline — and the per-replicate mean is a
+    * floor division of exact cent-integers, so Spark and DuckDB are
+    * bit-equal. CI = nearest-rank 2.5/97.5 percentiles over the R=100
+    * replicate means (rank window over 100 rows — R-bounded, never
+    * data-sized).
+    */
+  def q154_bootstrap_ci(s: SparkSession, d: String): DataFrame = {
+    val reps = 100
+    val ranked = Tables.lineitem(s, d)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .withColumn("rep0", explode(sequence(lit(1), lit(reps))))
+      .withColumn("rep", col("rep0").cast("long")).drop("rep0")
+      .withColumn("u", expr(
+        "((id * 2654435761L + rep * 40503L + 12345L) % 2147483648L) * 48271L % 2147483647L"))
+      .withColumn("w", expr(poissonW("u")))
+      .groupBy(col("rep"))
+      .agg(sum(col("w") * col("cents")).as("wsum"), sum(col("w")).as("nw"))
+      .withColumn("rep_mean_milli_cents",
+        expr("wsum * 1000L div greatest(nw, 1L)"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rep_mean_milli_cents"), col("rep"))).cast("long"))
+      .select(col("rep"), col("nw"), col("rep_mean_milli_cents"), col("rnk"))
+    val ci = ranked.agg(
+      min(when(col("rnk") === 3, col("rep_mean_milli_cents"))).as("ci_lo_milli_cents"),
+      min(when(col("rnk") === 98, col("rep_mean_milli_cents"))).as("ci_hi_milli_cents"))
+    ranked.crossJoin(broadcast(ci))
+  }
+
+  /** Poisson(1) inverse CDF over a 31-bit uniform `u` — thresholds are
+    * ⌊P(X≤k)·2147483647⌋, k = 0..8, tail capped at 9 (P > 1−1e−6). The
+    * identical literal text runs in the DuckDB twin.
+    */
+  private def poissonW(u: String): String =
+    s"""CAST(CASE WHEN $u < 790015083 THEN 0 WHEN $u < 1580030167 THEN 1
+       |          WHEN $u < 1975037709 THEN 2 WHEN $u < 2106706890 THEN 3
+       |          WHEN $u < 2139624185 THEN 4 WHEN $u < 2146207644 THEN 5
+       |          WHEN $u < 2147304887 THEN 6 WHEN $u < 2147461637 THEN 7
+       |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q154_bootstrap_ci" -> (q154_bootstrap_ci _),
     "q153_merge_on_read" -> (q153_merge_on_read _),
     "q152_schema_drift" -> (q152_schema_drift _),
     "q151_markov_attribution" -> (q151_markov_attribution _),
@@ -4045,6 +4100,36 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q154_bootstrap_ci" ->
+      s"""WITH base AS (
+         |  SELECT l_orderkey * 10 + l_linenumber AS id,
+         |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |draws AS (
+         |  SELECT r.rep, b.cents,
+         |         ((b.id * 2654435761 + r.rep * 40503 + 12345) % 2147483648)
+         |           * 48271 % 2147483647 AS u
+         |  FROM base b CROSS JOIN (SELECT unnest(range(1, 101)) AS rep) r),
+         |wts AS (
+         |  SELECT rep, cents, ${poissonW("u")} AS w FROM draws),
+         |m AS (
+         |  SELECT CAST(rep AS BIGINT) AS rep,
+         |         CAST(sum(w) AS BIGINT) AS nw,
+         |         CAST((CAST(sum(w * cents) AS BIGINT) * 1000)
+         |              // greatest(CAST(sum(w) AS BIGINT), 1) AS BIGINT)
+         |           AS rep_mean_milli_cents
+         |  FROM wts GROUP BY rep),
+         |r2 AS (
+         |  SELECT rep, nw, rep_mean_milli_cents,
+         |         CAST(row_number() OVER (ORDER BY rep_mean_milli_cents, rep)
+         |              AS BIGINT) AS rnk
+         |  FROM m)
+         |SELECT rep, nw, rep_mean_milli_cents, rnk,
+         |       min(CASE WHEN rnk = 3 THEN rep_mean_milli_cents END) OVER ()
+         |         AS ci_lo_milli_cents,
+         |       min(CASE WHEN rnk = 98 THEN rep_mean_milli_cents END) OVER ()
+         |         AS ci_hi_milli_cents
+         |FROM r2""".stripMargin,
     "q101_twap" ->
       """WITH e AS (
         |  -- (19,6)/(19,0), not (18,*): DuckDB multiplies width-<=18

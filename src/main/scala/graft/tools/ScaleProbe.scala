@@ -698,6 +698,19 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q153_merge_on_read(spark, sf).count())
       time(s"$tag st19_stream_deletes")(
         graft.operators.StreamingQueries.st19_stream_deletes(spark, sf).count())
+      // wave 21: c48 is a window cascade over (user_id, conv_idx) — one
+      // shuffle key family, must scale with events; q154 is R=100
+      // generator rows per input row collapsed by partial agg before a
+      // 100-row shuffle — must scale with the lineitem scan (CPU-bound
+      // on the weight arithmetic, never shuffle-bound). The 10x c48 count
+      // is legitimately 0: replicated same-timestamp events merge into
+      // single turns 10x the budget, so every conversation truncates to
+      // nothing — the cascade still runs over all 10x rows, which is
+      // what the timing measures.
+      time(s"$tag c48_chat_assembly")(
+        graft.operators.CurationQueries.c48_chat_assembly(spark, sf).count())
+      time(s"$tag q154_bootstrap_ci")(
+        graft.operators.RelationalQueries.q154_bootstrap_ci(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

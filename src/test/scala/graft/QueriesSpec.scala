@@ -2911,6 +2911,80 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c48 chat assembly: alternation holds, budget fits, truncation bites") {
+    val rows = SparkEntry.queries("c48_chat_assembly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(5), r.getLong(7), r.getLong(8)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._7 == 1L), "alternation audit failed on a kept turn")
+    rows.groupBy(r => (r._1, r._2)).foreach { case (conv, turns) =>
+      val sorted = turns.sortBy(_._3)
+      assert(sorted.head._3 == 1L && sorted.head._4 == "user",
+        s"$conv does not open with a user turn")
+      assert(sorted.map(_._3).sameElements(1L to sorted.length.toLong),
+        s"$conv: turn indices not contiguous")
+      val kept = sorted.head._6
+      assert(kept <= 64L, s"$conv exceeds the token budget: $kept")
+      assert(kept == sorted.map(_._5).sum, s"$conv: kept_tokens miscounts")
+    }
+    // independent driver-side fold over raw events (1000 rows at sf0.001):
+    // per conversation, the merged+lead-trimmed token total — any total
+    // over budget must have been truncated, and at least one such exists
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CASE WHEN event_type IN ('click','view') THEN 'user' ELSE 'assistant' END AS role",
+        "CAST(length(event_type) AS BIGINT) + CAST(length(props) AS BIGINT) div 4 + 2 AS tok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    val totals = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val convIds = sorted.scanLeft((0L, 0L)) { case ((idx, prev), e) =>
+        (if (prev == 0L || e._3 - prev > 86400000000L) idx + 1 else idx, e._3)
+      }.tail.map(_._1)
+      sorted.zip(convIds).groupBy(_._2).map { case (cid, ces) =>
+        // merge same-role runs, then drop leading assistant turns
+        val merged = ces.map(_._1).foldLeft(List.empty[(String, Long)]) {
+          case ((r0, t0) :: rest, e) if r0 == e._4 => (r0, t0 + e._5) :: rest
+          case (acc, e) => (e._4, e._5) :: acc
+        }.reverse.dropWhile(_._1 != "user")
+        (uid, cid) -> merged.map(_._2).sum
+      }
+    }.toMap
+    val keptByConv = rows.groupBy(r => (r._1, r._2)).map { case (c, ts) =>
+      c -> ts.head._6
+    }
+    val over = totals.filter(_._2 > 64L)
+    assert(over.nonEmpty, "fixture degenerate: no conversation over budget")
+    over.keys.foreach { c =>
+      assert(!keptByConv.contains(c) || keptByConv(c) < totals(c),
+        s"$c: over-budget conversation was not truncated")
+    }
+  }
+
+  test("q154 poisson bootstrap: valid rank permutation, CI brackets the mean") {
+    val rows = SparkEntry.queries("q154_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 100)
+    assert(rows.map(_._4).sorted.sameElements(1L to 100L),
+      "rnk is not a permutation of 1..100")
+    val byRnk = rows.map(r => r._4 -> r._3).toMap
+    assert(rows.forall(r => r._5 == byRnk(3L) && r._6 == byRnk(98L)),
+      "CI columns must be the rank-3 / rank-98 replicate means on every row")
+    // Poisson(1) weights concentrate: every replicate count within 5σ of n
+    val n = Tables.lineitem(spark, sf).count()
+    val tol = 5 * math.sqrt(n.toDouble)
+    assert(rows.forall(r => math.abs(r._2 - n) < tol),
+      "a replicate's Poisson weight total strayed implausibly far from n")
+    // the sample mean lies inside the 95% bootstrap CI
+    val mean = Tables.lineitem(spark, sf)
+      .selectExpr("sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000 div count(*) AS m")
+      .collect().head.getLong(0)
+    assert(byRnk(3L) < mean && mean < byRnk(98L),
+      s"CI [${byRnk(3L)}, ${byRnk(98L)}] does not bracket the mean $mean")
+    assert(byRnk(3L) < byRnk(98L), "degenerate CI")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
