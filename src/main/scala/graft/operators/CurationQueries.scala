@@ -1743,7 +1743,51 @@ object CurationQueries {
         col("kept_tokens"), col("alt_ok"))
   }
 
+  /** c49: DROP-LINEAGE attribution — "why is this document not in the
+    * training set?", answered per document rather than per stage. t12's
+    * funnel reports sequential stage counts; this operator emits, for
+    * EVERY doc, the first-failing gate (the sequential verdict), the full
+    * independent-failure bitmask (which gates would each reject the doc
+    * on their own — the marginal view sequential attribution hides), the
+    * failure count, and a `rescuable` flag (fails exactly one gate, so
+    * relaxing that single threshold recovers it — the set a threshold
+    * tuner looks at first). Gate definitions are t12's, bit-for-bit, so
+    * funnel counts and lineage rows reconcile by construction. Pure
+    * per-row projection — scan-speed, zero shuffle at any scale.
+    */
+  def c49_drop_lineage(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nshort",
+        expr("size(filter(toks, x -> length(x) <= 2))").cast("long"))
+      .withColumn("nstop", expr(
+        "size(filter(toks, x -> array_contains(array('the','a','of','and'), x)))")
+        .cast("long"))
+      .withColumn("ndist", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("b1", (col("nt") < 15).cast("long"))
+      .withColumn("b2", (col("nt") > 90).cast("long"))
+      .withColumn("b3", (col("nshort") * 100 > col("nt") * 6).cast("long"))
+      .withColumn("b4", (col("nstop") * 1000 < col("nt") * 20).cast("long"))
+      .withColumn("b5",
+        ((col("nt") - col("ndist")) * 100 > col("nt") * 65).cast("long"))
+      .withColumn("fail_bits",
+        col("b1") + col("b2") * 2 + col("b3") * 4 + col("b4") * 8 + col("b5") * 16)
+      .withColumn("n_fails",
+        col("b1") + col("b2") + col("b3") + col("b4") + col("b5"))
+      .withColumn("verdict",
+        when(col("b1") === 1, "r1_too_short")
+          .when(col("b2") === 1, "r2_too_long")
+          .when(col("b3") === 1, "r3_short_tokens")
+          .when(col("b4") === 1, "r4_low_stopword")
+          .when(col("b5") === 1, "r5_repetitive")
+          .otherwise("z_kept"))
+      .withColumn("rescuable", (col("n_fails") === 1).cast("long"))
+      .select(col("doc_id"), col("verdict"), col("fail_bits"),
+        col("n_fails"), col("rescuable"))
+
   val queries: Map[String, Q] = Map(
+    "c49_drop_lineage" -> (c49_drop_lineage _),
     "c48_chat_assembly" -> (c48_chat_assembly _),
     "c47_quantile_normalize" -> (c47_quantile_normalize _),
     "c46_loo_source_value" -> (c46_loo_source_value _),
@@ -2020,6 +2064,35 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c49_drop_lineage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks) AS nt,
+        |         len(list_filter(toks, x -> len(x) <= 2)) AS nshort,
+        |         len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS nstop,
+        |         len(list_distinct(toks)) AS ndist
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN nt < 15 THEN 1 ELSE 0 END AS b1,
+        |         CASE WHEN nt > 90 THEN 1 ELSE 0 END AS b2,
+        |         CASE WHEN nshort * 100 > nt * 6 THEN 1 ELSE 0 END AS b3,
+        |         CASE WHEN nstop * 1000 < nt * 20 THEN 1 ELSE 0 END AS b4,
+        |         CASE WHEN (nt - ndist) * 100 > nt * 65 THEN 1 ELSE 0 END AS b5
+        |  FROM s)
+        |SELECT doc_id,
+        |       CASE WHEN b1 = 1 THEN 'r1_too_short'
+        |            WHEN b2 = 1 THEN 'r2_too_long'
+        |            WHEN b3 = 1 THEN 'r3_short_tokens'
+        |            WHEN b4 = 1 THEN 'r4_low_stopword'
+        |            WHEN b5 = 1 THEN 'r5_repetitive'
+        |            ELSE 'z_kept' END AS verdict,
+        |       CAST(b1 + b2 * 2 + b3 * 4 + b4 * 8 + b5 * 16 AS BIGINT) AS fail_bits,
+        |       CAST(b1 + b2 + b3 + b4 + b5 AS BIGINT) AS n_fails,
+        |       CAST(CASE WHEN b1 + b2 + b3 + b4 + b5 = 1 THEN 1 ELSE 0 END
+        |            AS BIGINT) AS rescuable
+        |FROM b""".stripMargin,
     "c48_chat_assembly" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

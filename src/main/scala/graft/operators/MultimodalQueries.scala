@@ -863,6 +863,42 @@ object MultimodalQueries {
     * emitted batch all-distinct on the key and the overflow machinery
     * actually exercised.
     */
+  /** m25: GATED integrated loudness — EBU R128's two-gate structure over
+    * m06's frame energies (decode stubbed to byte levels, the m0x
+    * discipline; a real loudness meter replaces only the per-frame level
+    * kernel). Per-frame mean level feeds two gates in sequence: an
+    * ABSOLUTE gate (level > 90 000 milli-units — R128's −70 LUFS analog)
+    * drops silence, then a RELATIVE gate keeps frames within 1% of the
+    * ungated-mean (R128's −10 LU analog) — the self-referencing gate is
+    * the interesting shape: the threshold is computed FROM the data per
+    * document, so the plan is agg → join-back → agg, all keyed on doc_id
+    * (one shuffle key family, exchange reusable; never a global pass).
+    * Docs failing every gate report the −1 sentinel (R128's −inf).
+    * Integer milli-unit arithmetic end to end — hash-checked.
+    */
+  def m25_gated_loudness(s: SparkSession, d: String): DataFrame = {
+    val lv = m06_frame_energy(s, d)
+      .select(col("doc_id"), expr("energy * 1000 div frame_bytes").as("level_milli"))
+    val absPass = lv.where(col("level_milli") > 90000L)
+    val mu1 = absPass.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_abs"),
+        expr("sum(level_milli) div count(*)").as("mu1_milli"))
+    val gated = absPass.join(mu1, "doc_id")
+      .where(col("level_milli") * 100 >= col("mu1_milli") * 99)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rel"),
+        expr("sum(level_milli) div count(*)").as("loudness_milli"),
+        (max(col("level_milli")) - min(col("level_milli"))).as("range_milli"))
+    lv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(mu1, Seq("doc_id"), "left")
+      .join(gated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_abs"), lit(0L)).as("n_abs"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("loudness_milli"), lit(-1L)).as("loudness_milli"),
+        coalesce(col("range_milli"), lit(-1L)).as("range_milli"))
+  }
+
   def m24_contrastive_batches(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -924,6 +960,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "m25_gated_loudness" -> (m25_gated_loudness _),
     "m24_contrastive_batches" -> (m24_contrastive_batches _),
     "m23_shard_manifest" -> (m23_shard_manifest _),
     "m22_format_sniff" -> (m22_format_sniff _),
@@ -1320,6 +1357,29 @@ object MultimodalQueries {
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
     "m06_frame_energy" -> frameEnergyOracle,
+    "m25_gated_loudness" ->
+      s"""WITH fe AS ($frameEnergyOracle),
+        |lv AS (SELECT doc_id, energy * 1000 // frame_bytes AS level_milli FROM fe),
+        |ap AS (SELECT * FROM lv WHERE level_milli > 90000),
+        |mu AS (
+        |  SELECT doc_id, count(*) AS n_abs,
+        |         sum(level_milli) // count(*) AS mu1_milli
+        |  FROM ap GROUP BY 1),
+        |g AS (
+        |  SELECT a.doc_id, count(*) AS n_rel,
+        |         sum(a.level_milli) // count(*) AS loudness_milli,
+        |         max(a.level_milli) - min(a.level_milli) AS range_milli
+        |  FROM ap a JOIN mu m ON a.doc_id = m.doc_id
+        |  WHERE a.level_milli * 100 >= m.mu1_milli * 99
+        |  GROUP BY 1),
+        |fr AS (SELECT doc_id, count(*) AS n_frames FROM lv GROUP BY 1)
+        |SELECT fr.doc_id, fr.n_frames,
+        |       CAST(coalesce(mu.n_abs, 0) AS BIGINT) AS n_abs,
+        |       CAST(coalesce(g.n_rel, 0) AS BIGINT) AS n_rel,
+        |       CAST(coalesce(g.loudness_milli, -1) AS BIGINT) AS loudness_milli,
+        |       CAST(coalesce(g.range_milli, -1) AS BIGINT) AS range_milli
+        |FROM fr LEFT JOIN mu ON fr.doc_id = mu.doc_id
+        |LEFT JOIN g ON fr.doc_id = g.doc_id""".stripMargin,
     "m19_keyframes" ->
       s"""WITH fe AS ($frameEnergyOracle),
         |l AS (

@@ -711,6 +711,13 @@ object ScaleProbe {
         graft.operators.CurationQueries.c48_chat_assembly(spark, sf).count())
       time(s"$tag q154_bootstrap_ci")(
         graft.operators.RelationalQueries.q154_bootstrap_ci(spark, sf).count())
+      // wave 22: c49 is a pure scan-side projection (flat expected);
+      // m25 is agg → join-back → agg all keyed on doc_id — must track
+      // the frame count, never the pair count
+      time(s"$tag c49_drop_lineage")(
+        graft.operators.CurationQueries.c49_drop_lineage(spark, sf).count())
+      time(s"$tag m25_gated_loudness")(
+        graft.operators.MultimodalQueries.m25_gated_loudness(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -2985,6 +2985,48 @@ class QueriesSpec extends SparkTestBase {
     assert(byRnk(3L) < byRnk(98L), "degenerate CI")
   }
 
+  test("c49 drop lineage: verdict is the lowest set bit, t12 reconciles") {
+    val rows = SparkEntry.queries("c49_drop_lineage")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val verdictBit = Map("r1_too_short" -> 1L, "r2_too_long" -> 2L,
+      "r3_short_tokens" -> 4L, "r4_low_stopword" -> 8L, "r5_repetitive" -> 16L)
+    rows.foreach { case (id, v, bits, nf, resc) =>
+      assert(java.lang.Long.bitCount(bits) == nf, s"doc $id: bit count != n_fails")
+      assert((resc == 1L) == (nf == 1L), s"doc $id: rescuable flag wrong")
+      if (v == "z_kept") assert(bits == 0L, s"doc $id kept but fails gates")
+      else assert(java.lang.Long.lowestOneBit(bits) == verdictBit(v),
+        s"doc $id: verdict $v is not the first-failing gate of $bits")
+    }
+    assert(rows.exists(_._4 > 1), "fixture degenerate: no multi-gate failure")
+    assert(rows.exists(r => r._5 == 1L && r._2 != "z_kept"),
+      "fixture degenerate: no rescuable drop")
+    // lineage rows reconcile with the t12 funnel census exactly
+    val funnel = SparkEntry.queries("t12_filter_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val census = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(census == funnel.filter(_._2 > 0),
+      s"lineage/census mismatch: $census vs $funnel")
+  }
+
+  test("m25 gated loudness: gate containment, sentinels, both gates bite") {
+    val rows = SparkEntry.queries("m25_gated_loudness")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nf, na, nr, loud, rng) =>
+      assert(nr <= na && na <= nf, s"doc $id: gate containment violated")
+      if (na == 0) assert(loud == -1L && rng == -1L, s"doc $id: sentinel missing")
+      else {
+        assert(nr >= 1, s"doc $id: relative gate emptied a gated doc")
+        assert(loud > 90000L, s"doc $id: integrated loudness below the abs gate")
+        assert(rng >= 0L, s"doc $id: negative range")
+      }
+    }
+    assert(rows.exists(r => r._3 < r._2), "absolute gate never bit")
+    assert(rows.exists(r => r._4 < r._3), "relative gate never bit")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
