@@ -222,6 +222,38 @@ object Buckets {
       dir
     }
 
+  /** q155's SCHEMA-EVOLUTION layout: two epoch directories whose PHYSICAL
+    * parquet schemas differ — e1 carries the original three columns, e2
+    * (the "producer upgrade") adds `o_priority_class` and `o_channel` —
+    * the situation every long-lived lake table reaches (columns are added
+    * mid-history; old files are never rewritten). Marker-committed,
+    * identity-keyed like every other store here. The READER is the
+    * operator under test: `mergeSchema` must union the footers and
+    * null-fill the old files.
+    */
+  private[graft] def evoSnapshots(s: SparkSession, d: String): String =
+    synchronized {
+      val f = new java.io.File(d, "orders.parquet")
+      val dir = SketchQueries.partialsDir(
+        s"orders_evo_${Version}_${f.length()}_${f.lastModified()}", d)
+      val marker = new java.io.File(dir, "_complete")
+      if (!marker.exists()) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        Tables.orders(s, d).filter(col("o_orderdate") < cut)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .coalesce(2).write.mode("overwrite").parquet(s"$dir/e1")
+        Tables.orders(s, d).filter(col("o_orderdate") >= cut)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+              .as("o_priority_class"),
+            expr("CASE o_orderkey % 3 WHEN 0 THEN 'web' WHEN 1 THEN 'app' " +
+              "ELSE 'store' END").as("o_channel"))
+          .coalesce(2).write.mode("overwrite").parquet(s"$dir/e2")
+        marker.createNewFile()
+      }
+      dir
+    }
+
   /** q148's INCREMENTAL zone-map maintenance — an independent copy of the
     * q140 layout (that store stays pristine) that then receives a delta
     * file append, after which stats are computed ONLY for files missing

@@ -3896,6 +3896,35 @@ object RelationalQueries {
         dsum(col("l_extendedprice")).as("gross"))
   }
 
+  /** q155: SCHEMA-EVOLUTION reader — a long-lived lake table whose
+    * physical file schemas differ by epoch (Buckets.evoSnapshots: e1 is
+    * the original 3-column layout, e2 the producer upgrade that added
+    * `o_priority_class`/`o_channel`; old files are never rewritten). The
+    * operator is Spark's `mergeSchema` footer union + null-fill, audited:
+    * per epoch the census reports row count, non-null count of the added
+    * column, its default-filled sum, the distinct channel count (with the
+    * null bucket folded to 'missing'), and decimal-exact revenue over the
+    * shared column. The DuckDB oracle re-derives the SAME logical content
+    * from raw `orders`, so the hash gate proves the physical
+    * evolved-schema read loses and invents nothing. Scale: footer union
+    * is metadata-sized; the scan stays one pass with column pruning
+    * intact — this is exactly how a 100 TB table survives column adds
+    * without a rewrite.
+    */
+  def q155_schema_evolution(s: SparkSession, d: String): DataFrame = {
+    val dir = Buckets.evoSnapshots(s, d)
+    s.read.option("mergeSchema", "true").parquet(s"$dir/e1", s"$dir/e2")
+      .withColumn("epoch",
+        when(col("_metadata.file_path").contains("/e1/"), 1L).otherwise(2L))
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_priority_class")).as("n_pc_nonnull"),
+        sum(coalesce(col("o_priority_class"), lit(0))).cast("long").as("pc_sum"),
+        countDistinct(coalesce(col("o_channel"), lit("missing")))
+          .as("n_channels"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
   /** q154: POISSON BOOTSTRAP confidence interval — the one bootstrap that
     * works at 100 TB. The classical bootstrap resamples n rows WITH
     * replacement per replicate (R full shuffles of a 100 TB table: dead on
@@ -3951,6 +3980,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q155_schema_evolution" -> (q155_schema_evolution _),
     "q154_bootstrap_ci" -> (q154_bootstrap_ci _),
     "q153_merge_on_read" -> (q153_merge_on_read _),
     "q152_schema_drift" -> (q152_schema_drift _),
@@ -4100,6 +4130,19 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q155_schema_evolution" ->
+      s"""SELECT CAST(1 AS BIGINT) AS epoch, count(*) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_pc_nonnull, CAST(0 AS BIGINT) AS pc_sum,
+         |       CAST(1 AS BIGINT) AS n_channels,
+         |       ${osum("o_totalprice")} AS revenue
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), count(*), count(*),
+         |       CAST(sum(CAST(substring(o_orderpriority, 1, 1) AS INT)) AS BIGINT),
+         |       CAST(count(DISTINCT CASE o_orderkey % 3 WHEN 0 THEN 'web'
+         |              WHEN 1 THEN 'app' ELSE 'store' END) AS BIGINT),
+         |       ${osum("o_totalprice")}
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
     "q154_bootstrap_ci" ->
       s"""WITH base AS (
          |  SELECT l_orderkey * 10 + l_linenumber AS id,

@@ -1281,7 +1281,45 @@ object SimilarityQueries {
       store.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
   }
 
+  /** s38: RANKING METRICS — the retrieval-evaluation suite (Recall@k, MRR,
+    * nDCG@k) computed as an operator, with s01's exact brute-force top-5
+    * as ground truth and s04's IVF(nprobe=1) as the system under test —
+    * the eval loop every ANN deployment runs before trusting an index
+    * configuration (s28's recall ladder reports set overlap only; this
+    * adds the rank-sensitive metrics). nDCG stays integer-exact across
+    * engines by embedding the position weights as ⌊1000/log₂(i+1)⌋
+    * literals (1000/631/500/431/387) and their ideal prefix sums — the
+    * q154 embedded-literal discipline applied to IR evaluation; MRR and
+    * recall are plain floor divisions. Shape: two k-bounded result sets
+    * (50 rows each) joined on (q_id, vec_id) — metric cost is
+    * independent of corpus size by construction.
+    */
+  def s38_ranking_metrics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val gt = s01_knn_bruteforce(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit0"))
+    val sys = s04_ivf_ann(s, d)
+      .withColumn("srk", row_number().over(wq).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("srk"))
+    sys.join(gt, Seq("q_id", "vec_id"), "left")
+      .withColumn("hit", coalesce(col("hit0"), lit(0L)))
+      .groupBy(col("q_id"))
+      .agg(sum(col("hit")).as("h"),
+        min(when(col("hit") === 1L, col("srk"))).as("first_hit"),
+        sum(when(col("hit") === 1L,
+          expr("CASE srk WHEN 1 THEN 1000L WHEN 2 THEN 631L WHEN 3 THEN 500L " +
+            "WHEN 4 THEN 431L ELSE 387L END")).otherwise(0L)).as("dcg"))
+      .select(col("q_id"),
+        expr("h * 1000 div 5").as("recall_milli"),
+        coalesce(expr("1000 div first_hit"), lit(0L)).as("mrr_milli"),
+        expr("CASE WHEN h = 0 THEN 0L ELSE dcg * 1000 div " +
+          "(CASE h WHEN 1 THEN 1000L WHEN 2 THEN 1631L WHEN 3 THEN 2131L " +
+          "WHEN 4 THEN 2562L ELSE 2949L END) END").as("ndcg_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s38_ranking_metrics" -> (s38_ranking_metrics _),
     "s37_tombstoned_search" -> (s37_tombstoned_search _),
     "s36_bitext_margin" -> (s36_bitext_margin _),
     "s32_knn_graph" -> (s32_knn_graph _),
@@ -1507,6 +1545,24 @@ object SimilarityQueries {
     * exactly), route each query to its nprobe best cells, search only
     * those cells, top-5 per query.
     */
+  /** s01's exact brute-force top-5 — factored out so s38 can reuse it as
+    * the ranking-metrics ground truth.
+    */
+  private lazy val bruteforceOracle: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin
+
   private def ivfOracle(nprobe: Int): String =
     s"""WITH ex AS (
        |  SELECT label AS cell, generate_subscripts(embedding, 1) AS pos,
@@ -1892,20 +1948,35 @@ object SimilarityQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY n_votes DESC, label) AS rk FROM v) t
          |WHERE rk <= 1""".stripMargin,
-    "s01_knn_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-        |           FROM embeddings WHERE vec_id < 10),
-        |p AS (
-        |  SELECT q.q_id, e.vec_id,
-        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
-        |                                 x -> x[1] * x[2]))
-        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
-        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
-        |SELECT q_id, vec_id, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
-        |WHERE rk <= 5""".stripMargin,
+    "s01_knn_bruteforce" -> bruteforceOracle,
+    "s38_ranking_metrics" ->
+      s"""WITH gt AS ($bruteforceOracle),
+         |sys0 AS (${ivfOracle(1)}),
+         |sys AS (
+         |  SELECT q_id, vec_id,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, vec_id) AS srk
+         |  FROM sys0),
+         |marked AS (
+         |  SELECT s.q_id, s.srk,
+         |         CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM sys s LEFT JOIN gt g
+         |    ON g.q_id = s.q_id AND g.vec_id = s.vec_id),
+         |agg AS (
+         |  SELECT q_id, sum(hit) AS h,
+         |         min(CASE WHEN hit = 1 THEN srk END) AS fh,
+         |         sum(CASE WHEN hit = 1 THEN
+         |               CASE srk WHEN 1 THEN 1000 WHEN 2 THEN 631
+         |                        WHEN 3 THEN 500 WHEN 4 THEN 431 ELSE 387 END
+         |             ELSE 0 END) AS dcg
+         |  FROM marked GROUP BY 1)
+         |SELECT q_id, CAST(h * 1000 // 5 AS BIGINT) AS recall_milli,
+         |       CAST(coalesce(1000 // fh, 0) AS BIGINT) AS mrr_milli,
+         |       CAST(CASE WHEN h = 0 THEN 0 ELSE dcg * 1000 //
+         |              (CASE h WHEN 1 THEN 1000 WHEN 2 THEN 1631
+         |                      WHEN 3 THEN 2131 WHEN 4 THEN 2562
+         |                      ELSE 2949 END) END AS BIGINT) AS ndcg_milli
+         |FROM agg""".stripMargin,
     "s05_zipwith_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

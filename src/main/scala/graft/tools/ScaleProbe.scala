@@ -718,6 +718,13 @@ object ScaleProbe {
         graft.operators.CurationQueries.c49_drop_lineage(spark, sf).count())
       time(s"$tag m25_gated_loudness")(
         graft.operators.MultimodalQueries.m25_gated_loudness(spark, sf).count())
+      // wave 23: q155 pays the two-epoch layout once (marker) then reads
+      // a footer-union scan — must track the orders scan; s38 joins two
+      // k-bounded result sets, so its cost is the two ANN queries
+      time(s"$tag q155_schema_evolution")(
+        graft.operators.RelationalQueries.q155_schema_evolution(spark, sf).count())
+      time(s"$tag s38_ranking_metrics")(
+        graft.operators.SimilarityQueries.s38_ranking_metrics(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3027,6 +3027,42 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.exists(r => r._4 < r._3), "relative gate never bit")
   }
 
+  test("q155 schema evolution: footers really differ, null-fill is exact") {
+    val dir = operators.Buckets.evoSnapshots(spark, sf)
+    assert(spark.read.parquet(s"$dir/e1").schema.length == 3,
+      "e1 must keep the original 3-column physical schema")
+    assert(spark.read.parquet(s"$dir/e2").schema.length == 5,
+      "e2 must carry the two added columns")
+    val rows = SparkEntry.queries("q155_schema_evolution")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    val (n1, pc1, sum1, ch1) = rows(1L)
+    val (n2, pc2, sum2, ch2) = rows(2L)
+    assert(n1 > 0 && n2 > 0)
+    assert(pc1 == 0 && sum1 == 0 && ch1 == 1,
+      "epoch-1 files must read as all-null in the added columns")
+    assert(pc2 == n2 && sum2 > 0 && ch2 == 3,
+      "epoch-2 files must read their physical values")
+  }
+
+  test("s38 ranking metrics: bounded, zero-consistent, both outcomes occur") {
+    val rows = SparkEntry.queries("s38_ranking_metrics")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, rec, mrr, ndcg) =>
+      assert(rec >= 0 && rec <= 1000 && mrr >= 0 && mrr <= 1000 &&
+        ndcg >= 0 && ndcg <= 1000, s"query $q: metric out of range")
+      assert((rec == 0) == (mrr == 0) && (rec == 0) == (ndcg == 0),
+        s"query $q: zero metrics disagree")
+      if (rec == 1000) assert(ndcg == 1000 && mrr == 1000,
+        s"query $q: perfect recall must give perfect rank metrics")
+    }
+    assert(rows.exists(_._2 > 0), "system never retrieved a relevant item")
+    assert(rows.exists(_._2 < 1000),
+      "fixture degenerate: IVF(nprobe=1) matched brute force everywhere")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
