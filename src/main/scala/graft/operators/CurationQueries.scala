@@ -1786,7 +1786,62 @@ object CurationQueries {
       .select(col("doc_id"), col("verdict"), col("fail_bits"),
         col("n_fails"), col("rescuable"))
 
+  /** c50: BUDGET SELECTION WITH AN OPTIMALITY CERTIFICATE — token-budget
+    * curation (c02's problem) is a knapsack: value = lexical diversity
+    * (distinct tokens), weight = token count, capacity = 5 000 tokens.
+    * The selector is density-greedy (value-per-token order, the Dantzig
+    * rule); the NEW content is the certificate: the LP relaxation's
+    * optimum is the greedy prefix value plus the fractional take of the
+    * first non-fitting ("critical") item, so `gap_milli = lp_bound −
+    * chosen_value` bounds how far ANY selection under this budget could
+    * possibly improve on the greedy one — the number that tells a
+    * curation owner whether smarter selection is worth building.
+    *
+    * Scale shape: the density order's running token sum is the c28
+    * two-phase distributed prefix scan (range-partition by (−density,
+    * doc_id), per-pid window, ≤32 driver subtotals) — never a
+    * single-reducer global window; the critical item is a k=1
+    * TakeOrdered. All-integer arithmetic (densities and bounds in
+    * milli/micro units), so the certificate itself is hash-checked.
+    */
+  def c50_budget_certificate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 5000L
+    val items = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("wt"),
+        size(array_distinct(col("toks"))).cast("long").as("value"))
+      .withColumn("density", expr("value * 1000000L div wt"))
+      .withColumn("nk", -col("density"))
+      .repartitionByRange(32, col("nk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pid stable across subtotal + window passes
+    val sub = items.groupBy(col("pid")).agg(sum(col("wt")).as("pw"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offDf = broadcast(s.createDataFrame(
+      sub.map(_._1).zip(sub.map(_._2).scanLeft(0L)(_ + _)).toSeq)
+      .toDF("pid", "off"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("nk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = items.join(offDf, "pid")
+      .withColumn("cum", col("off") + sum(col("wt")).over(w))
+    val chosen = cum.where(col("cum") <= budget)
+      .agg(count(lit(1)).as("n_chosen"), sum(col("wt")).as("chosen_tokens"),
+        sum(col("value")).as("chosen_value"))
+    val crit = cum.where(col("cum") > budget)
+      .orderBy(col("nk"), col("doc_id")).limit(1)
+      .agg(coalesce(min(col("value")), lit(0L)).as("v_c"),
+        coalesce(min(col("wt")), lit(1L)).as("w_c"))
+    chosen.crossJoin(broadcast(crit))
+      .select(lit(budget).as("budget"), col("n_chosen"), col("chosen_tokens"),
+        col("chosen_value"),
+        expr(s"chosen_value * 1000 + ($budget - chosen_tokens) * v_c * 1000 div w_c")
+          .as("lp_bound_milli"),
+        expr(s"($budget - chosen_tokens) * v_c * 1000 div w_c").as("gap_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c50_budget_certificate" -> (c50_budget_certificate _),
     "c49_drop_lineage" -> (c49_drop_lineage _),
     "c48_chat_assembly" -> (c48_chat_assembly _),
     "c47_quantile_normalize" -> (c47_quantile_normalize _),
@@ -2064,6 +2119,35 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c50_budget_certificate" ->
+      """WITH it AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS wt,
+        |         len(list_distinct(string_split(text, ' '))) AS value
+        |  FROM documents),
+        |o AS (SELECT *, value * 1000000 // wt AS density FROM it),
+        |c AS (
+        |  SELECT *, sum(wt) OVER (ORDER BY density DESC, doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM o),
+        |ch AS (
+        |  SELECT count(*) AS n_chosen, CAST(sum(wt) AS BIGINT) AS chosen_tokens,
+        |         CAST(sum(value) AS BIGINT) AS chosen_value
+        |  FROM c WHERE cum <= 5000),
+        |cr AS (
+        |  SELECT value AS v_c, wt AS w_c FROM c WHERE cum > 5000
+        |  ORDER BY density DESC, doc_id LIMIT 1),
+        |cra AS (
+        |  SELECT CAST(coalesce(min(v_c), 0) AS BIGINT) AS v_c,
+        |         CAST(coalesce(min(w_c), 1) AS BIGINT) AS w_c
+        |  FROM cr)
+        |SELECT CAST(5000 AS BIGINT) AS budget, n_chosen, chosen_tokens,
+        |       chosen_value,
+        |       CAST(chosen_value * 1000
+        |            + (5000 - chosen_tokens) * v_c * 1000 // w_c AS BIGINT)
+        |         AS lp_bound_milli,
+        |       CAST((5000 - chosen_tokens) * v_c * 1000 // w_c AS BIGINT)
+        |         AS gap_milli
+        |FROM ch CROSS JOIN cra""".stripMargin,
     "c49_drop_lineage" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

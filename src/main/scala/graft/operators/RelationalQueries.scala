@@ -3945,18 +3945,29 @@ object RelationalQueries {
     * replicate means (rank window over 100 rows — R-bounded, never
     * data-sized).
     */
-  def q154_bootstrap_ci(s: SparkSession, d: String): DataFrame = {
-    val reps = 100
-    val ranked = Tables.lineitem(s, d)
+  def q154_bootstrap_ci(s: SparkSession, d: String): DataFrame =
+    bootstrapFinalize(bootstrapPartials(Tables.lineitem(s, d)))
+
+  /** Per-replicate Poisson partial sums (rep, wsum, nw) for a lineitem
+    * slice. ADDITIVE by construction — partials over any row partition of
+    * the table merge by plain per-rep sums, which is what st20 exploits
+    * to maintain the CI over a stream.
+    */
+  private[graft] def bootstrapPartials(lineitem: DataFrame): DataFrame =
+    lineitem
       .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .withColumn("rep0", explode(sequence(lit(1), lit(reps))))
+      .withColumn("rep0", explode(sequence(lit(1), lit(100))))
       .withColumn("rep", col("rep0").cast("long")).drop("rep0")
       .withColumn("u", expr(
         "((id * 2654435761L + rep * 40503L + 12345L) % 2147483648L) * 48271L % 2147483647L"))
       .withColumn("w", expr(poissonW("u")))
       .groupBy(col("rep"))
       .agg(sum(col("w") * col("cents")).as("wsum"), sum(col("w")).as("nw"))
+
+  /** Rank + nearest-rank CI over the R=100 merged partials (R-bounded). */
+  private[graft] def bootstrapFinalize(partials: DataFrame): DataFrame = {
+    val ranked = partials
       .withColumn("rep_mean_milli_cents",
         expr("wsum * 1000L div greatest(nw, 1L)"))
       .withColumn("rnk", row_number().over(

@@ -623,7 +623,34 @@ object StreamingQueries {
         sum(col("l_quantity")).cast("long").as("qty"))
   }
 
+  /** st20: INCREMENTAL bootstrap-CI maintenance — q154's Poisson state is
+    * ADDITIVE (per-replicate Σw·x and Σw are plain sums), so the CI over
+    * an unbounded stream needs no replay and no resample: each
+    * micro-batch contributes its 100-row partial, partials merge by
+    * per-rep sum, and the rank/CI step runs over the merged 100 rows at
+    * emit time. This twin splits lineitem into three deterministic
+    * batches (l_orderkey mod 3 — a partition of the table), folds them
+    * sequentially, and emits q154's EXACT output under q154's own oracle:
+    * the hash gate proves batching invariance (any split of the corpus
+    * folds to the same CI — the property that makes the bootstrap
+    * maintainable at all). StreamingSpec drives the same fold under a
+    * real readStream with the partial state persisted as parquet between
+    * micro-batches. State is R=100 rows regardless of corpus size — the
+    * ideal streaming-sketch economics.
+    */
+  def st20_incremental_bootstrap(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val merged = (0L until 3L)
+      .map(b => RelationalQueries.bootstrapPartials(
+        li.filter(pmod(col("l_orderkey"), lit(3L)) === b)))
+      .reduce(_ unionByName _)
+      .groupBy(col("rep"))
+      .agg(sum(col("wsum")).as("wsum"), sum(col("nw")).as("nw"))
+    RelationalQueries.bootstrapFinalize(merged)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st20_incremental_bootstrap" -> (st20_incremental_bootstrap _),
     "st19_stream_deletes" -> (st19_stream_deletes _),
     "st18_stream_layout" -> (st18_stream_layout _),
     "st17_late_data_audit" -> (st17_late_data_audit _),
@@ -646,6 +673,10 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // st20 must equal q154 exactly (batching invariance IS the claim), so
+    // it runs under q154's own oracle text
+    "st20_incremental_bootstrap" ->
+      RelationalQueries.oracles("q154_bootstrap_ci"),
     "st19_stream_deletes" ->
       """SELECT l_linestatus, count(*) AS n_live,
         |       CAST(sum(l_quantity) AS BIGINT) AS qty

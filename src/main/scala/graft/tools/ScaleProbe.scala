@@ -725,6 +725,13 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q155_schema_evolution(spark, sf).count())
       time(s"$tag s38_ranking_metrics")(
         graft.operators.SimilarityQueries.s38_ranking_metrics(spark, sf).count())
+      // wave 24: st20 is 3x q154's partials + a 100-row merge (must track
+      // 3x the q154 scan); c50's prefix scan is two-phase — must track
+      // the documents scan, never a single-reducer sort
+      time(s"$tag st20_incremental_bootstrap")(
+        graft.operators.StreamingQueries.st20_incremental_bootstrap(spark, sf).count())
+      time(s"$tag c50_budget_certificate")(
+        graft.operators.CurationQueries.c50_budget_certificate(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3063,6 +3063,37 @@ class QueriesSpec extends SparkTestBase {
       "fixture degenerate: IVF(nprobe=1) matched brute force everywhere")
   }
 
+  test("st20 incremental bootstrap folds to q154's exact output") {
+    def canon(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val folded = canon("st20_incremental_bootstrap")
+    assert(folded.nonEmpty)
+    assert(folded == canon("q154_bootstrap_ci"),
+      "batched fold diverged from the one-shot bootstrap")
+  }
+
+  test("c50 budget certificate: feasible, LP-bounded, budget bites") {
+    val r = SparkEntry.queries("c50_budget_certificate")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (budget, nChosen, tokens, value, lp, gap) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getLong(4), row.getLong(5))
+    assert(budget == 5000L && tokens <= budget, "infeasible selection")
+    assert(lp == value * 1000 + gap, "certificate arithmetic broken")
+    assert(gap >= 0, "negative optimality gap")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(nChosen > 0 && nChosen < nDocs, "budget did not bite")
+    // the fractional take is strictly less than one whole item, so the
+    // greedy value plus any single item beats the LP bound
+    val maxValue = Tables.documents(spark, sf)
+      .selectExpr("max(size(array_distinct(split(text, ' '))))")
+      .collect().head.getInt(0).toLong
+    assert(gap < maxValue * 1000,
+      s"gap $gap exceeds any single item's value — not a valid Dantzig bound")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)

@@ -1249,4 +1249,43 @@ class StreamingSpec extends SparkTestBase {
     assert(live.nonEmpty && live == twin,
       s"streamed DV census diverged: ${(live diff twin).take(3)}")
   }
+
+  test("streaming bootstrap-CI maintenance == one-shot (st20 under a real stream)") {
+    // q154's Poisson partials are additive, so the stream maintains ONLY
+    // a 100-row (rep, wsum, nw) state: each micro-batch appends its own
+    // partial (never rescanning earlier arrivals), and the CI finalizes
+    // from the merged store. Row-level independence means NO ingest
+    // contract is needed at all (unlike st14's co-arriving orders) —
+    // any partition of lineitem rows across batches folds identically.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("boot_stream_src").toString
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val partsDir = Files.createTempDirectory("boot_stream_parts").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty)
+          operators.RelationalQueries.bootstrapPartials(b)
+            .write.mode("append").parquet(partsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(partsDir)
+    assert(stored.count() > 100,
+      "expected multiple per-batch partials in the store")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val maintained = canon(operators.RelationalQueries.bootstrapFinalize(
+      stored.groupBy(col("rep"))
+        .agg(sum(col("wsum")).as("wsum"), sum(col("nw")).as("nw"))))
+    val oneShot = canon(
+      operators.RelationalQueries.q154_bootstrap_ci(spark, sf))
+    assert(maintained.nonEmpty && maintained == oneShot,
+      s"streamed bootstrap CI diverged: ${(maintained diff oneShot).take(3)}")
+  }
 }
