@@ -1840,7 +1840,44 @@ object CurationQueries {
         expr(s"($budget - chosen_tokens) * v_c * 1000 div w_c").as("gap_milli"))
   }
 
+  /** c51: LICENSE PROPAGATION through packing — the governance audit that
+    * must run before any packed corpus ships: each source carries a
+    * license (mapped to a restrictiveness rank: public_domain < cc_by <
+    * cc_by_sa < proprietary), documents inherit it, and a PACKED SEQUENCE
+    * (c07's packing, re-derived assignment-identical) inherits the MOST
+    * restrictive license among its members — one proprietary doc poisons
+    * the whole pack, because the pack is the training unit. Emits one row
+    * per pack with its license census, the effective (max-rank) license,
+    * a `shippable` verdict (policy: rank ≤ cc_by_sa), and the restricted
+    * member count — the remediation worklist. Same window shape as c07
+    * (per-(lang, shard) prefix sums — shard-bounded, no global sort);
+    * license rank is a broadcast-free pure projection of the source key.
+    */
+  def c51_license_audit(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard", hashCol(col("doc_id"), 271L, 32L))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("(cum - n_tokens) DIV 1024"))
+      .withColumn("lrank",
+        expr("CAST(CAST(substring(source, 4) AS INT) % 4 AS BIGINT)"))
+      .groupBy(col("lang"), col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lrank")).as("n_licenses"),
+        max(col("lrank")).as("max_rank"),
+        sum(when(col("lrank") === 3L, 1L).otherwise(0L)).as("n_restricted"))
+      .withColumn("effective_license",
+        expr("CASE max_rank WHEN 0 THEN 'public_domain' WHEN 1 THEN 'cc_by' " +
+          "WHEN 2 THEN 'cc_by_sa' ELSE 'proprietary' END"))
+      .withColumn("shippable", (col("max_rank") <= 2L).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c51_license_audit" -> (c51_license_audit _),
     "c50_budget_certificate" -> (c50_budget_certificate _),
     "c49_drop_lineage" -> (c49_drop_lineage _),
     "c48_chat_assembly" -> (c48_chat_assembly _),
@@ -2119,6 +2156,35 @@ object CurationQueries {
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c51_license_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         ((doc_id % 1000003) * 2654435761 + 271) % 32 AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, shard, source,
+        |         CAST((CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
+        |            ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          - n_tokens) // 1024 AS BIGINT) AS pack_id,
+        |         CAST(CAST(substring(source, 4) AS INT) % 4 AS BIGINT) AS lrank
+        |  FROM t),
+        |a AS (
+        |  SELECT lang, shard, pack_id, count(*) AS n_docs,
+        |         CAST(count(DISTINCT lrank) AS BIGINT) AS n_licenses,
+        |         CAST(max(lrank) AS BIGINT) AS max_rank,
+        |         CAST(sum(CASE WHEN lrank = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_restricted
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT lang, shard, pack_id, n_docs, n_licenses, max_rank,
+        |       n_restricted,
+        |       CASE max_rank WHEN 0 THEN 'public_domain' WHEN 1 THEN 'cc_by'
+        |            WHEN 2 THEN 'cc_by_sa' ELSE 'proprietary' END
+        |         AS effective_license,
+        |       CAST(CASE WHEN max_rank <= 2 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS shippable
+        |FROM a""".stripMargin,
     "c50_budget_certificate" ->
       """WITH it AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS wt,

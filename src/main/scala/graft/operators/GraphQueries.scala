@@ -514,6 +514,104 @@ object GraphQueries {
     s.sql(g15Sql(coStored).replace("$DIV$", "div"))
   }
 
+  /** g21: LABEL-PROPAGATION community detection (Raghavan et al. 2007),
+    * month-keyed — g15 scores a partition someone else supplies (nations);
+    * this DISCOVERS one from structure alone, per monthly graph snapshot
+    * (the global co-graph is a near-clique where every method returns one
+    * block; the monthly graphs are where structure lives — g16's point).
+    * Every node starts as its own label, and for four SYNCHRONOUS rounds
+    * each node adopts its neighbors' most frequent label (ties → smallest
+    * label, so the fixpoint is deterministic — asynchronous LPA is
+    * run-order-dependent and unreproducible, the wrong choice for a data
+    * pipeline). Output is one row per (month, community) with size,
+    * internal edges, degree mass and the community's modularity
+    * CONTRIBUTION within its month, micro units. Division is
+    * sign-separated (magnitude `div` then negate) because Spark truncates
+    * toward zero while DuckDB floors — negative contributions are the
+    * common case for fragment communities.
+    *
+    * Scale shape: month rides EVERY join key, so all 79 monthly LPAs run
+    * in the same four keyed rounds (join-per-round like g01 — months add
+    * keys, never rounds); reads the persisted monthly co-graph, never
+    * lineitem. The oracle rebuilds from raw lineitem+orders with the
+    * identical unrolled text.
+    */
+  def g21_labelprop(s: SparkSession, d: String): DataFrame = {
+    CoGraph.registerMonthlyView(s, d)
+    s.sql(g21Sql(g21CoStored).replace("$DIV$", "div"))
+  }
+
+  /** g21's SQL over registered `lineitem`/`orders` views — the
+    * planted-partition spec drives this form directly (two disjoint
+    * cliques must come back as exactly two communities labeled by their
+    * minima).
+    */
+  private[graft] def labelPropFromViews(s: SparkSession): DataFrame =
+    s.sql(g21Sql(g21CoRebuild).replace("$DIV$", "div")
+      .replace("$STR$", "STRING"))
+
+  private val g21CoRebuild: String =
+    """SELECT m.month, a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |                 AND a.l_suppkey < b.l_suppkey
+      |  JOIN (SELECT o_orderkey,
+      |               substring(CAST(CAST(o_orderdate AS DATE) AS $STR$), 1, 7)
+      |                 AS month
+      |        FROM orders) m ON m.o_orderkey = a.l_orderkey
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
+  private val g21CoStored: String =
+    """SELECT format_string('%04d-%02d', 1992 + m div 12, m % 12 + 1) AS month,
+      |         u, v FROM co_monthly WHERE n >= 2""".stripMargin
+
+  private def g21Round(prev: String, cur: String): String =
+    s"""v$cur AS (
+       |  SELECT e.month, e.u AS node, l.lbl, count(*) AS n
+       |  FROM und e JOIN $prev l ON l.month = e.month AND l.node = e.v
+       |  GROUP BY 1, 2, 3),
+       |$cur AS (
+       |  SELECT month, node, lbl FROM (
+       |    SELECT month, node, lbl,
+       |           row_number() OVER (PARTITION BY month, node
+       |               ORDER BY n DESC, lbl) AS rk FROM v$cur) t
+       |  WHERE rk = 1)""".stripMargin
+
+  private def g21Sql(co: String): String =
+    s"""WITH co AS (
+       |  $co),
+       |und AS (SELECT month, u, v FROM co
+       |        UNION ALL SELECT month, v, u FROM co),
+       |l0 AS (SELECT DISTINCT month, u AS node, u AS lbl FROM und),
+       |${g21Round("l0", "l1")},
+       |${g21Round("l1", "l2")},
+       |${g21Round("l2", "l3")},
+       |${g21Round("l3", "l4")},
+       |deg AS (SELECT month, u AS node, count(*) AS d FROM und GROUP BY 1, 2),
+       |mm AS (SELECT month, CAST(count(*) AS BIGINT) AS m FROM co GROUP BY 1),
+       |ec AS (
+       |  SELECT co.month, la.lbl AS comm, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM co JOIN l4 la ON la.month = co.month AND la.node = co.u
+       |          JOIN l4 lb ON lb.month = co.month AND lb.node = co.v
+       |                    AND lb.lbl = la.lbl
+       |  GROUP BY 1, 2),
+       |dc AS (
+       |  SELECT l4.month, l4.lbl AS comm, CAST(count(*) AS BIGINT) AS n_nodes,
+       |         CAST(sum(deg.d) AS BIGINT) AS d_c
+       |  FROM l4 JOIN deg ON deg.month = l4.month AND deg.node = l4.node
+       |  GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT dc.month, dc.comm, dc.n_nodes,
+       |         CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c, dc.d_c,
+       |         4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c AS num,
+       |         4 * mm.m * mm.m AS den
+       |  FROM dc JOIN mm ON mm.month = dc.month
+       |  LEFT JOIN ec ON ec.month = dc.month AND ec.comm = dc.comm)
+       |SELECT month, comm, n_nodes, e_c, d_c,
+       |       CASE WHEN num >= 0 THEN (1000000 * num) $$DIV$$ den
+       |            ELSE -((1000000 * (-num)) $$DIV$$ den) END AS q_contrib_micro
+       |FROM contrib""".stripMargin
+
   /** g16: temporal graph EVOLUTION panel — the co-supplier graph rebuilt
     * per order-month with its structural vitals (nodes, edges, density,
     * mean degree), the "is the link structure drifting" monitor a
@@ -773,6 +871,7 @@ object GraphQueries {
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
+    "g21_labelprop" -> (g21_labelprop _),
     "g15_modularity" -> (g15_modularity _),
     "g16_graph_evolution" -> (g16_graph_evolution _),
     "g06_weighted_paths" -> (g06_weighted_paths _),
@@ -1089,6 +1188,8 @@ object GraphQueries {
       "g13_assortativity" -> g13Sql(coRebuild),
       "g14_local_clustering" -> g14Sql(coRebuild).replace("$DIV$", "//"),
       "g15_modularity" -> g15Sql(coRebuild).replace("$DIV$", "//"),
+      "g21_labelprop" -> g21Sql(g21CoRebuild).replace("$DIV$", "//")
+        .replace("$STR$", "VARCHAR"),
       "g16_graph_evolution" ->
         g16Sql(g16CoRebuild).replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
       "g12_link_prediction" ->

@@ -732,6 +732,13 @@ object ScaleProbe {
         graft.operators.StreamingQueries.st20_incremental_bootstrap(spark, sf).count())
       time(s"$tag c50_budget_certificate")(
         graft.operators.CurationQueries.c50_budget_certificate(spark, sf).count())
+      // wave 25: g21 is four keyed LPA rounds over the persisted monthly
+      // co-graph (months are keys, never rounds — must track the stored
+      // graph, not lineitem); c51 is c07's window shape + a projection
+      time(s"$tag g21_labelprop")(
+        graft.operators.GraphQueries.g21_labelprop(spark, sf).count())
+      time(s"$tag c51_license_audit")(
+        graft.operators.CurationQueries.c51_license_audit(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3094,6 +3094,57 @@ class QueriesSpec extends SparkTestBase {
       s"gap $gap exceeds any single item's value — not a valid Dantzig bound")
   }
 
+  test("g21 label propagation: planted cliques recovered, labeled by minima") {
+    import spark.implicits._
+    // two disjoint K4s sharing one month: LPA must return exactly two
+    // communities labeled by each clique's smallest node, q = 250000 each
+    val li = (for (o <- 1 to 30; sup <- 1L to 4L) yield (o.toLong, sup)) ++
+      (for (o <- 31 to 60; sup <- 5L to 8L) yield (o.toLong, sup))
+    li.toDF("l_orderkey", "l_suppkey").createOrReplaceTempView("lineitem")
+    (1L to 60L).map(k => (k, java.sql.Timestamp.valueOf("1995-01-15 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate").createOrReplaceTempView("orders")
+    val out = operators.GraphQueries.labelPropFromViews(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(out == Set(
+      ("1995-01", 1L, 4L, 6L, 12L, 250000L),
+      ("1995-01", 5L, 4L, 6L, 12L, 250000L)),
+      s"planted LPA communities wrong: $out")
+    // the registered query discovers real structure: some month must
+    // split into multiple communities, and contributions stay bounded
+    val real = SparkEntry.queries("g21_labelprop")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(5)))
+    assert(real.nonEmpty)
+    assert(real.groupBy(_._1).exists(_._2.length > 1),
+      "no month split into multiple communities")
+    assert(real.forall(r => r._3 >= -1000000L && r._3 <= 1000000L))
+  }
+
+  test("c51 license audit: packs partition docs, verdicts match ranks") {
+    val rows = SparkEntry.queries("c51_license_audit")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7), r.getLong(8)))
+    val names = Map(0L -> "public_domain", 1L -> "cc_by", 2L -> "cc_by_sa",
+      3L -> "proprietary")
+    assert(rows.map(_._4).sum == Tables.documents(spark, sf).count(),
+      "packs do not partition the corpus")
+    rows.foreach { case (lang, shard, pack, nd, nl, mr, nr, eff, ship) =>
+      assert(nl >= 1 && nl <= 4 && nr <= nd, s"($lang,$shard,$pack) census broken")
+      assert(eff == names(mr), s"($lang,$shard,$pack) license name mismatch")
+      assert((ship == 1L) == (mr <= 2L), s"($lang,$shard,$pack) verdict wrong")
+      assert((nr > 0) == (mr == 3L), s"($lang,$shard,$pack) restricted count " +
+        "disagrees with the max rank")
+    }
+    assert(rows.exists(_._9 == 0L) && rows.exists(_._9 == 1L),
+      "fixture degenerate: policy never split the packs")
+    // assignment-identical to c07: same pack keys, same member counts
+    val c07 = SparkEntry.queries("c07_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(rows.map(r => (r._1, r._2, r._3) -> r._4).toMap == c07,
+      "c51 re-derived a different packing than c07")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
