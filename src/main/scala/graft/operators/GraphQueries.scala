@@ -541,6 +541,55 @@ object GraphQueries {
     s.sql(g21Sql(g21CoStored).replace("$DIV$", "div"))
   }
 
+  /** g22: RANDOM-WALK CORPUS generation — the graph-ML data op (DeepWalk /
+    * node2vec): emit fixed-length walks over the co-supplier graph, the
+    * sequences a skip-gram embedding trains on. Walks are DETERMINISTIC —
+    * at each step the walker picks the neighbor whose adjacency RANK is an
+    * LCG hash of (walk, step, current) mod degree — because a training
+    * corpus you cannot regenerate bit-identically is a provenance hole
+    * (the c01/s02 no-RNG discipline applied to graph sampling). One walk
+    * starts per node, 4 steps, output (walk_id, step, node) — long-format
+    * sequences, 5 rows per walk.
+    *
+    * Scale shape: adjacency ranks are one window over u (graph-sized, not
+    * corpus-sized); each step is one keyed join on (cur, rank) — steps
+    * are rounds, walks are keys, so a billion walks still take exactly 4
+    * joins. Reads the persisted co-graph; the oracle rebuilds from raw
+    * lineitem with identical unrolled text.
+    */
+  def g22_random_walks(s: SparkSession, d: String): DataFrame = {
+    CoGraph.registerPairsView(s, d)
+    s.sql(g22Sql(coStored))
+  }
+
+  private def g22Step(prev: String, cur: String, t: Int): String =
+    s"""$cur AS (
+       |  SELECT p.walk, a.v AS node
+       |  FROM $prev p
+       |  JOIN deg dg ON dg.u = p.node
+       |  JOIN adj a ON a.u = p.node
+       |   AND a.rn = ((p.walk * 2654435761 + $t * 40503 + p.node * 69621)
+       |               % 2147483648) % dg.d)""".stripMargin
+
+  private def g22Sql(co: String): String =
+    s"""WITH co AS (
+       |  $co),
+       |und AS (SELECT u, v FROM co UNION ALL SELECT v, u FROM co),
+       |adj AS (
+       |  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rn
+       |  FROM und),
+       |deg AS (SELECT u, count(*) AS d FROM und GROUP BY 1),
+       |w0 AS (SELECT u AS walk, u AS node FROM deg),
+       |${g22Step("w0", "w1", 1)},
+       |${g22Step("w1", "w2", 2)},
+       |${g22Step("w2", "w3", 3)},
+       |${g22Step("w3", "w4", 4)}
+       |SELECT walk AS walk_id, CAST(0 AS BIGINT) AS step, node FROM w0
+       |UNION ALL SELECT walk, CAST(1 AS BIGINT), node FROM w1
+       |UNION ALL SELECT walk, CAST(2 AS BIGINT), node FROM w2
+       |UNION ALL SELECT walk, CAST(3 AS BIGINT), node FROM w3
+       |UNION ALL SELECT walk, CAST(4 AS BIGINT), node FROM w4""".stripMargin
+
   /** g21's SQL over registered `lineitem`/`orders` views — the
     * planted-partition spec drives this form directly (two disjoint
     * cliques must come back as exactly two communities labeled by their
@@ -871,6 +920,7 @@ object GraphQueries {
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
+    "g22_random_walks" -> (g22_random_walks _),
     "g21_labelprop" -> (g21_labelprop _),
     "g15_modularity" -> (g15_modularity _),
     "g16_graph_evolution" -> (g16_graph_evolution _),
@@ -1190,6 +1240,7 @@ object GraphQueries {
       "g15_modularity" -> g15Sql(coRebuild).replace("$DIV$", "//"),
       "g21_labelprop" -> g21Sql(g21CoRebuild).replace("$DIV$", "//")
         .replace("$STR$", "VARCHAR"),
+      "g22_random_walks" -> g22Sql(coRebuild),
       "g16_graph_evolution" ->
         g16Sql(g16CoRebuild).replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
       "g12_link_prediction" ->

@@ -3925,6 +3925,69 @@ object RelationalQueries {
         dsum(col("o_totalprice")).as("revenue"))
   }
 
+  /** q156: FORMAT-PRESERVING PSEUDONYMIZATION — the data-sharing step that
+    * replaces stable entity keys with unlinkable-but-reversible tokens
+    * from the SAME domain (a 24-bit key maps to a 24-bit token, so every
+    * downstream schema, join and partition strategy keeps working): a
+    * 4-round Feistel network over the key's 12-bit halves with an
+    * integer round function — bijective BY CONSTRUCTION on [0, 2²⁴), no
+    * mapping table to store, leak or shuffle (the 100 TB argument: a
+    * lookup-table pseudonymizer is a giant join; Feistel is a scan-local
+    * projection). The audit proves what construction promises: per
+    * nation, distinct tokens == distinct keys (injectivity) and the
+    * inverse rounds recover every original key (round-trip). XOR is the
+    * one dialect split (Spark `^`, DuckDB `xor()`), parameterized like
+    * $DIV$. Integer-only — the full token census is hash-checked.
+    */
+  def q156_feistel_pseudonymize(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "customer")(
+      feistelSql((a, b) => s"($a ^ $b)").replace("$DIV$", "div"))
+
+  private def feistelF(x: String, r: Int): String =
+    s"(($x * 2654435761 + $r * 40503 + 99991) % 4096)"
+
+  private[operators] def feistelSql(xor: (String, String) => String): String = {
+    def fwd(i: Int): String =
+      s"""f$i AS (
+         |  SELECT c_custkey, c_nationkey, r${i - 1} AS l$i,
+         |         ${xor(s"l${i - 1}", feistelF(s"r${i - 1}", i))} AS r$i
+         |  FROM f${i - 1})""".stripMargin
+    def inv(i: Int): String =
+      s"""i${i - 1} AS (
+         |  SELECT c_custkey, c_nationkey, pseudo,
+         |         ${xor(s"ir$i", feistelF(s"il$i", i))} AS il${i - 1},
+         |         il$i AS ir${i - 1}
+         |  FROM i$i)""".stripMargin
+    s"""WITH f0 AS (
+       |  SELECT c_custkey, c_nationkey,
+       |         c_custkey $$DIV$$ 4096 AS l0, c_custkey % 4096 AS r0
+       |  FROM customer),
+       |${fwd(1)},
+       |${fwd(2)},
+       |${fwd(3)},
+       |${fwd(4)},
+       |i4 AS (
+       |  SELECT c_custkey, c_nationkey, l4 * 4096 + r4 AS pseudo,
+       |         l4 AS il4, r4 AS ir4
+       |  FROM f4),
+       |${inv(4)},
+       |${inv(3)},
+       |${inv(2)},
+       |${inv(1)},
+       |fin AS (
+       |  SELECT c_custkey, c_nationkey, pseudo,
+       |         il0 * 4096 + ir0 AS recovered
+       |  FROM i0)
+       |SELECT CAST(c_nationkey AS BIGINT) AS nation, count(*) AS n_customers,
+       |       CAST(count(DISTINCT pseudo) AS BIGINT) AS n_distinct_pseudo,
+       |       CAST(sum(CASE WHEN recovered = c_custkey THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_roundtrip_ok,
+       |       CAST(min(pseudo) AS BIGINT) AS min_pseudo,
+       |       CAST(max(pseudo) AS BIGINT) AS max_pseudo,
+       |       CAST(sum(pseudo) AS BIGINT) AS sum_pseudo
+       |FROM fin GROUP BY c_nationkey""".stripMargin
+  }
+
   /** q154: POISSON BOOTSTRAP confidence interval — the one bootstrap that
     * works at 100 TB. The classical bootstrap resamples n rows WITH
     * replacement per replicate (R full shuffles of a 100 TB table: dead on
@@ -3991,6 +4054,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q156_feistel_pseudonymize" -> (q156_feistel_pseudonymize _),
     "q155_schema_evolution" -> (q155_schema_evolution _),
     "q154_bootstrap_ci" -> (q154_bootstrap_ci _),
     "q153_merge_on_read" -> (q153_merge_on_read _),
@@ -4141,6 +4205,8 @@ object RelationalQueries {
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
   val oracles: Map[String, String] = Map(
+    "q156_feistel_pseudonymize" ->
+      feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q155_schema_evolution" ->
       s"""SELECT CAST(1 AS BIGINT) AS epoch, count(*) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_pc_nonnull, CAST(0 AS BIGINT) AS pc_sum,

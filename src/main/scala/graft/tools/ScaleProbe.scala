@@ -739,6 +739,12 @@ object ScaleProbe {
         graft.operators.GraphQueries.g21_labelprop(spark, sf).count())
       time(s"$tag c51_license_audit")(
         graft.operators.CurationQueries.c51_license_audit(spark, sf).count())
+      // wave 26: q156 is a scan-local projection + per-nation agg (flat);
+      // g22 is 4 keyed joins over the stored graph — walks are keys
+      time(s"$tag q156_feistel_pseudonymize")(
+        graft.operators.RelationalQueries.q156_feistel_pseudonymize(spark, sf).count())
+      time(s"$tag g22_random_walks")(
+        graft.operators.GraphQueries.g22_random_walks(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3145,6 +3145,48 @@ class QueriesSpec extends SparkTestBase {
       "c51 re-derived a different packing than c07")
   }
 
+  test("q156 feistel pseudonymization: bijective, reversible, in-domain") {
+    val rows = SparkEntry.queries("q156_feistel_pseudonymize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nation, n, nd, rt, lo, hi) =>
+      assert(nd == n, s"nation $nation: pseudonyms collide ($nd of $n)")
+      assert(rt == n, s"nation $nation: inverse failed on ${n - rt} keys")
+      assert(lo >= 0L && hi < (1L << 24), s"nation $nation: token left the domain")
+    }
+    // tokens must not be the identity (the map really pseudonymizes):
+    // with 24-bit mixing the chance any nation's min equals its smallest
+    // custkey is negligible unless the rounds are inert
+    val minKey = Tables.customer(spark, sf)
+      .selectExpr("min(c_custkey)").collect().head.getLong(0)
+    assert(rows.map(_._5).min != minKey,
+      "pseudonym space looks untouched — Feistel rounds inert?")
+  }
+
+  test("g22 random walks: every step follows a real edge deterministically") {
+    val walks = SparkEntry.queries("g22_random_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byWalk = walks.groupBy(_._1)
+    assert(byWalk.nonEmpty)
+    val edges = operators.CoGraph.frequentPairs(spark, sf, 10).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    byWalk.foreach { case (w, steps) =>
+      val path = steps.sortBy(_._2).map(_._3)
+      assert(steps.map(_._2).sorted.sameElements(0L to 4L),
+        s"walk $w: missing steps")
+      assert(path.head == w, s"walk $w must start at its own node")
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edges.contains((a, b)), s"walk $w traversed a non-edge $a->$b")
+      }
+    }
+    // determinism: a second run is bit-identical
+    val again = SparkEntry.queries("g22_random_walks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(walks.toSet == again.toSet, "walk corpus is not reproducible")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
