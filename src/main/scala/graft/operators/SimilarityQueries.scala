@@ -1318,7 +1318,68 @@ object SimilarityQueries {
           "WHEN 4 THEN 2562L ELSE 2949L END) END").as("ndcg_milli"))
   }
 
+  /** s39: PRE- vs POST-FILTER strategy audit — the planning decision every
+    * filtered vector search makes (and every vector store documents):
+    * PRE-filter scans the predicate's subset exactly (cost ∝ subset,
+    * always complete); POST-filter reuses an unfiltered top-n shortlist
+    * and filters it (cost ∝ n, but the shortlist may not contain 5
+    * survivors of a selective predicate — the recall hole). For a ladder
+    * of selectivities (vec_id mod {2, 10, 50}), both strategies run and
+    * the audit reports, per filter: selectivity, how often POST came back
+    * complete, how often a complete POST agreed EXACTLY with PRE's top-5
+    * (it must — both are exact over the same order, the spec pins
+    * n_agree == n_post_complete), and the decision a planner would take
+    * (expected survivors n·sel ≥ k → post_filter). All three filter
+    * ladders ride ONE scored scan (localCheckpoint) and the partial-heap
+    * top-k operator with (m, q_id) group keys — filters are keys, not
+    * passes.
+    */
+  def s39_filter_strategy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val filters = broadcast(Seq(2L, 10L, 50L).toDF("m"))
+    val scored = Tables.embeddings(s, d)
+      .join(broadcast(queriesSide(s, d)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("sim"))
+      .localCheckpoint()
+    val pre = TopKPerGroup.topK(
+      scored.crossJoin(filters).where(pmod(col("vec_id"), col("m")) === 0),
+      Seq("m", "q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
+      .groupBy(col("m"), col("q_id"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("pre_ids"))
+    val short = TopKPerGroup.topK(scored, Seq("q_id"),
+      Seq(Ord("sim", desc = true), Ord("vec_id")), 50)
+    val wp = Window.partitionBy(col("m"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val post = short.crossJoin(filters)
+      .where(pmod(col("vec_id"), col("m")) === 0)
+      .withColumn("rk", row_number().over(wp))
+      .where(col("rk") <= K)
+      .groupBy(col("m"), col("q_id"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("post_ids"),
+        count(lit(1)).as("n_post"))
+    val sel = Tables.embeddings(s, d).crossJoin(filters)
+      .groupBy(col("m"))
+      .agg(sum(when(pmod(col("vec_id"), col("m")) === 0, 1L).otherwise(0L))
+        .as("n_match"), count(lit(1)).as("n_total"))
+    pre.join(post, Seq("m", "q_id"), "left")
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("n_post") === K, 1L).otherwise(0L)).as("n_post_complete"),
+        sum(when(col("n_post") === K && col("post_ids") === col("pre_ids"), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .join(sel, "m")
+      .withColumn("sel_pm", expr("n_match * 1000 div n_total"))
+      .withColumn("decision",
+        when(col("sel_pm") * 50 >= lit(1000L) * K, "post_filter")
+          .otherwise("pre_filter"))
+      .select(col("m"), col("n_queries"), col("n_post_complete"),
+        col("n_agree"), col("sel_pm"), col("decision"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s39_filter_strategy" -> (s39_filter_strategy _),
     "s38_ranking_metrics" -> (s38_ranking_metrics _),
     "s37_tombstoned_search" -> (s37_tombstoned_search _),
     "s36_bitext_margin" -> (s36_bitext_margin _),
@@ -1949,6 +2010,53 @@ object SimilarityQueries {
          |             ORDER BY n_votes DESC, label) AS rk FROM v) t
          |WHERE rk <= 1""".stripMargin,
     "s01_knn_bruteforce" -> bruteforceOracle,
+    "s39_filter_strategy" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${duckCosine("q.q_emb::DOUBLE[]", "e.embedding::DOUBLE[]")} AS sim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |f AS (SELECT unnest([2, 10, 50]) AS m),
+         |pre AS (
+         |  SELECT m, q_id, list_sort(list(vec_id)) AS pre_ids FROM (
+         |    SELECT f.m, s.q_id, s.vec_id,
+         |           row_number() OVER (PARTITION BY f.m, s.q_id
+         |               ORDER BY s.sim DESC, s.vec_id) AS rk
+         |    FROM sc s CROSS JOIN f WHERE s.vec_id % f.m = 0) t
+         |  WHERE rk <= 5 GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY sim DESC, vec_id) AS rk FROM sc) t
+         |  WHERE rk <= 50),
+         |post AS (
+         |  SELECT m, q_id, list_sort(list(vec_id)) AS post_ids,
+         |         count(*) AS n_post FROM (
+         |    SELECT f.m, sh.q_id, sh.vec_id,
+         |           row_number() OVER (PARTITION BY f.m, sh.q_id
+         |               ORDER BY sh.sim DESC, sh.vec_id) AS rk2
+         |    FROM short sh CROSS JOIN f WHERE sh.vec_id % f.m = 0) t
+         |  WHERE rk2 <= 5 GROUP BY 1, 2),
+         |selq AS (
+         |  SELECT f.m,
+         |         CAST(sum(CASE WHEN e.vec_id % f.m = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_match,
+         |         count(*) AS n_total
+         |  FROM embeddings e CROSS JOIN f GROUP BY 1),
+         |agg AS (
+         |  SELECT p.m, count(*) AS n_queries,
+         |         CAST(sum(CASE WHEN po.n_post = 5 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_post_complete,
+         |         CAST(sum(CASE WHEN po.n_post = 5 AND po.post_ids = p.pre_ids
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM pre p LEFT JOIN post po ON po.m = p.m AND po.q_id = p.q_id
+         |  GROUP BY 1)
+         |SELECT CAST(a.m AS BIGINT) AS m, a.n_queries, a.n_post_complete,
+         |       a.n_agree,
+         |       CAST((s2.n_match * 1000) // s2.n_total AS BIGINT) AS sel_pm,
+         |       CASE WHEN ((s2.n_match * 1000) // s2.n_total) * 50 >= 5000
+         |            THEN 'post_filter' ELSE 'pre_filter' END AS decision
+         |FROM agg a JOIN selq s2 ON s2.m = a.m""".stripMargin,
     "s38_ranking_metrics" ->
       s"""WITH gt AS ($bruteforceOracle),
          |sys0 AS (${ivfOracle(1)}),

@@ -1958,7 +1958,40 @@ object TextQueries {
         sum(col("bg")).as("background_hits"))
   }
 
+  /** t45: CODE/PROSE detection — the routing gate a mixed-corpus pipeline
+    * runs before choosing a tokenizer, a quality model and a mixture slot
+    * for each document (code and prose get different everything). The
+    * detector is the standard symbol-density heuristic (share of
+    * characters from the code-punctuation class); ground truth follows
+    * t44's PLANTED discipline: every 19th document is re-rendered as
+    * code (tokens joined with `;` inside a function skeleton) so the
+    * confusion census has a known answer — word-soup prose carries ZERO
+    * code symbols, so the spec can pin perfect separation (exactly two
+    * confusion cells, pred == truth). Pure scan-side projection + grouped
+    * count; the one dialect trap is regexp_replace's global flag (DuckDB
+    * needs explicit 'g'; Spark is global by default).
+    */
+  def t45_code_detect(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), lit(0L).as("is_code"))
+    val planted = Tables.documents(s, d)
+      .where(pmod(col("doc_id"), lit(19L)) === 3)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("def fn(a) { "), expr("replace(text, ' ', '; ')"),
+          lit(" }")).as("text"),
+        lit(1L).as("is_code"))
+    base.unionByName(planted)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("sym", (col("n") -
+        length(regexp_replace(col("text"), "[{}();=+*>]", ""))).cast("long"))
+      .withColumn("sym_pm", expr("sym * 1000 div greatest(n, 1)"))
+      .withColumn("pred_code", (col("sym_pm") >= 50L).cast("long"))
+      .groupBy(col("is_code"), col("pred_code"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sym_pm")).as("sum_sym_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t45_code_detect" -> (t45_code_detect _),
     "t44_pii_canary" -> (t44_pii_canary _),
     "t43_log_odds" -> (t43_log_odds _),
     "t41_heaps_fit" -> (t41_heaps_fit _),
@@ -2146,6 +2179,26 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t45_code_detect" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, CAST(0 AS BIGINT) AS is_code FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |         'def fn(a) { ' || replace(text, ' ', '; ') || ' }',
+        |         CAST(1 AS BIGINT)
+        |  FROM documents WHERE doc_id % 19 = 3),
+        |feat AS (
+        |  SELECT is_code, length(text) AS n,
+        |         length(text)
+        |           - length(regexp_replace(text, '[{}();=+*>]', '', 'g')) AS sym
+        |  FROM base),
+        |p AS (SELECT is_code,
+        |             sym * 1000 // greatest(n, 1) AS sym_pm FROM feat)
+        |SELECT is_code,
+        |       CAST(CASE WHEN sym_pm >= 50 THEN 1 ELSE 0 END AS BIGINT)
+        |         AS pred_code,
+        |       count(*) AS n_docs, CAST(sum(sym_pm) AS BIGINT) AS sum_sym_pm
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "t44_pii_canary" ->
       """WITH p AS (
         |  SELECT doc_id, text,

@@ -745,6 +745,13 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q156_feistel_pseudonymize(spark, sf).count())
       time(s"$tag g22_random_walks")(
         graft.operators.GraphQueries.g22_random_walks(spark, sf).count())
+      // wave 27: s39 rides one scored scan through heap top-k with the
+      // filter ladder as extra group keys — must track s01's scan, x3;
+      // t45 is a scan-side projection (flat)
+      time(s"$tag s39_filter_strategy")(
+        graft.operators.SimilarityQueries.s39_filter_strategy(spark, sf).count())
+      time(s"$tag t45_code_detect")(
+        graft.operators.TextQueries.t45_code_detect(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3187,6 +3187,38 @@ class QueriesSpec extends SparkTestBase {
     assert(walks.toSet == again.toSet, "walk corpus is not reproducible")
   }
 
+  test("s39 filter strategy: complete post-filter always agrees with pre") {
+    val rows = SparkEntry.queries("s39_filter_strategy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(rows.map(_._1).sorted.sameElements(Seq(2L, 10L, 50L)))
+    rows.foreach { case (m, nq, npc, nagree, selPm, decision) =>
+      assert(nq == 10L, s"m=$m: expected all 10 queries under PRE")
+      assert(nagree == npc,
+        s"m=$m: a complete post-filter diverged from pre-filter — exactness broken")
+      assert(decision == (if (selPm * 50 >= 5000) "post_filter" else "pre_filter"),
+        s"m=$m: decision does not follow the selectivity rule")
+    }
+    assert(rows.exists(_._6 == "post_filter") && rows.exists(_._6 == "pre_filter"),
+      "ladder degenerate: only one strategy ever chosen")
+    val m2 = rows.find(_._1 == 2L).get
+    assert(m2._3 == 10L, "the 50% filter should complete from a 50-deep shortlist")
+  }
+
+  test("t45 code detection: planted code perfectly separated from prose") {
+    val rows = SparkEntry.queries("t45_code_detect")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 2, s"expected perfect separation, got: ${rows.toSeq}")
+    val byTruth = rows.map(r => r._1 -> r).toMap
+    assert(byTruth(0L)._2 == 0L && byTruth(1L)._2 == 1L,
+      "a confusion cell crossed the diagonal")
+    assert(byTruth(0L)._4 == 0L, "word-soup prose showed code symbols")
+    val expectedCode = Tables.documents(spark, sf)
+      .where("doc_id % 19 = 3").count()
+    assert(byTruth(1L)._3 == expectedCode, "planted code count mismatch")
+    assert(byTruth(0L)._3 == Tables.documents(spark, sf).count())
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
