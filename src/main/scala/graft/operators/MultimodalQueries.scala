@@ -863,6 +863,39 @@ object MultimodalQueries {
     * emitted batch all-distinct on the key and the overflow machinery
     * actually exercised.
     */
+  /** m26: CROSS-IMAGE duplicate-PATCH census — m04's patch grid hashed and
+    * joined across documents: which 8-byte tiles repeat in DIFFERENT media
+    * payloads (the watermark / logo / letterbox detector — repeated tiles
+    * across images are boilerplate pixels a vision-training pipeline
+    * crops, exactly as d19 strips repeated LINES from text). Grid comes
+    * from m04's geometry; each complete cell is content-hashed
+    * (decode-stubbed to payload bytes, the m0x discipline) and the census
+    * reports the duplicate-cluster histogram: how many tile hashes appear
+    * in n distinct docs, and how many tile instances that covers. Scale
+    * shape: one generator scan emits cells, one hash-keyed aggregate
+    * clusters them — the d01 economics at tile granularity; the histogram
+    * is cluster-bounded.
+    */
+  def m26_patch_neardup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("bl"))
+      .withColumn("width", lit(1L) + col("bl") % 64)
+      .withColumn("height", lit(1L) + col("bl") % 48)
+      .select(col("doc_id"), col("text"), col("width"),
+        explode(expr("sequence(0L, (height - 1) DIV 8)")).as("py"))
+      .select(col("doc_id"), col("text"), col("width"), col("py"),
+        explode(expr("sequence(0L, (width - 1) DIV 8)")).as("px"))
+      .withColumn("patch",
+        expr("substring(text, CAST(py * 8 * width + px * 8 + 1 AS INT), 8)"))
+      .where(length(col("patch")) === 8)
+      .select(col("doc_id"), md5(col("patch")).as("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_digests"), sum(col("n_occ")).as("n_patches"))
+
   /** m25: GATED integrated loudness — EBU R128's two-gate structure over
     * m06's frame energies (decode stubbed to byte levels, the m0x
     * discipline; a real loudness meter replaces only the per-frame level
@@ -960,6 +993,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "m26_patch_neardup" -> (m26_patch_neardup _),
     "m25_gated_loudness" -> (m25_gated_loudness _),
     "m24_contrastive_batches" -> (m24_contrastive_batches _),
     "m23_shard_manifest" -> (m23_shard_manifest _),
@@ -1357,6 +1391,31 @@ object MultimodalQueries {
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
     "m06_frame_energy" -> frameEnergyOracle,
+    "m26_patch_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 64 AS width,
+        |         1 + CAST(octet_length(encode(text)) AS BIGINT) % 48 AS height
+        |  FROM documents),
+        |py AS (SELECT doc_id, text, width,
+        |              unnest(generate_series(0, (height - 1) // 8)) AS py
+        |       FROM m),
+        |px AS (SELECT doc_id, text, width, py,
+        |              unnest(generate_series(0, (width - 1) // 8)) AS px
+        |       FROM py),
+        |pt AS (SELECT doc_id,
+        |              substr(text, CAST(py * 8 * width + px * 8 + 1 AS INT), 8)
+        |                AS patch
+        |       FROM px),
+        |f AS (SELECT doc_id, md5(patch) AS digest FROM pt
+        |      WHERE length(patch) = 8),
+        |cl AS (SELECT digest, count(*) AS n_occ,
+        |              count(DISTINCT doc_id) AS n_docs
+        |       FROM f GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs, count(*) AS n_digests,
+        |       CAST(sum(n_occ) AS BIGINT) AS n_patches
+        |FROM cl GROUP BY 1""".stripMargin,
+
     "m25_gated_loudness" ->
       s"""WITH fe AS ($frameEnergyOracle),
         |lv AS (SELECT doc_id, energy * 1000 // frame_bytes AS level_milli FROM fe),

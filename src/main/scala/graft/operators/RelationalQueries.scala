@@ -3988,6 +3988,72 @@ object RelationalQueries {
        |FROM fin GROUP BY c_nationkey""".stripMargin
   }
 
+  /** q157: BITMAP-INDEX set algebra — the roaring-bitmap pattern every
+    * warehouse uses for multi-predicate cardinality without rescans: rows
+    * chunk by `key div 63` (63-bit containers: bit 63 is the sign bit,
+    * where DuckDB's checked shift overflows while Spark wraps silently —
+    * staying below it keeps both engines in agreeing signed arithmetic),
+    * each predicate's chunk gets a mask (`bit_or(1 << bit)`), and ANY
+    * conjunction's cardinality is a
+    * chunk-aligned join + `bit_count(a & b)` over the TINY bitmap table —
+    * at 100 TB the masks are ~1/64th of a row id list and set algebra
+    * never touches the fact table again. All three predicate bitmaps
+    * build in ONE scan (conditional bit_or); the audit emits every
+    * conjunction's bitmap count NEXT TO the direct scan count, so the
+    * hash gate locks their equality. Dialect splits parameterized: shift
+    * (Spark `shiftleft` vs DuckDB `<<`) and $DIV$.
+    */
+  def q157_bitmap_rollup(s: SparkSession, d: String): DataFrame =
+    withViews(s, d, "orders")(
+      q157Sql(b => s"shiftleft(CAST(1 AS BIGINT), $b)").replace("$DIV$", "div"))
+
+  private[operators] def q157Sql(shl: String => String): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey $$DIV$$ 63 AS chunk,
+       |         CAST(o_orderkey % 63 AS INT) AS bit,
+       |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pa,
+       |         CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS pb,
+       |         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pc
+       |  FROM orders),
+       |bm AS (
+       |  SELECT chunk,
+       |         coalesce(bit_or(CASE WHEN pa = 1 THEN ${shl("bit")} END),
+       |                  CAST(0 AS BIGINT)) AS a,
+       |         coalesce(bit_or(CASE WHEN pb = 1 THEN ${shl("bit")} END),
+       |                  CAST(0 AS BIGINT)) AS b,
+       |         coalesce(bit_or(CASE WHEN pc = 1 THEN ${shl("bit")} END),
+       |                  CAST(0 AS BIGINT)) AS c
+       |  FROM o GROUP BY 1),
+       |card AS (
+       |  SELECT CAST(sum(bit_count(a)) AS BIGINT) AS ca,
+       |         CAST(sum(bit_count(b)) AS BIGINT) AS cb,
+       |         CAST(sum(bit_count(c)) AS BIGINT) AS cc,
+       |         CAST(sum(bit_count(a & b)) AS BIGINT) AS cab,
+       |         CAST(sum(bit_count(a & c)) AS BIGINT) AS cac,
+       |         CAST(sum(bit_count(b & c)) AS BIGINT) AS cbc,
+       |         CAST(sum(bit_count(a & b & c)) AS BIGINT) AS cabc,
+       |         count(*) AS n_chunks
+       |  FROM bm),
+       |direct AS (
+       |  SELECT CAST(count(*) FILTER (WHERE pa = 1) AS BIGINT) AS da,
+       |         CAST(count(*) FILTER (WHERE pb = 1) AS BIGINT) AS db,
+       |         CAST(count(*) FILTER (WHERE pc = 1) AS BIGINT) AS dc,
+       |         CAST(count(*) FILTER (WHERE pa = 1 AND pb = 1) AS BIGINT) AS dab,
+       |         CAST(count(*) FILTER (WHERE pa = 1 AND pc = 1) AS BIGINT) AS dac,
+       |         CAST(count(*) FILTER (WHERE pb = 1 AND pc = 1) AS BIGINT) AS dbc,
+       |         CAST(count(*) FILTER (WHERE pa = 1 AND pb = 1 AND pc = 1)
+       |              AS BIGINT) AS dabc
+       |  FROM o)
+       |SELECT 'A' AS predicate, ca AS bitmap_count, da AS direct_count,
+       |       n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'B', cb, db, n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'C', cc, dc, n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'A&B', cab, dab, n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'A&C', cac, dac, n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'B&C', cbc, dbc, n_chunks FROM card CROSS JOIN direct
+       |UNION ALL SELECT 'A&B&C', cabc, dabc, n_chunks
+       |FROM card CROSS JOIN direct""".stripMargin
+
   /** q154: POISSON BOOTSTRAP confidence interval — the one bootstrap that
     * works at 100 TB. The classical bootstrap resamples n rows WITH
     * replacement per replicate (R full shuffles of a 100 TB table: dead on
@@ -4054,6 +4120,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q157_bitmap_rollup" -> (q157_bitmap_rollup _),
     "q156_feistel_pseudonymize" -> (q156_feistel_pseudonymize _),
     "q155_schema_evolution" -> (q155_schema_evolution _),
     "q154_bootstrap_ci" -> (q154_bootstrap_ci _),
@@ -4207,6 +4274,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q156_feistel_pseudonymize" ->
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
+    "q157_bitmap_rollup" ->
+      q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
     "q155_schema_evolution" ->
       s"""SELECT CAST(1 AS BIGINT) AS epoch, count(*) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_pc_nonnull, CAST(0 AS BIGINT) AS pc_sum,

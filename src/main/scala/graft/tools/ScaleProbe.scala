@@ -752,6 +752,13 @@ object ScaleProbe {
         graft.operators.SimilarityQueries.s39_filter_strategy(spark, sf).count())
       time(s"$tag t45_code_detect")(
         graft.operators.TextQueries.t45_code_detect(spark, sf).count())
+      // wave 28: q157 is one scan + a chunk-keyed bit_or agg (flat);
+      // m26 is a generator scan + hash-keyed agg — d01 economics at tile
+      // granularity, must track cell count
+      time(s"$tag q157_bitmap_rollup")(
+        graft.operators.RelationalQueries.q157_bitmap_rollup(spark, sf).count())
+      time(s"$tag m26_patch_neardup")(
+        graft.operators.MultimodalQueries.m26_patch_neardup(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

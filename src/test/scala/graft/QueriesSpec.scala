@@ -3219,6 +3219,35 @@ class QueriesSpec extends SparkTestBase {
     assert(byTruth(0L)._3 == Tables.documents(spark, sf).count())
   }
 
+  test("q157 bitmap rollup: every conjunction equals the direct scan count") {
+    val rows = SparkEntry.queries("q157_bitmap_rollup")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("A", "B", "C", "A&B", "A&C", "B&C", "A&B&C"))
+    rows.foreach { case (p, (bm, direct, _)) =>
+      assert(bm == direct, s"$p: bitmap count $bm != direct $direct")
+    }
+    // set algebra sanity: conjunctions shrink, and all predicates are live
+    assert(rows("A&B")._1 <= math.min(rows("A")._1, rows("B")._1))
+    assert(rows("A&B&C")._1 <= rows("A&B")._1)
+    assert(rows.forall(_._2._1 > 0), "a predicate matched nothing — fixture degenerate")
+    // containers really compress: chunks are far fewer than rows
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows("A")._3 < nOrders / 8, "bitmap table failed to compress")
+  }
+
+  test("m26 patch dedup: histogram is consistent and clusters are real") {
+    val rows = SparkEntry.queries("m26_patch_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no cross-doc duplicate tiles — fixture degenerate")
+    rows.foreach { case (nDocs, nDigests, nPatches) =>
+      assert(nDocs >= 2, "a singleton cluster leaked into the census")
+      assert(nPatches >= nDocs * nDigests,
+        s"bucket $nDocs: $nPatches instances cannot cover $nDigests clusters")
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate buckets")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
