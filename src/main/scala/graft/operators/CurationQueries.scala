@@ -1876,7 +1876,39 @@ object CurationQueries {
       .withColumn("shippable", (col("max_rank") <= 2L).cast("long"))
   }
 
+  /** c52: SFT LOSS-MASK span assembly — the tensor-side artifact c48's
+    * conversations still need before a trainer can consume them: each
+    * kept turn becomes a [span_start, span_end) token span within its
+    * conversation's packed sequence, with mask = 1 on ASSISTANT turns
+    * (the tokens the loss trains on) and 0 on user turns (context only) —
+    * the "train on completions only" rule every chat-SFT recipe applies.
+    * Span starts are an exclusive running sum over turn order (window,
+    * conversation-keyed); `trainable_tokens` rides every row so a batch
+    * builder can drop conversations whose mask is empty without a second
+    * pass. Same single shuffle-key family as c48; the oracle wraps c48's
+    * own text as a CTE, so the spans are checked against the exact
+    * conversation assembly the gate already proves.
+    */
+  def c52_loss_mask(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("user_id"), col("conv_idx"))
+      .orderBy(col("turn_out"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wAll = Window.partitionBy(col("user_id"), col("conv_idx"))
+    c48_chat_assembly(s, d)
+      .withColumn("span_start", coalesce(sum(col("tokens")).over(wc), lit(0L)))
+      .withColumn("span_end", col("span_start") + col("tokens"))
+      .withColumn("mask", when(col("role") === "assistant", 1L).otherwise(0L))
+      .withColumn("trainable_tokens",
+        sum(when(col("role") === "assistant", col("tokens")).otherwise(0L))
+          .over(wAll))
+      .select(col("user_id"), col("conv_idx"), col("turn_out"), col("role"),
+        col("span_start"), col("span_end"), col("mask"),
+        col("trainable_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c52_loss_mask" -> (c52_loss_mask _),
     "c51_license_audit" -> (c51_license_audit _),
     "c50_budget_certificate" -> (c50_budget_certificate _),
     "c49_drop_lineage" -> (c49_drop_lineage _),
@@ -2155,7 +2187,83 @@ object CurationQueries {
       |        WHERE len(toks) >= 13) u),
       |bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (ng))""".stripMargin
 
+  /** c48's oracle text — factored so c52 can wrap it as a CTE. */
+  private lazy val c48Oracle: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         CASE WHEN event_type IN ('click','view') THEN 'user'
+        |              ELSE 'assistant' END AS role,
+        |         length(event_type) + length(props) // 4 + 2 AS tok
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |conv AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS conv_idx
+        |  FROM sess),
+        |runs AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, conv_idx
+        |                               ORDER BY us, event_id)
+        |          - row_number() OVER (PARTITION BY user_id, conv_idx, role
+        |                               ORDER BY us, event_id) AS grp
+        |  FROM conv),
+        |merged AS (
+        |  SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx, role,
+        |         CAST(sum(tok) AS BIGINT) AS tokens, count(*) AS n_msgs,
+        |         min(us) AS fus, min(event_id) AS lead_event_id
+        |  FROM runs GROUP BY user_id, conv_idx, role, grp),
+        |idx AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id, conv_idx
+        |                                    ORDER BY fus, lead_event_id) AS BIGINT) AS turn_idx
+        |  FROM merged),
+        |trimmed AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
+        |                OVER (PARTITION BY user_id, conv_idx) AS first_user
+        |    FROM idx) WHERE turn_idx >= first_user),
+        |fitted AS (
+        |  SELECT * FROM (
+        |    SELECT *, sum(tokens) OVER (PARTITION BY user_id, conv_idx
+        |                                ORDER BY turn_idx DESC
+        |                                ROWS UNBOUNDED PRECEDING) AS suffix_tokens
+        |    FROM trimmed) WHERE suffix_tokens <= 64),
+        |retrim AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
+        |                OVER (PARTITION BY user_id, conv_idx) AS first_user2
+        |    FROM fitted) WHERE turn_idx >= first_user2)
+        |SELECT user_id, conv_idx,
+        |       CAST(row_number() OVER (PARTITION BY user_id, conv_idx
+        |                               ORDER BY turn_idx) AS BIGINT) AS turn_out,
+        |       role, n_msgs, tokens, lead_event_id,
+        |       CAST(sum(tokens) OVER (PARTITION BY user_id, conv_idx) AS BIGINT)
+        |         AS kept_tokens,
+        |       CAST(CASE WHEN role = (CASE WHEN (row_number() OVER (
+        |                PARTITION BY user_id, conv_idx ORDER BY turn_idx)) % 2 = 1
+        |              THEN 'user' ELSE 'assistant' END)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS alt_ok
+        |FROM retrim""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "c52_loss_mask" ->
+      s"""WITH c48 AS ($c48Oracle)
+         |SELECT user_id, conv_idx, turn_out, role,
+         |       CAST(coalesce(sum(tokens) OVER (
+         |              PARTITION BY user_id, conv_idx ORDER BY turn_out
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            AS BIGINT) AS span_start,
+         |       CAST(coalesce(sum(tokens) OVER (
+         |              PARTITION BY user_id, conv_idx ORDER BY turn_out
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |            + tokens AS BIGINT) AS span_end,
+         |       CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+         |         AS mask,
+         |       CAST(sum(CASE WHEN role = 'assistant' THEN tokens ELSE 0 END)
+         |              OVER (PARTITION BY user_id, conv_idx) AS BIGINT)
+         |         AS trainable_tokens
+         |FROM c48""".stripMargin,
     "c51_license_audit" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source,
@@ -2243,63 +2351,7 @@ object CurationQueries {
         |       CAST(CASE WHEN b1 + b2 + b3 + b4 + b5 = 1 THEN 1 ELSE 0 END
         |            AS BIGINT) AS rescuable
         |FROM b""".stripMargin,
-    "c48_chat_assembly" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
-        |         CASE WHEN event_type IN ('click','view') THEN 'user'
-        |              ELSE 'assistant' END AS role,
-        |         length(event_type) + length(props) // 4 + 2 AS tok
-        |  FROM events),
-        |sess AS (
-        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                   OR us - lag(us) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |conv AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                             ROWS UNBOUNDED PRECEDING) AS conv_idx
-        |  FROM sess),
-        |runs AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, conv_idx
-        |                               ORDER BY us, event_id)
-        |          - row_number() OVER (PARTITION BY user_id, conv_idx, role
-        |                               ORDER BY us, event_id) AS grp
-        |  FROM conv),
-        |merged AS (
-        |  SELECT user_id, CAST(conv_idx AS BIGINT) AS conv_idx, role,
-        |         CAST(sum(tok) AS BIGINT) AS tokens, count(*) AS n_msgs,
-        |         min(us) AS fus, min(event_id) AS lead_event_id
-        |  FROM runs GROUP BY user_id, conv_idx, role, grp),
-        |idx AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY user_id, conv_idx
-        |                                    ORDER BY fus, lead_event_id) AS BIGINT) AS turn_idx
-        |  FROM merged),
-        |trimmed AS (
-        |  SELECT * FROM (
-        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
-        |                OVER (PARTITION BY user_id, conv_idx) AS first_user
-        |    FROM idx) WHERE turn_idx >= first_user),
-        |fitted AS (
-        |  SELECT * FROM (
-        |    SELECT *, sum(tokens) OVER (PARTITION BY user_id, conv_idx
-        |                                ORDER BY turn_idx DESC
-        |                                ROWS UNBOUNDED PRECEDING) AS suffix_tokens
-        |    FROM trimmed) WHERE suffix_tokens <= 64),
-        |retrim AS (
-        |  SELECT * FROM (
-        |    SELECT *, min(CASE WHEN role = 'user' THEN turn_idx END)
-        |                OVER (PARTITION BY user_id, conv_idx) AS first_user2
-        |    FROM fitted) WHERE turn_idx >= first_user2)
-        |SELECT user_id, conv_idx,
-        |       CAST(row_number() OVER (PARTITION BY user_id, conv_idx
-        |                               ORDER BY turn_idx) AS BIGINT) AS turn_out,
-        |       role, n_msgs, tokens, lead_event_id,
-        |       CAST(sum(tokens) OVER (PARTITION BY user_id, conv_idx) AS BIGINT)
-        |         AS kept_tokens,
-        |       CAST(CASE WHEN role = (CASE WHEN (row_number() OVER (
-        |                PARTITION BY user_id, conv_idx ORDER BY turn_idx)) % 2 = 1
-        |              THEN 'user' ELSE 'assistant' END)
-        |            THEN 1 ELSE 0 END AS BIGINT) AS alt_ok
-        |FROM retrim""".stripMargin,
+    "c48_chat_assembly" -> c48Oracle,
     "c47_quantile_normalize" ->
       """WITH d AS (
         |  SELECT doc_id, source,

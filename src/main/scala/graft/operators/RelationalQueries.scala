@@ -4054,6 +4054,50 @@ object RelationalQueries {
        |UNION ALL SELECT 'A&B&C', cabc, dabc, n_chunks
        |FROM card CROSS JOIN direct""".stripMargin
 
+  /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
+    * HLL does approximately, done exactly: per (day, chunk) the user set
+    * is a 63-bit mask (q157's containers), and ANY coarser period's
+    * distinct count is `bit_or` over its days then `bit_count` — set
+    * union as integer OR, which (unlike COUNT DISTINCT) is partially
+    * aggregable and mergeable, so a month's exact distinct never rescans
+    * events, only |days × chunks| tiny masks. The audit emits the
+    * bitmap-merged count NEXT TO the direct per-month COUNT DISTINCT —
+    * hash-locked equal. This is the production pattern for exact DAU/MAU
+    * rollups at 100 TB (HLL when ±2% is fine, bitmaps when finance wants
+    * exact).
+    */
+  def q158_bitmap_distinct(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events_norm")
+    s.sql(q158Sql(b => s"shiftleft(CAST(1 AS BIGINT), $b)",
+      month = "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7",
+      day = "to_date(ts)",
+      table = "events_norm").replace("$DIV$", "div"))
+  }
+
+  private[operators] def q158Sql(shl: String => String, month: String,
+      day: String, table: String): String =
+    s"""WITH e AS (
+       |  SELECT $month AS period, $day AS day,
+       |         user_id $$DIV$$ 63 AS chunk, CAST(user_id % 63 AS INT) AS bit
+       |  FROM $table),
+       |daily AS (
+       |  SELECT period, day, chunk,
+       |         bit_or(${shl("bit")}) AS mask
+       |  FROM e GROUP BY 1, 2, 3),
+       |merged AS (
+       |  SELECT period, chunk, bit_or(mask) AS mask, count(*) AS n_day_masks
+       |  FROM daily GROUP BY 1, 2),
+       |rolled AS (
+       |  SELECT period, CAST(sum(bit_count(mask)) AS BIGINT) AS distinct_bitmap,
+       |         CAST(sum(n_day_masks) AS BIGINT) AS n_masks_merged
+       |  FROM merged GROUP BY 1),
+       |direct AS (
+       |  SELECT period, CAST(count(DISTINCT user_id) AS BIGINT)
+       |           AS distinct_direct
+       |  FROM (SELECT $month AS period, user_id FROM $table) GROUP BY 1)
+       |SELECT r.period, r.distinct_bitmap, dd.distinct_direct, r.n_masks_merged
+       |FROM rolled r JOIN direct dd ON dd.period = r.period""".stripMargin
+
   /** q154: POISSON BOOTSTRAP confidence interval — the one bootstrap that
     * works at 100 TB. The classical bootstrap resamples n rows WITH
     * replacement per replicate (R full shuffles of a 100 TB table: dead on
@@ -4120,6 +4164,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q158_bitmap_distinct" -> (q158_bitmap_distinct _),
     "q157_bitmap_rollup" -> (q157_bitmap_rollup _),
     "q156_feistel_pseudonymize" -> (q156_feistel_pseudonymize _),
     "q155_schema_evolution" -> (q155_schema_evolution _),
@@ -4276,6 +4321,10 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q158_bitmap_distinct" ->
+      q158Sql(b => s"(CAST(1 AS BIGINT) << $b)",
+        month = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7",
+        day = "CAST(ts AS DATE)", table = "events").replace("$DIV$", "//"),
     "q155_schema_evolution" ->
       s"""SELECT CAST(1 AS BIGINT) AS epoch, count(*) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_pc_nonnull, CAST(0 AS BIGINT) AS pc_sum,

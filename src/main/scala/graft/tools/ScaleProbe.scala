@@ -759,6 +759,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q157_bitmap_rollup(spark, sf).count())
       time(s"$tag m26_patch_neardup")(
         graft.operators.MultimodalQueries.m26_patch_neardup(spark, sf).count())
+      // wave 29: q158 is two keyed bit_or aggs (events-scan-bound); c52
+      // is c48's cascade plus two windows on the same key family
+      time(s"$tag q158_bitmap_distinct")(
+        graft.operators.RelationalQueries.q158_bitmap_distinct(spark, sf).count())
+      time(s"$tag c52_loss_mask")(
+        graft.operators.CurationQueries.c52_loss_mask(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

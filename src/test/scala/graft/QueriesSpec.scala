@@ -3248,6 +3248,40 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.map(_._1).distinct.length == rows.length, "duplicate buckets")
   }
 
+  test("q158 bitmap distinct: exact equality with COUNT DISTINCT, real merging") {
+    val rows = SparkEntry.queries("q158_bitmap_distinct")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length >= 2, "need multiple periods to prove the rollup")
+    rows.foreach { case (p, bm, direct, merged) =>
+      assert(bm == direct, s"period $p: bitmap distinct $bm != exact $direct")
+      assert(merged > 0, s"period $p: no day masks merged")
+    }
+    assert(rows.map(_._4).sum > rows.length,
+      "each period merged only one mask — the mergeability claim is untested")
+  }
+
+  test("c52 loss mask: spans tile each conversation, mask follows roles") {
+    val rows = SparkEntry.queries("c52_loss_mask")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._2)).foreach { case (conv, turns) =>
+      val sorted = turns.sortBy(_._3)
+      assert(sorted.head._5 == 0L, s"$conv: first span does not start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._5 == a._6, s"$conv: span gap between turns ${a._3}/${b._3}")
+        case _ =>
+      }
+      val trainable = sorted.filter(_._4 == "assistant").map(t => t._6 - t._5).sum
+      assert(sorted.forall(_._8 == trainable), s"$conv: trainable_tokens wrong")
+      sorted.foreach { t =>
+        assert((t._7 == 1L) == (t._4 == "assistant"), s"$conv: mask/role mismatch")
+      }
+    }
+    assert(rows.exists(_._8 > 0), "no conversation has trainable tokens")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
