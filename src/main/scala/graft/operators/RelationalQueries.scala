@@ -4054,6 +4054,51 @@ object RelationalQueries {
        |UNION ALL SELECT 'A&B&C', cabc, dabc, n_chunks
        |FROM card CROSS JOIN direct""".stripMargin
 
+  /** q159: BITEMPORAL grid — the two time axes every audited warehouse
+    * eventually needs queried TOGETHER: transaction time ("as the table
+    * was KNOWN at snapshot v" — q142's axis, served from the snapshot
+    * log's file lists, base files never rewritten) × valid time
+    * ("effective before date V" — the business axis, a predicate on
+    * o_orderdate). One row per (tx_version, valid_cutoff) cell with count
+    * and decimal-exact revenue; the restatement column shows what later
+    * knowledge added inside the same valid window (the "as reported vs as
+    * restated" delta auditors ask for). The oracle re-derives every cell
+    * from raw orders with the snapshot rule inlined (v1 = orderdate <
+    * 1997), so the gate proves the physical file-list read reconstructs
+    * the logical bitemporal table. Scale: each cell is a metadata-pruned
+    * scan of the snapshot's files; the grid shares one pass per tx
+    * version via conditional aggregation over the valid cutoffs.
+    */
+  def q159_bitemporal(s: SparkSession, d: String): DataFrame = {
+    val dir = Buckets.ordersSnapshots(s, d)
+    val cuts = Seq("1995-01-01", "1996-01-01", "1998-01-01")
+    val perTx = (1 to 2).map { v =>
+      val snap = Buckets.snapshotRead(s, dir, v)
+      val aggs = cuts.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          sum(when(col("o_orderdate") < lit(c).cast("timestamp"), 1L)
+            .otherwise(0L)).as(s"n_$i"),
+          sum(when(col("o_orderdate") < lit(c).cast("timestamp"),
+            col("o_totalprice").cast(dec)).otherwise(lit(0).cast(dec)))
+            .cast("double").as(s"rev_$i"))
+      }
+      snap.agg(aggs.head, aggs.tail: _*)
+        .select(lit(v.toLong).as("tx_version") +: cuts.indices.flatMap(i =>
+          Seq(col(s"n_$i"), col(s"rev_$i"))): _*)
+    }
+    val wide = perTx.reduce(_ unionByName _)
+    val rows = cuts.zipWithIndex.map { case (c, i) =>
+      wide.select(col("tx_version"), lit(c).as("valid_before"),
+        col(s"n_$i").as("n_orders"), col(s"rev_$i").as("revenue"))
+    }
+    val grid = rows.reduce(_ unionByName _)
+    val asReported = grid.where(col("tx_version") === 1L)
+      .select(col("valid_before"), col("n_orders").as("n_tx1"))
+    grid.join(broadcast(asReported), "valid_before")
+      .select(col("tx_version"), col("valid_before"), col("n_orders"),
+        col("revenue"), (col("n_orders") - col("n_tx1")).as("n_restated"))
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4067,11 +4112,43 @@ object RelationalQueries {
     * exact).
     */
   def q158_bitmap_distinct(s: SparkSession, d: String): DataFrame = {
-    Tables.events(s, d).createOrReplaceTempView("events_norm")
-    s.sql(q158Sql(b => s"shiftleft(CAST(1 AS BIGINT), $b)",
-      month = "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7",
-      day = "to_date(ts)",
-      table = "events_norm").replace("$DIV$", "div"))
+    val ev = Tables.events(s, d)
+    bitmapFinalize(bitmapDayMasks(ev), ev)
+  }
+
+  /** Per-(period, day, chunk) 63-bit user masks — the mergeable partial
+    * st21 folds across micro-batches (bit_or is idempotent, so replays
+    * need no ledger).
+    */
+  private[graft] def bitmapDayMasks(ev: DataFrame): DataFrame =
+    ev.select(
+      expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7")
+        .as("period"),
+      to_date(col("ts")).as("day"),
+      expr("user_id div 63").as("chunk"),
+      expr("CAST(user_id % 63 AS INT)").as("bit"))
+      .groupBy(col("period"), col("day"), col("chunk"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+
+  /** Merge day masks to periods and audit against direct COUNT DISTINCT
+    * over the same events.
+    */
+  private[graft] def bitmapFinalize(daily: DataFrame, ev: DataFrame)
+      : DataFrame = {
+    val rolled = daily
+      .groupBy(col("period"), col("chunk"))
+      .agg(expr("bit_or(mask)").as("mask"), count(lit(1)).as("n_day_masks"))
+      .groupBy(col("period"))
+      .agg(expr("CAST(sum(bit_count(mask)) AS BIGINT)").as("distinct_bitmap"),
+        sum(col("n_day_masks")).as("n_masks_merged"))
+    val direct = ev.select(
+      expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7")
+        .as("period"), col("user_id"))
+      .groupBy(col("period"))
+      .agg(countDistinct(col("user_id")).as("distinct_direct"))
+    rolled.join(direct, "period")
+      .select(col("period"), col("distinct_bitmap"), col("distinct_direct"),
+        col("n_masks_merged"))
   }
 
   private[operators] def q158Sql(shl: String => String, month: String,
@@ -4164,6 +4241,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q159_bitemporal" -> (q159_bitemporal _),
     "q158_bitmap_distinct" -> (q158_bitmap_distinct _),
     "q157_bitmap_rollup" -> (q157_bitmap_rollup _),
     "q156_feistel_pseudonymize" -> (q156_feistel_pseudonymize _),
@@ -4321,6 +4399,43 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q159_bitemporal" ->
+      """WITH grid AS (
+        |SELECT CAST(1 AS BIGINT) AS tx_version, '1995-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < least(TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < least(TIMESTAMP '1995-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')), 0) AS DOUBLE) AS revenue
+        |FROM orders
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS tx_version, '1995-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00') AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'), 0) AS DOUBLE) AS revenue
+        |FROM orders
+        |UNION ALL SELECT CAST(1 AS BIGINT) AS tx_version, '1996-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < least(TIMESTAMP '1996-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < least(TIMESTAMP '1996-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')), 0) AS DOUBLE) AS revenue
+        |FROM orders
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS tx_version, '1996-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'), 0) AS DOUBLE) AS revenue
+        |FROM orders
+        |UNION ALL SELECT CAST(1 AS BIGINT) AS tx_version, '1998-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < least(TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')) AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < least(TIMESTAMP '1998-01-01 00:00:00', TIMESTAMP '1997-01-01 00:00:00')), 0) AS DOUBLE) AS revenue
+        |FROM orders
+        |UNION ALL SELECT CAST(2 AS BIGINT) AS tx_version, '1998-01-01' AS valid_before,
+        |       count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00') AS n_orders,
+        |       CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |              FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'), 0) AS DOUBLE) AS revenue
+        |FROM orders),
+        |tx1 AS (SELECT valid_before, n_orders AS n_tx1 FROM grid
+        |        WHERE tx_version = 1)
+        |SELECT g.tx_version, g.valid_before, g.n_orders, g.revenue,
+        |       g.n_orders - t.n_tx1 AS n_restated
+        |FROM grid g JOIN tx1 t ON t.valid_before = g.valid_before""".stripMargin,
     "q158_bitmap_distinct" ->
       q158Sql(b => s"(CAST(1 AS BIGINT) << $b)",
         month = "CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7",

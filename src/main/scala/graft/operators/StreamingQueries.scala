@@ -649,7 +649,33 @@ object StreamingQueries {
     RelationalQueries.bootstrapFinalize(merged)
   }
 
+  /** st21: STREAMING exact-distinct maintenance via BITMAPS — q158's day
+    * masks maintained batch by batch, and the second aggregation fold
+    * (after st19's anti-join deletes) where AT-LEAST-ONCE needs NO replay
+    * ledger: bitmap union is IDEMPOTENT (OR-ing a redelivered batch's
+    * masks sets bits that are already set), unlike counts or sums which
+    * double. This twin folds three deterministic event batches with batch
+    * 1 deliberately applied TWICE and no guard anywhere; it still emits
+    * q158's exact output under q158's own oracle — the duplicate sits
+    * inside the hash-gated result, proving OR-idempotence the way st19
+    * proved anti-join idempotence. State is |days × chunks| masks
+    * regardless of event volume. StreamingSpec re-proves the fold under
+    * a real readStream with redelivery and parquet-persisted masks.
+    */
+  def st21_stream_bitmap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val delivered = Seq(0L, 1L, 1L, 2L) // batch 1 redelivered, no ledger
+    val partials = delivered.map(b =>
+      RelationalQueries.bitmapDayMasks(
+        ev.filter(pmod(col("user_id"), lit(3L)) === b)))
+      .reduce(_ unionByName _)
+      .groupBy(col("period"), col("day"), col("chunk"))
+      .agg(expr("bit_or(mask)").as("mask"))
+    RelationalQueries.bitmapFinalize(partials, ev)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st21_stream_bitmap" -> (st21_stream_bitmap _),
     "st20_incremental_bootstrap" -> (st20_incremental_bootstrap _),
     "st19_stream_deletes" -> (st19_stream_deletes _),
     "st18_stream_layout" -> (st18_stream_layout _),
@@ -677,6 +703,10 @@ object StreamingQueries {
     // it runs under q154's own oracle text
     "st20_incremental_bootstrap" ->
       RelationalQueries.oracles("q154_bootstrap_ci"),
+    // st21 must equal q158 exactly despite the redelivered batch —
+    // OR-idempotence IS the claim
+    "st21_stream_bitmap" ->
+      RelationalQueries.oracles("q158_bitmap_distinct"),
     "st19_stream_deletes" ->
       """SELECT l_linestatus, count(*) AS n_live,
         |       CAST(sum(l_quantity) AS BIGINT) AS qty

@@ -765,6 +765,13 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q158_bitmap_distinct(spark, sf).count())
       time(s"$tag c52_loss_mask")(
         graft.operators.CurationQueries.c52_loss_mask(spark, sf).count())
+      // wave 30: st21 is 4x the q158 mask agg + a mask re-merge (state is
+      // |days x chunks| regardless of volume); q159 is two snapshot
+      // scans with conditional aggregation over the cutoff grid
+      time(s"$tag st21_stream_bitmap")(
+        graft.operators.StreamingQueries.st21_stream_bitmap(spark, sf).count())
+      time(s"$tag q159_bitemporal")(
+        graft.operators.RelationalQueries.q159_bitemporal(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

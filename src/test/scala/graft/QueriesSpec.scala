@@ -3282,6 +3282,38 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.exists(_._8 > 0), "no conversation has trainable tokens")
   }
 
+  test("q159 bitemporal: restatement only where later knowledge can add") {
+    val rows = SparkEntry.queries("q159_bitemporal")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rows.size == 6)
+    rows.foreach { case ((tx, v), (n, rev, restated)) =>
+      if (tx == 1L) assert(restated == 0L, s"tx1/$v: tx1 restated against itself")
+      assert(n >= 0 && rev >= 0.0)
+    }
+    // knowledge monotone in valid time within a tx version
+    Seq(1L, 2L).foreach { tx =>
+      val byCut = Seq("1995-01-01", "1996-01-01", "1998-01-01")
+        .map(c => rows((tx, c))._1)
+      assert(byCut == byCut.sorted, s"tx$tx: counts not monotone in valid time")
+    }
+    // v2's delta holds only 1997+ orders: nothing to restate before 1996,
+    // but the 1998 window must show late-arriving knowledge
+    assert(rows((2L, "1995-01-01"))._3 == 0L)
+    assert(rows((2L, "1996-01-01"))._3 == 0L)
+    assert(rows((2L, "1998-01-01"))._3 > 0L,
+      "the 1998 window should be restated by the v2 delta")
+  }
+
+  test("st21 streaming bitmaps fold to q158's exact output despite redelivery") {
+    def canon(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val folded = canon("st21_stream_bitmap")
+    assert(folded.nonEmpty)
+    assert(folded == canon("q158_bitmap_distinct"),
+      "bitmap fold with a duplicated batch diverged — OR-idempotence broken")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)

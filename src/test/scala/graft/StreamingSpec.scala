@@ -1288,4 +1288,41 @@ class StreamingSpec extends SparkTestBase {
     assert(maintained.nonEmpty && maintained == oneShot,
       s"streamed bootstrap CI diverged: ${(maintained diff oneShot).take(3)}")
   }
+
+  test("streaming bitmap-distinct maintenance survives redelivery (st21 real stream)") {
+    // q158's day masks maintained under a real readStream with batch 1's
+    // masks WRITTEN TWICE (the at-least-once crash-between-write-and-
+    // commit shape) and no ledger anywhere: bitmap OR is idempotent, so
+    // the duplicated partial cannot change any period's distinct count.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("bm_stream_src").toString
+    Tables.events(spark, sf).select(col("ts"), col("user_id"))
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val masksDir = Files.createTempDirectory("bm_stream_masks").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          val masks = operators.RelationalQueries
+            .bitmapDayMasks(Tables.normalizeTs(b)).localCheckpoint()
+          masks.write.mode("append").parquet(masksDir)
+          if (id == 1) masks.write.mode("append").parquet(masksDir) // replay
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(masksDir)
+      .groupBy(col("period"), col("day"), col("chunk"))
+      .agg(expr("bit_or(mask)").as("mask"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val maintained = canon(operators.RelationalQueries.bitmapFinalize(
+      stored, Tables.events(spark, sf)))
+    val oneShot = canon(
+      operators.RelationalQueries.q158_bitmap_distinct(spark, sf))
+    assert(maintained.nonEmpty && maintained == oneShot,
+      s"streamed bitmap distinct diverged: ${(maintained diff oneShot).take(3)}")
+  }
 }
