@@ -94,6 +94,69 @@ object DedupQueries {
       .as("band"))
       .select(col("doc_id"), col("band.band_no"), col("band.b_lo"), col("band.b_hi"))
 
+  /** d38: MUTATION-RECALL harness — d25 plots the LSH theory curve; this
+    * MEASURES the deployed config (16 minhashes, 4×4 bands, 3-shingles)
+    * against planted mutation families, the way a dedup method is actually
+    * evaluated before it gates a corpus: every 5th document is re-emitted
+    * four ways (identical copy; every-7th-token dropped; token order
+    * reversed; truncated to the first 60%), and for each family the table
+    * reports how many (original, mutant) pairs exist, how many the BAND
+    * stage surfaced, how many are true near-dups at Jaccard ≥ 0.5, and the
+    * Jaccard mass — so "LSH catches paraphrase-like edits but is blind to
+    * reordering at this shingle size" becomes a measured row, not a prior.
+    * Ground-truth Jaccard comes from a keyed 1:1 join (id arithmetic),
+    * never all-pairs; the LSH side is d03's exact machinery over the
+    * augmented corpus. All-integer (milli Jaccard), hash-checked.
+    */
+  def d38_mutation_recall(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val slice = base.where(pmod(col("doc_id"), lit(5L)) === 0)
+      .withColumn("toks", split(col("text"), " "))
+    val kinds = Seq(
+      1L -> "toks",
+      2L -> "transform(filter(sequence(1, size(toks)), i -> i % 7 != 0), i -> element_at(toks, i))",
+      3L -> "reverse(toks)",
+      4L -> "slice(toks, 1, greatest(3, size(toks) * 3 div 5))")
+    val mutants = kinds.map { case (k, e) =>
+      slice.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        expr(s"array_join($e, ' ')").as("text"))
+    }.reduce(_ unionByName _)
+    val corpus = shingled(base.unionByName(mutants)
+      .repartition(s.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("shingles"))
+      .withColumn("sig", minhash_signature(col("shingles")))
+      .localCheckpoint()
+    val bands = bandsOf(corpus)
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+          col("x.b_lo") === col("y.b_lo") && col("x.b_hi") === col("y.b_hi") &&
+          col("y.doc_id") > col("x.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sh = corpus.select(col("doc_id"), col("shingles"))
+    val pairs = Seq(1L, 2L, 3L, 4L).map { k =>
+      sh.as("sa").join(sh.as("sb"),
+          col("sb.doc_id") === col("sa.doc_id") + k * 10000000L)
+        .where(col("sa.doc_id") < 10000000L)
+        .select(lit(k).as("k"), col("sa.doc_id").as("a"),
+          col("sb.doc_id").as("b"),
+          expr("size(array_intersect(sa.shingles, sb.shingles))").as("inter"),
+          expr("size(sa.shingles) + size(sb.shingles)").as("tot"))
+    }.reduce(_ unionByName _)
+      .withColumn("j_milli", expr("1000 * inter div (tot - inter)"))
+    pairs.join(cands.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("hit")).as("n_band_caught"),
+        sum(when(col("j_milli") >= 500L, 1L).otherwise(0L)).as("n_neardup_500"),
+        sum(col("j_milli")).as("sum_jaccard_milli"))
+      .withColumn("mutation", expr("CASE k WHEN 1 THEN 'identical' " +
+        "WHEN 2 THEN 'drop7' WHEN 3 THEN 'reverse' ELSE 'prefix60' END"))
+      .select(col("mutation"), col("n_pairs"), col("n_band_caught"),
+        col("n_neardup_500"), col("sum_jaccard_milli"))
+  }
+
   def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     // The (shingles, sig) projection feeds FOUR subtrees (bands.x, bands.y,
     // sa, sb); without materialization Spark re-runs the CPU-heavy
@@ -1791,6 +1854,7 @@ object DedupQueries {
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
+    "d38_mutation_recall" -> (d38_mutation_recall _),
     "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
     "d04_dedup_simhash" -> (d04_dedup_simhash _),
     "d05_ngram_jaccard" -> (d05_ngram_jaccard _),
@@ -1881,10 +1945,8 @@ object DedupQueries {
   /** The shingle → signature → band CTE chain shared by d03's oracle, the
     * apply step (d08) and the persisted-index split (d18).
     */
-  private lazy val minhashCtes: String =
-    s"""docs AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |f AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
+  private def minhashChain(tokSrc: String): String =
+    s"""f AS (SELECT doc_id, toks FROM $tokSrc WHERE len(toks) >= 3),
        |sh AS (
        |  SELECT doc_id,
        |         list_distinct(list_transform(range(1, len(toks) - 1), i ->
@@ -1902,6 +1964,12 @@ object DedupQueries {
        |         sig[4*b+1] * 2147483647 + sig[4*b+2] AS b_lo,
        |         sig[4*b+3] * 2147483647 + sig[4*b+4] AS b_hi
        |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bb)""".stripMargin
+
+  /** The original chain instantiated on raw `documents` (d03/d08/d18). */
+  private lazy val minhashCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |${minhashChain("docs")}""".stripMargin
 
   /** ...and the verified-pair tail (band collisions → exact jaccard). */
   private lazy val minhashPairCtes: String =
@@ -2030,6 +2098,54 @@ object DedupQueries {
         |SELECT source, n_docs, raw_tokens, eff_tokens,
         |       eff_tokens * 1000 // raw_tokens AS retention_pm
         |FROM agg""".stripMargin),
+    "d38_mutation_recall" ->
+      s"""WITH raw AS (SELECT doc_id, text FROM documents),
+         |sl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM raw
+         |       WHERE doc_id % 5 = 0),
+         |mut AS (
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |         array_to_string(toks, ' ') AS text FROM sl
+         |  UNION ALL
+         |  SELECT doc_id + 20000000,
+         |         array_to_string(list_transform(
+         |           list_filter(range(1, len(toks) + 1), i -> i % 7 != 0),
+         |           i -> toks[i]), ' ') FROM sl
+         |  UNION ALL
+         |  SELECT doc_id + 30000000, array_to_string(list_reverse(toks), ' ')
+         |  FROM sl
+         |  UNION ALL
+         |  SELECT doc_id + 40000000,
+         |         array_to_string(toks[1:greatest(3, len(toks) * 3 // 5)], ' ')
+         |  FROM sl),
+         |corpus AS (SELECT doc_id, text FROM raw
+         |           UNION ALL SELECT doc_id, text FROM mut),
+         |docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+         |${minhashChain("docs")},
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band_no = y.band_no AND x.b_lo = y.b_lo AND x.b_hi = y.b_hi
+         |   AND y.doc_id > x.doc_id),
+         |kk AS (SELECT unnest([1, 2, 3, 4]) AS k),
+         |pairs AS (
+         |  SELECT kk.k, sa.doc_id AS a, sb.doc_id AS b,
+         |         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+         |         len(sa.shingles) + len(sb.shingles) AS tot
+         |  FROM sh sa CROSS JOIN kk
+         |  JOIN sh sb ON sb.doc_id = sa.doc_id + kk.k * 10000000
+         |  WHERE sa.doc_id < 10000000),
+         |pj AS (SELECT k, a, b,
+         |              1000 * inter // (tot - inter) AS j_milli FROM pairs)
+         |SELECT CASE k WHEN 1 THEN 'identical' WHEN 2 THEN 'drop7'
+         |            WHEN 3 THEN 'reverse' ELSE 'prefix60' END AS mutation,
+         |       count(*) AS n_pairs,
+         |       CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_band_caught,
+         |       CAST(sum(CASE WHEN j_milli >= 500 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_neardup_500,
+         |       CAST(sum(j_milli) AS BIGINT) AS sum_jaccard_milli
+         |FROM pj p LEFT JOIN cands c ON c.a = p.a AND c.b = p.b
+         |GROUP BY k""".stripMargin,
     "d03_dedup_minhash_lsh" -> d03Oracle,
     "d04_dedup_simhash" -> d04Oracle,
     "d07_embed_neardup_lsh" -> d07Oracle,

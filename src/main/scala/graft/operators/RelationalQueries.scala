@@ -4099,6 +4099,107 @@ object RelationalQueries {
         col("revenue"), (col("n_orders") - col("n_tx1")).as("n_restated"))
   }
 
+  /** q160: SORT-KEY ADVISOR — the layout decision q91 (Z-order) and q140
+    * (zone maps) both presuppose: WHICH column should the table be sorted
+    * by? For each candidate sort key the advisor simulates the layout
+    * (rows ranked by the key, packed into 64 balanced files), computes
+    * each file's min/max zone for every predicate column, and replays a
+    * 5-predicate workload counting the files a zone-map reader would
+    * SKIP — the measured skipping matrix a 100 TB table owner reads
+    * before paying for a rewrite (clustering helps its own key's
+    * predicates and does nothing for the others; the matrix shows both).
+    * Ranks come from the c28 two-phase prefix scan per candidate (never a
+    * global-sort reducer); file stats are one grouped agg per layout; the
+    * workload replay is arithmetic over 64×3 stat rows. All-integer
+    * (epoch days / cents), hash-checked.
+    */
+  def q160_sortkey_advisor(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("CAST(datediff(to_date(o_orderdate), DATE '1970-01-01') AS BIGINT)")
+        .as("day"),
+      col("o_custkey").cast("long").as("ck"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val keys = Seq("day", "ck", "cents")
+    // predicate workload: (name, column, lo, hi) half-open ranges
+    val preds = Seq(
+      ("date_1995q2", "day", 9190L, 9282L),     // [1995-03-01, 1995-06-01)
+      ("date_1996h1", "day", 9496L, 9678L),     // [1996-01-01, 1996-07-01)
+      ("cust_100_200", "ck", 100L, 200L),
+      ("price_300k", "cents", 30000000L, Long.MaxValue),
+      ("date_1997on", "day", 9862L, Long.MaxValue))
+    val perKey = keys.map { k =>
+      val ranked = rows
+        .repartitionByRange(32, col(k), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val sub = ranked.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = sub.map(_._2).sum
+      val offDf = broadcast(s.createDataFrame(
+        sub.map(_._1).zip(sub.map(_._2).scanLeft(0L)(_ + _)).toSeq)
+        .toDF("pid", "off"))
+      val w = Window.partitionBy(col("pid")).orderBy(col(k), col("o_orderkey"))
+      val stats = ranked.join(offDf, "pid")
+        .withColumn("rank", col("off") + row_number().over(w))
+        .withColumn("file", expr(s"((rank - 1) * 64) div ${n}L"))
+        .groupBy(col("file"))
+        .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+          min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      val perPred = preds.map { case (pn, pc, lo, hi) =>
+        stats.agg(count(lit(1)).as("n_files"),
+          sum(when(col(s"max_$pc") < lo || col(s"min_$pc") >= hi, 1L)
+            .otherwise(0L)).as("n_skipped"))
+          .select(lit(k).as("sort_key"), lit(pn).as("predicate"),
+            col("n_files"), col("n_skipped"))
+      }
+      perPred.reduce(_ unionByName _)
+    }
+    perKey.reduce(_ unionByName _)
+  }
+
+  /** q160's DuckDB twin, assembled from the same key/predicate tables the
+    * Spark side uses (plain window ranks stand in for the two-phase scan —
+    * identical positions by construction).
+    */
+  private lazy val q160Oracle: String = {
+    val keys = Seq("day", "ck", "cents")
+    val preds = Seq(
+      ("date_1995q2", "day", 9190L, 9282L),
+      ("date_1996h1", "day", 9496L, 9678L),
+      ("cust_100_200", "ck", 100L, 200L),
+      ("price_300k", "cents", 30000000L, Long.MaxValue),
+      ("date_1997on", "day", 9862L, Long.MaxValue))
+    val fileCtes = keys.map { k =>
+      s"""files_$k AS (
+         |  SELECT ((rank - 1) * 64) // nn.n AS file,
+         |         min(day) AS min_day, max(day) AS max_day,
+         |         min(ck) AS min_ck, max(ck) AS max_ck,
+         |         min(cents) AS min_cents, max(cents) AS max_cents
+         |  FROM (SELECT *, row_number() OVER (ORDER BY $k, o_orderkey) AS rank
+         |        FROM rows_) t CROSS JOIN nn
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = keys.flatMap(k => preds.map { case (pn, pc, lo, hi) =>
+      s"""SELECT '$k' AS sort_key, '$pn' AS predicate, count(*) AS n_files,
+         |       CAST(sum(CASE WHEN max_$pc < $lo OR min_$pc >= $hi
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+         |FROM files_$k""".stripMargin
+    }).mkString("\nUNION ALL ")
+    s"""WITH rows_ AS (
+       |  SELECT o_orderkey,
+       |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+       |           AS day,
+       |         CAST(o_custkey AS BIGINT) AS ck,
+       |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |nn AS (SELECT count(*) AS n FROM rows_),
+       |$fileCtes
+       |$selects""".stripMargin
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4241,6 +4342,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q160_sortkey_advisor" -> (q160_sortkey_advisor _),
     "q159_bitemporal" -> (q159_bitemporal _),
     "q158_bitmap_distinct" -> (q158_bitmap_distinct _),
     "q157_bitmap_rollup" -> (q157_bitmap_rollup _),
@@ -4399,6 +4501,7 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q160_sortkey_advisor" -> q160Oracle,
     "q159_bitemporal" ->
       """WITH grid AS (
         |SELECT CAST(1 AS BIGINT) AS tx_version, '1995-01-01' AS valid_before,

@@ -772,6 +772,13 @@ object ScaleProbe {
         graft.operators.StreamingQueries.st21_stream_bitmap(spark, sf).count())
       time(s"$tag q159_bitemporal")(
         graft.operators.RelationalQueries.q159_bitemporal(spark, sf).count())
+      // wave 31: d38 is d03's kernel over a 1.8x corpus + a keyed 1:1
+      // ground-truth join (must track d03); q160 is 3 two-phase rank
+      // passes + 64-row stat replays (orders-scan-bound x3)
+      time(s"$tag d38_mutation_recall")(
+        graft.operators.DedupQueries.d38_mutation_recall(spark, sf).count())
+      time(s"$tag q160_sortkey_advisor")(
+        graft.operators.RelationalQueries.q160_sortkey_advisor(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

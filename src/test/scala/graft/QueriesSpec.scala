@@ -3314,6 +3314,52 @@ class QueriesSpec extends SparkTestBase {
       "bitmap fold with a duplicated batch diverged — OR-idempotence broken")
   }
 
+  test("d38 mutation recall: identical fully caught, reordering blinds LSH") {
+    val rows = SparkEntry.queries("d38_mutation_recall")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(rows.keySet == Set("identical", "drop7", "reverse", "prefix60"))
+    rows.foreach { case (m, (n, caught, near, _)) =>
+      assert(caught <= n && near <= n, s"$m: counts exceed pair population")
+      assert(n > 0, s"$m: no pairs — fixture degenerate")
+    }
+    val (nI, cI, nearI, sumI) = rows("identical")
+    assert(cI == nI, "an identical copy escaped the band stage")
+    assert(nearI == nI && sumI == 1000 * nI, "identical pairs must have Jaccard 1")
+    // shingle-based LSH is blind to token reordering — the harness must
+    // SHOW that, not hide it
+    assert(rows("reverse")._2 < rows("identical")._2,
+      "reverse should band-collide less than identical")
+    assert(rows("reverse")._4 < rows("prefix60")._4,
+      "reversal should destroy more Jaccard mass than truncation")
+  }
+
+  test("q160 sort-key advisor: each predicate's own key wins the skipping matrix") {
+    val rows = SparkEntry.queries("q160_sortkey_advisor")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 15)
+    assert(rows.values.forall(_._1 == 64L), "packing must produce 64 files")
+    assert(rows.values.forall(v => v._2 >= 0 && v._2 <= v._1))
+    val bestKey = Map("date_1995q2" -> "day", "date_1996h1" -> "day",
+      "cust_100_200" -> "ck", "price_300k" -> "cents", "date_1997on" -> "day")
+    bestKey.foreach { case (pred, key) =>
+      val winner = rows.collect { case ((k, p), (_, sk)) if p == pred => k -> sk }
+        .toSeq.maxBy(_._2)
+      assert(winner._1 == key,
+        s"$pred: expected sort key '$key' to maximize skipping, got $winner")
+      assert(winner._2 > 0, s"$pred: even the right sort key skipped nothing")
+    }
+    // the right key must win STRICTLY, not by tie (the fixture's custkey
+    // correlates mildly with dates — the margin is the real signal)
+    bestKey.foreach { case (pred, key) =>
+      val others = rows.collect {
+        case ((k, p), (_, sk)) if p == pred && k != key => sk }
+      assert(others.forall(_ < rows((key, pred))._2),
+        s"$pred: '$key' did not strictly beat ${others.toSeq}")
+    }
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
