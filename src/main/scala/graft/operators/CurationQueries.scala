@@ -1907,7 +1907,59 @@ object CurationQueries {
         col("trainable_tokens"))
   }
 
+  /** c53: ANNEALING (mid-training) ORDER — the two-phase schedule modern
+    * pretraining runs use: the bulk phase streams the WHOLE corpus in
+    * deterministic hash order (c28's spine), then the final "annealing"
+    * tail re-visits only the TOP-QUINTILE quality documents (exact 0.8
+    * percentile threshold, c02's cross-engine quantile) so the last
+    * gradient steps see the best data — emitted as one global position
+    * sequence (phase 1 = 1..N, phase 2 = N+1..N+|top|) with phase and
+    * quality riding each row. Both phases' positions come from ONE
+    * two-phase prefix scan (the annealed rank is a running conditional
+    * sum over the same per-pid window — no second shuffle); quality =
+    * lexical density, all integer. Selection is threshold-based, not
+    * top-k: at 100 TB a "top quintile" heap is data-sized, a percentile
+    * threshold is a scalar broadcast.
+    */
+  def c53_annealing_order(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks)")
+          .as("quality"),
+        expr("((doc_id % 1000003) * 2654435761 + 40503) % 1000000007").as("k"))
+    val thr = items.agg(expr("percentile(quality, 0.8D)").as("thr"))
+    val keyed = items.crossJoin(broadcast(thr))
+      .withColumn("annealed", (col("quality") >= col("thr")).cast("long"))
+      .repartitionByRange(32, col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sub = keyed.groupBy(col("pid"))
+      .agg(count(lit(1)).as("pn"), sum(col("annealed")).as("an"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = sub.map(_._2).sum
+    val offDf = broadcast(s.createDataFrame(
+      sub.map(_._1)
+        .zip(sub.map(_._2).scanLeft(0L)(_ + _).zip(sub.map(_._3).scanLeft(0L)(_ + _)))
+        .map { case (pid, (oa, ob)) => (pid, oa, ob) }.toSeq)
+      .toDF("pid", "off_all", "off_ann"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = keyed.join(offDf, "pid")
+      .withColumn("pos1", col("off_all") + row_number().over(w))
+      .withColumn("r2", sum(col("annealed")).over(run))
+    val phase1 = ranked.select(col("pos1").as("position"), col("doc_id"),
+      lit(1L).as("phase"), col("quality"))
+    val phase2 = ranked.where(col("annealed") === 1)
+      .select((lit(n) + col("off_ann") + col("r2")).as("position"),
+        col("doc_id"), lit(2L).as("phase"), col("quality"))
+    phase1.unionByName(phase2)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c53_annealing_order" -> (c53_annealing_order _),
     "c52_loss_mask" -> (c52_loss_mask _),
     "c51_license_audit" -> (c51_license_audit _),
     "c50_budget_certificate" -> (c50_budget_certificate _),
@@ -2247,6 +2299,29 @@ object CurationQueries {
         |FROM retrim""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c53_annealing_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+        |           // len(toks) AS quality,
+        |         ((doc_id % 1000003) * 2654435761 + 40503) % 1000000007 AS k
+        |  FROM t),
+        |th AS (SELECT quantile_cont(quality, 0.8) AS thr FROM q),
+        |m AS (SELECT q.*, CASE WHEN quality >= thr THEN 1 ELSE 0 END AS ann
+        |      FROM q CROSS JOIN th),
+        |nn AS (SELECT count(*) AS n FROM m),
+        |p1 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+        |           AS position,
+        |         doc_id, CAST(1 AS BIGINT) AS phase, quality
+        |  FROM m),
+        |p2 AS (
+        |  SELECT CAST(nn.n + row_number() OVER (ORDER BY k, doc_id) AS BIGINT),
+        |         doc_id, CAST(2 AS BIGINT), quality
+        |  FROM m CROSS JOIN nn WHERE ann = 1)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2""".stripMargin,
     "c52_loss_mask" ->
       s"""WITH c48 AS ($c48Oracle)
          |SELECT user_id, conv_idx, turn_out, role,

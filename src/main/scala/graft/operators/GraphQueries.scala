@@ -590,6 +590,69 @@ object GraphQueries {
        |UNION ALL SELECT walk, CAST(3 AS BIGINT), node FROM w3
        |UNION ALL SELECT walk, CAST(4 AS BIGINT), node FROM w4""".stripMargin
 
+  /** g23: COMMUNITY CHURN — month-over-month stability of g21's discovered
+    * communities, the drift monitor that must run before any
+    * community-derived feature (mixture slot, dedup block, trust score)
+    * is trusted across snapshots: for each adjacent month pair, every
+    * community is matched to its best-overlap successor (argmax member
+    * overlap, ties to the smallest label) and counted SURVIVED only when
+    * the overlap is a strict majority of BOTH sides — the standard
+    * community-tracking rule that filters out splits and merges
+    * masquerading as survival. Months are the STORED integer indices, so
+    * adjacency is `m + 1` (no date parsing); the whole panel is two copies
+    * of g21's label chain joined on (node, m+1), all keyed joins.
+    */
+  def g23_community_churn(s: SparkSession, d: String): DataFrame = {
+    CoGraph.registerMonthlyView(s, d)
+    s.sql(g23Sql("SELECT m AS month, u, v FROM co_monthly WHERE n >= 2"))
+  }
+
+  /** g23's SQL over registered `lineitem`/`orders` views (oracle form). */
+  private[graft] def g23CoRebuild: String =
+    """SELECT m.month, a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a
+      |  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      |                 AND a.l_suppkey < b.l_suppkey
+      |  JOIN (SELECT o_orderkey,
+      |               (CAST(substring(CAST(CAST(o_orderdate AS DATE) AS $STR$),
+      |                               1, 4) AS INT) - 1992) * 12
+      |               + CAST(substring(CAST(CAST(o_orderdate AS DATE) AS $STR$),
+      |                                6, 2) AS INT) - 1 AS month
+      |        FROM orders) m ON m.o_orderkey = a.l_orderkey
+      |  GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
+  private[graft] def g23Sql(co: String): String =
+    s"""WITH ${g21Chain(co)},
+       |sizes AS (
+       |  SELECT month, lbl, count(*) AS sz FROM l4 GROUP BY 1, 2),
+       |ov AS (
+       |  SELECT a.month AS m, a.lbl AS ca, b.lbl AS cb, count(*) AS overlap
+       |  FROM l4 a JOIN l4 b ON b.node = a.node AND b.month = a.month + 1
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT m, ca, cb, overlap FROM (
+       |    SELECT m, ca, cb, overlap,
+       |           row_number() OVER (PARTITION BY m, ca
+       |               ORDER BY overlap DESC, cb) AS rk
+       |    FROM ov) t WHERE rk = 1),
+       |surv AS (
+       |  SELECT b.m, count(*) AS n_matched,
+       |         CAST(sum(CASE WHEN b.overlap * 2 > sa.sz
+       |                        AND b.overlap * 2 > sb.sz
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_survived
+       |  FROM best b
+       |  JOIN sizes sa ON sa.month = b.m AND sa.lbl = b.ca
+       |  JOIN sizes sb ON sb.month = b.m + 1 AND sb.lbl = b.cb
+       |  GROUP BY 1),
+       |counts AS (
+       |  SELECT month, CAST(count(*) AS BIGINT) AS n_comms
+       |  FROM sizes GROUP BY 1)
+       |SELECT CAST(s2.m AS BIGINT) AS month, ca.n_comms AS n_comms_from,
+       |       cb.n_comms AS n_comms_to, s2.n_matched, s2.n_survived
+       |FROM surv s2
+       |JOIN counts ca ON ca.month = s2.m
+       |JOIN counts cb ON cb.month = s2.m + 1""".stripMargin
+
   /** g21's SQL over registered `lineitem`/`orders` views — the
     * planted-partition spec drives this form directly (two disjoint
     * cliques must come back as exactly two communities labeled by their
@@ -626,8 +689,11 @@ object GraphQueries {
        |               ORDER BY n DESC, lbl) AS rk FROM v$cur) t
        |  WHERE rk = 1)""".stripMargin
 
-  private def g21Sql(co: String): String =
-    s"""WITH co AS (
+  /** The co → und → 4 LPA rounds CTE prefix, shared by g21 (communities
+    * + modularity) and g23 (month-over-month churn, integer months).
+    */
+  private def g21Chain(co: String): String =
+    s"""co AS (
        |  $co),
        |und AS (SELECT month, u, v FROM co
        |        UNION ALL SELECT month, v, u FROM co),
@@ -635,7 +701,10 @@ object GraphQueries {
        |${g21Round("l0", "l1")},
        |${g21Round("l1", "l2")},
        |${g21Round("l2", "l3")},
-       |${g21Round("l3", "l4")},
+       |${g21Round("l3", "l4")}""".stripMargin
+
+  private def g21Sql(co: String): String =
+    s"""WITH ${g21Chain(co)},
        |deg AS (SELECT month, u AS node, count(*) AS d FROM und GROUP BY 1, 2),
        |mm AS (SELECT month, CAST(count(*) AS BIGINT) AS m FROM co GROUP BY 1),
        |ec AS (
@@ -920,6 +989,7 @@ object GraphQueries {
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
+    "g23_community_churn" -> (g23_community_churn _),
     "g22_random_walks" -> (g22_random_walks _),
     "g21_labelprop" -> (g21_labelprop _),
     "g15_modularity" -> (g15_modularity _),
@@ -1241,6 +1311,8 @@ object GraphQueries {
       "g21_labelprop" -> g21Sql(g21CoRebuild).replace("$DIV$", "//")
         .replace("$STR$", "VARCHAR"),
       "g22_random_walks" -> g22Sql(coRebuild),
+      "g23_community_churn" -> g23Sql(g23CoRebuild)
+        .replace("$STR$", "VARCHAR"),
       "g16_graph_evolution" ->
         g16Sql(g16CoRebuild).replace("$STR$", "VARCHAR").replace("$DIV$", "//"),
       "g12_link_prediction" ->

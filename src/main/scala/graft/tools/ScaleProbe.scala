@@ -779,6 +779,13 @@ object ScaleProbe {
         graft.operators.DedupQueries.d38_mutation_recall(spark, sf).count())
       time(s"$tag q160_sortkey_advisor")(
         graft.operators.RelationalQueries.q160_sortkey_advisor(spark, sf).count())
+      // wave 32: c53 is one two-phase scan + a scalar percentile
+      // broadcast; g23 is two copies of g21's label chain joined on
+      // (node, m+1) — tracks the monthly-graph size, never lineitem
+      time(s"$tag c53_annealing_order")(
+        graft.operators.CurationQueries.c53_annealing_order(spark, sf).count())
+      time(s"$tag g23_community_churn")(
+        graft.operators.GraphQueries.g23_community_churn(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3360,6 +3360,44 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("c53 annealing order: contiguous positions, tail is exactly the top quintile") {
+    val rows = SparkEntry.queries("c53_annealing_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = Tables.documents(spark, sf).count()
+    val p1 = rows.filter(_._3 == 1L)
+    val p2 = rows.filter(_._3 == 2L)
+    assert(p1.length == n, "phase 1 must stream the whole corpus")
+    assert(rows.map(_._1).sorted.sameElements(1L to rows.length.toLong),
+      "global positions are not contiguous")
+    assert(p1.map(_._1).max < p2.map(_._1).min,
+      "annealing tail must come after the bulk phase")
+    assert(p2.nonEmpty && p2.length < n / 3, "annealing tail is not a minority")
+    // the tail is EXACTLY the >= 0.8-quantile set of phase 1's qualities
+    val quals = p1.map(_._4).sorted
+    val minTail = p2.map(_._4).min
+    val excluded = p1.map(_._2).toSet -- p2.map(_._2).toSet
+    val maxExcluded = p1.filter(r => excluded.contains(r._2)).map(_._4).max
+    assert(minTail >= maxExcluded,
+      s"a lower-quality doc ($maxExcluded) outranked the tail's floor ($minTail)")
+  }
+
+  test("g23 community churn: panel covers all transitions, survival bounded") {
+    val rows = SparkEntry.queries("g23_community_churn")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val months = rows.map(_._1)
+    assert(months.distinct.length == months.length)
+    rows.foreach { case (m, from, to, matched, survived) =>
+      assert(matched <= from, s"month $m: more matches than source communities")
+      assert(survived <= matched, s"month $m: survival exceeds matches")
+      assert(from > 0 && to > 0)
+    }
+    assert(rows.exists(_._5 > 0), "no community ever survived a month boundary")
+    assert(rows.exists(r => r._5 < r._4),
+      "every match survived — the majority rule never filtered anything")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
