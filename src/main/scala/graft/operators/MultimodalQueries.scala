@@ -896,6 +896,59 @@ object MultimodalQueries {
       .groupBy(col("n_docs"))
       .agg(count(lit(1)).as("n_digests"), sum(col("n_occ")).as("n_patches"))
 
+  /** m27: A/V SYNC recovery — the alignment step a multimodal ingest runs
+    * when audio and video tracks may be offset (container mux drift, VAD
+    * trims): cross-correlate the two energy series over a small lag
+    * window and take the argmax. Ground truth follows the planting
+    * discipline: the "video" series is the audio series DELAYED by a
+    * known per-doc lag (doc_id mod 5 − 2 — the decode stub standing in
+    * for a real second track), and the operator must recover it; the
+    * `recovered` audit column rides the hash-gated output. Correlation
+    * scores are exact integer dot products over the token-length series
+    * (the decode-stub signal — docs are too short for 256-byte frames); each
+    * lag is one keyed self-join on (doc, frame index + lag) — lags are
+    * keys from a 5-row broadcast, never passes. Docs need ≥ 12 samples for
+    * the ±2 window to be meaningful (all fixture docs qualify).
+    */
+  def m27_av_sync(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("frame_no"),
+        length(col("col")).cast("long").as("energy"))
+      .createOrReplaceTempView("fe0")
+    s.sql(m27Tail("SELECT explode(array(-2, -1, 0, 1, 2)) AS lag"))
+  }
+
+  private[operators] def m27Tail(lags: String): String =
+    s"""WITH nf AS (SELECT doc_id, count(*) AS n_frames FROM fe0 GROUP BY 1),
+       |docs AS (
+       |  SELECT doc_id, n_frames, CAST(doc_id % 5 - 2 AS BIGINT) AS planted_lag
+       |  FROM nf WHERE n_frames >= 12),
+       |a AS (
+       |  SELECT f.doc_id, f.frame_no, f.energy, d.n_frames, d.planted_lag
+       |  FROM fe0 f JOIN docs d ON d.doc_id = f.doc_id),
+       |video AS (
+       |  SELECT doc_id, frame_no + planted_lag AS v_no, energy AS v_energy
+       |  FROM a WHERE frame_no + planted_lag >= 0
+       |          AND frame_no + planted_lag < n_frames),
+       |lags AS (SELECT CAST(lag AS BIGINT) AS lag FROM ($lags) ll),
+       |sc AS (
+       |  SELECT x.doc_id, l.lag, CAST(sum(x.energy * v.v_energy) AS BIGINT)
+       |           AS score
+       |  FROM a x CROSS JOIN lags l
+       |  JOIN video v ON v.doc_id = x.doc_id AND v.v_no = x.frame_no + l.lag
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lag AS best_lag, score AS peak_score FROM (
+       |    SELECT doc_id, lag, score,
+       |           row_number() OVER (PARTITION BY doc_id
+       |               ORDER BY score DESC, lag) AS rk
+       |    FROM sc) t WHERE rk = 1)
+       |SELECT d.doc_id, d.n_frames, d.planted_lag, b.best_lag, b.peak_score,
+       |       CAST(CASE WHEN b.best_lag = d.planted_lag THEN 1 ELSE 0 END
+       |            AS BIGINT) AS recovered
+       |FROM docs d JOIN best b ON b.doc_id = d.doc_id""".stripMargin
+
   /** m25: GATED integrated loudness — EBU R128's two-gate structure over
     * m06's frame energies (decode stubbed to byte levels, the m0x
     * discipline; a real loudness meter replaces only the per-frame level
@@ -993,6 +1046,7 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "m27_av_sync" -> (m27_av_sync _),
     "m26_patch_neardup" -> (m26_patch_neardup _),
     "m25_gated_loudness" -> (m25_gated_loudness _),
     "m24_contrastive_batches" -> (m24_contrastive_batches _),
@@ -1391,6 +1445,18 @@ object MultimodalQueries {
     // same oracle (each check must be self-contained; the string is shared)
     "m05_arrow_features" -> byteFeaturesOracle,
     "m06_frame_energy" -> frameEnergyOracle,
+    "m27_av_sync" -> {
+      val tail = m27Tail("SELECT unnest([-2, -1, 0, 1, 2]) AS lag")
+      s"""WITH fe0 AS (
+         |  SELECT doc_id,
+         |         CAST(generate_subscripts(toks, 1) - 1 AS BIGINT)
+         |           AS frame_no,
+         |         CAST(unnest(list_transform(toks, t -> length(t))) AS BIGINT)
+         |           AS energy
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents) d0),
+         |${tail.stripPrefix("WITH ")}""".stripMargin
+    },
     "m26_patch_neardup" ->
       """WITH m AS (
         |  SELECT doc_id, text,

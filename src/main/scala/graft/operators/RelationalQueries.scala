@@ -4200,6 +4200,47 @@ object RelationalQueries {
        |$selects""".stripMargin
   }
 
+  /** q161: TWO-PASS exact median — how exact order statistics are actually
+    * computed at 100 TB, where q40's sort-based median is unaffordable:
+    * pass 1 histograms values into width-bounded buckets (one map-side
+    * combinable aggregate; the histogram is ~160 rows, driver-safe), the
+    * cumulative walk finds the bucket containing the k-th value and its
+    * within-bucket rank r*, and pass 2 ranks ONLY that bucket's rows —
+    * the sorted set shrinks from n to one bucket's width before any
+    * ordering happens (at larger scale the same step recurses; one level
+    * suffices here and the bucket-row count is emitted as evidence of the
+    * pruning). Emitted median is the exact lower median of the cent
+    * values, which the spec cross-checks against a driver-side full sort
+    * at sf0.001; the within-bucket window is bucket-bounded by
+    * construction, never data-sized.
+    */
+  def q161_twopass_median(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.lineitem(s, d)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"))
+    val hist = v.groupBy(expr("cents div 65536").as("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val k = (n + 1) / 2
+    val (bStar, before) = hist.scanLeft((0L, 0L)) { case ((_, cum), (b, bn)) =>
+      (b, cum + bn)
+    }.tail.zip(hist).collectFirst {
+      case ((b, cum), (_, bn)) if cum >= k => (b, cum - bn)
+    }.get
+    val rStar = k - before
+    val wb = Window.orderBy(col("cents"), col("id"))
+    val inBucket = v.where(expr(s"cents div 65536") === bStar)
+    val median = inBucket
+      .withColumn("rn", row_number().over(wb).cast("long"))
+      .where(col("rn") === rStar)
+      .select(col("cents").as("median_cents"))
+    median.crossJoin(broadcast(inBucket.agg(count(lit(1)).as("n_bucket_rows"))))
+      .select(lit(n).as("n"), lit(k).as("k"), col("median_cents"),
+        col("n_bucket_rows"))
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4342,6 +4383,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q161_twopass_median" -> (q161_twopass_median _),
     "q160_sortkey_advisor" -> (q160_sortkey_advisor _),
     "q159_bitemporal" -> (q159_bitemporal _),
     "q158_bitmap_distinct" -> (q158_bitmap_distinct _),
@@ -4501,6 +4543,30 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q161_twopass_median" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |         l_orderkey * 10 + l_linenumber AS id
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM v),
+        |h AS (SELECT cents // 65536 AS bucket, count(*) AS bn
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT bucket, bn,
+        |             sum(bn) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |               AS cum
+        |      FROM h),
+        |tgt AS (SELECT bucket, cum - bn AS before FROM c CROSS JOIN nn
+        |        WHERE cum >= k ORDER BY bucket LIMIT 1),
+        |ib AS (SELECT v.* FROM v JOIN tgt ON v.cents // 65536 = tgt.bucket),
+        |med AS (
+        |  SELECT t.cents FROM (
+        |    SELECT cents, row_number() OVER (ORDER BY cents, id) AS rn
+        |    FROM ib) t CROSS JOIN tgt CROSS JOIN nn
+        |  WHERE t.rn = nn.k - tgt.before)
+        |SELECT CAST(nn.n AS BIGINT) AS n, CAST(nn.k AS BIGINT) AS k,
+        |       med.cents AS median_cents,
+        |       CAST((SELECT count(*) FROM ib) AS BIGINT) AS n_bucket_rows
+        |FROM nn CROSS JOIN med""".stripMargin,
     "q160_sortkey_advisor" -> q160Oracle,
     "q159_bitemporal" ->
       """WITH grid AS (

@@ -786,6 +786,13 @@ object ScaleProbe {
         graft.operators.CurationQueries.c53_annealing_order(spark, sf).count())
       time(s"$tag g23_community_churn")(
         graft.operators.GraphQueries.g23_community_churn(spark, sf).count())
+      // wave 33: q161 is two scan-bound passes with a ~160-row driver
+      // histogram between them (the sorted set shrinks to one bucket);
+      // m27 is |lags|=5 keyed self-joins over the token-length series
+      time(s"$tag q161_twopass_median")(
+        graft.operators.RelationalQueries.q161_twopass_median(spark, sf).count())
+      time(s"$tag m27_av_sync")(
+        graft.operators.MultimodalQueries.m27_av_sync(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3398,6 +3398,38 @@ class QueriesSpec extends SparkTestBase {
       "every match survived — the majority rule never filtered anything")
   }
 
+  test("q161 two-pass median: equals the full sort, pruning is real") {
+    val r = SparkEntry.queries("q161_twopass_median")(spark, sf).collect().head
+    val (n, k, med, bucketRows) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val all = Tables.lineitem(spark, sf)
+      .selectExpr("CAST(round(l_extendedprice * 100) AS BIGINT) AS cents")
+      .collect().map(_.getLong(0)).sorted
+    assert(n == all.length && k == (n + 1) / 2)
+    assert(med == all((k - 1).toInt),
+      s"two-pass median $med != full-sort median ${all((k - 1).toInt)}")
+    assert(bucketRows < n / 4,
+      s"pass 2 ranked $bucketRows of $n rows — the histogram pruned nothing")
+  }
+
+  test("m27 a/v sync: planted lags recovered, audit column consistent") {
+    val rows = SparkEntry.queries("m27_av_sync")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, planted, best, peak, rec) =>
+      assert(planted >= -2 && planted <= 2 && best >= -2 && best <= 2)
+      assert(peak > 0, s"doc $id: zero correlation peak")
+      assert((rec == 1L) == (best == planted), s"doc $id: audit column wrong")
+      assert(nf >= 12)
+    }
+    assert(Set(-2L, -1L, 0L, 1L, 2L).subsetOf(rows.map(_._3).toSet),
+      "fixture degenerate: a planted lag class is missing")
+    val recovered = rows.count(_._6 == 1L)
+    assert(recovered * 100 >= rows.length * 95,
+      s"recovery rate too low: $recovered/${rows.length}")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
