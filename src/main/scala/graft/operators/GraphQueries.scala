@@ -653,6 +653,33 @@ object GraphQueries {
        |JOIN counts ca ON ca.month = s2.m
        |JOIN counts cb ON cb.month = s2.m + 1""".stripMargin
 
+  /** g24: GRAPH COARSENING — the community SUPER-GRAPH: g21's discovered
+    * communities become super-nodes and every cross-community edge folds
+    * into a weighted super-edge (canonicalized min/max label order) — the
+    * summarization step hierarchical graph pipelines recurse on (Louvain's
+    * second phase), and the "which communities talk to each other" view a
+    * mixture designer reads. Per month on stored integer indices; two
+    * label-join passes over the monthly co-graph, group-by-fold to the
+    * super-edge list (strictly smaller than the input graph by
+    * construction).
+    */
+  def g24_community_graph(s: SparkSession, d: String): DataFrame = {
+    CoGraph.registerMonthlyView(s, d)
+    s.sql(g24Sql("SELECT m AS month, u, v FROM co_monthly WHERE n >= 2"))
+  }
+
+  private[graft] def g24Sql(co: String): String =
+    s"""WITH ${g21Chain(co)},
+       |x AS (
+       |  SELECT co.month, la.lbl AS ca, lb.lbl AS cb
+       |  FROM co JOIN l4 la ON la.month = co.month AND la.node = co.u
+       |          JOIN l4 lb ON lb.month = co.month AND lb.node = co.v
+       |  WHERE la.lbl <> lb.lbl)
+       |SELECT CAST(month AS BIGINT) AS month,
+       |       least(ca, cb) AS comm_a, greatest(ca, cb) AS comm_b,
+       |       count(*) AS n_edges
+       |FROM x GROUP BY 1, 2, 3""".stripMargin
+
   /** g21's SQL over registered `lineitem`/`orders` views — the
     * planted-partition spec drives this form directly (two disjoint
     * cliques must come back as exactly two communities labeled by their
@@ -989,6 +1016,7 @@ object GraphQueries {
     "g12_link_prediction" -> (g12_link_prediction _),
     "g13_assortativity" -> (g13_assortativity _),
     "g14_local_clustering" -> (g14_local_clustering _),
+    "g24_community_graph" -> (g24_community_graph _),
     "g23_community_churn" -> (g23_community_churn _),
     "g22_random_walks" -> (g22_random_walks _),
     "g21_labelprop" -> (g21_labelprop _),
@@ -1312,6 +1340,8 @@ object GraphQueries {
         .replace("$STR$", "VARCHAR"),
       "g22_random_walks" -> g22Sql(coRebuild),
       "g23_community_churn" -> g23Sql(g23CoRebuild)
+        .replace("$STR$", "VARCHAR"),
+      "g24_community_graph" -> g24Sql(g23CoRebuild)
         .replace("$STR$", "VARCHAR"),
       "g16_graph_evolution" ->
         g16Sql(g16CoRebuild).replace("$STR$", "VARCHAR").replace("$DIV$", "//"),

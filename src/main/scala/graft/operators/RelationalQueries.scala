@@ -4241,6 +4241,51 @@ object RelationalQueries {
         col("n_bucket_rows"))
   }
 
+  /** q162: FOREIGN-KEY inference — the data-catalog profiling pass that
+    * proposes join keys on an undocumented lake: for each candidate
+    * (child.column → parent.key) pair, measure distinct counts, orphan
+    * count (child values missing from the parent — one anti-join, the
+    * q115 RI machinery generalized to DISCOVERY), and the containment
+    * per-mille; verdict `fk` requires total containment AND the parent
+    * key being unique. The candidate list mixes the schema's real FKs
+    * with decoys (value-overlapping but non-FK pairs like
+    * orders.custkey → supplier.suppkey) so the verdict column actually
+    * discriminates — spec-pinned. Each pair costs two distinct-aggs and
+    * one anti-join on pruned single-column scans; pairs are independent
+    * (a catalog crawler fans them out).
+    */
+  def q162_fk_inference(s: SparkSession, d: String): DataFrame = {
+    val pairs = Seq(
+      ("orders.o_custkey", "customer.c_custkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"),
+      ("customer.c_nationkey", "nation.n_nationkey"),
+      ("orders.o_custkey", "supplier.s_suppkey"), // decoy: overlaps, not FK
+      ("orders.o_orderkey", "lineitem.l_orderkey")) // decoy: parent not unique
+    def column(ref: String) = {
+      val Array(t, c) = ref.split("\\.")
+      Tables.table(s, d, t).select(col(c).as("v"))
+    }
+    pairs.map { case (childRef, parentRef) =>
+      val child = column(childRef)
+      val parent = column(parentRef)
+      val stats = child.agg(count(lit(1)).as("n_child"),
+        countDistinct(col("v")).as("ndv_child"))
+      val pstats = parent.agg(count(lit(1)).as("n_parent"),
+        countDistinct(col("v")).as("ndv_parent"))
+      val orphans = child.distinct()
+        .join(parent.distinct(), Seq("v"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_values"))
+      stats.crossJoin(broadcast(pstats)).crossJoin(broadcast(orphans))
+        .select(lit(childRef).as("child"), lit(parentRef).as("parent"),
+          col("ndv_child"), col("ndv_parent"), col("n_orphan_values"),
+          expr("(ndv_child - n_orphan_values) * 1000 div ndv_child")
+            .as("containment_pm"),
+          expr("CASE WHEN n_orphan_values = 0 AND ndv_parent = n_parent " +
+            "THEN 'fk' ELSE 'no' END").as("verdict"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4383,6 +4428,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q162_fk_inference" -> (q162_fk_inference _),
     "q161_twopass_median" -> (q161_twopass_median _),
     "q160_sortkey_advisor" -> (q160_sortkey_advisor _),
     "q159_bitemporal" -> (q159_bitemporal _),
@@ -4543,6 +4589,103 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q162_fk_inference" ->
+      """SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |          WHERE v NOT IN (SELECT c_custkey FROM customer)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT o_custkey) FROM orders)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |                WHERE v NOT IN (SELECT c_custkey FROM customer))) * 1000
+        |            // (SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |                  WHERE v NOT IN (SELECT c_custkey FROM customer)) = 0
+        |              AND (SELECT count(DISTINCT c_custkey) FROM customer)
+        |                  = (SELECT count(*) FROM customer)
+        |            THEN 'fk' ELSE 'no' END AS verdict
+        |UNION ALL SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT l_orderkey AS v FROM lineitem) c
+        |          WHERE v NOT IN (SELECT o_orderkey FROM orders)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) c
+        |                WHERE v NOT IN (SELECT o_orderkey FROM orders))) * 1000
+        |            // (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) c
+        |                  WHERE v NOT IN (SELECT o_orderkey FROM orders)) = 0
+        |              AND (SELECT count(DISTINCT o_orderkey) FROM orders)
+        |                  = (SELECT count(*) FROM orders)
+        |            THEN 'fk' ELSE 'no' END AS verdict
+        |UNION ALL SELECT 'lineitem.l_suppkey' AS child, 'supplier.s_suppkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT l_suppkey AS v FROM lineitem) c
+        |          WHERE v NOT IN (SELECT s_suppkey FROM supplier)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT l_suppkey) FROM lineitem)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem) c
+        |                WHERE v NOT IN (SELECT s_suppkey FROM supplier))) * 1000
+        |            // (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem) c
+        |                  WHERE v NOT IN (SELECT s_suppkey FROM supplier)) = 0
+        |              AND (SELECT count(DISTINCT s_suppkey) FROM supplier)
+        |                  = (SELECT count(*) FROM supplier)
+        |            THEN 'fk' ELSE 'no' END AS verdict
+        |UNION ALL SELECT 'customer.c_nationkey' AS child, 'nation.n_nationkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT n_nationkey) AS BIGINT) FROM nation) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT c_nationkey AS v FROM customer) c
+        |          WHERE v NOT IN (SELECT n_nationkey FROM nation)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT c_nationkey) FROM customer)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer) c
+        |                WHERE v NOT IN (SELECT n_nationkey FROM nation))) * 1000
+        |            // (SELECT count(DISTINCT c_nationkey) FROM customer) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer) c
+        |                  WHERE v NOT IN (SELECT n_nationkey FROM nation)) = 0
+        |              AND (SELECT count(DISTINCT n_nationkey) FROM nation)
+        |                  = (SELECT count(*) FROM nation)
+        |            THEN 'fk' ELSE 'no' END AS verdict
+        |UNION ALL SELECT 'orders.o_custkey' AS child, 'supplier.s_suppkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |          WHERE v NOT IN (SELECT s_suppkey FROM supplier)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT o_custkey) FROM orders)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |                WHERE v NOT IN (SELECT s_suppkey FROM supplier))) * 1000
+        |            // (SELECT count(DISTINCT o_custkey) FROM orders) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+        |                  WHERE v NOT IN (SELECT s_suppkey FROM supplier)) = 0
+        |              AND (SELECT count(DISTINCT s_suppkey) FROM supplier)
+        |                  = (SELECT count(*) FROM supplier)
+        |            THEN 'fk' ELSE 'no' END AS verdict
+        |UNION ALL SELECT 'orders.o_orderkey' AS child, 'lineitem.l_orderkey' AS parent,
+        |       (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv_child,
+        |       (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS ndv_parent,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM
+        |          (SELECT DISTINCT o_orderkey AS v FROM orders) c
+        |          WHERE v NOT IN (SELECT l_orderkey FROM lineitem)) AS n_orphan_values,
+        |       CAST(((SELECT count(DISTINCT o_orderkey) FROM orders)
+        |             - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS v FROM orders) c
+        |                WHERE v NOT IN (SELECT l_orderkey FROM lineitem))) * 1000
+        |            // (SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+        |         AS containment_pm,
+        |       CASE WHEN (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS v FROM orders) c
+        |                  WHERE v NOT IN (SELECT l_orderkey FROM lineitem)) = 0
+        |              AND (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+        |                  = (SELECT count(*) FROM lineitem)
+        |            THEN 'fk' ELSE 'no' END AS verdict""".stripMargin,
     "q161_twopass_median" ->
       """WITH v AS (
         |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

@@ -793,6 +793,13 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q161_twopass_median(spark, sf).count())
       time(s"$tag m27_av_sync")(
         graft.operators.MultimodalQueries.m27_av_sync(spark, sf).count())
+      // wave 34: q162 is 6 independent pairs of distinct-aggs + anti-join
+      // on pruned single columns; g24 is the label chain + one grouped
+      // fold (strictly smaller output than the input graph)
+      time(s"$tag q162_fk_inference")(
+        graft.operators.RelationalQueries.q162_fk_inference(spark, sf).count())
+      time(s"$tag g24_community_graph")(
+        graft.operators.GraphQueries.g24_community_graph(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3430,6 +3430,47 @@ class QueriesSpec extends SparkTestBase {
       s"recovery rate too low: $recovered/${rows.length}")
   }
 
+  test("q162 fk inference: real FKs accepted, both decoys rejected") {
+    val rows = SparkEntry.queries("q162_fk_inference")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getLong(5),
+        r.getString(6))).toMap
+    assert(rows.size == 6)
+    Seq(("orders.o_custkey", "customer.c_custkey"),
+      ("lineitem.l_orderkey", "orders.o_orderkey"),
+      ("lineitem.l_suppkey", "supplier.s_suppkey"),
+      ("customer.c_nationkey", "nation.n_nationkey")).foreach { p =>
+      val (orphans, cpm, verdict) = rows(p)
+      assert(verdict == "fk" && orphans == 0L && cpm == 1000L,
+        s"$p: real FK not accepted ($orphans orphans, $cpm pm, $verdict)")
+    }
+    val overlap = rows(("orders.o_custkey", "supplier.s_suppkey"))
+    assert(overlap._3 == "no" && overlap._1 > 0,
+      "the value-overlap decoy must be rejected via orphans")
+    val nonUnique = rows(("orders.o_orderkey", "lineitem.l_orderkey"))
+    assert(nonUnique._3 == "no", "the non-unique-parent decoy must be rejected")
+  }
+
+  test("g24 community graph: super-edges are cross-community and shrink the graph") {
+    val rows = SparkEntry.queries("g24_community_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (m, a, b, n) =>
+      assert(a < b, s"month $m: super-edge not canonicalized ($a, $b)")
+      assert(n > 0)
+    }
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length)
+    // coarsening: per month, far fewer super-edges than base edges
+    val base = operators.CoGraph.monthly(spark, sf)
+      .where(col("n") >= 2).groupBy(col("m")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (m, es) =>
+      assert(es.length < base(m),
+        s"month $m: super-graph no smaller than the base graph")
+      assert(es.map(_._4).sum <= base(m),
+        s"month $m: super-edge mass exceeds base cross edges")
+    }
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
