@@ -157,6 +157,53 @@ object DedupQueries {
         col("n_neardup_500"), col("sum_jaccard_milli"))
   }
 
+  /** d39: NORMALIZATION-GAIN recall — answers "should we normalize before
+    * exact dedup?" with a measured table instead of a prior: every 9th
+    * document is re-emitted in three formatting-variant classes (doubled
+    * spaces; trailing punctuation; uppercased) — the near-dup classes raw
+    * content hashing (d02) is blind to — and the census reports, per
+    * class, how many (original, variant) pairs the RAW hash catches
+    * (zero, by construction) versus the t14-NORMALIZED hash (all,
+    * spec-pinned: the d38 mutation-recall discipline applied to the
+    * normalize-then-dedup decision). Scan-side projections + two
+    * hash-keyed joins; the planted ids are arithmetic so ground truth is
+    * a keyed 1:1 join, never all-pairs.
+    */
+  def d39_norm_recall(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val slice = base.where(pmod(col("doc_id"), lit(9L)) === 4)
+    val kinds = Seq(
+      1L -> "replace(text, ' ', '  ')",
+      2L -> "concat(text, ' !!')",
+      3L -> "upper(text)")
+    val plants = kinds.map { case (k, e) =>
+      slice.select((col("doc_id") + k * 10000000L).as("doc_id"),
+        expr(e).as("text"))
+    }.reduce(_ unionByName _)
+    val corpus = base.unionByName(plants)
+      .withColumn("raw_h", md5(col("text")))
+      .withColumn("norm_h", md5(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 .,]", " "),
+        " {2,}", " "))))
+      .select(col("doc_id"), col("raw_h"), col("norm_h"))
+      .localCheckpoint()
+    val pairs = Seq(1L, 2L, 3L).map { k =>
+      corpus.as("a").join(corpus.as("b"),
+          col("b.doc_id") === col("a.doc_id") + k * 10000000L)
+        .where(col("a.doc_id") < 10000000L)
+        .select(lit(k).as("k"),
+          (col("a.raw_h") === col("b.raw_h")).cast("long").as("raw_same"),
+          (col("a.norm_h") === col("b.norm_h")).cast("long").as("norm_same"))
+    }.reduce(_ unionByName _)
+    pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("raw_same")).as("caught_raw"),
+        sum(col("norm_same")).as("caught_norm"))
+      .withColumn("variant", expr("CASE k WHEN 1 THEN 'double_space' " +
+        "WHEN 2 THEN 'trailing_punct' ELSE 'uppercased' END"))
+      .select(col("variant"), col("n_pairs"), col("caught_raw"),
+        col("caught_norm"))
+  }
+
   def d03_dedup_minhash_lsh(s: SparkSession, d: String): DataFrame = {
     // The (shingles, sig) projection feeds FOUR subtrees (bands.x, bands.y,
     // sa, sb); without materialization Spark re-runs the CPU-heavy
@@ -1854,6 +1901,7 @@ object DedupQueries {
     "d07_embed_neardup_lsh" -> (d07_embed_neardup_lsh _),
     "d08_dedup_apply" -> (d08_dedup_apply _),
     "d02_dedup_content_hash" -> (d02_dedup_content_hash _),
+    "d39_norm_recall" -> (d39_norm_recall _),
     "d38_mutation_recall" -> (d38_mutation_recall _),
     "d03_dedup_minhash_lsh" -> (d03_dedup_minhash_lsh _),
     "d04_dedup_simhash" -> (d04_dedup_simhash _),
@@ -2098,6 +2146,33 @@ object DedupQueries {
         |SELECT source, n_docs, raw_tokens, eff_tokens,
         |       eff_tokens * 1000 // raw_tokens AS retention_pm
         |FROM agg""".stripMargin),
+    "d39_norm_recall" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |sl AS (SELECT doc_id, text FROM base WHERE doc_id % 9 = 4),
+        |plants AS (
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |         replace(text, ' ', '  ') AS text FROM sl
+        |  UNION ALL SELECT doc_id + 20000000, text || ' !!' FROM sl
+        |  UNION ALL SELECT doc_id + 30000000, upper(text) FROM sl),
+        |corpus AS (
+        |  SELECT doc_id, md5(text) AS raw_h,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 .,]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS norm_h
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM plants) u),
+        |kk AS (SELECT unnest([1, 2, 3]) AS k),
+        |pairs AS (
+        |  SELECT kk.k,
+        |         CASE WHEN a.raw_h = b.raw_h THEN 1 ELSE 0 END AS raw_same,
+        |         CASE WHEN a.norm_h = b.norm_h THEN 1 ELSE 0 END AS norm_same
+        |  FROM corpus a CROSS JOIN kk
+        |  JOIN corpus b ON b.doc_id = a.doc_id + kk.k * 10000000
+        |  WHERE a.doc_id < 10000000)
+        |SELECT CASE k WHEN 1 THEN 'double_space' WHEN 2 THEN 'trailing_punct'
+        |            ELSE 'uppercased' END AS variant,
+        |       count(*) AS n_pairs,
+        |       CAST(sum(raw_same) AS BIGINT) AS caught_raw,
+        |       CAST(sum(norm_same) AS BIGINT) AS caught_norm
+        |FROM pairs GROUP BY k""".stripMargin,
     "d38_mutation_recall" ->
       s"""WITH raw AS (SELECT doc_id, text FROM documents),
          |sl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM raw

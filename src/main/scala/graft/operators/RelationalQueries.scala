@@ -4286,6 +4286,53 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q163: SESSION STITCHING across batch boundaries — the bug every daily
+    * batch pipeline ships at least once: sessionizing each day's partition
+    * independently SPLITS any session that spans midnight. The repair is
+    * two-level sessionization: within-day sessions first (exactly what the
+    * daily job computed), then the SAME 30-minute gap rule re-run over the
+    * per-user session SUMMARIES ordered by start time — which stitches
+    * chains across any number of midnights in ONE window pass, no
+    * iteration (between consecutive summaries the only possible gap is
+    * the boundary gap; within-day correctness is inherited). Output is
+    * q74's exact schema and the twin runs under q74's OWN oracle — the
+    * hash gate proves stitched == global sessionization, the equality
+    * the daily pipeline needs certified. Scale: the second pass runs
+    * over session summaries (orders of magnitude smaller than events),
+    * same (user_id, time) key family as the first.
+    */
+  def q163_session_stitch(s: SparkSession, d: String): DataFrame = {
+    val wD = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    val runD = wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        to_date(col("ts")).as("day"))
+      .withColumn("new_s",
+        when(lag(col("us"), 1).over(wD).isNull ||
+          col("us") - lag(col("us"), 1).over(wD) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("day_sess", sum(col("new_s")).over(runD))
+      .groupBy(col("user_id"), col("day"), col("day_sess"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("first_us"), col("last_us"))
+    val runU = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("stitch",
+        when(lag(col("last_us"), 1).over(wU).isNull ||
+          col("first_us") - lag(col("last_us"), 1).over(wU) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("stitch")).over(runU))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("n_events")).as("n_events"),
+        date_format(timestamp_micros(min(col("first_us"))),
+          "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(timestamp_micros(max(col("last_us"))),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        expr("(max(last_us) - min(first_us)) div 1000000").as("duration_s"))
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4428,6 +4475,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q163_session_stitch" -> (q163_session_stitch _),
     "q162_fk_inference" -> (q162_fk_inference _),
     "q161_twopass_median" -> (q161_twopass_median _),
     "q160_sortkey_advisor" -> (q160_sortkey_advisor _),
@@ -4584,11 +4632,35 @@ object RelationalQueries {
   )
 
   /** DuckDB-dialect oracle twins (ANSI; never MySQL-isms — SURVEY §7). */
+  /** q74's oracle text — shared verbatim by q163 (stitched == global is
+    * the claim, so both run under the same twin).
+    */
+  private lazy val oracles74Ref: String =
+    """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN lag(us) OVER w IS NULL
+        |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sx AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM l)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       count(*) AS n_events,
+        |       strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       (max(us) - min(us)) // 1000000 AS duration_s
+        |FROM sx GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q156_feistel_pseudonymize" ->
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q163_session_stitch" -> oracles74Ref,
     "q162_fk_inference" ->
       """SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,
         |       (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS ndv_child,
@@ -5639,25 +5711,7 @@ object RelationalQueries {
         |       count(DISTINCT o_orderpriority)
         |         OVER (PARTITION BY o_custkey) AS n_prio
         |FROM orders""".stripMargin,
-    "q74_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
-        |l AS (
-        |  SELECT user_id, event_id, us,
-        |         CASE WHEN lag(us) OVER w IS NULL
-        |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |sx AS (
-        |  SELECT user_id, us,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                          ROWS UNBOUNDED PRECEDING) AS session_idx
-        |  FROM l)
-        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-        |       count(*) AS n_events,
-        |       strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |       strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S') AS session_end,
-        |       (max(us) - min(us)) // 1000000 AS duration_s
-        |FROM sx GROUP BY 1, 2""".stripMargin,
+    "q74_sessionize" -> oracles74Ref,
     "q75_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -800,6 +800,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q162_fk_inference(spark, sf).count())
       time(s"$tag g24_community_graph")(
         graft.operators.GraphQueries.g24_community_graph(spark, sf).count())
+      // wave 35: q163's second pass runs over session SUMMARIES (much
+      // smaller than events); d39 is scan-side hashing + keyed 1:1 joins
+      time(s"$tag q163_session_stitch")(
+        graft.operators.RelationalQueries.q163_session_stitch(spark, sf).count())
+      time(s"$tag d39_norm_recall")(
+        graft.operators.DedupQueries.d39_norm_recall(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so
