@@ -1958,7 +1958,59 @@ object CurationQueries {
     phase1.unionByName(phase2)
   }
 
+  /** c54: SMOOTH source INTERLEAVE — c28 gives a deterministic global
+    * order, but hash order leaves source RUNS (several consecutive docs
+    * from one source), which batch-level loss curves see as mixture
+    * noise. The smooth schedule places the i-th item of source s at
+    * fractional key i/n_s (computed as the integer i·10⁶ div n_s — the
+    * Bresenham line-drawing construction), so every prefix of the global
+    * order carries each source in proportion within a ±2 drift bound
+    * (spec-measured at stride 50). Two two-phase prefix scans: the
+    * within-source rank rides a (pid, source) window (c47's shape), the
+    * global position a (key, source, doc_id) range partition — no global
+    * sort reducer, no source-sized partition anywhere.
+    */
+  def c54_smooth_interleave(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .repartitionByRange(32, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sub = docs.groupBy(col("pid"), col("source"))
+      .agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val off = sub.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (pid, o) => (pid, src, o) }
+    }
+    val srcN = broadcast(sub.groupBy(_._2).view
+      .mapValues(_.map(_._3).sum).toSeq.toDF("source", "ns"))
+    val offDf = broadcast(off.toDF("pid", "source", "soff"))
+    val ws = Window.partitionBy(col("pid"), col("source")).orderBy(col("doc_id"))
+    val keyed = docs.join(offDf, Seq("pid", "source")).join(srcN, "source")
+      .withColumn("i", col("soff") + row_number().over(ws))
+      .withColumn("k", expr("i * 1000000L div ns"))
+      .select(col("doc_id"), col("source"), col("i").cast("long").as("i"),
+        col("k"))
+      .repartitionByRange(32, col("k"), col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val sub2 = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val off2 = broadcast(s.createDataFrame(
+      sub2.map(_._1).zip(sub2.map(_._2).scanLeft(0L)(_ + _)).toSeq)
+      .toDF("pid", "goff"))
+    val wg = Window.partitionBy(col("pid"))
+      .orderBy(col("k"), col("source"), col("doc_id"))
+    keyed.join(off2, "pid")
+      .withColumn("position", col("goff") + row_number().over(wg))
+      .select(col("position"), col("doc_id"), col("source"), col("i"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c54_smooth_interleave" -> (c54_smooth_interleave _),
     "c53_annealing_order" -> (c53_annealing_order _),
     "c52_loss_mask" -> (c52_loss_mask _),
     "c51_license_audit" -> (c51_license_audit _),
@@ -2299,6 +2351,18 @@ object CurationQueries {
         |FROM retrim""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c54_smooth_interleave" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i,
+        |         count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d),
+        |k AS (SELECT doc_id, source, i, i * 1000000 // ns AS key FROM r)
+        |SELECT CAST(row_number() OVER (ORDER BY key, source, doc_id)
+        |            AS BIGINT) AS position,
+        |       doc_id, source, CAST(i AS BIGINT) AS i
+        |FROM k""".stripMargin,
     "c53_annealing_order" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -4333,6 +4333,35 @@ object RelationalQueries {
         expr("(max(last_us) - min(first_us)) div 1000000").as("duration_s"))
   }
 
+  /** q164: SEMI-ADDITIVE rollup — the measure class (balances, inventory,
+    * head-counts) that sums ACROSS entities but NOT across time: each
+    * user's balance is the running sum of their event values, a period's
+    * figure is each user's LAST balance in the period (max_by over the
+    * in-period events — never a sum over time), and only then do balances
+    * add across users. Getting this wrong (summing balances over time) is
+    * the classic BI bug; the operator spells the correct two-level
+    * aggregation: one (user, time) window for the running balance, one
+    * max_by per (user, week), one sum per week. Cents-integer arithmetic;
+    * weeks are epoch-day div 7 (the q158 portable bucket).
+    */
+  def q164_semi_additive(s: SparkSession, d: String): DataFrame = {
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7")
+          .as("week"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("balance", sum(col("cents")).over(run))
+      .groupBy(col("user_id"), col("week"))
+      .agg(expr("max_by(balance, struct(us, event_id))").as("closing_balance"),
+        count(lit(1)).as("n_events"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("closing_balance")).as("total_closing_cents"),
+        sum(col("n_events")).as("n_events"))
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4475,6 +4504,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q164_semi_additive" -> (q164_semi_additive _),
     "q163_session_stitch" -> (q163_session_stitch _),
     "q162_fk_inference" -> (q162_fk_inference _),
     "q161_twopass_median" -> (q161_twopass_median _),
@@ -4660,6 +4690,28 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q164_semi_additive" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7
+        |           AS week,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT *, sum(cents) OVER (PARTITION BY user_id
+        |              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+        |           AS balance
+        |  FROM e),
+        |cl AS (
+        |  SELECT user_id, week,
+        |         CAST(last(balance ORDER BY us, event_id) AS BIGINT)
+        |           AS closing_balance,
+        |         count(*) AS n_events
+        |  FROM b GROUP BY 1, 2)
+        |SELECT week, count(*) AS n_users,
+        |       CAST(sum(closing_balance) AS BIGINT) AS total_closing_cents,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM cl GROUP BY 1""".stripMargin,
     "q163_session_stitch" -> oracles74Ref,
     "q162_fk_inference" ->
       """SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,

@@ -806,6 +806,12 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q163_session_stitch(spark, sf).count())
       time(s"$tag d39_norm_recall")(
         graft.operators.DedupQueries.d39_norm_recall(spark, sf).count())
+      // wave 36: q164 is two keyed aggs over one user-time window; c54 is
+      // two chained two-phase prefix scans (events/documents-scan-bound)
+      time(s"$tag q164_semi_additive")(
+        graft.operators.RelationalQueries.q164_semi_additive(spark, sf).count())
+      time(s"$tag c54_smooth_interleave")(
+        graft.operators.CurationQueries.c54_smooth_interleave(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3507,6 +3507,59 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q164 semi-additive: closing balances equal a direct recomputation") {
+    val rows = SparkEntry.queries("q164_semi_additive")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size >= 2)
+    // independent fold over raw events: per user the last cumulative
+    // balance within each week, summed across users
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) div 7 AS week",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val balances = sorted.scanLeft(0L)(_ + _._5).tail
+      sorted.zip(balances).groupBy(_._1._4).map { case (w, xs) => w -> xs.last._2 }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    rows.foreach { case (w, (_, total, _)) =>
+      assert(total == expected(w), s"week $w: $total != ${expected(w)}")
+    }
+    // the semi-additive trap: total closing != sum of all values
+    val naive = ev.map(_._5).sum
+    assert(rows.values.map(_._2).sum != naive,
+      "closing-balance rollup degenerated into a plain sum")
+  }
+
+  test("c54 smooth interleave: every prefix holds sources within +-2 of share") {
+    val rows = SparkEntry.queries("c54_smooth_interleave")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val n = rows.length
+    assert(rows.map(_._1).sameElements(1L to n.toLong), "positions not contiguous")
+    val share = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    (50 to n by 50).foreach { p =>
+      val prefix = rows.take(p).groupBy(_._3).view.mapValues(_.length).toMap
+      share.foreach { case (src, tot) =>
+        val expected = tot.toDouble * p / n
+        val got = prefix.getOrElse(src, 0)
+        assert(math.abs(got - expected) <= 2.0,
+          s"prefix $p: source $src at $got vs proportional $expected")
+      }
+    }
+    // c28's hash order does NOT have this property — the smoothness is
+    // earned, not inherited: find some 20-run in hash order with a
+    // repeated source streak longer than the interleave ever produces
+    val maxRun = rows.map(_._3).foldLeft((0, "", 0)) { case ((best, prev, cur), s0) =>
+      val c = if (s0 == prev) cur + 1 else 1
+      (math.max(best, c), s0, c)
+    }._1
+    assert(maxRun <= 3, s"interleave produced a source run of $maxRun")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
