@@ -4005,9 +4005,11 @@ object RelationalQueries {
     */
   def q157_bitmap_rollup(s: SparkSession, d: String): DataFrame =
     withViews(s, d, "orders")(
-      q157Sql(b => s"shiftleft(CAST(1 AS BIGINT), $b)").replace("$DIV$", "div"))
+      q157Sql(b => s"shiftleft(CAST(1 AS BIGINT), $b)", sparkStack = true)
+        .replace("$DIV$", "div"))
 
-  private[operators] def q157Sql(shl: String => String): String =
+  private[operators] def q157Sql(shl: String => String,
+      sparkStack: Boolean = false): String =
     s"""WITH o AS (
        |  SELECT o_orderkey $$DIV$$ 63 AS chunk,
        |         CAST(o_orderkey % 63 AS INT) AS bit,
@@ -4044,15 +4046,31 @@ object RelationalQueries {
        |         CAST(count(*) FILTER (WHERE pa = 1 AND pb = 1 AND pc = 1)
        |              AS BIGINT) AS dabc
        |  FROM o)
-       |SELECT 'A' AS predicate, ca AS bitmap_count, da AS direct_count,
-       |       n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'B', cb, db, n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'C', cc, dc, n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'A&B', cab, dab, n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'A&C', cac, dac, n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'B&C', cbc, dbc, n_chunks FROM card CROSS JOIN direct
-       |UNION ALL SELECT 'A&B&C', cabc, dabc, n_chunks
-       |FROM card CROSS JOIN direct""".stripMargin
+       |${"$TAIL$"}""".stripMargin
+      .replace("$TAIL$",
+        if (sparkStack)
+          // Spark does not materialize CTEs: a 7-way UNION ALL would
+          // re-evaluate the scans per branch (28 scans, caught by the
+          // plan pin). stack() unpivots the single card x direct row in
+          // one pass; DuckDB (which dedups CTEs but lacks stack) keeps
+          // the UNION ALL form.
+          """SELECT t.predicate, t.bitmap_count, t.direct_count, n_chunks
+            |FROM (SELECT * FROM card CROSS JOIN direct) one
+            |LATERAL VIEW stack(7,
+            |  'A', ca, da, 'B', cb, db, 'C', cc, dc,
+            |  'A&B', cab, dab, 'A&C', cac, dac, 'B&C', cbc, dbc,
+            |  'A&B&C', cabc, dabc) t AS predicate, bitmap_count, direct_count
+            |""".stripMargin
+        else
+          """SELECT 'A' AS predicate, ca AS bitmap_count, da AS direct_count,
+            |       n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'B', cb, db, n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'C', cc, dc, n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'A&B', cab, dab, n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'A&C', cac, dac, n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'B&C', cbc, dbc, n_chunks FROM card CROSS JOIN direct
+            |UNION ALL SELECT 'A&B&C', cabc, dabc, n_chunks
+            |FROM card CROSS JOIN direct""".stripMargin)
 
   /** q159: BITEMPORAL grid — the two time axes every audited warehouse
     * eventually needs queried TOGETHER: transaction time ("as the table

@@ -1378,7 +1378,49 @@ object SimilarityQueries {
         col("n_agree"), col("sel_pm"), col("decision"))
   }
 
+  /** s40: RETRIEVAL-CASCADE sweep — the two-stage tuning every RAG stack
+    * does: a cheap bi-encoder (cosine) shortlist of depth n feeds the
+    * expensive late-interaction reranker (s19's MaxSim), and the table
+    * reports, per shortlist depth n ∈ {10, 20, 50}, the cascade's
+    * recall@5 against EXACT MaxSim truth and the rerank cost it paid
+    * (n per query) — the quality-per-FLOP frontier that decides n in
+    * production. One cosine scan builds the deepest shortlist once; all
+    * sweep points slice it by rank (depths are keys, not passes); MaxSim
+    * runs once over the 50-deep shortlist and the per-depth top-5 goes
+    * through the partial heaps.
+    */
+  def s40_cascade_sweep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    val short = scoredShortlist(s, d, (a, b) => cosine_similarity(a, b), 50)
+      .withColumn("crk", row_number().over(wq).cast("long"))
+      .select(col("q_id"), col("vec_id"), col("crk"))
+    val reranked = short
+      .join(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id")
+      .join(broadcast(queriesSide(s, d)), "q_id")
+      .select(col("q_id"), col("vec_id"), col("crk"),
+        graft.functions.VectorFunctions.maxsim_score(
+          col("q_emb"), col("embedding"), 8).as("msim"))
+      .localCheckpoint()
+    val truth = s19_late_interaction(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    Seq(10, 20, 50).map { n =>
+      TopKPerGroup.topK(
+        reranked.where(col("crk") <= n)
+          .select(col("q_id"), col("vec_id"), col("msim").as("sim")),
+        Seq("q_id"), Seq(Ord("sim", desc = true), Ord("vec_id")), K)
+        .join(truth, Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_results"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(n.toLong).as("shortlist_n"),
+          expr("n_hits * 1000 div n_results").as("recall_pm"),
+          lit(n.toLong * NQueries).as("n_reranked"))
+    }.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "s40_cascade_sweep" -> (s40_cascade_sweep _),
     "s39_filter_strategy" -> (s39_filter_strategy _),
     "s38_ranking_metrics" -> (s38_ranking_metrics _),
     "s37_tombstoned_search" -> (s37_tombstoned_search _),
@@ -1559,6 +1601,17 @@ object SimilarityQueries {
           .as("mean_norm"),
         max(col("norm")).as("max_norm"))
   }
+
+  /** DuckDB twin of [[graft.functions.VectorFunctions.maxsim_score]] with
+    * 8 chunks of 8 dims (shared by s19's oracle and s40's cascade).
+    */
+  private def duckMaxsim(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(0,7), i ->
+       |           list_max(list_transform(generate_series(0,7), j ->
+       |             list_sum(list_transform(
+       |               list_zip(($a)[i*8+1:i*8+8],
+       |                        ($b)[j*8+1:j*8+8]),
+       |               x -> x[1]*x[2]))))))""".stripMargin
 
   private[operators] def duckCosine(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))
@@ -1971,16 +2024,11 @@ object SimilarityQueries {
         |SELECT CAST(t5.nprobe AS BIGINT) AS nprobe, t5.q_id, t5.vec_id
         |FROM t5 JOIN pick ON t5.nprobe = pick.np""".stripMargin),
     "s19_late_interaction" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |p AS (
         |  SELECT q.q_id, e.vec_id,
-        |         list_sum(list_transform(generate_series(0,7), i ->
-        |           list_max(list_transform(generate_series(0,7), j ->
-        |             list_sum(list_transform(
-        |               list_zip(q.q_emb[i*8+1:i*8+8],
-        |                        (e.embedding::DOUBLE[])[j*8+1:j*8+8]),
-        |               x -> x[1]*x[2])))))) AS sim
+        |         ${duckMaxsim("q.q_emb", "e.embedding::DOUBLE[]")} AS sim
         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id)
         |SELECT q_id, vec_id, sim FROM (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2010,6 +2058,52 @@ object SimilarityQueries {
          |             ORDER BY n_votes DESC, label) AS rk FROM v) t
          |WHERE rk <= 1""".stripMargin,
     "s01_knn_bruteforce" -> bruteforceOracle,
+    "s40_cascade_sweep" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+         |           FROM embeddings WHERE vec_id < 10),
+         |cosall AS (
+         |  SELECT q.q_id, e.vec_id,
+         |         ${duckCosine("q.q_emb", "e.embedding::DOUBLE[]")} AS csim
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+         |short AS (
+         |  SELECT q_id, vec_id, crk FROM (
+         |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |               ORDER BY csim DESC, vec_id) AS crk
+         |    FROM cosall) t WHERE crk <= 50),
+         |ms AS (
+         |  SELECT sh.q_id, sh.vec_id, sh.crk,
+         |         ${duckMaxsim("q.q_emb", "e.embedding::DOUBLE[]")} AS msim
+         |  FROM short sh
+         |  JOIN embeddings e ON e.vec_id = sh.vec_id
+         |  JOIN q ON q.q_id = sh.q_id),
+         |tru AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT p.q_id, p.vec_id,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |               ORDER BY p.sim DESC, p.vec_id) AS rk
+         |    FROM (SELECT q.q_id, e.vec_id,
+         |                 ${duckMaxsim("q.q_emb", "e.embedding::DOUBLE[]")} AS sim
+         |          FROM q JOIN embeddings e ON e.vec_id <> q.q_id) p) t
+         |  WHERE rk <= 5),
+         |nn AS (SELECT unnest([10, 20, 50]) AS n),
+         |c5 AS (
+         |  SELECT n, q_id, vec_id FROM (
+         |    SELECT nn.n, m.q_id, m.vec_id,
+         |           row_number() OVER (PARTITION BY nn.n, m.q_id
+         |               ORDER BY m.msim DESC, m.vec_id) AS rk
+         |    FROM ms m CROSS JOIN nn WHERE m.crk <= nn.n) t
+         |  WHERE rk <= 5),
+         |agg AS (
+         |  SELECT c.n, count(*) AS n_results,
+         |         CAST(sum(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_hits
+         |  FROM c5 c LEFT JOIN tru t2
+         |    ON t2.q_id = c.q_id AND t2.vec_id = c.vec_id
+         |  GROUP BY 1)
+         |SELECT CAST(n AS BIGINT) AS shortlist_n,
+         |       CAST(n_hits * 1000 // n_results AS BIGINT) AS recall_pm,
+         |       CAST(n * 10 AS BIGINT) AS n_reranked
+         |FROM agg""".stripMargin,
     "s39_filter_strategy" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 10),

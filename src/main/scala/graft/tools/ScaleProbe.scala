@@ -812,6 +812,10 @@ object ScaleProbe {
         graft.operators.RelationalQueries.q164_semi_additive(spark, sf).count())
       time(s"$tag c54_smooth_interleave")(
         graft.operators.CurationQueries.c54_smooth_interleave(spark, sf).count())
+      // wave 37: s40 is one cosine scan + MaxSim over a 50-deep shortlist
+      // (depths slice the same shortlist — keys, not passes)
+      time(s"$tag s40_cascade_sweep")(
+        graft.operators.SimilarityQueries.s40_cascade_sweep(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -929,4 +929,41 @@ class PlanInvariantsSpec extends SparkTestBase {
       .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp")).count()
     assert(v1.count() == expected)
   }
+
+  test("q157 bitmaps: one scan builds all three predicate masks, no join") {
+    val p = finalPlan("q157_bitmap_rollup")
+    // the AQE plan string prints Final + Initial sections, doubling each
+    // scan's appearance: 2 real scans (mask build + direct audit) == 4
+    // occurrences; the pre-fix 7-way UNION ALL showed 28
+    assert(p.split("Scan parquet").length - 1 <= 4,
+      "bitmap build + direct audit should cost at most two orders scans")
+    assert(!p.contains("SortMergeJoin"),
+      "the chunk-aligned mask table must not sort-merge")
+  }
+
+  test("q161 two-pass median: no global Sort over the full value set") {
+    val p = finalPlan("q161_twopass_median")
+    // pass 2's window sorts ONE bucket inside a single partition; a
+    // regression to full-table ordering would appear as a rangepartitioned
+    // global sort (Exchange rangepartitioning) — pin its absence
+    assert(!p.contains("rangepartitioning"),
+      "two-pass median regressed to a global sort")
+  }
+
+  test("q155 schema evolution: the census never rescans raw orders") {
+    val p = finalPlan("q155_schema_evolution")
+    assert(!p.contains("orders.parquet"),
+      "evolved-layout read leaked a raw orders scan")
+  }
+
+  test("c54 interleave: the position window stays pid-keyed, never one reducer") {
+    // the range partitioning itself happens before the localCheckpoint
+    // (lineage truncated), so the final plan's window is the pin: it must
+    // be keyed by pid, and nothing may collapse to a single partition
+    val p = finalPlan("c54_smooth_interleave")
+    assert(p.contains("Window") && p.contains("[pid#"),
+      "the global-position window lost its pid partitioning")
+    assert(!p.contains("SinglePartition"),
+      "a global single-partition stage crept into the interleave")
+  }
 }

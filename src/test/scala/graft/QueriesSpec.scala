@@ -3560,6 +3560,22 @@ class QueriesSpec extends SparkTestBase {
     assert(maxRun <= 3, s"interleave produced a source run of $maxRun")
   }
 
+  test("s40 cascade sweep: recall grows with shortlist depth, cost is linear") {
+    val rows = SparkEntry.queries("s40_cascade_sweep")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Seq(10L, 20L, 50L)))
+    rows.foreach { case (n, recall, cost) =>
+      assert(recall >= 0 && recall <= 1000)
+      assert(cost == n * 10, "rerank cost must be shortlist depth x queries")
+    }
+    rows.sliding(2).foreach { case Array((nA, rA, _), (nB, rB, _)) =>
+      assert(rA <= rB, s"recall fell from n=$nA ($rA) to n=$nB ($rB)")
+    }
+    assert(rows.last._2 > 0, "even the 50-deep cascade retrieved nothing")
+    assert(rows.last._2 > rows.head._2,
+      "fixture degenerate: depth never changed recall — sweep is untestable")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
