@@ -4380,6 +4380,49 @@ object RelationalQueries {
         sum(col("n_events")).as("n_events"))
   }
 
+  /** q165: JOIN-CARDINALITY estimator audit — the CBO diagnostic: for each
+    * equi-join the optimizer's textbook estimate |A|·|B| / max(ndv_A,
+    * ndv_B) (containment + uniformity assumptions) is computed from
+    * single-column statistics and placed NEXT TO the true join size, with
+    * the signed error in per-mille — the table that tells an operator
+    * which joins the planner will mis-size (row estimates drive
+    * broadcast-vs-shuffle and AQE skew decisions, so a bad estimate here
+    * is a bad plan there). Three joins of different character: two clean
+    * FKs (estimate ≈ exact) and the many-to-many co-order pair where
+    * uniformity breaks. Stats are one agg per side; actuals are keyed
+    * join counts.
+    */
+  def q165_join_estimate(s: SparkSession, d: String): DataFrame = {
+    val joins = Seq(
+      ("orders*customer", Tables.orders(s, d).select(col("o_custkey").as("k")),
+        Tables.customer(s, d).select(col("c_custkey").as("k"))),
+      ("lineitem*orders", Tables.lineitem(s, d).select(col("l_orderkey").as("k")),
+        Tables.orders(s, d).select(col("o_orderkey").as("k"))),
+      ("lineitem*lineitem_supp",
+        Tables.lineitem(s, d).select(col("l_suppkey").as("k")),
+        Tables.lineitem(s, d).select(col("l_suppkey").as("k"))))
+    joins.map { case (name, a, b) =>
+      val sa = a.agg(count(lit(1)).as("na"), countDistinct(col("k")).as("da"))
+      val sb = b.agg(count(lit(1)).as("nb"), countDistinct(col("k")).as("db"))
+      // the audit must not PAY the join it predicts: the exact join
+      // cardinality is the per-key histogram product-sum, computed from
+      // two grouped counts and a tiny keyed join — never the (possibly
+      // quadratic) join itself
+      val actual = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+        .agg(sum(col("ca") * col("cb")).as("actual"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(actual))
+        .select(lit(name).as("join_pair"), col("na"), col("nb"),
+          expr("greatest(da, db)").as("ndv_max"),
+          expr("na * nb div greatest(da, db)").as("estimate"),
+          col("actual"),
+          expr("CASE WHEN na * nb div greatest(da, db) >= actual " +
+            "THEN (na * nb div greatest(da, db) - actual) * 1000 div actual " +
+            "ELSE -((actual - na * nb div greatest(da, db)) * 1000 div actual) " +
+            "END").as("err_pm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4522,6 +4565,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q165_join_estimate" -> (q165_join_estimate _),
     "q164_semi_additive" -> (q164_semi_additive _),
     "q163_session_stitch" -> (q163_session_stitch _),
     "q162_fk_inference" -> (q162_fk_inference _),
@@ -4708,6 +4752,76 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q165_join_estimate" ->
+      """SELECT 'orders*customer' AS join_pair,
+        |       (SELECT count(*) FROM orders) AS na,
+        |       (SELECT count(*) FROM customer) AS nb,
+        |       CAST(greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+        |                     (SELECT count(DISTINCT c_custkey) FROM customer))
+        |            AS BIGINT) AS ndv_max,
+        |       CAST((SELECT count(*) FROM orders) * (SELECT count(*) FROM customer)
+        |            // greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+        |                        (SELECT count(DISTINCT c_custkey) FROM customer))
+        |            AS BIGINT) AS estimate,
+        |       (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k)
+        |         AS actual,
+        |       CAST(CASE WHEN (SELECT count(*) FROM orders) * (SELECT count(*) FROM customer)
+        |             // greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+        |                         (SELECT count(DISTINCT c_custkey) FROM customer)) >= (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k)
+        |            THEN ((SELECT count(*) FROM orders) * (SELECT count(*) FROM customer)
+        |             // greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+        |                         (SELECT count(DISTINCT c_custkey) FROM customer))
+        |                  - (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k)) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k)
+        |            ELSE -(((SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k) - ((SELECT count(*) FROM orders) * (SELECT count(*) FROM customer)
+        |             // greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+        |                         (SELECT count(DISTINCT c_custkey) FROM customer)))) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1) ha JOIN (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1) hb ON ha.k = hb.k))
+        |            END AS BIGINT) AS err_pm
+        |UNION ALL SELECT 'lineitem*orders' AS join_pair,
+        |       (SELECT count(*) FROM lineitem) AS na,
+        |       (SELECT count(*) FROM orders) AS nb,
+        |       CAST(greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |                     (SELECT count(DISTINCT o_orderkey) FROM orders))
+        |            AS BIGINT) AS ndv_max,
+        |       CAST((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM orders)
+        |            // greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |                        (SELECT count(DISTINCT o_orderkey) FROM orders))
+        |            AS BIGINT) AS estimate,
+        |       (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k)
+        |         AS actual,
+        |       CAST(CASE WHEN (SELECT count(*) FROM lineitem) * (SELECT count(*) FROM orders)
+        |             // greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT o_orderkey) FROM orders)) >= (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k)
+        |            THEN ((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM orders)
+        |             // greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT o_orderkey) FROM orders))
+        |                  - (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k)) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k)
+        |            ELSE -(((SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k) - ((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM orders)
+        |             // greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT o_orderkey) FROM orders)))) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_orderkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1) hb ON ha.k = hb.k))
+        |            END AS BIGINT) AS err_pm
+        |UNION ALL SELECT 'lineitem*lineitem_supp' AS join_pair,
+        |       (SELECT count(*) FROM lineitem) AS na,
+        |       (SELECT count(*) FROM lineitem) AS nb,
+        |       CAST(greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |                     (SELECT count(DISTINCT l_suppkey) FROM lineitem))
+        |            AS BIGINT) AS ndv_max,
+        |       CAST((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM lineitem)
+        |            // greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |                        (SELECT count(DISTINCT l_suppkey) FROM lineitem))
+        |            AS BIGINT) AS estimate,
+        |       (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k)
+        |         AS actual,
+        |       CAST(CASE WHEN (SELECT count(*) FROM lineitem) * (SELECT count(*) FROM lineitem)
+        |             // greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT l_suppkey) FROM lineitem)) >= (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k)
+        |            THEN ((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM lineitem)
+        |             // greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT l_suppkey) FROM lineitem))
+        |                  - (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k)) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k)
+        |            ELSE -(((SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k) - ((SELECT count(*) FROM lineitem) * (SELECT count(*) FROM lineitem)
+        |             // greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+        |                         (SELECT count(DISTINCT l_suppkey) FROM lineitem)))) * 1000 // (SELECT CAST(sum(ca * cb) AS BIGINT) FROM (SELECT l_suppkey AS k, count(*) AS ca FROM lineitem GROUP BY 1) ha JOIN (SELECT l_suppkey AS k, count(*) AS cb FROM lineitem GROUP BY 1) hb ON ha.k = hb.k))
+        |            END AS BIGINT) AS err_pm""".stripMargin,
     "q164_semi_additive" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,

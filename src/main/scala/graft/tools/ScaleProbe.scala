@@ -816,6 +816,9 @@ object ScaleProbe {
       // (depths slice the same shortlist — keys, not passes)
       time(s"$tag s40_cascade_sweep")(
         graft.operators.SimilarityQueries.s40_cascade_sweep(spark, sf).count())
+      // wave 38: q165 is per-pair stats aggs + keyed join counts
+      time(s"$tag q165_join_estimate")(
+        graft.operators.RelationalQueries.q165_join_estimate(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3576,6 +3576,25 @@ class QueriesSpec extends SparkTestBase {
       "fixture degenerate: depth never changed recall — sweep is untestable")
   }
 
+  test("q165 join estimates: FK joins near-exact, the skewed self-join off") {
+    val rows = SparkEntry.queries("q165_join_estimate")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows.size == 3)
+    // lineitem->orders is a total FK: every line matches exactly one
+    // order, and ndv(orderkey) == |orders|, so the estimate is EXACT
+    val (estLO, actLO, errLO) = rows("lineitem*orders")
+    assert(estLO == actLO && errLO == 0L,
+      s"the clean FK estimate should be exact: $estLO vs $actLO")
+    // the many-to-many self-join violates uniformity: actual >= estimate
+    // (Cauchy-Schwarz), so the estimator UNDERSHOOTS — the audit must
+    // show a negative error, the planner's dangerous direction
+    val (estSS, actSS, errSS) = rows("lineitem*lineitem_supp")
+    assert(actSS >= estSS && errSS <= 0L,
+      s"self-join should be underestimated: est $estSS vs actual $actSS")
+    rows.values.foreach { case (est, act, _) => assert(est > 0 && act > 0) }
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
