@@ -4423,6 +4423,51 @@ object RelationalQueries {
     }.reduce(_ unionByName _)
   }
 
+  /** q166: DATA-SUBJECT ACCESS report (GDPR art. 15 / CCPA) — the
+    * governance fan-out q141/st19's deletion path presupposes: for each
+    * requesting subject, every table holding their data reports how many
+    * rows, over what time span, and with what monetary footprint — the
+    * per-table manifest a DSAR response is assembled from (and the
+    * work-list a deletion request becomes). Subjects are keyed by
+    * customer key; the event identity rides user_id = custkey mod the
+    * active-user range (the fixture's implicit linkage, stated, not
+    * assumed — the spec cross-checks each census against direct filters).
+    * One pruned scan per (subject set × table); tables are independent —
+    * a DSAR service fans them out.
+    */
+  def q166_subject_access(s: SparkSession, d: String): DataFrame = {
+    val subjects = Seq(3L, 7L, 11L)
+    val subjDf = broadcast(s.createDataFrame(
+      subjects.map(Tuple1(_))).toDF("subject"))
+    val fromOrders = Tables.orders(s, d)
+      .join(subjDf, col("o_custkey") === col("subject"))
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_seen"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_seen"),
+        dsum(col("o_totalprice")).as("monetary"))
+      .withColumn("table_name", lit("orders"))
+    val fromEvents = Tables.events(s, d)
+      .join(subjDf, col("user_id") === col("subject"))
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min(col("ts")), "yyyy-MM-dd").as("first_seen"),
+        date_format(max(col("ts")), "yyyy-MM-dd").as("last_seen"),
+        dsum(col("value")).as("monetary"))
+      .withColumn("table_name", lit("events"))
+    val fromCustomer = Tables.customer(s, d)
+      .join(subjDf, col("c_custkey") === col("subject"))
+      .groupBy(col("subject"))
+      .agg(count(lit(1)).as("n_rows"),
+        lit(null).cast("string").as("first_seen"),
+        lit(null).cast("string").as("last_seen"),
+        dsum(col("c_acctbal")).as("monetary"))
+      .withColumn("table_name", lit("customer"))
+    fromOrders.unionByName(fromEvents).unionByName(fromCustomer)
+      .select(col("subject"), col("table_name"), col("n_rows"),
+        col("first_seen"), col("last_seen"), col("monetary"))
+  }
+
   /** q158: EXACT distinct-count rollup via MERGEABLE BITMAPS — what q65's
     * HLL does approximately, done exactly: per (day, chunk) the user set
     * is a 63-bit mask (q157's containers), and ANY coarser period's
@@ -4565,6 +4610,7 @@ object RelationalQueries {
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q166_subject_access" -> (q166_subject_access _),
     "q165_join_estimate" -> (q165_join_estimate _),
     "q164_semi_additive" -> (q164_semi_additive _),
     "q163_session_stitch" -> (q163_session_stitch _),
@@ -4752,6 +4798,24 @@ object RelationalQueries {
       feistelSql((a, b) => s"xor($a, $b)").replace("$DIV$", "//"),
     "q157_bitmap_rollup" ->
       q157Sql(b => s"(CAST(1 AS BIGINT) << $b)").replace("$DIV$", "//"),
+    "q166_subject_access" ->
+      s"""WITH subj AS (SELECT unnest([3, 7, 11]) AS subject)
+         |SELECT CAST(subject AS BIGINT) AS subject, 'orders' AS table_name,
+         |       count(*) AS n_rows,
+         |       strftime(min(o_orderdate), '%Y-%m-%d') AS first_seen,
+         |       strftime(max(o_orderdate), '%Y-%m-%d') AS last_seen,
+         |       ${osum("o_totalprice")} AS monetary
+         |FROM orders JOIN subj ON o_custkey = subject GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(subject AS BIGINT), 'events', count(*),
+         |       strftime(CAST(min(ts) AS DATE), '%Y-%m-%d'),
+         |       strftime(CAST(max(ts) AS DATE), '%Y-%m-%d'),
+         |       ${osum("value")}
+         |FROM events JOIN subj ON user_id = subject GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(subject AS BIGINT), 'customer', count(*),
+         |       NULL, NULL, ${osum("c_acctbal")}
+         |FROM customer JOIN subj ON c_custkey = subject GROUP BY 1""".stripMargin,
     "q165_join_estimate" ->
       """SELECT 'orders*customer' AS join_pair,
         |       (SELECT count(*) FROM orders) AS na,

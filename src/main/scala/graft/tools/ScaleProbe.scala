@@ -819,6 +819,9 @@ object ScaleProbe {
       // wave 38: q165 is per-pair stats aggs + keyed join counts
       time(s"$tag q165_join_estimate")(
         graft.operators.RelationalQueries.q165_join_estimate(spark, sf).count())
+      // wave 39: q166 is one pruned broadcast-filtered scan per table
+      time(s"$tag q166_subject_access")(
+        graft.operators.RelationalQueries.q166_subject_access(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

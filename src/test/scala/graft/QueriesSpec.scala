@@ -3595,6 +3595,23 @@ class QueriesSpec extends SparkTestBase {
     rows.values.foreach { case (est, act, _) => assert(est > 0 && act > 0) }
   }
 
+  test("q166 subject access: every cell matches a direct per-table filter") {
+    val rows = SparkEntry.queries("q166_subject_access")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val subjects = Seq(3L, 7L, 11L)
+    assert(rows.keySet == subjects.flatMap(u =>
+      Seq((u, "orders"), (u, "events"), (u, "customer"))).toSet,
+      "a subject with data in a table is missing from the report")
+    subjects.foreach { u =>
+      assert(rows((u, "orders")) ==
+        Tables.orders(spark, sf).where(col("o_custkey") === u).count())
+      assert(rows((u, "events")) ==
+        Tables.events(spark, sf).where(col("user_id") === u).count())
+      assert(rows((u, "customer")) == 1L, s"subject $u: customer row count")
+    }
+    assert(rows.values.forall(_ > 0), "an empty census row leaked in")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
