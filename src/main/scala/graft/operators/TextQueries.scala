@@ -1990,7 +1990,41 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("sym_pm")).as("sum_sym_pm"))
   }
 
+  /** t46: HAPAX-NOISE flag — the per-document OCR/mojibake screen t16's
+    * corpus-level hapax ratio cannot give: a document whose tokens are
+    * disproportionately corpus-hapaxes (words nothing else in the corpus
+    * uses) is the classic scanner-noise / encoding-damage signature. One
+    * explode + corpus-level token df (vocabulary-sized, never
+    * corpus-sized), one keyed join back, per-doc hapax share in integer
+    * per-mille with a 200‰ flag threshold. The same join shape a real
+    * pipeline reuses for any df-derived doc feature.
+    */
+  def t46_hapax_noise(s: SparkSession, d: String): DataFrame = {
+    // planted ground truth: the fixture's word-soup vocabulary is tiny
+    // (no natural corpus hapax exists), so every 13th doc gets one third
+    // of its length appended as unique gibberish tokens — the OCR-noise
+    // signature the screen must flag, and ONLY it (spec pins exactness)
+    val corpus = Tables.documents(s, d)
+      .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 6,
+        concat(col("text"), lit(" "), expr(
+          "concat_ws(' ', transform(sequence(1, size(split(text, ' ')) div 3)," +
+            " i -> concat('zq', doc_id, 'x', i)))")))
+        .otherwise(col("text")))
+    val toks = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val df = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    toks.join(df, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_pm", expr("n_hapax * 1000 div n_tokens"))
+      .withColumn("flagged", (col("hapax_pm") > 200L).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_hapax"),
+        col("hapax_pm"), col("flagged"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t46_hapax_noise" -> (t46_hapax_noise _),
     "t45_code_detect" -> (t45_code_detect _),
     "t44_pii_canary" -> (t44_pii_canary _),
     "t43_log_odds" -> (t43_log_odds _),
@@ -2179,6 +2213,32 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t46_hapax_noise" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 13 = 6 THEN text || ' ' ||
+        |           array_to_string(list_transform(
+        |             range(1, len(string_split(text, ' ')) // 3 + 1),
+        |             i -> 'zq' || doc_id || 'x' || i), ' ')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM c),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |j AS (
+        |  SELECT t.doc_id,
+        |         CASE WHEN df.df = 1 THEN 1 ELSE 0 END AS is_hapax
+        |  FROM toks t JOIN df ON df.tok = t.tok),
+        |a AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(is_hapax) AS BIGINT) AS n_hapax
+        |  FROM j GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_hapax,
+        |       CAST(n_hapax * 1000 // n_tokens AS BIGINT) AS hapax_pm,
+        |       CAST(CASE WHEN n_hapax * 1000 // n_tokens > 200
+        |            THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM a""".stripMargin,
     "t45_code_detect" ->
       """WITH base AS (
         |  SELECT doc_id, text, CAST(0 AS BIGINT) AS is_code FROM documents

@@ -822,6 +822,10 @@ object ScaleProbe {
       // wave 39: q166 is one pruned broadcast-filtered scan per table
       time(s"$tag q166_subject_access")(
         graft.operators.RelationalQueries.q166_subject_access(spark, sf).count())
+      // wave 40: t46 is one explode + a vocabulary-sized df agg + a
+      // keyed join back (the df-feature shape)
+      time(s"$tag t46_hapax_noise")(
+        graft.operators.TextQueries.t46_hapax_noise(spark, sf).count())
     }
     // g10 on the replication-densified graph is triangle-bound: 10x copies
     // inflate every co-occurrence count 10x past the FIXED threshold, so

@@ -3612,6 +3612,23 @@ class QueriesSpec extends SparkTestBase {
     assert(rows.values.forall(_ > 0), "an empty census row leaked in")
   }
 
+  test("t46 hapax noise: flags exactly the planted noise docs") {
+    val rows = SparkEntry.queries("t46_hapax_noise")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (id, n, h, pm, fl) =>
+      assert(h <= n && pm >= 0 && pm <= 1000, s"doc $id: bounds broken")
+      assert((fl == 1L) == (pm > 200L), s"doc $id: flag/threshold mismatch")
+      assert((fl == 1L) == (id % 13 == 6),
+        s"doc $id: flag disagrees with the planted ground truth")
+    }
+    assert(rows.exists(_._5 == 1L), "no planted doc was flagged")
+    // clean docs carry zero hapax mass in this vocabulary-saturated corpus
+    assert(rows.filter(r => r._1 % 13 != 6).forall(_._3 == 0L),
+      "a clean doc showed hapax tokens — plant leaked or corpus changed")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
