@@ -451,8 +451,75 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Fixed-point base-2 logarithm in MICROS: floor(log2(n) * 1e6), computed
+  * digit-by-digit with pure 64-bit integer arithmetic — NO libm call — so
+  * Spark and the DuckDB oracle (a 30-step recursive CTE spelling the same
+  * loop) produce the IDENTICAL integer on every engine and platform.
+  *
+  * This exists because of the round-7 `t41_heaps_fit` driver-gate red:
+  * `round(ln(n), 9)` evaluated by two different libms can land on opposite
+  * sides of a 9-decimal rounding boundary (a 1-ulp ln() difference is
+  * enough), and the repo's 9dp-round-then-DECIMAL-sum discipline contains
+  * summation-order drift but not boundary-adjacent transcendentals. A
+  * least-squares fit on integer logs has no such boundary: every
+  * downstream sum is exact int64 and the final double division/rounding
+  * of identical integers is IEEE-deterministic.
+  *
+  * Algorithm (classic binary-digit log): e = floor(log2 n) from the bit
+  * length; mantissa m = n scaled into [2^30, 2^31); 30 iterations of
+  * m := m^2 >> 30, emitting a 1-bit and halving whenever m crosses 2^31
+  * (m^2 < 2^62 — never overflows); result = (e·2^30 + acc)·1e6 div 2^30.
+  * Max error < 2^-30 in log2, i.e. < 1 micro. Null for n <= 0.
+  */
+case class Log2Micros(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"log2_micros needs an integral column, got ${other.catalogString}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val n = input match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }
+    if (n <= 0L) null else Log2Micros.log2Micros(n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Log2Micros {
+  /** Shared kernel, also used by driver-side fits that must agree with
+    * the column form (e.g. planted-spec oracles in tests).
+    */
+  def log2Micros(n: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var m = if (e >= 30) n >> (e - 30) else n << (30 - e)
+    var acc = 0L
+    var i = 0
+    while (i < 30) {
+      m = (m * m) >> 30
+      if (m >= 2147483648L) { acc = acc * 2 + 1; m >>= 1 }
+      else acc = acc * 2
+      i += 1
+    }
+    (e.toLong * 1073741824L + acc) * 1000000L / 1073741824L
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def log2_micros(n: Column): Column =
+    column(Log2Micros(expression(n)))
 
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))

@@ -3601,6 +3601,7 @@ object RelationalQueries {
       .filter(col("max_date") >= lo && col("min_date") <= hi)
       .select(col("file_path"))
       .collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, s"zone map pruned every file under $statsDir")
     s.read.parquet(files.toIndexedSeq: _*)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
       .groupBy(col("o_orderpriority"))
@@ -3841,8 +3842,16 @@ object RelationalQueries {
   def q152_schema_drift(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val n = ev.agg(count(lit(1)).as("n_ev"))
-    ev.crossJoin(broadcast(n))
+    val withEra = ev.crossJoin(broadcast(n))
       .withColumn("era", when(col("event_id") * 2 >= col("n_ev"), 1).otherwise(0))
+    // per-era denominators COUNTED from the data, not derived as
+    // n_ev div 2: the arithmetic shortcut silently mis-scales the
+    // per-mille rates whenever event_id has gaps or is 1-based — a shared
+    // (Spark+oracle) assumption the hash gate could never catch
+    val eras = withEra.agg(
+      sum(when(col("era") === 0, 1L).otherwise(0L)).as("d_era0"),
+      sum(when(col("era") === 1, 1L).otherwise(0L)).as("d_era1"))
+    withEra.crossJoin(broadcast(eras))
       .withColumn("body", expr(
         "CASE WHEN event_type = 'click' THEN" +
           " concat('{\"k\": ', CAST(event_id % 100 AS STRING)," +
@@ -3853,16 +3862,16 @@ object RelationalQueries {
           " ELSE concat('{\"k\": ', CAST(event_id % 100 AS STRING)) END"))
       .withColumn("props2", expr(
         "concat(body, CASE WHEN era = 1 THEN ', \"v\": 2}' ELSE '}' END)"))
-      .select(col("era"), col("n_ev"),
+      .select(col("era"), col("d_era0"), col("d_era1"),
         explode(expr("json_object_keys(props2)")).as("key"))
       .groupBy(col("key"))
       .agg(
         sum(when(col("era") === 0, 1L).otherwise(0L)).as("n_era0"),
         sum(when(col("era") === 1, 1L).otherwise(0L)).as("n_era1"),
         expr("(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) * 1000)" +
-          " div max(n_ev - n_ev div 2)").as("pm_era0"),
+          " div max(d_era0)").as("pm_era0"),
         expr("(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) * 1000)" +
-          " div max(n_ev div 2)").as("pm_era1"))
+          " div max(d_era1)").as("pm_era1"))
       .withColumn("drift_pm", col("pm_era1") - col("pm_era0"))
   }
 
@@ -4579,7 +4588,12 @@ object RelationalQueries {
       .withColumn("rep0", explode(sequence(lit(1), lit(100))))
       .withColumn("rep", col("rep0").cast("long")).drop("rep0")
       .withColumn("u", expr(
-        "((id * 2654435761L + rep * 40503L + 12345L) % 2147483648L) * 48271L % 2147483647L"))
+        // id is pre-modded BEFORE the Knuth multiply (the q52 discipline at
+        // :951): at TPC-H sf>=60 the raw id*2654435761 product passes 2^63,
+        // where Spark wraps to a negative u (poissonW would map it to 0,
+        // silently corrupting the bootstrap) while DuckDB raises — pre-mod
+        // keeps the product <= 1000002*2654435761 ~ 2.7e15 at ANY scale
+        "(((id % 1000003L) * 2654435761L + rep * 40503L + 12345L) % 2147483648L) * 48271L % 2147483647L"))
       .withColumn("w", expr(poissonW("u")))
       .groupBy(col("rep"))
       .agg(sum(col("w") * col("cents")).as("wsum"), sum(col("w")).as("nw"))
@@ -5092,7 +5106,8 @@ object RelationalQueries {
          |  FROM lineitem),
          |draws AS (
          |  SELECT r.rep, b.cents,
-         |         ((b.id * 2654435761 + r.rep * 40503 + 12345) % 2147483648)
+         |         (((b.id % 1000003) * 2654435761 + r.rep * 40503 + 12345)
+         |            % 2147483648)
          |           * 48271 % 2147483647 AS u
          |  FROM base b CROSS JOIN (SELECT unnest(range(1, 101)) AS rep) r),
          |wts AS (
@@ -5555,15 +5570,23 @@ object RelationalQueries {
         |          END,
         |          CASE WHEN era = 1 THEN ', "v": 2}' ELSE '}' END) AS props2
         |      FROM b),
-        |k AS (SELECT era, n_ev, unnest(json_keys(props2)) AS key FROM j),
+        |eras AS (
+        |  SELECT CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d_era0,
+        |         CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS d_era1
+        |  FROM b),
+        |k AS (SELECT era, d_era0, d_era1,
+        |        unnest(json_keys(props2)) AS key
+        |      FROM j CROSS JOIN eras),
         |g AS (
         |  SELECT key,
         |    CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_era0,
         |    CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_era1,
         |    CAST((sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) * 1000)
-        |         // max(n_ev - n_ev // 2) AS BIGINT) AS pm_era0,
+        |         // max(d_era0) AS BIGINT) AS pm_era0,
         |    CAST((sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) * 1000)
-        |         // max(n_ev // 2) AS BIGINT) AS pm_era1
+        |         // max(d_era1) AS BIGINT) AS pm_era1
         |  FROM k GROUP BY 1)
         |SELECT key, n_era0, n_era1, pm_era0, pm_era1,
         |       pm_era1 - pm_era0 AS drift_pm

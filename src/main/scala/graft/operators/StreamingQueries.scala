@@ -593,6 +593,7 @@ object StreamingQueries {
       .filter(col("max_date") >= lo && col("min_date") <= hi)
       .select(col("file_path"))
       .collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, s"zone map pruned every file under $statsDir")
     s.read.parquet(files.toIndexedSeq: _*)
       .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
       .groupBy(col("o_orderstatus"))

@@ -1814,8 +1814,14 @@ object TextQueries {
     * equal-depth arrival octiles — the window runs over per-doc rows,
     * never tokens); each word's first-occurrence octile is one
     * min-aggregate (t23's first-seen economics at word level); the 8
-    * cumulative (N, V) points then take t20's exact-moment least squares
-    * on 9dp-rounded logs with DECIMAL sums, so β and ln k hash-check.
+    * cumulative (N, V) points then take an exact-moment least squares on
+    * FIXED-POINT INTEGER logs ([[graft.functions.Log2Micros]] — binary
+    * digit-by-digit, no libm), so every regression sum is exact int64 on
+    * both engines and β / lg k hash-check with zero transcendental-
+    * boundary risk (the round-7 red row was a cross-libm ln() ulp flip at
+    * a 9dp rounding boundary; see the dialect checklist in SURVEY §6).
+    * The slope is base-invariant, so β is unchanged; the intercept is
+    * reported in base 2 (lg_k = log2 k).
     */
   def t41_heaps_fit(s: SparkSession, d: String): DataFrame =
     heapsFitFrom(s, Tables.documents(s, d))
@@ -1829,7 +1835,6 @@ object TextQueries {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val docs = documents
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -1858,25 +1863,29 @@ object TextQueries {
     val cumV = ck.as("c").join(nv.as("f"), expr("f.fb <= c.ckpt"))
       .groupBy(col("c.ckpt").as("ckpt")).agg(sum(col("nv")).as("vocab"))
     val pts = cumN.join(cumV, "ckpt")
-      .withColumn("x", round(log(col("n_tokens").cast("double")), 9).cast(dec9))
-      .withColumn("y", round(log(col("vocab").cast("double")), 9).cast(dec9))
+      .withColumn("x", graft.functions.TextFunctions.log2_micros(col("n_tokens")))
+      .withColumn("y", graft.functions.TextFunctions.log2_micros(col("vocab")))
       .localCheckpoint() // the 8 points feed the fit and ride the output
+    // all five moments are EXACT int64 (x,y <= 63e6; 8 points), so the
+    // final double division + 9dp round is IEEE-deterministic cross-engine
     val fit = pts.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("x")).cast("double").as("sx"),
-        sum(expr("x * x")).cast("double").as("sx2"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(expr("x * y")).cast("double").as("sxy"))
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"))
       .select(
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sx2") - col("sx") * col("sx")), 9).as("beta"),
-        round(col("sy") / col("n") -
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sx2") - col("sx") * col("sx"))) *
-          (col("sx") / col("n")), 9).as("ln_k"))
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 9)
+          .as("beta"),
+        round((col("sy").cast("double") -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sx2") - col("sx") * col("sx")).cast("double") *
+          col("sx").cast("double")) / col("n").cast("double") / lit(1000000.0D),
+          9).as("lg_k"))
     pts.crossJoin(broadcast(fit))
       .select(col("ckpt"), col("n_tokens"), col("vocab"),
-        col("beta"), col("ln_k"))
+        col("beta"), col("lg_k"))
   }
 
   /** t43: "Fightin' Words" DISTINGUISHING TERMS (Monroe, Colaresi &
@@ -2004,8 +2013,12 @@ object TextQueries {
     // (no natural corpus hapax exists), so every 13th doc gets one third
     // of its length appended as unique gibberish tokens — the OCR-noise
     // signature the screen must flag, and ONLY it (spec pins exactness)
+    // the >= 3 guard matters cross-engine: for a 1-2 token doc Spark's
+    // sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's range(1, 1)
+    // is empty — guard both sides so short planted docs stay unmodified
     val corpus = Tables.documents(s, d)
-      .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 6,
+      .withColumn("text", when(pmod(col("doc_id"), lit(13L)) === 6 &&
+          size(split(col("text"), " ")) >= 3,
         concat(col("text"), lit(" "), expr(
           "concat_ws(' ', transform(sequence(1, size(split(text, ' ')) div 3)," +
             " i -> concat('zq', doc_id, 'x', i)))")))
@@ -2216,7 +2229,8 @@ object TextQueries {
     "t46_hapax_noise" ->
       """WITH c AS (
         |  SELECT doc_id,
-        |         CASE WHEN doc_id % 13 = 6 THEN text || ' ' ||
+        |         CASE WHEN doc_id % 13 = 6
+        |              AND len(string_split(text, ' ')) >= 3 THEN text || ' ' ||
         |           array_to_string(list_transform(
         |             range(1, len(string_split(text, ' ')) // 3 + 1),
         |             i -> 'zq' || doc_id || 'x' || i), ' ')
@@ -2327,8 +2341,12 @@ object TextQueries {
       t39Sql("unnest(string_split(text, ' '))", "//"),
     "t40_charset_audit" ->
       t40Sql((c, p) => s"len(regexp_extract_all($c, '$p'))", "//"),
+    // The pts logs are FIXED-POINT INTEGERS (floor(log2(v)*1e6)): the
+    // recursive `lg` CTE is the DuckDB spelling of Log2Micros's binary
+    // digit-by-digit loop (30 exact integer squarings), so both engines
+    // feed the regression the identical int64 moments — no libm anywhere.
     "t41_heaps_fit" ->
-      """WITH t AS (
+      """WITH RECURSIVE t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
         |  FROM documents),
         |p AS (
@@ -2351,22 +2369,48 @@ object TextQueries {
         |         (SELECT CAST(sum(nv.nv) AS BIGINT) FROM nv
         |          WHERE nv.fb <= ck.ckpt) AS vocab
         |  FROM ck),
-        |pts AS (
-        |  SELECT ckpt, n_tokens, vocab,
-        |         CAST(round(ln(n_tokens), 9) AS DECIMAL(18,9)) AS x,
-        |         CAST(round(ln(vocab), 9) AS DECIMAL(18,9)) AS y
-        |  FROM cum),
+        |uv AS (
+        |  SELECT ckpt, ax, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e
+        |  FROM (SELECT ckpt, unnest(['x', 'y']) AS ax,
+        |               unnest([n_tokens, vocab]) AS v FROM cum) z),
+        |lg AS (
+        |  SELECT ckpt, ax, e,
+        |         CASE WHEN e >= 30 THEN v // CAST(power(2, e - 30) AS BIGINT)
+        |              ELSE v * CAST(power(2, 30 - e) AS BIGINT) END AS m,
+        |         CAST(0 AS BIGINT) AS acc, 0 AS i
+        |  FROM uv
+        |  UNION ALL
+        |  SELECT ckpt, ax, e,
+        |         CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |              THEN ((m * m) // 1073741824) // 2
+        |              ELSE (m * m) // 1073741824 END,
+        |         acc * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |                        THEN 1 ELSE 0 END,
+        |         i + 1
+        |  FROM lg WHERE i < 30),
+        |xy AS (
+        |  SELECT ckpt,
+        |         max(CASE WHEN ax = 'x' THEN
+        |           (e * 1073741824 + acc) * 1000000 // 1073741824 END) AS x,
+        |         max(CASE WHEN ax = 'y' THEN
+        |           (e * 1073741824 + acc) * 1000000 // 1073741824 END) AS y
+        |  FROM lg WHERE i = 30 GROUP BY 1),
         |ft AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
-        |         CAST(sum(x * x) AS DOUBLE) AS sx2,
-        |         CAST(sum(y) AS DOUBLE) AS sy,
-        |         CAST(sum(x * y) AS DOUBLE) AS sxy
-        |  FROM pts)
-        |SELECT pts.ckpt, pts.n_tokens, pts.vocab,
-        |       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS beta,
-        |       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-        |             * (sx / n), 9) AS ln_k
-        |FROM pts CROSS JOIN ft""".stripMargin,
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sx2,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy)
+        |SELECT c.ckpt, c.n_tokens, c.vocab,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n * sx2 - sx * sx AS DOUBLE), 9) AS beta,
+        |       round((CAST(sy AS DOUBLE) -
+        |              CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              CAST(n * sx2 - sx * sx AS DOUBLE) *
+        |              CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0,
+        |             9) AS lg_k
+        |FROM cum c CROSS JOIN ft""".stripMargin,
     "t36_rocchio_classifier" -> (rocchioOracleCtes +
       s""",
          |scored AS (

@@ -26,6 +26,32 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(df.select(dot_product($"a", $"b")).as[Double].head() == 32.0)
   }
 
+  test("log2_micros: exact powers of two, libm agreement, column == kernel") {
+    import graft.functions.Log2Micros
+    // exact on powers of two (no rounding ambiguity at all)
+    (0 to 62).foreach { e =>
+      assert(Log2Micros.log2Micros(1L << e) == e.toLong * 1000000L,
+        s"2^$e must map to exactly ${e}e6")
+    }
+    // within 1 micro of libm's log2 (the kernel truncates; libm rounds)
+    val probes = Seq(3L, 5L, 7L, 1000L, 999983L, 999999937L,
+      (1L << 62) - 1, 2654435761L)
+    probes.foreach { n =>
+      val want = math.floor(math.log(n.toDouble) / math.log(2.0) * 1e6).toLong
+      val got = Log2Micros.log2Micros(n)
+      assert(math.abs(got - want) <= 1,
+        s"log2_micros($n) = $got, libm floor = $want")
+    }
+    // the Column path (codegen) agrees with the kernel, null for n <= 0
+    val df = (probes ++ Seq(0L, -5L)).toDF("n")
+      .select($"n", log2_micros($"n").as("lg"))
+    df.collect().foreach { r =>
+      val n = r.getLong(0)
+      if (n <= 0L) assert(r.isNullAt(1), s"n=$n must be null")
+      else assert(r.getLong(1) == Log2Micros.log2Micros(n))
+    }
+  }
+
   test("jl_project/sq_dist_long: hand values, HOF equivalence, codegen parity") {
     import graft.functions.JlFunctions.{jl_project, sq_dist_long, signs}
     // hand check on a one-hot input: floor(2.5*1000)=2500 lands in dim 3,

@@ -2483,7 +2483,7 @@ class QueriesSpec extends SparkTestBase {
     fit.foreach { r =>
       assert(r.getLong(1) == r.getLong(2), s"V must equal N: $r")
       assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0,
-        s"open vocab must fit beta=1, ln_k=0: $r")
+        s"open vocab must fit beta=1, lg_k=0: $r")
     }
     // the synthetic fixture's vocabulary is CLOSED (31 types, all seen in
     // octile 1) -> beta saturates to exactly 0 — itself the right verdict
