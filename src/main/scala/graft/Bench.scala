@@ -7,29 +7,44 @@ import org.apache.spark.sql.SparkSession
   * 0.18s vs 4.27s): per-query warmup isolation, median-of-N (default 3),
   * and explicit error markers — a query that throws must never be reported
   * as a (fast) time.
+  *
+  * Round-8 change (verdict item 2): the warmup is now a TIMED first-touch
+  * pass at the TARGET scale factor, not sf0.001. Marker-committed stores
+  * (co-graph, zone maps, persisted bloom/model/IVF-PQ index…) build
+  * lazily on first touch, so in a fresh environment the old bench charged
+  * a one-time index build to whichever query touched it first (r7 driver
+  * capture: c26 23.4 s cold vs ~1 s warm) — the number the design
+  * optimizes is steady state, and build cost is real but a DIFFERENT
+  * number. The first-touch pass also subsumes the old JIT/codegen warmup
+  * (same plans, bigger data). Output: `queries` carries steady-state
+  * medians; `build` carries per-query first-touch-minus-steady overhead
+  * for the entries where it matters (> 0.5 s), with totals for both.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get()
-    // warmup: JIT + codegen-cache + parquet footer caches on the tiny SF so
-    // per-query timings measure the operator, not first-run JVM effects.
-    // try INSIDE the loop: one broken query must not void the others' warmup
-    SparkEntry.queries.values.foreach(f =>
-      try f(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () })
     val reps = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt).getOrElse(3).max(1)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def mark(name: String, e: Throwable): Unit =
+      errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
+        String.valueOf(e.getMessage).linesIterator.next().take(120))
+    // pass 0 — first touch at the target SF: builds every persisted store
+    // and warms JIT + codegen cache + parquet footers. Timed per query so
+    // build cost is visible, but reported SEPARATELY from query cost.
+    // try INSIDE the loop: one broken query must not void the others.
+    val firstTouch = SparkEntry.queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => mark(name, e) }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).linesIterator.next().take(120))
-          None
-        }
+        catch { case e: Throwable => mark(name, e); None }
       }
       // median damps one-off page-cache/GC outliers; min would hide them,
       // mean would double-count them. Even rep counts average the two
@@ -43,6 +58,15 @@ object Bench {
         Some(name -> mid)
       }
     }
+    // one-time overhead the first touch paid over steady state (store
+    // builds, footer reads); only entries where it is material
+    val build = firstTouch.flatMap { case (name, ft) =>
+      results.get(name).collect {
+        case st if ft - st > 0.5 => name -> (ft - st)
+      }
+    }
+    val buildTotal = build.values.sum
+    val firstTouchTotal = firstTouch.values.sum
     // control chars (tabs in Spark plan fragments etc.) are illegal in JSON
     // strings — blank them so the one-line contract always parses
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -50,10 +74,12 @@ object Bench {
     // slowest first: the queries worth reading are at the front
     val qs = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val bs = build.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"first_touch_total":$firstTouchTotal,"build_total":$buildTotal,"build":$bs,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     // the driver keeps only the TAIL of long output lines, and the full
     // line above sorts slowest-first — so the total and the interesting
     // queries are exactly what truncation destroys. A second, compact line
@@ -61,7 +87,9 @@ object Bench {
     // tail capture and is independently parseable JSON.
     val top10 = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"top10_slowest":$top10,"sf":"$sfDir"}""")
+    val topBuild = build.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"first_touch_total":${f"$firstTouchTotal%.1f"},"build_total":${f"$buildTotal%.1f"},"top10_build":$topBuild,"top10_slowest":$top10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

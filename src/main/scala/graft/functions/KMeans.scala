@@ -1,118 +1,153 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine_similarity
-import graft.functions.VectorMean.vector_mean
 
 /** Lloyd's k-means over an embedding column, DataFrame-native — the IVF
-  * coarse-quantizer trainer.
+  * coarse-quantizer trainer — in EXACT fixed-point integer arithmetic.
+  *
+  * Every element quantizes once to 1e-6 fixed-point longs (the proven
+  * s04/s07 playbook: `round(x * 1e6)` agrees across engines), assignment
+  * is the argmin of exact int64 squared-L2 distances, and the centroid
+  * update is a per-(cluster, dim) LONG sum + floor division. Nothing in
+  * training ever touches a float, so:
+  *
+  *  - iteration results are ORDER-INDEPENDENT (integer sums commute —
+  *    double partial sums merged in shuffle-fetch order do not), which
+  *    upgrades round 3's "single-JVM stable, multi-node last-bit caveat"
+  *    to a bit-replay guarantee on any cluster topology, and
+  *  - the DuckDB oracle can REBUILD the full training inline (3 unrolled
+  *    iterations of the same integer loop) and hash-match — this is what
+  *    moved the s06/s09/s10/s12/s17/s18/s30 family from rows-only to
+  *    hash-green in round 8.
   *
   * Spark shapes per iteration: the k centroids live on the DRIVER (k
-  * vectors, tiny) and enter the plan as literals — nearest-centroid is a
-  * pure per-row argmax projection inside the scan stage (codegen'd cosine
-  * kernel against each literal centroid, folded to the argmax index in a
-  * single `aggregate` pass — see [[nearestCentroidIdx]]), so assignment
-  * costs ZERO shuffle and ZERO row
-  * replication; the only exchange per iteration is the k-row hash
-  * aggregate (the mergeable [[VectorMean]] UDAF) that recomputes
-  * centroids. Collecting the k centroid rows per iteration also truncates
-  * the lineage — iteration i's plan does not re-execute iterations 0..i-1.
+  * integer vectors, tiny) and enter the plan as literals — nearest-
+  * centroid is a pure per-row argmin projection inside the scan stage
+  * (zero shuffle, zero row replication; PlanInvariantsSpec pins no
+  * Exchange); the only exchange per iteration is the k×dim-row partial
+  * sum aggregate (map-side combine, ≤ 512 rows to the driver).
   *
-  * (The previous formulation — crossJoin with broadcast centroids + a
-  * row_number window partitioned by a per-row id — shuffled the k-times
-  * replicated corpus once per iteration with one-row windows. The argmin
-  * projection is the same math with no exchange at all.)
+  * Metric note: the coarse quantizer uses squared L2 (Lloyd's native
+  * objective — the update step is only optimal for L2); the SEARCH
+  * ranking on top of the cells stays cosine, as in any IVF deployment.
+  *
+  * Magnitudes: |elem| ≤ ~10 → |qv| ≤ 1e7; per-dim diff² ≤ 4e14, ×64 dims
+  * < 2.6e16 — int64-exact at any k. The update sum is exact to 1e9 rows
+  * per (cluster, dim) × 1e7 magnitude < 2^63.
   *
   * Empty clusters keep their previous centroid (k rows always come back).
-  *
   * Determinism: init = the vectors with the k smallest ids (no RNG); ties
-  * in assignment break on cluster id (the argmax fold keeps the FIRST
-  * index at equal similarity — lowest cluster id, same contract as the
-  * old (sim desc, cluster asc) window order). Note the ulp-level caveat:
-  * centroid means merge double partial sums in shuffle-fetch order, so on
-  * a multi-node cluster two runs can differ in the last bit and flip a
-  * boundary vector — fine for ANN recall, not a bit-replay guarantee
-  * (single-JVM local mode, as tested here, is stable).
+  * in assignment break to the LOWEST cluster id (strict-< fold keeps the
+  * first min); a null vector assigns to cluster 0.
   */
 object KMeans {
-  /** Returns (cluster: int, centroid: array<double>) — always k rows. */
+  /** Fixed-point scale shared with the DuckDB oracles. */
+  val Scale = 1000000L
+
+  /** Element-wise 1e-6 fixed-point quantization: array<T> → array<bigint>.
+    * DuckDB twin: `list_transform(v::DOUBLE[], x -> CAST(round(x * 1000000)
+    * AS BIGINT))`.
+    */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => round(x * lit(Scale.toDouble), 0).cast("long"))
+
+  /** Returns (cluster: int, centroid: array<double>) — always k rows;
+    * `centroid` is the exact integer centroid divided by 1e6 (recoverable:
+    * [[assign]] re-quantizes losslessly since |qc| ≤ 2e7 ≪ 2^52/1e6).
+    */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
           k: Int, iterations: Int = 3, dim: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // materialize the (id, vec) training projection once — every Lloyd
+    // materialize the (id, qv) training projection once — every Lloyd
     // iteration re-reads these blocks instead of re-scanning the source.
     // (At 100 TB you'd also train the coarse quantizer on a SAMPLE of the
     // corpus — quantizer quality saturates long before full-corpus size —
     // and only the final assign pass would touch every vector.)
-    val training = vectors.select(col(idCol), col(vecCol)).localCheckpoint()
+    val training = vectors
+      .select(col(idCol), quantize(col(vecCol)).as("__qv"))
+      .localCheckpoint()
     // distributed top-k by id, then k rows to the driver (k is tiny)
-    var centroids: Seq[(Int, Seq[Double])] = training
+    var centroids: Seq[(Int, Seq[Long])] = training
       .orderBy(col(idCol)).limit(k)
-      .select(col(vecCol).cast("array<double>"))
+      .select(col("__qv"))
       .collect().toSeq.zipWithIndex
-      .map { case (r: Row, i) => (i, r.getSeq[Double](0)) }
+      .map { case (r: Row, i) => (i, r.getSeq[Long](0)) }
     var i = 0
     while (i < iterations) {
-      // one pass: argmin projection + k-row hash aggregate, then k rows back
-      val updated: Map[Int, Seq[Double]] = assignLocal(training, centroids, vecCol)
-        .groupBy(col("cluster"))
-        .agg(vector_mean(col(vecCol), dim).as("c_new"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // empty clusters would vanish from the groupBy: keep the old centroid
-      centroids = centroids.map { case (c, old) => (c, updated.getOrElse(c, old)) }
+      // one pass: argmin projection + (k·dim)-row partial-sum aggregate,
+      // then ≤ 512 exact integer rows back to the driver
+      val sums = assignQ(training, centroids, "__qv")
+        .select(col("cluster"), posexplode(col("__qv")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      // JVM long division truncates toward zero — the SAME semantics as
+      // DuckDB's integer `//` AND Spark SQL `div` (measured: -7//2 = -3 in
+      // DuckDB; its `//` only floors on DOUBLE operands), so the oracle's
+      // `s // n` replays this exactly on negative sums
+      centroids = centroids.map { case (c, old) =>
+        byCluster.get(c).fold((c, old)) { rows =>
+          val arr = old.toArray
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+          (c, arr.toSeq)
+        }
+      }
       i += 1
     }
-    centroids.toDF("cluster", "centroid")
+    centroids
+      .map { case (c, qc) => (c, qc.map(_.toDouble / Scale)) }
+      .toDF("cluster", "centroid")
   }
 
   /** Nearest-centroid assignment: adds a `cluster` column. Zero shuffle —
     * `centroids` (k rows) is collected to the driver and becomes literal
-    * vectors in a per-row argmax projection.
+    * integer vectors in a per-row argmin projection.
     */
   def assign(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
     val cents = centroids
-      .select(col("cluster").cast("int"), col("centroid").cast("array<double>"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    assignLocal(vectors, cents, vecCol)
+      .select(col("cluster").cast("int"),
+        quantize(col("centroid")).as("qc"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    vectors.withColumn("__qv", quantize(col(vecCol)))
+      .transform(assignQ(_, cents, "__qv"))
+      .drop("__qv")
   }
 
-  /** 0-based index of the nearest (max-cosine) centroid for `vec` — THE
-    * quantizer assignment primitive, shared by Lloyd training, corpus
-    * assignment and the PQ encoder (s09) so tie-break and null semantics
-    * can never diverge between training and encoding. First-max tie-break
-    * = lowest index; a null vector (all sims null) falls back to index 0 —
-    * the same deterministic assignment the old (sim desc nulls-last,
-    * cluster asc) window ordering produced.
+  /** 0-based index of the nearest (min squared-L2, exact int64) centroid
+    * for the QUANTIZED `qvec` — THE quantizer assignment primitive, shared
+    * by Lloyd training, corpus assignment and the PQ encoder (s09) so
+    * tie-break and null semantics can never diverge between training and
+    * encoding. First-min tie-break = lowest index; a null vector (all
+    * distances null) falls back to index 0.
     */
-  private[graft] def nearestCentroidIdx(vec: org.apache.spark.sql.Column,
-                                        cents: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
-    val sims = array(cents.map(c =>
-      cosine_similarity(vec.cast("array<double>"), typedLit(c))): _*)
-    // single-pass argmax fold: the k-kernel array is an ARGUMENT of the
-    // aggregate, so it evaluates exactly once even in interpreted/fallback
-    // mode (the array_position(array_max) formulation ran the kernel twice
-    // unless codegen CSE kicked in). Strict > keeps the first-max (lowest
-    // index) tie-break; null sims never beat the -2.0 floor, so an
-    // all-null (null-vector) row stays at index 0 — both unchanged.
-    val indexed = zip_with(sims, sequence(lit(0), lit(cents.size - 1)),
-      (sim, i) => struct(sim.as("s"), i.as("i")))
+  private[graft] def nearestQIdx(qvec: Column, qcents: Seq[Seq[Long]]): Column = {
+    val dists = array(qcents.map(c =>
+      aggregate(zip_with(qvec, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)): _*)
+    // single-pass argmin fold: strict < keeps the first-min (lowest index)
+    // tie-break; null distances never beat the Long.MaxValue ceiling, so an
+    // all-null (null-vector) row stays at index 0.
+    val indexed = zip_with(dists, sequence(lit(0), lit(qcents.size - 1)),
+      (d, i) => struct(d.as("d"), i.as("i")))
     val best = aggregate(indexed,
-      struct(lit(-2.0).as("s"), lit(0).as("i")),
-      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      struct(lit(Long.MaxValue).as("d"), lit(0).as("i")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
     coalesce(best.getField("i").cast("int"), lit(0))
   }
 
-  /** The argmin projection itself. `cents` must be sorted by cluster id so
-    * the first-max tie-break resolves to the lowest id; `cluster` is never
-    * null (see [[nearestCentroidIdx]]), so fit's k-row collect never sees
-    * a null group.
+  /** The argmin projection itself over a pre-quantized column. `cents`
+    * must be sorted by cluster id so the first-min tie-break resolves to
+    * the lowest id; `cluster` is never null (see [[nearestQIdx]]), so
+    * fit's collect never sees a null group.
     */
-  private def assignLocal(vectors: DataFrame, cents: Seq[(Int, Seq[Double])],
-                          vecCol: String): DataFrame = {
+  private def assignQ(vectors: DataFrame, cents: Seq[(Int, Seq[Long])],
+                      qvCol: String): DataFrame = {
     val ids = typedLit(cents.map(_._1))
     vectors.withColumn("cluster",
-      element_at(ids, nearestCentroidIdx(col(vecCol), cents.map(_._2)) + 1))
+      element_at(ids, nearestQIdx(col(qvCol), cents.map(_._2)) + 1))
   }
 }

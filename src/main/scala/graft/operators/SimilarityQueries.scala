@@ -210,10 +210,13 @@ object SimilarityQueries {
   }
 
   /** IVF with TRAINED centroids: 3 deterministic Lloyd iterations
-    * (graft.functions.KMeans) build an 8-cell coarse quantizer, queries
-    * route to their nearest learned cell via the same zero-shuffle argmin
-    * projection that assigns the corpus, search happens in-cell only.
-    * The full two-stage ANN pipeline: train -> assign -> probe.
+    * (graft.functions.KMeans — EXACT fixed-point integer training, round 8)
+    * build an 8-cell coarse quantizer, queries route to their nearest
+    * learned cell via the same zero-shuffle argmin projection that assigns
+    * the corpus, search happens in-cell only. The full two-stage ANN
+    * pipeline: train -> assign -> probe. Hash-green: the DuckDB oracle
+    * REBUILDS the 3 integer Lloyd iterations inline (unrolled CTEs), so
+    * the gate re-proves the whole training loop every round.
     */
   def s06_ivf_kmeans(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KMeans
@@ -292,70 +295,93 @@ object SimilarityQueries {
     * TABLE LOOKUPS instead of a 64-dim kernel. This is the
     * billion-vector-scale compression: the scan reads 8 codes per row
     * (vs 256 bytes of floats), the per-row cost is O(M) lookups, and the
-    * codebooks/tables are broadcast literals. Codebooks are JVM-trained →
-    * rows-only check (the s01 exact twin pins the data).
+    * codebooks/tables are broadcast literals. Round 8: codebooks train in
+    * EXACT fixed-point integers (the KMeans recipe), so the DuckDB oracle
+    * rebuilds training + encode + ADC inline and the family hash-checks.
     */
   private val PqM = 8; private val PqDsub = 8; private val PqK = 16
 
-  /** Per-subspace PQ codebooks (centroid id -> dsub-dim vector), trained
-    * on a deterministic QUARTER sample of the corpus — quantizer quality
-    * saturates long before full-corpus size, and at 100 TB training on
-    * everything is pure waste (only the encode pass must touch every row).
+  /** Per-subspace PQ codebooks (centroid id -> dsub-dim QUANTIZED integer
+    * vector, 1e-6 fixed point), trained on a deterministic QUARTER sample
+    * of the corpus — quantizer quality saturates long before full-corpus
+    * size, and at 100 TB training on everything is pure waste (only the
+    * encode pass must touch every row).
     *
     * All 8 subspaces train in ONE Lloyd pass: each training row fans out
-    * to (subspace, cluster, slice) and a single 128-group mean aggregate
-    * comes back — 8 independent `KMeans.fit` calls cost ~3 driver-round-
-    * trip jobs each; this is the identical math (same smallest-id seed
-    * vectors, same assignment primitive, same mean update, empty clusters
-    * keep their seed) in 3 jobs total.
+    * to (subspace, cluster, dim) and a single 1024-group integer-sum
+    * aggregate comes back — 8 independent `KMeans.fit` calls cost ~3
+    * driver-round-trip jobs each; this is the identical math (same
+    * smallest-id seed vectors, same argmin primitive, same floor-div
+    * update, empty clusters keep their seed) in 2 jobs total. Everything
+    * is int64-exact, so the update is merge-order-independent and the
+    * DuckDB oracle replays training bit-equal (the round-8 change that
+    * moved the PQ family from rows-only to hash-green).
     */
-  private def trainCodebooks(e: DataFrame): Array[Array[Seq[Double]]] = {
-    import graft.functions.VectorMean.vector_mean
+  private def trainCodebooks(e: DataFrame): Array[Array[Seq[Long]]] = {
+    import graft.functions.KMeans
     val train = e.filter(col("vec_id") % 4 === 0)
-      .select(col("vec_id"), col("embedding").as("emb")) // float[] — VectorMean's input type
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
       .localCheckpoint()
     val seed = train.orderBy(col("vec_id")).limit(PqK)
-      .select(col("emb").cast("array<double>")).collect().map(_.getSeq[Double](0))
-    val books: Array[Array[Seq[Double]]] =
+      .select(col("qv")).collect().map(_.getSeq[Long](0))
+    val books: Array[Array[Seq[Long]]] =
       Array.tabulate(PqM)(m => seed.map(v => v.slice(m * PqDsub, (m + 1) * PqDsub)))
-    val assigned = train.select(posexplode(array((0 until PqM).map { m =>
-        val sub = expr(s"slice(emb, ${m * PqDsub + 1}, $PqDsub)")
+    val sums = train.select(posexplode(array((0 until PqM).map { m =>
+        val sub = expr(s"slice(qv, ${m * PqDsub + 1}, $PqDsub)")
         struct(lit(m).as("m"),
-          graft.functions.KMeans.nearestCentroidIdx(sub, books(m).toIndexedSeq)
-            .as("cluster"),
+          KMeans.nearestQIdx(sub, books(m).toIndexedSeq).as("cluster"),
           sub.as("sub"))
       }: _*)))
-      .select(col("col.m"), col("col.cluster"), col("col.sub"))
-    val updated = assigned.groupBy(col("m"), col("cluster"))
-      .agg(vector_mean(col("sub"), PqDsub).as("c_new"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      .select(col("col.m"), col("col.cluster"), posexplode(col("col.sub")))
+      .groupBy(col("m"), col("cluster"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .collect() // ≤ 8·16·8 = 1024 exact integer rows — k-bounded
+    // JVM long division truncates toward zero, same as DuckDB integer `//`
+    val updated = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        val arr = new Array[Long](PqDsub)
+        rows.foreach(r => arr(r.getInt(2)) = r.getLong(3) / r.getLong(4))
+        k -> arr.toSeq
+      }
     Array.tabulate(PqM)(m =>
       Array.tabulate(PqK)(c => updated.getOrElse((m, c), books(m)(c))))
   }
 
-  /** 8-code PQ encoding column, via the SAME assignment primitive the
+  /** 8-code PQ encoding column, via the SAME integer argmin primitive the
     * codebooks were trained with (tie-break + null semantics can't
     * diverge from the quantizer).
     */
-  private def pqCodes(codebooks: Array[Array[Seq[Double]]]): Column =
+  private def pqCodes(codebooks: Array[Array[Seq[Long]]]): Column = {
+    val qv = graft.functions.KMeans.quantize(col("embedding"))
     array((0 until PqM).map { m =>
-      graft.functions.KMeans.nearestCentroidIdx(
-        expr(s"slice(embedding, ${m * PqDsub + 1}, $PqDsub)"),
-        codebooks(m).toIndexedSeq)
+      graft.functions.KMeans.nearestQIdx(
+        slice(qv, m * PqDsub + 1, PqDsub), codebooks(m).toIndexedSeq)
     }: _*)
+  }
+
+  /** The sequential-double cosine fold — mirrors
+    * VectorFunctions.CosineSimilarity's accumulation order exactly (the
+    * s01-proven cross-engine pairing with DuckDB's `list_sum`).
+    */
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** A quantized integer codeword as the double vector both engines agree
+    * on: qc/1e6 element-wise (IEEE division of identical integers).
+    */
+  private def deq(qc: Seq[Long]): Seq[Double] =
+    qc.map(_.toDouble / graft.functions.KMeans.Scale)
 
   /** Asymmetric distance tables: query sub-slice vs every centroid, on
     * the driver (10 queries x 8 x 16 doubles — broadcast as literals).
-    * The local fold mirrors VectorFunctions.CosineSimilarity's sequential
-    * double accumulation exactly (same op order).
+    * Centroids are dequantized integers, so both engines compute the
+    * identical table values from the identical inputs.
     */
   private def adcTables(s: SparkSession, d: String,
-                        codebooks: Array[Array[Seq[Double]]]): DataFrame = {
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+                        codebooks: Array[Array[Seq[Long]]]): DataFrame = {
     val spark = s
     import spark.implicits._
     queriesSide(s, d)
@@ -364,7 +390,7 @@ object SimilarityQueries {
         val emb = r.getSeq[Double](1)
         r.getLong(0) -> (0 until PqM).map { m =>
           val sub = emb.slice(m * PqDsub, (m + 1) * PqDsub)
-          codebooks(m).map(c => cos(sub, c)).toSeq
+          codebooks(m).map(c => cosSeq(sub, deq(c))).toSeq
         }
       }.toSeq.sortBy(_._1).toDF("q_id", "tables")
   }
@@ -392,9 +418,9 @@ object SimilarityQueries {
     * lookups instead of the 64-dim float kernel. At 100 TB the scan
     * touches ~2/cells of the rows and reads 8 codes per row; the
     * codebooks, centroids and ADC tables are all broadcast literals and
-    * the final top-k runs on partial heaps. Codebooks are JVM-trained →
-    * rows-only check; recall is pinned against s01's exact top-k in
-    * SimilaritySpec.
+    * the final top-k runs on partial heaps. Integer-trained codebooks →
+    * the oracle rebuilds the whole pipeline inline (hash-green); recall
+    * is pinned against s01's exact top-k in QueriesSpec.
     */
   def s10_ivf_pq(s: SparkSession, d: String): DataFrame =
     perQueryTopK(ivfPqAdcScores(s, d)
@@ -439,7 +465,7 @@ object SimilarityQueries {
     * expensive exact kernel touches R rows per query instead of a cell's
     * millions, while recall climbs from PQ-lossy toward s08's exact-scoring
     * ceiling (same routing, so s08 bounds it above; QueriesSpec pins both
-    * relations). Codebooks are JVM-trained -> rows-only check.
+    * relations). Integer-trained codebooks -> oracle-rebuilt, hash-green.
     */
   private val RerankR = 10 * K
 
@@ -465,7 +491,8 @@ object SimilarityQueries {
     * neighbors that hash into adjacent buckets, the failure mode of pure
     * LSH. At 100 TB the graph build is the one expensive pass (standard
     * offline-index economics); per query the probe is two bounded joins.
-    * LCG planes → rows-only; recall pinned vs s02 in QueriesSpec.
+    * LCG planes embedded as oracle literals (the s02/s20 recipe) →
+    * hash-green; recall pinned vs s02 in QueriesSpec.
     */
   def s11_graph_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -627,7 +654,7 @@ object SimilarityQueries {
     * change to the training or encoding arithmetic orphans old indexes
     * instead of silently serving stale codes to a newer query path.
     */
-  private val IvfPqIndexVersion = "v1"
+  private val IvfPqIndexVersion = "v2" // v2: integer-trained codebooks (round 8)
 
   private[graft] def ivfPqIndexDir(d: String): String = {
     // key the stored index by the corpus file's identity (size + mtime),
@@ -684,11 +711,13 @@ object SimilarityQueries {
 
   /** Stored codebooks read back into [[pqCodes]]'s in-memory shape (128
     * small rows — the same driver-side budget the inline trainer spends).
+    * Integer codewords round-trip parquet losslessly, so the stored path
+    * is bit-identical to the inline trainer by construction.
     */
-  private def readCodebooks(s: SparkSession, dir: String): Array[Array[Seq[Double]]] = {
+  private def readCodebooks(s: SparkSession, dir: String): Array[Array[Seq[Long]]] = {
     val m = s.read.parquet(s"$dir/pq_codebooks").collect()
       .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c")) ->
-        r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+        r.getSeq[Long](r.fieldIndex("centroid"))).toMap
     Array.tabulate(PqM)(i => Array.tabulate(PqK)(c => m((i, c))))
   }
 
@@ -729,28 +758,22 @@ object SimilarityQueries {
     */
   private[graft] def queryStoredIndexWith(s: SparkSession, queries: DataFrame,
                                           dir: String, codes: DataFrame): DataFrame = {
-    // the same sequential fold as VectorFunctions.CosineSimilarity and the
-    // inline adcTables — routing/scoring must not diverge from s10's
-    def cos(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    // cosSeq is the same sequential fold as VectorFunctions.
+    // CosineSimilarity and the inline adcTables — routing/scoring must
+    // not diverge from s10's
     val cents = s.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getAs[Int]("cell"), r.getSeq[Double](r.fieldIndex("centroid"))))
-    val cb = s.read.parquet(s"$dir/pq_codebooks").collect()
-      .map(r => (r.getAs[Int]("m"), r.getAs[Int]("c")) ->
-        r.getSeq[Double](r.fieldIndex("centroid"))).toMap
+    val cb = readCodebooks(s, dir)
     val qs = queries
       .select(col("q_id"), col("q_emb").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     val probes = qs.flatMap { case (qid, emb) =>
       // nprobe=2 routing under TopKPerGroup's (c_sim desc, cell) contract
-      val routed = cents.map { case (cell, cen) => (cell, cos(emb, cen)) }
+      val routed = cents.map { case (cell, cen) => (cell, cosSeq(emb, cen)) }
         .sortBy { case (cell, sim) => (-sim, cell) }.take(2).map(_._1)
       val tables = (0 until PqM).map { m =>
         val sub = emb.slice(m * PqDsub, (m + 1) * PqDsub)
-        (0 until PqK).map(c => cos(sub, cb((m, c)))).toSeq
+        (0 until PqK).map(c => cosSeq(sub, deq(cb(m)(c)))).toSeq
       }
       routed.map(cell => (qid, cell, tables))
     }
@@ -1707,6 +1730,274 @@ object SimilarityQueries {
        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
        |WHERE rk <= 5""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Round-8 oracles for the TRAINED quantizer family: the DuckDB twins
+  // REBUILD the integer Lloyd training inline (unrolled iterations of
+  // exact int64 arithmetic — assignment by squared-L2 argmin, update by
+  // integer sum + truncating division), so the hash gate re-proves the
+  // whole train → encode → route → score pipeline every round. This is
+  // what moved s06/s09/s10/s12/s17/s18/s30/s11 from rows-only to green.
+  // -------------------------------------------------------------------
+
+  /** Shared first CTE: embeddings with both the double view and the 1e-6
+    * fixed-point integer view (KMeans.quantize's DuckDB twin).
+    */
+  private val qeCte: String =
+    """qe AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings)""".stripMargin
+
+  /** Exact int64 squared-L2 between two BIGINT lists — KMeans.nearestQIdx's
+    * distance, order-independent by construction.
+    */
+  private def duckD2(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])))"
+
+  /** One unrolled Lloyd iteration: assign by (d2, cluster) rank-1, update
+    * by per-(cluster, dim) integer sum + truncating `//` (the JVM `/`
+    * twin), empty clusters keep the previous centroid.
+    */
+  private def lloydIter(i: Int): String =
+    s"""d$i AS (
+       |  SELECT v.vec_id, v.qv, c.cluster,
+       |         row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |           ${duckD2("v.qv", "c.qc")}, c.cluster) AS rk
+       |  FROM qe v CROSS JOIN c$i c),
+       |a$i AS (SELECT vec_id, qv, cluster FROM d$i WHERE rk = 1),
+       |u$i AS (
+       |  SELECT cluster, pos, CAST(sum(qvi) AS BIGINT) AS s2,
+       |         CAST(count(*) AS BIGINT) AS nn
+       |  FROM (SELECT cluster, generate_subscripts(qv, 1) AS pos,
+       |               unnest(qv) AS qvi FROM a$i) z
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT cluster, list(s2 // nn ORDER BY pos) AS qc
+       |        FROM u$i GROUP BY 1),
+       |c${i + 1} AS (SELECT c.cluster, coalesce(m.qc, c.qc) AS qc
+       |              FROM c$i c LEFT JOIN m$i m USING (cluster))""".stripMargin
+
+  /** s06's twin: 3 unrolled integer Lloyd iterations (k=8, smallest-id
+    * seeds), final assignment, in-cell exact cosine top-5.
+    */
+  private lazy val ivfKmeansOracle: String = {
+    val iters = (0 until 3).map(lloydIter).mkString(",\n")
+    s"""WITH $qeCte,
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS cluster,
+       |         qv AS qc
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 8) seeds),
+       |$iters,
+       |fa AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, c.cluster,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${duckD2("v.qv", "c.qc")}, c.cluster) AS rk
+       |    FROM qe v CROSS JOIN c3 c) z
+       |  WHERE rk = 1),
+       |p AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+       |         ${duckCosine("ae.emb", "be.emb")} AS sim
+       |  FROM fa a
+       |  JOIN fa b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+       |  JOIN qe ae ON ae.vec_id = a.vec_id
+       |  JOIN qe be ON be.vec_id = b.vec_id
+       |  WHERE a.vec_id < $NQueries)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+       |WHERE rk <= $K""".stripMargin
+  }
+
+  /** PQ training + encode + ADC-table CTEs, shared by s09/s10/s12/s17 and
+    * (with the base-corpus filter) s18/s30. One integer Lloyd iteration
+    * per subspace from the 16 smallest-id seeds of the quarter sample —
+    * the exact twin of [[trainCodebooks]]; `enc` encodes the FULL corpus
+    * with the trained books (base and delta encode identically since the
+    * codebooks are shared); `adc` is the per-(query, subspace, code)
+    * cosine table over dequantized integer codewords.
+    */
+  private def pqCtes(trainFilter: String): String = {
+    def sub(of: String) = s"$of[b.m*$PqDsub+1 : b.m*$PqDsub+$PqDsub]"
+    s"""tr AS (SELECT vec_id, qv FROM qe WHERE $trainFilter),
+       |sdq AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+       |           AS sid, qv
+       |  FROM (SELECT vec_id, qv FROM tr ORDER BY vec_id LIMIT $PqK) z),
+       |mm AS (SELECT CAST(unnest(range(0, $PqM)) AS BIGINT) AS m),
+       |bk0 AS (
+       |  SELECT mm.m, sdq.sid AS cluster,
+       |         sdq.qv[mm.m*$PqDsub+1 : mm.m*$PqDsub+$PqDsub] AS qc
+       |  FROM sdq CROSS JOIN mm),
+       |asg AS (
+       |  SELECT m, cluster, sub FROM (
+       |    SELECT t.vec_id, b.m, b.cluster, ${sub("t.qv")} AS sub,
+       |           row_number() OVER (PARTITION BY t.vec_id, b.m ORDER BY
+       |             ${duckD2(sub("t.qv"), "b.qc")}, b.cluster) AS rk
+       |    FROM tr t CROSS JOIN bk0 b) z
+       |  WHERE rk = 1),
+       |upd AS (
+       |  SELECT m, cluster, pos, CAST(sum(sv) AS BIGINT) AS s2,
+       |         CAST(count(*) AS BIGINT) AS nn
+       |  FROM (SELECT m, cluster, generate_subscripts(sub, 1) AS pos,
+       |               unnest(sub) AS sv FROM asg) z
+       |  GROUP BY 1, 2, 3),
+       |updl AS (SELECT m, cluster, list(s2 // nn ORDER BY pos) AS qc
+       |         FROM upd GROUP BY 1, 2),
+       |bk AS (SELECT b.m, b.cluster, coalesce(u.qc, b.qc) AS qc
+       |       FROM bk0 b LEFT JOIN updl u
+       |         ON u.m = b.m AND u.cluster = b.cluster),
+       |enc AS (
+       |  SELECT vec_id, label, m, cluster AS code FROM (
+       |    SELECT v.vec_id, v.label, b.m, b.cluster,
+       |           row_number() OVER (PARTITION BY v.vec_id, b.m ORDER BY
+       |             ${duckD2(sub("v.qv"), "b.qc")}, b.cluster) AS rk
+       |    FROM qe v CROSS JOIN bk b) z
+       |  WHERE rk = 1),
+       |qq AS (SELECT vec_id AS q_id, emb AS q_emb FROM qe
+       |       WHERE vec_id < $NQueries),
+       |adc AS (
+       |  SELECT qq.q_id, b.m, b.cluster AS code,
+       |         ${duckCosine(s"qq.q_emb[b.m*$PqDsub+1 : b.m*$PqDsub+$PqDsub]",
+                   "list_transform(b.qc, v -> CAST(v AS DOUBLE) / 1000000)")}
+       |           AS t
+       |  FROM qq CROSS JOIN bk b)""".stripMargin
+  }
+
+  /** nprobe=2 routing over quantized-mean cells of `baseWhere`-filtered
+    * corpus + ADC scoring of the routed cells — the s10 shape; `sim` is
+    * the per-candidate 8-lookup sum folded in subspace order (list ORDER
+    * BY m — the exact twin of adcScore's sequential aggregate).
+    */
+  private def pqRoutedSimCtes(baseWhere: String): String =
+    s"""cent AS (
+       |  SELECT cell, list(sd ORDER BY pos) AS centroid FROM (
+       |    SELECT cell, pos,
+       |           CAST(sum(cqv) AS DOUBLE) / CAST(1000000 * count(*) AS DOUBLE) AS sd
+       |    FROM (SELECT label AS cell, generate_subscripts(qv, 1) AS pos,
+       |                 unnest(qv) AS cqv FROM qe $baseWhere) gx
+       |    GROUP BY 1, 2) gy
+       |  GROUP BY cell),
+       |rt AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q_id, cell,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY c_sim DESC, cell) AS rk
+       |    FROM (SELECT qq.q_id, c.cell,
+       |                 ${duckCosine("qq.q_emb", "c.centroid")} AS c_sim
+       |          FROM qq CROSS JOIN cent c) s0) s1
+       |  WHERE rk <= 2),
+       |sc AS (
+       |  SELECT r.q_id, en.vec_id, en.m, ad.t
+       |  FROM rt r
+       |  JOIN enc en ON en.label = r.cell AND en.vec_id <> r.q_id
+       |  JOIN adc ad ON ad.q_id = r.q_id AND ad.m = en.m
+       |             AND ad.code = en.code),
+       |sim AS (SELECT q_id, vec_id, list_sum(list(t ORDER BY m)) AS sim
+       |        FROM sc GROUP BY 1, 2)""".stripMargin
+
+  /** s09's twin: unrouted ADC over every candidate. */
+  private lazy val pqAnnOracle: String =
+    s"""WITH $qeCte,
+       |${pqCtes("vec_id % 4 = 0")},
+       |sc AS (
+       |  SELECT ad.q_id, en.vec_id, en.m, ad.t
+       |  FROM enc en JOIN adc ad ON ad.m = en.m AND ad.code = en.code
+       |  WHERE en.vec_id <> ad.q_id),
+       |sim AS (SELECT q_id, vec_id, list_sum(list(t ORDER BY m)) AS sim
+       |        FROM sc GROUP BY 1, 2)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM sim) t
+       |WHERE rk <= $K""".stripMargin
+
+  /** s10's twin (== s17's: the persisted index is a lossless parquet
+    * round-trip of integers and exact doubles, and QueriesSpec pins
+    * s17 == s10 row-for-row).
+    */
+  private lazy val ivfPqOracle: String =
+    s"""WITH $qeCte,
+       |${pqCtes("vec_id % 4 = 0")},
+       |${pqRoutedSimCtes("")}
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM sim) t
+       |WHERE rk <= $K""".stripMargin
+
+  /** s12's twin: ADC top-50 shortlist, exact-cosine re-rank, top-5. */
+  private lazy val ivfPqRerankOracle: String =
+    s"""WITH $qeCte,
+       |${pqCtes("vec_id % 4 = 0")},
+       |${pqRoutedSimCtes("")},
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |                ORDER BY sim DESC, vec_id) AS rk FROM sim) z
+       |  WHERE rk <= $RerankR),
+       |rr AS (
+       |  SELECT sh.q_id, sh.vec_id,
+       |         ${duckCosine("qx.q_emb", "ev.emb")} AS sim
+       |  FROM short sh
+       |  JOIN qe ev ON ev.vec_id = sh.vec_id
+       |  JOIN qq qx ON qx.q_id = sh.q_id)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM rr) t
+       |WHERE rk <= $K""".stripMargin
+
+  /** s18's twin (== s30's: compaction moves rows, never re-encodes):
+    * train + route on the BASE corpus only (vec_id % 17 <> 0), encode
+    * base ∪ delta with the shared books — which is exactly the full
+    * corpus, so `enc` over qe is the base-plus-delta codes union.
+    */
+  private lazy val incAppendOracle: String =
+    s"""WITH $qeCte,
+       |${pqCtes("vec_id % 4 = 0 AND vec_id % 17 <> 0")},
+       |${pqRoutedSimCtes("WHERE vec_id % 17 <> 0")}
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM sim) t
+       |WHERE rk <= $K""".stripMargin
+
+  /** s11's twin: LCG planes embedded as literals (duckBucket — the
+    * s02/s20 recipe), kNN-graph top-3 per src in-bucket, seed ∪ one-hop
+    * expansion, exact re-rank.
+    */
+  private lazy val graphAnnOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |         ${duckCosine("a.emb", "b.emb")} AS gsim
+       |  FROM sig a JOIN sig b
+       |    ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY src
+       |                ORDER BY gsim DESC, dst) AS rk FROM pairs) z
+       |  WHERE rk <= 3),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+       |      FROM sig WHERE vec_id < $NQueries),
+       |seeds AS (SELECT q.q_id, s.vec_id
+       |          FROM q JOIN sig s ON s.bucket = q.q_bucket),
+       |expanded AS (SELECT sd.q_id, ed.dst AS vec_id
+       |             FROM seeds sd JOIN edges ed ON ed.src = sd.vec_id),
+       |cand AS (
+       |  SELECT DISTINCT q_id, vec_id FROM (
+       |    SELECT * FROM seeds UNION ALL SELECT * FROM expanded) u
+       |  WHERE vec_id <> q_id),
+       |p AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         ${duckCosine("qx.q_emb", "ee.emb")} AS sim
+       |  FROM cand c
+       |  JOIN e ee ON ee.vec_id = c.vec_id
+       |  JOIN q qx ON qx.q_id = c.q_id)
+       |SELECT q_id, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+       |WHERE rk <= $K""".stripMargin
+
   /** s16's oracle unrolls the 5 greedy MMR steps as chained CTEs (the g01
     * unrolling pattern): selN picks step N's winner, allN accumulates the
     * selected set feeding step N+1's max-redundancy term.
@@ -2263,6 +2554,16 @@ object SimilarityQueries {
          |WHERE rk <= $K""".stripMargin,
     "s02_ann_lsh" -> signLshOracle(Seq(0)),
     "s20_multiprobe_lsh" -> signLshOracle(Seq(0, 1, 2, 4, 8)),
+    // the trained-quantizer family (round 8): oracles REBUILD the integer
+    // Lloyd training inline — see the Round-8 oracle section above
+    "s06_ivf_kmeans" -> ivfKmeansOracle,
+    "s09_pq_ann" -> pqAnnOracle,
+    "s10_ivf_pq" -> ivfPqOracle,
+    "s17_persisted_ivfpq" -> ivfPqOracle,
+    "s12_ivf_pq_rerank" -> ivfPqRerankOracle,
+    "s18_incremental_append" -> incAppendOracle,
+    "s30_index_compaction" -> incAppendOracle,
+    "s11_graph_ann" -> graphAnnOracle,
     "s03_dot_topk" ->
       """WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id, e.label,

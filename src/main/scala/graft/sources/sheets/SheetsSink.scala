@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
@@ -62,7 +62,8 @@ class SheetsSink extends TableProvider with DataSourceRegister {
 }
 
 final class SheetsTable(tblSchema: StructType, dir: Option[String],
-    sheetName: Option[String]) extends Table with SupportsWrite with SupportsRead {
+    sheetName: Option[String]) extends Table
+    with SupportsWrite with SupportsRead with SupportsRowLevelOperations {
   override def name(): String = "sheets"
   override def schema(): StructType = tblSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -76,14 +77,19 @@ final class SheetsTable(tblSchema: StructType, dir: Option[String],
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    writeBuilder(info, rowLevel = false)
+
+  private def writeBuilder(info: LogicalWriteInfo, rowLevel: Boolean): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       override def truncate(): WriteBuilder = this // upsert-by-name IS the overwrite
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
           val opts = info.options()
-          val dest = Option(opts.get("path")).getOrElse(
+          // options first (the path/format API), then the catalog-bound
+          // identity (SQL DML through SheetsCatalog carries no options)
+          val dest = Option(opts.get("path")).orElse(dir).getOrElse(
             throw new IllegalArgumentException("sheets sink: missing path"))
-          val sheet = Option(opts.get("name")).getOrElse(
+          val sheet = Option(opts.get("name")).orElse(sheetName).getOrElse(
             throw new IllegalArgumentException("sheets sink: missing 'name' option"))
           val limit = Option(opts.get("cellLimit")).map(_.toLong)
             .getOrElse(graft.etl.CellGuard.DefaultLimit)
@@ -93,10 +99,43 @@ final class SheetsTable(tblSchema: StructType, dir: Option[String],
           val transport: SheetTransport = Option(opts.get("endpoint"))
             .map(e => new ResumableHttpTransport(e))
             .getOrElse(new LocalFolderTransport(dest))
-          new SheetsBatchWrite(dest, sheet, limit, info.schema(), transport)
+          new SheetsBatchWrite(dest, sheet, limit, info.schema(), transport,
+            rowLevel)
         }
       }
     }
+
+  /** Row-level SQL (`MERGE INTO` / `UPDATE` / `DELETE`) as a GROUP-BASED
+    * rewrite where the group is the WHOLE SHEET: the operation's scan
+    * reads the sheet, Catalyst computes the surviving + updated + inserted
+    * rows, and the operation's write atomically replaces the sheet through
+    * the same cell-guarded upsert transport every other write takes. A
+    * sheet is bounded by the 2M-cell guard, so whole-sheet-as-group is the
+    * honest granularity (there are no per-file deltas to be finer than) —
+    * the same reasoning that makes q153's merge-on-read the right shape
+    * for unbounded parquet picks whole-group rewrite for bounded sheets.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    val table = this
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String =
+        s"sheets whole-sheet rewrite [${info.command()}]"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        table.newScanBuilder(options)
+      // rowLevel = true: with no requiredMetadataAttributes, Spark's
+      // group-based ReplaceData hands the writer the RAW rewrite rows —
+      // a leading `__row_operation` int column ahead of the table columns
+      // (only DataAndMetadataWritingSparkTask applies the row projection,
+      // and it is chosen only when metadata attrs exist; verified against
+      // ReplaceDataExec.writingTask in Spark 4.1) — so the writer must
+      // skip field 0. The declared LogicalWriteInfo schema stays the
+      // table schema, which is what the sheet header must carry anyway.
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        table.writeBuilder(winfo, rowLevel = true)
+    }
+  }
 }
 
 final case class SheetsCommitMessage(partPath: String, rows: Long)
@@ -150,7 +189,8 @@ object SheetsSink {
 
 final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
     schema: StructType,
-    transport: SheetTransport) extends BatchWrite {
+    transport: SheetTransport,
+    rowLevel: Boolean = false) extends BatchWrite {
 
   def this(dest: String, sheet: String, cellLimit: Long, schema: StructType) =
     this(dest, sheet, cellLimit, schema, new LocalFolderTransport(dest))
@@ -159,7 +199,8 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new SheetsWriterFactory(staging.toString, schema)
+    new SheetsWriterFactory(staging.toString, schema,
+      if (rowLevel) 1 else 0) // skip the leading __row_operation column
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -202,17 +243,19 @@ final class SheetsBatchWrite(dest: String, sheet: String, cellLimit: Long,
     }
 }
 
-final class SheetsWriterFactory(stagingDir: String, schema: StructType)
-  extends DataWriterFactory {
+final class SheetsWriterFactory(stagingDir: String, schema: StructType,
+    fieldOffset: Int = 0) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new SheetsDataWriter(stagingDir, partitionId, taskId, schema)
+    new SheetsDataWriter(stagingDir, partitionId, taskId, schema, fieldOffset)
 }
 
 /** Per-task CSV part writer: row-streamed like the reference's temp-file
-  * spool (`src/loader.py:236-246`) — O(1) memory in rows.
+  * spool (`src/loader.py:236-246`) — O(1) memory in rows. `fieldOffset` is
+  * 1 for row-level rewrites, whose physical rows carry Spark's leading
+  * `__row_operation` column ahead of the declared schema.
   */
 final class SheetsDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
-    schema: StructType) extends DataWriter[InternalRow] {
+    schema: StructType, fieldOffset: Int = 0) extends DataWriter[InternalRow] {
 
   // part file named so commit-time sort restores partition order
   private val path = Paths.get(stagingDir, f"part-$partitionId%05d-$taskId")
@@ -222,12 +265,16 @@ final class SheetsDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
     schema.fields.map(f => CsvFormat.converter(f.dataType))
 
   override def write(row: InternalRow): Unit = {
+    require(row.numFields == schema.length + fieldOffset,
+      s"sheets writer: row arity ${row.numFields} != schema ${schema.length} " +
+        s"+ offset $fieldOffset (${schema.fieldNames.mkString(",")})")
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < schema.length) {
       if (i > 0) sb.append(',')
-      if (!row.isNullAt(i)) // null -> empty cell, like csv.writer on None
-        sb.append(CsvFormat.quote(converters(i)(row.get(i, schema(i).dataType))))
+      if (!row.isNullAt(i + fieldOffset)) // null -> empty cell, like csv.writer on None
+        sb.append(CsvFormat.quote(
+          converters(i)(row.get(i + fieldOffset, schema(i).dataType))))
       i += 1
     }
     sb.append('\n')
