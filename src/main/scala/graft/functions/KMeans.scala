@@ -45,13 +45,25 @@ object KMeans {
   /** Fixed-point scale shared with the DuckDB oracles. */
   val Scale = 1000000L
 
-  /** Element-wise 1e-6 fixed-point quantization: array<T> → array<bigint>.
-    * DuckDB twin: `list_transform(v::DOUBLE[], x -> CAST(round(x * 1000000)
-    * AS BIGINT))`.
+  /** Scalar quantization kernel: EXACTLY Spark's `round(x * 1e6, 0)` on a
+    * double (BigDecimal.valueOf + HALF_UP — Round's own arithmetic), then
+    * the exact integral-to-long cast. Shared by every kernel below so the
+    * compiled path can never drift from the Column/oracle semantics.
     */
-  def quantize(vec: Column): Column =
-    transform(vec.cast("array<double>"),
-      x => round(x * lit(Scale.toDouble), 0).cast("long"))
+  def quantizeElem(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Element-wise 1e-6 fixed-point quantization: array<float|double> →
+    * array<bigint>, as a compiled kernel (the HOF spelling —
+    * transform + round + cast — runs interpreted per element and showed
+    * up as the PQ encode bottleneck at sf0.1). DuckDB twin:
+    * `list_transform(v::DOUBLE[], x -> CAST(round(x * 1000000) AS BIGINT))`.
+    */
+  def quantize(vec: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(QuantizeVec(expression(vec)))
+  }
 
   /** Returns (cluster: int, centroid: array<double>) — always k rows;
     * `centroid` is the exact integer centroid divided by 1e6 (recoverable:
@@ -121,22 +133,13 @@ object KMeans {
     * for the QUANTIZED `qvec` — THE quantizer assignment primitive, shared
     * by Lloyd training, corpus assignment and the PQ encoder (s09) so
     * tie-break and null semantics can never diverge between training and
-    * encoding. First-min tie-break = lowest index; a null vector (all
-    * distances null) falls back to index 0.
+    * encoding. First-min tie-break = lowest index; a null vector falls
+    * back to index 0. Compiled kernel ([[NearestQIdx]]) — the HOF argmin
+    * fold ran interpreted, k×dim nodes per row.
     */
   private[graft] def nearestQIdx(qvec: Column, qcents: Seq[Seq[Long]]): Column = {
-    val dists = array(qcents.map(c =>
-      aggregate(zip_with(qvec, typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)): _*)
-    // single-pass argmin fold: strict < keeps the first-min (lowest index)
-    // tie-break; null distances never beat the Long.MaxValue ceiling, so an
-    // all-null (null-vector) row stays at index 0.
-    val indexed = zip_with(dists, sequence(lit(0), lit(qcents.size - 1)),
-      (d, i) => struct(d.as("d"), i.as("i")))
-    val best = aggregate(indexed,
-      struct(lit(Long.MaxValue).as("d"), lit(0).as("i")),
-      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
-    coalesce(best.getField("i").cast("int"), lit(0))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    coalesce(column(NearestQIdx(expression(qvec), qcents)), lit(0))
   }
 
   /** The argmin projection itself over a pre-quantized column. `cents`
@@ -150,4 +153,167 @@ object KMeans {
     vectors.withColumn("cluster",
       element_at(ids, nearestQIdx(col(qvCol), cents.map(_._2)) + 1))
   }
+}
+
+/** Compiled quantization kernel: array<float|double> → array<bigint> of
+  * floor-free EXACT `round(x*1e6)` values ([[KMeans.quantizeElem]] — the
+  * same BigDecimal HALF_UP arithmetic Spark's own `Round` uses, so the
+  * kernel can never drift from the Column/oracle semantics the green
+  * s04/s07 pairing established). Null elements are not expected (the
+  * embeddings tables are dense); a null ARRAY returns null and callers
+  * coalesce.
+  */
+case class QuantizeVec(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with KernelCodegen {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec needs array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      out(i) = KMeans.quantizeElem(v)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
+/** Compiled integer argmin kernel: 0-based index of the centroid with the
+  * smallest exact int64 squared-L2 distance to the quantized input vector;
+  * strict < keeps the FIRST min (lowest index) on ties — identical to the
+  * HOF fold it replaces and to the oracle's (d2, cluster) rank. The
+  * centroid matrix rides the expression as a literal (k×dim longs — tiny)
+  * and distances never overflow (|q| ≤ 2e7 → diff² ≤ 1.6e15 × 64 dims).
+  */
+case class NearestQIdx(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    cents: Seq[Seq[Long]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with KernelCodegen {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if cents.nonEmpty => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_q_idx needs array<bigint> (and >=1 centroid), got ${other.catalogString}")
+  }
+
+  @transient private lazy val cs: Array[Array[Long]] = cents.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData].toLongArray()
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cent = cs(c)
+      var d = 0L
+      var i = 0
+      val n = math.min(q.length, cent.length)
+      while (i < n) { val t = q(i) - cent(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
+/** Compiled PQ encoder: raw embedding → the 8 subspace codes in ONE kernel
+  * call (quantize 64 elements + 8×16 argmins over 8-dim slices — trivial
+  * compiled work; the previous spelling evaluated 128 interpreted HOF
+  * folds per row and dominated the sf0.1 encode pass). Arithmetic is
+  * [[KMeans.quantizeElem]] + [[NearestQIdx]]'s loop verbatim, so codes are
+  * bit-identical to the slice-by-slice Column spelling and the oracle.
+  */
+case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    books: Seq[Seq[Seq[Long]]], dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with KernelCodegen {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if books.nonEmpty && dsub >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val bs: Array[Array[Array[Long]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      q(i) = KMeans.quantizeElem(v)
+      i += 1
+    }
+    val codes = new Array[Any](bs.length)
+    var m = 0
+    while (m < bs.length) {
+      val off = m * dsub
+      val book = bs(m)
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0L
+        var j = 0
+        val lim = math.min(dsub, math.min(cent.length, math.max(n - off, 0)))
+        while (j < lim) { val t = q(off + j) - cent(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }

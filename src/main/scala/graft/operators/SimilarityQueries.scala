@@ -347,16 +347,16 @@ object SimilarityQueries {
       Array.tabulate(PqK)(c => updated.getOrElse((m, c), books(m)(c))))
   }
 
-  /** 8-code PQ encoding column, via the SAME integer argmin primitive the
-    * codebooks were trained with (tie-break + null semantics can't
-    * diverge from the quantizer).
+  /** 8-code PQ encoding column — ONE compiled kernel call per row
+    * ([[graft.functions.PqEncode]]: quantize + 8×16 integer argmins),
+    * sharing [[graft.functions.KMeans.quantizeElem]] and the argmin loop
+    * with the trainer so tie-break + null semantics can't diverge from
+    * the quantizer.
     */
   private def pqCodes(codebooks: Array[Array[Seq[Long]]]): Column = {
-    val qv = graft.functions.KMeans.quantize(col("embedding"))
-    array((0 until PqM).map { m =>
-      graft.functions.KMeans.nearestQIdx(
-        slice(qv, m * PqDsub + 1, PqDsub), codebooks(m).toIndexedSeq)
-    }: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.PqEncode(expression(col("embedding")),
+      codebooks.map(_.toSeq.map(_.toSeq)).toSeq, PqDsub))
   }
 
   /** The sequential-double cosine fold — mirrors
