@@ -116,6 +116,29 @@ object EtlRunner {
     } finally pool.shutdown()
   }
 
+  /** The FLAGSHIP composition (round-8 verdict item 7): publish registry
+    * OPERATOR results through the reference pipeline — discovery →
+    * dispatch → cell guard → sheets upsert — at any scale factor. Each
+    * named registry query registers its (lazy) result as a temp view and
+    * a one-line `.sql` file is written for it, so the ETL loop discovers
+    * and dispatches it like any analyst-authored query and the heavy
+    * operator plan executes INSIDE the guarded sink write, through
+    * [[runParallel]]'s bounded concurrent jobs. This is the "switch the
+    * reference off, keep the workflow" path: the folder of .sql files IS
+    * the reference's Drive folder, the registry is the warehouse.
+    */
+  def publishRegistry(spark: SparkSession, names: Seq[String], sfDir: String,
+          destDir: String, cellLimit: Long = CellGuard.DefaultLimit,
+          maxConcurrent: Int = 4): Seq[EtlOutcome] = {
+    val sqlDir = Files.createTempDirectory("graft_reg_sql")
+    names.foreach { n =>
+      val view = s"reg_$n"
+      graft.SparkEntry.queries(n)(spark, sfDir).createOrReplaceTempView(view)
+      Files.writeString(sqlDir.resolve(s"$n.sql"), s"SELECT * FROM $view")
+    }
+    runParallel(spark, sqlDir.toString, destDir, cellLimit, maxConcurrent)
+  }
+
   /** One query end-to-end with the reference's isolation contract:
     * SQL error → skip + continue; oversize → skip; commit meta read back
     * from the sink's per-sheet records (keyed by name, so concurrent

@@ -13,6 +13,34 @@ import graft.etl._
 object EtlDemo {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.get()
+    // --registry [names] [sfDir]: publish registry operator results
+    // through the full pipeline (discovery → dispatch → guard → upsert)
+    // at bench scale, timed — the flagship path at the scale the bench
+    // runs, not just the sf0.001 fixture (round-8 verdict item 7).
+    if (args.headOption.contains("--registry")) {
+      val names =
+        if (args.length > 1 && args(1).nonEmpty) args(1).split(",").toSeq
+        else Seq("q01_pricing_summary", "q03_join_agg", "q12_window_rank",
+          "h06_forecast_revenue", "t01_lang_id", "d02_dedup_content_hash",
+          "c01_stratified_sample", "g03_components", "m01_media_meta",
+          "s01_knn_bruteforce", "q02_filter_project")
+      val sf = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+      val dest = Files.createTempDirectory("etl_registry_sheets").toString
+      val t0 = System.nanoTime()
+      val outcomes = EtlRunner.publishRegistry(spark, names, sf, dest)
+      val secs = (System.nanoTime() - t0) / 1e9
+      outcomes.foreach {
+        case EtlLoaded(n, rows, cells) =>
+          val f = Paths.get(dest, s"$n.csv")
+          println(s"[etl-registry] LOADED  $n rows=$rows cells=$cells " +
+            s"size=${HumanSize.convertSize(Files.size(f))}")
+        case EtlSkipped(n, why) => println(s"[etl-registry] SKIPPED $n ($why)")
+      }
+      println(f"[etl-registry] total ${outcomes.size} queries in $secs%.1f s " +
+        s"at $sf -> $dest")
+      spark.stop()
+      return
+    }
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.001"
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))

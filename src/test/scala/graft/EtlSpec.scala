@@ -131,4 +131,29 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(CsvFormat.quote("a,b") == "\"a,b\"")
     assert(CsvFormat.quote("say \"hi\"") == "\"say \"\"hi\"\"\"")
   }
+
+  test("publishRegistry: registry operators flow through discover→guard→upsert") {
+    val dest = Files.createTempDirectory("etl_registry")
+    // a mixed-shape sample; the cap sits between the biggest loadable
+    // sheet (d02: 1503 cells at sf0.001) and t01's 2505, so exactly one
+    // query must SKIP — proving the guard bites inside this path too
+    val names = Seq("q01_pricing_summary", "q03_join_agg", "t01_lang_id",
+      "d02_dedup_content_hash", "q02_filter_project")
+    val outcomes = EtlRunner.publishRegistry(spark, names, sf,
+      dest.toString, cellLimit = 1600L)
+    assert(outcomes.map(_.name).sorted == names.sorted)
+    val loaded = outcomes.collect { case l: EtlLoaded => l.name }.toSet
+    val skipped = outcomes.collect { case s: EtlSkipped => s }
+    assert(skipped.map(_.name) == Seq("t01_lang_id"),
+      s"expected only the per-doc report to trip the cap: $outcomes")
+    assert(skipped.head.reason.startsWith("cell limit"))
+    assert(!Files.exists(dest.resolve("t01_lang_id.csv")))
+    // every loaded sheet round-trips with exactly the operator's row count
+    loaded.foreach { n =>
+      val back = spark.read.format("sheets")
+        .option("path", dest.toString).option("name", n).load().count()
+      val direct = SparkEntry.queries(n)(spark, sf).count()
+      assert(back == direct, s"$n: sheet has $back rows, operator $direct")
+    }
+  }
 }
