@@ -1147,19 +1147,21 @@ object GraphQueries {
     * exponent alpha = 1 + N / Σ ln(deg) (Clauset-Shalizi-Newman form,
     * d_min = 1) carried on each row. The CCDF window and the alpha
     * reduction both run over |distinct degrees| rows — metadata-sized at
-    * any corpus scale (the histogram IS the sketch). ln rides t20's
-    * rounded-decimal discipline; counts are integers -> hash-green.
+    * any corpus scale (the histogram IS the sketch). The Σ ln(deg)
+    * reduction is the t41-class hazard (a fit-style aggregate over
+    * rounded libm logs), so it runs on FIXED-POINT INTEGER logs
+    * ([[graft.functions.Log2Micros]]) and converts to natural-log units
+    * by one shared ln(2) double LITERAL — the moment is exact int64 on
+    * both engines and the final IEEE arithmetic is deterministic.
     */
   def g09_degree_dist(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val deg = CoGraph.bipartite(s, d)
       .groupBy(col("supp")).agg(count(lit(1)).as("deg"))
       .localCheckpoint() // feeds the histogram AND the alpha reduction
     val hist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
     val tot = deg.agg(count(lit(1)).cast("double").as("n_total"),
-      sum(round(log(col("deg").cast("double")), 9).cast(dec9))
-        .cast("double").as("sum_ln"))
+      sum(graft.functions.TextFunctions.log2_micros(col("deg"))).as("sum_lg"))
     val w = Window.orderBy(col("deg").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
@@ -1167,7 +1169,9 @@ object GraphQueries {
       .crossJoin(broadcast(tot))
       .select(col("deg"), col("n_nodes"),
         round(col("cum").cast("double") / col("n_total"), 9).as("ccdf"),
-        round(lit(1.0) + col("n_total") / col("sum_ln"), 9).as("alpha_hat"))
+        round(lit(1.0) + col("n_total") /
+          (col("sum_lg").cast("double") / lit(1000000.0D) *
+            lit(0.6931471805599453D)), 9).as("alpha_hat"))
   }
 
   /** Mutual-reinforcement rounds for g19 (also the spec entry point). */
@@ -1401,16 +1405,35 @@ object GraphQueries {
       "g01_pagerank" ->
         s"$base,\n$iters\nSELECT node, r AS rank FROM r$Iters",
       "g09_degree_dist" ->
-        """WITH e AS (
+        """WITH RECURSIVE e AS (
           |  SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           |dg AS (SELECT supp, count(*) AS deg FROM e GROUP BY 1),
           |h AS (SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1),
+          |uvg AS (
+          |  SELECT supp, CAST(deg AS BIGINT) AS v,
+          |         CAST(length(bin(deg)) - 1 AS BIGINT) AS e
+          |  FROM dg),
+          |lgg AS (
+          |  SELECT supp, e,
+          |         CASE WHEN e >= 30 THEN v // CAST(power(2, e - 30) AS BIGINT)
+          |              ELSE v * CAST(power(2, 30 - e) AS BIGINT) END AS m,
+          |         CAST(0 AS BIGINT) AS acc, 0 AS i
+          |  FROM uvg
+          |  UNION ALL
+          |  SELECT supp, e,
+          |         CASE WHEN (m * m) // 1073741824 >= 2147483648
+          |              THEN ((m * m) // 1073741824) // 2
+          |              ELSE (m * m) // 1073741824 END,
+          |         acc * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+          |                        THEN 1 ELSE 0 END,
+          |         i + 1
+          |  FROM lgg WHERE i < 30),
           |t AS (
           |  SELECT CAST(count(*) AS DOUBLE) AS n_total,
-          |         CAST(sum(CAST(round(ln(deg), 9) AS DECIMAL(18,9)))
-          |              AS DOUBLE) AS sum_ln
-          |  FROM dg),
+          |         CAST(sum((e * 1073741824 + acc) * 1000000 // 1073741824)
+          |              AS BIGINT) AS sum_lg
+          |  FROM lgg WHERE i = 30),
           |c AS (
           |  SELECT deg, n_nodes,
           |         CAST(sum(n_nodes) OVER (ORDER BY deg DESC
@@ -1418,7 +1441,9 @@ object GraphQueries {
           |  FROM h)
           |SELECT c.deg, c.n_nodes,
           |       round(c.cum / t.n_total, 9) AS ccdf,
-          |       round(1.0 + t.n_total / t.sum_ln, 9) AS alpha_hat
+          |       round(1.0 + t.n_total /
+          |             (CAST(t.sum_lg AS DOUBLE) / 1000000.0
+          |              * 0.6931471805599453), 9) AS alpha_hat
           |FROM c CROSS JOIN t""".stripMargin,
       "g08_cf_similarity" ->
         s"""WITH edges AS (

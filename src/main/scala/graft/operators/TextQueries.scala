@@ -497,17 +497,16 @@ object TextQueries {
     * language: token counts, top-[[ZipfRanks]] ranks via the native
     * [[graft.plans.TopKPerGroup]] partial heaps (never a full vocabulary
     * sort — at 100 TB the per-language vocab is huge and the heap shuffle
-    * carries k rows per partition), then q67's exact-moment least squares
-    * over (ln rank, ln freq): DECIMAL-summed products, slope/intercept
-    * rounded at 9 dp, so the doubles hash-check cross-engine. Rank ties
-    * break on token text — deterministic on both engines (ASCII binary
-    * collation).
+    * carries k rows per partition), then an exact-moment least squares
+    * over FIXED-POINT INTEGER logs ([[graft.functions.Log2Micros]] — the
+    * t41 hardening: round(ln, 9) is libm-boundary-fragile across
+    * environments, integer logs are identical on both engines and every
+    * moment is exact int64). Slope is base-invariant; the intercept is
+    * reported base-2. Rank ties break on token text — deterministic on
+    * both engines (ASCII binary collation).
     */
   def t20_zipf_fit(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // (18,9), not (38,9): the x*x / x*y products must fit precision 38 to
-    // stay exact decimals on BOTH engines ((18,9)^2 -> (37,18))
-    val dec9 = org.apache.spark.sql.types.DecimalType(18, 9)
     val counts = Tables.documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok"))
@@ -518,27 +517,32 @@ object TextQueries {
     // rank assignment runs on <= ZipfRanks rows per language — bounded
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("tok"))
-    // x/y pin to DECIMAL(18,9); products stay full-scale exact decimals
-    // (downcasting products differs cross-engine: DuckDB truncates the
-    // scale reduction, Spark rounds — summing at scale 18 avoids the
-    // choice entirely and the moment sums are bit-exact)
+    // FIXED-POINT INTEGER logs (t41's round-8 hardening applied here too:
+    // round(ln(x), 9) is libm-boundary-fragile across environments; the
+    // digit-by-digit log2 is the identical integer on both engines, the
+    // moments are exact int64, and the final division/round of identical
+    // integers is IEEE-deterministic). The slope is base-invariant; the
+    // intercept is reported base-2 (lg_intercept = log2 of the rank-1 fit)
     val xy = top.withColumn("rank", row_number().over(w))
       .select(col("lang"),
-        round(log(col("rank").cast("double")), 9).cast(dec9).as("x"),
-        round(log(col("cnt").cast("double")), 9).cast(dec9).as("y"))
+        graft.functions.TextFunctions.log2_micros(
+          col("rank").cast("long")).as("x"),
+        graft.functions.TextFunctions.log2_micros(col("cnt")).as("y"))
     xy.groupBy(col("lang")).agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(col("x")).cast("double").as("sx"),
-        sum(expr("x * x")).cast("double").as("sx2"),
-        sum(col("y")).cast("double").as("sy"),
-        sum(expr("x * y")).cast("double").as("sxy"))
-      .select(col("lang"), col("n").cast("long").as("n_ranks"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sx2") - col("sx") * col("sx")), 9).as("slope"),
-        round(col("sy") / col("n") -
-          ((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sx2") - col("sx") * col("sx"))) *
-          (col("sx") / col("n")), 9).as("intercept"))
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sx2"),
+        sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"))
+      .select(col("lang"), col("n").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sx2") - col("sx") * col("sx")).cast("double"), 9)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sx2") - col("sx") * col("sx")).cast("double") *
+          col("sx").cast("double")) / col("n").cast("double") / lit(1000000.0D),
+          9).as("lg_intercept"))
   }
 
   /** Ranks fitted by t20 (the Zipf head; the tail bends anyway). */
@@ -2586,8 +2590,10 @@ object TextQueries {
         |       round(CAST(list_sum(sylls) AS DOUBLE) / len(toks), 9)
         |         AS avg_syllables
         |FROM s""".stripMargin,
+    // integer fixed-point logs via the 30-step recursive CTE (t41's
+    // Log2Micros twin) — no libm in the fit on either engine
     "t20_zipf_fit" ->
-      """WITH tk AS (
+      """WITH RECURSIVE tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
         |r AS (
@@ -2595,22 +2601,48 @@ object TextQueries {
         |         row_number() OVER (PARTITION BY lang
         |                            ORDER BY cnt DESC, tok) AS rank
         |  FROM c QUALIFY rank <= 100),
+        |uvq AS (
+        |  SELECT lang, rank, ax, v, CAST(length(bin(v)) - 1 AS BIGINT) AS e
+        |  FROM (SELECT lang, rank, unnest(['x', 'y']) AS ax,
+        |               unnest([CAST(rank AS BIGINT), CAST(cnt AS BIGINT)]) AS v
+        |        FROM r) z),
+        |lgi AS (
+        |  SELECT lang, rank, ax, e,
+        |         CASE WHEN e >= 30 THEN v // CAST(power(2, e - 30) AS BIGINT)
+        |              ELSE v * CAST(power(2, 30 - e) AS BIGINT) END AS m,
+        |         CAST(0 AS BIGINT) AS acc, 0 AS i
+        |  FROM uvq
+        |  UNION ALL
+        |  SELECT lang, rank, ax, e,
+        |         CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |              THEN ((m * m) // 1073741824) // 2
+        |              ELSE (m * m) // 1073741824 END,
+        |         acc * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+        |                        THEN 1 ELSE 0 END,
+        |         i + 1
+        |  FROM lgi WHERE i < 30),
         |xy AS (
-        |  SELECT lang,
-        |         CAST(round(ln(rank), 9) AS DECIMAL(18,9)) AS x,
-        |         CAST(round(ln(cnt), 9) AS DECIMAL(18,9)) AS y
-        |  FROM r),
+        |  SELECT lang, rank,
+        |         max(CASE WHEN ax = 'x' THEN
+        |           (e * 1073741824 + acc) * 1000000 // 1073741824 END) AS x,
+        |         max(CASE WHEN ax = 'y' THEN
+        |           (e * 1073741824 + acc) * 1000000 // 1073741824 END) AS y
+        |  FROM lgi WHERE i = 30 GROUP BY 1, 2),
         |s AS (
-        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(x) AS DOUBLE) AS sx,
-        |         CAST(sum(x * x) AS DOUBLE) AS sx2,
-        |         CAST(sum(y) AS DOUBLE) AS sy,
-        |         CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sx2,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
         |  FROM xy GROUP BY 1)
-        |SELECT lang, CAST(n AS BIGINT) AS n_ranks,
-        |       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
-        |       round(sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
-        |             * (sx / n), 9) AS intercept
+        |SELECT lang, n AS n_ranks,
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |             CAST(n * sx2 - sx * sx AS DOUBLE), 9) AS slope,
+        |       round((CAST(sy AS DOUBLE) -
+        |              CAST(n * sxy - sx * sy AS DOUBLE) /
+        |              CAST(n * sx2 - sx * sx AS DOUBLE) *
+        |              CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0,
+        |             9) AS lg_intercept
         |FROM s""".stripMargin,
     "t19_auc" ->
       """WITH lv AS (

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** 100× scale evidence for the PAIR-GENERATOR tails (round-8 verdict
+  * item 5): d17 exact substring spans, d24 PPJoin, d32 AllPairs cosine,
+  * s36 bitext margins — the audited bench tail whose candidate-bound
+  * arguments previously stopped at the 10× probe.
+  *
+  *   runMain graft.tools.Scale100Probe [d17,d32,...]
+  *
+  * Corpus design — and the honesty caveat the 10× probe recorded, solved
+  * differently here: naive replication DENSIFIES near-dup structure (100
+  * verbatim clones put every gram at df=100, which d17's 2..16 pair band
+  * and the prefix filters treat as boilerplate — the probe would measure
+  * an EMPTY pair phase). Instead each original doc spawns 50 FAMILIES OF
+  * 2: copies 2j and 2j+1 share text that is word-prefixed with the family
+  * id (`f<j>x<word>`), so every character 40-gram and word shingle is
+  * shared EXACTLY within its family (df=2 — inside every operator's pair
+  * band) and shared nowhere else. The result: 100× the scan volume, pair
+  * structure that grows LINEARLY with the corpus (250k families × C(2,2)
+  * pairs), and zero cross-family candidate pollution — i.e. the shape the
+  * candidate-bound math claims to survive. A knee (wall growing ≫ scan +
+  * output) is exactly what this run would expose.
+  *
+  * Embeddings replicate by vec_id offset (labels/vectors unchanged):
+  * s36's side-B corpus deepens 100× under the same fixed 400-query side,
+  * so its cross-score stage must grow linearly in |B| and the k-bounded
+  * margin joins must stay flat.
+  */
+object Scale100Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get()
+    val base = "/root/testdata/sf0.1"
+    val big = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_probe_sf1x100").toString
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
+    def want(name: String): Boolean = only.forall(_.exists(name.contains))
+
+    val marker = new java.io.File(big, "_complete")
+    if (!marker.exists()) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until 100).map { i =>
+        val fam = i / 2
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), w -> concat('f${fam}x', w)), ' ')"))
+      }.reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until 100).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+      marker.createNewFile()
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      if (!want(name)) return
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[probe100] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($rows rows)")
+    }
+
+    // THE measured knee from the first 100× run: with the sf0.1-sized 32
+    // shuffle partitions, d32's per-partition external sorts (50M-row gram
+    // table through the prefix window + candidate joins) spilled >50 GB
+    // and ran past the disk budget — the knob a real 100× deployment turns
+    // is partition count (smaller per-partition sorts fit in memory), so
+    // the 100× leg runs at 512, exactly as the brief's "size
+    // shuffle.partitions to the target SF" rule prescribes.
+    for ((sf, tag, parts) <- Seq((base, "1x  ", 32), (big, "100x", 512))) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      time(s"$tag d17_substring_spans")(
+        graft.operators.DedupQueries.d17_substring_spans(spark, sf).count())
+      time(s"$tag d24_ppjoin")(
+        graft.operators.DedupQueries.d24_ppjoin(spark, sf).count())
+      time(s"$tag d32_allpairs_cosine")(
+        graft.operators.DedupQueries.d32_allpairs_cosine(spark, sf).count())
+      time(s"$tag s36_bitext_margin")(
+        graft.operators.SimilarityQueries.s36_bitext_margin(spark, sf).count())
+    }
+    spark.stop()
+  }
+}
