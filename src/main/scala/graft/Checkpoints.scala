@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Execution-scoped lifecycle for `localCheckpoint` blocks (round-8
+  * verdict item 4).
+  *
+  * The operator library materializes intermediate frames with
+  * `localCheckpoint()` at ~130 sites — the right call per query (one scan
+  * feeding N branches), but each checkpoint pins MEMORY_AND_DISK blocks
+  * that only the async ContextCleaner reaps after a driver GC. A
+  * long-lived embedding that runs MANY queries in one session (Bench's
+  * ~1,700 sf0.1 executions, `EtlRunner.publishRegistry` over the full
+  * registry) therefore accumulates pinned storage without bound: round 8's
+  * BENCH capture degraded monotonically until steady-state medians read
+  * 7-60x above isolated warm truth.
+  *
+  * The fix is ownership, not instrumenting 130 sites: snapshot the
+  * context's pinned-RDD ids on scope entry, run the work, unpersist every
+  * id that appeared during the scope on exit. Within one query execution
+  * the checkpoint blocks are alive exactly as before; across queries the
+  * embedding drops them deterministically instead of waiting on GC.
+  *
+  * SAFETY CONTRACT: a local checkpoint truncates lineage — its blocks are
+  * NOT recomputable. The scope body must therefore fully execute every
+  * action that depends on frames it checkpointed (true for Bench's
+  * `count()` and the ETL sink's `save()`), and must not leak a lazy
+  * DataFrame for later consumption. Scopes may nest (inner scopes only
+  * release ids they introduced), but must not run CONCURRENTLY on one
+  * SparkContext at fine granularity: a scope exiting while a sibling is
+  * mid-flight would unpersist the sibling's fresh blocks. For concurrent
+  * batches (ETL `runParallel`) wrap the WHOLE batch, not each query.
+  */
+object Checkpoints {
+
+  /** Run `body`; on exit unpersist every RDD pinned during it (and not
+    * before it). Non-blocking unpersist: block deletion proceeds async
+    * while the caller moves on, which is the cheap half of the cost.
+    */
+  def scoped[T](spark: SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try body
+    finally {
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Unpersist EVERY pinned RDD in the context; returns how many were
+    * dropped. For serial per-entry harness loops (Bench) where nothing
+    * pinned is ever reused across entries.
+    */
+  def releaseAll(spark: SparkSession): Int = {
+    val rdds = spark.sparkContext.getPersistentRDDs
+    rdds.values.foreach(_.unpersist(blocking = false))
+    rdds.size
+  }
+
+  /** Count of currently pinned RDDs — the spec hook: a publish/bench scope
+    * that exits clean leaves this at (or returns it to) zero.
+    */
+  def pinnedCount(spark: SparkSession): Int =
+    spark.sparkContext.getPersistentRDDs.size
+}

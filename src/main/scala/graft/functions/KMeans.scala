@@ -50,9 +50,24 @@ object KMeans {
     * the exact integral-to-long cast. Shared by every kernel below so the
     * compiled path can never drift from the Column/oracle semantics.
     */
-  def quantizeElem(v: Double): Long =
-    java.math.BigDecimal.valueOf(v * Scale)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  def quantizeElem(v: Double): Long = {
+    // Spark's Round passes NaN/Inf through as doubles; this kernel's output
+    // is int64, so there is no "through" — fail loudly rather than let
+    // BigDecimal.valueOf throw an opaque NumberFormatException (NaN) or
+    // longValue() silently wrap (|v| > ~9.2e12). Dense embeddings are
+    // |elem| ≤ ~10, so a non-finite or astronomic element is corrupt data.
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      throw new IllegalArgumentException(
+        s"fixed-point quantizer: non-finite embedding element $v " +
+          "(NaN/Infinity cannot be 1e-6 fixed-point quantized)")
+    try
+      java.math.BigDecimal.valueOf(v * Scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"fixed-point quantizer: |$v| * 1e6 overflows int64")
+    }
+  }
 
   /** Element-wise 1e-6 fixed-point quantization: array<float|double> →
     * array<bigint>, as a compiled kernel (the HOF spelling —
@@ -70,7 +85,7 @@ object KMeans {
     * [[assign]] re-quantizes losslessly since |qc| ≤ 2e7 ≪ 2^52/1e6).
     */
   def fit(vectors: DataFrame, idCol: String, vecCol: String,
-          k: Int, iterations: Int = 3, dim: Int = 64): DataFrame = {
+          k: Int, iterations: Int = 3): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // materialize the (id, qv) training projection once — every Lloyd
@@ -189,6 +204,10 @@ case class QuantizeVec(child: org.apache.spark.sql.catalyst.expressions.Expressi
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
+      // output declares containsNull=false: a null SLOT (sparse/corrupt
+      // embedding) must fail loudly, not quantize as 0.0 via getDouble
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"quantize_vec: null element at index $i — dense embeddings only")
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       out(i) = KMeans.quantizeElem(v)
       i += 1
@@ -286,6 +305,8 @@ case class PqEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"pq_encode: null element at index $i — dense embeddings only")
       val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       q(i) = KMeans.quantizeElem(v)
       i += 1

@@ -31,8 +31,24 @@ trait KernelCodegen extends UnaryExpression {
       .javaType(dataType)
     val boxed = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
       .boxedType(dataType)
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = ($javaType)($boxed) $ref.evalKernel($c);")
+    // a nullable kernel (e.g. Log2Micros on n <= 0) returns a boxed null
+    // from evalKernel — unboxing it straight into the primitive slot would
+    // NPE under WholeStageCodegen even though the interpreted path is fine.
+    // Branch through a boxed temp and surface SQL NULL via ev.isNull.
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("kernelRes")
+      val onNull =
+        if (nullable) s"${ev.isNull} = true;"
+        else
+          s"""throw new IllegalStateException(
+             |  "kernel returned null for a non-nullable expression");""".stripMargin
+      s"""Object $tmp = $ref.evalKernel($c);
+         |if ($tmp == null) {
+         |  $onNull
+         |} else {
+         |  ${ev.value} = ($javaType)($boxed) $tmp;
+         |}""".stripMargin
+    })
   }
   /** Public bridge for generated code (nullSafeEval itself is protected). */
   final def evalKernel(input: Any): Any = nullSafeEval(input)

@@ -58,6 +58,11 @@ class SheetsCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     checkNs(ident.namespace())
+    // the TableCatalog contract: existence probes (DROP TABLE IF EXISTS,
+    // tableExists, INSERT's create-fallback) expect the not-found signal,
+    // not whatever inferSchema throws on a missing file
+    if (!Files.exists(Paths.get(warehouse, s"${ident.name()}.csv")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val schema = SheetsRead.inferSchema(warehouse, Some(ident.name()))
     new SheetsTable(schema, Some(warehouse), Some(ident.name()))
   }

@@ -42,14 +42,54 @@ class VectorFunctionsSpec extends SparkTestBase {
       assert(math.abs(got - want) <= 1,
         s"log2_micros($n) = $got, libm floor = $want")
     }
-    // the Column path (codegen) agrees with the kernel, null for n <= 0
-    val df = (probes ++ Seq(0L, -5L)).toDF("n")
+    // the Column path agrees with the kernel, null for n <= 0. A
+    // Project-over-LocalRelation is constant-folded (interpreted eval), so
+    // to actually exercise the GENERATED code — where a boxed null from
+    // the kernel once NPE'd on unboxing (round-8 advice) — the probes go
+    // through a parquet round-trip: a file scan is never foldable, and
+    // the projection runs inside WholeStageCodegen.
+    val pq = java.nio.file.Files.createTempDirectory("graft_log2_cg").toString
+    (probes ++ Seq(0L, -5L)).toDF("n").write.mode("overwrite").parquet(pq)
+    val df = spark.read.parquet(pq)
       .select($"n", log2_micros($"n").as("lg"))
+    // the executedPlan toString marks whole-stage-codegen'd operators with
+    // a `*(stageId)` prefix (WholeStageCodegenExec wraps lazily on execute)
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "probe must flow through codegen for this test to mean anything")
     df.collect().foreach { r =>
       val n = r.getLong(0)
       if (n <= 0L) assert(r.isNullAt(1), s"n=$n must be null")
       else assert(r.getLong(1) == Log2Micros.log2Micros(n))
     }
+  }
+
+  test("quantize_vec: NaN/Inf/null-element/overflow fail loudly, not wrap") {
+    import graft.functions.KMeans
+    // the quantizer feeds hash-gated trained-ANN queries: a silent wrap or
+    // a null-as-0.0 would corrupt codes undetectably. All four corrupt
+    // shapes must surface with the quantizer named in the error.
+    def mustFail(vals: Seq[java.lang.Double]): Unit = {
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(vals)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = true)))))
+      val e = intercept[Exception] {
+        df.select(KMeans.quantize($"v")).collect()
+      }
+      val msg = String.valueOf(e.getMessage) +
+        Option(e.getCause).map(c => " " + c.getMessage).getOrElse("")
+      assert(msg.contains("quantiz"), s"error must name the quantizer: $msg")
+    }
+    mustFail(Seq(Double.box(1.0), Double.box(Double.NaN)))
+    mustFail(Seq(Double.box(Double.PositiveInfinity)))
+    mustFail(Seq(Double.box(1.0), null))
+    mustFail(Seq(Double.box(1e13))) // |v| * 1e6 overflows int64
+    // and the happy path still quantizes exactly
+    val ok = Seq(Seq(0.5, -1.25)).toDF("v")
+      .select(KMeans.quantize($"v")).head().getSeq[Long](0)
+    assert(ok == Seq(500000L, -1250000L))
   }
 
   test("jl_project/sq_dist_long: hand values, HOF equivalence, codegen parity") {

@@ -160,4 +160,23 @@ class SheetsReadSpec extends SparkTestBase {
       .asInstanceOf[graft.sources.sheets.SheetsCatalog]
     assert(cat2.listTables(Array.empty).map(_.name()).contains("t"))
   }
+
+  test("catalog: missing sheet signals NoSuchTable, not a hard failure") {
+    val dest = Files.createTempDirectory("sheets_404").toString
+    val cat = s"sheets_404_${Math.abs(dest.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.sheets.SheetsCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.path", dest)
+    // existence probes expect the TableCatalog not-found signal (round-8
+    // advice): DROP IF EXISTS must no-op, tableExists must answer false,
+    // and a direct loadTable must throw the typed exception
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ghost") // must not throw
+    assert(!spark.catalog.tableExists(s"$cat.default.ghost"))
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.sheets.SheetsCatalog]
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      c.loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array.empty[String], "ghost"))
+    }
+  }
 }
