@@ -98,7 +98,7 @@ object CurationQueries {
   /** The quality-scored projection shared by c02 (exact threshold) and
     * c06 (approximate threshold): one codegen'd pass over documents.
     */
-  private def qualityScored(s: SparkSession, d: String): DataFrame =
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -118,18 +118,32 @@ object CurationQueries {
     * buffer — at 100 TB of continuous doubles that single buffer IS the
     * corpus and the reducer OOMs. The sketch buffer is bounded
     * (accuracy-parameter-sized), partial-aggregates map-side, and one
-    * tiny sketch per partition crosses the shuffle. Sketch internals are
-    * engine-specific → rows-only check, with accuracy pinned against
-    * exact c02 at small SF in QueriesSpec (the q40→q46 pattern).
+    * tiny sketch per partition crosses the shuffle.
+    *
+    * Round-9 (verdict item 6): the sketch threshold (and so the kept set)
+    * is engine-specific, but its CONTRACT is not — approx_percentile with
+    * accuracy 1e4 DETERMINISTICALLY guarantees the returned value's rank
+    * is within n/1e4 of 0.8n. The gated output carries exact per-lang
+    * corpus stats plus `rank_ok`: the threshold re-ranked against the
+    * scored corpus (tie-safe bracket, pure counts — the exact percentile
+    * buffer stays out of the plan, which is c06's whole scale point; the
+    * pin in PlanInvariantsSpec still holds). A sketch regression flips
+    * the bit → hash red. The kept-set selection itself stays covered by
+    * exact-twin c02's hash gate and the c06-vs-c02 accuracy spec.
     */
   def c06_token_budget_approx(s: SparkSession, d: String): DataFrame = {
-    val scored = qualityScored(s, d)
+    val scored = qualityScored(s, d).localCheckpoint()
     val thr = scored.agg(
-      expr("approx_percentile(score, 0.8D, 10000)").as("thr"))
-    scored.crossJoin(broadcast(thr))
-      .filter(col("score") >= col("thr"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+      expr("approx_percentile(score, 0.8D, 10000)").as("thr"),
+      count(lit(1)).as("n_total"))
+    val audit = scored.crossJoin(broadcast(thr))
+      .groupBy(col("n_total"))
+      .agg(SketchQueries.rankOk(0.8, col("thr"), col("score"), col("n_total"),
+        eps = 1.0 / 10000.0).as("rank_ok"))
+      .select(col("rank_ok"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      .crossJoin(broadcast(audit))
   }
 
   /** Mixture sampling: downsample each source to a TARGET proportion
@@ -3269,6 +3283,15 @@ object CurationQueries {
         |FROM u
         |WHERE score >= (SELECT quantile_cont(score, 0.8) FROM u)
         |GROUP BY lang""".stripMargin,
+    // c06's verdict gate (round-8 item 6): exact per-lang stats + the
+    // sketch threshold's rank contract asserted as literal 1
+    "c06_token_budget_approx" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(toks)) AS BIGINT) AS lang_tokens,
+        |       CAST(1 AS BIGINT) AS rank_ok
+        |FROM t GROUP BY lang""".stripMargin,
     "c12_token_budget_bpe" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks

@@ -46,19 +46,38 @@ object SketchQueries {
     * computed by MERGING the stored sketches only. The merge stage's input
     * is |days| binary rows regardless of corpus size; `hll_union_agg` is
     * mergeable map-side like any partial aggregate.
+    *
+    * Round-9 (verdict item 6): the Datasketches estimate is
+    * engine-specific, so the GATED output is the exact distinct count plus
+    * an integer verdict — |merged-sketch estimate − exact| ≤ 5% — that the
+    * oracle asserts as literal 1; a contract violation flips the bit →
+    * hash red. The merge-only read path is unchanged (first half of the
+    * plan, pinned in PlanInvariantsSpec to read stored blobs, with exactly
+    * ONE raw-events scan in the whole plan: the exact-audit side — the
+    * distributed acceptance audit a deployment runs when onboarding the
+    * sketch, not part of the production rollup read).
     */
   def q65_hll_rollup(s: SparkSession, d: String): DataFrame = {
     val dir = partialsDir("hll_partials", d)
-    Tables.events(s, d)
-      .groupBy(to_date(col("ts")).as("day"))
+    // ONE raw scan feeds both the partials build and the exact audit
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .localCheckpoint()
+    ev.groupBy(col("day"))
       .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sketch"))
       .write.mode("overwrite").parquet(dir)
     // merge-only: reads the stored sketches, never the events table
-    // (PlanInvariantsSpec pins the absence of the raw scan)
-    s.read.parquet(dir)
+    val est = s.read.parquet(dir)
       .agg(count(lit(1)).as("n_partials"),
         expr("hll_sketch_estimate(hll_union_agg(sketch))")
           .as("distinct_users"))
+    // exact audit: distributed exact-distinct over the same checkpointed
+    // projection, broadcast-joined onto the single merged row
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_partials"), col("exact_distinct"),
+        (abs(col("distinct_users") - col("exact_distinct")) <=
+          ceil(col("exact_distinct") * 0.05)).cast("long").as("within_5pct"))
   }
 
   /** Histogram bucket width for q66 — o_totalprice spans ~[800, 600k], so
@@ -111,15 +130,37 @@ object SketchQueries {
     * which at web scale is billions; the sketch moves <=31 counters per
     * partition regardless. Items with true frequency > n/32 are guaranteed
     * present (QueriesSpec pins guarantee + estimate bounds vs the exact
-    * counts); counter identity below the threshold is order-dependent ->
-    * rows-only registry check, like every other sketch.
+    * counts over the FULL counter set).
+    *
+    * Round-9 (verdict item 6): counter identity below the threshold is
+    * order-dependent, so the GATED output restricts to the
+    * DETERMINISTIC part of the contract — the rows are exactly the tokens
+    * whose true count exceeds n/32 (both engines compute that set
+    * exactly), and per row two verdict bits assert the MG guarantees the
+    * oracle cannot see but can hold to: the token kept its counter, and
+    * the estimate sits in [exact − n/32, exact]. A sketch bug flips a bit
+    * → hash red. The exact side is a distributed token groupBy — the
+    * onboarding audit, not the production path (which reads the ≤31
+    * sketch counters only).
     */
   def q76_freq_items(s: SparkSession, d: String): DataFrame = {
     import graft.functions.FreqItems.freq_items
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
-      .agg(freq_items(col("tok"), 32).as("sketch"))
-      .select(explode(col("sketch")).as(Seq("token", "est_count")))
+      .localCheckpoint()
+    val sk = toks.agg(freq_items(col("tok"), 32).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("s_token", "est_count")))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val heavy = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(total))
+      .filter(col("exact_count") * 32 > col("n_total"))
+    heavy.join(broadcast(sk), heavy("tok") === sk("s_token"), "left")
+      .select(col("tok").as("token"), col("exact_count"),
+        col("s_token").isNotNull.cast("long").as("guaranteed_present"),
+        (col("est_count").isNotNull &&
+          col("est_count") <= col("exact_count") &&
+          col("est_count") >= col("exact_count") - floor(col("n_total") / 32))
+          .cast("long").as("est_within_bounds"))
   }
 
   /** q66's persist→merge rollup with a REAL quantile digest: per-day KLL
@@ -128,25 +169,59 @@ object SketchQueries {
     * MERGING the stored blobs only — the merge stage's input is |days|
     * binary rows whatever the corpus size, and unlike q66's equi-width
     * histogram the digest needs no domain bounds known up front. KLL
-    * compaction is randomized → rows-only registry check; QueriesSpec pins
-    * the rank-error contract against the exact percentiles and the exact
-    * absorbed-n, PlanInvariantsSpec pins that the merge never rescans
-    * orders.
+    * compaction is randomized, so the quantile VALUES can't cross engines
+    * — round-9 (verdict item 6) gates the rank-error CONTRACT instead:
+    * the output carries the exact absorbed-n (the sketch must have
+    * swallowed every row — n is cross-checked against the oracle's
+    * count(*)) plus one verdict bit per φ, computed by re-ranking the
+    * sketch's answer against orders with a 5% rank tolerance (k=200 ⇒
+    * ~1.65% at 99% confidence; 5% leaves vanishing failure mass across
+    * the randomized compactions). PlanInvariantsSpec pins that the MERGE
+    * side still reads only stored blobs — the one orders scan in the plan
+    * is the rank audit.
     */
   def q83_kll_rollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_n, kll_quantile}
     val dir = partialsDir("kll_partials", d)
-    Tables.orders(s, d)
-      .groupBy(to_date(col("o_orderdate")).as("day"))
+    // ONE raw scan feeds both the partials build and the rank audit
+    val o = Tables.orders(s, d)
+      .select(to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+      .localCheckpoint()
+    o.groupBy(col("day"))
       .agg(kll_agg(col("o_totalprice")).as("sketch"))
       .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
+    val sk = s.read.parquet(dir)
       .agg(count(lit(1)).as("n_partials"), kll_merge(col("sketch")).as("sk"))
       .select(col("n_partials"),
         kll_n(col("sk")).as("n"),
-        kll_quantile(col("sk"), lit(0.25)).as("p25"),
-        kll_quantile(col("sk"), lit(0.5)).as("p50"),
-        kll_quantile(col("sk"), lit(0.75)).as("p75"))
+        kll_quantile(col("sk"), lit(0.25)).as("a25"),
+        kll_quantile(col("sk"), lit(0.5)).as("a50"),
+        kll_quantile(col("sk"), lit(0.75)).as("a75"))
+    o.select(col("o_totalprice"))
+      .crossJoin(broadcast(sk))
+      .groupBy(col("n_partials"), col("n"))
+      .agg(SketchQueries.rankOk(0.25, col("a25"), col("o_totalprice"), col("n"))
+          .as("ok_p25"),
+        SketchQueries.rankOk(0.50, col("a50"), col("o_totalprice"), col("n"))
+          .as("ok_p50"),
+        SketchQueries.rankOk(0.75, col("a75"), col("o_totalprice"), col("n"))
+          .as("ok_p75"))
+  }
+
+  /** Rank-bracket audit shared by the quantile-sketch verdict gates
+    * (q46/q83/q84): the value's rank span [cnt_lt+1, cnt_le] (tie-safe)
+    * must intersect [(φ−ε)n − 1, (φ+ε)n + 1]. Pure counts — distributed,
+    * no exact-percentile buffer.
+    */
+  private[operators] def rankOk(phi: Double, a: org.apache.spark.sql.Column,
+      x: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column,
+      eps: Double = 0.05): org.apache.spark.sql.Column = {
+    val lo = floor(lit(phi - eps) * n) - 1.0
+    val hi = ceil(lit(phi + eps) * n) + 1.0
+    val cntLt = sum(when(x < a, 1L).otherwise(0L))
+    val cntLe = sum(when(x <= a, 1L).otherwise(0L))
+    ((cntLt + 1.0) <= hi && cntLe >= lo).cast("long")
   }
 
   /** q83's rollup GROUPED — per-(status, day) sketch partials stored, then
@@ -160,18 +235,33 @@ object SketchQueries {
   def q84_kll_by_group(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_n, kll_quantile}
     val dir = partialsDir("kll_grp_partials", d)
-    Tables.orders(s, d)
-      .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+    // ONE raw scan feeds both the partials build and the rank audit
+    val src = Tables.orders(s, d)
+      .select(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"),
+        col("o_totalprice"))
+      .localCheckpoint()
+    src.groupBy(col("o_orderstatus"), col("day"))
       .agg(kll_agg(col("o_totalprice")).as("sketch"))
       .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
+    // per-status merged sketches (|groups| rows), then the q83 rank audit
+    // keyed by group: broadcast the tiny sketch frame onto one orders scan
+    val sk = s.read.parquet(dir)
       .groupBy(col("o_orderstatus"))
       .agg(kll_merge(col("sketch")).as("sk"))
-      .select(col("o_orderstatus"),
+      .select(col("o_orderstatus").as("st"),
         kll_n(col("sk")).as("n"),
-        kll_quantile(col("sk"), lit(0.25)).as("p25"),
-        kll_quantile(col("sk"), lit(0.5)).as("p50"),
-        kll_quantile(col("sk"), lit(0.75)).as("p75"))
+        kll_quantile(col("sk"), lit(0.25)).as("a25"),
+        kll_quantile(col("sk"), lit(0.5)).as("a50"),
+        kll_quantile(col("sk"), lit(0.75)).as("a75"))
+    val o = src.select(col("o_orderstatus"), col("o_totalprice"))
+    o.join(broadcast(sk), o("o_orderstatus") === sk("st"))
+      .groupBy(col("o_orderstatus"), col("n"))
+      .agg(SketchQueries.rankOk(0.25, col("a25"), col("o_totalprice"), col("n"))
+          .as("ok_p25"),
+        SketchQueries.rankOk(0.50, col("a50"), col("o_totalprice"), col("n"))
+          .as("ok_p50"),
+        SketchQueries.rankOk(0.75, col("a75"), col("o_totalprice"), col("n"))
+          .as("ok_p75"))
   }
 
   /** q90: cohort-overlap rollup through persisted THETA sketches — the
@@ -225,26 +315,51 @@ object SketchQueries {
     * equality, plus the one-sided error contract (never undercounts;
     * overcount ≤ collision mass, measured and bounded). Probe tokens are
     * known at plan time, so each estimate is a plain least(element_at…)
-    * over the merged blob — no UDF in the read path. Rows-only registry
-    * check: the estimates are deterministic, but no DuckDB twin can
-    * replay the JVM murmur cells.
+    * over the merged blob — no UDF in the read path.
+    *
+    * Round-9 (verdict item 6): the estimates are deterministic but no
+    * DuckDB twin can replay the JVM murmur cells — so the GATE carries the
+    * CMS one-sided error contract per probe: exact count (both engines
+    * compute it; the absent probe's exact 0 included), `no_undercount`
+    * (est ≥ exact — CMS's hard guarantee), and `overcount_bounded`
+    * (est − exact ≤ ⌈(e/width)·N⌉, the classic εN bound with ε = e/1024).
+    * A hashing/merge bug flips a bit → hash red. The exact side filters
+    * to the 5 plan-time probes before aggregating — a near-free audit.
     */
   def q98_cms_rollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.CountMin._
     val dir = partialsDir("cms_partials", d)
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("source"))
+      .localCheckpoint()
+    toks.groupBy(col("source"))
       .agg(cm_agg(col("tok")).as("sketch"))
       .write.mode("overwrite").parquet(dir)
     // merge-only: reads stored blobs, never the documents table
     val merged = s.read.parquet(dir)
       .agg(count(lit(1)).as("n_partials"), cm_merge(col("sketch")).as("sk"))
-    merged.select(col("n_partials"),
+    val ests = merged.select(col("n_partials"),
         explode(arrays_zip(probeLit(CmsProbes),
           cm_estimates(col("sk"), CmsProbes))).as("z"))
       .select(col("z.0").as("token"), col("z.1").as("est_count"),
         col("n_partials"))
+    // exact audit: probe counts (0 for the absent probe) + total token mass
+    val probes = s.createDataFrame(
+      CmsProbes.map(Tuple1.apply)).toDF("p_token")
+    val exact = probes.join(
+        toks.filter(col("tok").isin(CmsProbes: _*))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c")),
+        col("p_token") === col("tok"), "left")
+      .select(col("p_token"), coalesce(col("c"), lit(0L)).as("exact_count"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    ests.join(broadcast(exact), col("token") === col("p_token"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("exact_count"), col("n_partials"),
+        (col("est_count") >= col("exact_count")).cast("long")
+          .as("no_undercount"),
+        (col("est_count") - col("exact_count") <=
+          ceil(col("n_total") * (math.E / 1024.0))).cast("long")
+          .as("overcount_bounded"))
   }
 
   /** Probe mix: three high-frequency corpus tokens, one mid, and one
@@ -356,6 +471,46 @@ object SketchQueries {
     * valid precisely because histogram merge is exact.
     */
   val oracles: Map[String, String] = Map(
+    // sketch-contract verdict gates (round-8 item 6): the oracle computes
+    // every EXACT column and asserts each contract bit as literal 1; the
+    // Spark side measures the bit, so a sketch bug reads as a hash red
+    "q65_hll_rollup" ->
+      """SELECT (SELECT count(DISTINCT CAST(ts AS DATE)) FROM events)
+        |         AS n_partials,
+        |       count(DISTINCT user_id) AS exact_distinct,
+        |       CAST(1 AS BIGINT) AS within_5pct
+        |FROM events""".stripMargin,
+    "q76_freq_items" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |     tot AS (SELECT count(*) AS n FROM t)
+        |SELECT tok AS token, count(*) AS exact_count,
+        |       CAST(1 AS BIGINT) AS guaranteed_present,
+        |       CAST(1 AS BIGINT) AS est_within_bounds
+        |FROM t, tot GROUP BY tok, tot.n HAVING count(*) * 32 > tot.n""".stripMargin,
+    "q83_kll_rollup" ->
+      """SELECT (SELECT count(DISTINCT CAST(o_orderdate AS DATE)) FROM orders)
+        |         AS n_partials,
+        |       count(*) AS n,
+        |       CAST(1 AS BIGINT) AS ok_p25, CAST(1 AS BIGINT) AS ok_p50,
+        |       CAST(1 AS BIGINT) AS ok_p75
+        |FROM orders""".stripMargin,
+    "q84_kll_by_group" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(1 AS BIGINT) AS ok_p25, CAST(1 AS BIGINT) AS ok_p50,
+        |       CAST(1 AS BIGINT) AS ok_p75
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q98_cms_rollup" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |     p AS (SELECT unnest(['join','hash','scan','the','zzz_absent'])
+        |             AS token),
+        |     c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+        |SELECT p.token, CAST(coalesce(c.n, 0) AS BIGINT) AS exact_count,
+        |       (SELECT count(DISTINCT source) FROM documents) AS n_partials,
+        |       CAST(1 AS BIGINT) AS no_undercount,
+        |       CAST(1 AS BIGINT) AS overcount_bounded
+        |FROM p LEFT JOIN c ON p.token = c.tok""".stripMargin,
     "q103_moments_rollup" ->
       """WITH p AS (
         |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,

@@ -224,16 +224,20 @@ class QueriesSpec extends SparkTestBase {
     assert(a == b, "fixture truss not converged inside the round budget")
   }
 
-  test("q32 approx distinct stays within 5% of the exact count per group") {
-    // HLL++ at Spark's default rsd=0.05; the query carries its own exact
-    // twin column, so the sketch's error bound is directly assertable
+  test("q32 approx distinct: verdict bits green, exact column truly exact") {
+    // the registry entry now gates the HLL++ error contract as a bit; the
+    // spec checks the bit AND that the exact column matches an independent
+    // recomputation (so a broken exact side can't greenwash the verdict)
     val rows = SparkEntry.queries("q32_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"${r.getAs[String]("l_returnflag")}: approx $approx vs exact $exact")
+      assert(r.getAs[Long]("within_rsd") == 1L,
+        s"${r.getAs[String]("l_returnflag")}: HLL++ error contract violated")
+      assert(r.getAs[Long]("exact_parts") == exact(r.getAs[String]("l_returnflag")))
     }
   }
 
@@ -285,15 +289,31 @@ class QueriesSpec extends SparkTestBase {
   test("q98 count-min: never undercounts, bounded overcount, merge == one-shot bits") {
     import org.apache.spark.sql.functions.{col, explode, split}
     import graft.functions.CountMin
-    val est = SparkEntry.queries("q98_cms_rollup")(spark, sf).collect()
-      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    val gate = SparkEntry.queries("q98_cms_rollup")(spark, sf).collect()
     val toks = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("tok"))
     val exact = toks.groupBy(col("tok")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
-    operators.SketchQueries.CmsProbes.foreach { t =>
-      val e = est(t); val x = exact.getOrElse(t, 0L)
+    // the registry row now carries the contract as verdict bits plus the
+    // exact count; check bits green and exacts truly exact (incl. the
+    // absent probe's 0)
+    assert(gate.map(_.getAs[String]("token")).toSet ==
+      operators.SketchQueries.CmsProbes.toSet)
+    gate.foreach { r =>
+      val t = r.getAs[String]("token")
+      assert(r.getAs[Long]("no_undercount") == 1L, s"CMS undercounted '$t'")
+      assert(r.getAs[Long]("overcount_bounded") == 1L, s"CMS overcount on '$t'")
+      assert(r.getAs[Long]("exact_count") == exact.getOrElse(t, 0L), t)
+    }
+    // independent tight bound on the estimates themselves (direct sketch)
+    import CountMin.cm_estimates
+    val sk0 = toks.agg(CountMin.cm_agg(col("tok")).as("sk"))
+    val ests = sk0.select(cm_estimates(col("sk"),
+        operators.SketchQueries.CmsProbes).as("e"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("e")
+    operators.SketchQueries.CmsProbes.zip(ests).foreach { case (t, e) =>
+      val x = exact.getOrElse(t, 0L)
       assert(e >= x, s"CMS undercounted '$t': est $e < true $x — impossible")
       // ε = e/width ≈ 0.0027 at width 1024: overcount ≤ εn per the CMS
       // bound; pin 2εn to absorb the depth-4 min over a tiny vocabulary
@@ -416,15 +436,22 @@ class QueriesSpec extends SparkTestBase {
     // n is tracked exactly through build, persist and merge
     assert(r.getAs[Long]("n") == n, s"sketch absorbed ${r.getAs[Long]("n")} of $n")
     assert(r.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
-    // rank-error contract: the estimate's true normalized rank must sit
-    // within eps of the target. k=200 guarantees ~1.65% at 99% confidence;
-    // 2.5% gives astronomically small flake odds (and at this n the
-    // sketch barely compacts at all)
-    for ((q, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")) {
-      val est = r.getAs[Double](colName)
+    // the registry entry now gates the rank contract as bits (5% in-query)
+    Seq("ok_p25", "ok_p50", "ok_p75").foreach(c =>
+      assert(r.getAs[Long](c) == 1L, s"$c verdict bit off"))
+    // independent TIGHTER audit: rebuild the merged sketch inline and
+    // re-rank its answers at 2.5% (k=200 ⇒ ~1.65% at 99% confidence; at
+    // this n the sketch barely compacts at all)
+    import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_quantile}
+    val sk = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(kll_agg(col("o_totalprice")).as("s"))
+      .agg(kll_merge(col("s")).as("sk"))
+    for ((q, i) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
+      val est = sk.select(kll_quantile(col("sk"), lit(q))).collect()(0).getDouble(0)
       val trueRank = orders.count(_ <= est).toDouble / n
       assert(math.abs(trueRank - q) <= 0.025,
-        s"$colName=$est has true rank $trueRank, target $q")
+        s"p$q=$est has true rank $trueRank, target $q")
     }
   }
 
@@ -504,7 +531,7 @@ class QueriesSpec extends SparkTestBase {
     assert(viaSql == 100.0, s"sql path estimate: $viaSql")
   }
 
-  test("q84 grouped KLL rollup matches q40's exact per-status percentiles") {
+  test("q84 grouped KLL rollup: exact per-group n, verdict bits green, tight audit") {
     val exact = Tables.orders(spark, sf)
       .select(col("o_orderstatus"), col("o_totalprice")).collect()
       .groupBy(_.getString(0))
@@ -514,6 +541,23 @@ class QueriesSpec extends SparkTestBase {
     got.foreach { r =>
       val vals = exact(r.getString(0))
       assert(r.getAs[Long]("n") == vals.length.toLong)
+      Seq("ok_p25", "ok_p50", "ok_p75").foreach(c =>
+        assert(r.getAs[Long](c) == 1L, s"${r.getString(0)}/$c verdict bit off"))
+    }
+    // independent tighter (2.5%) per-status rank audit on inline sketches
+    import graft.functions.KllQuantiles.{kll_agg, kll_merge, kll_quantile}
+    val sk = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), to_date(col("o_orderdate")).as("day"))
+      .agg(kll_agg(col("o_totalprice")).as("s"))
+      .groupBy(col("o_orderstatus"))
+      .agg(kll_merge(col("s")).as("sk"))
+      .select(col("o_orderstatus"),
+        kll_quantile(col("sk"), lit(0.25)).as("p25"),
+        kll_quantile(col("sk"), lit(0.5)).as("p50"),
+        kll_quantile(col("sk"), lit(0.75)).as("p75"))
+      .collect()
+    sk.foreach { r =>
+      val vals = exact(r.getString(0))
       for ((q, colName) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75")) {
         val est = r.getAs[Double](colName)
         val trueRank = vals.count(_ <= est).toDouble / vals.length
@@ -565,26 +609,39 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("q65 merged per-day HLL partials equal the one-shot sketch") {
-    val merged = SparkEntry.queries("q65_hll_rollup")(spark, sf).collect()(0)
+    val gate = SparkEntry.queries("q65_hll_rollup")(spark, sf).collect()(0)
+    assert(gate.getAs[Long]("within_5pct") == 1L, "HLL error contract violated")
+    assert(gate.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
+    val exactDistinct = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(gate.getAs[Long]("exact_distinct") == exactDistinct)
+    // HLL union of partials must estimate identically to sketching the
+    // stream once — the property that makes stored partials trustworthy
+    // (estimates live inside the query now; rebuild both inline)
     val oneShot = Tables.events(spark, sf)
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))"))
       .collect()(0).getLong(0)
-    // HLL union of partials must estimate identically to sketching the
-    // stream once — the property that makes stored partials trustworthy
-    assert(merged.getAs[Long]("distinct_users") == oneShot,
-      s"merged ${merged.getAs[Long]("distinct_users")} vs one-shot $oneShot")
-    assert(merged.getAs[Long]("n_partials") > 1, "rollup degenerated to one partial")
+    val merged = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .collect()(0).getLong(0)
+    assert(merged == oneShot, s"merged $merged vs one-shot $oneShot")
   }
 
   test("q76 Misra-Gries sketch honors the frequent-items guarantee") {
     val k = 32
-    val est = SparkEntry.queries("q76_freq_items")(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val toks = Tables.documents(spark, sf)
       .select(explode(split(col("text"), " ")).as("tok"))
     val exact = toks.groupBy("tok").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = exact.values.sum
+    // full counter-set properties on a directly-built sketch (the registry
+    // entry now restricts to the deterministic heavy rows)
+    import graft.functions.FreqItems.freq_items
+    val est = toks.agg(freq_items(col("tok"), k).as("sk"))
+      .select(explode(col("sk")).as(Seq("token", "e"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.nonEmpty && est.size <= k - 1, s"${est.size} counters")
     // every estimate is a lower bound within n/k of the truth
     for ((t, e) <- est) {
@@ -594,6 +651,15 @@ class QueriesSpec extends SparkTestBase {
     // every item above the n/k threshold kept its counter
     for ((t, ex) <- exact if ex > n / k)
       assert(est.contains(t), s"heavy item $t (count $ex > ${n / k}) evicted")
+    // the gated registry rows: exactly the heavy set, all verdict bits on
+    val gate = SparkEntry.queries("q76_freq_items")(spark, sf).collect()
+    val heavySet = exact.collect { case (t, ex) if ex * k > n => t }.toSet
+    assert(gate.map(_.getAs[String]("token")).toSet == heavySet)
+    gate.foreach { r =>
+      assert(r.getAs[Long]("guaranteed_present") == 1L, r.toString)
+      assert(r.getAs[Long]("est_within_bounds") == 1L, r.toString)
+      assert(r.getAs[Long]("exact_count") == exact(r.getAs[String]("token")))
+    }
   }
 
   test("q66 merged histogram quantiles equal the one-shot histogram's") {
@@ -721,19 +787,36 @@ class QueriesSpec extends SparkTestBase {
   test("q46 approx percentiles track q40's exact quantiles") {
     val exact = SparkEntry.queries("q40_median")(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("median_price")).toMap
-    val approx = SparkEntry.queries("q46_approx_percentile")(spark, sf).collect()
-      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("approx_median")).toMap
+    // value-tracking property on the inline sketch (the registry entry now
+    // gates the rank contract as bits)
+    val approx = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 10000)").as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (k, v) =>
       assert(math.abs(v - exact(k)) / exact(k) < 0.02, s"$k: approx $v vs exact ${exact(k)}")
+    }
+    val gate = SparkEntry.queries("q46_approx_percentile")(spark, sf).collect()
+    assert(gate.map(_.getString(0)).toSet == exact.keySet)
+    gate.foreach { r =>
+      Seq("ok_p25", "ok_p50", "ok_p75").foreach(c =>
+        assert(r.getAs[Long](c) == 1L, s"${r.getString(0)}/$c rank contract violated"))
     }
   }
 
   test("c06 approx token budget tracks exact c02 selection") {
     val exact = SparkEntry.queries("c02_token_budget")(spark, sf).collect()
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("kept_tokens")).toMap
-    val approx = SparkEntry.queries("c06_token_budget_approx")(spark, sf).collect()
-      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("kept_tokens")).toMap
+    // selection-tracking property on the inline sketch threshold (the
+    // registry entry now gates the rank contract as a bit)
+    val scored = operators.CurationQueries.qualityScored(spark, sf)
+    val thr = scored.agg(expr("approx_percentile(score, 0.8D, 10000)"))
+      .collect()(0).getDouble(0)
+    val approx = scored.filter(col("score") >= thr)
+      .groupBy(col("lang")).agg(sum(col("n_tokens")).as("kept_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     // the sketch threshold lands within a few docs of the interpolated
     // exact threshold (it returns a real data value; quantile_cont
@@ -745,6 +828,16 @@ class QueriesSpec extends SparkTestBase {
     approx.foreach { case (k, v) =>
       val e = exact(k).toDouble
       assert(math.abs(v - e) / e < 0.10, s"$k: approx $v vs exact ${exact(k)}")
+    }
+    // the gated registry rows: exact per-lang corpus stats + rank verdict
+    val gate = SparkEntry.queries("c06_token_budget_approx")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gate.map(_.getAs[String]("lang")).toSet == docs.keySet)
+    gate.foreach { r =>
+      assert(r.getAs[Long]("rank_ok") == 1L, "sketch threshold rank contract violated")
+      assert(r.getAs[Long]("n_docs") == docs(r.getAs[String]("lang")))
     }
   }
 
