@@ -78,6 +78,26 @@ sealed trait EtlOutcome { def name: String }
 final case class EtlLoaded(name: String, rows: Long, cells: Long) extends EtlOutcome
 final case class EtlSkipped(name: String, reason: String) extends EtlOutcome
 
+/** Outcome rollup for a publish batch: loaded sheets, guard-skipped names
+  * (the reference's skip-not-truncate contract — EXPECTED members of a
+  * full-registry publish, not failures), and genuinely failed names with
+  * reasons. `ok` is the publish-level invariant a demo/spec asserts:
+  * every outcome is either loaded or explained by the cell guard.
+  */
+final case class EtlSummary(loaded: Int, cellGuarded: Seq[String],
+                            failed: Seq[String]) {
+  def ok: Boolean = failed.isEmpty
+}
+
+object EtlSummary {
+  def of(outcomes: Seq[EtlOutcome]): EtlSummary = EtlSummary(
+    loaded = outcomes.count(_.isInstanceOf[EtlLoaded]),
+    cellGuarded = outcomes.collect {
+      case EtlSkipped(n, why) if why.startsWith("cell limit") => n },
+    failed = outcomes.collect {
+      case EtlSkipped(n, why) if !why.startsWith("cell limit") => s"$n ($why)" })
+}
+
 /** P4 + P10: dispatch each discovered query through `spark.sql` with
   * per-query failure isolation (syntax error -> skip + continue,
   * `src/loader.py:232-234`; oversize -> skip, `:250-253`), then load via

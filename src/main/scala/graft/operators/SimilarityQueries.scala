@@ -64,6 +64,31 @@ object SimilarityQueries {
           cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
   }
 
+  /** s41: PER-QUERY-correlated filtered kNN — the filtered-ANN case s13
+    * and s39 do NOT cover: there the predicate is a global constant
+    * (label IN set) that pushes to the parquet scan once for all queries;
+    * here each query carries its OWN predicate (candidates must differ
+    * from the query's label — the "exclude my own cluster" serving
+    * filter), so no single scan-filter exists. The right distributed
+    * shape is predicate-in-join-condition: the broadcast query side
+    * carries (q_emb, q_label) and the non-equi condition drops
+    * disqualified candidates AT THE JOIN, before the cosine kernel or the
+    * partial heaps see them — unlike post-filtering a top-k, which must
+    * over-fetch and can come back short. Same kernel/tie-break discipline
+    * as s01, so the result hash-checks exactly.
+    */
+  def s41_filtered_knn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    perQueryTopK(
+      e.join(broadcast(q),
+          col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"),
+          cosine_similarity(col("q_emb"), col("embedding")).as("sim")))
+  }
+
   /** Deterministic +-1 hyperplanes for sign-LSH (fixed LCG — every executor,
     * session and round derives the same planes; no RNG state shipped).
     */
@@ -1474,6 +1499,7 @@ object SimilarityQueries {
     "s12_ivf_pq_rerank" -> (s12_ivf_pq_rerank _),
     "s11_graph_ann" -> (s11_graph_ann _),
     "s01_knn_bruteforce" -> (s01_knn_bruteforce _),
+    "s41_filtered_knn" -> (s41_filtered_knn _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "s03_dot_topk" -> (s03_dot_topk _),
     "s04_ivf_ann" -> (s04_ivf_ann _),
@@ -2349,6 +2375,21 @@ object SimilarityQueries {
          |             ORDER BY n_votes DESC, label) AS rk FROM v) t
          |WHERE rk <= 1""".stripMargin,
     "s01_knn_bruteforce" -> bruteforceOracle,
+    "s41_filtered_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.q_id, e.vec_id,
+        |         list_sum(list_transform(list_zip(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]),
+        |                                 x -> x[1] * x[2]))
+        |           / (sqrt(list_sum(list_transform(q.q_emb::DOUBLE[], v -> v*v)))
+        |              * sqrt(list_sum(list_transform(e.embedding::DOUBLE[], v -> v*v)))) AS sim
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.q_id AND e.label <> q.q_label)
+        |SELECT q_id, vec_id, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |              ORDER BY sim DESC, vec_id) AS rk FROM p) t
+        |WHERE rk <= 5""".stripMargin,
     "s40_cascade_sweep" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
          |           FROM embeddings WHERE vec_id < 10),

@@ -2040,7 +2040,63 @@ object TextQueries {
         col("hapax_pm"), col("flagged"))
   }
 
+  /** t47: REPETITION screen — the Gopher/MassiveText-style boilerplate
+    * filter the quality family lacked (Rae et al. 2021 table A1: "fraction
+    * of characters in duplicate n-grams"): machine-generated spam and
+    * template boilerplate repeat short n-grams at rates natural text never
+    * reaches. Per doc: top-bigram occupancy and duplicate-trigram
+    * occupancy (occurrences of trigrams appearing >= 2x in the doc), both
+    * in integer per-mille (the t46 discipline — no float fractions).
+    * Shape: the gram lists are built per row with ONE zip_with pass
+    * (k-bounded per-row HOF, not a corpus-sized interpreted fold), then
+    * one explode + (doc_id, gram) map-side-partial aggregate each — two
+    * shuffles total, both keyed by doc so the reduce is per-doc-local.
+    *
+    * Planted ground truth (the t46/c43 pattern): the fixture soup's
+    * trigram space is too sparse for natural repetition, so every 11th
+    * doc gets `size div 4 + 2` copies of a 3-word phrase appended — the
+    * boilerplate signature, sized so the duplicate-trigram occupancy
+    * lands near (3k−2)/(n+3k) ≈ 430‰ at EVERY doc length (a plain
+    * `div 4` left an 11-word doc at 133‰, under the flag). The 200‰
+    * duplicate-trigram flag must catch exactly the planted docs
+    * (QueriesSpec pins set equality).
+    */
+  def t47_repetition_screen(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d)
+      .withColumn("text", when(pmod(col("doc_id"), lit(11L)) === 7 &&
+          size(split(col("text"), " ")) >= 4,
+        concat(col("text"), lit(" "), expr(
+          "concat_ws(' ', transform(sequence(1, size(split(text, ' ')) div 4 + 2)," +
+            " i -> 'buy gold now'))")))
+        .otherwise(col("text")))
+    val w = corpus.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .localCheckpoint() // one scan feeds both gram pipelines
+    val bstat = w.select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1)," +
+          " (a, b) -> concat(a, '~', b))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"), max(col("n")).as("top_bigram_n"))
+    val tstat = w.select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 2), zip_with(slice(w, 2, size(w) - 2)," +
+          " slice(w, 3, size(w) - 2), (b, c) -> concat(b, '~', c))," +
+          " (a, bc) -> concat(a, '~', bc))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_trigrams"),
+        sum(when(col("n") >= 2L, col("n")).otherwise(0L)).as("dup_tri_occ"))
+    bstat.join(tstat, "doc_id")
+      .withColumn("top_bigram_pm", expr("top_bigram_n * 1000 div n_bigrams"))
+      .withColumn("dup_tri_pm", expr("dup_tri_occ * 1000 div n_trigrams"))
+      .withColumn("flagged", (col("dup_tri_pm") >= 200L).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+        col("top_bigram_pm"), col("n_trigrams"), col("dup_tri_occ"),
+        col("dup_tri_pm"), col("flagged"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t47_repetition_screen" -> (t47_repetition_screen _),
     "t46_hapax_noise" -> (t46_hapax_noise _),
     "t45_code_detect" -> (t45_code_detect _),
     "t44_pii_canary" -> (t44_pii_canary _),
@@ -2230,6 +2286,38 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t47_repetition_screen" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 7
+        |              AND len(string_split(text, ' ')) >= 4 THEN text || ' ' ||
+        |           array_to_string(list_transform(
+        |             range(1, len(string_split(text, ' ')) // 4 + 3),
+        |             i -> 'buy gold now'), ' ')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM c
+        |      WHERE len(string_split(text, ' ')) >= 3),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |                i -> w[i] || '~' || w[i+1])) AS g FROM w),
+        |bc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |                 CAST(max(n) AS BIGINT) AS top_bigram_n
+        |          FROM bc GROUP BY 1),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || '~' || w[i+1] || '~' || w[i+2])) AS g FROM w),
+        |tc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |                 CAST(coalesce(sum(n) FILTER (n >= 2), 0) AS BIGINT)
+        |                   AS dup_tri_occ
+        |          FROM tc GROUP BY 1)
+        |SELECT b.doc_id, n_bigrams, top_bigram_n,
+        |       top_bigram_n * 1000 // n_bigrams AS top_bigram_pm,
+        |       n_trigrams, dup_tri_occ,
+        |       dup_tri_occ * 1000 // n_trigrams AS dup_tri_pm,
+        |       CAST(CASE WHEN dup_tri_occ * 1000 // n_trigrams >= 200
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+        |FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id""".stripMargin,
     "t46_hapax_noise" ->
       """WITH c AS (
         |  SELECT doc_id,

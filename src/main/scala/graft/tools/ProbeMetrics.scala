@@ -1,0 +1,52 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Shuffle-byte meter for the scale probes: sums task-level shuffle write
+  * and read bytes between [[reset]] and a read, via a SparkListener —
+  * the same numbers the UI's stage table shows, aggregated per probe
+  * window. Listener events are delivered async; [[snapshot]] pauses for
+  * a settle interval so a window rarely misses its own tail tasks.
+  *
+  * The point for the 100 TB argument: WALL time on one box conflates CPU
+  * and IO, but SHUFFLE BYTES are topology-invariant — a probe whose
+  * shuffle bytes grow linearly with the corpus ships the same bytes per
+  * row on a 1000-executor cluster, where they spread across machines.
+  * A super-linear byte curve is the scale-killer wall time alone hides.
+  */
+final class ProbeMetrics(spark: SparkSession) extends SparkListener {
+  private val shuffleWrite = new LongAdder
+  private val shuffleRead = new LongAdder
+  spark.sparkContext.addSparkListener(this)
+
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+      shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+    }
+  }
+
+  // the listener bus drain API (waitUntilEmpty) is private[spark]; probes
+  // time in whole seconds, so a fixed settle pause bounds the tail-event
+  // error far below the measurement granularity
+  private def settle(): Unit = Thread.sleep(500)
+
+  def reset(): Unit = {
+    settle()
+    shuffleWrite.reset(); shuffleRead.reset()
+  }
+
+  /** (shuffle bytes written, shuffle bytes read) since the last reset. */
+  def snapshot(): (Long, Long) = {
+    settle()
+    (shuffleWrite.sum(), shuffleRead.sum())
+  }
+
+  def fmt(bytes: Long): String =
+    if (bytes >= (1L << 30)) f"${bytes / (1024.0 * 1024 * 1024)}%.1fGB"
+    else if (bytes >= (1L << 20)) f"${bytes / (1024.0 * 1024)}%.1fMB"
+    else f"${bytes / 1024.0}%.1fKB"
+}

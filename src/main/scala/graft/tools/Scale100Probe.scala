@@ -79,11 +79,16 @@ object Scale100Probe {
       marker.createNewFile()
     }
 
+    val meter = new ProbeMetrics(spark)
     def time(name: String)(f: => Long): Unit = {
       if (!want(name)) return
+      meter.reset()
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[probe100] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs ($rows rows)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (sw, sr) = meter.snapshot()
+      println(f"[probe100] $name: $secs%.1fs ($rows rows, " +
+        s"shuffle w=${meter.fmt(sw)} r=${meter.fmt(sr)})")
     }
 
     // THE measured knee from the first 100× run: with the sf0.1-sized 32

@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** 25× scale evidence for the PERSISTED-STORE serving paths (round-8
+  * verdict item 7): the pair-generator probes ([[Scale100Probe]]) cover
+  * operators whose cost is the candidate generation itself; this probe
+  * covers the other economics the engine leans on — build-once
+  * stores with cheap online reads — at a scale the single box can hold:
+  *
+  *   - s17_persisted_ivfpq: train+encode build vs route+ADC serve
+  *   - g18_temporal_reach:  CoGraph store build vs 6-round reach query
+  *
+  *   runMain graft.tools.StoreProbe [s17,g18]
+  *
+  * Corpus: embeddings replicate by vec_id offset (labels/vectors
+  * unchanged — cells deepen 25×, the query side stays the fixed 10
+  * vectors); lineitem/orders replicate with ALL join keys offset per
+  * clone (orderkey, suppkey, custkey), so each clone is a DISJOINT
+  * subgraph — edges grow linearly (no densification: a naive clone
+  * without key offsets would multiply per-order pair counts instead of
+  * adding orders, measuring a corpus no ingest produces). Both 1× and
+  * 25× legs run in FRESH copies of the base dir: the stores are keyed by
+  * file identity (size+mtime), so fresh mtimes force a fresh build and
+  * the probe never reuses — or pollutes — the bench's stores.
+  *
+  * What the economics claim, and the probe falsifies if wrong:
+  *   - build grows ~linearly with the corpus (one scan + shuffle);
+  *   - s17 serve grows sub-linearly (the only corpus-sized read is the
+  *     8-byte-code scan joined to a broadcast probe set; routing/ADC are
+  *     k-bounded driver arithmetic);
+  *   - g18 query cost tracks the STORE size (monthly pair counts), not
+  *     the fact table — the 6 rounds re-read the store, never lineitem.
+  */
+object StoreProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get()
+    val base = "/root/testdata/sf0.1"
+    val scale = sys.env.getOrElse("GRAFT_PROBE_SCALE", "25").toInt
+    val tmp = System.getProperty("java.io.tmpdir")
+    val only: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
+    def want(name: String): Boolean = only.forall(_.exists(name.contains))
+
+    // fresh 1× copy: same bytes, new mtime -> new store key -> clean build
+    val one = new java.io.File(tmp, "graft_storeprobe_1x").toString
+    // 25×: disjoint-subgraph replication
+    val big = new java.io.File(tmp, s"graft_storeprobe_${scale}x").toString
+
+    def provision(dir: String, clones: Int): Unit = {
+      val marker = new java.io.File(dir, "_complete")
+      if (marker.exists()) return
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until clones).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .repartition(if (clones == 1) 8 else 64)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val li = spark.read.parquet(s"$base/lineitem.parquet")
+      (0 until clones).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .repartition(if (clones == 1) 8 else 64)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val or = spark.read.parquet(s"$base/orders.parquet")
+      (0 until clones).map(i => or
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .repartition(if (clones == 1) 8 else 64)
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      marker.createNewFile()
+    }
+
+    provision(one, 1)
+    provision(big, scale)
+
+    val meter = new ProbeMetrics(spark)
+    def time(name: String)(f: => Long): Double = {
+      meter.reset()
+      val t0 = System.nanoTime()
+      val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (sw, sr) = meter.snapshot()
+      println(f"[storeprobe] $name: $secs%.1fs ($rows rows, " +
+        s"shuffle w=${meter.fmt(sw)} r=${meter.fmt(sr)})")
+      secs
+    }
+
+    for ((dir, tag, parts) <- Seq((one, "1x  ", 32),
+        (big, s"${scale}x", math.max(64, scale * 5)))) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      if (want("s17")) {
+        // first call = build (train + encode) + one serve; steady = serve
+        val cold = time(s"$tag s17 cold(build+serve)")(
+          graft.operators.SimilarityQueries.s17_persisted_ivfpq(spark, dir).count())
+        val warm = time(s"$tag s17 warm(serve)")(
+          graft.operators.SimilarityQueries.s17_persisted_ivfpq(spark, dir).count())
+        println(f"[storeprobe] $tag s17 build=${cold - warm}%.1fs serve=$warm%.1fs")
+        graft.Checkpoints.releaseAll(spark)
+      }
+      if (want("g18")) {
+        val cold = time(s"$tag g18 cold(build+query)")(
+          graft.operators.GraphQueries.g18_temporal_reach(spark, dir).count())
+        val warm = time(s"$tag g18 warm(query)")(
+          graft.operators.GraphQueries.g18_temporal_reach(spark, dir).count())
+        println(f"[storeprobe] $tag g18 build=${cold - warm}%.1fs query=$warm%.1fs")
+        graft.Checkpoints.releaseAll(spark)
+      }
+    }
+    spark.stop()
+  }
+}

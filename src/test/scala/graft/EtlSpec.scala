@@ -157,6 +157,26 @@ class EtlRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("publishRegistry summary: guard skips are expected, failures are not") {
+    // the full-registry flagship (round-8 verdict item 7 extended round 9:
+    // EtlDemo --registry all) rolls outcomes into EtlSummary — a guard
+    // skip keeps ok=true (the reference's skip-not-truncate contract), a
+    // SQL/write failure flips it
+    val sum = etl.EtlSummary.of(Seq(
+      etl.EtlLoaded("a", 10, 110),
+      etl.EtlSkipped("b", "cell limit: 2000001 >= 2000000"),
+      etl.EtlLoaded("c", 5, 55)))
+    assert(sum == etl.EtlSummary(2, Seq("b"), Nil) && sum.ok)
+    val bad = etl.EtlSummary.of(Seq(
+      etl.EtlSkipped("d", "SQL error: unresolved column")))
+    assert(!bad.ok && bad.failed == Seq("d (SQL error: unresolved column)"))
+    // and the real path produces a clean summary end-to-end
+    val dest = Files.createTempDirectory("etl_reg_sum")
+    val real = etl.EtlSummary.of(EtlRunner.publishRegistry(spark,
+      Seq("q01_pricing_summary", "q02_filter_project"), sf, dest.toString))
+    assert(real == etl.EtlSummary(2, Nil, Nil) && real.ok)
+  }
+
   test("publishRegistry: exits with zero pinned checkpoint blocks") {
     // round-8 verdict item 4: a long-lived embedding running MANY registry
     // operators in one session must not accumulate localCheckpoint blocks.

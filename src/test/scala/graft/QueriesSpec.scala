@@ -3722,6 +3722,49 @@ class QueriesSpec extends SparkTestBase {
       "a clean doc showed hapax tokens — plant leaked or corpus changed")
   }
 
+  test("t47 repetition screen: flags exactly the planted boilerplate docs") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("t47_repetition_screen")(spark, sf).collect()
+    // every >=3-word doc reports; per-mille values bounded; the dup-tri
+    // flag recovers the plant (doc_id % 11 == 7 with >= 4 words) exactly
+    assert(rows.length == docs.count(_._2 >= 3))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val pm = r.getAs[Long]("dup_tri_pm")
+      assert(pm >= 0 && pm <= 1000, s"doc $id: per-mille out of range")
+      assert(r.getAs[Long]("top_bigram_n") <= r.getAs[Long]("n_bigrams"))
+      val planted = id % 11 == 7 && docs(id) >= 4
+      assert((r.getAs[Long]("flagged") == 1L) == planted,
+        s"doc $id: flag ${r.getAs[Long]("flagged")} vs planted=$planted (pm=$pm)")
+    }
+    assert(rows.exists(_.getAs[Long]("flagged") == 1L), "no planted doc flagged")
+  }
+
+  test("s41 filtered knn: k per query, predicate holds, dominated by s01") {
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("s41_filtered_knn")(spark, sf).collect()
+    assert(rows.length == 50) // 10 queries x k=5
+    rows.foreach { r =>
+      val (q, v) = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(q != v)
+      assert(labels(v) != labels(q), s"query $q: neighbor $v shares its label")
+    }
+    // filtering can only remove candidates: per-query best filtered sim
+    // is <= the unfiltered best from s01
+    val best = rows.groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Double]("sim")).max).toMap
+    SparkEntry.queries("s01_knn_bruteforce")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .foreach { case (q, rs) =>
+        assert(best(q) <= rs.map(_.getAs[Double]("sim")).max + 1e-12,
+          s"query $q: filtered best exceeds unfiltered best")
+      }
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
