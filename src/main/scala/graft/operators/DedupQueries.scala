@@ -1090,14 +1090,25 @@ object DedupQueries {
     // merely rides along); the EXACT string-keyed 2..16 filter then runs
     // on that duplicated sliver alone, so the semantics are bit-identical
     // to the one-level string aggregate at any corpus size.
+    // The survivor lists (cand/keep) are DATA-DEPENDENT: "tiny" on a real
+    // mostly-unique corpus, but nothing bounds them — a duplicate-heavy
+    // corpus makes them O(distinct grams). The 25× probe caught exactly
+    // that: the planner's estimate broadcast `cand` (~7M hashes there) and
+    // the build died at the driver. Broadcast must be a proven bound, not
+    // a stats guess (the c08 rule), so both survivor joins are pinned
+    // SHUFFLE_HASH: same one-shuffle cost class as the broadcast at small
+    // scale (the build side hashes per-partition, no sort), and safe at
+    // any survivor cardinality on any topology.
     val cand = sh.groupBy("gh").count()
       .filter(col("count") >= 2).select("gh")
-    val shc = sh.join(cand, "gh")
+    val shc = sh.join(cand.hint("shuffle_hash"), "gh")
     val keep = shc.groupBy("gram").count()
       .filter(col("count").between(2, 16)).select("gram")
-    val sk = shc.join(keep, "gram")
+    val sk = shc.join(keep.hint("shuffle_hash"), "gram")
+    // the pair self-join sides are corpus-dependent too — same rule
     val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
-      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram")),
+      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram"))
+          .hint("shuffle_hash"),
         Seq("gram"))
       .filter(col("da") < col("db"))
       .withColumn("diag", col("pa") - col("pb"))

@@ -432,6 +432,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p = finalPlan("d17_substring_spans")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"gram self-join degraded to a nested loop:\n${p.take(1200)}")
+    // round-9 probe finding: the survivor lists are data-dependent, so a
+    // stats-guessed broadcast is a driver OOM on a duplicate-heavy corpus
+    // (the 25x probe corpus killed it at ~7M survivor hashes). Every d17
+    // join must stay a shuffle join — shuffle_hash-pinned in the operator.
+    val fin = p.split("== Initial Plan ==").head
+    assert(!fin.contains("BroadcastHashJoin"),
+      s"a data-dependent survivor list got broadcast:\n${p.take(1200)}")
+    assert(fin.contains("ShuffledHashJoin"),
+      s"survivor joins lost the shuffle_hash pin:\n${p.take(1200)}")
   }
 
   test("c20 domain cap: native heap operator, no Window and no global sort") {
