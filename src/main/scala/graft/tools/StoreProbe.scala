@@ -49,28 +49,40 @@ object StoreProbe {
     val big = new java.io.File(tmp, s"graft_storeprobe_${scale}x").toString
 
     def provision(dir: String, clones: Int): Unit = {
-      val marker = new java.io.File(dir, "_complete")
+      // provision only what the selected probes read: s17 the embeddings,
+      // g18 the lineitem/orders pair behind the CoGraph store — a
+      // deep-scale s17-only run must not pay a clones× fact-table write.
+      // Per-family markers so a later run wanting the other family in the
+      // same dir still provisions its tables.
+      val marker = new java.io.File(dir,
+        s"_complete_${if (want("s17")) "s" else ""}${if (want("g18")) "g" else ""}")
       if (marker.exists()) return
-      val emb = spark.read.parquet(s"$base/embeddings.parquet")
-      (0 until clones).map(i =>
-          emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
-        .reduce(_ unionByName _)
-        .repartition(if (clones == 1) 8 else 64)
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      val li = spark.read.parquet(s"$base/lineitem.parquet")
-      (0 until clones).map(i => li
-          .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
-          .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L)))
-        .reduce(_ unionByName _)
-        .repartition(if (clones == 1) 8 else 64)
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      val or = spark.read.parquet(s"$base/orders.parquet")
-      (0 until clones).map(i => or
-          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
-          .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
-        .reduce(_ unionByName _)
-        .repartition(if (clones == 1) 8 else 64)
-        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      if (want("s17") && !new java.io.File(dir, "_complete_s").exists()
+          && !new java.io.File(dir, "_complete_sg").exists()) {
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        (0 until clones).map(i =>
+            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .repartition(if (clones == 1) 8 else 64)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+      if (want("g18") && !new java.io.File(dir, "_complete_g").exists()
+          && !new java.io.File(dir, "_complete_sg").exists()) {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+        (0 until clones).map(i => li
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+            .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L)))
+          .reduce(_ unionByName _)
+          .repartition(if (clones == 1) 8 else 64)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val or = spark.read.parquet(s"$base/orders.parquet")
+        (0 until clones).map(i => or
+            .withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+            .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
+          .reduce(_ unionByName _)
+          .repartition(if (clones == 1) 8 else 64)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      }
       marker.createNewFile()
     }
 
