@@ -2023,7 +2023,144 @@ object CurationQueries {
       .select(col("position"), col("doc_id"), col("source"), col("i"))
   }
 
+  /** c55 oracle — eight Bradley-Terry MM iterations UNROLLED as chained
+    * `AS MATERIALIZED` CTEs (each s_k is referenced twice by dn_{k+1};
+    * without materialization CTE inlining triplicates the whole prefix
+    * per iteration — 3^8 plan blowup, which is also why the Spark side
+    * runs the iteration driver-side instead of through this SQL). Every
+    * step is int64: den_i = Σ_j floor(n_ij·1e12/(s_i+s_j)), raw_i =
+    * floor(wins_i·1e12/den_i), renormalized to mean 1e6 so the fixed
+    * point is scale-pinned — the exact twin of [[btFit]]'s Long loop.
+    */
+  private lazy val c55Oracle: String = {
+    val iters = (1 to 8).map { k =>
+      val prev = if (k == 1) "s0" else s"s${k - 1}"
+      s"""dn$k AS MATERIALIZED (
+         |  SELECT pr.i AS p,
+         |         CAST(sum(pr.n * 1000000000000 // (si.st + sj.st))
+         |              AS BIGINT) AS den
+         |  FROM pairs pr
+         |  JOIN $prev si ON si.p = pr.i
+         |  JOIN $prev sj ON sj.p = pr.j
+         |  GROUP BY 1),
+         |u$k AS MATERIALIZED (
+         |  SELECT pl.p, greatest(CAST(1 AS BIGINT),
+         |           CAST(pl.wins * 1000000000000
+         |                // greatest(d.den, 1) AS BIGINT)) AS raw
+         |  FROM players pl JOIN dn$k d ON d.p = pl.p),
+         |t$k AS MATERIALIZED (
+         |  SELECT CAST(sum(raw) AS BIGINT) AS tot,
+         |         CAST(count(*) AS BIGINT) AS np FROM u$k),
+         |s$k AS MATERIALIZED (
+         |  SELECT u.p, greatest(CAST(1 AS BIGINT),
+         |           CAST(u.raw * 1000000 * t.np // t.tot AS BIGINT)) AS st
+         |  FROM u$k u CROSS JOIN t$k t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b0 AS MATERIALIZED (
+       |  SELECT a.source AS pa, b.source AS pb,
+       |         CASE WHEN a.n_chars > b.n_chars THEN a.source
+       |              WHEN b.n_chars > a.n_chars THEN b.source
+       |              WHEN a.source < b.source THEN a.source
+       |              ELSE b.source END AS win
+       |  FROM documents a
+       |  JOIN documents b ON b.doc_id = a.doc_id + 1 + a.doc_id % 7
+       |  WHERE a.source <> b.source),
+       |dd AS (SELECT pa AS i, pb AS j, win FROM b0
+       |       UNION ALL SELECT pb, pa, win FROM b0),
+       |pairs AS MATERIALIZED (
+       |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN win = i THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS w
+       |  FROM dd GROUP BY 1, 2),
+       |players AS MATERIALIZED (
+       |  SELECT i AS p, CAST(sum(w) AS BIGINT) AS wins,
+       |         CAST(sum(n) AS BIGINT) AS games
+       |  FROM pairs GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT p, CAST(1000000 AS BIGINT) AS st FROM players),
+       |$iters
+       |SELECT pl.p AS player, pl.wins, pl.games, s8.st AS strength_micros,
+       |       row_number() OVER (ORDER BY s8.st DESC, pl.p) AS rnk
+       |FROM players pl JOIN s8 ON s8.p = pl.p""".stripMargin
+  }
+
+  /** Eight MM iterations over the collected win matrix — exact int64
+    * twin of the oracle's CTE chain (Long `/` floors identically to
+    * DuckDB `//` on the all-positive operands; bounds: wins·1e12 ≤ 5e14,
+    * raw·1e6·np ≤ ~1e15 — headroom everywhere).
+    */
+  private[graft] def btFit(pairs: Seq[(String, String, Long, Long)])
+      : Seq[(String, Long, Long, Long)] = {
+    val players = pairs.groupBy(_._1).map { case (p, ps) =>
+      p -> (ps.map(_._4).sum, ps.map(_._3).sum)
+    }
+    var st: Map[String, Long] = players.map { case (p, _) => p -> 1000000L }
+    for (_ <- 1 to 8) {
+      val den = pairs.groupBy(_._1).map { case (p, ps) =>
+        p -> ps.map { case (i, j, n, _) =>
+          n * 1000000000000L / (st(i) + st(j))
+        }.sum
+      }
+      val raw = players.map { case (p, (wins, _)) =>
+        p -> math.max(1L,
+          wins * 1000000000000L / math.max(den.getOrElse(p, 0L), 1L))
+      }
+      val tot = raw.values.sum
+      val np = raw.size.toLong
+      st = raw.map { case (p, r) =>
+        p -> math.max(1L, r * 1000000L * np / tot)
+      }
+    }
+    players.toSeq.map { case (p, (wins, games)) => (p, wins, games, st(p)) }
+      .sortBy { case (p, _, _, s) => (-s, p) }
+  }
+
+  /** c55: BRADLEY-TERRY preference fit — the pairwise-comparison strength
+    * model under RLHF preference data, Chatbot-Arena-style model ranking,
+    * and LLM-judge win matrices (Bradley & Terry 1952; MM algorithm per
+    * Hunter 2004). Bouts are derived deterministically from the corpus
+    * (doc_id vs doc_id+1+doc_id%7 — the varying stride CONNECTS the
+    * source comparison graph; a fixed stride leaves round-robin-assigned
+    * sources in disjoint 2-cliques where BT degenerates to win rate),
+    * winner = longer doc, ties broken lexicographically. The shape is
+    * the production one: a corpus-sized bout log reduced distributedly
+    * to a players×players win matrix (one co-partitioned self-join on
+    * doc_id + one groupBy pair), then MM iterations over the k-bounded
+    * matrix — collected at ≤ |sources|² ≤ 400 rows (the trained-ANN
+    * house pattern) and iterated in exact int64 on the driver, so
+    * iteration cost is independent of corpus size at any scale. Integer
+    * fixed-point throughout: strengths are int64 micros, every division
+    * floors identically in both engines — hash-green, not rows-only.
+    */
+  def c55_bradley_terry(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val b0 = docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") ===
+        col("a.doc_id") + lit(1L) + col("a.doc_id") % lit(7L))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("pa"), col("b.source").as("pb"),
+        when(col("a.n_chars") > col("b.n_chars"), col("a.source"))
+          .when(col("b.n_chars") > col("a.n_chars"), col("b.source"))
+          .when(col("a.source") < col("b.source"), col("a.source"))
+          .otherwise(col("b.source")).as("win"))
+    val dd = b0.select(col("pa").as("i"), col("pb").as("j"), col("win"))
+      .unionAll(b0.select(col("pb").as("i"), col("pa").as("j"), col("win")))
+    val pairs = dd.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("win") === col("i"), 1L).otherwise(0L)).as("w"))
+      .collect() // k-bounded: |sources|^2 directed pairs (<= 400 at any SF)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val fitted = btFit(pairs)
+    import s.implicits._
+    fitted.zipWithIndex.map { case ((p, wins, games, stm), idx) =>
+      (p, wins, games, stm, idx + 1L)
+    }.toDF("player", "wins", "games", "strength_micros", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c55_bradley_terry" -> (c55_bradley_terry _),
     "c54_smooth_interleave" -> (c54_smooth_interleave _),
     "c53_annealing_order" -> (c53_annealing_order _),
     "c52_loss_mask" -> (c52_loss_mask _),
@@ -2365,6 +2502,7 @@ object CurationQueries {
         |FROM retrim""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "c55_bradley_terry" -> c55Oracle,
     "c54_smooth_interleave" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
         |r AS (

@@ -4714,7 +4714,75 @@ object RelationalQueries {
        |          WHEN $u < 2147304887 THEN 6 WHEN $u < 2147461637 THEN 7
        |          WHEN $u < 2147481230 THEN 8 ELSE 9 END AS BIGINT)""".stripMargin
 
+  /** Shared q168 template — the one splice point is the epoch-seconds
+    * spelling (Spark `unix_seconds`, DuckDB `CAST(epoch() AS BIGINT)`);
+    * everything else (row numbering, islands grouping, named window,
+    * min_by tie-broken by the unique rn) is common SQL.
+    */
+  private def q168Sql(epoch: String => String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+       |                                    ORDER BY rn) AS grp
+       |  FROM e),
+       |runs AS (
+       |  SELECT user_id, event_type, grp, min(rn) AS srn,
+       |         CAST(count(*) AS BIGINT) AS len,
+       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
+       |  FROM r GROUP BY 1, 2, 3),
+       |seq AS (
+       |  SELECT user_id, event_type, srn, len, t0, t1, v0,
+       |         lead(event_type, 1) OVER w AS ty1,
+       |         lead(event_type, 2) OVER w AS ty2,
+       |         lead(len, 1) OVER w AS c_len,
+       |         lead(t1, 1) OVER w AS c_t1,
+       |         lead(t0, 2) OVER w AS p_t0,
+       |         lead(v0, 2) OVER w AS p_v0
+       |  FROM runs
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY srn)),
+       |m AS (
+       |  SELECT user_id, srn, ${epoch("t1")} AS view_epoch,
+       |         c_len AS n_clicks, ${epoch("c_t1")} AS last_click_epoch,
+       |         ${epoch("p_t0")} AS purchase_epoch, p_v0 AS purchase_value
+       |  FROM seq
+       |  WHERE event_type = 'view' AND ty1 = 'click' AND ty2 = 'purchase')
+       |SELECT user_id,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY srn)
+       |            AS BIGINT) AS match_no,
+       |       view_epoch, n_clicks, last_click_epoch, purchase_epoch,
+       |       purchase_value
+       |FROM m""".stripMargin
+
+  /** q168: ROW-PATTERN RECOGNITION — SQL:2016 MATCH_RECOGNIZE semantics
+    * for `PATTERN (V C+ P)` / `AFTER MATCH SKIP PAST LAST ROW` over the
+    * per-user event stream (a view immediately followed by one-or-more
+    * clicks then a purchase, no intervening events — stricter than q57's
+    * time-bounded eventually-funnel). Spark has no MATCH_RECOGNIZE
+    * operator; the distributed spelling is gaps-and-islands run-length
+    * encoding: rn minus per-type rn keys maximal same-type runs, one
+    * grouped aggregate compacts rows to runs, and a single lead() window
+    * over runs tests the contiguous V→C+→P adjacency — only the LAST view
+    * of a view-run can head a match (an earlier view's successor is a
+    * view, failing C+), exactly the greedy-skip semantics. Every window
+    * and the aggregate are partitioned by user_id, so the whole plan is
+    * ONE shuffle of the events scan followed by per-user-local work —
+    * runs compaction shrinks the window input before lead() touches it,
+    * which is what makes the pattern pass viable on a 100 TB event log.
+    * Measures: per-match view/last-click/first-purchase epochs, click run
+    * length, and the matched purchase's value (min_by over the unique rn,
+    * deterministic under timestamp ties).
+    */
+  def q168_match_recognize(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(q168Sql(t => s"unix_seconds($t)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q168_match_recognize" -> (q168_match_recognize _),
     "q167_sheet_merge_sql" -> (q167_sheet_merge_sql _),
     "q166_subject_access" -> (q166_subject_access _),
     "q165_join_estimate" -> (q165_join_estimate _),
@@ -4900,6 +4968,10 @@ object RelationalQueries {
         |FROM sx GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // epoch_us // 1000000, not CAST(epoch(..)): epoch() is a DOUBLE whose
+    // cast ROUNDS sub-second timestamps up while unix_seconds floors
+    "q168_match_recognize" ->
+      q168Sql(t => s"(epoch_us($t) // 1000000)"),
     // recompute q167's post-MERGE/DELETE sheet state from raw orders: the
     // merged report over ALL orders (base + delta adds are exact BIGINT
     // cents) minus the deleted priority row

@@ -2095,7 +2095,81 @@ object TextQueries {
         col("dup_tri_pm"), col("flagged"))
   }
 
+  /** Shared t48 template — splice points are the dialect-divergent
+    * spellings only: `nwords` (word-array length), `alpha` (count of
+    * words containing an ASCII letter), `stops` (count of stop-word
+    * occurrences), `div` (integer division). Every rule compares
+    * through integer cross-multiplication — no float ratios anywhere, so
+    * the per-source pass counts hash-check bit-exactly across engines.
+    */
+  private def t48Sql(nwords: String, alpha: String, stops: String,
+      div: String): String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |         $nwords AS n_words,
+       |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+       |         CAST(length(text) - length(replace(text, '#', ''))
+       |              AS BIGINT)
+       |           + (length(text) - length(replace(text, '...', '')))
+       |             $div 3 AS symbols,
+       |         $alpha AS alpha_words,
+       |         $stops AS stop_occ
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+       |           AS ok_words,
+       |         CASE WHEN wchars BETWEEN 3 * n_words AND 10 * n_words
+       |              THEN 1 ELSE 0 END AS ok_wordlen,
+       |         CASE WHEN 10 * symbols <= n_words THEN 1 ELSE 0 END
+       |           AS ok_symbols,
+       |         CASE WHEN 5 * alpha_words >= 4 * n_words THEN 1 ELSE 0 END
+       |           AS ok_alpha,
+       |         CASE WHEN stop_occ >= 2 THEN 1 ELSE 0 END AS ok_stop
+       |  FROM per)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(ok_words) AS BIGINT) AS pass_words,
+       |       CAST(sum(ok_wordlen) AS BIGINT) AS pass_wordlen,
+       |       CAST(sum(ok_symbols) AS BIGINT) AS pass_symbols,
+       |       CAST(sum(ok_alpha) AS BIGINT) AS pass_alpha,
+       |       CAST(sum(ok_stop) AS BIGINT) AS pass_stopwords,
+       |       CAST(sum(ok_words * ok_wordlen * ok_symbols * ok_alpha
+       |                * ok_stop) AS BIGINT) AS pass_all
+       |FROM r GROUP BY 1""".stripMargin
+
+  private val t48Stopwords =
+    "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+
+  /** t48: GOPHER quality ruleset — the published MassiveText document
+    * filter (Rae et al. 2021, "Scaling Language Models", table A1) that
+    * every crawled-corpus pipeline reimplements; t47 already covers the
+    * table's repetition half, this is the length/lexical half: word count
+    * in [50, 100k], mean word length in [3, 10] chars, symbol-to-word
+    * ratio ('#' chars + '...' runs) <= 0.1, >= 80% of words containing an
+    * alphabetic character, and >= 2 stop-word occurrences from the
+    * paper's 8-word list (occurrence-counted, the common RedPajama/Dolma
+    * reading of the "actual English sentence" screen). Bullet/
+    * ellipsis LINE-ratio rules are inapplicable to the single-line
+    * fixture and are covered by t47's boilerplate screen instead.
+    * Per-source rule funnel: how many docs pass each rule and how many
+    * pass all — the yield census a corpus owner reads before committing
+    * to the filter. One scan, per-row lambda work only (no explode, no
+    * second shuffle); the aggregate is source-keyed (vocabulary-bounded),
+    * so at 100 TB this is a pure map-side-partial scan shape.
+    */
+  def t48_gopher_rules(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(t48Sql(
+      "CAST(size(split(text, ' ')) AS BIGINT)",
+      "CAST(size(filter(split(text, ' '), w -> w rlike '[A-Za-z]'))" +
+        " AS BIGINT)",
+      s"CAST(size(filter(split(text, ' ')," +
+        s" w -> w IN $t48Stopwords)) AS BIGINT)",
+      "div"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t48_gopher_rules" -> (t48_gopher_rules _),
     "t47_repetition_screen" -> (t47_repetition_screen _),
     "t46_hapax_noise" -> (t46_hapax_noise _),
     "t45_code_detect" -> (t45_code_detect _),
@@ -2286,6 +2360,13 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t48_gopher_rules" -> t48Sql(
+      "CAST(len(string_split(text, ' ')) AS BIGINT)",
+      "CAST(len(list_filter(string_split(text, ' ')," +
+        " w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)",
+      s"CAST(len(list_filter(string_split(text, ' ')," +
+        s" w -> w IN $t48Stopwords)) AS BIGINT)",
+      "//"),
     "t47_repetition_screen" ->
       """WITH c AS (
         |  SELECT doc_id,

@@ -3765,6 +3765,107 @@ class QueriesSpec extends SparkTestBase {
       }
   }
 
+  test("t48 gopher rules: per-source funnel matches an independent recount") {
+    val stop = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    // independent Scala recount of every rule, straight off the raw text
+    val expected = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, docs) =>
+        val per = docs.map { case (_, text) =>
+          val ws = text.split(" ", -1)
+          val nWords = ws.length.toLong
+          val wchars = ws.map(_.length.toLong).sum
+          val symbols = text.count(_ == '#').toLong +
+            "\\.\\.\\.".r.findAllIn(text).length // non-overlapping, like replace
+          val alpha = ws.count(_.exists(c =>
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+          val stops = ws.count(stop.contains).toLong
+          (if (nWords >= 50 && nWords <= 100000) 1L else 0L,
+            if (wchars >= 3 * nWords && wchars <= 10 * nWords) 1L else 0L,
+            if (10 * symbols <= nWords) 1L else 0L,
+            if (5 * alpha >= 4 * nWords) 1L else 0L,
+            if (stops >= 2) 1L else 0L)
+        }
+        src -> (docs.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+          per.map(_._3).sum, per.map(_._4).sum, per.map(_._5).sum,
+          per.count(p => p._1 + p._2 + p._3 + p._4 + p._5 == 5L).toLong)
+      }
+    val rows = SparkEntry.queries("t48_gopher_rules")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val e = expected(src)
+      val got = (r.getAs[Long]("n_docs"), r.getAs[Long]("pass_words"),
+        r.getAs[Long]("pass_wordlen"), r.getAs[Long]("pass_symbols"),
+        r.getAs[Long]("pass_alpha"), r.getAs[Long]("pass_stopwords"),
+        r.getAs[Long]("pass_all"))
+      assert(got == e, s"$src: query $got vs recount $e")
+    }
+    // the funnel must discriminate on this fixture, not emit constants
+    assert(rows.map(_.getAs[Long]("pass_words")).distinct.length > 1,
+      "word-count rule fired identically everywhere — fixture degenerate")
+  }
+
+  test("q168 match recognize: matches equal an independent RLE scan") {
+    // independent per-user scan: RLE the ordered stream, count V C+ P
+    // adjacencies (only a view-run's LAST view can head a match)
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getLong(3)))
+      .groupBy(_._1)
+    val expected = byUser.view.mapValues { evs =>
+      // full-precision event-time order (getTime alone is ms-granular)
+      val runs = evs.sortBy(e => (e._3.toInstant.getEpochSecond,
+          e._3.toInstant.getNano.toLong, e._4))
+        .foldLeft(List.empty[(String, Long)]) {
+          case ((t, n) :: rest, e) if t == e._2 => (t, n + 1) :: rest
+          case (acc, e) => (e._2, 1L) :: acc
+        }.reverse
+      runs.sliding(3).count {
+        case Seq(("view", _), ("click", _), ("purchase", _)) => true
+        case _ => false
+      }.toLong
+    }.toMap.filter(_._2 > 0)
+    val rows = SparkEntry.queries("q168_match_recognize")(spark, sf).collect()
+    val got = rows.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == expected, "per-user match counts diverge from RLE scan")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clicks") >= 1L, "C+ requires >= 1 click")
+      assert(r.getAs[Long]("view_epoch") <= r.getAs[Long]("last_click_epoch"))
+      assert(r.getAs[Long]("last_click_epoch") <=
+        r.getAs[Long]("purchase_epoch"))
+    }
+    assert(rows.nonEmpty, "fixture produced no V C+ P matches")
+  }
+
+  test("c55 bradley terry: conservation, rank permutation, fit replay") {
+    val rows = SparkEntry.queries("c55_bradley_terry")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wins = rows.map(_.getAs[Long]("wins")).sum
+    val games = rows.map(_.getAs[Long]("games")).sum
+    assert(games == 2 * wins, "every bout must have exactly one winner")
+    assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ==
+      (1L to rows.length).toSeq, "rnk is not a permutation")
+    // ranks follow strength desc (ties impossible: rnk breaks on player)
+    val byRank = rows.sortBy(_.getAs[Long]("rnk"))
+      .map(_.getAs[Long]("strength_micros"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("strength_micros") >= 1L)
+      assert(r.getAs[Long]("wins") <= r.getAs[Long]("games"))
+    }
+    // a player that wins more of the SAME schedule cannot rank lower with
+    // equal games: spot-check strength correlates with win rate direction
+    val wr = rows.map(r => (r.getAs[Long]("wins").toDouble /
+      r.getAs[Long]("games"), r.getAs[Long]("strength_micros")))
+    assert(wr.maxBy(_._1)._2 >= wr.minBy(_._1)._2,
+      "max win-rate player weaker than min win-rate player")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
