@@ -4719,22 +4719,14 @@ object RelationalQueries {
     * everything else (row numbering, islands grouping, named window,
     * min_by tie-broken by the unique rn) is common SQL.
     */
-  private def q168Sql(epoch: String => String): String =
-    s"""WITH e AS (
-       |  SELECT user_id, event_type, ts, value,
-       |         row_number() OVER (PARTITION BY user_id
-       |                            ORDER BY ts, event_id) AS rn
-       |  FROM events),
-       |r AS (
-       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
-       |                                    ORDER BY rn) AS grp
-       |  FROM e),
-       |runs AS (
-       |  SELECT user_id, event_type, grp, min(rn) AS srn,
-       |         CAST(count(*) AS BIGINT) AS len,
-       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
-       |  FROM r GROUP BY 1, 2, 3),
-       |seq AS (
+  /** The match pass over a `runs(user_id, event_type, srn, len, t0, t1,
+    * v0)` CTE — shared verbatim by q168 (runs from one global numbering)
+    * and st22 (runs stitched across micro-batches), which is what makes
+    * st22's fold-invariance gate meaningful: same detector, different
+    * run construction.
+    */
+  private[operators] def q168MatchTail(epoch: String => String): String =
+    s"""seq AS (
        |  SELECT user_id, event_type, srn, len, t0, t1, v0,
        |         lead(event_type, 1) OVER w AS ty1,
        |         lead(event_type, 2) OVER w AS ty2,
@@ -4756,6 +4748,23 @@ object RelationalQueries {
        |       view_epoch, n_clicks, last_click_epoch, purchase_epoch,
        |       purchase_value
        |FROM m""".stripMargin
+
+  private[operators] def q168Sql(epoch: String => String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+       |                                    ORDER BY rn) AS grp
+       |  FROM e),
+       |runs AS (
+       |  SELECT user_id, event_type, grp, min(rn) AS srn,
+       |         CAST(count(*) AS BIGINT) AS len,
+       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
+       |  FROM r GROUP BY 1, 2, 3),
+       |${q168MatchTail(epoch)}""".stripMargin
 
   /** q168: ROW-PATTERN RECOGNITION — SQL:2016 MATCH_RECOGNIZE semantics
     * for `PATTERN (V C+ P)` / `AFTER MATCH SKIP PAST LAST ROW` over the

@@ -675,7 +675,84 @@ object StreamingQueries {
     RelationalQueries.bitmapFinalize(partials, ev)
   }
 
+  /** st22: STREAMING row-pattern maintenance (CEP — the Flink-CEP shape)
+    * — q168's `PATTERN (V C+ P)` matches maintained over micro-batches:
+    * per-user run-length encoding is a MONOID (each batch's runs
+    * concatenate with the previous state's, merging boundary runs of
+    * equal type), so a streaming detector keeps O(runs-tail) state per
+    * user and emits a match the moment its purchase lands — state is
+    * independent of stream length, the economics that make CEP viable
+    * unbounded. This twin processes events in calendar-month batches:
+    * runs are computed per (user, batch) with batch-LOCAL numbering (no
+    * batch sees another's rows — exactly a micro-batch fold), stitched
+    * across boundaries by a second islands pass over run sequence
+    * numbers, then fed to the IDENTICAL match window q168 uses
+    * ([[RelationalQueries.q168MatchTail]] — same detector, different run
+    * construction). The output is q168's EXACT result under q168's own
+    * oracle: the hash gate proves fold invariance — any time-split of
+    * the stream folds to the same matches. StreamingSpec re-proves the
+    * fold under a real readStream with runs-state persisted between
+    * micro-batches.
+    */
+  def st22_stream_pattern(s: SparkSession, d: String): DataFrame =
+    st22Finalize(st22BatchRuns(Tables.events(s, d)))
+
+  /** One micro-batch's per-user runs with batch-LOCAL numbering — the
+    * per-trigger state delta. The batch key is the event's own UTC day
+    * (event-time, not arrival order), so the stored runs stitch
+    * identically no matter what order micro-batches arrived in — the
+    * property StreamingSpec exercises under a real readStream.
+    */
+  private[graft] def st22BatchRuns(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    ev.createOrReplaceTempView("st22_ev_batch")
+    s.sql(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, ts, value,
+         |         unix_seconds(ts) div 86400 AS batch,
+         |         row_number() OVER (
+         |           PARTITION BY user_id, unix_seconds(ts) div 86400
+         |           ORDER BY ts, event_id) AS rn
+         |  FROM st22_ev_batch),
+         |r AS (
+         |  SELECT *, rn - row_number() OVER (
+         |           PARTITION BY user_id, batch, event_type
+         |           ORDER BY rn) AS grp
+         |  FROM e)
+         |SELECT user_id, batch, event_type, min(rn) AS brn,
+         |       CAST(count(*) AS BIGINT) AS len,
+         |       min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
+         |FROM r GROUP BY user_id, batch, event_type, grp""".stripMargin)
+  }
+
+  /** Stitch stored per-batch runs in EVENT-TIME order (batch, brn) —
+    * boundary runs of equal type merge (run RLE is a monoid) — then run
+    * q168's own match window over the merged runs.
+    */
+  private[graft] def st22Finalize(bruns: DataFrame): DataFrame = {
+    val s = bruns.sparkSession
+    bruns.createOrReplaceTempView("st22_runs_state")
+    s.sql(
+      s"""WITH seq0 AS (
+         |  SELECT user_id, event_type, len, t0, t1, v0,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY batch, brn) AS ri
+         |  FROM st22_runs_state),
+         |r2 AS (
+         |  SELECT *, ri - row_number() OVER (
+         |           PARTITION BY user_id, event_type ORDER BY ri) AS grp2
+         |  FROM seq0),
+         |runs AS (
+         |  SELECT user_id, event_type, grp2, min(ri) AS srn,
+         |         CAST(sum(len) AS BIGINT) AS len,
+         |         min(t0) AS t0, max(t1) AS t1, min_by(v0, ri) AS v0
+         |  FROM r2 GROUP BY 1, 2, 3),
+         |${RelationalQueries.q168MatchTail(t => s"unix_seconds($t)")}"""
+        .stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st22_stream_pattern" -> (st22_stream_pattern _),
     "st21_stream_bitmap" -> (st21_stream_bitmap _),
     "st20_incremental_bootstrap" -> (st20_incremental_bootstrap _),
     "st19_stream_deletes" -> (st19_stream_deletes _),
@@ -700,6 +777,10 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // st22 must equal q168 exactly (fold invariance IS the claim), so it
+    // runs under q168's own oracle text
+    "st22_stream_pattern" ->
+      RelationalQueries.oracles("q168_match_recognize"),
     // st20 must equal q154 exactly (batching invariance IS the claim), so
     // it runs under q154's own oracle text
     "st20_incremental_bootstrap" ->

@@ -1289,6 +1289,47 @@ class StreamingSpec extends SparkTestBase {
       s"streamed bootstrap CI diverged: ${(maintained diff oneShot).take(3)}")
   }
 
+  test("streaming pattern maintenance == one-shot q168 (st22 under a real stream)") {
+    // CEP fold under a real readStream: each micro-batch contributes only
+    // its own runs (batch-local numbering — no rescan of earlier
+    // arrivals), keyed by the EVENT's UTC day, so stitching is
+    // arrival-order independent. Source files are written one-per-day
+    // (repartition by day + partitionBy), so maxFilesPerTrigger=1
+    // delivers day-pure micro-batches — the boundary a production
+    // ingest would cut anyway.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("cep_stream_src").toString
+    Tables.events(spark, sf)
+      .withColumn("bm", expr("unix_seconds(ts) div 86400"))
+      .repartition(col("bm"))
+      .write.partitionBy("bm").mode("overwrite").parquet(srcDir)
+    val runsDir = Files.createTempDirectory("cep_stream_runs").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty)
+          operators.StreamingQueries.st22BatchRuns(Tables.normalizeTs(b))
+            .write.mode("append").parquet(runsDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(runsDir)
+    assert(stored.select(col("batch")).distinct.count() > 1,
+      "expected multiple day batches in the runs store")
+    assert(stored.count() < Tables.events(spark, sf).count(),
+      "runs store failed to compact below raw event count")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    val maintained = canon(operators.StreamingQueries.st22Finalize(stored))
+    val oneShot = canon(operators.RelationalQueries
+      .q168_match_recognize(spark, sf))
+    assert(maintained.nonEmpty && maintained == oneShot,
+      s"streamed CEP matches diverged: ${(maintained diff oneShot).take(3)}")
+  }
+
   test("streaming bitmap-distinct maintenance survives redelivery (st21 real stream)") {
     // q158's day masks maintained under a real readStream with batch 1's
     // masks WRITTEN TWICE (the at-least-once crash-between-write-and-
