@@ -2032,7 +2032,18 @@ object CurationQueries {
     * floor(wins_i·1e12/den_i), renormalized to mean 1e6 so the fixed
     * point is scale-pinned — the exact twin of [[btFit]]'s Long loop.
     */
-  private lazy val c55Oracle: String = {
+  private lazy val c55Oracle: String =
+    s"""WITH $c55StrengthCtes
+       |SELECT pl.p AS player, pl.wins, pl.games, s8.st AS strength_micros,
+       |       row_number() OVER (ORDER BY s8.st DESC, pl.p) AS rnk
+       |FROM players pl JOIN s8 ON s8.p = pl.p""".stripMargin
+
+  /** The c55 WITH-body (bouts → win matrix → eight MATERIALIZED MM
+    * iterations, final strengths in `s8(p, st)`) — shared by the c55
+    * oracle and c56's pair-assembly oracle so both engines provably
+    * consume the same fit.
+    */
+  private lazy val c55StrengthCtes: String = {
     val iters = (1 to 8).map { k =>
       val prev = if (k == 1) "s0" else s"s${k - 1}"
       s"""dn$k AS MATERIALIZED (
@@ -2056,7 +2067,7 @@ object CurationQueries {
          |           CAST(u.raw * 1000000 * t.np // t.tot AS BIGINT)) AS st
          |  FROM u$k u CROSS JOIN t$k t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH b0 AS MATERIALIZED (
+    s"""b0 AS MATERIALIZED (
        |  SELECT a.source AS pa, b.source AS pb,
        |         CASE WHEN a.n_chars > b.n_chars THEN a.source
        |              WHEN b.n_chars > a.n_chars THEN b.source
@@ -2078,10 +2089,7 @@ object CurationQueries {
        |  FROM pairs GROUP BY 1),
        |s0 AS MATERIALIZED (
        |  SELECT p, CAST(1000000 AS BIGINT) AS st FROM players),
-       |$iters
-       |SELECT pl.p AS player, pl.wins, pl.games, s8.st AS strength_micros,
-       |       row_number() OVER (ORDER BY s8.st DESC, pl.p) AS rnk
-       |FROM players pl JOIN s8 ON s8.p = pl.p""".stripMargin
+       |$iters""".stripMargin
   }
 
   /** Eight MM iterations over the collected win matrix — exact int64
@@ -2133,17 +2141,21 @@ object CurationQueries {
     * floors identically in both engines — hash-green, not rows-only.
     */
   def c55_bradley_terry(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    val b0 = docs.as("a")
-      .join(docs.as("b"), col("b.doc_id") ===
-        col("a.doc_id") + lit(1L) + col("a.doc_id") % lit(7L))
-      .filter(col("a.source") =!= col("b.source"))
-      .select(col("a.source").as("pa"), col("b.source").as("pb"),
-        when(col("a.n_chars") > col("b.n_chars"), col("a.source"))
-          .when(col("b.n_chars") > col("a.n_chars"), col("b.source"))
-          .when(col("a.source") < col("b.source"), col("a.source"))
-          .otherwise(col("b.source")).as("win"))
+    val fitted = c55Fitted(s, d)
+    import s.implicits._
+    fitted.zipWithIndex.map { case ((p, wins, games, stm), idx) =>
+      (p, wins, games, stm, idx + 1L)
+    }.toDF("player", "wins", "games", "strength_micros", "rnk")
+  }
+
+  /** Distributed bout reduction + driver MM fit, shared by c55 and c56
+    * (strength-sorted: player, wins, games, strength_micros).
+    */
+  private[graft] def c55Fitted(s: SparkSession, d: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val b0 = c55Bouts(s, d)
+      .select(col("sa").as("pa"), col("sb").as("pb"),
+        when(col("a_wins"), col("sa")).otherwise(col("sb")).as("win"))
     val dd = b0.select(col("pa").as("i"), col("pb").as("j"), col("win"))
       .unionAll(b0.select(col("pb").as("i"), col("pa").as("j"), col("win")))
     val pairs = dd.groupBy(col("i"), col("j"))
@@ -2152,14 +2164,65 @@ object CurationQueries {
       .collect() // k-bounded: |sources|^2 directed pairs (<= 400 at any SF)
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
       .toSeq
-    val fitted = btFit(pairs)
+    btFit(pairs)
+  }
+
+  /** The deterministic bout log: varying-stride doc pairs, `a_wins` =
+    * the c55 winner rule (longer doc, tie to the lexicographically
+    * smaller source).
+    */
+  private def c55Bouts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.as("a")
+      .join(docs.as("b"), col("b.doc_id") ===
+        col("a.doc_id") + lit(1L) + col("a.doc_id") % lit(7L))
+      .filter(col("a.source") =!= col("b.source"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.source").as("sa"), col("b.source").as("sb"),
+        (col("a.n_chars") > col("b.n_chars") ||
+          (col("a.n_chars") === col("b.n_chars") &&
+            col("a.source") < col("b.source"))).as("a_wins"))
+  }
+
+  /** c56: PREFERENCE-PAIR assembly (the DPO/RLHF dataset step that sits
+    * downstream of c55's fit): each bout becomes a (chosen, rejected)
+    * training pair, then the pair is RETAINED only when the global
+    * Bradley-Terry model agrees with the local label by a confident
+    * margin (chosen source at least 0.04 stronger in micros-scaled
+    * strength) — the label-noise screen preference-data pipelines run
+    * before training, dropping bouts that contradict or barely match
+    * the fitted model (202 of 496 fixture bouts contradict it). Shape:
+    * the bout log is corpus-sized (same co-partitioned self-join as
+    * c55); strengths arrive as a broadcast of the k-bounded fit, so the
+    * screen is one broadcast-joined scan — no second shuffle at any
+    * corpus size. Margins are exact int64 micros end to end.
+    */
+  def c56_preference_pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    fitted.zipWithIndex.map { case ((p, wins, games, stm), idx) =>
-      (p, wins, games, stm, idx + 1L)
-    }.toDF("player", "wins", "games", "strength_micros", "rnk")
+    val st = c55Fitted(s, d).map { case (p, _, _, stm) => (p, stm) }
+      .toDF("p", "st")
+    val pp = c55Bouts(s, d).select(
+      when(col("a_wins"), col("da")).otherwise(col("db"))
+        .as("chosen_doc_id"),
+      when(col("a_wins"), col("db")).otherwise(col("da"))
+        .as("rejected_doc_id"),
+      when(col("a_wins"), col("sa")).otherwise(col("sb"))
+        .as("chosen_source"),
+      when(col("a_wins"), col("sb")).otherwise(col("sa"))
+        .as("rejected_source"))
+    pp.join(broadcast(st.as("cw")),
+        col("chosen_source") === col("cw.p"))
+      .join(broadcast(st.as("cl")),
+        col("rejected_source") === col("cl.p"))
+      .withColumn("margin_micros", col("cw.st") - col("cl.st"))
+      .filter(col("margin_micros") >= 40000L)
+      .select(col("chosen_doc_id"), col("rejected_doc_id"),
+        col("chosen_source"), col("rejected_source"), col("margin_micros"))
   }
 
   val queries: Map[String, Q] = Map(
+    "c56_preference_pairs" -> (c56_preference_pairs _),
     "c55_bradley_terry" -> (c55_bradley_terry _),
     "c54_smooth_interleave" -> (c54_smooth_interleave _),
     "c53_annealing_order" -> (c53_annealing_order _),
@@ -2503,6 +2566,30 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "c55_bradley_terry" -> c55Oracle,
+    "c56_preference_pairs" ->
+      s"""WITH $c55StrengthCtes,
+         |bd AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         a.source AS sa, b.source AS sb,
+         |         (a.n_chars > b.n_chars OR
+         |          (a.n_chars = b.n_chars AND a.source < b.source))
+         |           AS a_wins
+         |  FROM documents a
+         |  JOIN documents b ON b.doc_id = a.doc_id + 1 + a.doc_id % 7
+         |  WHERE a.source <> b.source),
+         |pp AS (
+         |  SELECT CASE WHEN a_wins THEN da ELSE db END AS chosen_doc_id,
+         |         CASE WHEN a_wins THEN db ELSE da END AS rejected_doc_id,
+         |         CASE WHEN a_wins THEN sa ELSE sb END AS chosen_source,
+         |         CASE WHEN a_wins THEN sb ELSE sa END AS rejected_source
+         |  FROM bd),
+         |sp AS (
+         |  SELECT pp.*, cw.st - cl.st AS margin_micros
+         |  FROM pp JOIN s8 cw ON cw.p = pp.chosen_source
+         |          JOIN s8 cl ON cl.p = pp.rejected_source)
+         |SELECT chosen_doc_id, rejected_doc_id, chosen_source,
+         |       rejected_source, margin_micros
+         |FROM sp WHERE margin_micros >= 40000""".stripMargin,
     "c54_smooth_interleave" ->
       """WITH d AS (SELECT doc_id, source FROM documents),
         |r AS (

@@ -3866,6 +3866,38 @@ class QueriesSpec extends SparkTestBase {
       "max win-rate player weaker than min win-rate player")
   }
 
+  test("c56 preference pairs: margins tie to c55 strengths, labels to bouts") {
+    val st = SparkEntry.queries("c55_bradley_terry")(spark, sf).collect()
+      .map(r => r.getAs[String]("player") ->
+        r.getAs[Long]("strength_micros")).toMap
+    val nchars = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("c56_preference_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty, "no confident pairs retained")
+    rows.foreach { r =>
+      val (cd, rd) = (r.getAs[Long]("chosen_doc_id"),
+        r.getAs[Long]("rejected_doc_id"))
+      val m = r.getAs[Long]("margin_micros")
+      assert(m >= 40000L, s"pair ($cd,$rd): margin $m below threshold")
+      assert(m == st(r.getAs[String]("chosen_source")) -
+        st(r.getAs[String]("rejected_source")),
+        s"pair ($cd,$rd): margin disagrees with the c55 fit")
+      // the local label: chosen doc won its bout (longer, or tie-broken)
+      assert(nchars(cd) >= nchars(rd),
+        s"pair ($cd,$rd): chosen doc is shorter than rejected")
+    }
+    // the screen must actually drop something (the fixture has
+    // model-contradicting bouts by construction)
+    val allBouts = Tables.documents(spark, sf).as("a")
+      .join(Tables.documents(spark, sf).as("b"),
+        col("b.doc_id") === col("a.doc_id") + lit(1L) +
+          col("a.doc_id") % lit(7L))
+      .filter(col("a.source") =!= col("b.source")).count()
+    assert(rows.length < allBouts,
+      "confidence screen retained every bout — threshold not biting")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
