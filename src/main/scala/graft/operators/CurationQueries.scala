@@ -2140,38 +2140,52 @@ object CurationQueries {
     * fixed-point throughout: strengths are int64 micros, every division
     * floors identically in both engines — hash-green, not rows-only.
     */
-  def c55_bradley_terry(s: SparkSession, d: String): DataFrame = {
-    val fitted = c55Fitted(s, d)
-    import s.implicits._
-    fitted.zipWithIndex.map { case ((p, wins, games, stm), idx) =>
-      (p, wins, games, stm, idx + 1L)
-    }.toDF("player", "wins", "games", "strength_micros", "rnk")
-  }
+  def c55_bradley_terry(s: SparkSession, d: String): DataFrame =
+    c55FitFrame(s, c55PairPartials(c55Bouts(s, d)))
 
   /** Distributed bout reduction + driver MM fit, shared by c55 and c56
     * (strength-sorted: player, wins, games, strength_micros).
     */
   private[graft] def c55Fitted(s: SparkSession, d: String)
-      : Seq[(String, Long, Long, Long)] = {
-    val b0 = c55Bouts(s, d)
+      : Seq[(String, Long, Long, Long)] =
+    btFitFromPairs(c55PairPartials(c55Bouts(s, d)))
+
+  /** Directed win-matrix partials over a bout frame — ADDITIVE: partials
+    * from ANY partition of the bout log merge by per-(i, j) sum, which is
+    * what st23 maintains under a stream.
+    */
+  private[graft] def c55PairPartials(bouts: DataFrame): DataFrame = {
+    val b0 = bouts
       .select(col("sa").as("pa"), col("sb").as("pb"),
         when(col("a_wins"), col("sa")).otherwise(col("sb")).as("win"))
     val dd = b0.select(col("pa").as("i"), col("pb").as("j"), col("win"))
       .unionAll(b0.select(col("pb").as("i"), col("pa").as("j"), col("win")))
-    val pairs = dd.groupBy(col("i"), col("j"))
+    dd.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("win") === col("i"), 1L).otherwise(0L)).as("w"))
-      .collect() // k-bounded: |sources|^2 directed pairs (<= 400 at any SF)
+  }
+
+  /** Collect the k-bounded win matrix and fit (≤ |sources|² rows). */
+  private[operators] def btFitFromPairs(pairs: DataFrame)
+      : Seq[(String, Long, Long, Long)] =
+    btFit(pairs.collect() // k-bounded: |sources|^2 directed pairs
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      .toSeq
-    btFit(pairs)
+      .toSeq)
+
+  /** Fit + rank as the c55 output frame. */
+  private[graft] def c55FitFrame(s: SparkSession,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    btFitFromPairs(pairs).zipWithIndex.map {
+      case ((p, wins, games, stm), idx) => (p, wins, games, stm, idx + 1L)
+    }.toDF("player", "wins", "games", "strength_micros", "rnk")
   }
 
   /** The deterministic bout log: varying-stride doc pairs, `a_wins` =
     * the c55 winner rule (longer doc, tie to the lexicographically
     * smaller source).
     */
-  private def c55Bouts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def c55Bouts(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
     docs.as("a")

@@ -751,7 +751,33 @@ object StreamingQueries {
         .stripMargin)
   }
 
+  /** st23: STREAMING Bradley-Terry maintenance — the arena-leaderboard
+    * economics: c55's win matrix is ADDITIVE (per-(i, j) bout and win
+    * counts are plain sums), so an unbounded preference stream needs no
+    * replay and no refit-from-raw — each micro-batch contributes its own
+    * directed-pair partials, partials merge by sum, and the k-bounded MM
+    * fit runs over the merged |players|² matrix at emit time. This twin
+    * partitions the bout log into three deterministic strata (da % 3 — a
+    * partition of the bouts), folds them, and emits c55's EXACT output
+    * under c55's own oracle: the hash gate proves batching invariance
+    * (any split of the bout log folds to the same leaderboard). State is
+    * |players|² rows regardless of stream length. StreamingSpec drives
+    * the same fold under a real readStream of bout files with the
+    * partial matrices persisted between micro-batches.
+    */
+  def st23_stream_bt(s: SparkSession, d: String): DataFrame = {
+    val bouts = CurationQueries.c55Bouts(s, d)
+    val merged = (0L until 3L)
+      .map(b => CurationQueries.c55PairPartials(
+        bouts.filter(pmod(col("da"), lit(3L)) === b)))
+      .reduce(_ unionByName _)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("w")).as("w"))
+    CurationQueries.c55FitFrame(s, merged)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st23_stream_bt" -> (st23_stream_bt _),
     "st22_stream_pattern" -> (st22_stream_pattern _),
     "st21_stream_bitmap" -> (st21_stream_bitmap _),
     "st20_incremental_bootstrap" -> (st20_incremental_bootstrap _),
@@ -781,6 +807,8 @@ object StreamingQueries {
     // runs under q168's own oracle text
     "st22_stream_pattern" ->
       RelationalQueries.oracles("q168_match_recognize"),
+    // st23 must equal c55 exactly (batching invariance IS the claim)
+    "st23_stream_bt" -> CurationQueries.oracles("c55_bradley_terry"),
     // st20 must equal q154 exactly (batching invariance IS the claim), so
     // it runs under q154's own oracle text
     "st20_incremental_bootstrap" ->

@@ -1330,6 +1330,43 @@ class StreamingSpec extends SparkTestBase {
       s"streamed CEP matches diverged: ${(maintained diff oneShot).take(3)}")
   }
 
+  test("streaming BT leaderboard maintenance == one-shot c55 (st23 real stream)") {
+    // the win matrix is additive, so the stream maintains ONLY |players|²
+    // (i, j, n, w) partials: each micro-batch of BOUTS appends its own
+    // directed-pair partial (never rescanning earlier arrivals), and the
+    // MM fit runs over the merged matrix at emit time. Bout rows are the
+    // stream unit (a preference record arrives whole — both sides and the
+    // verdict), so any file split of the bout log folds identically.
+    Sessions.tune(spark)
+    val srcDir = Files.createTempDirectory("bt_stream_src").toString
+    operators.CurationQueries.c55Bouts(spark, sf)
+      .repartition(3).write.mode("overwrite").parquet(srcDir)
+    val matDir = Files.createTempDirectory("bt_stream_matrix").toString
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!b.isEmpty)
+          operators.CurationQueries.c55PairPartials(b)
+            .write.mode("append").parquet(matDir)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val stored = spark.read.parquet(matDir)
+    val merged = stored.groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("w")).as("w"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val maintained = canon(
+      operators.CurationQueries.c55FitFrame(spark, merged))
+    val oneShot = canon(
+      operators.CurationQueries.c55_bradley_terry(spark, sf))
+    assert(maintained.nonEmpty && maintained == oneShot,
+      s"streamed BT leaderboard diverged: ${(maintained diff oneShot).take(3)}")
+  }
+
   test("streaming bitmap-distinct maintenance survives redelivery (st21 real stream)") {
     // q158's day masks maintained under a real readStream with batch 1's
     // masks WRITTEN TWICE (the at-least-once crash-between-write-and-
