@@ -2168,7 +2168,153 @@ object TextQueries {
       "div"))
   }
 
+  /** t49: UNIGRAM-LM VITERBI segmentation — the SentencePiece-style
+    * lattice step (Kudo 2018) that completes the tokenizer-training
+    * family next to BPE merges (t17) and WordPiece greedy longest-match
+    * (t15): every word is segmented by the MAX-LIKELIHOOD path through
+    * its substring lattice, not greedily. Lexicon: all substrings of
+    * length 1–4 of corpus words, counted occurrence-weighted; piece
+    * score = log2_micros(count) − log2_micros(total) (the exact integer
+    * log kernel the t41/t20/g09 fits use — no libm anywhere), so DP
+    * scores are int64 micros and the argmax path is bit-deterministic
+    * (ties broken by lexicographically smaller path, identical in both
+    * engines over ASCII pieces). Shape: ONE distributed aggregate (word
+    * counts — vocabulary-bounded, the t38 discipline) feeds a driver-side
+    * DP over the k-bounded lexicon (the trained-ANN house pattern: at
+    * 100 TB the corpus pass is the only corpus-sized stage; lattice work
+    * is |vocab|·L·4). The DuckDB twin replays the SAME DP as 12 unrolled
+    * MATERIALIZED CTE steps over the same integer-log scores (recursive
+    * binary-digit lg loop, the t41 spelling) — hash-green end to end.
+    */
+  def t49_unigram_segment(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect() // vocabulary-bounded (31 distinct fixture words)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pieceCounts =
+      scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (w, c) <- wc
+      i <- 0 until w.length
+      l <- 1 to 4
+      if i + l <= w.length
+    } pieceCounts(w.substring(i, i + l)) += c
+    val total = pieceCounts.values.sum
+    val lgT = graft.functions.Log2Micros.log2Micros(total)
+    val score: Map[String, Long] = pieceCounts.iterator.map { case (p, c) =>
+      p -> (graft.functions.Log2Micros.log2Micros(c) - lgT)
+    }.toMap
+    val rows = wc.toSeq.map { case (w, c) =>
+      val L = w.length
+      val dp = Array.fill[(Long, String)](L + 1)((Long.MinValue, ""))
+      dp(0) = (0L, "")
+      for (j <- 1 to L) {
+        val cands = for {
+          k <- 1 to math.min(4, j)
+          i = j - k
+          if dp(i)._1 != Long.MinValue
+        } yield {
+          val piece = w.substring(i, j)
+          val path = if (dp(i)._2.isEmpty) piece else dp(i)._2 + "." + piece
+          (dp(i)._1 + score(piece), path)
+        }
+        // max score, tie -> lexicographically smaller path (the exact
+        // twin of the oracle's ORDER BY score DESC, path)
+        dp(j) = cands.minBy { case (sc2, path) => (-sc2, path) }
+      }
+      val (bs, bp) = dp(L)
+      (w, c, L.toLong, bp.split('.').length.toLong, bs, bp)
+    }
+    import s.implicits._
+    rows.toDF("word", "n_occ", "word_len", "n_pieces", "score_micros",
+      "segmentation")
+  }
+
+  /** t49 oracle: counts + the recursive integer-log loop + 12 unrolled
+    * DP steps (dp_j keeps exactly the rk=1 row per word — the same
+    * intermediate pruning the Scala DP performs, so tie-breaks compose
+    * identically).
+    */
+  private lazy val t49Oracle: String = {
+    val maxL = 12
+    val steps = (1 to maxL).map { j =>
+      val branches = (1 to math.min(4, j)).map { k =>
+        val i = j - k
+        s"""SELECT word, score, path, substr(word, ${i + 1}, $k) AS pp
+           |      FROM dp$i WHERE length(word) >= $j""".stripMargin
+      }.mkString("\n      UNION ALL\n      ")
+      s"""dp$j AS MATERIALIZED (
+         |  SELECT word, score, path FROM (
+         |    SELECT word, score, path,
+         |           row_number() OVER (PARTITION BY word
+         |                              ORDER BY score DESC, path) AS rk
+         |    FROM (
+         |      SELECT z.word, z.score + sc.s AS score,
+         |             CASE WHEN z.path = '' THEN z.pp
+         |                  ELSE z.path || '.' || z.pp END AS path
+         |      FROM (
+         |      $branches) z
+         |      JOIN sc ON sc.piece = z.pp) c) r
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val best = (1 to maxL).map(j =>
+      s"SELECT word, score, path FROM dp$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0 GROUP BY 1),
+       |pc AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS pcount
+       |  FROM (SELECT substr(wc.w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |               wc.c
+       |        FROM wc, range(1, ${maxL + 1}) t(i), range(1, 5) t2(l)
+       |        WHERE i + l - 1 <= length(wc.w)) z
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(pcount) AS BIGINT) AS t FROM pc),
+       |uv AS (
+       |  SELECT piece AS key, pcount AS v,
+       |         CAST(length(bin(pcount)) - 1 AS BIGINT) AS e FROM pc
+       |  UNION ALL
+       |  SELECT '<TOTAL>', t, CAST(length(bin(t)) - 1 AS BIGINT) FROM tot),
+       |lg AS (
+       |  SELECT key, e,
+       |         CASE WHEN e >= 30 THEN v // CAST(power(2, e - 30) AS BIGINT)
+       |              ELSE v * CAST(power(2, 30 - e) AS BIGINT) END AS m,
+       |         CAST(0 AS BIGINT) AS acc, 0 AS i
+       |  FROM uv
+       |  UNION ALL
+       |  SELECT key, e,
+       |         CASE WHEN (m * m) // 1073741824 >= 2147483648
+       |              THEN ((m * m) // 1073741824) // 2
+       |              ELSE (m * m) // 1073741824 END,
+       |         acc * 2 + CASE WHEN (m * m) // 1073741824 >= 2147483648
+       |                        THEN 1 ELSE 0 END,
+       |         i + 1
+       |  FROM lg WHERE i < 30),
+       |lgv AS MATERIALIZED (
+       |  SELECT key, (e * 1073741824 + acc) * 1000000 // 1073741824 AS lg
+       |  FROM lg WHERE i = 30),
+       |sc AS MATERIALIZED (
+       |  SELECT l.key AS piece, l.lg - t.lg AS s
+       |  FROM lgv l
+       |  CROSS JOIN (SELECT lg FROM lgv WHERE key = '<TOTAL>') t
+       |  WHERE l.key <> '<TOTAL>'),
+       |dp0 AS (SELECT w AS word, CAST(0 AS BIGINT) AS score, '' AS path
+       |        FROM wc),
+       |$steps,
+       |best AS (
+       |  $best)
+       |SELECT b.word, wc.c AS n_occ,
+       |       CAST(length(b.word) AS BIGINT) AS word_len,
+       |       CAST(len(string_split(b.path, '.')) AS BIGINT) AS n_pieces,
+       |       b.score AS score_micros, b.path AS segmentation
+       |FROM best b JOIN wc ON wc.w = b.word""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t49_unigram_segment" -> (t49_unigram_segment _),
     "t48_gopher_rules" -> (t48_gopher_rules _),
     "t47_repetition_screen" -> (t47_repetition_screen _),
     "t46_hapax_noise" -> (t46_hapax_noise _),
@@ -2360,6 +2506,7 @@ object TextQueries {
        |       FROM w)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t49_unigram_segment" -> t49Oracle,
     "t48_gopher_rules" -> t48Sql(
       "CAST(len(string_split(text, ' ')) AS BIGINT)",
       "CAST(len(list_filter(string_split(text, ' ')," +

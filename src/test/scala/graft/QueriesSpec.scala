@@ -3898,6 +3898,47 @@ class QueriesSpec extends SparkTestBase {
       "confidence screen retained every bout — threshold not biting")
   }
 
+  test("t49 unigram segment: paths reassemble, scores tie to brute force") {
+    // rebuild the lexicon independently and brute-force EVERY segmentation
+    // of every word (<= 2^(L-1) paths at L <= 8) — the DP must return the
+    // max-score path with the lexicographically-smallest tie-break
+    val wc = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pcs = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- wc; i <- 0 until w.length; l <- 1 to 4
+         if i + l <= w.length) pcs(w.substring(i, i + l)) += c
+    val lgT = functions.Log2Micros.log2Micros(pcs.values.sum)
+    def score(p: String) =
+      functions.Log2Micros.log2Micros(pcs(p)) - lgT
+    def all(w: String): Seq[(Long, String)] =
+      if (w.isEmpty) Seq((0L, ""))
+      else (1 to math.min(4, w.length)).flatMap { l =>
+        val head = w.substring(0, l)
+        all(w.substring(l)).map { case (s2, p) =>
+          (score(head) + s2, if (p.isEmpty) head else head + "." + p)
+        }
+      }
+    val rows = SparkEntry.queries("t49_unigram_segment")(spark, sf).collect()
+    assert(rows.length == wc.size)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val seg = r.getAs[String]("segmentation")
+      assert(seg.replace(".", "") == w, s"$w: pieces don't reassemble")
+      val best = all(w).minBy { case (s2, p) => (-s2, p) }
+      assert((r.getAs[Long]("score_micros"), seg) == best,
+        s"$w: DP ${(r.getAs[Long]("score_micros"), seg)} vs brute $best")
+      assert(r.getAs[Long]("n_pieces") == seg.split('.').length.toLong)
+    }
+    // the lattice must beat at least one greedy longest-match somewhere,
+    // or the operator adds nothing over t15 — assert a multi-piece split
+    // exists whose pieces aren't all maximal-length
+    assert(rows.exists(r => r.getAs[String]("segmentation").contains(".")),
+      "every word segmented as a single piece — lexicon degenerate")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
