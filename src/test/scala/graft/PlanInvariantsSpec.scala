@@ -965,6 +965,27 @@ class PlanInvariantsSpec extends SparkTestBase {
       "evolved-layout read leaked a raw orders scan")
   }
 
+  test("q168 pattern: ONE user_id exchange, every window user-keyed") {
+    // the MATCH_RECOGNIZE spelling's whole 100 TB claim: the events scan
+    // shuffles ONCE on user_id and all four window passes + the runs
+    // aggregate reuse that partitioning
+    val p0 = finalPlan("q168_match_recognize")
+    // AQE prints "== Initial Plan ==" after the final plan — count only
+    // the final section or the same exchange is tallied twice
+    val p = p0.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+    assert(!p.contains("SinglePartition"),
+      "a global single-partition window crept into the pattern pass")
+  }
+
+  test("c56 pairs: strengths broadcast; the bout screen never shuffles them") {
+    val p = finalPlan("c56_preference_pairs")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "k-bounded strength join degraded to sort-merge")
+  }
+
   test("c54 interleave: the position window stays pid-keyed, never one reducer") {
     // the range partitioning itself happens before the localCheckpoint
     // (lineage truncated), so the final plan's window is the pin: it must
