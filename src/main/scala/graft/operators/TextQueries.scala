@@ -2189,9 +2189,22 @@ object TextQueries {
   def t49_unigram_segment(s: SparkSession, d: String): DataFrame = {
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1) // consecutive spaces yield "" tokens
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .collect() // vocabulary-bounded (31 distinct fixture words)
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the oracle's DP is unrolled to 12 positions and the '.'-separated
+    // path tie-break assumes every word char sorts above the separator —
+    // fail LOUDLY at the operator if a corpus ever leaves that domain,
+    // instead of silently hash-diverging from the oracle
+    wc.keys.foreach { w =>
+      require(w.length <= 12,
+        s"t49_unigram_segment: word '$w' exceeds the 12-position DP " +
+          "unroll — raise maxL in t49Oracle alongside")
+      require(w.forall(_ > '.'),
+        s"t49_unigram_segment: word '$w' contains a char at or below " +
+          "'.' (0x2E) — the path separator/tie-break contract breaks")
+    }
     val pieceCounts =
       scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     for {
@@ -2264,7 +2277,8 @@ object TextQueries {
     s"""WITH RECURSIVE w0 AS (
        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |wc AS MATERIALIZED (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0 GROUP BY 1),
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0
+       |  WHERE length(w) >= 1 GROUP BY 1),
        |pc AS MATERIALIZED (
        |  SELECT piece, CAST(sum(c) AS BIGINT) AS pcount
        |  FROM (SELECT substr(wc.w, CAST(i AS INT), CAST(l AS INT)) AS piece,

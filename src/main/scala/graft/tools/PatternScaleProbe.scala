@@ -42,15 +42,8 @@ object PatternScaleProbe {
     }
 
     val meter = new ProbeMetrics(spark)
-    def time(name: String)(f: => Long): Unit = {
-      meter.reset()
-      val t0 = System.nanoTime()
-      val rows = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      val (sw, sr) = meter.snapshot()
-      println(f"[probeCEP] $name: $secs%.1fs ($rows rows, " +
-        s"shuffle w=${meter.fmt(sw)} r=${meter.fmt(sr)})")
-    }
+    def time(name: String)(f: => Long): Unit =
+      meter.timed("probeCEP", name)(f)
 
     for ((sf, tag, parts) <- Seq((base, "1x  ", 32),
         (big, s"${scale}x", math.max(64, scale * 2)))) {

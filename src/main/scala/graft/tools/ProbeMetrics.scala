@@ -45,6 +45,21 @@ final class ProbeMetrics(spark: SparkSession) extends SparkListener {
     (shuffleWrite.sum(), shuffleRead.sum())
   }
 
+  /** Meter + wall-time one probe entry (the shared harness body the
+    * probes previously each copied): reset, run, print
+    * `[tag] name: Xs (rows, shuffle w/r)`, return the seconds.
+    */
+  def timed(tag: String, name: String)(f: => Long): Double = {
+    reset()
+    val t0 = System.nanoTime()
+    val rows = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (sw, sr) = snapshot()
+    println(f"[$tag] $name: $secs%.1fs ($rows rows, " +
+      s"shuffle w=${fmt(sw)} r=${fmt(sr)})")
+    secs
+  }
+
   def fmt(bytes: Long): String =
     if (bytes >= (1L << 30)) f"${bytes / (1024.0 * 1024 * 1024)}%.1fGB"
     else if (bytes >= (1L << 20)) f"${bytes / (1024.0 * 1024)}%.1fMB"

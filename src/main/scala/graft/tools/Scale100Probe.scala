@@ -80,16 +80,8 @@ object Scale100Probe {
     }
 
     val meter = new ProbeMetrics(spark)
-    def time(name: String)(f: => Long): Unit = {
-      if (!want(name)) return
-      meter.reset()
-      val t0 = System.nanoTime()
-      val rows = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      val (sw, sr) = meter.snapshot()
-      println(f"[probe100] $name: $secs%.1fs ($rows rows, " +
-        s"shuffle w=${meter.fmt(sw)} r=${meter.fmt(sr)})")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (want(name)) meter.timed("probe100", name)(f)
 
     // THE measured knee from the first 100× run: with the sf0.1-sized 32
     // shuffle partitions, d32's per-partition external sorts (50M-row gram

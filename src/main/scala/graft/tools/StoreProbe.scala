@@ -90,16 +90,8 @@ object StoreProbe {
     provision(big, scale)
 
     val meter = new ProbeMetrics(spark)
-    def time(name: String)(f: => Long): Double = {
-      meter.reset()
-      val t0 = System.nanoTime()
-      val rows = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      val (sw, sr) = meter.snapshot()
-      println(f"[storeprobe] $name: $secs%.1fs ($rows rows, " +
-        s"shuffle w=${meter.fmt(sw)} r=${meter.fmt(sr)})")
-      secs
-    }
+    def time(name: String)(f: => Long): Double =
+      meter.timed("storeprobe", name)(f)
 
     for ((dir, tag, parts) <- Seq((one, "1x  ", 32),
         (big, s"${scale}x", math.max(64, scale * 5)))) {
