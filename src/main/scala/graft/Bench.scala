@@ -59,8 +59,14 @@ object Bench {
         entriesSinceSentinel = 0
         sentinelFn.foreach { fn =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          sentinel += (System.nanoTime() - t0) / 1e9
+          // a failing sentinel must NOT contribute a time-to-exception
+          // sample (it would read as a fast flat series — masking the
+          // degradation the sentinel exists to expose); record the error
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              mark(s"sentinel:$SentinelName", e); false }
+          if (ok) sentinel += (System.nanoTime() - t0) / 1e9
           Checkpoints.releaseAll(spark)
         }
       }

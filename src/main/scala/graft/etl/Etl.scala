@@ -160,12 +160,30 @@ object EtlRunner {
     // completes inside the scope, so nothing released is ever re-read.
     graft.Checkpoints.scoped(spark) {
       val sqlDir = Files.createTempDirectory("graft_reg_sql")
-      names.foreach { n =>
-        val view = s"reg_$n"
-        graft.SparkEntry.queries(n)(spark, sfDir).createOrReplaceTempView(view)
-        Files.writeString(sqlDir.resolve(s"$n.sql"), s"SELECT * FROM $view")
+      // isolation covers CONSTRUCTION too: many operators eagerly
+      // checkpoint / build stores at call time, and one bad operator must
+      // skip + continue (the reference's contract), not void the batch
+      val (skipped, built) = names.partitionMap { n =>
+        Try {
+          val view = s"reg_$n"
+          graft.SparkEntry.queries(n)(spark, sfDir)
+            .createOrReplaceTempView(view)
+          Files.writeString(sqlDir.resolve(s"$n.sql"), s"SELECT * FROM $view")
+          n
+        } match {
+          case Success(name) => Right(name)
+          case Failure(e) => Left(EtlSkipped(n, "operator build error: " +
+            String.valueOf(e.getMessage).linesIterator.next()))
+        }
       }
-      runParallel(spark, sqlDir.toString, destDir, cellLimit, maxConcurrent)
+      val ran = runParallel(spark, sqlDir.toString, destDir, cellLimit,
+        maxConcurrent)
+      // drop the views INSIDE the scope: their plans hold localCheckpoint
+      // blocks the scope is about to release — a leaked reg_* view would
+      // resolve to missing blocks on any later read (the exact hazard
+      // Checkpoints.scoped's safety contract forbids)
+      built.foreach(n => spark.catalog.dropTempView(s"reg_$n"))
+      skipped ++ ran
     }
   }
 

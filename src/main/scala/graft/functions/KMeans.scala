@@ -56,7 +56,11 @@ object KMeans {
     // BigDecimal.valueOf throw an opaque NumberFormatException (NaN) or
     // longValue() silently wrap (|v| > ~9.2e12). Dense embeddings are
     // |elem| ≤ ~10, so a non-finite or astronomic element is corrupt data.
-    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+    // guard the PRODUCT too: v can be finite while v * 1e6 overflows to
+    // Infinity (|v| > ~1.8e302), which would resurface the opaque
+    // NumberFormatException this guard exists to prevent
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
+        java.lang.Double.isInfinite(v * Scale))
       throw new IllegalArgumentException(
         s"fixed-point quantizer: non-finite embedding element $v " +
           "(NaN/Infinity cannot be 1e-6 fixed-point quantized)")

@@ -89,6 +89,24 @@ object StoreProbe {
     provision(one, 1)
     provision(big, scale)
 
+    // Stores key on (size, mtime) of their source files. The marker lets
+    // re-runs REUSE the written corpus bytes, but a reused mtime would
+    // also match the PREVIOUS run's built store — the cold leg would then
+    // time a warm serve and report build ≈ 0. Bump mtimes so every run
+    // builds its stores fresh, exactly as the header's claim requires.
+    def freshen(dir: String): Unit = {
+      val now = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis())
+      // stores key on the parquet DIRECTORY's mtime (ivfPqIndexDir,
+      // CoGraph) — bump directories too, not just part files
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, now))
+      finally st.close()
+    }
+    freshen(one)
+    freshen(big)
+
     val meter = new ProbeMetrics(spark)
     def time(name: String)(f: => Long): Double =
       meter.timed("storeprobe", name)(f)

@@ -135,16 +135,27 @@ class PlanInvariantsSpec extends SparkTestBase {
   }
 
   test("q65/q66 sketch rollups: merge stage never rescans the raw table") {
+    // two-sided pin: absence of the raw path alone went blind when the
+    // round-9 verdict rework routed the raw read through a localCheckpoint
+    // (downstream scans print as "Scan ExistingRDD", no file path) — so
+    // ALSO require the positive evidence that the merge reads the stored
+    // partials directory
     val p65 = finalPlan("q65_hll_rollup")
     assert(!p65.contains("events.parquet"),
       s"q65 merge stage rescanned raw events:\n${p65.take(1200)}")
+    assert(p65.contains("hll_partials"),
+      s"q65 merge no longer reads the partials store:\n${p65.take(1200)}")
     assert(p65.toLowerCase.contains("hll_union_agg"), p65.take(800))
     val p66 = finalPlan("q66_histogram_rollup")
     assert(!p66.contains("orders.parquet"),
       s"q66 merge stage rescanned raw orders:\n${p66.take(1200)}")
+    assert(p66.contains("hist_partials"),
+      s"q66 merge no longer reads the partials store:\n${p66.take(1200)}")
     val p83 = finalPlan("q83_kll_rollup")
     assert(!p83.contains("orders.parquet"),
       s"q83 merge stage rescanned raw orders:\n${p83.take(1200)}")
+    assert(p83.contains("kll_partials"),
+      s"q83 merge no longer reads the partials store:\n${p83.take(1200)}")
     assert(p83.contains("kll_merge"), p83.take(800))
     // map-side partial merge: the sketch union is mergeable like any
     // partial aggregate — a plan without the partial step would funnel
@@ -153,14 +164,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p84 = finalPlan("q84_kll_by_group")
     assert(!p84.contains("orders.parquet"),
       s"q84 merge stage rescanned raw orders:\n${p84.take(1200)}")
+    assert(p84.contains("kll_grp_partials"),
+      s"q84 merge no longer reads the partials store:\n${p84.take(1200)}")
     val p90 = finalPlan("q90_theta_overlap")
     assert(!p90.contains("events.parquet"),
       s"q90 merge stage rescanned raw events:\n${p90.take(1200)}")
+    assert(p90.contains("theta_partials"),
+      s"q90 merge no longer reads the partials store:\n${p90.take(1200)}")
     assert(p90.contains("theta_merge"), p90.take(800))
     assert(p90.contains("partial_theta_merge"), p90.take(1200))
     val p98 = finalPlan("q98_cms_rollup")
     assert(!p98.contains("documents.parquet"),
       s"q98 merge stage rescanned raw documents:\n${p98.take(1200)}")
+    assert(p98.contains("cms_partials"),
+      s"q98 merge no longer reads the partials store:\n${p98.take(1200)}")
     assert(p98.contains("countminmerge") || p98.toLowerCase.contains("countminmerge"),
       p98.take(800))
     assert(p84.contains("partial_kll_merge"), p84.take(1200))
