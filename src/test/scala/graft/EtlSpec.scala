@@ -157,6 +157,27 @@ class EtlRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("publishRegistry: a broken operator skips, the batch continues") {
+    // construction-time isolation (round-9 review finding): an unknown /
+    // throwing operator must become an EtlSkipped outcome, not abort the
+    // batch — and the healthy names around it must still load
+    val dest = Files.createTempDirectory("etl_registry_iso")
+    val names = Seq("q01_pricing_summary", "zz_no_such_operator",
+      "q02_filter_project")
+    val outcomes = EtlRunner.publishRegistry(spark, names, sf, dest.toString)
+    assert(outcomes.map(_.name).sorted == names.sorted)
+    val bad = outcomes.collect {
+      case s: EtlSkipped if s.name == "zz_no_such_operator" => s
+    }
+    assert(bad.nonEmpty && bad.head.reason.startsWith("operator build error"),
+      s"broken operator not isolated: $outcomes")
+    assert(outcomes.collect { case l: EtlLoaded => l.name }.toSet ==
+      Set("q01_pricing_summary", "q02_filter_project"))
+    // the scope must not leak reg_* views whose checkpoint blocks are gone
+    assert(!spark.catalog.tableExists("reg_q01_pricing_summary"),
+      "reg_* temp view leaked past the publish scope")
+  }
+
   test("publishRegistry summary: guard skips are expected, failures are not") {
     // the full-registry flagship (round-8 verdict item 7 extended round 9:
     // EtlDemo --registry all) rolls outcomes into EtlSummary — a guard
