@@ -15,5 +15,5 @@ exec java -Xmx96g \
   --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
-  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  -cp "$(dirname "$0")/../target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

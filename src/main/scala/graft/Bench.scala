@@ -62,11 +62,14 @@ object Bench {
           // a failing sentinel must NOT contribute a time-to-exception
           // sample (it would read as a fast flat series — masking the
           // degradation the sentinel exists to expose); record the error
+          // AND a -1.0 placeholder so the series stays aligned with run
+          // position (a silently shorter series would shift later samples
+          // onto earlier positions in any drift read)
           val ok =
             try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
-              mark(s"sentinel:$SentinelName", e); false }
-          if (ok) sentinel += (System.nanoTime() - t0) / 1e9
+              mark(s"sentinel:$SentinelName@${sentinel.size}", e); false }
+          sentinel += (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
           Checkpoints.releaseAll(spark)
         }
       }

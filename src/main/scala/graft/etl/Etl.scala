@@ -76,7 +76,8 @@ object CellGuard {
 
 sealed trait EtlOutcome { def name: String }
 final case class EtlLoaded(name: String, rows: Long, cells: Long) extends EtlOutcome
-final case class EtlSkipped(name: String, reason: String) extends EtlOutcome
+final case class EtlSkipped(name: String, reason: String,
+    guard: Boolean = false) extends EtlOutcome
 
 /** Outcome rollup for a publish batch: loaded sheets, guard-skipped names
   * (the reference's skip-not-truncate contract — EXPECTED members of a
@@ -92,10 +93,12 @@ final case class EtlSummary(loaded: Int, cellGuarded: Seq[String],
 object EtlSummary {
   def of(outcomes: Seq[EtlOutcome]): EtlSummary = EtlSummary(
     loaded = outcomes.count(_.isInstanceOf[EtlLoaded]),
+    // classify on the TYPED guard marker, not the reason text — a
+    // reworded message must not silently reclassify guard skips
     cellGuarded = outcomes.collect {
-      case EtlSkipped(n, why) if why.startsWith("cell limit") => n },
+      case s: EtlSkipped if s.guard => s.name },
     failed = outcomes.collect {
-      case EtlSkipped(n, why) if !why.startsWith("cell limit") => s"$n ($why)" })
+      case s: EtlSkipped if !s.guard => s"${s.name} (${s.reason})" })
 }
 
 /** P4 + P10: dispatch each discovered query through `spark.sql` with
@@ -163,27 +166,33 @@ object EtlRunner {
       // isolation covers CONSTRUCTION too: many operators eagerly
       // checkpoint / build stores at call time, and one bad operator must
       // skip + continue (the reference's contract), not void the batch
-      val (skipped, built) = names.partitionMap { n =>
-        Try {
-          val view = s"reg_$n"
-          graft.SparkEntry.queries(n)(spark, sfDir)
-            .createOrReplaceTempView(view)
-          Files.writeString(sqlDir.resolve(s"$n.sql"), s"SELECT * FROM $view")
-          n
-        } match {
-          case Success(name) => Right(name)
-          case Failure(e) => Left(EtlSkipped(n, "operator build error: " +
-            String.valueOf(e.getMessage).linesIterator.next()))
+      val registered = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        val (skipped, _) = names.partitionMap { n =>
+          Try {
+            val view = s"reg_$n"
+            graft.SparkEntry.queries(n)(spark, sfDir)
+              .createOrReplaceTempView(view)
+            registered += view // view exists from here, even if the next
+            // line throws — the finally below must still drop it
+            Files.writeString(sqlDir.resolve(s"$n.sql"),
+              s"SELECT * FROM $view")
+            n
+          } match {
+            case Success(name) => Right(name)
+            case Failure(e) => Left(EtlSkipped(n, "operator build error: " +
+              String.valueOf(e.getMessage).linesIterator.next()))
+          }
         }
+        skipped ++ runParallel(spark, sqlDir.toString, destDir, cellLimit,
+          maxConcurrent)
+      } finally {
+        // drop views INSIDE the scope and on EVERY exit path: their plans
+        // hold localCheckpoint blocks the scope is about to release — a
+        // leaked reg_* view would resolve to missing blocks on any later
+        // read (the exact hazard Checkpoints.scoped's contract forbids)
+        registered.foreach(v => spark.catalog.dropTempView(v))
       }
-      val ran = runParallel(spark, sqlDir.toString, destDir, cellLimit,
-        maxConcurrent)
-      // drop the views INSIDE the scope: their plans hold localCheckpoint
-      // blocks the scope is about to release — a leaked reg_* view would
-      // resolve to missing blocks on any later read (the exact hazard
-      // Checkpoints.scoped's safety contract forbids)
-      built.foreach(n => spark.catalog.dropTempView(s"reg_$n"))
-      skipped ++ ran
     }
   }
 
@@ -208,7 +217,8 @@ object EtlRunner {
           case Success(_) =>
             graft.sources.sheets.SheetsSink.takeCommit(q.name) match {
               case Some(meta) if meta.skipped =>
-                EtlSkipped(q.name, s"cell limit: ${meta.cells} >= $cellLimit")
+                EtlSkipped(q.name,
+                  s"cell limit: ${meta.cells} >= $cellLimit", guard = true)
               case Some(meta) => EtlLoaded(q.name, meta.rows, meta.cells)
               case None => EtlLoaded(q.name, -1, -1) // committed, counts unknown
             }

@@ -2214,9 +2214,14 @@ object CurationQueries {
     */
   def c56_preference_pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val st = c55Fitted(s, d).map { case (p, _, _, stm) => (p, stm) }
+    // ONE materialized bout log feeds both the fit and the pair assembly
+    // — without the checkpoint the corpus-sized stride self-join runs
+    // twice (once under c55PairPartials, once for pp)
+    val bouts = c55Bouts(s, d).localCheckpoint()
+    val st = btFitFromPairs(c55PairPartials(bouts))
+      .map { case (p, _, _, stm) => (p, stm) }
       .toDF("p", "st")
-    val pp = c55Bouts(s, d).select(
+    val pp = bouts.select(
       when(col("a_wins"), col("da")).otherwise(col("db"))
         .as("chosen_doc_id"),
       when(col("a_wins"), col("db")).otherwise(col("da"))

@@ -766,7 +766,9 @@ object StreamingQueries {
     * partial matrices persisted between micro-batches.
     */
   def st23_stream_bt(s: SparkSession, d: String): DataFrame = {
-    val bouts = CurationQueries.c55Bouts(s, d)
+    // materialize once: each stratum filter would otherwise re-run the
+    // corpus-sized stride self-join (3x the dominant stage)
+    val bouts = CurationQueries.c55Bouts(s, d).localCheckpoint()
     val merged = (0L until 3L)
       .map(b => CurationQueries.c55PairPartials(
         bouts.filter(pmod(col("da"), lit(3L)) === b)))

@@ -44,7 +44,7 @@ object EtlDemo {
           val f = Paths.get(dest, s"$n.csv")
           println(s"[etl-registry] LOADED  $n rows=$rows cells=$cells " +
             s"size=${HumanSize.convertSize(Files.size(f))}")
-        case EtlSkipped(n, why) => println(s"[etl-registry] SKIPPED $n ($why)")
+        case EtlSkipped(n, why, _) => println(s"[etl-registry] SKIPPED $n ($why)")
       }
       val sum = EtlSummary.of(outcomes)
       println(f"[etl-registry] total ${outcomes.size} queries in $secs%.1f s " +
@@ -86,7 +86,7 @@ object EtlDemo {
         val f = Paths.get(destDir, s"$n.csv")
         println(s"[etl] LOADED  $n rows=$rows cells=$cells " +
           s"size=${HumanSize.convertSize(Files.size(f))} -> $f")
-      case EtlSkipped(n, why) => println(s"[etl] SKIPPED $n ($why)")
+      case EtlSkipped(n, why, _) => println(s"[etl] SKIPPED $n ($why)")
     }
     spark.stop()
   }

@@ -185,7 +185,7 @@ class EtlRunnerSpec extends SparkTestBase {
     // SQL/write failure flips it
     val sum = etl.EtlSummary.of(Seq(
       etl.EtlLoaded("a", 10, 110),
-      etl.EtlSkipped("b", "cell limit: 2000001 >= 2000000"),
+      etl.EtlSkipped("b", "cell limit: 2000001 >= 2000000", guard = true),
       etl.EtlLoaded("c", 5, 55)))
     assert(sum == etl.EtlSummary(2, Seq("b"), Nil) && sum.ok)
     val bad = etl.EtlSummary.of(Seq(
