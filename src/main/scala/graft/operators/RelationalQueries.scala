@@ -729,6 +729,57 @@ object RelationalQueries {
         last(col("vol"), ignoreNulls = true).over(w).as("filled_vol"))
   }
 
+  /** q169: LINEAR interpolation over the resampled grid — the imputation
+    * mode q51's forward-fill lacks (pandas `interpolate`, InfluxDB
+    * `fill(linear)`): a missing hour between two anchors takes the
+    * straight-line value, hours before the first anchor back-fill and
+    * after the last forward-fill (tagged 'edge' so a consumer can drop
+    * extrapolation-free rows). ALL integer: anchor sums are exact BIGINT
+    * cents, grid positions are epoch hours, and the interpolation is
+    * `pc + (nc − pc)·(h − ph) div (nh − ph)` — int64 end to end, and
+    * signed-safe because BOTH engines truncate integer division toward
+    * zero (verified: Spark `-7 div 2` = DuckDB `-7 // 2` = −3). Shape:
+    * the anchors are one hash aggregate, the spine is a map-side row
+    * generator, and the four anchor-lookup passes are two window frames
+    * (backward last / forward first, IGNORE NULLS) over the SAME
+    * event_type partitioning — one shuffle of the grid, whose size is
+    * |hours|×|types| regardless of event volume.
+    */
+  def q169_interpolate(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val anchors = ev.groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("cents")).as("c"))
+    val bounds = ev.agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+    val grid = bounds
+      .select(explode(expr("sequence(mn, mx, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val j = grid.join(anchors, Seq("hour", "event_type"), "left")
+      .withColumn("h", expr("unix_seconds(hour) div 3600"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchorH = when(col("c").isNotNull, col("h"))
+    j.withColumn("pc", last(col("c"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(anchorH, ignoreNulls = true).over(back))
+      .withColumn("nc", first(col("c"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(anchorH, ignoreNulls = true).over(fwd))
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        when(col("c").isNotNull, "anchor")
+          .when(col("ph").isNull || col("nh").isNull, "edge")
+          .otherwise("interp").as("kind"),
+        when(col("c").isNotNull, col("c"))
+          .when(col("ph").isNull, col("nc"))
+          .when(col("nh").isNull, col("pc"))
+          // expr, not Column `/` (which is DOUBLE division on longs):
+          // `div` keeps the int64 truncating semantics both engines share
+          .otherwise(expr("pc + (nc - pc) * (h - ph) div (nh - ph)"))
+          .as("filled_cents"))
+  }
+
   /** MERGE/upsert maintenance — the "apply a change batch to a snapshot"
     * op (the scaled-up analogue of the sheets sink's upsert-by-name):
     * matched keys update, unmatched source keys insert, untouched rows
@@ -4792,6 +4843,7 @@ object RelationalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "q169_interpolate" -> (q169_interpolate _),
     "q168_match_recognize" -> (q168_match_recognize _),
     "q167_sheet_merge_sql" -> (q167_sheet_merge_sql _),
     "q166_subject_access" -> (q166_subject_access _),
@@ -4982,6 +5034,50 @@ object RelationalQueries {
     // cast ROUNDS sub-second timestamps up while unix_seconds floors
     "q168_match_recognize" ->
       q168Sql(t => s"(epoch_us($t) // 1000000)"),
+    "q169_interpolate" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |anchors AS (
+        |  SELECT hour, event_type, CAST(sum(cents) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour) AS mn, max(hour) AS mx FROM ev),
+        |spine AS (
+        |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS hour
+        |  FROM bounds),
+        |grid AS (
+        |  SELECT s.hour, t.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t),
+        |j AS (
+        |  SELECT g.hour, g.event_type, a.c,
+        |         epoch_us(g.hour) // 3600000000 AS h
+        |  FROM grid g LEFT JOIN anchors a
+        |    ON a.hour = g.hour AND a.event_type = g.event_type),
+        |f AS (
+        |  SELECT *,
+        |    last_value(c IGNORE NULLS) OVER wb AS pc,
+        |    last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wb AS ph,
+        |    first_value(c IGNORE NULLS) OVER wf AS nc,
+        |    first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS)
+        |      OVER wf AS nh
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type,
+        |       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       CASE WHEN c IS NOT NULL THEN 'anchor'
+        |            WHEN ph IS NULL OR nh IS NULL THEN 'edge'
+        |            ELSE 'interp' END AS kind,
+        |       CASE WHEN c IS NOT NULL THEN c
+        |            WHEN ph IS NULL THEN nc
+        |            WHEN nh IS NULL THEN pc
+        |            ELSE pc + (nc - pc) * (h - ph) // (nh - ph) END
+        |         AS filled_cents
+        |FROM f""".stripMargin,
     // recompute q167's post-MERGE/DELETE sheet state from raw orders: the
     // merged report over ALL orders (base + delta adds are exact BIGINT
     // cents) minus the deleted priority row

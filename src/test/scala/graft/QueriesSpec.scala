@@ -3939,6 +3939,55 @@ class QueriesSpec extends SparkTestBase {
       "every word segmented as a single piece — lexicon degenerate")
   }
 
+  test("q169 interpolate: anchors exact, lines straight, edges clamped") {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // independent hourly anchor recount in exact cents
+    val anchors = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("value")).collect()
+      .map { r =>
+        val t = r.getTimestamp(0).toInstant
+        val hour = t.getEpochSecond / 3600
+        ((hour, r.getString(1)),
+          math.round(r.getDouble(2) * 100))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val rows = SparkEntry.queries("q169_interpolate")(spark, sf).collect()
+    val byKey = rows.map { r =>
+      val h = fmt.parse(r.getAs[String]("hour_start")).getTime / 3600000L
+      ((h, r.getAs[String]("event_type")),
+        (r.getAs[String]("kind"), r.getAs[Long]("filled_cents")))
+    }.toMap
+    assert(byKey.size == rows.length, "duplicate grid cells")
+    // full rectangular coverage
+    val hours = byKey.keys.map(_._1)
+    val types = byKey.keys.map(_._2).toSet
+    assert(byKey.size == (hours.max - hours.min + 1) * types.size)
+    byKey.foreach { case ((h, ty), (kind, v)) =>
+      anchors.get((h, ty)) match {
+        case Some(c) =>
+          assert(kind == "anchor" && v == c, s"($h,$ty): anchor $v != $c")
+        case None =>
+          val before = anchors.keys.filter(k => k._2 == ty && k._1 < h)
+          val after = anchors.keys.filter(k => k._2 == ty && k._1 > h)
+          if (before.isEmpty || after.isEmpty) {
+            val nearest = (before ++ after)
+              .minBy(k => math.abs(k._1 - h))
+            assert(kind == "edge" && v == anchors(nearest),
+              s"($h,$ty): edge $v != clamp ${anchors(nearest)}")
+          } else {
+            val ph = before.map(_._1).max
+            val nh = after.map(_._1).min
+            val (pc, nc) = (anchors((ph, ty)), anchors((nh, ty)))
+            val want = pc + (nc - pc) * (h - ph) / (nh - ph)
+            assert(kind == "interp" && v == want,
+              s"($h,$ty): interp $v != $want on [$ph=$pc .. $nh=$nc]")
+          }
+      }
+    }
+    assert(rows.exists(_.getAs[String]("kind") == "interp"),
+      "grid has no gaps to interpolate — fixture degenerate")
+  }
+
   test("q146 encoding advisor: low-cardinality strings pick dictionary") {
     val rows = SparkEntry.queries("q146_encoding_advisor")(spark, sf).collect()
     assert(rows.length == 5)
