@@ -107,6 +107,14 @@ object EtlSummary {
   * the sheets sink (upsert-by-name overwrite).
   */
 object EtlRunner {
+  /** First line of an exception message, total: a null message becomes
+    * "null", an EMPTY message becomes "" — `"".linesIterator` is empty in
+    * Scala 2.13, so a bare `.next()` here would throw OUTSIDE the Try
+    * isolation and abort the whole batch this path exists to protect.
+    */
+  private[graft] def firstLine(e: Throwable): String =
+    String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse("")
+
   def run(spark: SparkSession, sqlDir: String, destDir: String,
           cellLimit: Long = CellGuard.DefaultLimit): Seq[EtlOutcome] =
     SqlFolderSource.discover(sqlDir).map(runOne(spark, _, destDir, cellLimit))
@@ -181,7 +189,7 @@ object EtlRunner {
           } match {
             case Success(name) => Right(name)
             case Failure(e) => Left(EtlSkipped(n, "operator build error: " +
-              String.valueOf(e.getMessage).linesIterator.next()))
+              firstLine(e)))
           }
         }
         skipped ++ runParallel(spark, sqlDir.toString, destDir, cellLimit,
@@ -205,7 +213,7 @@ object EtlRunner {
           cellLimit: Long): EtlOutcome =
     Try(spark.sql(q.sql)) match {
       case Failure(e) =>
-        EtlSkipped(q.name, s"SQL error: ${e.getMessage.linesIterator.next()}")
+        EtlSkipped(q.name, s"SQL error: ${firstLine(e)}")
       case Success(df) =>
         Try {
           df.write.format("sheets")
@@ -223,7 +231,7 @@ object EtlRunner {
               case None => EtlLoaded(q.name, -1, -1) // committed, counts unknown
             }
           case Failure(e) =>
-            EtlSkipped(q.name, s"write error: ${e.getMessage.linesIterator.next()}")
+            EtlSkipped(q.name, s"write error: ${firstLine(e)}")
         }
     }
 }

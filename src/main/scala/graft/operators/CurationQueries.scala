@@ -2116,7 +2116,13 @@ object CurationQueries {
       val tot = raw.values.sum
       val np = raw.size.toLong
       st = raw.map { case (p, r) =>
-        p -> math.max(1L, r * 1000000L * np / tot)
+        // multiplyExact: a degenerate win matrix (den near zero) can push
+        // raw toward wins*1e12, where r*1e6*np exceeds Long range — the
+        // DuckDB twin raises on BIGINT overflow, so silent Scala wrap
+        // would trade the claimed hash parity for a quiet divergence.
+        // Out-of-domain inputs must fail loudly on BOTH engines.
+        p -> math.max(1L,
+          Math.multiplyExact(Math.multiplyExact(r, 1000000L), np) / tot)
       }
     }
     players.toSeq.map { case (p, (wins, games)) => (p, wins, games, st(p)) }

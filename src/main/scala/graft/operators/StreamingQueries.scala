@@ -682,7 +682,9 @@ object StreamingQueries {
     * equal type), so a streaming detector keeps O(runs-tail) state per
     * user and emits a match the moment its purchase lands — state is
     * independent of stream length, the economics that make CEP viable
-    * unbounded. This twin processes events in calendar-month batches:
+    * unbounded. This twin processes events in UTC-day batches (the
+    * fixture's events span a single month, so day keys are what
+    * actually split the stream):
     * runs are computed per (user, batch) with batch-LOCAL numbering (no
     * batch sees another's rows — exactly a micro-batch fold), stitched
     * across boundaries by a second islands pass over run sequence
