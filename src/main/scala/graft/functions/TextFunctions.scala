@@ -487,6 +487,34 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * (m^2 < 2^62 — never overflows); result = (e·2^30 + acc)·1e6 div 2^30.
   * Max error < 2^-30 in log2, i.e. < 1 micro. Null for n <= 0.
   */
+/** Scalar [[TokenHash.hash60]] over a string column — the int64 shuffle
+  * key the near-dup family joins on instead of the shingle STRING (round
+  * 10, verdict item 2: d32/d17's gram joins moved from 40-120-byte string
+  * keys to this 8-byte key; the DuckDB twins rebuild the identical value
+  * from the same two polynomial folds, so a 60-bit collision — were one
+  * ever to occur — is mirrored on both engines and the hash gate stays
+  * exact). Collision risk at 100 TB: ~2^-60 per pair of distinct grams,
+  * and a collision only ever ADDS a candidate the exact verify stage
+  * re-scores.
+  */
+case class Hash60(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hash60 needs a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.hash60(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Log2Micros(child: Expression)
     extends UnaryExpression with KernelCodegen {
 
@@ -537,6 +565,9 @@ object TextFunctions {
   def log2_micros(n: Column): Column =
     column(Log2Micros(expression(n)))
 
+  def hash60(s: Column): Column =
+    column(Hash60(expression(s)))
+
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
 
@@ -557,6 +588,8 @@ object TextFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "hash60", exprs => { graft.GraftExtensions.arity("hash60", 1, exprs); Hash60(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => { graft.GraftExtensions.arity("simhash64", 1, exprs); SimHash64(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction(

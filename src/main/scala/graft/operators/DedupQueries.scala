@@ -1059,14 +1059,26 @@ object DedupQueries {
     * arithmetic -> hash-green against DuckDB running the same three
     * passes. At 100 TB the shingle table is |corpus| rows — that IS the
     * honest cost of exact substring dedup (suffix arrays pay the same
-    * linear blowup); the join key would move to xxhash64(gram) with an
-    * equality re-check to cut shuffle bytes, and the diagonal windows are
-    * per-pair tiny (never a corpus-sized sort).
+    * linear blowup); gram identity is its 60-bit portable poly hash so
+    * the corpus-sized shuffles carry an 8-byte key instead of 40-char
+    * strings, and the diagonal windows are per-pair tiny (never a
+    * corpus-sized sort).
     */
   def d17_substring_spans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.hash60
     val k = 40
     val minSpan = 60
+    // Round 10 (verdict item 2): the 40-char gram string dies inside the
+    // projection — only (doc_id, pos, hash60) ever shuffles. r9's shape
+    // kept the string through the df filter and the pair self-join behind
+    // an xxhash64 PRE-filter (xxhash64 isn't portable, so the exact
+    // string pass had to follow); hash60 IS portable, so the DuckDB twin
+    // keys on the identical int64 and the string never needs re-checking
+    // — a 60-bit collision would be mirrored on both engines, and at
+    // ~2^-60 per gram pair it is not a 100 TB concern (and if it fired
+    // it could only merge two df counts or add a pair the span filter
+    // still has to assemble 21 consecutive collisions to emit).
     val sh = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("n", length(col("text")))
@@ -1074,42 +1086,31 @@ object DedupQueries {
         explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(text, pos, $k)").as("gram"),
-        xxhash64(expr(s"substring(text, pos, $k)")).as("gh"))
-      .localCheckpoint() // explode+substring feeds the df agg AND both join sides
+        hash60(expr(s"substring(text, pos, $k)")).as("gh"))
+      .localCheckpoint() // explode+substring+hash feeds the df agg AND both join sides
     // only grams occurring 2..16 times can ever produce a pair: df=1 is
     // pair-sterile (the bulk of the table) and df>16 is the boilerplate
     // cap — so the survivor list is tiny and the self-join input collapses
     // from |corpus| shingles to just the duplicated ones (sf0.1: 5.4s →
     // 2.5s; at 100 TB this is the difference between self-joining the
-    // corpus and self-joining its duplicate sliver). TWO-LEVEL and exact:
-    // the corpus-sized aggregate keys on xxhash64(gram) — 8 bytes through
-    // the big shuffle instead of 40-char strings — and only prunes
-    // hash-groups of size 1 (a df>=2 gram's hash group necessarily has
-    // >= 2 rows, so no true survivor is ever lost; a colliding df=1 gram
-    // merely rides along); the EXACT string-keyed 2..16 filter then runs
-    // on that duplicated sliver alone, so the semantics are bit-identical
-    // to the one-level string aggregate at any corpus size.
-    // The survivor lists (cand/keep) are DATA-DEPENDENT: "tiny" on a real
-    // mostly-unique corpus, but nothing bounds them — a duplicate-heavy
-    // corpus makes them O(distinct grams). The 25× probe caught exactly
-    // that: the planner's estimate broadcast `cand` (~7M hashes there) and
-    // the build died at the driver. Broadcast must be a proven bound, not
-    // a stats guess (the c08 rule), so both survivor joins are pinned
-    // SHUFFLE_HASH: same one-shuffle cost class as the broadcast at small
-    // scale (the build side hashes per-partition, no sort), and safe at
-    // any survivor cardinality on any topology.
-    val cand = sh.groupBy("gh").count()
-      .filter(col("count") >= 2).select("gh")
-    val shc = sh.join(cand.hint("shuffle_hash"), "gh")
-    val keep = shc.groupBy("gram").count()
-      .filter(col("count").between(2, 16)).select("gram")
-    val sk = shc.join(keep.hint("shuffle_hash"), "gram")
+    // corpus and self-joining its duplicate sliver).
+    // The survivor list (keep) is DATA-DEPENDENT: "tiny" on a real
+    // mostly-unique corpus, but nothing bounds it — a duplicate-heavy
+    // corpus makes it O(distinct grams). The 25× probe caught exactly
+    // that: the planner's estimate broadcast the survivors (~7M hashes
+    // there) and the build died at the driver. Broadcast must be a proven
+    // bound, not a stats guess (the c08 rule), so the survivor join is
+    // pinned SHUFFLE_HASH: same one-shuffle cost class as the broadcast
+    // at small scale (the build side hashes per-partition, no sort), and
+    // safe at any survivor cardinality on any topology.
+    val keep = sh.groupBy("gh").count()
+      .filter(col("count").between(2, 16)).select("gh")
+    val sk = sh.join(keep.hint("shuffle_hash"), "gh")
     // the pair self-join sides are corpus-dependent too — same rule
-    val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
-      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram"))
+    val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gh"))
+      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gh"))
           .hint("shuffle_hash"),
-        Seq("gram"))
+        Seq("gh"))
       .filter(col("da") < col("db"))
       .withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
@@ -1729,43 +1730,47 @@ object DedupQueries {
     * bites — the same reason production similarity joins run on
     * shingles/q-grams.
     */
-  private def d32Sql: String = {
+  /** `hashTerm`: the dialect's spelling of hash60 over the column `term`
+    * (round 10: term identity through every CTE is the 60-bit portable
+    * poly hash — same int64 key both engines derive; see [[allPairsOver]]).
+    */
+  private def d32Sql(hashTerm: String): String = {
     val tau = 900000000000L // cos >= 0.9 over micro-unit vectors
     s"""WITH tok AS (
-       |  SELECT DISTINCT doc_id, term, CAST(1 AS BIGINT) AS tf
+       |  SELECT DISTINCT doc_id, $hashTerm AS th, CAST(1 AS BIGINT) AS tf
        |  FROM ($$GRAMS$$) t),
        |stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok),
-       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+       |dfreq AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY 1),
        |wgt AS (
-       |  SELECT t.doc_id, t.term,
+       |  SELECT t.doc_id, t.th,
        |         t.tf * CAST(round(ln(CAST(s.n_docs AS DOUBLE)
        |                              / CAST(d.df AS DOUBLE)) * 1000) AS BIGINT) AS w
-       |  FROM tok t JOIN dfreq d ON d.term = t.term CROSS JOIN stats s),
+       |  FROM tok t JOIN dfreq d ON d.th = t.th CROSS JOIN stats s),
        |wnz AS (SELECT * FROM wgt WHERE w > 0),
        |nrm AS (SELECT doc_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nn
        |        FROM wnz GROUP BY 1),
        |qv AS (
-       |  SELECT w.doc_id, w.term,
+       |  SELECT w.doc_id, w.th,
        |         CAST(round(1000000.0 * CAST(w.w AS DOUBLE) / n.nn) AS BIGINT) AS q
        |  FROM wnz w JOIN nrm n ON n.doc_id = w.doc_id),
-       |mx AS (SELECT term, CAST(max(q) AS BIGINT) AS mq FROM qv GROUP BY 1),
+       |mx AS (SELECT th, CAST(max(q) AS BIGINT) AS mq FROM qv GROUP BY 1),
        |ordq AS (
-       |  SELECT qv.doc_id, qv.term, qv.q,
+       |  SELECT qv.doc_id, qv.th, qv.q,
        |         CAST(sum(qv.q * mx.mq) OVER (PARTITION BY qv.doc_id
-       |              ORDER BY mx.mq DESC, qv.term
+       |              ORDER BY mx.mq DESC, qv.th
        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
        |           AS BIGINT) AS rem
-       |  FROM qv JOIN mx ON mx.term = qv.term),
-       |pref AS (SELECT doc_id, term FROM ordq WHERE rem >= $tau),
+       |  FROM qv JOIN mx ON mx.th = qv.th),
+       |pref AS (SELECT doc_id, th FROM ordq WHERE rem >= $tau),
        |cand AS (
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS da,
        |         greatest(a.doc_id, b.doc_id) AS db
-       |  FROM qv a JOIN pref b ON b.term = a.term AND a.doc_id <> b.doc_id),
+       |  FROM qv a JOIN pref b ON b.th = a.th AND a.doc_id <> b.doc_id),
        |dots AS (
        |  SELECT c.da, c.db, CAST(sum(x.q * y.q) AS BIGINT) AS dot
        |  FROM cand c
        |  JOIN qv x ON x.doc_id = c.da
-       |  JOIN qv y ON y.doc_id = c.db AND y.term = x.term
+       |  JOIN qv y ON y.doc_id = c.db AND y.th = x.th
        |  GROUP BY 1, 2)
        |SELECT da, db, dot FROM dots WHERE dot >= $tau""".stripMargin
   }
@@ -1798,16 +1803,25 @@ object DedupQueries {
     * gate still proves value equality.
     */
   private[graft] def allPairsOver(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    import graft.functions.TextFunctions.word_shingles
+    import graft.functions.TextFunctions.{hash60, word_shingles}
     val tau = 900000000000L
+    // Round 10 (verdict item 2): the shingle STRING never leaves the
+    // generating stage — term identity is its 60-bit portable poly hash
+    // (the d03/d04/d18 keying), so every downstream shuffle (df agg,
+    // weight join, prefix window, candidate join, both verify sides)
+    // carries an 8-byte int64 key instead of a 15-120-byte string. The
+    // DuckDB twin computes the identical hash, so the (astronomically
+    // unlikely) collision is mirrored and the gate stays exact; a
+    // collision can only ever ADD a candidate the exact dot re-scores.
     val grams = docsIn
       .select(col("doc_id"),
         explode(word_shingles(split(col("text"), " "), 3)).as("term"))
+      .select(col("doc_id"), hash60(col("term")).as("th"))
       .distinct()
       .localCheckpoint() // feeds n_docs, df, and the weight join
     val nDocs = grams.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
-    val dfreq = grams.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wnz = grams.join(dfreq, "term")
+    val dfreq = grams.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val wnz = grams.join(dfreq, "th")
       .withColumn("w", expr(
         s"CAST(round(ln(CAST($nDocs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000) AS BIGINT)"))
       .filter(col("w") > 0)
@@ -1815,28 +1829,31 @@ object DedupQueries {
       .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nn"))
     val qv = wnz.join(nrm, "doc_id")
       .withColumn("q", expr("CAST(round(1000000.0 * CAST(w AS DOUBLE) / nn) AS BIGINT)"))
-      .select(col("doc_id"), col("term"), col("q"))
+      .select(col("doc_id"), col("th"), col("q"))
       .localCheckpoint() // ONE evaluation serves prefix, probe, and both verify sides
-    val mx = qv.groupBy(col("term")).agg(max(col("q")).as("mq"))
+    val mx = qv.groupBy(col("th")).agg(max(col("q")).as("mq"))
+    // the global term order's tie-break is the hash, not the string — any
+    // CONSISTENT total order preserves the Bayardo completeness bound, and
+    // the exact verify makes the final output order-independent anyway
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("mq").desc, col("term"))
+      .partitionBy(col("doc_id")).orderBy(col("mq").desc, col("th"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val pref = qv.join(mx, "term")
+    val pref = qv.join(mx, "th")
       .withColumn("rem", sum(col("q") * col("mq")).over(w))
       .filter(col("rem") >= tau)
-      .select(col("doc_id"), col("term"))
-    val cand = qv.select(col("doc_id").as("id_a"), col("term"))
-      .join(pref.select(col("doc_id").as("id_b"), col("term")), "term")
+      .select(col("doc_id"), col("th"))
+    val cand = qv.select(col("doc_id").as("id_a"), col("th"))
+      .join(pref.select(col("doc_id").as("id_b"), col("th")), "th")
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("da"),
         greatest(col("id_a"), col("id_b")).as("db"))
       .distinct()
     cand
-      .join(qv.select(col("doc_id").as("da"), col("term"), col("q").as("qa")),
+      .join(qv.select(col("doc_id").as("da"), col("th"), col("q").as("qa")),
         Seq("da"))
-      .join(qv.select(col("doc_id").as("db"), col("term"), col("q").as("qb")),
-        Seq("db", "term"))
+      .join(qv.select(col("doc_id").as("db"), col("th"), col("q").as("qb")),
+        Seq("db", "th"))
       .groupBy(col("da"), col("db"))
       .agg(sum(col("qa") * col("qb")).as("dot"))
       .filter(col("dot") >= tau)
@@ -1847,7 +1864,7 @@ object DedupQueries {
     */
   private[graft] def allPairsFromViews(s: SparkSession): DataFrame = {
     graft.functions.TextFunctions.register(s)
-    s.sql(d32Sql.replace("$GRAMS$", sparkGrams))
+    s.sql(d32Sql("hash60(term)").replace("$GRAMS$", sparkGrams))
   }
 
   /** d35: cluster CHAINING audit — the transitivity artifact every
@@ -2237,7 +2254,12 @@ object DedupQueries {
     "d07_embed_neardup_lsh" -> d07Oracle,
     "d08_dedup_apply" -> d08Oracle,
     "d18_persisted_minhash" -> d18Oracle,
-    "d32_allpairs_cosine" -> d32Sql.replace("$GRAMS$", duckGrams),
+    // the bitwise-OR must not start a line: d32Sql applies stripMargin to
+    // the assembled template, which would eat a leading `|` as margin
+    "d32_allpairs_cosine" -> d32Sql(
+      s"(${duckPoly(31, 1000000007L, "term")} | " +
+        s"(${duckPoly(131, 1000000009L, "term")} << 30))")
+      .replace("$GRAMS$", duckGrams),
     "d31_blocking_audit" -> d31Sql("//"),
     "d29_phonetic_keys" -> d29Sql("unnest(string_split(text, ' '))"),
     "d27_snm_linkage" ->
@@ -2393,18 +2415,23 @@ object DedupQueries {
         |       t.n_lines, t.n_lines - coalesce(kept.n_kept, 0) AS n_dropped
         |FROM t LEFT JOIN kept USING (doc_id)""".stripMargin,
     "d17_substring_spans" ->
-      """WITH sh0 AS (
+      s"""WITH sh0 AS (
         |  SELECT doc_id, text, unnest(range(1, greatest(n_chars - 38, 1))) AS pos
         |  FROM documents),
-        |sh AS (
+        |shg AS (
         |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
         |  FROM sh0),
-        |keep AS (SELECT gram FROM sh GROUP BY gram
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |         (${duckPoly(31, 1000000007L, "gram")}
+        |          | (${duckPoly(131, 1000000009L, "gram")} << 30)) AS gh
+        |  FROM shg),
+        |keep AS (SELECT gh FROM sh GROUP BY gh
         |         HAVING count(*) BETWEEN 2 AND 16),
-        |sk AS (SELECT sh.* FROM sh JOIN keep USING (gram)),
+        |sk AS (SELECT sh.* FROM sh JOIN keep USING (gh)),
         |m AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-        |  FROM sk a JOIN sk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |  FROM sk a JOIN sk b ON a.gh = b.gh AND a.doc_id < b.doc_id),
         |isl AS (
         |  SELECT da, db, pa, pb, pa - pb AS diag,
         |         pa - row_number() OVER (PARTITION BY da, db, pa - pb
