@@ -1175,22 +1175,38 @@ object SimilarityQueries {
     * component oracles verbatim as subqueries, so even this measurement
     * TABLE is hash-green. Spec pins the monotone storage/recall
     * trade-off ladder (exact ≥ int8 ≥ sign at these widths).
+    *
+    * ONE-action shape (round 10; the r9 version ran a count per family —
+    * 6 jobs — whose multi-job footprint amplified ambient contention in
+    * the bench capture into a false 13.9× reading): the four family
+    * shortlists union with a family tag, left-join truth ONCE with a hit
+    * flag, and a single 4-group aggregate emits the whole frontier.
+    * n_truth needs no driver-side count — the float32_exact family IS
+    * the truth set, so its hit count equals |truth| and a 4-row window
+    * max rebroadcasts it to every family row. The only remaining
+    * materialization is truth's localCheckpoint (it feeds both the
+    * union arm and the join side; without it the brute-force scan would
+    * run twice — exchange reuse does not unify the differently-projected
+    * subtrees).
     */
   def s31_compression_frontier(s: SparkSession, d: String): DataFrame = {
     val truth = s01_knn_bruteforce(s, d)
       .select(col("q_id"), col("vec_id")).localCheckpoint()
-    val nTruth = truth.count()
-    def hits(name: String, bytes: Long, df: DataFrame): DataFrame = {
-      val h = df.select(col("q_id"), col("vec_id"))
-        .join(truth, Seq("q_id", "vec_id")).count()
-      import s.implicits._
-      Seq((name, bytes, h)).toDF("family", "bytes_per_vec", "n_hits")
-    }
-    hits("float32_exact", 256L, truth)
-      .unionByName(hits("int8_sq", 64L, s07_quantized_cosine(s, d)))
-      .unionByName(hits("jl_proj32", 256L, s22_jl_projection(s, d)))
-      .unionByName(hits("sign_1bit", 8L, s24_binary_quant(s, d)))
-      .withColumn("n_truth", lit(nTruth))
+    def arm(name: String, bytes: Long, df: DataFrame): DataFrame =
+      df.select(lit(name).as("family"), lit(bytes).as("bytes_per_vec"),
+        col("q_id"), col("vec_id"))
+    val shortlists = arm("float32_exact", 256L, truth)
+      .unionByName(arm("int8_sq", 64L, s07_quantized_cosine(s, d)))
+      .unionByName(arm("jl_proj32", 256L, s22_jl_projection(s, d)))
+      .unionByName(arm("sign_1bit", 8L, s24_binary_quant(s, d)))
+    val counted = shortlists
+      .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("family"), col("bytes_per_vec"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    counted
+      .withColumn("n_truth",
+        max(when(col("family") === "float32_exact", col("n_hits")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .withColumn("recall_pm", expr("(n_hits * 1000) div n_truth"))
   }
 
@@ -1221,6 +1237,94 @@ object SimilarityQueries {
         cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
     TopKPerGroup.topK(cand, Seq("vec_id"),
       Seq(Ord("sim", desc = true), Ord("nbr_id")), 3)
+  }
+
+  private val KnnGraphVersion = "v1"
+
+  private[graft] def knnGraphDir(d: String): String = {
+    // keyed by corpus identity (size + mtime), the ivfPqIndexDir rule: a
+    // regenerated dataset must orphan the old graph, never serve stale
+    // edges under a valid marker
+    val f = new java.io.File(d, "embeddings.parquet")
+    SketchQueries.partialsDir(
+      s"knngraph_${KnnGraphVersion}_${f.length()}_${f.lastModified()}", d)
+  }
+
+  /** Build-once store for s32's k-NN graph plus an INCREMENTAL-APPEND
+    * path (round 10, verdict item 4 — the HNSW-economics gap next to the
+    * IVF-PQ index: s32 re-ran its bucket self-join on every call, but a
+    * production neighbor graph is built once and maintained under
+    * appends). Two marker-committed tables:
+    *
+    *   {{{<dir>/edges        base-corpus top-3 per node (vec_id % 17 != 0)}}}
+    *   {{{<dir>/edges_delta  every candidate edge with a NEW endpoint}}}
+    *
+    * The delta holds, for the appended slice (vec_id % 17 == 0): each
+    * new node's full same-bucket candidate list (new→base and new→new),
+    * plus each affected BASE node's cross edges toward new nodes
+    * (base→new) — cosine is symmetric and the sequential-double fold is
+    * commutative per element, so the reversed rows reuse the one join's
+    * sims bit-exactly. Append work is |new|·bucket-density, never a base
+    * re-scan, and it NEVER rewrites base files (spec-pinned). Serving is
+    * store-sized: union the two edge tables and re-take top-3 per node —
+    * exact, because a stored base edge outside its node's base top-3 is
+    * dominated by three edges that are all present in the union, and
+    * every candidate involving a new node is in the delta by
+    * construction. At 100 TB: the build pays the quadratic-within-bucket
+    * once; nightly appends pay only the new slice; a scheduled rebuild
+    * folds the delta back (the s30 compaction economics).
+    */
+  private[graft] def ensureKnnGraphStore(s: SparkSession, d: String): String = {
+    val dir = knnGraphDir(d)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", bucketOf(col("embedding")))
+    if (!new java.io.File(dir, "_complete").exists()) {
+      val base = e.filter(col("vec_id") % 17 =!= 0)
+      val cand = base.alias("a").join(base.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      TopKPerGroup.topK(cand, Seq("vec_id"),
+        Seq(Ord("sim", desc = true), Ord("nbr_id")), 3)
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      new java.io.File(dir, "_complete").createNewFile()
+    }
+    if (!new java.io.File(dir, "_delta_complete").exists()) {
+      val newV = e.filter(col("vec_id") % 17 === 0)
+      // ONE join produces every edge with a new endpoint: direct rows are
+      // x→n (x anything, n new — covers base→new and new→new in both
+      // orientations); reversing the x-base rows adds new→base. No pair
+      // appears twice (direct targets are new, reversed targets are base)
+      // — a duplicate edge would double-count under the serve top-3.
+      val cand1 = e.alias("a").join(newV.alias("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+        .localCheckpoint() // both orientation selects read one evaluation
+      cand1.unionByName(
+          cand1.filter(col("vec_id") % 17 =!= 0)
+            .select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id"),
+              col("sim")))
+        .write.mode("overwrite").parquet(s"$dir/edges_delta")
+      new java.io.File(dir, "_delta_complete").createNewFile()
+    }
+    dir
+  }
+
+  /** s42: the PERSISTED k-NN graph served from the store — pinned
+    * bitwise-equal to inline [[s32_knn_graph]] (QueriesSpec) and reading
+    * ONLY stored edge files (PlanInvariantsSpec). See
+    * [[ensureKnnGraphStore]] for the build/append economics.
+    */
+  def s42_persisted_knn_graph(s: SparkSession, d: String): DataFrame = {
+    val dir = ensureKnnGraphStore(s, d)
+    TopKPerGroup.topK(
+      s.read.parquet(s"$dir/edges")
+        .unionByName(s.read.parquet(s"$dir/edges_delta")),
+      Seq("vec_id"), Seq(Ord("sim", desc = true), Ord("nbr_id")), 3)
   }
 
   /** s33: HARD-NEGATIVE mining — the contrastive-retriever training
@@ -1474,6 +1578,7 @@ object SimilarityQueries {
     "s37_tombstoned_search" -> (s37_tombstoned_search _),
     "s36_bitext_margin" -> (s36_bitext_margin _),
     "s32_knn_graph" -> (s32_knn_graph _),
+    "s42_persisted_knn_graph" -> (s42_persisted_knn_graph _),
     "s33_hard_negatives" -> (s33_hard_negatives _),
     "s31_compression_frontier" -> (s31_compression_frontier _),
     "s30_index_compaction" -> (s30_index_compaction _),
@@ -2567,18 +2672,10 @@ object SimilarityQueries {
     "s24_binary_quant" -> binaryQuantOracle,
     "s37_tombstoned_search" ->
       binaryQuantOracleWhere(" AND c.vec_id % 7 <> 3"),
-    "s32_knn_graph" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
-         |cand AS (
-         |  SELECT a.vec_id, b.vec_id AS nbr_id,
-         |         ${duckCosine("a.emb", "b.emb")} AS sim
-         |  FROM sig a JOIN sig b
-         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-         |SELECT vec_id, nbr_id, sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |              ORDER BY sim DESC, nbr_id) AS rk FROM cand) t
-         |WHERE rk <= 3""".stripMargin,
+    "s32_knn_graph" -> knnGraphOracle,
+    // s42 serves the SAME graph from its store — one oracle proves the
+    // persisted build+append path lossless vs the inline join
+    "s42_persisted_knn_graph" -> knnGraphOracle,
     "s33_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
          |           FROM embeddings),
@@ -2613,6 +2710,19 @@ object SimilarityQueries {
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY score DESC, e.vec_id LIMIT 20""".stripMargin,
   )
+
+  private lazy val knnGraphOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |sig AS (SELECT vec_id, emb, ${duckBucket("emb")} AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |         ${duckCosine("a.emb", "b.emb")} AS sim
+       |  FROM sig a JOIN sig b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, nbr_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |              ORDER BY sim DESC, nbr_id) AS rk FROM cand) t
+       |WHERE rk <= 3""".stripMargin
 
   /** s31's oracle reuses the component oracles verbatim as subqueries:
     * each family's stored twin recomputes its shortlist, truth comes from
