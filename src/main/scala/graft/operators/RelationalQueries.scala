@@ -4842,7 +4842,108 @@ object RelationalQueries {
     s.sql(q168Sql(t => s"unix_seconds($t)"))
   }
 
+  /** Shared q170 template — q168's runs table driven through a pattern
+    * with ALTERNATION and an OPTIONAL quantifier:
+    * `PATTERN (V (C|E)+ P?)` / `AFTER MATCH SKIP PAST LAST ROW` — a view
+    * followed by one-or-more clicks-OR-errors (any interleaving), then
+    * optionally a purchase. The `(C|E)+` body is a second gaps-and-islands
+    * pass OVER RUNS: runs whose type is click/error flag `mid`, and
+    * consecutive mid-runs group into maximal STRETCHES (rrn minus a
+    * per-(user, mid) row_number) — maximal-munch is the unique greedy
+    * parse because P never matches click/error, so the quantifier's
+    * extent is not a choice point. The head (V) and tail (P?) runs attach
+    * via lag/lead carried on each mid run and conditional aggregation
+    * over the stretch's first/last run — NOT min_by/max_by, whose
+    * null-argument semantics differ across engines; `max(CASE WHEN
+    * is_first THEN prev_x END)` reduces over exactly one possibly-null
+    * value and is portable. MEASURES: run count, per-type row counts,
+    * whether the optional purchase matched, its value, and the match
+    * duration in seconds. Same plan economics as q168: every window and
+    * the two aggregates key on user_id first, so the whole pattern pass
+    * is ONE exchange of the events scan (PlanInvariantsSpec pins it).
+    */
+  private[operators] def q170Sql(epoch: String => String): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts, value,
+       |         row_number() OVER (PARTITION BY user_id
+       |                            ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
+       |                                    ORDER BY rn) AS grp
+       |  FROM e),
+       |runs AS (
+       |  SELECT user_id, event_type, grp, min(rn) AS srn,
+       |         CAST(count(*) AS BIGINT) AS len,
+       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
+       |  FROM r GROUP BY 1, 2, 3),
+       |rr AS (
+       |  SELECT user_id, event_type, srn, len, t0, t1, v0,
+       |         CAST(row_number() OVER w AS BIGINT) AS rrn,
+       |         lag(event_type) OVER w AS prev_type,
+       |         lag(t1) OVER w AS prev_t1,
+       |         lead(event_type) OVER w AS next_type,
+       |         lead(t0) OVER w AS next_t0,
+       |         lead(v0) OVER w AS next_v0,
+       |         CASE WHEN event_type IN ('click', 'error')
+       |              THEN 1 ELSE 0 END AS mid
+       |  FROM runs
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY srn)),
+       |isl AS (
+       |  SELECT *,
+       |         rrn - row_number() OVER (PARTITION BY user_id, mid
+       |                                  ORDER BY rrn) AS isle,
+       |         CASE WHEN prev_type IS NULL
+       |                OR prev_type NOT IN ('click', 'error')
+       |              THEN 1 ELSE 0 END AS is_first,
+       |         CASE WHEN next_type IS NULL
+       |                OR next_type NOT IN ('click', 'error')
+       |              THEN 1 ELSE 0 END AS is_last
+       |  FROM rr),
+       |stretch AS (
+       |  SELECT user_id, isle, min(srn) AS s0,
+       |         CAST(count(*) AS BIGINT) AS n_runs,
+       |         CAST(coalesce(sum(len) FILTER (WHERE event_type = 'click'),
+       |                       0) AS BIGINT) AS n_clicks,
+       |         CAST(coalesce(sum(len) FILTER (WHERE event_type = 'error'),
+       |                       0) AS BIGINT) AS n_errors,
+       |         max(CASE WHEN is_first = 1 THEN prev_type END) AS head_type,
+       |         max(CASE WHEN is_first = 1 THEN prev_t1 END) AS head_t1,
+       |         max(CASE WHEN is_last = 1 THEN next_type END) AS tail_type,
+       |         max(CASE WHEN is_last = 1 THEN next_t0 END) AS tail_t0,
+       |         max(CASE WHEN is_last = 1 THEN next_v0 END) AS tail_v0,
+       |         max(t1) AS stretch_t1
+       |  FROM isl WHERE mid = 1
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT user_id, s0, ${epoch("head_t1")} AS view_epoch,
+       |         n_runs, n_clicks, n_errors,
+       |         CASE WHEN tail_type = 'purchase' THEN 1 ELSE 0 END
+       |           AS has_purchase,
+       |         CASE WHEN tail_type = 'purchase' THEN tail_v0 END
+       |           AS purchase_value,
+       |         CASE WHEN tail_type = 'purchase' THEN ${epoch("tail_t0")}
+       |              ELSE ${epoch("stretch_t1")} END AS end_epoch
+       |  FROM stretch
+       |  WHERE head_type = 'view')
+       |SELECT user_id,
+       |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY s0)
+       |            AS BIGINT) AS match_no,
+       |       view_epoch, n_runs, n_clicks, n_errors,
+       |       CAST(has_purchase AS BIGINT) AS has_purchase, purchase_value,
+       |       end_epoch - view_epoch AS duration_secs
+       |FROM m""".stripMargin
+
+  /** q170: MATCH_RECOGNIZE with alternation + optional quantifier —
+    * `PATTERN (V (C|E)+ P?)` with MEASURES; see [[q170Sql]].
+    */
+  def q170_pattern_alternation(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql(q170Sql(t => s"unix_seconds($t)"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q170_pattern_alternation" -> (q170_pattern_alternation _),
     "q169_interpolate" -> (q169_interpolate _),
     "q168_match_recognize" -> (q168_match_recognize _),
     "q167_sheet_merge_sql" -> (q167_sheet_merge_sql _),
@@ -5034,6 +5135,8 @@ object RelationalQueries {
     // cast ROUNDS sub-second timestamps up while unix_seconds floors
     "q168_match_recognize" ->
       q168Sql(t => s"(epoch_us($t) // 1000000)"),
+    "q170_pattern_alternation" ->
+      q170Sql(t => s"(epoch_us($t) // 1000000)"),
     "q169_interpolate" ->
       """WITH ev AS (
         |  SELECT date_trunc('hour', ts) AS hour, event_type,
