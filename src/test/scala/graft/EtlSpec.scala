@@ -157,6 +157,33 @@ class EtlRunnerSpec extends SparkTestBase {
     }
   }
 
+  test("sheet fidelity check: passes on a faithful publish, names a tampered sheet") {
+    val dest = Files.createTempDirectory("etl_fidelity")
+    val names = Seq("q01_pricing_summary", "q02_filter_project")
+    val outcomes = EtlRunner.publishRegistry(spark, names, sf, dest.toString)
+    assert(outcomes.collect { case l: EtlLoaded => l.name }.toSet == names.toSet)
+    names.foreach { n =>
+      assert(graft.tools.EtlDemo.sheetFidelity(spark, n, sf, dest.toString)
+        .isEmpty, s"fidelity flagged an untouched sheet $n")
+    }
+    // corrupt ONE data cell of q01 (flip a digit in the last line) — the
+    // multiset fingerprint must flag exactly that sheet, by name
+    val f = dest.resolve("q01_pricing_summary.csv")
+    val lines = Files.readAllLines(f)
+    val last = lines.get(lines.size - 1)
+    val idx = last.indexWhere(_.isDigit)
+    val flipped = last.updated(idx, if (last(idx) == '9') '8' else '9')
+    lines.set(lines.size - 1, flipped)
+    Files.write(f, lines)
+    val res = graft.tools.EtlDemo.sheetFidelity(
+      spark, "q01_pricing_summary", sf, dest.toString)
+    assert(res.exists(_.startsWith("q01_pricing_summary:")),
+      s"tampered sheet not flagged: $res")
+    // the untouched sibling still passes — the check localizes
+    assert(graft.tools.EtlDemo.sheetFidelity(
+      spark, "q02_filter_project", sf, dest.toString).isEmpty)
+  }
+
   test("publishRegistry: a broken operator skips, the batch continues") {
     // construction-time isolation (round-9 review finding): an unknown /
     // throwing operator must become an EtlSkipped outcome, not abort the
