@@ -51,6 +51,9 @@ object PatternScaleProbe {
       time(s"$tag q168_match_recognize")(
         graft.operators.RelationalQueries.q168_match_recognize(spark, sf)
           .count())
+      time(s"$tag q170_pattern_alternation")(
+        graft.operators.RelationalQueries.q170_pattern_alternation(spark, sf)
+          .count())
       time(s"$tag st22_stream_pattern")(
         graft.operators.StreamingQueries.st22_stream_pattern(spark, sf)
           .count())

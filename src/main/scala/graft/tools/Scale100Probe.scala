@@ -6,7 +6,8 @@ import graft.Sessions
 /** 100× scale evidence for the PAIR-GENERATOR tails (round-8 verdict
   * item 5): d17 exact substring spans, d24 PPJoin, d32 AllPairs cosine,
   * s36 bitext margins — the audited bench tail whose candidate-bound
-  * arguments previously stopped at the 10× probe.
+  * arguments previously stopped at the 10× probe. Round 10 adds d13
+  * star-contraction (d10's at-scale connected-components remedy).
   *
   *   runMain graft.tools.Scale100Probe [d17,d32,...]
   *
@@ -93,6 +94,13 @@ object Scale100Probe {
     for ((sf, tag, parts) <- Seq((base, "1x  ", 32),
         (big, s"${scale}x", math.max(64, scale * 5)))) {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
+      time(s"$tag d13_dedup_clusters_star")(
+        // d10's 100 TB remedy (round 10, verdict item 5): star-contraction
+        // connected components over the near-dup pairs — O(log n) rounds
+        // vs d10's O(diameter) label propagation. The families-of-2 corpus
+        // keeps every cluster a 2-clique, so cluster count must grow
+        // linearly and round count stay FLAT across the legs.
+        graft.operators.DedupQueries.d13_dedup_clusters_star(spark, sf).count())
       time(s"$tag d17_substring_spans")(
         graft.operators.DedupQueries.d17_substring_spans(spark, sf).count())
       time(s"$tag d24_ppjoin")(

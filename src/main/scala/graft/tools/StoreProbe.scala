@@ -11,8 +11,10 @@ import graft.Sessions
   *
   *   - s17_persisted_ivfpq: train+encode build vs route+ADC serve
   *   - g18_temporal_reach:  CoGraph store build vs 6-round reach query
+  *   - s42_persisted_knn_graph: bucket-join graph build (+ incremental
+  *     delta) vs store-sized serve (union + re-top-3)
   *
-  *   runMain graft.tools.StoreProbe [s17,g18]
+  *   runMain graft.tools.StoreProbe [s17,g18,s42]
   *
   * Corpus: embeddings replicate by vec_id offset (labels/vectors
   * unchanged — cells deepen 25×, the query side stays the fixed 10
@@ -54,10 +56,11 @@ object StoreProbe {
       // deep-scale s17-only run must not pay a clones× fact-table write.
       // Per-family markers so a later run wanting the other family in the
       // same dir still provisions its tables.
+      val wantEmb = want("s17") || want("s42")
       val marker = new java.io.File(dir,
-        s"_complete_${if (want("s17")) "s" else ""}${if (want("g18")) "g" else ""}")
+        s"_complete_${if (wantEmb) "s" else ""}${if (want("g18")) "g" else ""}")
       if (marker.exists()) return
-      if (want("s17") && !new java.io.File(dir, "_complete_s").exists()
+      if (wantEmb && !new java.io.File(dir, "_complete_s").exists()
           && !new java.io.File(dir, "_complete_sg").exists()) {
         val emb = spark.read.parquet(s"$base/embeddings.parquet")
         (0 until clones).map(i =>
@@ -121,6 +124,18 @@ object StoreProbe {
         val warm = time(s"$tag s17 warm(serve)")(
           graft.operators.SimilarityQueries.s17_persisted_ivfpq(spark, dir).count())
         println(f"[storeprobe] $tag s17 build=${cold - warm}%.1fs serve=$warm%.1fs")
+        graft.Checkpoints.releaseAll(spark)
+      }
+      if (want("s42")) {
+        // cold = base bucket-join build + delta append + serve; warm =
+        // store-sized serve only (union + re-top-3, no corpus scan)
+        val cold = time(s"$tag s42 cold(build+serve)")(
+          graft.operators.SimilarityQueries.s42_persisted_knn_graph(spark, dir)
+            .count())
+        val warm = time(s"$tag s42 warm(serve)")(
+          graft.operators.SimilarityQueries.s42_persisted_knn_graph(spark, dir)
+            .count())
+        println(f"[storeprobe] $tag s42 build=${cold - warm}%.1fs serve=$warm%.1fs")
         graft.Checkpoints.releaseAll(spark)
       }
       if (want("g18")) {

@@ -996,6 +996,17 @@ class PlanInvariantsSpec extends SparkTestBase {
       "a global single-partition window crept into the pattern pass")
   }
 
+  test("q170 alternation pattern: ONE user_id exchange, every window user-keyed") {
+    // q168's economics must survive the richer pattern: the stretch
+    // islands pass and both aggregates are user-keyed, so the events scan
+    // still shuffles exactly once
+    val p = finalPlan("q170_pattern_alternation").split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+    assert(!p.contains("SinglePartition"),
+      "a global single-partition window crept into the pattern pass")
+  }
+
   test("c56 pairs: strengths broadcast; the bout screen never shuffles them") {
     val p = finalPlan("c56_preference_pairs")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

@@ -1870,6 +1870,36 @@ class QueriesSpec extends SparkTestBase {
     assert(r18 >= 0.05, s"s18 recall collapsed: $r18")
   }
 
+  test("s42 persisted knn graph: bitwise-equals inline s32; append never rewrites base; store-only reads") {
+    // the store's exactness argument (base top-3 ∪ delta re-topped == full
+    // top-3) must hold BIT-for-bit: same candidate sims (commutative
+    // sequential fold), parquet round-trips doubles exactly
+    def edges(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSet
+    val stored = edges("s42_persisted_knn_graph")
+    val inline = edges("s32_knn_graph")
+    assert(stored == inline,
+      s"store diverged from inline graph: only-stored=${stored.diff(inline).take(3)} " +
+        s"only-inline=${inline.diff(stored).take(3)}")
+    // append idempotence + base immutability (the s18 contract)
+    val dir = operators.SimilarityQueries.ensureKnnGraphStore(spark, sf)
+    val baseFiles = new java.io.File(s"$dir/edges").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.nonEmpty)
+    val mtimes = baseFiles.map(f => f.getName -> f.lastModified()).toMap
+    val again = edges("s42_persisted_knn_graph")
+    assert(again == stored, "serve path is not idempotent")
+    baseFiles.foreach(f => assert(f.lastModified() == mtimes(f.getName),
+      s"append rewrote base edge file ${f.getName}"))
+    // the serve plan reads ONLY the stored edge tables — never the raw
+    // corpus embeddings (that would re-pay the build on every query)
+    val df = SparkEntry.queries("s42_persisted_knn_graph")(spark, sf)
+    df.collect()
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("graft_knngraph_")),
+      s"s42 must serve from the stored graph alone: ${files.take(5).mkString(", ")}")
+  }
+
   test("g05 k-core peel: a clique survives, a pendant path cascades away") {
     // K5 on nodes 1-5 plus a path 5-6-7-8: every path node has degree <= 2
     // < k=3, so the path peels end-in (node 8 first, then 7, then 6 —
