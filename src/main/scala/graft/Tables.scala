@@ -19,6 +19,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-side repartition width for EXPLODING operators (shingles,
+    * character grams, token unnests). Parquet split sizing sees the
+    * compressed file, not the 40-400× row blow-up an explode produces, so
+    * a scan that "fits" in a handful of splits yields post-explode
+    * partitions whose downstream hash aggregates exceed task memory — the
+    * round-10 probe caught exactly that: at the 100× corpus the d17 gram
+    * frame checkpointed into defaultParallelism=4 partitions (≈300M rows
+    * each) and the df aggregate died with AGGREGATE_OUT_OF_MEMORY. The
+    * session's `spark.sql.shuffle.partitions` IS the documented
+    * size-to-target-SF knob, so the scan repartition follows it: at bench
+    * scale both values agree (32) and plans are unchanged; a deep-scale
+    * run that raises the shuffle knob now widens the scan with it.
+    */
+  def scanPartitions(s: SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism,
+      scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(32))
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

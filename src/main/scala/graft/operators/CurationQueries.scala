@@ -209,7 +209,7 @@ object CurationQueries {
     // an independent eval frame would, so the broadcast bound is enforced
     // structurally, not by fixture luck
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+      .repartition(Tables.scanPartitions(s)) // single-file fixture
       .localCheckpoint() // both derived sides read one materialized scan
     decontaminateJaccard(
       docs.filter(col("doc_id") % 19 =!= 0),
@@ -288,7 +288,7 @@ object CurationQueries {
     */
   def c09_decontaminate_ngram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism) // single-file fixture
+      .repartition(Tables.scanPartitions(s)) // single-file fixture
       .localCheckpoint() // both derived sides read one materialized scan
     decontaminateExact(
       docs.filter(col("doc_id") % 19 =!= 0),
@@ -312,7 +312,7 @@ object CurationQueries {
     val mBits = 1 << 17 // 131072 bits = 2048 longs = 16 KB broadcast
     val kHash = 3
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .localCheckpoint()
     val evalDocs = docs.filter(col("doc_id") % 19 === 0)
     requireEvalBounded(evalDocs)
@@ -426,7 +426,7 @@ object CurationQueries {
   def c15_split_leakage(s: SparkSession, d: String): DataFrame = {
     val docs = grams13(
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(Tables.scanPartitions(s))
         .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
         .withColumn("split",
           when(col("h") < 800, "train").when(col("h") < 900, "val").otherwise("test")),
@@ -458,7 +458,7 @@ object CurationQueries {
     */
   def c23_split_repair(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .withColumn("h", hashCol(col("doc_id"), 97L, 1000L))
       .withColumn("split", when(col("h") < 800, "train")
         .when(col("h") < 900, "val").otherwise("test"))
@@ -543,7 +543,7 @@ object CurationQueries {
     val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
     val nBuckets = 8192L
     val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), (col("doc_id") % 19 === 0).as("is_target"),
         explode(split(lower(col("text")), " ")).as("term"))
       .localCheckpoint() // feeds vocab hashing, bucket counts, and scoring
@@ -726,7 +726,7 @@ object CurationQueries {
       s"bloom13_v1_${f.length()}_${f.lastModified()}", d)
     if (!new java.io.File(dir, "_complete").exists()) {
       val evalDocs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(Tables.scanPartitions(s))
         .filter(col("doc_id") % 19 === 0)
       requireEvalBounded(evalDocs)
       val evalGrams = grams13(evalDocs, "doc_id").select(col("ng")).distinct()
@@ -772,7 +772,7 @@ object CurationQueries {
     val dir = ensureBloomIndex(s, d)
     probeBloomIndex(s,
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(Tables.scanPartitions(s))
         .filter(col("doc_id") % 19 =!= 0), dir)
   }
 
@@ -863,7 +863,7 @@ object CurationQueries {
     */
   def c22_preprocess_recipe(s: SparkSession, d: String): DataFrame =
     preprocessRecipe(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The recipe over any (doc_id, lang, text) frame — QueriesSpec drives
     * it with a planted corpus where every stage provably bites (the sf
@@ -1019,7 +1019,7 @@ object CurationQueries {
     */
   def c33_assembly(s: SparkSession, d: String): DataFrame =
     assemble(s, Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The assembly over any (doc_id, lang, text) frame — QueriesSpec
     * drives it with a planted corpus where the quality gate provably
@@ -1209,7 +1209,7 @@ object CurationQueries {
     */
   def c37_contamination_panel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .localCheckpoint()
     val corpus = docs.filter(col("doc_id") % 19 =!= 0)
     val ngram = decontaminateExact(corpus, docs.filter(col("doc_id") % 19 === 0))
@@ -2334,7 +2334,7 @@ object CurationQueries {
     */
   def c11_decontaminate_apply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .localCheckpoint() // screen + apply both read one materialized scan
     val corpus = docs.filter(col("doc_id") % 19 =!= 0)
     val flagged = decontaminateExact(corpus,

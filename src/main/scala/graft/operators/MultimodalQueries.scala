@@ -411,7 +411,7 @@ object MultimodalQueries {
 
   def m17_entropy_gate(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .createOrReplaceTempView("documents")
     entropyFromViews(s)
   }

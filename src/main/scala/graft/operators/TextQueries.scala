@@ -90,7 +90,7 @@ object TextQueries {
   def t05_tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -145,7 +145,7 @@ object TextQueries {
   def t07_bm25(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("data", "hash", "scan")
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
         split(col("text"), " ").as("toks"))
@@ -189,7 +189,7 @@ object TextQueries {
     // projection — checkpoint so the corpus is scanned and tokenized ONCE,
     // not three times (the d03 lesson)
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .localCheckpoint()
     // top n-gram mass per doc: count every (overlapping) n-gram occurrence,
@@ -374,7 +374,7 @@ object TextQueries {
   def t11_lm_quality(s: SparkSession, d: String): DataFrame = {
     val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
     val bi = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -596,7 +596,7 @@ object TextQueries {
     val rounds = 8
     import s.implicits._
     var enc = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"),
         concat(lit(" "), regexp_replace(lower(col("text")), "(.)", "$1 ")).as("enc"))
       .localCheckpoint()
@@ -677,7 +677,7 @@ object TextQueries {
     */
   def t18_nb_classifier(s: SparkSession, d: String): DataFrame =
     nbClassify(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The train+score pipeline over any (doc_id, lang, text) frame —
     * QueriesSpec drives it with a planted class-correlated micro-corpus
@@ -787,7 +787,7 @@ object TextQueries {
     import graft.plans.TopKPerGroup.Ord
     import s.implicits._
     val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
     val pw = SearchPhrases.toDF("phrase")
@@ -820,7 +820,7 @@ object TextQueries {
   def t23_novelty(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.word_shingles
     val g = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"),
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
       .distinct()
@@ -871,7 +871,7 @@ object TextQueries {
       s"bm25idx_v1_${f.length()}_${f.lastModified()}", d)
     if (!new java.io.File(dir, "_complete").exists()) {
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(Tables.scanPartitions(s))
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("dl"),
           split(col("text"), " ").as("toks"))
@@ -928,7 +928,7 @@ object TextQueries {
     import graft.plans.TopKPerGroup.Ord
     val terms = Seq("data", "hash", "scan")
     val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"), posexplode(col("toks")))
       .select(col("doc_id"), col("toks"), (col("pos") + 1).as("p"),
@@ -1061,7 +1061,7 @@ object TextQueries {
     import graft.plans.TopKPerGroup.Ord
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), col("text"))
       .localCheckpoint() // feeds the index build AND the verify join
     val tri = docs
@@ -1131,7 +1131,7 @@ object TextQueries {
     import graft.plans.TopKPerGroup.Ord
     val rounds = 4
     val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos"), col("col").as("w"))
     val co = tok.alias("a")
@@ -1193,7 +1193,7 @@ object TextQueries {
 
   def t30_vocab_overlap(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .createOrReplaceTempView("documents")
     s.sql(t30Sql("div").replace("$SPLIT$", "explode(split(text, ' '))"))
   }
@@ -1220,7 +1220,7 @@ object TextQueries {
 
   def t31_burstiness(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .createOrReplaceTempView("documents")
     s.sql(t31Sql("explode(split(text, ' '))", "div"))
   }
