@@ -45,7 +45,7 @@ object DedupQueries {
 
   private[operators] def docShingles(s: SparkSession, d: String): DataFrame =
     shingled(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   private def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -122,7 +122,7 @@ object DedupQueries {
         expr(s"array_join($e, ' ')").as("text"))
     }.reduce(_ unionByName _)
     val corpus = shingled(base.unionByName(mutants)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
       .select(col("doc_id"), col("shingles"))
       .withColumn("sig", minhash_signature(col("shingles")))
       .localCheckpoint()
@@ -240,7 +240,7 @@ object DedupQueries {
     */
   def d04_dedup_simhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** d04's pair pipeline parameterized on the raw (doc_id, text) corpus, so
     * the chunk-LSH recall guarantee is testable on a planted pair
@@ -320,7 +320,7 @@ object DedupQueries {
 
   def d05_ngram_jaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+      Tables.documents(s, d).repartition(Tables.scanPartitions(s)),
       DfCap)
       .filter(col("jaccard") >= 0.1)
       .select(col("doc_a"), col("doc_b"), col("lang"), col("jaccard"))
@@ -340,7 +340,7 @@ object DedupQueries {
   def d34_dedup_roi(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .localCheckpoint() // pair generator + token lookup share one scan
     val pairs = ngramJaccardPairs(docs, DfCap)
       .select(col("doc_b"), col("na"), col("nb"), col("inter"))
@@ -455,7 +455,7 @@ object DedupQueries {
     */
   def d22_containment(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+      Tables.documents(s, d).repartition(Tables.scanPartitions(s)),
       DfCap)
       .select(
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
@@ -717,7 +717,7 @@ object DedupQueries {
     // the batch is doc_id % 7 (deliberately coprime with the fixture's
     // source = doc_id % 10 so the split crosses source buckets)
     val all = bigramIndex(
-      Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism))
+      Tables.documents(s, d).repartition(Tables.scanPartitions(s)))
       .localCheckpoint() // batch + corpus both derive from this: one kernel pass
     probeIndex(
       all.filter(col("doc_id") % 7 === 0),
@@ -762,7 +762,7 @@ object DedupQueries {
   def d12_passage_stats(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions.word_shingles
     val grams = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(Tables.scanPartitions(s))
       .select(col("doc_id"),
         explode(word_shingles(split(lower(col("text")), " "), 13)).as("ng"))
       .localCheckpoint() // df agg + join-back share one kernel pass
@@ -802,7 +802,7 @@ object DedupQueries {
     */
   def d33_soft_dedup(s: SparkSession, d: String): DataFrame =
     softDedupFrom(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** d33 over an arbitrary (doc_id, source, text) frame — split out so the
     * spec can plant exact-duplicate and too-short-to-shingle cases.
@@ -857,7 +857,7 @@ object DedupQueries {
     */
   def d14_passage_dedup_apply(s: SparkSession, d: String): DataFrame =
     passageDedupApply(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The rewrite core over any (doc_id, text) frame — separated so the
     * remove-the-span semantics are pinned on a hand-built corpus
@@ -1038,7 +1038,7 @@ object DedupQueries {
     val dir = ensureMinhashIndex(s, d)
     probeMinhashIndex(s,
       Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(Tables.scanPartitions(s))
         .filter(col("doc_id") % 17 === 0), dir)
   }
 
@@ -1079,15 +1079,23 @@ object DedupQueries {
     // ~2^-60 per gram pair it is not a 100 TB concern (and if it fired
     // it could only merge two df counts or add a pair the span filter
     // still has to assemble 21 consecutive collisions to emit).
-    val sh = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    // The gram frame is a STATELESS projection of the compressed text
+    // scan (explode + substring + hash60) — recomputing it per consumer
+    // is one pipelined pass, while CACHING it is a |corpus|-row object
+    // store (round 10's 100× probe: the checkpointed frame wanted tens
+    // of GB of block storage and the unroll churn OOM'd a 48 GB heap —
+    // at 100 TB you would never materialize exploded grams). So `sh` is
+    // a def: the df aggregate and the survivor join each stream their
+    // own scan, and only the SURVIVOR sliver — the data-dependently
+    // small frame that IS worth holding — checkpoints below.
+    def sh = Tables.documents(s, d)
+      .repartition(Tables.scanPartitions(s))
       .withColumn("n", length(col("text")))
       .withColumn("pos",
         explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
           .otherwise(array().cast("array<int>"))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         hash60(expr(s"substring(text, pos, $k)")).as("gh"))
-      .localCheckpoint() // explode+substring+hash feeds the df agg AND both join sides
     // only grams occurring 2..16 times can ever produce a pair: df=1 is
     // pair-sterile (the bulk of the table) and df>16 is the boilerplate
     // cap — so the survivor list is tiny and the self-join input collapses
@@ -1105,7 +1113,9 @@ object DedupQueries {
     // safe at any survivor cardinality on any topology.
     val keep = sh.groupBy("gh").count()
       .filter(col("count").between(2, 16)).select("gh")
+      .localCheckpoint() // survivor hashes: small, reused by the join below
     val sk = sh.join(keep.hint("shuffle_hash"), "gh")
+      .localCheckpoint() // survivor occurrences feed BOTH self-join sides
     // the pair self-join sides are corpus-dependent too — same rule
     val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gh"))
       .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gh"))
@@ -1141,7 +1151,7 @@ object DedupQueries {
     */
   def d19_line_dedup(s: SparkSession, d: String): DataFrame =
     lineDedup(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The strike-and-reassemble pipeline over any (doc_id, lang, text)
     * frame — QueriesSpec drives it with a planted corpus where the exact
@@ -1514,7 +1524,7 @@ object DedupQueries {
     */
   def d28_winnowing(s: SparkSession, d: String): DataFrame =
     winnowPairs(Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** Fingerprint-and-pair pipeline over any (doc_id, text) frame — split
     * out so the spec can plant a shared ≥ t-char substring and see the
@@ -1790,7 +1800,7 @@ object DedupQueries {
 
   def d32_allpairs_cosine(s: SparkSession, d: String): DataFrame =
     allPairsOver(s, Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism))
+      .repartition(Tables.scanPartitions(s)))
 
   /** The Spark execution of [[d32Sql]]'s semantics as a checkpointed
     * DataFrame pipeline: Spark inlines CTEs, so the literal SQL text
@@ -1813,13 +1823,20 @@ object DedupQueries {
     // DuckDB twin computes the identical hash, so the (astronomically
     // unlikely) collision is mirrored and the gate stays exact; a
     // collision can only ever ADD a candidate the exact dot re-scores.
-    val grams = docsIn
+    // grams is a def, not a checkpoint (round 10, the d17 lesson): the
+    // distinct gram table is |corpus|-sized, and caching it was ~10 GB of
+    // object-store spill at the 100× probe — recomputing the scan→explode
+    // →hash→distinct chain for its two consumers (df aggregate, weight
+    // join) costs one extra pipelined shuffle and zero storage. n_docs
+    // comes straight off the raw scan: a doc yields ≥1 trigram iff it has
+    // ≥3 tokens, so the count never needs the gram table at all.
+    def grams = docsIn
       .select(col("doc_id"),
         explode(word_shingles(split(col("text"), " "), 3)).as("term"))
       .select(col("doc_id"), hash60(col("term")).as("th"))
       .distinct()
-      .localCheckpoint() // feeds n_docs, df, and the weight join
-    val nDocs = grams.select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
+    val nDocs = docsIn.filter(size(split(col("text"), " ")) >= 3)
+      .select(countDistinct(col("doc_id"))).collect()(0).getLong(0)
     val dfreq = grams.groupBy(col("th")).agg(count(lit(1)).as("df"))
     val wnz = grams.join(dfreq, "th")
       .withColumn("w", expr(
@@ -1849,11 +1866,25 @@ object DedupQueries {
       .select(least(col("id_a"), col("id_b")).as("da"),
         greatest(col("id_a"), col("id_b")).as("db"))
       .distinct()
-    cand
-      .join(qv.select(col("doc_id").as("da"), col("th"), col("q").as("qa")),
-        Seq("da"))
+    // VERIFY as a shared-term self-join + pair semi-join (round 10): the
+    // previous shape joined each candidate pair to doc A's FULL vector
+    // then doc B's — |cand|·|terms per doc| intermediate rows, which the
+    // 100× probe measured in the BILLIONS (every junk one-shared-term
+    // candidate pulled two whole vectors; ~60 GB of in-flight shuffle
+    // killed the leg). This shape emits exactly one row per (pair,
+    // SHARED term) — Σ C(df,2) over the vocabulary, 167M rows on the
+    // 100× corpus — then keeps candidate pairs via the semi-join and
+    // aggregates exact dots. Same values (a dot is the sum over shared
+    // terms either way); the completeness proof is untouched (cand is
+    // unchanged). Caveat the scaladoc carries: Σ C(df,2) is the d05/d24
+    // trade — a df-hot boilerplate corpus pays it in this join rather
+    // than in candidate explosion, and composes with d05's df-cap
+    // economics if that ever dominates.
+    qv.select(col("doc_id").as("da"), col("th"), col("q").as("qa"))
       .join(qv.select(col("doc_id").as("db"), col("th"), col("q").as("qb")),
-        Seq("db", "th"))
+        Seq("th"))
+      .filter(col("da") < col("db"))
+      .join(cand, Seq("da", "db"), "left_semi")
       .groupBy(col("da"), col("db"))
       .agg(sum(col("qa") * col("qb")).as("dot"))
       .filter(col("dot") >= tau)
