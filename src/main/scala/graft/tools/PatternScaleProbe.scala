@@ -42,8 +42,10 @@ object PatternScaleProbe {
     }
 
     val meter = new ProbeMetrics(spark)
-    def time(name: String)(f: => Long): Unit =
+    def time(name: String)(f: => Long): Unit = {
       meter.timed("probeCEP", name)(f)
+      graft.Checkpoints.releaseAll(spark)
+    }
 
     for ((sf, tag, parts) <- Seq((base, "1x  ", 32),
         (big, s"${scale}x", math.max(64, scale * 2)))) {

@@ -60,6 +60,25 @@ final class ProbeMetrics(spark: SparkSession) extends SparkListener {
     secs
   }
 
+  // per-stage flight recorder for the deep-scale legs: any stage whose
+  // shuffle write, spill, or output exceeds 512 MB prints its callsite
+  // name — when a probe leg dies on disk, the culprit operator line is in
+  // the log instead of being reverse-engineered from temp_shuffle debris
+  override def onStageCompleted(
+      ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val si = ev.stageInfo
+    val m = si.taskMetrics
+    if (m != null) {
+      val sw = m.shuffleWriteMetrics.bytesWritten
+      val spill = m.diskBytesSpilled
+      if (sw > (512L << 20) || spill > (512L << 20))
+        println(f"[probe-stage] id=${si.stageId} tasks=${si.numTasks} " +
+          s"write=${fmt(sw)} spill=${fmt(spill)} " +
+          s"rows=${m.shuffleWriteMetrics.recordsWritten} " +
+          s"name=${si.name.linesIterator.nextOption().getOrElse("").take(100)}")
+    }
+  }
+
   def fmt(bytes: Long): String =
     if (bytes >= (1L << 30)) f"${bytes / (1024.0 * 1024 * 1024)}%.1fGB"
     else if (bytes >= (1L << 20)) f"${bytes / (1024.0 * 1024)}%.1fMB"

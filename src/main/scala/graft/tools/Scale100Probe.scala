@@ -81,8 +81,20 @@ object Scale100Probe {
     }
 
     val meter = new ProbeMetrics(spark)
+    // release pinned checkpoint blocks after EVERY entry (the Bench/
+    // StoreProbe discipline): at the 100× leg one entry's cached frames
+    // are a double-digit-GB storage tenant, and a later entry timed
+    // against that occupied store measures eviction, not the operator
     def time(name: String)(f: => Long): Unit =
-      if (want(name)) meter.timed("probe100", name)(f)
+      if (want(name)) {
+        meter.timed("probe100", name)(f)
+        graft.Checkpoints.releaseAll(spark)
+        // deep-scale legs leave tens of GB of shuffle files that the
+        // ContextCleaner only reaps when the referencing plans are GC'd
+        // (periodic GC defaults to 30 min) — force it so entry N+1 gets
+        // the disk entry N was measured with
+        System.gc()
+      }
 
     // THE measured knee from the first 100× run: with the sf0.1-sized 32
     // shuffle partitions, d32's per-partition external sorts (50M-row gram
