@@ -81,10 +81,16 @@ object Bench {
       .orElse(readFile("/sys/fs/cgroup/cpu/cpu.stat"))
     def stat(k: String): Long = cpuStat.flatMap(_.linesIterator
       .find(_.startsWith(k + " ")).map(_.split(" ")(1).toLong)).getOrElse(-1L)
-    // v2 spells the duration throttled_usec; this box's v1-style stat
-    // spells it throttled_time — take whichever is present
-    val throttled = Seq("throttled_usec", "throttled_time")
-      .map(stat).find(_ >= 0L).getOrElse(-1L)
+    // v2 spells the duration throttled_usec (microseconds); v1-style
+    // stats (this box) spell it throttled_time in NANOSECONDS — convert,
+    // or a 5 ms throttle would read as 5 s in the adjudication artifact
+    val throttled = stat("throttled_usec") match {
+      case v if v >= 0L => v
+      case _ => stat("throttled_time") match {
+        case ns if ns >= 0L => ns / 1000L
+        case _ => -1L
+      }
+    }
     s"""{"load1":${load._1},"load5":${load._2},"load15":${load._3},""" +
       f""""free_disk_gb":$freeGb%.1f,"nr_throttled":${stat("nr_throttled")},""" +
       s""""throttled_usec":$throttled}"""
@@ -99,8 +105,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def mark(name: String, e: Throwable): Unit =
       errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
-        String.valueOf(e.getMessage).linesIterator.nextOption()
-          .getOrElse("").take(120))
+        graft.etl.EtlRunner.firstLine(e).take(120))
     val envStart = envFingerprint()
 
     // Spark job count for one execution, via a per-execution job group and
@@ -109,12 +114,18 @@ object Bench {
     // bounded at 200ms so a stuck bus can never stall the bench. Counted
     // on ONE steady rep per entry (not all reps): the count is a plan
     // property, and the settle poll would otherwise add minutes.
+    // returns (job count, seconds) with the timing window closed BEFORE
+    // the settle poll starts — the poll's 20-200ms of sleep must never
+    // leak into the recorded sample (it would be a 20-200% systematic
+    // error on the sub-100ms entries the min/median evidence exists for)
     var groupSeq = 0
-    def countJobs(name: String)(run: => Unit): Int = {
+    def countJobs(name: String)(run: => Unit): (Int, Double) = {
       groupSeq += 1
       val group = s"bench_jobs_${groupSeq}"
       sc.setJobGroup(group, name, interruptOnCancel = false)
+      val t0 = System.nanoTime()
       try run finally sc.clearJobGroup()
+      val secs = (System.nanoTime() - t0) / 1e9
       var n = sc.statusTracker.getJobIdsForGroup(group).length
       var stable = 0
       var waitedMs = 0
@@ -123,7 +134,7 @@ object Bench {
         val m = sc.statusTracker.getJobIdsForGroup(group).length
         if (m == n) stable += 1 else { stable = 0; n = m }
       }
-      n
+      (n, secs)
     }
 
     val sentinel = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -184,13 +195,17 @@ object Bench {
     val jobCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val times = (1 to reps).flatMap { rep =>
-        val t0 = System.nanoTime()
         val r =
           try {
-            if (rep == 1)
-              jobCounts(name) = countJobs(name) { fn(spark, sfDir).count() }
-            else fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
+            if (rep == 1) {
+              val (jobs, secs) = countJobs(name) { fn(spark, sfDir).count() }
+              jobCounts(name) = jobs
+              Some(secs)
+            } else {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            }
           } catch { case e: Throwable => mark(name, e); None }
         Checkpoints.releaseAll(spark)
         r

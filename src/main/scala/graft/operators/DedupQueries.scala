@@ -1069,31 +1069,33 @@ object DedupQueries {
     import graft.functions.TextFunctions.hash60
     val k = 40
     val minSpan = 60
-    // Round 10 (verdict item 2): the 40-char gram string dies inside the
-    // projection — only (doc_id, pos, hash60) ever shuffles. r9's shape
-    // kept the string through the df filter and the pair self-join behind
-    // an xxhash64 PRE-filter (xxhash64 isn't portable, so the exact
-    // string pass had to follow); hash60 IS portable, so the DuckDB twin
-    // keys on the identical int64 and the string never needs re-checking
-    // — a 60-bit collision would be mirrored on both engines, and at
-    // ~2^-60 per gram pair it is not a 100 TB concern (and if it fired
-    // it could only merge two df counts or add a pair the span filter
-    // still has to assemble 21 consecutive collisions to emit).
-    // The gram frame is a STATELESS projection of the compressed text
-    // scan (explode + substring + hash60) — recomputing it per consumer
-    // is one pipelined pass, while CACHING it is a |corpus|-row object
-    // store (round 10's 100× probe: the checkpointed frame wanted tens
-    // of GB of block storage and the unroll churn OOM'd a 48 GB heap —
-    // at 100 TB you would never materialize exploded grams). So `sh` is
-    // a def: the df aggregate and the survivor join each stream their
-    // own scan, and only the SURVIVOR sliver — the data-dependently
-    // small frame that IS worth holding — checkpoints below.
-    def sh = Tables.documents(s, d)
+    // Round 10 (verdict item 2, exactness restored after self-review):
+    // TWO-LEVEL filtering where the CORPUS-sized shuffles carry only
+    // (doc_id, pos, hash60) — 8-byte keys instead of 40-char strings —
+    // and every EXACT decision happens on the survivor sliver. Level 1
+    // prunes hash-groups of size 1 only (a df≥2 gram's hash group
+    // necessarily has ≥2 rows, so no true survivor is ever lost; a
+    // colliding df=1 gram merely rides along). Level 2 re-derives the
+    // gram STRING for the sliver alone and applies the 2..16 band plus
+    // the pair self-join on the exact string — so a 60-bit collision can
+    // neither exclude a true duplicate gram (the birthday bound at 1e13
+    // grams is ~1e7 collisions — NOT ignorable, which is why the band
+    // must not act on merged hash counts) nor fabricate a pair. Output
+    // is bit-identical to the one-level exact-string algorithm at any
+    // corpus size; the DuckDB oracle states the pure exact semantics.
+    // The gram frames are STATELESS projections of the compressed text
+    // scan — recomputing per consumer is one pipelined pass, while
+    // CACHING was ~10 GB of object-store spill at the 100× probe (and
+    // the unroll churn OOM'd a 48 GB heap). Only the survivor sliver —
+    // the data-dependently small frame that IS worth holding —
+    // checkpoints.
+    def shBase = Tables.documents(s, d)
       .repartition(Tables.scanPartitions(s))
       .withColumn("n", length(col("text")))
       .withColumn("pos",
         explode(when(col("n") >= k, sequence(lit(1), col("n") - (k - 1)))
           .otherwise(array().cast("array<int>"))))
+    def sh = shBase
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         hash60(expr(s"substring(text, pos, $k)")).as("gh"))
     // only grams occurring 2..16 times can ever produce a pair: df=1 is
@@ -1102,25 +1104,35 @@ object DedupQueries {
     // from |corpus| shingles to just the duplicated ones (sf0.1: 5.4s →
     // 2.5s; at 100 TB this is the difference between self-joining the
     // corpus and self-joining its duplicate sliver).
-    // The survivor list (keep) is DATA-DEPENDENT: "tiny" on a real
-    // mostly-unique corpus, but nothing bounds it — a duplicate-heavy
-    // corpus makes it O(distinct grams). The 25× probe caught exactly
+    // The survivor lists are DATA-DEPENDENT: "tiny" on a real
+    // mostly-unique corpus, but nothing bounds them — a duplicate-heavy
+    // corpus makes them O(distinct grams). The 25× probe caught exactly
     // that: the planner's estimate broadcast the survivors (~7M hashes
     // there) and the build died at the driver. Broadcast must be a proven
-    // bound, not a stats guess (the c08 rule), so the survivor join is
+    // bound, not a stats guess (the c08 rule), so the survivor joins are
     // pinned SHUFFLE_HASH: same one-shuffle cost class as the broadcast
     // at small scale (the build side hashes per-partition, no sort), and
     // safe at any survivor cardinality on any topology.
-    val keep = sh.groupBy("gh").count()
-      .filter(col("count").between(2, 16)).select("gh")
-      .localCheckpoint() // survivor hashes: small, reused by the join below
-    val sk = sh.join(keep.hint("shuffle_hash"), "gh")
-      .localCheckpoint() // survivor occurrences feed BOTH self-join sides
+    val cand = sh.groupBy("gh").count()
+      .filter(col("count") >= 2).select("gh")
+      .localCheckpoint() // hash-groups that can possibly pair: small
+    // level 2: gram strings exist ONLY on the sliver — the string column
+    // is re-derived in the same scan pass that the hash join filters
+    val shc = shBase
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr(s"substring(text, pos, $k)").as("gram"),
+        hash60(expr(s"substring(text, pos, $k)")).as("gh"))
+      .join(cand.hint("shuffle_hash"), "gh")
+      .select(col("doc_id"), col("pos"), col("gram"))
+      .localCheckpoint() // survivor occurrences feed the band AND both join sides
+    val keep = shc.groupBy("gram").count()
+      .filter(col("count").between(2, 16)).select("gram")
+    val sk = shc.join(keep.hint("shuffle_hash"), "gram")
     // the pair self-join sides are corpus-dependent too — same rule
-    val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gh"))
-      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gh"))
+    val m = sk.select(col("doc_id").as("da"), col("pos").as("pa"), col("gram"))
+      .join(sk.select(col("doc_id").as("db"), col("pos").as("pb"), col("gram"))
           .hint("shuffle_hash"),
-        Seq("gh"))
+        Seq("gram"))
       .filter(col("da") < col("db"))
       .withColumn("diag", col("pa") - col("pb"))
     val w = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
@@ -2445,24 +2457,23 @@ object DedupQueries {
         |SELECT t.doc_id, t.lang, coalesce(kept.clean_text, '') AS clean_text,
         |       t.n_lines, t.n_lines - coalesce(kept.n_kept, 0) AS n_dropped
         |FROM t LEFT JOIN kept USING (doc_id)""".stripMargin,
+    // pure exact-string semantics: the Spark side's hash60 level-1 prune
+    // provably loses no df>=2 gram and the exact band/join run on
+    // strings, so the oracle needs no hash at all — the gate proves the
+    // two-level execution equals the one-level exact algorithm
     "d17_substring_spans" ->
-      s"""WITH sh0 AS (
+      """WITH sh0 AS (
         |  SELECT doc_id, text, unnest(range(1, greatest(n_chars - 38, 1))) AS pos
         |  FROM documents),
-        |shg AS (
+        |sh AS (
         |  SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), 40) AS gram
         |  FROM sh0),
-        |sh AS (
-        |  SELECT doc_id, pos,
-        |         (${duckPoly(31, 1000000007L, "gram")}
-        |          | (${duckPoly(131, 1000000009L, "gram")} << 30)) AS gh
-        |  FROM shg),
-        |keep AS (SELECT gh FROM sh GROUP BY gh
+        |keep AS (SELECT gram FROM sh GROUP BY gram
         |         HAVING count(*) BETWEEN 2 AND 16),
-        |sk AS (SELECT sh.* FROM sh JOIN keep USING (gh)),
+        |sk AS (SELECT sh.* FROM sh JOIN keep USING (gram)),
         |m AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
-        |  FROM sk a JOIN sk b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |  FROM sk a JOIN sk b ON a.gram = b.gram AND a.doc_id < b.doc_id),
         |isl AS (
         |  SELECT da, db, pa, pb, pa - pb AS diag,
         |         pa - row_number() OVER (PARTITION BY da, db, pa - pb

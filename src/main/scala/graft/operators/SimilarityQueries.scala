@@ -1203,7 +1203,15 @@ object SimilarityQueries {
       .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
       .groupBy(col("family"), col("bytes_per_vec"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    counted
+    // a family whose shortlist came back EMPTY must still report a 0-hit
+    // row (the oracle's UNION ALL literals always emit all four): anchor
+    // the output on a literal 4-row family frame and left-join the counts
+    import s.implicits._
+    val familyRows = Seq(("float32_exact", 256L), ("int8_sq", 64L),
+      ("jl_proj32", 256L), ("sign_1bit", 8L)).toDF("family", "bytes_per_vec")
+    familyRows
+      .join(counted, Seq("family", "bytes_per_vec"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("n_truth",
         max(when(col("family") === "float32_exact", col("n_hits")))
           .over(org.apache.spark.sql.expressions.Window.partitionBy()))

@@ -41,6 +41,13 @@ object EtlDemo {
       Iterator((cnt, acc))
     }
     def merge(a: (Long, Long), b: (Long, Long)) = (a._1 + b._1, a._2 + b._2)
+    // header check FIRST — metadata-only; a drifted header must not pay
+    // a full distributed re-evaluation just to be rejected by a string
+    // comparison
+    val pub = spark.read.format("sheets").option("name", name).load(dest)
+    if (pub.columns.toSeq != schema.fieldNames.toSeq)
+      return Some(s"$name: header ${pub.columns.mkString(",")} != " +
+        s"frame ${schema.fieldNames.mkString(",")}")
     // expected: internal rows through the sink's converters (UnsafeRow
     // buffers are reused per-element — cells materialize immediately)
     val exp = df.queryExecution.toRdd.mapPartitions { it =>
@@ -49,10 +56,6 @@ object EtlDemo {
           if (row.isNullAt(i)) "" else convs(i)(row.get(i, types(i))))
       })
     }.fold((0L, 0L))(merge)
-    val pub = spark.read.format("sheets").option("name", name).load(dest)
-    if (pub.columns.toSeq != schema.fieldNames.toSeq)
-      return Some(s"$name: header ${pub.columns.mkString(",")} != " +
-        s"frame ${schema.fieldNames.mkString(",")}")
     val got = pub.rdd.mapPartitions { it =>
       foldRows(it.map(r =>
         (0 until n).map(i => Option(r.getString(i)).getOrElse(""))))
@@ -118,7 +121,7 @@ object EtlDemo {
         scala.util.Try(sheetFidelity(spark, n, sf, dest)) match {
           case scala.util.Success(res) => res
           case scala.util.Failure(e) => Some(s"$n: fidelity check error: " +
-            String.valueOf(e.getMessage).linesIterator.nextOption().getOrElse(""))
+            EtlRunner.firstLine(e))
         })
       println(f"[etl-registry] fidelity sampled=${sampled.size} sheets in " +
         f"${(System.nanoTime() - tf) / 1e9}%.1f s failures=${fidelityFailures.size}" +
