@@ -45,7 +45,9 @@ import org.apache.spark.sql.SparkSession
   * artifact now carries its own adjudication evidence:
   *  - `queries_jobs`: Spark job count per entry (counted via a per-query
   *    job group on the first steady rep) — the contention-amplification
-  *    exposure of each entry;
+  *    exposure of each entry; a NEGATIVE value means the async status bus
+  *    was still moving when the bounded settle poll gave up (|value| =
+  *    last read, possibly an undercount);
   *  - `queries_min`: min-of-reps next to the median — a median far above
   *    its own min is scheduling noise, not engine cost;
   *  - `env`: loadavg / free-disk / cgroup-throttle fingerprints captured
@@ -66,14 +68,20 @@ object Bench {
     * cgroup-v1 fallback). All best-effort reads — a missing /proc or
     * /sys file yields -1, never an abort.
     */
-  private def envFingerprint(): String = {
+  private def envFingerprint(diskDir: String = ""): String = {
     def readFile(p: String): Option[String] =
       try Some(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(p)))) catch { case _: Throwable => None }
     val load = readFile("/proc/loadavg").map(_.trim.split("\\s+"))
       .filter(_.length >= 3).map(a => (a(0), a(1), a(2)))
       .getOrElse(("-1", "-1", "-1"))
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    // measure the SHUFFLE volume, not java.io.tmpdir: Spark spill/shuffle
+    // files land under spark.local.dir, which can be a different mount —
+    // a fingerprint read off tmpdir can show plenty of room while the
+    // shuffle volume is full (the exact condition it exists to witness)
+    val tmp = new java.io.File(
+      if (diskDir.nonEmpty) diskDir
+      else System.getProperty("java.io.tmpdir", "/tmp"))
     val freeGb = tmp.getUsableSpace / 1e9
     // cgroup v2: cpu.stat carries nr_throttled/throttled_usec for the
     // current cgroup; v1 keeps them under cpu/cpu.stat
@@ -92,7 +100,8 @@ object Bench {
       }
     }
     s"""{"load1":${load._1},"load5":${load._2},"load15":${load._3},""" +
-      f""""free_disk_gb":$freeGb%.1f,"nr_throttled":${stat("nr_throttled")},""" +
+      f""""free_disk_gb":$freeGb%.1f,"disk_dir":"${tmp.getPath}",""" +
+      s""""nr_throttled":${stat("nr_throttled")},""" +
       s""""throttled_usec":$throttled}"""
   }
 
@@ -106,7 +115,11 @@ object Bench {
     def mark(name: String, e: Throwable): Unit =
       errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
         graft.etl.EtlRunner.firstLine(e).take(120))
-    val envStart = envFingerprint()
+    // spark.local.dir may be a comma list of volumes; the first entry is
+    // where shuffle files land first and is the one worth fingerprinting
+    val shuffleDir = sc.getConf.get("spark.local.dir",
+      System.getProperty("java.io.tmpdir", "/tmp")).split(",")(0)
+    val envStart = envFingerprint(shuffleDir)
 
     // Spark job count for one execution, via a per-execution job group and
     // the public status tracker. The status store is fed by an ASYNC
@@ -134,7 +147,12 @@ object Bench {
         val m = sc.statusTracker.getJobIdsForGroup(group).length
         if (m == n) stable += 1 else { stable = 0; n = m }
       }
-      (n, secs)
+      // a poll that hit the 200ms cap without two stable reads may have
+      // missed tail events on a lagging status bus — report the count
+      // NEGATED (min -1: every query runs >= 1 job, so a stale 0 must not
+      // read as settled) so the artifact distinguishes "settled at n"
+      // from "bus still moving, last read n"
+      (if (stable >= 2) n else -math.max(n, 1), secs)
     }
 
     val sentinel = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -225,7 +243,7 @@ object Bench {
     }
     val medians = results.map { case (k, (med, _)) => k -> med }
     val mins = results.map { case (k, (_, mn)) => k -> mn }
-    val envEnd = envFingerprint()
+    val envEnd = envFingerprint(shuffleDir)
     // one-time overhead the first touch paid over steady state (store
     // builds, footer reads); only entries where it is material
     val build = firstTouch.flatMap { case (name, ft) =>

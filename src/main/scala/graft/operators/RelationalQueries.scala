@@ -4769,7 +4769,7 @@ object RelationalQueries {
   /** Shared q168 template — the one splice point is the epoch-seconds
     * spelling (Spark `unix_seconds`, DuckDB `CAST(epoch() AS BIGINT)`);
     * everything else (row numbering, islands grouping, named window,
-    * min_by tie-broken by the unique rn) is common SQL.
+    * run-leading value via the portable krn = 1 reduction) is common SQL.
     */
   /** The match pass over a `runs(user_id, event_type, srn, len, t0, t1,
     * v0)` CTE — shared verbatim by q168 (runs from one global numbering)
@@ -4801,7 +4801,17 @@ object RelationalQueries {
        |       purchase_value
        |FROM m""".stripMargin
 
-  private[operators] def q168Sql(epoch: String => String): String =
+  /** The shared e→r→runs prefix of q168/q170: global per-user numbering,
+    * gaps-and-islands run keys, and run compaction. The run-leading value
+    * (`v0`) is reduced with the PORTABLE `max(CASE WHEN krn = 1 THEN
+    * value END)` spelling, NOT `min_by(value, rn)`: the engines' min_by /
+    * arg_min diverge on NULL arguments (Spark returns the NULL value at
+    * min rn; DuckDB skips NULL arguments and returns the next non-null),
+    * so a NULL value on a run-leading event would silently split the hash
+    * gate. `krn` is unique within a run (rn is unique), so the CASE
+    * reduces over exactly one possibly-NULL value on BOTH engines.
+    */
+  private[operators] def q168RunsPrefix: String =
     s"""WITH e AS (
        |  SELECT user_id, event_type, ts, value,
        |         row_number() OVER (PARTITION BY user_id
@@ -4811,11 +4821,19 @@ object RelationalQueries {
        |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
        |                                    ORDER BY rn) AS grp
        |  FROM e),
+       |r1 AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, grp
+       |                               ORDER BY rn) AS krn
+       |  FROM r),
        |runs AS (
        |  SELECT user_id, event_type, grp, min(rn) AS srn,
        |         CAST(count(*) AS BIGINT) AS len,
-       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
-       |  FROM r GROUP BY 1, 2, 3),
+       |         min(ts) AS t0, max(ts) AS t1,
+       |         max(CASE WHEN krn = 1 THEN value END) AS v0
+       |  FROM r1 GROUP BY 1, 2, 3),""".stripMargin
+
+  private[operators] def q168Sql(epoch: String => String): String =
+    s"""$q168RunsPrefix
        |${q168MatchTail(epoch)}""".stripMargin
 
   /** q168: ROW-PATTERN RECOGNITION — SQL:2016 MATCH_RECOGNIZE semantics
@@ -4834,8 +4852,8 @@ object RelationalQueries {
     * runs compaction shrinks the window input before lead() touches it,
     * which is what makes the pattern pass viable on a 100 TB event log.
     * Measures: per-match view/last-click/first-purchase epochs, click run
-    * length, and the matched purchase's value (min_by over the unique rn,
-    * deterministic under timestamp ties).
+    * length, and the matched purchase's value (the run-leading value via
+    * the portable krn = 1 reduction, deterministic under timestamp ties).
     */
   def q168_match_recognize(s: SparkSession, d: String): DataFrame = {
     Tables.events(s, d).createOrReplaceTempView("events")
@@ -4863,20 +4881,7 @@ object RelationalQueries {
     * is ONE exchange of the events scan (PlanInvariantsSpec pins it).
     */
   private[operators] def q170Sql(epoch: String => String): String =
-    s"""WITH e AS (
-       |  SELECT user_id, event_type, ts, value,
-       |         row_number() OVER (PARTITION BY user_id
-       |                            ORDER BY ts, event_id) AS rn
-       |  FROM events),
-       |r AS (
-       |  SELECT *, rn - row_number() OVER (PARTITION BY user_id, event_type
-       |                                    ORDER BY rn) AS grp
-       |  FROM e),
-       |runs AS (
-       |  SELECT user_id, event_type, grp, min(rn) AS srn,
-       |         CAST(count(*) AS BIGINT) AS len,
-       |         min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
-       |  FROM r GROUP BY 1, 2, 3),
+    s"""$q168RunsPrefix
        |rr AS (
        |  SELECT user_id, event_type, srn, len, t0, t1, v0,
        |         CAST(row_number() OVER w AS BIGINT) AS rrn,

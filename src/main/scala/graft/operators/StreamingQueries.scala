@@ -720,11 +720,17 @@ object StreamingQueries {
          |  SELECT *, rn - row_number() OVER (
          |           PARTITION BY user_id, batch, event_type
          |           ORDER BY rn) AS grp
-         |  FROM e)
+         |  FROM e),
+         |r1 AS (
+         |  SELECT *, row_number() OVER (
+         |           PARTITION BY user_id, batch, event_type, grp
+         |           ORDER BY rn) AS krn
+         |  FROM r)
          |SELECT user_id, batch, event_type, min(rn) AS brn,
          |       CAST(count(*) AS BIGINT) AS len,
-         |       min(ts) AS t0, max(ts) AS t1, min_by(value, rn) AS v0
-         |FROM r GROUP BY user_id, batch, event_type, grp""".stripMargin)
+         |       min(ts) AS t0, max(ts) AS t1,
+         |       max(CASE WHEN krn = 1 THEN value END) AS v0
+         |FROM r1 GROUP BY user_id, batch, event_type, grp""".stripMargin)
   }
 
   /** Stitch stored per-batch runs in EVENT-TIME order (batch, brn) —
@@ -744,11 +750,17 @@ object StreamingQueries {
          |  SELECT *, ri - row_number() OVER (
          |           PARTITION BY user_id, event_type ORDER BY ri) AS grp2
          |  FROM seq0),
+         |r3 AS (
+         |  SELECT *, row_number() OVER (
+         |           PARTITION BY user_id, event_type, grp2
+         |           ORDER BY ri) AS krn
+         |  FROM r2),
          |runs AS (
          |  SELECT user_id, event_type, grp2, min(ri) AS srn,
          |         CAST(sum(len) AS BIGINT) AS len,
-         |         min(t0) AS t0, max(t1) AS t1, min_by(v0, ri) AS v0
-         |  FROM r2 GROUP BY 1, 2, 3),
+         |         min(t0) AS t0, max(t1) AS t1,
+         |         max(CASE WHEN krn = 1 THEN v0 END) AS v0
+         |  FROM r3 GROUP BY 1, 2, 3),
          |${RelationalQueries.q168MatchTail(t => s"unix_seconds($t)")}"""
         .stripMargin)
   }
