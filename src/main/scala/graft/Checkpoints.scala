@@ -63,4 +63,29 @@ object Checkpoints {
     */
   def pinnedCount(spark: SparkSession): Int =
     spark.sparkContext.getPersistentRDDs.size
+
+  /** Release the blocks behind ONE checkpointed frame (the generational
+    * twin of [[scoped]], for iterative fits whose round N+1 depends only
+    * on round N: release generation N-1 the moment N is materialized,
+    * instead of pinning every generation until scope exit). Targets
+    * exactly the frame's own `LogicalRDD` leaves — safe under concurrent
+    * siblings, unlike an id-set diff. SAFETY: same contract as [[scoped]]
+    * — a localCheckpoint's blocks are NOT recomputable, so the caller must
+    * never evaluate `df` (or any plan built on it) after this call.
+    */
+  def release(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Sum of memory + disk bytes currently held by pinned RDD blocks — the
+    * probe hook for the flat-peak evidence (a generational loop's pinned
+    * footprint must stay ~one generation, not rounds x corpus).
+    */
+  def pinnedBytes(spark: SparkSession): Long = {
+    val status = spark.sparkContext.getRDDStorageInfo
+    status.map(i => i.memSize + i.diskSize).sum
+  }
 }

@@ -46,6 +46,25 @@ object SqlFolderSource {
         QuerySpec(f.toString, name, Files.readString(f))
       }
   }
+
+  /** P1+P2 remote twin: discover queries over a transport — folder listing
+    * then chunked RESUMABLE download per file (the reference's Drive shape:
+    * `files().list` at src/loader.py:197-205, `MediaIoBaseDownload` at
+    * :125-141) instead of the local `Files.list`/`readString` pair above.
+    * Same filtering and ordering contract; survives mid-chunk connection
+    * kills (ResumableTransportSpec drives both directions against the
+    * stub server).
+    */
+  def discover(
+      t: graft.sources.sheets.ResumableHttpTransport): Seq[QuerySpec] =
+    t.list()
+      .filter(_.endsWith(".sql")) // src/loader.py:200
+      .sorted
+      .map { f =>
+        val name = f.stripSuffix(".sql") // src/loader.py:153
+        QuerySpec(f, name,
+          new String(t.download(f), java.nio.charset.StandardCharsets.UTF_8))
+      }
 }
 
 /** P8: byte-size humanization (`src/loader.py:61-75`) — log-1024 bucketing. */
@@ -133,18 +152,59 @@ object EtlRunner {
     */
   def runParallel(spark: SparkSession, sqlDir: String, destDir: String,
           cellLimit: Long = CellGuard.DefaultLimit,
-          maxConcurrent: Int = 4): Seq[EtlOutcome] = {
+          maxConcurrent: Int = 4,
+          perQueryTimeout: scala.concurrent.duration.Duration =
+            scala.concurrent.duration.Duration.Inf): Seq[EtlOutcome] = {
+    import scala.concurrent.{Await, ExecutionContext, Future, Promise}
+    import scala.concurrent.duration.Duration
     val specs = SqlFolderSource.discover(sqlDir)
     if (specs.isEmpty) return Seq.empty
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(maxConcurrent, specs.size)))
+    val poolSize = math.max(1, math.min(maxConcurrent, specs.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize, { r: Runnable =>
+      val t = new Thread(r, "etl-worker"); t.setDaemon(true); t
+    })
+    // HANG isolation (the per-query FAILURE isolation lives in runOne): a
+    // sink write stuck in a transport resume loop previously blocked the
+    // whole batch forever (Await Duration.Inf). Each query now races a
+    // timer armed at submission with a slot budget of perQueryTimeout x
+    // its dispatch wave (query i runs in wave i/poolSize; a query that
+    // merely queued behind full-budget siblings is never falsely skipped)
+    // — when the budget fires first the batch records EtlSkipped naming
+    // the straggler and moves on. The stuck worker thread itself is NOT
+    // interrupted (a mid-write interrupt could wedge the transport in a
+    // worse state than the hang); the pool is daemon-threaded so an
+    // orphaned straggler can never block JVM exit either.
+    val timer =
+      if (perQueryTimeout.isFinite)
+        Some(new java.util.concurrent.ScheduledThreadPoolExecutor(1, { r =>
+          val t = new Thread(r, "etl-timeout"); t.setDaemon(true); t
+        }))
+      else None
     try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val futs = specs.map(q => Future(runOne(spark, q, destDir, cellLimit)))
+      val futs = specs.zipWithIndex.map { case (q, i) =>
+        val fut = Future(runOne(spark, q, destDir, cellLimit))
+        timer match {
+          case None => fut
+          case Some(tm) =>
+            val p = Promise[EtlOutcome]()
+            // parasitic EC: the completion hop must not re-enter the pool —
+            // an orphaned straggler finishing after pool.shutdown() would
+            // throw RejectedExecutionException into the ether
+            fut.onComplete(p.tryComplete)(ExecutionContext.parasitic)
+            val budget = perQueryTimeout * ((i / poolSize) + 1)
+            tm.schedule(new Runnable {
+              override def run(): Unit = p.trySuccess(EtlSkipped(q.name,
+                s"timeout after ${perQueryTimeout.toSeconds}s"))
+            }, budget.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+            p.future
+        }
+      }
       Await.result(Future.sequence(futs), Duration.Inf)
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdown()
+      timer.foreach(_.shutdownNow())
+    }
   }
 
   /** The FLAGSHIP composition (round-8 verdict item 7): publish registry
@@ -160,7 +220,9 @@ object EtlRunner {
     */
   def publishRegistry(spark: SparkSession, names: Seq[String], sfDir: String,
           destDir: String, cellLimit: Long = CellGuard.DefaultLimit,
-          maxConcurrent: Int = 4): Seq[EtlOutcome] = {
+          maxConcurrent: Int = 4,
+          perQueryTimeout: scala.concurrent.duration.Duration =
+            scala.concurrent.duration.Duration.Inf): Seq[EtlOutcome] = {
     // Checkpoint lifecycle (round-8 verdict items 2/4): building the
     // registry plans localCheckpoints intermediate frames, and a FULL
     // registry publish in one session would accumulate pinned blocks the

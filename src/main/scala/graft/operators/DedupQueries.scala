@@ -713,15 +713,43 @@ object DedupQueries {
         when(col("jaccard") >= 0.5, "duplicate").otherwise("novel").as("verdict"))
   }
 
+  /** Persisted corpus-side bigram inverted index for d11 — the d18
+    * build-once / probe-stored economics applied to the ingest-probe
+    * kernel (round-10 verdict item 2: the registry's "incremental" label
+    * previously sat on a plan that re-shingled yesterday's corpus inline
+    * every run). Keyed by corpus identity (size + mtime — the s17/d18
+    * convention: regeneration orphans stale indexes), committed by a
+    * `_complete` marker. The stored table is exactly the inline
+    * formulation's corpus frame, so the query result — and its oracle —
+    * are unchanged.
+    */
+  private[graft] def ensureBigramIndex(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val dir = SketchQueries.partialsDir(
+      s"bigram_v1_${f.length()}_${f.lastModified()}", d)
+    if (!new java.io.File(dir, "_complete").exists()) {
+      bigramIndex(Tables.documents(s, d)
+          .repartition(Tables.scanPartitions(s))
+          .filter(col("doc_id") % 7 =!= 0))
+        .write.mode("overwrite").parquet(s"$dir/corpus_bigrams")
+      new java.io.File(dir, "_complete").createNewFile()
+    }
+    dir
+  }
+
   def d11_incremental_dedup(s: SparkSession, d: String): DataFrame = {
     // the batch is doc_id % 7 (deliberately coprime with the fixture's
-    // source = doc_id % 10 so the split crosses source buckets)
-    val all = bigramIndex(
-      Tables.documents(s, d).repartition(Tables.scanPartitions(s)))
-      .localCheckpoint() // batch + corpus both derive from this: one kernel pass
+    // source = doc_id % 10 so the split crosses source buckets). Only the
+    // BATCH is shingled at query time — the corpus side reads the
+    // persisted index ([[ensureBigramIndex]]), so per-ingest cost is
+    // batch kernel + probe join, never a corpus re-shingle
+    // (PlanInvariantsSpec pins exactly one documents scan in the plan).
+    val dir = ensureBigramIndex(s, d)
     probeIndex(
-      all.filter(col("doc_id") % 7 === 0),
-      all.filter(col("doc_id") % 7 =!= 0))
+      bigramIndex(Tables.documents(s, d)
+        .repartition(Tables.scanPartitions(s))
+        .filter(col("doc_id") % 7 === 0)),
+      s.read.parquet(s"$dir/corpus_bigrams"))
   }
 
   /** Repeated-passage statistics — the RefinedWeb/C4 "duplicated text

@@ -592,11 +592,46 @@ object TextQueries {
     * t10 sweep trick — the learned table itself is hash-checked against
     * DuckDB running the identical eight rounds unrolled as a CTE chain.
     */
-  def t17_bpe_train(s: SparkSession, d: String): DataFrame = {
+  def t17_bpe_train(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d, sampleMod = 1)
+
+  /** t50: SAMPLED BPE training — the production shape of t17's knob: real
+    * tokenizer training runs on a corpus SAMPLE, never the corpus (GPT-2 /
+    * SentencePiece train on 10-50 GB slices of TB-scale corpora; merge
+    * statistics converge long before the full pair census does). The
+    * sample is a deterministic hash slice (doc_id % 4 == 0 — ~25% of
+    * docs), so the oracle is the identical eight unrolled rounds over the
+    * same WHERE, and the learned table stays hash-checkable. The apply
+    * step (t10) is corpus-wide by construction — it takes a fixed merge
+    * table. At 100 TB this entry IS the trainer: each generation's
+    * checkpoint holds the SAMPLE, not the corpus, so the generational
+    * footprint is sampleFrac x corpus regardless of round count (and the
+    * eager gen-release below makes it ~ONE sample generation).
+    */
+  def t50_bpe_train_sampled(s: SparkSession, d: String): DataFrame =
+    bpeTrain(s, d, sampleMod = 4)
+
+  /** Shared BPE merge-training loop (t17 full corpus, t50 sampled).
+    * Checkpoint lifecycle (round-10 verdict item 1): each round
+    * localCheckpoints the re-encoded corpus — semantically REQUIRED
+    * materialization (round N+1's pair counts read round N's rewrite;
+    * without a checkpoint the lineage re-runs all previous sweeps per
+    * round) — but generation N-1 is dead the instant N is materialized,
+    * so its blocks are released EAGERLY ([[graft.Checkpoints.release]])
+    * instead of pinning all 8 corpus-sized generations until scope exit.
+    * Peak pinned footprint: ~2 generations during the swap, flat in round
+    * count — KernelPropertiesSpec pins it and the Scale100Probe records it
+    * at 25x. Safe because nothing ever reads a released generation again:
+    * `best` is collected before the rewrite, and `enc` is reassigned.
+    */
+  private def bpeTrain(s: SparkSession, d: String, sampleMod: Int): DataFrame = {
     val rounds = 8
     import s.implicits._
-    var enc = Tables.documents(s, d)
+    val docs = Tables.documents(s, d)
       .repartition(Tables.scanPartitions(s))
+    val sampled =
+      if (sampleMod > 1) docs.filter(col("doc_id") % sampleMod === 0) else docs
+    var enc = sampled
       .select(col("doc_id"),
         concat(lit(" "), regexp_replace(lower(col("text")), "(.)", "$1 ")).as("enc"))
       .localCheckpoint()
@@ -618,15 +653,19 @@ object TextQueries {
         var e = col("enc")
         for (_ <- 1 to BpeSweeps)
           e = call_function("replace", e, lit(s" $a $b "), lit(s" $a$b "))
-        enc = enc.select(col("doc_id"), e.as("enc")).localCheckpoint()
+        val next = enc.select(col("doc_id"), e.as("enc")).localCheckpoint()
+        graft.Checkpoints.release(enc) // gen r-1: r is materialized (eager)
+        enc = next
       }
     }
+    graft.Checkpoints.release(enc) // the final generation
     learned.toSeq.toDF("rank", "token_a", "token_b", "n_pairs")
   }
 
-  private def bpeTrainOracle(rounds: Int): String = {
+  private def bpeTrainOracle(rounds: Int, where: String = ""): String = {
     val sb = new StringBuilder("WITH enc1 AS (SELECT doc_id, " +
-      "' ' || regexp_replace(lower(text), '(.)', '\\1 ', 'g') AS enc FROM documents)")
+      "' ' || regexp_replace(lower(text), '(.)', '\\1 ', 'g') AS enc " +
+      s"FROM documents$where)")
     for (r <- 1 to rounds) {
       sb ++= s""",
         |t$r AS (SELECT doc_id, string_split(enc, ' ') AS toks FROM enc$r),
@@ -2361,6 +2400,7 @@ object TextQueries {
     "t19_auc" -> (t19_auc _),
     "t18_nb_classifier" -> (t18_nb_classifier _),
     "t17_bpe_train" -> (t17_bpe_train _),
+    "t50_bpe_train_sampled" -> (t50_bpe_train_sampled _),
     "t16_vocab_stats" -> (t16_vocab_stats _),
     "t14_normalize" -> (t14_normalize _),
     "t13_lang_confusion" -> (t13_lang_confusion _),
@@ -3026,6 +3066,7 @@ object TextQueries {
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY CAST(p.lp0 AS DOUBLE) + CAST(sc.sl AS DOUBLE) DESC, cls) <= 1""".stripMargin,
     "t17_bpe_train" -> bpeTrainOracle(8),
+    "t50_bpe_train_sampled" -> bpeTrainOracle(8, " WHERE doc_id % 4 = 0"),
     "t16_vocab_stats" ->
       """WITH tk AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

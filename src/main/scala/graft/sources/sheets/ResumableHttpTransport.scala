@@ -5,8 +5,11 @@ import java.net.{HttpURLConnection, URL}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path}
 
-/** Chunked, RESUMABLE upload transport — the production shape of the
-  * reference's Drive publication path
+/** Chunked, RESUMABLE transport, BOTH directions — the production shape of
+  * the reference's Drive path: upload (publication) below, plus the
+  * [[download]]/[[list]] read twins (`loader.py:125-141, 197-205`) and a
+  * per-request [[credentials]] supplier (`loader.py:78-102`). Upload
+  * protocol — the reference's Drive publication path
   * (`/root/reference/src/loader.py:78-102, 137-139, 180-183`: start an
   * upload session, stream fixed-size chunks, finalize-or-resume), behind
   * the same [[SheetTransport]] seam the sink already writes through, so
@@ -39,13 +42,19 @@ import java.nio.file.{Files, Path}
   * mid-flight).
   */
 final class ResumableHttpTransport(endpoint: String,
-    chunkSize: Int = 64 * 1024, maxRetries: Int = 8) extends SheetTransport {
+    chunkSize: Int = 64 * 1024, maxRetries: Int = 8,
+    credentials: () => Option[String] = () => None) extends SheetTransport {
   require(chunkSize > 0)
 
   /** visible for the spec: how many status probes (resume round-trips)
     * this transport issued.
     */
   @volatile private[graft] var resumeProbes: Int = 0
+
+  /** visible for the spec: how many download chunk retries resumed from
+    * the locally-confirmed offset.
+    */
+  @volatile private[graft] var downloadResumes: Int = 0
 
   override def upsert(name: String, content: java.io.Writer => Unit): Unit = {
     val tmp = Files.createTempFile("graft_upload_", ".spool")
@@ -166,6 +175,107 @@ final class ResumableHttpTransport(endpoint: String,
     c.setRequestMethod(method)
     c.setConnectTimeout(5000)
     c.setReadTimeout(10000)
+    // the credential-supplier hook (reference parity: loader.py:78-102
+    // acquires-or-refreshes before each service call). Invoked PER
+    // REQUEST, so a supplier backed by a refreshing token cache rotates
+    // mid-transfer without the transport knowing — the production swap
+    // is configuration (pass a supplier), not a code change.
+    credentials().foreach(tok =>
+      c.setRequestProperty("Authorization", s"Bearer $tok"))
     c
   }
+
+  /** Chunked, RESUMABLE download — the read twin of the upload protocol
+    * (reference parity: `loader.py:125-141`, the `MediaIoBaseDownload`
+    * next_chunk() loop). Fixed-size `Range: bytes a-b` GETs against
+    * `<endpoint>/download?name=<name>`; the server replies 206 with
+    * `Content-Range: bytes a-b/N` (the total N steers termination) or
+    * 200 with the whole body for servers without range support. Progress
+    * is only advanced by bytes FULLY read into the local buffer, so on
+    * any transport error the retry re-requests from the locally-confirmed
+    * offset — the mirror of the upload's server-confirmed-prefix rule
+    * (here the CLIENT is the durable side). Converges under arbitrary
+    * mid-chunk kills; gives up after `maxRetries` consecutive failures.
+    */
+  def download(name: String): Array[Byte] = {
+    val enc = java.net.URLEncoder.encode(name, "UTF-8")
+    val buf = new java.io.ByteArrayOutputStream()
+    var off = 0L
+    var total = -1L // unknown until the first Content-Range reply
+    var retries = 0
+    while (total < 0 || off < total) {
+      try {
+        val c = open(s"$endpoint/download?name=$enc", "GET")
+        c.setRequestProperty("Range", s"bytes=$off-${off + chunkSize - 1}")
+        val code = c.getResponseCode
+        code match {
+          case 206 =>
+            val cr = Option(c.getHeaderField("Content-Range")).getOrElse(
+              throw new IOException("206 without Content-Range"))
+            // "bytes a-b/N"
+            val m = "bytes (\\d+)-(\\d+)/(\\d+)".r.findFirstMatchIn(cr)
+              .getOrElse(throw new IOException(s"bad Content-Range: $cr"))
+            if (m.group(1).toLong != off)
+              throw new IOException(
+                s"server range starts at ${m.group(1)}, asked $off")
+            total = m.group(3).toLong
+            // drain the chunk; bytes read are a valid prefix of [a, b] so
+            // they commit even when the connection dies mid-body — a kill
+            // surfaces EITHER as an IOException (retry from the unchanged
+            // offset) or as a SHORT read (the loop re-asks from off +
+            // bytes kept). Both converge duplicate-free; both count as a
+            // resume for the spec's evidence.
+            val chunk = try c.getInputStream.readAllBytes()
+              finally c.disconnect()
+            if (chunk.isEmpty) // zero progress must hit the retry cap,
+              throw new IOException("empty 206 body") // never loop free
+            if (chunk.length < (m.group(2).toLong - m.group(1).toLong + 1))
+              downloadResumes += 1
+            buf.write(chunk)
+            off += chunk.length
+          case 200 => // no range support: whole body in one read
+            if (off > 0) throw new IOException(
+              "server dropped range support mid-download")
+            val body = try c.getInputStream.readAllBytes()
+              finally c.disconnect()
+            buf.write(body)
+            off = body.length.toLong; total = off
+          case 416 if total < 0 && off == 0 => // zero-byte file
+            c.disconnect()
+            total = 0
+          case other =>
+            c.disconnect()
+            throw new IOException(s"download chunk rejected: HTTP $other")
+        }
+        retries = 0
+      } catch {
+        case e: IOException =>
+          retries += 1
+          if (retries > maxRetries)
+            throw new IOException(
+              s"download of $name gave up after $maxRetries retries", e)
+          downloadResumes += 1
+          // off only ever counts fully-committed chunks — re-request from it
+      }
+    }
+    buf.toByteArray
+  }
+
+  /** Folder listing for discovery (reference parity: `loader.py:197-205`
+    * lists the Drive folder before downloading each file): GET
+    * `<endpoint>/list` → newline-separated names.
+    */
+  def list(): Seq[String] = {
+    val c = open(s"$endpoint/list", "GET")
+    val code = c.getResponseCode
+    if (code != 200) {
+      c.disconnect()
+      throw new IOException(s"list failed: HTTP $code")
+    }
+    val body = new String(c.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    c.disconnect()
+    body.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
 }

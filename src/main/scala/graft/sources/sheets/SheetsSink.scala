@@ -94,10 +94,16 @@ final class SheetsTable(tblSchema: StructType, dir: Option[String],
           val limit = Option(opts.get("cellLimit")).map(_.toLong)
             .getOrElse(graft.etl.CellGuard.DefaultLimit)
           // transport selection: an `endpoint` option routes publication
-          // through the chunked resumable-upload client; default stays the
-          // zero-egress local folder
+          // through the chunked resumable-upload client (an `authToken`
+          // option becomes its per-request credential supplier — the
+          // config-only production swap); default stays the zero-egress
+          // local folder
+          val auth: () => Option[String] = Option(opts.get("authToken")) match {
+            case Some(tok) => () => Some(tok)
+            case None => () => None
+          }
           val transport: SheetTransport = Option(opts.get("endpoint"))
-            .map(e => new ResumableHttpTransport(e))
+            .map(e => new ResumableHttpTransport(e, credentials = auth))
             .getOrElse(new LocalFolderTransport(dest))
           new SheetsBatchWrite(dest, sheet, limit, info.schema(), transport,
             rowLevel)
@@ -321,6 +327,17 @@ object CsvFormat {
         case _ => new java.math.BigDecimal(str).toPlainString
       }
     }
-    case _ => v => v.toString // integral / boolean primitives
+    case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+      v => v.toString
+    // nested internal values (ArrayData / InternalRow / MapData) have no
+    // stable string form — Object.toString varies per evaluation, so a
+    // published cell could never round-trip (and the fidelity check would
+    // report a spurious divergence instead of the real cause). Reject at
+    // converter-construction time so the write fails naming the type,
+    // before a single row is spooled.
+    case other => throw new UnsupportedOperationException(
+      s"sheets CSV cannot serialize a ${other.catalogString} column: " +
+        "project nested values to a string (to_json / array_join) before " +
+        "publishing")
   }
 }

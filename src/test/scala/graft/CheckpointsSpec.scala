@@ -53,4 +53,40 @@ class CheckpointsSpec extends SparkTestBase {
     assert(Checkpoints.releaseAll(spark) == 2)
     assert(Checkpoints.pinnedCount(spark) == 0)
   }
+
+  test("release(df): drops exactly the frame's own blocks, sibling pins survive") {
+    Checkpoints.releaseAll(spark)
+    val gen0 = pinNew()
+    val gen1 = pinNew()
+    assert(Checkpoints.pinnedCount(spark) == 2)
+    Checkpoints.release(gen0)
+    assert(Checkpoints.pinnedCount(spark) == 1,
+      "release must target the one frame, not the context")
+    assert(gen1.count() == 100, "the sibling generation must stay readable")
+    Checkpoints.releaseAll(spark)
+  }
+
+  test("t17 bpe_train: generational release keeps pinned footprint flat (round-10 verdict item 1)") {
+    // Eager gen-release in bpeTrain: at any instant at most ~2 generations
+    // (the swap window) are pinned, never all 8. The poller is ONE-SIDED
+    // sound: sampling can only MISS a peak, never invent one, so a
+    // failure here is always a true regression. Without the release the
+    // loop holds 8 pinned RDDs by its last round — a 10ms poller cannot
+    // miss that plateau at this fixture size.
+    Checkpoints.releaseAll(spark)
+    @volatile var peak = 0
+    @volatile var done = false
+    val poller = new Thread(() => {
+      while (!done) {
+        peak = math.max(peak, Checkpoints.pinnedCount(spark))
+        Thread.sleep(5)
+      }
+    }, "t17-pin-poller")
+    poller.start()
+    try operators.TextQueries.queries("t17_bpe_train")(spark, sf).count()
+    finally { done = true; poller.join() }
+    assert(peak <= 3, s"t17 pinned $peak generations concurrently — eager release broken")
+    assert(Checkpoints.pinnedCount(spark) == 0,
+      "t17 must exit with zero pinned generations")
+  }
 }

@@ -237,4 +237,53 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(graft.Checkpoints.pinnedCount(spark) == 0,
       "publishRegistry leaked pinned RDD blocks past its scope")
   }
+
+  test("runParallel hang isolation: a stalled query is skipped by name, siblings load") {
+    // round-10 verdict item 3: one hung sink/query previously blocked the
+    // whole batch forever (Await Duration.Inf). The stall stand-in is a
+    // view whose scan blocks on a gate (same JVM in local mode) — the
+    // recording-fake discipline: deterministic, no sleeps to "probably"
+    // line up. The gate opens in finally so the orphaned job finishes and
+    // the shared session stays clean for later suites.
+    import scala.concurrent.duration._
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_etl_stall")
+    spark.range(1)
+      .filter { _: java.lang.Long => EtlStallGate.latch.await(); true }
+      .toDF("x").createOrReplaceTempView("stall_view")
+    val src = Files.createTempDirectory("sqlsrc_stall")
+    Files.writeString(src.resolve("a_ok.sql"),
+      "SELECT l_returnflag, count(*) AS n FROM lineitem_etl_stall GROUP BY 1")
+    Files.writeString(src.resolve("b_stuck.sql"), "SELECT * FROM stall_view")
+    Files.writeString(src.resolve("c_ok.sql"),
+      "SELECT count(*) AS n FROM lineitem_etl_stall")
+    val dest = Files.createTempDirectory("sheets_stall")
+    val t0 = System.nanoTime()
+    val out =
+      try {
+        val r = EtlRunner.runParallel(spark, src.toString, dest.toString,
+          maxConcurrent = 3, perQueryTimeout = 3.seconds)
+        // the straggler must not have published (checked BEFORE the gate
+        // opens — afterwards its orphaned write may legitimately land)
+        assert(!Files.exists(dest.resolve("b_stuck.csv")))
+        r
+      } finally EtlStallGate.latch.countDown()
+    val wallSecs = (System.nanoTime() - t0) / 1e9
+    assert(wallSecs < 60, f"batch took $wallSecs%.0fs — timeout did not fire")
+    assert(out.map(_.name) == Seq("a_ok", "b_stuck", "c_ok"))
+    out(1) match {
+      case EtlSkipped("b_stuck", reason, _) =>
+        assert(reason.startsWith("timeout after 3s"), s"wrong reason: $reason")
+      case other => fail(s"straggler not skipped: $other")
+    }
+    assert(out.count(_.isInstanceOf[EtlLoaded]) == 2, s"siblings lost: $out")
+    assert(Files.exists(dest.resolve("a_ok.csv")))
+    assert(Files.exists(dest.resolve("c_ok.csv")))
+  }
+}
+
+/** Shared gate for the hang-isolation test: a static object so the task
+  * closure captures nothing (local mode — one JVM).
+  */
+object EtlStallGate {
+  val latch = new java.util.concurrent.CountDownLatch(1)
 }

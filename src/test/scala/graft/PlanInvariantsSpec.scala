@@ -415,6 +415,20 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"d18 probe rescanned the corpus:\n${p.take(1200)}")
   }
 
+  test("d11 incremental dedup: corpus side reads the persisted bigram index") {
+    graft.operators.DedupQueries.ensureBigramIndex(spark, sf) // build outside the measured plan
+    val p = finalPlan("d11_incremental_dedup")
+    assert(p.contains("corpus_bigrams"),
+      s"d11 probe does not read the persisted corpus index:\n${p.take(1200)}")
+    // the ONE allowed documents scan is the batch side — a second scan
+    // means yesterday's corpus was re-shingled inline (the round-10 weak).
+    // Count only the FINAL plan: AQE prints the initial plan again below
+    val scans =
+      "documents\\.parquet".r.findAllIn(p.split("== Initial Plan ==").head).length
+    assert(scans == 1,
+      s"d11 plan scans documents.parquet $scans times (want 1: the batch):\n${p.take(1200)}")
+  }
+
   test("c26 persisted bloom: probe scans documents once, eval side from the store") {
     graft.operators.CurationQueries.ensureBloomIndex(spark, sf) // build outside the measured plan
     val p = finalPlan("c26_persisted_bloom")

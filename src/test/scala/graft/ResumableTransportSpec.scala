@@ -25,11 +25,34 @@ final class ResumableUploadStub(dest: Path) {
   @volatile var killAtByte: Long = -1L
   @volatile var statusProbes: Int = 0
   @volatile var chunkPuts: Int = 0
+  /** truncate the DOWNLOAD chunk containing this byte mid-body, once */
+  @volatile var killDownloadAtByte: Long = -1L
+  @volatile var rangeGets: Int = 0
+  /** non-empty -> every request must carry `Authorization: Bearer <one of>` */
+  @volatile var allowedTokens: Set[String] = Set.empty
+  val seenTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-  server.createContext("/start", (ex: HttpExchange) => handleStart(ex))
-  server.createContext("/upload/", (ex: HttpExchange) => handleUpload(ex))
+  server.createContext("/start", (ex: HttpExchange) => authed(ex)(handleStart))
+  server.createContext("/upload/", (ex: HttpExchange) => authed(ex)(handleUpload))
+  server.createContext("/list", (ex: HttpExchange) => authed(ex)(handleList))
+  server.createContext("/download", (ex: HttpExchange) => authed(ex)(handleDownload))
   server.start()
+
+  /** Auth gate shared by every context: outside the zero-auth default,
+    * reject requests whose bearer token is not in [[allowedTokens]] —
+    * and RECORD each token seen, the per-request-supplier evidence.
+    */
+  private def authed(ex: HttpExchange)(h: HttpExchange => Unit): Unit = {
+    val tok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+    tok.foreach(seenTokens.add)
+    if (allowedTokens.nonEmpty && !tok.exists(allowedTokens.contains)) {
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(401, -1)
+      ex.close()
+    } else h(ex)
+  }
 
   def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
   def stop(): Unit = server.stop(0)
@@ -102,6 +125,62 @@ final class ResumableUploadStub(dest: Path) {
       ex.sendResponseHeaders(201, -1)
       ex.close()
     } else respondProgress(ex, s)
+  }
+
+  private def handleList(ex: HttpExchange): Unit = {
+    ex.getRequestBody.readAllBytes()
+    import scala.jdk.CollectionConverters._
+    val names =
+      if (!Files.isDirectory(dest)) ""
+      else {
+        val st = Files.list(dest)
+        try st.iterator().asScala.map(_.getFileName.toString + "\n").mkString
+        finally st.close()
+      }
+    val body = names.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+    if (body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def handleDownload(ex: HttpExchange): Unit = {
+    val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val name = q.split("&").collectFirst {
+      case kv if kv.startsWith("name=") =>
+        java.net.URLDecoder.decode(kv.drop(5), "UTF-8")
+    }.getOrElse("")
+    ex.getRequestBody.readAllBytes()
+    val file = dest.resolve(name)
+    if (!Files.isRegularFile(file)) {
+      ex.sendResponseHeaders(404, -1); ex.close(); return
+    }
+    val bytes = Files.readAllBytes(file)
+    val n = bytes.length.toLong
+    val range = Option(ex.getRequestHeaders.getFirst("Range")).getOrElse("")
+    val m = "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(range)
+    if (m.isEmpty) { // no range: whole body, 200
+      ex.sendResponseHeaders(200, math.max(n, -1))
+      if (n > 0) ex.getResponseBody.write(bytes)
+      ex.close(); return
+    }
+    rangeGets += 1
+    val a = m.get.group(1).toLong
+    if (a >= n) { ex.sendResponseHeaders(416, -1); ex.close(); return }
+    val b = math.min(m.get.group(2).toLong, n - 1)
+    ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/$n")
+    val len = (b - a + 1).toInt
+    if (killDownloadAtByte >= a && killDownloadAtByte <= b) {
+      killDownloadAtByte = -1L
+      // promise the full chunk, ship half, drop the connection — the
+      // client must treat the truncated body as loss, not completion
+      ex.sendResponseHeaders(206, len)
+      ex.getResponseBody.write(bytes, a.toInt, len / 2)
+      ex.close()
+      return
+    }
+    ex.sendResponseHeaders(206, len)
+    ex.getResponseBody.write(bytes, a.toInt, len)
+    ex.close()
   }
 
   private def respondProgress(ex: HttpExchange, s: Session): Unit = {
@@ -186,6 +265,93 @@ class ResumableTransportSpec extends AnyFunSuite {
         Files.readAllBytes(dest.resolve("sheet_tail.csv")), StandardCharsets.UTF_8)
       assert(got == content)
       assert(t.resumeProbes >= 1)
+    }
+  }
+
+  test("download twin: clean chunked download is byte-identical, multiple chunks") {
+    withStub { (stub, dest) =>
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096)
+      val content = body(40000)
+      Files.createDirectories(dest)
+      Files.writeString(dest.resolve("pull_clean.csv"), content)
+      val got = new String(t.download("pull_clean.csv"), StandardCharsets.UTF_8)
+      assert(got == content, "downloaded bytes differ")
+      assert(stub.rangeGets >= 10, s"expected >=10 range GETs, saw ${stub.rangeGets}")
+      assert(t.downloadResumes == 0, "clean path must not need resumes")
+    }
+  }
+
+  test("download twin: mid-chunk kill resumes from the confirmed offset, bytes equal") {
+    withStub { (stub, dest) =>
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096)
+      val content = body(40000)
+      Files.createDirectories(dest)
+      Files.writeString(dest.resolve("pull_killed.csv"), content)
+      stub.killDownloadAtByte = 4 * 4096L + 123 // truncate the 5th chunk, once
+      val got = new String(t.download("pull_killed.csv"), StandardCharsets.UTF_8)
+      assert(got == content, "resumed download produced different bytes")
+      assert(t.downloadResumes >= 1, "transport did not record its resume")
+      assert(stub.killDownloadAtByte == -1L, "kill switch never fired")
+    }
+  }
+
+  test("remote discovery: list + chunked download, same contract as the local folder") {
+    withStub { (stub, dest) =>
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 1024)
+      Files.createDirectories(dest)
+      Files.writeString(dest.resolve("b_query.sql"), "SELECT 1 AS one")
+      Files.writeString(dest.resolve("a_query.sql"), body(5000)) // multi-chunk
+      Files.writeString(dest.resolve("notes.txt"), "not sql")
+      stub.killDownloadAtByte = 1500 // survive a kill mid-discovery too
+      val specs = graft.etl.SqlFolderSource.discover(t)
+      assert(specs.map(_.name) == Seq("a_query", "b_query"))
+      assert(specs(0).sql == body(5000))
+      assert(specs(1).sql == "SELECT 1 AS one")
+    }
+  }
+
+  test("credential supplier: invoked per request, rotation mid-transfer works") {
+    withStub { (stub, dest) =>
+      stub.allowedTokens = Set("tok_epoch1", "tok_epoch2")
+      // a refreshing token cache: epoch flips after the 3rd request —
+      // the transport must pick up the new token WITHOUT restarting
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096,
+        credentials = () => Some(
+          if (calls.incrementAndGet() <= 3) "tok_epoch1" else "tok_epoch2"))
+      val content = body(40000)
+      t.upsert("sheet_auth", w => w.write(content))
+      val got = new String(
+        Files.readAllBytes(dest.resolve("sheet_auth.csv")), StandardCharsets.UTF_8)
+      assert(got == content)
+      assert(calls.get() > 3, "supplier not consulted per request")
+      assert(stub.seenTokens.contains("tok_epoch1")
+        && stub.seenTokens.contains("tok_epoch2"),
+        "rotation never reached the wire")
+    }
+  }
+
+  test("missing/wrong credential: requests are rejected with HTTP 401, named") {
+    withStub { (stub, dest) =>
+      stub.allowedTokens = Set("the_token")
+      val anon = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096,
+        maxRetries = 1)
+      val eUp = intercept[java.io.IOException] {
+        anon.upsert("sheet_denied", w => w.write(body(2000)))
+      }
+      assert(eUp.getMessage.contains("401"), s"upload error hides cause: $eUp")
+      Files.createDirectories(dest)
+      Files.writeString(dest.resolve("pull_denied.csv"), body(2000))
+      val eDown = intercept[java.io.IOException] {
+        anon.download("pull_denied.csv")
+      }
+      assert(String.valueOf(eDown.getMessage).contains("retries"),
+        s"download must give up naming retries: $eDown")
+      // the authorized transport succeeds against the same stub state
+      val ok = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096,
+        credentials = () => Some("the_token"))
+      assert(new String(ok.download("pull_denied.csv"),
+        StandardCharsets.UTF_8) == body(2000))
     }
   }
 }
