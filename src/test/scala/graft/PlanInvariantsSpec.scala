@@ -415,18 +415,25 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"d18 probe rescanned the corpus:\n${p.take(1200)}")
   }
 
-  test("d11 incremental dedup: corpus side reads the persisted bigram index") {
+  test("d11 incremental dedup: corpus side reads the persisted bigram index, bucketed") {
     graft.operators.DedupQueries.ensureBigramIndex(spark, sf) // build outside the measured plan
     val p = finalPlan("d11_incremental_dedup")
-    assert(p.contains("corpus_bigrams"),
-      s"d11 probe does not read the persisted corpus index:\n${p.take(1200)}")
+    val fin = p.split("== Initial Plan ==").head
+    assert(fin.contains("corpus_bigrams"),
+      s"d11 probe does not read the persisted corpus index:\n${fin.take(1200)}")
     // the ONE allowed documents scan is the batch side — a second scan
     // means yesterday's corpus was re-shingled inline (the round-10 weak).
     // Count only the FINAL plan: AQE prints the initial plan again below
-    val scans =
-      "documents\\.parquet".r.findAllIn(p.split("== Initial Plan ==").head).length
+    val scans = "documents\\.parquet".r.findAllIn(fin).length
     assert(scans == 1,
-      s"d11 plan scans documents.parquet $scans times (want 1: the batch):\n${p.take(1200)}")
+      s"d11 plan scans documents.parquet $scans times (want 1: the batch):\n${fin.take(1200)}")
+    // the store's CLUSTERED BY (shingle) layout must reach the join as
+    // partitioning — the corpus side then never shuffles at probe time
+    // (batch broadcasts at fixture scale; at 100 TB it exchanges
+    // batch-sized bytes to the bucket count — either way the corpus's
+    // only shuffle happened once, at build)
+    assert(fin.contains("Bucketed: true"),
+      s"d11 store scan is not a bucketed read:\n${fin.take(1200)}")
   }
 
   test("c26 persisted bloom: probe scans documents once, eval side from the store") {
