@@ -309,6 +309,13 @@ object CsvFormat {
     case StringType => v => v.asInstanceOf[UTF8String].toString
     case TimestampType => v =>
       DateTimeUtils.microsToInstant(v.asInstanceOf[Long]).toString // UTC ISO-8601
+    // session-local timestamp without zone: ISO-8601 local form. Before the
+    // strict fallback below existed this type fell through to toString and
+    // published RAW MICROS as a number — deterministic, so the fidelity
+    // check (same converter both sides) could never flag it; the strict
+    // rejection surfaced it on the first full-registry publish
+    case TimestampNTZType => v =>
+      DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long]).toString
     case DateType => v =>
       DateTimeUtils.daysToLocalDate(v.asInstanceOf[Int]).toString
     case _: DecimalType => v =>

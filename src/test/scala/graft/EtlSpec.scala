@@ -124,6 +124,23 @@ class EtlRunnerSpec extends SparkTestBase {
       f"parallel ($parMs%.0f ms) not faster than serial ($serMs%.0f ms)")
   }
 
+  test("csv converter: timestamp_ntz is ISO local, nested types rejected by name") {
+    import graft.sources.sheets.CsvFormat
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    // timestamp_ntz previously fell through to toString and published RAW
+    // MICROS (deterministic, so same-converter fidelity could never flag
+    // it); caught by the strict fallback on the first full-registry publish
+    val ntz = CsvFormat.converter(TimestampNTZType)
+    val micros = DateTimeUtils.localDateTimeToMicros(
+      java.time.LocalDateTime.of(1997, 12, 4, 0, 0))
+    assert(ntz(micros) == "1997-12-04T00:00")
+    val e = intercept[UnsupportedOperationException](
+      CsvFormat.converter(ArrayType(StringType)))
+    assert(e.getMessage.contains("array<string>"),
+      s"rejection must name the type: ${e.getMessage}")
+  }
+
   test("csv quoting matches python csv.writer minimal style") {
     assert(etl.CellGuard.cells(0, 1) == 1)
     import graft.sources.sheets.CsvFormat
