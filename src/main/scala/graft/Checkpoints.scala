@@ -67,14 +67,19 @@ object Checkpoints {
   /** Release the blocks behind ONE checkpointed frame (the generational
     * twin of [[scoped]], for iterative fits whose round N+1 depends only
     * on round N: release generation N-1 the moment N is materialized,
-    * instead of pinning every generation until scope exit). Targets
-    * exactly the frame's own `LogicalRDD` leaves — safe under concurrent
-    * siblings, unlike an id-set diff. SAFETY: same contract as [[scoped]]
-    * — a localCheckpoint's blocks are NOT recomputable, so the caller must
+    * instead of pinning every generation until scope exit). ROOT-ONLY by
+    * design: it unpersists only when the frame IS a checkpoint (its
+    * analyzed plan is the `LogicalRDD` itself) and is a no-op on derived
+    * plans — a derived plan's LogicalRDD LEAVES are someone else's
+    * checkpoints (typically a shared base like a store-read frame feeding
+    * every round), and releasing those through a generation handle would
+    * be the exact cross-frame accident [[scoped]]'s concurrency note
+    * warns about. SAFETY: same contract as [[scoped]] — a
+    * localCheckpoint's blocks are NOT recomputable, so the caller must
     * never evaluate `df` (or any plan built on it) after this call.
     */
   def release(df: org.apache.spark.sql.Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
       case _ => ()

@@ -656,6 +656,10 @@ object DedupQueries {
       changed =
         if (nextCount != edgeCount) 1L
         else next.join(edges, Seq("src", "dst"), "left_anti").count()
+      // gen N-1's last read is the anti join above — release eagerly (the
+      // t17 generational discipline; pair-sized frames here, but O(log n)
+      // rounds of them otherwise stay pinned until harness scope exit)
+      graft.Checkpoints.release(edges)
       edges = next
       edgeCount = nextCount
       iter += 1

@@ -226,9 +226,13 @@ object GraphQueries {
       // re-aggregating the full frontier each round keeps the round a pure
       // join+min (no changed-set bookkeeping); the state is one row per
       // reached node, never more
-      dist = dist.union(expanded)
+      val next = dist.union(expanded)
         .groupBy(col("node")).agg(min(col("h")).as("h"))
         .localCheckpoint()
+      // gen N-1 dead once next materializes (root-only: the round-1 lazy
+      // seed is a no-op and the shared edges checkpoint is never touched)
+      graft.Checkpoints.release(dist)
+      dist = next
     }
     dist.select(col("node"), col("h").as("hops"))
   }
@@ -315,9 +319,11 @@ object GraphQueries {
     for (_ <- 1 to Hops) {
       val expanded = dist.join(edges, dist("node") === edges("src"))
         .select(col("seed"), col("dst").as("node"), (col("h") + 1).as("h"))
-      dist = dist.union(expanded)
+      val next = dist.union(expanded)
         .groupBy(col("seed"), col("node")).agg(min(col("h")).as("h"))
         .localCheckpoint()
+      graft.Checkpoints.release(dist) // gen N-1 (t17 discipline; round-1 no-op)
+      dist = next
     }
     dist.filter(col("h") > 0)
       .groupBy(col("node"))
@@ -855,10 +861,12 @@ object GraphQueries {
     }
     var e = edges0.select(col("u"), col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      e = support(e).filter(col("sup") >= k - 2)
+      val next = support(e).filter(col("sup") >= k - 2)
         .select(col("u"), col("v")).localCheckpoint()
+      graft.Checkpoints.release(e) // gen N-1: consumed building next (t17 discipline)
+      e = next
     }
-    support(e).filter(col("sup") >= k - 2)
+    support(e).filter(col("sup") >= k - 2) // final gen stays for the caller's action
   }
 
   /** The peel loop over an already-symmetrized edge list — separated so
@@ -874,16 +882,23 @@ object GraphQueries {
     // and the property that makes the peel cheap at 100 TB: total work is
     // bounded by the SHRINKING frontier, not rounds × full-graph
     var alive = edges
+    var owned = false // whether `alive` is a generation this loop checkpointed
     for (_ <- 1 to rounds) {
       val survivors = alive
         .groupBy(col("src"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("src").as("node"))
-      alive = alive
+      val next = alive
         .join(survivors.select(col("node").as("src")), "src")
         .join(survivors.select(col("node").as("dst")), "dst")
         .localCheckpoint()
+      // release only generations THIS loop created: round 1's prev is the
+      // caller's edges frame (possibly itself a checkpoint the caller
+      // still reads) — ownership, not rootness, is the release test here
+      if (owned) graft.Checkpoints.release(alive)
+      alive = next
+      owned = true
     }
     alive.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -983,13 +998,19 @@ object GraphQueries {
       .localCheckpoint() // one store read serves all six rounds
     val seed = und.agg(min(col("u")).as("node"))
     var state = seed.withColumn("arr", lit(-1L))
+    var prevCk: DataFrame = null
     for (_ <- 1 to 6) {
       // each round reads `state` twice (carry + expand) — checkpoint the
-      // (≤|nodes|-row) state so the plan doesn't double per round
-      state = state.localCheckpoint()
-      state = state
+      // (≤|nodes|-row) state so the plan doesn't double per round. Gen
+      // N-1's checkpoint is read while materializing gen N's (the lazy
+      // round transform below), so it releases HERE, one round later
+      // (t17 discipline, shifted by the lazy tail)
+      val ck = state.localCheckpoint()
+      if (prevCk != null) graft.Checkpoints.release(prevCk)
+      prevCk = ck
+      state = ck
         .unionByName(
-          und.join(state.select(col("node").as("u"), col("arr")), "u")
+          und.join(ck.select(col("node").as("u"), col("arr")), "u")
             .filter(col("m") >= col("arr"))
             .select(col("v").as("node"), col("m").as("arr")))
         .groupBy(col("node")).agg(min(col("arr")).cast("long").as("arr"))
@@ -1059,9 +1080,11 @@ object GraphQueries {
     for (_ <- 1 to Hops) {
       val expanded = dist.join(edges, dist("node") === edges("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(expanded)
+      val next = dist.union(expanded)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
+      graft.Checkpoints.release(dist) // gen N-1 (t17 discipline; round-1 no-op)
+      dist = next
     }
     dist.select(col("node"), col("dist"))
   }

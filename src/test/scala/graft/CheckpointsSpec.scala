@@ -66,6 +66,22 @@ class CheckpointsSpec extends SparkTestBase {
     Checkpoints.releaseAll(spark)
   }
 
+  test("release(df) is root-only: a derived plan never releases its shared base") {
+    // the accident root-only prevents: iterative loops pass release() their
+    // round-1 state, which is often a LAZY plan layered on a shared
+    // checkpointed base (the store-read edges frame feeding every round) —
+    // leaf-walking release would unpersist the base out from under the
+    // remaining rounds
+    Checkpoints.releaseAll(spark)
+    val base = pinNew()
+    val derived = base.filter(org.apache.spark.sql.functions.col("a") < 50)
+    Checkpoints.release(derived) // must be a no-op
+    assert(Checkpoints.pinnedCount(spark) == 1,
+      "derived-frame release must not touch the shared base's blocks")
+    assert(base.count() == 100, "base must stay readable after the no-op")
+    Checkpoints.releaseAll(spark)
+  }
+
   test("t17 bpe_train: generational release keeps pinned footprint flat (round-10 verdict item 1)") {
     // Eager gen-release in bpeTrain: at any instant at most ~2 generations
     // (the swap window) are pinned, never all 8. The poller is ONE-SIDED
