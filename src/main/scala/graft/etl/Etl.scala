@@ -271,8 +271,32 @@ object EtlRunner {
     * from the sink's per-sheet records (keyed by name, so concurrent
     * submissions cannot misattribute counts).
     */
+  /** The reference's FULL remote pipeline shape in one call — list the
+    * query folder over HTTP, chunked-resumable-DOWNLOAD each `.sql`,
+    * dispatch with per-query isolation, and publish each result back
+    * through the chunked-resumable UPLOAD to the same endpoint
+    * (`src/loader.py:197-253`: Drive list → MediaIoBaseDownload → MySQL →
+    * resumable upload — here the endpoint is whatever service speaks the
+    * protocol, the spec's in-process stub included). `authToken` rides
+    * every request via the transport's per-request credential supplier.
+    */
+  def runRemote(spark: SparkSession, endpoint: String,
+          cellLimit: Long = CellGuard.DefaultLimit,
+          authToken: Option[String] = None): Seq[EtlOutcome] = {
+    val t = new graft.sources.sheets.ResumableHttpTransport(endpoint,
+      credentials = () => authToken)
+    val sinkOpts = Map("endpoint" -> endpoint) ++
+      authToken.map("authToken" -> _)
+    // the sink's path option is mandatory but unused by the HTTP
+    // transport; a throwaway temp dir satisfies the contract
+    val dest = Files.createTempDirectory("graft_remote_unused").toString
+    SqlFolderSource.discover(t)
+      .map(q => runOne(spark, q, dest, cellLimit, sinkOpts))
+  }
+
   private def runOne(spark: SparkSession, q: QuerySpec, destDir: String,
-          cellLimit: Long): EtlOutcome =
+          cellLimit: Long,
+          sinkOptions: Map[String, String] = Map.empty): EtlOutcome =
     Try(spark.sql(q.sql)) match {
       case Failure(e) =>
         EtlSkipped(q.name, s"SQL error: ${firstLine(e)}")
@@ -281,6 +305,7 @@ object EtlRunner {
           df.write.format("sheets")
             .option("name", q.name)
             .option("cellLimit", cellLimit.toString)
+            .options(sinkOptions)
             .mode("overwrite")
             .save(destDir)
         } match {

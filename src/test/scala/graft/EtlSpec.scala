@@ -124,6 +124,48 @@ class EtlRunnerSpec extends SparkTestBase {
       f"parallel ($parMs%.0f ms) not faster than serial ($serMs%.0f ms)")
   }
 
+  test("runRemote: the full reference loop over HTTP — list, download, dispatch, upload") {
+    // the Drive-shaped pipeline end-to-end against the in-process stub:
+    // folder listing + chunked resumable DOWNLOAD of each .sql (with one
+    // mid-chunk kill), per-query isolation, chunked resumable UPLOAD of
+    // each result (with one mid-chunk kill), bearer auth on every request
+    import spark.implicits._
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+      .createOrReplaceTempView("t_remote")
+    val sql = "SELECT k, v FROM t_remote ORDER BY k"
+    val dest = Files.createTempDirectory("stub_remote_")
+    val stub = new ResumableUploadStub(dest)
+    try {
+      stub.allowedTokens = Set("rtok")
+      Files.writeString(dest.resolve("a_remote.sql"), sql)
+      Files.writeString(dest.resolve("b_broken.sql"), "SELEC nope")
+      Files.writeString(dest.resolve("notes.txt"), "not sql")
+      stub.killDownloadAtByte = 5 // truncate one download chunk mid-body
+      stub.killAtByte = 4 // abort one upload chunk mid-body
+      val out = EtlRunner.runRemote(spark, stub.endpoint,
+        authToken = Some("rtok"))
+      assert(out.map(_.name) == Seq("a_remote", "b_broken"))
+      assert(out.head.isInstanceOf[EtlLoaded], s"remote load failed: $out")
+      out(1) match {
+        case EtlSkipped(_, reason, _) =>
+          assert(reason.startsWith("SQL error"), reason)
+        case other => fail(s"broken query not isolated: $other")
+      }
+      assert(stub.seenTokens.contains("rtok"), "auth never reached the wire")
+      assert(stub.killAtByte == -1L && stub.killDownloadAtByte == -1L,
+        "kill switches never fired")
+      // transport-independence: the remotely published sheet is
+      // byte-identical to the same query through the local folder path
+      val src = Files.createTempDirectory("sqlsrc_remote_twin")
+      Files.writeString(src.resolve("a_remote.sql"), sql)
+      val localDest = Files.createTempDirectory("sheets_remote_twin")
+      EtlRunner.run(spark, src.toString, localDest.toString)
+      assert(Files.readString(dest.resolve("a_remote.csv")) ==
+        Files.readString(localDest.resolve("a_remote.csv")),
+        "remote and local publishes differ byte-wise")
+    } finally stub.stop()
+  }
+
   test("csv converter: timestamp_ntz is ISO local, nested types rejected by name") {
     import graft.sources.sheets.CsvFormat
     import org.apache.spark.sql.types._
