@@ -609,6 +609,13 @@ object DedupQueries {
     // pair join exactly once — no extra checkpoint here
     starContract(d05_ngram_jaccard(s, d).select(col("doc_a"), col("doc_b")))
 
+  /** Generations below this row count skip the eager per-round release:
+    * the unpersist round-trip costs more than the pinned KBs it frees
+    * (they fall to scope release instead); above it a generation is real
+    * memory and eager release bounds the loop's footprint.
+    */
+  private val ReleaseFloorRows = 1000000L
+
   /** Star-contraction core over an undirected pair list — shared by d13
     * and the adversarial-diameter spec (a path graph deeper than any
     * sane propagation cap must still converge in O(log n) rounds).
@@ -657,9 +664,13 @@ object DedupQueries {
         if (nextCount != edgeCount) 1L
         else next.join(edges, Seq("src", "dst"), "left_anti").count()
       // gen N-1's last read is the anti join above — release eagerly (the
-      // t17 generational discipline; pair-sized frames here, but O(log n)
-      // rounds of them otherwise stay pinned until harness scope exit)
-      graft.Checkpoints.release(edges)
+      // t17 generational discipline) when the generation is WORTH a
+      // block-manager round-trip: below the floor, O(log n) pinned
+      // pair-frames are KBs and the per-call unpersist churn (measured
+      // ~0.4 s across m18's rounds at bench SF) costs more than scope
+      // release ever would; above it, each generation is real memory and
+      // eager release is what bounds the loop's footprint at 100 TB
+      if (edgeCount > ReleaseFloorRows) graft.Checkpoints.release(edges)
       edges = next
       edgeCount = nextCount
       iter += 1
