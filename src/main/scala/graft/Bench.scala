@@ -75,14 +75,28 @@ object Bench {
     val load = readFile("/proc/loadavg").map(_.trim.split("\\s+"))
       .filter(_.length >= 3).map(a => (a(0), a(1), a(2)))
       .getOrElse(("-1", "-1", "-1"))
-    // measure the SHUFFLE volume, not java.io.tmpdir: Spark spill/shuffle
-    // files land under spark.local.dir, which can be a different mount —
-    // a fingerprint read off tmpdir can show plenty of room while the
-    // shuffle volume is full (the exact condition it exists to witness)
-    val tmp = new java.io.File(
-      if (diskDir.nonEmpty) diskDir
+    // measure the SHUFFLE volume(s), not java.io.tmpdir: Spark
+    // spill/shuffle files land under spark.local.dir, which can be a
+    // different mount — a fingerprint read off tmpdir can show plenty of
+    // room while the shuffle volume is full (the exact condition it
+    // exists to witness). spark.local.dir may be a comma list and spill
+    // round-robins across ALL entries, so the fingerprint reports the
+    // TIGHTEST volume — the one that fills first.
+    val dirs = (if (diskDir.nonEmpty) diskDir
       else System.getProperty("java.io.tmpdir", "/tmp"))
-    val freeGb = tmp.getUsableSpace / 1e9
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val (worstDir, worstFree) =
+      dirs.map(d => (d, new java.io.File(d).getUsableSpace)).minBy(_._2)
+    val freeGb = worstFree / 1e9
+    // the path is operator-controlled text headed into a JSON literal:
+    // escape it, or a quote/backslash in spark.local.dir corrupts the
+    // whole bench artifact
+    val diskDirJson = "\"" + worstDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // cgroup v2: cpu.stat carries nr_throttled/throttled_usec for the
     // current cgroup; v1 keeps them under cpu/cpu.stat
     val cpuStat = readFile("/sys/fs/cgroup/cpu.stat")
@@ -100,7 +114,7 @@ object Bench {
       }
     }
     s"""{"load1":${load._1},"load5":${load._2},"load15":${load._3},""" +
-      f""""free_disk_gb":$freeGb%.1f,"disk_dir":"${tmp.getPath}",""" +
+      f""""free_disk_gb":$freeGb%.1f,"disk_dir":$diskDirJson,""" +
       s""""nr_throttled":${stat("nr_throttled")},""" +
       s""""throttled_usec":$throttled}"""
   }
@@ -115,10 +129,10 @@ object Bench {
     def mark(name: String, e: Throwable): Unit =
       errors.getOrElseUpdate(name, e.getClass.getSimpleName + ": " +
         graft.etl.EtlRunner.firstLine(e).take(120))
-    // spark.local.dir may be a comma list of volumes; the first entry is
-    // where shuffle files land first and is the one worth fingerprinting
+    // spark.local.dir may be a comma list of volumes — pass the whole
+    // list; the fingerprint reports the tightest one (spill goes to all)
     val shuffleDir = sc.getConf.get("spark.local.dir",
-      System.getProperty("java.io.tmpdir", "/tmp")).split(",")(0)
+      System.getProperty("java.io.tmpdir", "/tmp"))
     val envStart = envFingerprint(shuffleDir)
 
     // Spark job count for one execution, via a per-execution job group and

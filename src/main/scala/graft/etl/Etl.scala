@@ -154,26 +154,65 @@ object EtlRunner {
           cellLimit: Long = CellGuard.DefaultLimit,
           maxConcurrent: Int = 4,
           perQueryTimeout: scala.concurrent.duration.Duration =
-            scala.concurrent.duration.Duration.Inf): Seq[EtlOutcome] = {
+            scala.concurrent.duration.Duration.Inf): Seq[EtlOutcome] =
+    runSpecs(spark, SqlFolderSource.discover(sqlDir), destDir, cellLimit,
+      maxConcurrent, perQueryTimeout)
+
+  /** The shared bounded-parallel dispatch loop behind [[runParallel]]
+    * (local folder) and [[runRemote]] (HTTP folder).
+    *
+    * HANG isolation (the per-query FAILURE isolation lives in runOne): a
+    * sink write stuck in a transport resume loop previously blocked the
+    * whole batch forever (Await Duration.Inf). Each query races a timer
+    * armed at ACTUAL DISPATCH — the first statement the worker executes —
+    * never at submission: a query that merely queued behind slow siblings
+    * has not started its budget yet, so it can never be falsely skipped,
+    * no matter how many earlier queries hang (the previous wave-indexed
+    * budget assumed all workers stay available, which is exactly false
+    * when a hung query wedges its thread permanently).
+    *
+    * When a budget fires first, three things happen atomically on the
+    * promise: (1) the batch records EtlSkipped naming the straggler and
+    * moves on; (2) the straggler's SPARK JOBS are cancelled via its
+    * per-query job group — an abandoned query must not keep burning
+    * executors for hours at 100 TB scale (interruptOnCancel interrupts
+    * executor TASK threads only, never the driver-side worker, so a
+    * wedged transport cannot be made worse by it); (3) the pool grows by
+    * one core thread, so a worker that stays wedged despite the job
+    * cancellation (a driver-side transport hang has no Spark job to
+    * cancel) never shrinks dispatch capacity for queued queries — every
+    * query is guaranteed to eventually dispatch, run against its own
+    * full budget, and complete or be skipped. Workers are daemon threads
+    * so an orphaned straggler can never block JVM exit either.
+    *
+    * The promise is the single arbiter of the recorded outcome, and the
+    * worker checks the cancellation flag immediately before the sink
+    * write: a straggler that times out before its write starts never
+    * publishes. If the timer wins mid-write, the worker deletes the
+    * orphaned local `<dest>/<name>.csv` the moment the write returns, so
+    * a recorded skip and a published sheet cannot disagree. (A REMOTE
+    * upsert racing the same microsecond window cannot be deleted over
+    * the wire; the upsert-by-name contract makes the stale sheet
+    * self-healing on the next publish.)
+    */
+  private[graft] def runSpecs(spark: SparkSession, specs: Seq[QuerySpec],
+      destDir: String, cellLimit: Long, maxConcurrent: Int,
+      perQueryTimeout: scala.concurrent.duration.Duration,
+      sinkOptions: Map[String, String] = Map.empty): Seq[EtlOutcome] = {
     import scala.concurrent.{Await, ExecutionContext, Future, Promise}
     import scala.concurrent.duration.Duration
-    val specs = SqlFolderSource.discover(sqlDir)
+    import java.util.concurrent.TimeUnit
     if (specs.isEmpty) return Seq.empty
     val poolSize = math.max(1, math.min(maxConcurrent, specs.size))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(poolSize, { r: Runnable =>
-      val t = new Thread(r, "etl-worker"); t.setDaemon(true); t
-    })
-    // HANG isolation (the per-query FAILURE isolation lives in runOne): a
-    // sink write stuck in a transport resume loop previously blocked the
-    // whole batch forever (Await Duration.Inf). Each query now races a
-    // timer armed at submission with a slot budget of perQueryTimeout x
-    // its dispatch wave (query i runs in wave i/poolSize; a query that
-    // merely queued behind full-budget siblings is never falsely skipped)
-    // — when the budget fires first the batch records EtlSkipped naming
-    // the straggler and moves on. The stuck worker thread itself is NOT
-    // interrupted (a mid-write interrupt could wedge the transport in a
-    // worse state than the hang); the pool is daemon-threaded so an
-    // orphaned straggler can never block JVM exit either.
+    // core threads bound concurrency; the unbounded queue holds the rest.
+    // Timeout replenishment raises corePoolSize, which (per TPE contract)
+    // starts a new thread for a queued task immediately.
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      poolSize, specs.size + 1, 60L, TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      { r: Runnable =>
+        val t = new Thread(r, "etl-worker"); t.setDaemon(true); t
+      })
     val timer =
       if (perQueryTimeout.isFinite)
         Some(new java.util.concurrent.ScheduledThreadPoolExecutor(1, { r =>
@@ -183,22 +222,42 @@ object EtlRunner {
     try {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val futs = specs.zipWithIndex.map { case (q, i) =>
-        val fut = Future(runOne(spark, q, destDir, cellLimit))
-        timer match {
-          case None => fut
-          case Some(tm) =>
-            val p = Promise[EtlOutcome]()
-            // parasitic EC: the completion hop must not re-enter the pool —
-            // an orphaned straggler finishing after pool.shutdown() would
-            // throw RejectedExecutionException into the ether
-            fut.onComplete(p.tryComplete)(ExecutionContext.parasitic)
-            val budget = perQueryTimeout * ((i / poolSize) + 1)
-            tm.schedule(new Runnable {
-              override def run(): Unit = p.trySuccess(EtlSkipped(q.name,
-                s"timeout after ${perQueryTimeout.toSeconds}s"))
-            }, budget.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
-            p.future
-        }
+        val p = Promise[EtlOutcome]()
+        val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val groupId = s"etl-$i-${q.name}"
+        Future {
+          // budget armed HERE, at dispatch, as the worker's first act
+          val budgetTask = timer.map(_.schedule(new Runnable {
+            override def run(): Unit =
+              if (p.trySuccess(EtlSkipped(q.name,
+                  s"timeout after ${perQueryTimeout.toSeconds}s"))) {
+                cancelled.set(true)
+                Try(spark.sparkContext.cancelJobGroup(groupId))
+                // replenish — scaladoc point (3); single timer thread, so
+                // the read-modify-write pair needs no extra locking
+                pool.setMaximumPoolSize(pool.getMaximumPoolSize + 1)
+                pool.setCorePoolSize(pool.getCorePoolSize + 1)
+              }
+          }, perQueryTimeout.toMillis, TimeUnit.MILLISECONDS))
+          spark.sparkContext.setJobGroup(groupId, s"graft etl: ${q.name}",
+            interruptOnCancel = true)
+          val outcome =
+            try runOne(spark, q, destDir, cellLimit, sinkOptions,
+              () => cancelled.get())
+            finally spark.sparkContext.clearJobGroup()
+          budgetTask.foreach(_.cancel(false))
+          if (!p.trySuccess(outcome)) outcome match {
+            // timer won while the write was mid-commit: un-publish the
+            // orphan so outcome and side effect agree (local sink only —
+            // the atomic-move target is exactly <dest>/<name>.csv)
+            case EtlLoaded(name, _, _) if !sinkOptions.contains("endpoint") =>
+              Try(Files.deleteIfExists(Paths.get(destDir, s"$name.csv")))
+            case _ => ()
+          }
+        }.failed.foreach { e => // a wrapper-level throw must not hang Await
+          p.trySuccess(EtlSkipped(q.name, s"dispatch error: ${firstLine(e)}"))
+        }(ExecutionContext.parasitic)
+        p.future
       }
       Await.result(Future.sequence(futs), Duration.Inf)
     } finally {
@@ -282,24 +341,42 @@ object EtlRunner {
     */
   def runRemote(spark: SparkSession, endpoint: String,
           cellLimit: Long = CellGuard.DefaultLimit,
-          authToken: Option[String] = None): Seq[EtlOutcome] = {
+          authToken: Option[String] = None,
+          maxConcurrent: Int = 1,
+          perQueryTimeout: scala.concurrent.duration.Duration =
+            scala.concurrent.duration.Duration.Inf): Seq[EtlOutcome] = {
     val t = new graft.sources.sheets.ResumableHttpTransport(endpoint,
       credentials = () => authToken)
     val sinkOpts = Map("endpoint" -> endpoint) ++
       authToken.map("authToken" -> _)
     // the sink's path option is mandatory but unused by the HTTP
-    // transport; a throwaway temp dir satisfies the contract
-    val dest = Files.createTempDirectory("graft_remote_unused").toString
-    SqlFolderSource.discover(t)
-      .map(q => runOne(spark, q, dest, cellLimit, sinkOpts))
+    // transport; a throwaway temp dir satisfies the contract (and is
+    // removed on exit — a cron-driven deployment must not accumulate one
+    // empty dir per run)
+    val dest = Files.createTempDirectory("graft_remote_unused")
+    // maxConcurrent defaults to 1 — the reference's loop is serial
+    // (`src/loader.py:228-253`) — but the remote path is precisely where
+    // a stuck transport lives, so it runs through the same slot-budget
+    // machinery as runParallel: a hung chunked upload yields
+    // EtlSkipped(name, timeout), its pool slot is replenished, and the
+    // loop continues past it instead of stalling the batch forever.
+    try runSpecs(spark, SqlFolderSource.discover(t), dest.toString,
+      cellLimit, maxConcurrent, perQueryTimeout, sinkOpts)
+    finally Try(Files.deleteIfExists(dest))
   }
 
   private def runOne(spark: SparkSession, q: QuerySpec, destDir: String,
           cellLimit: Long,
-          sinkOptions: Map[String, String] = Map.empty): EtlOutcome =
+          sinkOptions: Map[String, String] = Map.empty,
+          cancelled: () => Boolean = () => false): EtlOutcome =
     Try(spark.sql(q.sql)) match {
       case Failure(e) =>
         EtlSkipped(q.name, s"SQL error: ${firstLine(e)}")
+      case Success(_) if cancelled() =>
+        // budget already fired (e.g. during a slow SQL analysis): the
+        // recorded outcome is the timer's skip; the contract here is
+        // only that the straggler must NOT publish
+        EtlSkipped(q.name, "cancelled before sink write")
       case Success(df) =>
         Try {
           df.write.format("sheets")

@@ -700,7 +700,14 @@ object DedupQueries {
     * the probe join runs on (injective because lang/source never contain
     * the U+0001 separator), which is what lets the persisted index bucket
     * on ONE column and the probe join consume the bucket layout with no
-    * store-side exchange.
+    * store-side exchange. Built with `concat`, NOT `concat_ws`: concat_ws
+    * SKIPS null arguments, so (NULL,'en',sh) and ('en',NULL,sh) would
+    * collapse to the same key and rows with a null lang/source would
+    * start matching each other — whereas the qualified key must
+    * reproduce a three-column `===` join, under which a null component
+    * never matches anything. `concat` null-propagates, and the explicit
+    * isNotNull filter keeps the never-joinable rows out of the index
+    * entirely (they would only widen the store and the probe shuffle).
     */
   private[graft] def bigramIndex(docs: DataFrame): DataFrame =
     docs
@@ -712,7 +719,9 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
       .withColumn("key",
-        concat_ws("\u0001", col("lang"), col("source"), col("shingle")))
+        concat(col("lang"), lit("\u0001"), col("source"), lit("\u0001"),
+          col("shingle")))
+      .filter(col("key").isNotNull)
 
   /** New-batch index rows probe the corpus index rows: jaccard per
     * candidate pair, best corpus match per new doc (TopKPerGroup k=1),

@@ -243,12 +243,22 @@ final class ResumableHttpTransport(endpoint: String,
           case 416 if total < 0 && off == 0 => // zero-byte file
             c.disconnect()
             total = 0
+          case other if other >= 400 && other < 500 =>
+            // a 4xx (401/403/404/...) is the server DECIDING, not the
+            // transport failing: retrying a deterministic rejection
+            // maxRetries times only masks it as retry exhaustion —
+            // fail fast instead (416 mid-stream falls through here too:
+            // a file that shrank under us is not retriable either)
+            c.disconnect()
+            throw new FatalTransportException(
+              s"download of $name rejected: HTTP $other")
           case other =>
             c.disconnect()
             throw new IOException(s"download chunk rejected: HTTP $other")
         }
         retries = 0
       } catch {
+        case e: FatalTransportException => throw e
         case e: IOException =>
           retries += 1
           if (retries > maxRetries)
@@ -261,21 +271,50 @@ final class ResumableHttpTransport(endpoint: String,
     buf.toByteArray
   }
 
-  /** Folder listing for discovery (reference parity: `loader.py:197-205`
-    * lists the Drive folder before downloading each file): GET
-    * `<endpoint>/list` → newline-separated names.
+  /** PAGINATED folder listing for discovery (reference parity:
+    * `loader.py:113-122` walks Drive's `nextPageToken` cursor until the
+    * server stops returning one — a folder of tens of thousands of
+    * `.sql` files never arrives as one giant response). Page protocol:
+    * GET `<endpoint>/list[?pageToken=<tok>]` → newline-separated names
+    * in the body; a non-empty `X-Next-Page-Token` response header means
+    * more pages remain and its value is the next request's cursor. A
+    * server without pagination simply never sets the header and the
+    * walk degenerates to the previous single GET.
     */
   def list(): Seq[String] = {
-    val c = open(s"$endpoint/list", "GET")
-    val code = c.getResponseCode
-    if (code != 200) {
+    val out = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val url = s"$endpoint/list" + token.map(t =>
+        "?pageToken=" + java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val c = open(url, "GET")
+      val code = c.getResponseCode
+      if (code != 200) {
+        c.disconnect()
+        throw new IOException(s"list failed: HTTP $code")
+      }
+      val body = new String(c.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      token = Option(c.getHeaderField("X-Next-Page-Token")).filter(_.nonEmpty)
       c.disconnect()
-      throw new IOException(s"list failed: HTTP $code")
+      out ++= body.linesIterator.filter(_.nonEmpty)
+      // cursor-cycle guard: a buggy server re-issuing a token it already
+      // served must fail loudly, not list forever
+      token.foreach { t =>
+        if (!seen.add(t))
+          throw new IOException(s"list page cursor cycle on token '$t'")
+      }
+      more = token.isDefined
     }
-    val body = new String(c.getInputStream.readAllBytes(),
-      StandardCharsets.UTF_8)
-    c.disconnect()
-    body.linesIterator.filter(_.nonEmpty).toSeq
+    out.result()
   }
 
 }
+
+/** A deterministic server-side rejection (4xx): retrying cannot change
+  * the answer, so the retry loops rethrow it immediately instead of
+  * burning maxRetries attempts on it.
+  */
+final class FatalTransportException(msg: String) extends IOException(msg)

@@ -169,6 +169,38 @@ object HeavyTailProbe {
         println(f"[heavytail] $tag $q build=${cold - warm}%.1fs steady=$warm%.1fs")
       }
 
+      if (want("graph")) {
+        // round-11 verdict item 1: the LAST unprobed heavy-tail family —
+        // g21's label-propagation chain and everything riding it (g23,
+        // g24), the star-contraction media clusters (m18), the streaming
+        // co-graph's batch twin (st14), and the chaining audit (d35).
+        // cold/warm separates the persisted monthly co-graph build (first
+        // touch after freshen) from the steady chain cost.
+        for (q <- Seq("g21_labelprop", "g23_community_churn",
+            "g24_community_graph", "m18_media_clusters",
+            "st14_incremental_co_graph", "d35_chaining_audit")) {
+          val cold = time(s"$tag $q cold")(
+            graft.SparkEntry.queries(q)(spark, dir).count())
+          val warm = time(s"$tag $q steady")(
+            graft.SparkEntry.queries(q)(spark, dir).count())
+          println(f"[heavytail] $tag $q build=${cold - warm}%.1fs " +
+            f"steady=$warm%.1fs")
+        }
+      }
+
+      if (want("d24")) {
+        // round-11 verdict item 4: the 25x leg's wall (308 s) sat at the
+        // 100x wall (325 s) while shuffle grew 72x across that decade —
+        // flight-record the whole run and name the stage that binds
+        meter.flightRecord = true
+        meter.resetStages()
+        time(s"$tag d24_ppjoin")(
+          graft.SparkEntry.queries("d24_ppjoin")(spark, dir).count())
+        meter.dumpStages(14, s"$tag d24")
+        meter.flightRecord = false
+        meter.resetStages()
+      }
+
       if (want("publish")) {
         // BENCH_r10's ten slowest steady entries, through the full
         // reference pipeline: discovery -> dispatch -> cell guard ->

@@ -60,10 +60,45 @@ final class ProbeMetrics(spark: SparkSession) extends SparkListener {
     secs
   }
 
-  // per-stage flight recorder for the deep-scale legs: any stage whose
-  // shuffle write, spill, or output exceeds 512 MB prints its callsite
-  // name — when a probe leg dies on disk, the culprit operator line is in
-  // the log instead of being reverse-engineered from temp_shuffle debris
+  /** Full per-stage FLIGHT RECORDER (opt-in): when a deep leg's wall
+    * disagrees with its shuffle bytes, the per-stage executor-time table
+    * names the binding stage instead of leaving it to guesswork. Rows
+    * accumulate between [[resetStages]] and [[dumpStages]].
+    */
+  @volatile var flightRecord: Boolean = false
+  private final case class StageRow(id: Int, tasks: Int, wallMs: Long,
+      runMs: Long, cpuMs: Long, gcMs: Long, inBytes: Long, swBytes: Long,
+      srBytes: Long, spill: Long, name: String)
+  private val stageRows =
+    new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+
+  def resetStages(): Unit = { settle(); stageRows.clear() }
+
+  /** Top `n` recorded stages by summed executor run time — executor time,
+    * not stage wall, because wall is parallelism-washed on local[32] and
+    * run time is what a cluster actually pays.
+    */
+  def dumpStages(n: Int, tag: String): Unit = {
+    settle()
+    import scala.jdk.CollectionConverters._
+    val rows = stageRows.asScala.toSeq.sortBy(-_.runMs)
+    val totalRun = rows.map(_.runMs).sum
+    println(f"[flight] $tag: ${rows.size} stages, " +
+      f"total executor-run ${totalRun / 1000.0}%.1fs; top $n by run time:")
+    rows.take(n).foreach { r =>
+      println(f"[flight] $tag  id=${r.id} tasks=${r.tasks} " +
+        f"wall=${r.wallMs / 1000.0}%.1fs run=${r.runMs / 1000.0}%.1fs " +
+        f"cpu=${r.cpuMs / 1000.0}%.1fs gc=${r.gcMs / 1000.0}%.1fs " +
+        s"in=${fmt(r.inBytes)} sw=${fmt(r.swBytes)} sr=${fmt(r.srBytes)} " +
+        s"spill=${fmt(r.spill)} ${r.name.linesIterator.nextOption()
+          .getOrElse("").take(110)}")
+    }
+  }
+
+  // always-on guardrail: any stage whose shuffle write or spill exceeds
+  // 512 MB prints its callsite name — when a probe leg dies on disk, the
+  // culprit operator line is in the log instead of being
+  // reverse-engineered from temp_shuffle debris
   override def onStageCompleted(
       ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
     val si = ev.stageInfo
@@ -71,6 +106,14 @@ final class ProbeMetrics(spark: SparkSession) extends SparkListener {
     if (m != null) {
       val sw = m.shuffleWriteMetrics.bytesWritten
       val spill = m.diskBytesSpilled
+      if (flightRecord) {
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+          yield c - s).getOrElse(-1L)
+        stageRows.add(StageRow(si.stageId, si.numTasks, wall,
+          m.executorRunTime, m.executorCpuTime / 1000000L, m.jvmGCTime,
+          m.inputMetrics.bytesRead, sw,
+          m.shuffleReadMetrics.totalBytesRead, spill, si.name))
+      }
       if (sw > (512L << 20) || spill > (512L << 20))
         println(f"[probe-stage] id=${si.stageId} tasks=${si.numTasks} " +
           s"write=${fmt(sw)} spill=${fmt(spill)} " +

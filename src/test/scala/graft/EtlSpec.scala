@@ -142,8 +142,11 @@ class EtlRunnerSpec extends SparkTestBase {
       Files.writeString(dest.resolve("notes.txt"), "not sql")
       stub.killDownloadAtByte = 5 // truncate one download chunk mid-body
       stub.killAtByte = 4 // abort one upload chunk mid-body
+      stub.listPageSize = 1 // 3 files -> the discovery walks 3 pages
       val out = EtlRunner.runRemote(spark, stub.endpoint,
         authToken = Some("rtok"))
+      assert(stub.listGets == 3,
+        s"paginated discovery expected 3 page GETs, saw ${stub.listGets}")
       assert(out.map(_.name) == Seq("a_remote", "b_broken"))
       assert(out.head.isInstanceOf[EtlLoaded], s"remote load failed: $out")
       out(1) match {
@@ -338,11 +341,97 @@ class EtlRunnerSpec extends SparkTestBase {
     assert(Files.exists(dest.resolve("a_ok.csv")))
     assert(Files.exists(dest.resolve("c_ok.csv")))
   }
+
+  test("timeout cancels the straggler's SPARK JOBS and replenishes the pool") {
+    // round-11 verdict item 3 (cancel) + the dispatch-armed-budget fix:
+    // with ONE worker, the old wave-indexed budget falsely skipped b_ok
+    // (it could never dispatch behind the wedged thread); now the budget
+    // arms at dispatch and a timeout grows the pool, so b_ok runs late
+    // but LOADS. And the straggler's Spark job must STOP at budget expiry
+    // even though the gate never opens — cancelJobGroup interrupts its
+    // task, so an abandoned query cannot keep burning executors.
+    import scala.concurrent.duration._
+    spark.range(1)
+      .filter { _: java.lang.Long => EtlCancelGate.latch.await(); true }
+      .toDF("x").createOrReplaceTempView("cancel_view")
+    val src = Files.createTempDirectory("sqlsrc_cancel")
+    Files.writeString(src.resolve("a_stuck.sql"), "SELECT * FROM cancel_view")
+    Files.writeString(src.resolve("b_ok.sql"), "SELECT 1 AS one")
+    val dest = Files.createTempDirectory("sheets_cancel")
+    try {
+      val out = EtlRunner.runParallel(spark, src.toString, dest.toString,
+        maxConcurrent = 1, perQueryTimeout = 3.seconds)
+      assert(out.map(_.name) == Seq("a_stuck", "b_ok"))
+      out(0) match {
+        case EtlSkipped("a_stuck", reason, _) =>
+          assert(reason.startsWith("timeout"), reason)
+        case other => fail(s"straggler not skipped: $other")
+      }
+      assert(out(1).isInstanceOf[EtlLoaded],
+        s"queued sibling falsely skipped behind the wedged worker: ${out(1)}")
+      assert(Files.exists(dest.resolve("b_ok.csv")))
+      assert(!Files.exists(dest.resolve("a_stuck.csv")))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def active = spark.sparkContext.statusTracker.getActiveJobIds().length
+      while (active > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(active == 0,
+        "straggler's Spark job still running after cancelJobGroup")
+    } finally EtlCancelGate.latch.countDown()
+  }
+
+  test("runRemote hang isolation: a hung upload is skipped, siblings publish") {
+    // round-11 verdict item 2: the remote loop is precisely where a stuck
+    // transport lives — a wedged chunked upload (the stub parks /start on
+    // a gate, DRIVER-side commit hang, no Spark job to cancel) must yield
+    // EtlSkipped(timeout) while the serial loop continues past it.
+    import scala.concurrent.duration._
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("k", "v")
+      .createOrReplaceTempView("t_remote_hang")
+    val dest = Files.createTempDirectory("stub_remote_hang")
+    val stub = new ResumableUploadStub(dest)
+    try {
+      Files.writeString(dest.resolve("a_fine.sql"),
+        "SELECT k FROM t_remote_hang ORDER BY k")
+      Files.writeString(dest.resolve("b_hang.sql"),
+        "SELECT v FROM t_remote_hang ORDER BY v")
+      Files.writeString(dest.resolve("c_fine.sql"),
+        "SELECT k, v FROM t_remote_hang ORDER BY k")
+      stub.stallUploadsFor = Set("b_hang")
+      val t0 = System.nanoTime()
+      val out = EtlRunner.runRemote(spark, stub.endpoint,
+        perQueryTimeout = 3.seconds)
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(wall < 60, f"remote batch took $wall%.0fs — timeout never fired")
+      assert(out.map(_.name) == Seq("a_fine", "b_hang", "c_fine"))
+      out(1) match {
+        case EtlSkipped("b_hang", reason, _) =>
+          assert(reason.startsWith("timeout after 3s"), reason)
+        case other => fail(s"straggler not skipped: $other")
+      }
+      assert(out.count(_.isInstanceOf[EtlLoaded]) == 2, s"siblings lost: $out")
+      // checked BEFORE the gate opens — the orphaned upload may
+      // legitimately land afterwards (remote upsert-by-name self-heals)
+      assert(Files.exists(dest.resolve("a_fine.csv")))
+      assert(Files.exists(dest.resolve("c_fine.csv")))
+      assert(!Files.exists(dest.resolve("b_hang.csv")))
+    } finally {
+      stub.uploadGate.countDown()
+      stub.stop()
+    }
+  }
 }
 
 /** Shared gate for the hang-isolation test: a static object so the task
   * closure captures nothing (local mode — one JVM).
   */
 object EtlStallGate {
+  val latch = new java.util.concurrent.CountDownLatch(1)
+}
+
+/** Gate for the job-cancellation test — separate from [[EtlStallGate]]:
+  * each latch is one-shot and the suites must not couple.
+  */
+object EtlCancelGate {
   val latch = new java.util.concurrent.CountDownLatch(1)
 }

@@ -28,6 +28,17 @@ final class ResumableUploadStub(dest: Path) {
   /** truncate the DOWNLOAD chunk containing this byte mid-body, once */
   @volatile var killDownloadAtByte: Long = -1L
   @volatile var rangeGets: Int = 0
+  /** every /download request, including rejected ones (fail-fast proof) */
+  @volatile var downloadGets: Int = 0
+  /** page size for /list; 0 = unpaginated single response */
+  @volatile var listPageSize: Int = 0
+  /** every /list request (page-walk proof) */
+  @volatile var listGets: Int = 0
+  /** names whose upload /start blocks on [[uploadGate]] — the hung-
+    * transport stand-in for the runRemote hang-isolation test
+    */
+  @volatile var stallUploadsFor: Set[String] = Set.empty
+  val uploadGate = new java.util.concurrent.CountDownLatch(1)
   /** non-empty -> every request must carry `Authorization: Bearer <one of>` */
   @volatile var allowedTokens: Set[String] = Set.empty
   val seenTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -36,7 +47,17 @@ final class ResumableUploadStub(dest: Path) {
   server.createContext("/start", (ex: HttpExchange) => authed(ex)(handleStart))
   server.createContext("/upload/", (ex: HttpExchange) => authed(ex)(handleUpload))
   server.createContext("/list", (ex: HttpExchange) => authed(ex)(handleList))
-  server.createContext("/download", (ex: HttpExchange) => authed(ex)(handleDownload))
+  server.createContext("/download", { (ex: HttpExchange) =>
+    downloadGets += 1 // counted BEFORE the auth gate: a 401 is a request too
+    authed(ex)(handleDownload)
+  })
+  // a cached pool, NOT the default single dispatcher thread: the stall
+  // switch parks one handler on the gate, and siblings' requests must
+  // still be served (the whole point of the hang-isolation tests)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    { r: Runnable =>
+      val t = new Thread(r, "stub-handler"); t.setDaemon(true); t
+    }))
   server.start()
 
   /** Auth gate shared by every context: outside the zero-auth default,
@@ -66,6 +87,7 @@ final class ResumableUploadStub(dest: Path) {
     val total = Option(ex.getRequestHeaders.getFirst("X-Upload-Content-Length"))
       .map(_.toLong).getOrElse(-1L)
     ex.getRequestBody.readAllBytes()
+    if (stallUploadsFor.contains(name)) uploadGate.await() // hung transport
     val id = java.util.UUID.randomUUID().toString
     sessions.put(id, new Session(name, total,
       Files.createTempFile("stub_spool_", ".part")))
@@ -128,16 +150,32 @@ final class ResumableUploadStub(dest: Path) {
   }
 
   private def handleList(ex: HttpExchange): Unit = {
+    listGets += 1
     ex.getRequestBody.readAllBytes()
     import scala.jdk.CollectionConverters._
-    val names =
-      if (!Files.isDirectory(dest)) ""
+    val all: Seq[String] =
+      if (!Files.isDirectory(dest)) Seq.empty
       else {
         val st = Files.list(dest)
-        try st.iterator().asScala.map(_.getFileName.toString + "\n").mkString
+        try st.iterator().asScala.map(_.getFileName.toString).toSeq.sorted
         finally st.close()
       }
-    val body = names.getBytes(StandardCharsets.UTF_8)
+    // pagination: pageToken is an opaque cursor (here: a start offset);
+    // a non-final page sets X-Next-Page-Token, Drive-style
+    val page =
+      if (listPageSize <= 0) all
+      else {
+        val off = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").collectFirst {
+            case kv if kv.startsWith("pageToken=") => kv.drop(10).toInt
+          }.getOrElse(0)
+        val slice = all.slice(off, off + listPageSize)
+        if (off + listPageSize < all.size)
+          ex.getResponseHeaders.set("X-Next-Page-Token",
+            (off + listPageSize).toString)
+        slice
+      }
+    val body = page.map(_ + "\n").mkString.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
     if (body.nonEmpty) ex.getResponseBody.write(body)
     ex.close()
@@ -342,16 +380,106 @@ class ResumableTransportSpec extends AnyFunSuite {
       assert(eUp.getMessage.contains("401"), s"upload error hides cause: $eUp")
       Files.createDirectories(dest)
       Files.writeString(dest.resolve("pull_denied.csv"), body(2000))
-      val eDown = intercept[java.io.IOException] {
+      val before = stub.downloadGets
+      val eDown = intercept[graft.sources.sheets.FatalTransportException] {
         anon.download("pull_denied.csv")
       }
-      assert(String.valueOf(eDown.getMessage).contains("retries"),
-        s"download must give up naming retries: $eDown")
+      assert(String.valueOf(eDown.getMessage).contains("HTTP 401"),
+        s"download error hides cause: $eDown")
+      // a deterministic rejection must NOT be retried into "exhaustion"
+      assert(stub.downloadGets - before == 1,
+        s"401 was retried ${stub.downloadGets - before - 1} times")
       // the authorized transport succeeds against the same stub state
       val ok = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096,
         credentials = () => Some("the_token"))
       assert(new String(ok.download("pull_denied.csv"),
         StandardCharsets.UTF_8) == body(2000))
+    }
+  }
+
+  test("404 download fails fast: one request, no retry exhaustion") {
+    withStub { (stub, dest) =>
+      Files.createDirectories(dest)
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096)
+      val e = intercept[graft.sources.sheets.FatalTransportException] {
+        t.download("no_such_sheet.csv")
+      }
+      assert(e.getMessage.contains("HTTP 404"), s"cause hidden: $e")
+      assert(stub.downloadGets == 1,
+        s"deterministic 404 retried: ${stub.downloadGets} requests")
+      // transient (5xx-shaped) failures must still retry: unchanged —
+      // covered by the mid-chunk-kill tests above
+    }
+  }
+
+  test("credential cache: first run acquires once, later runs read the file") {
+    import graft.sources.sheets.CredentialCache
+    val dir = Files.createTempDirectory("cred_cache")
+    val path = dir.resolve(".credentials").resolve("sheets-etl.json")
+    val acquires = new java.util.concurrent.atomic.AtomicInteger(0)
+    var now = 1000L
+    def mk() = new CredentialCache(path,
+      () => { acquires.incrementAndGet()
+        CredentialCache.Token(s"tok${acquires.get()}", now + 3600000L) },
+      clock = () => now)
+    // first run: no file -> the flow runs once, result stored AND used
+    // (no reference-style "run the script again" restart)
+    assert(mk().current().value == "tok1")
+    assert(acquires.get() == 1)
+    assert(Files.isRegularFile(path), "credential never stored")
+    // a NEW instance (= a new process run) serves from disk, no flow
+    assert(mk().current().value == "tok1")
+    assert(acquires.get() == 1, "cached credential re-acquired")
+    // expiry (with the early-refresh skew) forces one re-acquire
+    now += 3600000L
+    assert(mk().current().value == "tok2")
+    assert(acquires.get() == 2)
+    // a torn cache file reads as INVALID -> re-acquire, never a crash
+    Files.writeString(path, "garbage with no expiry line")
+    assert(mk().current().value == "tok3")
+    assert(acquires.get() == 3)
+  }
+
+  test("credential cache end-to-end: cache-backed supplier rotates on expiry") {
+    import graft.sources.sheets.CredentialCache
+    withStub { (stub, dest) =>
+      stub.allowedTokens = Set("epoch1", "epoch2")
+      val path = Files.createTempDirectory("cred_e2e").resolve("cred.json")
+      val epoch = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var now = 0L
+      val cache = new CredentialCache(path,
+        () => CredentialCache.Token(s"epoch${epoch.incrementAndGet()}",
+          now + 120000L),
+        clock = () => now)
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096,
+        credentials = cache.supplier)
+      t.upsert("sheet_cached", w => w.write(body(9000)))
+      now += 120000L // the cached token dies between two publishes
+      t.upsert("sheet_cached", w => w.write(body(9001)))
+      assert(new String(Files.readAllBytes(dest.resolve("sheet_cached.csv")),
+        StandardCharsets.UTF_8) == body(9001))
+      assert(stub.seenTokens.contains("epoch1")
+        && stub.seenTokens.contains("epoch2"),
+        "cache-backed rotation never reached the wire")
+      assert(epoch.get() == 2, s"expected exactly 2 acquisitions: $epoch")
+    }
+  }
+
+  test("paginated listing: the cursor walk concatenates every page in order") {
+    withStub { (stub, dest) =>
+      Files.createDirectories(dest)
+      val names = (1 to 7).map(i => f"q$i%02d.sql")
+      names.foreach(n => Files.writeString(dest.resolve(n), "SELECT 1"))
+      stub.listPageSize = 3 // 7 names -> pages of 3+3+1
+      val t = new ResumableHttpTransport(stub.endpoint, chunkSize = 4096)
+      assert(t.list() == names, "page walk lost or reordered names")
+      assert(stub.listGets == 3,
+        s"expected 3 page requests, saw ${stub.listGets}")
+      // a server without pagination degenerates to one GET
+      stub.listPageSize = 0
+      stub.listGets = 0
+      assert(t.list() == names)
+      assert(stub.listGets == 1)
     }
   }
 }
