@@ -431,6 +431,16 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      // VERIFY-WIDTH PIN: candidate pairs are 16 bytes each but each
+      // costs a full array_intersect over two shingle arrays downstream,
+      // so AQE's byte-based post-shuffle coalescing starves the verify
+      // stage of parallelism (flight-recorded: ONE task at bench SF
+      // carrying 4.4 s of the 7.5 s wall; 31 tasks behind 474 s of CPU at
+      // the 25x probe — the round-11 "flat 25x wall" was this stage
+      // serializing CPU, not shuffle). An explicit repartition is
+      // user-pinned (AQE never coalesces it) and ships only the id
+      // pairs; the broadcast verify joins then run at cluster width.
+      .repartition(graft.Tables.scanPartitions(s))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
         col("n").as("na")), "doc_a")
