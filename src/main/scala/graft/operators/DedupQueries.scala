@@ -426,6 +426,15 @@ object DedupQueries {
         "CAST(n - (4 * n + 4) div 5 + 1 AS INT))").as("pref"))
       .select(col("doc_id"), explode(col("pref")).as("ps"))
       .select(col("doc_id"), col("ps.shingle").as("shingle"))
+      // CANDIDATE-STAGE WIDTH PIN (the 100x flight record's finding, the
+      // same AQE-coalesces-by-bytes pathology as the verify pin below,
+      // one stage earlier): posting rows are small, so the self-join's
+      // shuffle reads coalesce narrow (34 tasks at the 100x probe) and
+      // the join's partial-distinct hash tables overflow — 15.7 GB of
+      // spill behind 713 MB of input. Pinning the partitioning ON THE
+      // JOIN KEY keeps the self-join exchange-free on both sides at
+      // full width, so per-task aggregate state stays small.
+      .repartition(graft.Tables.scanPartitions(s), col("shingle"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -441,7 +450,37 @@ object DedupQueries {
       // user-pinned (AQE never coalesces it) and ships only the id
       // pairs; the broadcast verify joins then run at cluster width.
       .repartition(graft.Tables.scanPartitions(s))
-    cand
+    // TWO-LEVEL VERIFY (the d17 discipline applied to PPJoin
+    // verification — the 100x flight record's second finding): attaching
+    // the full STRING shingle arrays to every candidate pair ships
+    // |candidates| x ~13 KB through the doc_b exchange once the docs
+    // side outgrows broadcast (16.2 GB written + 15.7 GB sort-spilled at
+    // the 100x probe). Level 1 verifies on 8-byte xxhash64 shingle
+    // arrays (~11x slimmer, and the intersect itself is long-compares,
+    // not string-compares); level 2 recomputes EXACT string jaccard on
+    // the survivor sliver only, so emitted values are bit-identical to
+    // the one-level plan. Losslessness: for a doc with no IN-DOCUMENT
+    // hash collision (`hsafe`, checked per doc at hash time), distinct
+    // common strings map to distinct common hashes, so hash-inter >=
+    // true-inter and the monotone x/(na+nb-x) makes hash-jaccard an
+    // UPPER bound — the >= tau prune keeps every true pair. The
+    // astronomically-rare unsafe doc (a 64-bit collision inside one
+    // document) bypasses the prune entirely and goes straight to level 2.
+    val hdocs = docs
+      .withColumn("hs", expr("array_distinct(transform(shingles, x -> xxhash64(x)))"))
+      .withColumn("hsafe",
+        size(col("hs")) === size(array_distinct(col("shingles"))))
+      .select(col("doc_id"), col("hs"), col("n"), col("hsafe"))
+    val sliver = cand
+      .join(hdocs.select(col("doc_id").as("doc_a"), col("hs").as("ha"),
+        col("n").as("na"), col("hsafe").as("safe_a")), "doc_a")
+      .join(hdocs.select(col("doc_id").as("doc_b"), col("hs").as("hb"),
+        col("n").as("nb"), col("hsafe").as("safe_b")), "doc_b")
+      .withColumn("ih", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .filter(!col("safe_a") || !col("safe_b") ||
+        col("ih") / (col("na") + col("nb") - col("ih")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    sliver
       .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sa"),
         col("n").as("na")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("sb"),
