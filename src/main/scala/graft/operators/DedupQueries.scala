@@ -762,9 +762,14 @@ object DedupQueries {
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+      // the codegen'd WordShingles kernel, NOT a SQL transform(sequence)
+      // lambda: higher-order functions are interpreted-only, and the
+      // explode's inferred non-empty filter DUPLICATES its child
+      // expression and pushes it into the scan stage — flight-recorded
+      // as a 1-task, 2.4 s interpreted shingle pass at bench SF (75% of
+      // d11's wall) before the kernel fix
+      .withColumn("shingles", array_distinct(
+        graft.functions.TextFunctions.word_shingles(col("toks"), 2)))
       .select(col("doc_id"), col("lang"), col("source"),
         size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
       .withColumn("key",

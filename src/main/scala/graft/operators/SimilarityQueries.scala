@@ -1391,6 +1391,12 @@ object SimilarityQueries {
     val qb = quantized(
       base.filter(col("label") % 2 === 1)
         .select(col("vec_id"), col("embedding")), "embedding", "qv")
+      // the mined side is the cross join's STREAM side and inherits the
+      // single-file scan's one partition, serializing the per-pair
+      // integer dot products (flight-recorded: 1 task x 4.0 s = 80% of
+      // the wall; the aggregate/zip_with lambdas are interpreted-only,
+      // so width is the only lever) — spread it to cluster width first
+      .repartition(Tables.scanPartitions(s))
     val simPm =
       "CAST(floor(1000.0D * CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
         " / (sqrt(CAST(aggregate(transform(q_qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE))" +
