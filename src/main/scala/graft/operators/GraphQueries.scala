@@ -1147,6 +1147,11 @@ object GraphQueries {
     */
   def g08_cf_similarity(s: SparkSession, d: String): DataFrame = {
     val edges = CoGraph.bipartite(s, d)
+      // widen BEFORE checkpointing: the store reads 5-wide at bench SF
+      // and the checkpoint freezes that width, serializing the pair
+      // join's compute onto 5 tasks (flight-recorded 8.8 s run / 2.2 s
+      // wall in one stage)
+      .repartition(graft.Tables.scanPartitions(s))
       .localCheckpoint() // feeds the pair join AND the degree table
     val deg = edges.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
     val co = edges.as("a").join(edges.as("b"),
@@ -1259,6 +1264,7 @@ object GraphQueries {
 
   def g19_hits(s: SparkSession, d: String): DataFrame = {
     val edges = CoGraph.bipartite(s, d)
+      .repartition(graft.Tables.scanPartitions(s)) // width for 6 half-rounds
       .localCheckpoint() // drives both half-rounds of every iteration
     var hub = edges.select(col("cust")).distinct()
       .withColumn("h", lit(1000L))
