@@ -74,6 +74,17 @@ object CoGraph {
       (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
         .cast("long")).as("m"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // pin the pair-generation width ON THE JOIN KEY: the self-join's
+      // ENSURE_REQUIREMENTS exchanges AQE-coalesce to ~cluster
+      // parallelism by BYTES (34 tasks at the 100x probe, 193 s of
+      // executor-run each) while the per-order pair fan-out and the
+      // (m,u,v) partial-agg hash tables are per-task CPU/memory — on a
+      // real cluster 34 tasks is the build's ceiling, and fatter
+      // per-task agg state is the superlinear factor the 25x->100x
+      // build walls showed (69.7 -> 374.7 s for 4x data). A user-pinned
+      // hash repartition feeds both sides of the self-join
+      // exchange-free at full width.
+      .repartition(Tables.scanPartitions(s), col("l_orderkey"))
     li.alias("a")
       .join(li.alias("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -169,7 +169,8 @@ object HeavyTailProbe {
         println(f"[heavytail] $tag $q build=${cold - warm}%.1fs steady=$warm%.1fs")
       }
 
-      if (want("graph")) {
+      if (want("graph") || Seq("g21", "g23", "g24", "m18", "st14", "d35")
+          .exists(k => only.exists(_.exists(_.startsWith(k))))) {
         // round-11 verdict item 1: the LAST unprobed heavy-tail family —
         // g21's label-propagation chain and everything riding it (g23,
         // g24), the star-contraction media clusters (m18), the streaming
@@ -178,9 +179,15 @@ object HeavyTailProbe {
         // touch after freshen) from the steady chain cost.
         for (q <- Seq("g21_labelprop", "g23_community_churn",
             "g24_community_graph", "m18_media_clusters",
-            "st14_incremental_co_graph", "d35_chaining_audit")) {
+            "st14_incremental_co_graph", "d35_chaining_audit")
+            if want("graph") || want(q)) {
+          meter.flightRecord = true
+          meter.resetStages()
           val cold = time(s"$tag $q cold")(
             graft.SparkEntry.queries(q)(spark, dir).count())
+          meter.dumpStages(10, s"$tag $q cold")
+          meter.flightRecord = false
+          meter.resetStages()
           val warm = time(s"$tag $q steady")(
             graft.SparkEntry.queries(q)(spark, dir).count())
           println(f"[heavytail] $tag $q build=${cold - warm}%.1fs " +
