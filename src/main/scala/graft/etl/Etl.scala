@@ -232,7 +232,12 @@ object EtlRunner {
               if (p.trySuccess(EtlSkipped(q.name,
                   s"timeout after ${perQueryTimeout.toSeconds}s"))) {
                 cancelled.set(true)
-                Try(spark.sparkContext.cancelJobGroup(groupId))
+                // ...AndFutureJobs: a straggler mid-write that finishes its
+                // current job and submits the next one in the same multi-job
+                // sink write must not keep burning executors after the
+                // budget fired (plain cancelJobGroup only cancels jobs
+                // active at that instant)
+                Try(spark.sparkContext.cancelJobGroupAndFutureJobs(groupId))
                 // replenish — scaladoc point (3); single timer thread, so
                 // the read-modify-write pair needs no extra locking
                 pool.setMaximumPoolSize(pool.getMaximumPoolSize + 1)

@@ -235,7 +235,7 @@ case class WordShingles(child: Expression, n: Int)
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val sep = UTF8String.fromString(" ")
+    val sep = WordShingles.Sep
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val parts = new Array[UTF8String](n)
     var i = 0
@@ -253,6 +253,119 @@ case class WordShingles(child: Expression, n: Int)
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  val Sep: UTF8String = UTF8String.fromString(" ")
+}
+
+/** Distinct xxhash64 signature of a shingle array, plus the per-doc
+  * collision-safety flag, in ONE native pass (d24's level-1 verify input).
+  *
+  * The composable form — `array_distinct(transform(shingles, x ->
+  * xxhash64(x)))` + a second `array_distinct(shingles)` for the safety
+  * check — runs the higher-order lambda interpreted per element (Spark
+  * HOFs are CodegenFallback) and walks the array three times. This kernel
+  * returns `struct(hs: array<long>, hsafe: boolean)` where `hs` is the
+  * distinct-hash set (order = first occurrence; only its SIZE and set
+  * content feed `array_intersect`) and `hsafe` is true iff distinct
+  * hashes == distinct strings, i.e. the hash is injective ON THIS DOC and
+  * the level-1 jaccard upper bound is exact. Hash = XXH64(utf8 bytes,
+  * seed 42) — bit-identical to SQL `xxhash64(x)`; a null element hashes
+  * to the seed, also matching the SQL function.
+  */
+case class HashedShingles(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("hs", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("hsafe", BooleanType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hashed_shingles needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val strings = new java.util.HashSet[UTF8String](m * 2)
+    val hashes = new java.util.LinkedHashSet[java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      if (arr.isNullAt(i)) {
+        strings.add(null)
+        hashes.add(42L) // xxhash64(NULL) == the seed
+      } else {
+        val s = arr.getUTF8String(i)
+        strings.add(s)
+        hashes.add(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L))
+      }
+      i += 1
+    }
+    val out = new Array[Long](hashes.size)
+    val it = hashes.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(out), hashes.size == strings.size))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADJACENT token pairs from a token array, in one native pass — the BPE
+  * pair-census kernel (t17/t50's per-round hot stage). The composable form
+  * (`transform(sequence(1, size(toks) - 1), i -> struct(element_at ...))`)
+  * is an interpreted higher-order lambda with TWO O(n) element_at walks
+  * per position on the catalyst ArrayData; this emits the same
+  * (a, b) struct list — empty tokens skipped exactly like the downstream
+  * `a <> '' AND b <> ''` filter did (the char-spaced BPE encoding leaves
+  * 2+ spaces at word boundaries, which split() turns into empty tokens) —
+  * in a single forward walk. NOT distinct: the pair census needs
+  * multiplicity.
+  */
+case class AdjacentPairs(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_pairs needs array<string>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](math.max(m - 1, 0))
+    var prev: UTF8String = null
+    var i = 0
+    while (i < m) {
+      val cur =
+        if (arr.isNullAt(i)) null
+        else {
+          val s = arr.getUTF8String(i)
+          if (s.numBytes == 0) null else s
+        }
+      if (prev != null && cur != null)
+        out.add(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](prev, cur)))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -573,6 +686,12 @@ object TextFunctions {
 
   def word_shingles(tokens: Column, n: Int = 3): Column =
     column(WordShingles(expression(tokens), n))
+
+  def hashed_shingles(shingles: Column): Column =
+    column(HashedShingles(expression(shingles)))
+
+  def adjacent_pairs(tokens: Column): Column =
+    column(AdjacentPairs(expression(tokens)))
 
   def minhash_signature(shingles: Column, k: Int = 16): Column =
     column(MinHashSignature(expression(shingles), k))

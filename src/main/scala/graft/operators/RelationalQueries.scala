@@ -4266,14 +4266,23 @@ object RelationalQueries {
         .agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"),
           min(col("ck")).as("min_ck"), max(col("ck")).as("max_ck"),
           min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
-      val perPred = preds.map { case (pn, pc, lo, hi) =>
-        stats.agg(count(lit(1)).as("n_files"),
+      // ONE aggregate computes every predicate's skip count, then explodes
+      // to the per-predicate rows — the previous per-predicate `stats.agg`
+      // re-executed the whole ranked->window->min/max subtree once per
+      // predicate (5x per key, 15x per query; measured 5.2 s at sf0.1)
+      val aggCols = count(lit(1)).as("n_files") +: preds.map {
+        case (pn, pc, lo, hi) =>
           sum(when(col(s"max_$pc") < lo || col(s"min_$pc") >= hi, 1L)
-            .otherwise(0L)).as("n_skipped"))
-          .select(lit(k).as("sort_key"), lit(pn).as("predicate"),
-            col("n_files"), col("n_skipped"))
+            .otherwise(0L)).as(s"sk_$pn")
       }
-      perPred.reduce(_ unionByName _)
+      val rowsStructs = preds.map { case (pn, _, _, _) =>
+        struct(lit(pn).as("predicate"), col("n_files"),
+          col(s"sk_$pn").as("n_skipped"))
+      }
+      stats.agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(array(rowsStructs: _*)).as("r"))
+        .select(lit(k).as("sort_key"), col("r.predicate"),
+          col("r.n_files"), col("r.n_skipped"))
     }
     perKey.reduce(_ unionByName _)
   }

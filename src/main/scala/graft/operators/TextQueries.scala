@@ -637,13 +637,14 @@ object TextQueries {
       .localCheckpoint()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (r <- 1 to rounds) {
-      val best = enc.select(col("doc_id"), split(col("enc"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(" +
-            "element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+      // native kernel, not transform(sequence(...)): the HOF spelling is
+      // an interpreted lambda with two O(n) element_at walks per position
+      // — this is the per-round hot stage (8 full-corpus passes), and the
+      // kernel emits the identical non-empty (a, b) census in one walk
+      val best = enc
+        .select(explode(graft.functions.TextFunctions.adjacent_pairs(
+          split(col("enc"), " "))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
-        .filter(col("a") =!= "" && col("b") =!= "")
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("a"), col("b")).limit(1)
         .collect()(0)

@@ -243,12 +243,16 @@ final class ResumableHttpTransport(endpoint: String,
           case 416 if total < 0 && off == 0 => // zero-byte file
             c.disconnect()
             total = 0
-          case other if other >= 400 && other < 500 =>
+          case other if other >= 400 && other < 500 &&
+              other != 408 && other != 429 =>
             // a 4xx (401/403/404/...) is the server DECIDING, not the
             // transport failing: retrying a deterministic rejection
             // maxRetries times only masks it as retry exhaustion —
             // fail fast instead (416 mid-stream falls through here too:
-            // a file that shrank under us is not retriable either)
+            // a file that shrank under us is not retriable either).
+            // 408 (request timeout) and 429 (rate limit) are transient by
+            // definition — they fall through to the retrying path below,
+            // matching the reference Drive client's backoff-and-retry.
             c.disconnect()
             throw new FatalTransportException(
               s"download of $name rejected: HTTP $other")

@@ -95,6 +95,28 @@ final class ProbeMetrics(spark: SparkSession) extends SparkListener {
     }
   }
 
+  /** Registry-sweep flag line (round-13 verdict item 2): print every
+    * recorded stage whose summed executor-run time is material but ran on
+    * a handful of tasks — the AQE-coalesced-CPU-bound signature (d24's
+    * pathology: byte-based post-shuffle coalescing starves compute-heavy
+    * small-row stages of parallelism). Returns the flagged count so the
+    * sweep can summarize.
+    */
+  def dumpFlags(tag: String, minRunMs: Long = 400, maxTasks: Int = 4): Int = {
+    settle()
+    import scala.jdk.CollectionConverters._
+    val flagged = stageRows.asScala.toSeq
+      .filter(r => r.tasks <= maxTasks && r.runMs >= minRunMs)
+      .sortBy(-_.runMs)
+    flagged.foreach { r =>
+      println(f"[flag] $tag id=${r.id} tasks=${r.tasks} " +
+        f"run=${r.runMs / 1000.0}%.1fs cpu=${r.cpuMs / 1000.0}%.1fs " +
+        s"in=${fmt(r.inBytes)} sr=${fmt(r.srBytes)} spill=${fmt(r.spill)} " +
+        s"${r.name.linesIterator.nextOption().getOrElse("").take(110)}")
+    }
+    flagged.size
+  }
+
   // always-on guardrail: any stage whose shuffle write or spill exceeds
   // 512 MB prints its callsite name — when a probe leg dies on disk, the
   // culprit operator line is in the log instead of being

@@ -11,10 +11,15 @@ object TimeQuery {
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(s, d).count() // warm
+      graft.Checkpoints.releaseAll(s)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         fn(s, d).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // bench discipline (round 9): release pinned checkpoint blocks
+        // after EVERY execution or the session degrades monotonically
+        graft.Checkpoints.releaseAll(s)
+        dt
       }.sorted
       println(f"[time] $name median ${ts(1)}%.2f s (${ts.map(t => f"$t%.2f").mkString(", ")})")
     }

@@ -8,8 +8,8 @@ import org.scalacheck.{Gen, Prop}
 import org.scalacheck.Test.{check, Parameters}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{CdcBoundaries, JaroWinkler, MinHashSignature,
-  WinnowFingerprints, WordShingles}
+import graft.functions.{AdjacentPairs, CdcBoundaries, HashedShingles,
+  JaroWinkler, MinHashSignature, WinnowFingerprints, WordShingles}
 
 /** Generative properties of the native text kernels — the algebraic
   * guarantees each scaladoc advertises, checked on randomized inputs via
@@ -104,6 +104,51 @@ class KernelPropertiesSpec extends AnyFunSuite {
       shingles(xs, n) == ref
     })
     assert(r.passed, s"word_shingles diverged from the reference: $r")
+  }
+
+  test("hashed_shingles: matches the composable xxhash64 formulation") {
+    // reference = the SQL spelling it replaced in d24:
+    // hs = array_distinct(transform(shingles, x -> xxhash64(x))),
+    // hsafe = size(hs) == size(array_distinct(shingles))
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    def kernel(xs: Seq[String]): (Seq[Long], Boolean) = {
+      val row = HashedShingles(strArr(xs)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      (row.getArray(0).toLongArray().toSeq, row.getBoolean(1))
+    }
+    // duplicate-heavy inputs: draw from a tiny vocabulary so repeated
+    // shingles (and hence the distinct paths) are actually exercised
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "ab", "ba", "abc", "x"))
+    val r = check(params, Prop.forAll(gen) { xs =>
+      val hashes = xs.map(x =>
+        XxHash64Function.hash(UTF8String.fromString(x), StringType, 42L))
+      val refHs = hashes.distinct
+      val refSafe = refHs.length == xs.distinct.length
+      kernel(xs) == ((refHs, refSafe))
+    })
+    assert(r.passed, s"hashed_shingles diverged from the reference: $r")
+  }
+
+  test("adjacent_pairs: matches the transform(sequence) + non-empty filter") {
+    def kernel(xs: Seq[String]): Seq[(String, String)] = {
+      val arr = AdjacentPairs(strArr(xs)).eval(null).asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+      }
+    }
+    // include empty tokens (the BPE word-boundary artifact) so the
+    // both-non-empty filter parity is exercised, multiplicity preserved
+    val gen = Gen.listOf(Gen.oneOf("", "a", "b", "er", "m", ""))
+    val r = check(params, Prop.forAll(gen) { xs =>
+      val ref =
+        if (xs.length < 2) Seq.empty
+        else xs.sliding(2).collect {
+          case Seq(a, b) if a.nonEmpty && b.nonEmpty => (a, b)
+        }.toSeq
+      kernel(xs) == ref
+    })
+    assert(r.passed, s"adjacent_pairs diverged from the reference: $r")
   }
 
   test("simhash: permutation-invariant (bit votes sum, order never matters)") {
