@@ -1,7 +1,10 @@
 #!/bin/bash
 # Launch a graft main outside sbt (sbt holds its lock during test runs).
 MAIN=$1; shift
-exec java -Xmx96g \
+# mirror build.sbt's javaOptions heap default (the BASELINE.md contract is
+# an 8 GiB driver) — a 96g heap ran a different GC regime than the numbers
+# under comparison
+exec java -Xmx${SPARK_DRIVER_MEM:-8g} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \

@@ -37,6 +37,22 @@ object Tables {
       scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .getOrElse(32))
 
+  /** Scale-adaptive width for CPU-heavy per-row work directly over a scan:
+    * repartition to [[scanPartitions]] ONLY when the frame's physical plan
+    * is narrower. The bench fixtures are single parquet files, so a bare
+    * scan is ONE partition and any expensive projection/aggregate above it
+    * serializes on one task (the r13 flight-sweep signature); a
+    * production-scale scan is already thousands of splits wide and must
+    * NOT pay a corpus-wide round-robin shuffle for width it has (guide
+    * §2.4: no gratuitous exchanges). Project to the needed columns BEFORE
+    * calling this so the conditional shuffle ships no payload it doesn't
+    * have to (guide §2.3).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = scanPartitions(df.sparkSession)
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

@@ -628,6 +628,33 @@ case class Hash60(child: Expression)
     copy(child = newChild)
 }
 
+/** Engine-portable base-31 polynomial token hash ([[TokenHash.poly31]]) as
+  * a native expression. The SQL spelling —
+  * `aggregate(transform(sequence(1, length(w)), ci -> ascii(substring(w,
+  * ci, 1))), 0L, (acc, ch) -> (acc * 31 + ch) % 1000000007)` — is TWO
+  * nested interpreted lambdas with an O(n) substring per position
+  * (quadratic per token), and it sits in the scan stage of every
+  * featurizer that uses it. DuckDB oracles keep the unrolled spelling;
+  * values are bit-equal (both iterate codepoints).
+  */
+case class Poly31(child: Expression)
+    extends UnaryExpression with KernelCodegen {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly31 needs a string column, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHash.poly31(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Log2Micros(child: Expression)
     extends UnaryExpression with KernelCodegen {
 
@@ -681,6 +708,9 @@ object TextFunctions {
   def hash60(s: Column): Column =
     column(Hash60(expression(s)))
 
+  def poly31(s: Column): Column =
+    column(Poly31(expression(s)))
+
   def simhash64(tokens: Column): Column =
     column(SimHash64(expression(tokens)))
 
@@ -709,6 +739,8 @@ object TextFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "hash60", exprs => { graft.GraftExtensions.arity("hash60", 1, exprs); Hash60(exprs.head) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly31", exprs => { graft.GraftExtensions.arity("poly31", 1, exprs); Poly31(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => { graft.GraftExtensions.arity("simhash64", 1, exprs); SimHash64(exprs.head) }, "built-in")
     reg.createOrReplaceTempFunction(

@@ -100,6 +100,11 @@ object CurationQueries {
     */
   private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // single-file scan = ONE partition; the per-row scoring below (split
+      // + an interpreted HOF filter) is CPU-heavy, so without this the
+      // whole pass serializes on one task (r13 flight sweep: c06's
+      // checkpoint stage ran 1 task x 1.5 s CPU)
+      .repartition(Tables.scanPartitions(s))
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("short_ratio",

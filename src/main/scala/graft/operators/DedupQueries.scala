@@ -171,6 +171,9 @@ object DedupQueries {
     */
   def d39_norm_recall(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the two-regexp normalization below is the CPU of this query and
+      // would inherit the single-file scan's width (r13 flight sweep)
+      .repartition(Tables.scanPartitions(s))
     val slice = base.where(pmod(col("doc_id"), lit(9L)) === 4)
     val kinds = Seq(
       1L -> "replace(text, ' ', '  ')",
@@ -298,9 +301,20 @@ object DedupQueries {
     * thresholding is the caller's.
     */
   private[operators] def ngramJaccardPairs(docs: DataFrame, dfCap: Int): DataFrame = {
-    val ex = shingled(docs)
+    // checkpoint the doc-level shingle arrays: `ex` feeds BOTH the df
+    // aggregate and the pruned self-join, and without materialization the
+    // shingle kernel + explode re-ran once per consumer — the r13 flight
+    // record showed two ~7 s-CPU shingle stages per d05 execution, the
+    // single largest CPU sink in the whole bench (d05 feeds
+    // d09/d13/d22/d34/d35). Doc-level arrays, not exploded postings: the
+    // checkpoint is |docs|-sized and the cheap explode replays per branch.
+    val sh = shingled(docs)
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("shingles")).as("n"), explode(col("shingles")).as("shingle"))
+        size(col("shingles")).as("n"), col("shingles"))
+      .localCheckpoint()
+    val ex = sh
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n"), explode(col("shingles")).as("shingle"))
     val hot = ex.groupBy(col("lang"), col("source"), col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
@@ -421,6 +435,12 @@ object DedupQueries {
       explode(col("shingles")).as("shingle"))
     val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pref = ex.join(dfreq, "shingle")
+      // PREFIX-STAGE WIDTH PIN (r13 flight sweep: the per-doc
+      // collect_list + array_sort aggregate had AQE-coalesced to 3
+      // tasks behind 3.7 MB of postings): hash on doc_id is a user pin
+      // the groupBy reuses (doc_id ⊂ group keys), so the CPU-heavy
+      // sort-slice runs at cluster width with no extra exchange
+      .repartition(graft.Tables.scanPartitions(s), col("doc_id"))
       .groupBy(col("doc_id"), col("n"))
       .agg(expr("slice(array_sort(collect_list(struct(df, shingle))), 1, " +
         "CAST(n - (4 * n + 4) div 5 + 1 AS INT))").as("pref"))
@@ -627,18 +647,25 @@ object DedupQueries {
     var changed = 1L
     var iter = 0
     val maxIter = 20
+    // ONE join + ONE map-side-partial aggregate per round; the changed
+    // flag is computed inside the same aggregate row (old label = the
+    // self-edge's nlbl), and the count after the checkpoint is a plain
+    // scan of already-materialized blocks
+    def round(l: DataFrame): DataFrame = edges
+      .join(l.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("nlbl")).as("lbl"),
+        min(when(col("doc_b") === col("doc_a"), col("nlbl"))).as("old"))
+      .select(col("doc_id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
     while (changed > 0 && iter < maxIter) {
-      // ONE join + ONE map-side-partial aggregate per round; the changed
-      // flag is computed inside the same aggregate row (old label = the
-      // self-edge's nlbl), and the count after the checkpoint is a plain
-      // scan of already-materialized blocks
-      val next = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("lbl").as("nlbl")), "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min(col("nlbl")).as("lbl"),
-          min(when(col("doc_b") === col("doc_a"), col("nlbl"))).as("old"))
-        .select(col("doc_id"), col("lbl"), (col("lbl") < col("old")).as("chg"))
-        .localCheckpoint()
+      // TWO propagation rounds per synchronization point (the r13
+      // starContract rationale): the checkpoint + count is 2 driver jobs
+      // and the loop is job-overhead-bound at bench SF. Termination stays
+      // exact — labels are monotone non-increasing per node, so a SECOND
+      // round that changes nothing is a fixpoint regardless of what the
+      // first round did; at worst one extra no-op round pair runs.
+      val next = round(round(labels).select(col("doc_id"), col("lbl")))
+        .localCheckpoint(eager = false) // the count materializes it (1 job)
       changed = next.filter(col("chg")).count()
       labels = next.drop("chg")
       iter += 1
@@ -648,8 +675,8 @@ object DedupQueries {
     // 100 TB remedy is large-star/small-star contraction (O(log n) rounds)
     if (changed > 0)
       throw new IllegalStateException(
-        s"d10: min-label propagation hit $maxIter rounds with $changed labels still " +
-          "moving; component diameter exceeds the cap — use star-contraction")
+        s"d10: min-label propagation hit ${maxIter * 2} rounds with $changed labels " +
+          "still moving; component diameter exceeds the cap — use star-contraction")
     labels.select(col("doc_id"), col("lbl").as("cluster_rep"))
   }
 
@@ -700,8 +727,13 @@ object DedupQueries {
             .union(mins.select(col("src"), col("m").as("dst")))
       out.filter(col("src") =!= col("dst")).distinct()
     }
+    // LAZY checkpoint + count: the count action materializes the
+    // checkpoint blocks AND returns the size in ONE job — the eager
+    // checkpoint spent a separate job per round just to materialize
+    // (2 driver jobs/round -> 1 on a loop that is job-latency-bound at
+    // bench SF: m18 runs ~80 tiny stages under a 4 s wall)
     var edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var edgeCount = edges.count()
     var changed = 1L
     var iter = 0
@@ -715,20 +747,18 @@ object DedupQueries {
       math.max(12, lg * lg)
     }
     while (changed > 0 && iter < maxIter) {
-      // TWO (large, small) rounds per synchronization point: the
-      // checkpoint + count + anti-join convergence check is 3 driver-side
-      // jobs, and at bench SF the loop is job-overhead-bound (m18: 80
-      // jobs under a 2 s executor-run wall). Both operators are monotone
-      // non-increasing in the star potential and idempotent at the
-      // fixpoint, so checking convergence every OTHER round reaches the
-      // identical converged edge set — at worst one extra no-op round
-      // pair on an already-star-shaped set.
-      val next = star(star(star(star(edges,
-        large = true), large = false), large = true), large = false)
-        .localCheckpoint()
+      // exactly ONE (large, small) pair per checkpoint: star() references
+      // its input ~4x (bidir twice, mins join), so nesting k pairs per
+      // sync duplicates the input subtree 4^k-fold — measured this round
+      // as a 5x wall regression (d13 2.6 -> 14.3 s) when two pairs were
+      // tried to halve the driver sync points. The sync cost is the
+      // cheaper side of that trade; d10's label rounds (linear input
+      // references) are where double-rounds-per-sync actually pay.
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint(eager = false)
       // distinct edge sets are equal iff sizes match and one difference is
-      // empty — one count on the checkpointed blocks + one keys-only anti
-      // join per round, not two
+      // empty — the count below materializes the lazy checkpoint in the
+      // same job, + one keys-only anti join per round when sizes tie
       val nextCount = next.count()
       changed =
         if (nextCount != edgeCount) 1L
@@ -1585,6 +1615,10 @@ object DedupQueries {
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"),
         col("c_nationkey").cast("int").as("c_nat"))
+      // single-file scan: the blocked join broadcasts the supplier side,
+      // so its output inherits the customer scan's ONE partition and the
+      // JW kernel serializes (r13 flight sweep: 1 task x 1.0 s CPU)
+      .repartition(Tables.scanPartitions(s))
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_name"),
         col("s_nationkey").cast("int").as("s_nat"))

@@ -544,7 +544,30 @@ object GraphQueries {
     */
   def g21_labelprop(s: SparkSession, d: String): DataFrame = {
     CoGraph.registerMonthlyView(s, d)
-    s.sql(g21Sql(g21CoStored).replace("$DIV$", "div"))
+    chainMaterialized(s, g21CoStored, g21Tail.replace("$DIV$", "div"))
+  }
+
+  /** Run a label-chain consumer with `co` and the 4-round LPA chain
+    * MATERIALIZED once (localCheckpoint + temp view) instead of inlined
+    * per reference: Spark inlines CTEs, so the literal g21/g23/g24 SQL
+    * texts re-evaluate the whole und→l0→…→l4 chain once per l4 reference
+    * (2-3× per query — g23's executed plan carried 120 Exchanges with
+    * only 7 reused; the d32 CTE-inlining lesson applied to the graph
+    * family). The tail text is the same string the oracle builders
+    * compose, so semantics — and the hash gate — are unchanged.
+    */
+  private def chainMaterialized(s: SparkSession, co: String,
+      tail: String): DataFrame = {
+    val coDf = s.sql(co).localCheckpoint()
+    coDf.createOrReplaceTempView("g21_co_mat")
+    val l4 = s.sql(s"WITH ${g21Chain("SELECT month, u, v FROM g21_co_mat")}\n" +
+      "SELECT month, node, lbl FROM l4").localCheckpoint()
+    l4.createOrReplaceTempView("g21_l4_mat")
+    s.sql(
+      s"""WITH co AS (SELECT month, u, v FROM g21_co_mat),
+         |und AS (SELECT month, u, v FROM co UNION ALL SELECT month, v, u FROM co),
+         |l4 AS (SELECT month, node, lbl FROM g21_l4_mat),
+         |$tail""".stripMargin)
   }
 
   /** g22: RANDOM-WALK CORPUS generation — the graph-ML data op (DeepWalk /
@@ -610,7 +633,8 @@ object GraphQueries {
     */
   def g23_community_churn(s: SparkSession, d: String): DataFrame = {
     CoGraph.registerMonthlyView(s, d)
-    s.sql(g23Sql("SELECT m AS month, u, v FROM co_monthly WHERE n >= 2"))
+    chainMaterialized(s, "SELECT m AS month, u, v FROM co_monthly WHERE n >= 2",
+      g23Tail)
   }
 
   /** g23's SQL over registered `lineitem`/`orders` views (oracle form). */
@@ -628,8 +652,10 @@ object GraphQueries {
       |  GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
 
   private[graft] def g23Sql(co: String): String =
-    s"""WITH ${g21Chain(co)},
-       |sizes AS (
+    s"WITH ${g21Chain(co)},\n$g23Tail"
+
+  private val g23Tail: String =
+    s"""sizes AS (
        |  SELECT month, lbl, count(*) AS sz FROM l4 GROUP BY 1, 2),
        |ov AS (
        |  SELECT a.month AS m, a.lbl AS ca, b.lbl AS cb, count(*) AS overlap
@@ -671,12 +697,15 @@ object GraphQueries {
     */
   def g24_community_graph(s: SparkSession, d: String): DataFrame = {
     CoGraph.registerMonthlyView(s, d)
-    s.sql(g24Sql("SELECT m AS month, u, v FROM co_monthly WHERE n >= 2"))
+    chainMaterialized(s, "SELECT m AS month, u, v FROM co_monthly WHERE n >= 2",
+      g24Tail)
   }
 
   private[graft] def g24Sql(co: String): String =
-    s"""WITH ${g21Chain(co)},
-       |x AS (
+    s"WITH ${g21Chain(co)},\n$g24Tail"
+
+  private val g24Tail: String =
+    s"""x AS (
        |  SELECT co.month, la.lbl AS ca, lb.lbl AS cb
        |  FROM co JOIN l4 la ON la.month = co.month AND la.node = co.u
        |          JOIN l4 lb ON lb.month = co.month AND lb.node = co.v
@@ -737,8 +766,10 @@ object GraphQueries {
        |${g21Round("l3", "l4")}""".stripMargin
 
   private def g21Sql(co: String): String =
-    s"""WITH ${g21Chain(co)},
-       |deg AS (SELECT month, u AS node, count(*) AS d FROM und GROUP BY 1, 2),
+    s"WITH ${g21Chain(co)},\n$g21Tail"
+
+  private val g21Tail: String =
+    s"""deg AS (SELECT month, u AS node, count(*) AS d FROM und GROUP BY 1, 2),
        |mm AS (SELECT month, CAST(count(*) AS BIGINT) AS m FROM co GROUP BY 1),
        |ec AS (
        |  SELECT co.month, la.lbl AS comm, CAST(count(*) AS BIGINT) AS e_c

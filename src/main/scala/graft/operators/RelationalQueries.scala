@@ -3307,7 +3307,13 @@ object RelationalQueries {
     * 1-row wide result unpivots to the 3-row stats table.
     */
   def q137_column_stats(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // nine distinct-aggregates ride one Expand (~7x row multiplication)
+    // whose partial aggregation runs in the scan stage — 1 task on the
+    // single-file fixture (r13 flight sweep: 1.9 s CPU on 3 tasks);
+    // widen the projected columns only when the scan is narrow
+    val li = Tables.widen(Tables.lineitem(s, d).select(
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
+      col("l_partkey"), col("l_suppkey")))
     val wide = li.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("l_returnflag")).as("a1"),

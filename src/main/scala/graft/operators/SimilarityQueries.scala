@@ -221,7 +221,10 @@ object SimilarityQueries {
     * fold on both paths).
     */
   def s05_zipwith_cosine(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    // broadcast join inherits the single-file scan's ONE partition and the
+    // per-pair HOF cosine serializes (r13 flight sweep); widen-if-narrow
+    val e = Tables.widen(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")))
     val q = queriesSide(s, d)
     def fold(c: String): String =
       s"aggregate($c, 0D, (acc, v) -> acc + v)"
@@ -273,7 +276,8 @@ object SimilarityQueries {
         .withColumn(out, expr(
           s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(round(x * (127.0D / __amax)) AS BIGINT))"))
         .drop("__amax", vecCol)
-    val e = quantized(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+    val e = quantized(Tables.widen( // 1-partition scan, per-row quantize HOF
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))),
       "embedding", "qv")
     val q = quantized(
       Tables.embeddings(s, d).filter(col("vec_id") < NQueries)
@@ -428,7 +432,10 @@ object SimilarityQueries {
   def s09_pq_ann(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val codebooks = trainCodebooks(e)
-    val encoded = e.select(col("vec_id"), pqCodes(codebooks).as("codes"))
+    // pqCodes is per-row argmin over codebook centroids — CPU-heavy work
+    // that serialized on the single-file scan's one task (r13 sweep)
+    val encoded = Tables.widen(e.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), pqCodes(codebooks).as("codes"))
     val q = adcTables(s, d, codebooks)
     perQueryTopK(
       encoded.crossJoin(broadcast(q))
@@ -662,9 +669,15 @@ object SimilarityQueries {
         .join(mx, Seq("q_id", "vec_id"))
         .select(col("q_id"), col("vec_id"),
           (lit(lambda) * col("simq") - lit(oneMinusLambda) * col("mx")).as("score"))
+      // checkpoint the (q-count-sized) pick: cand_k references
+      // selected_{k-1} TWICE (anti-join + max-sim join), so without
+      // materialization the greedy lineage DOUBLES per round — 2^4
+      // re-executions of the early rounds under the final action
+      // (measured: 33 jobs / 2.5 s at bench SF for 100 output rows)
       val pick = TopKPerGroup.topK(cand,
           Seq("q_id"), Seq(Ord("score", desc = true), Ord("vec_id")), 1)
         .withColumn("rank", lit(k.toLong))
+        .localCheckpoint()
       picked = picked.unionByName(pick)
       selected = selected.unionByName(pick.select(col("q_id"), col("vec_id")))
     }

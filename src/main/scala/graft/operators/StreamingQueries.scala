@@ -517,6 +517,11 @@ object StreamingQueries {
       (((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
         .cast("long")).as("m"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      // the CoGraph.ensure lesson applied to the per-batch builds: pin the
+      // pair-generation width ON THE JOIN KEY so each batch self-join runs
+      // exchange-free at cluster width instead of inheriting the scan's
+      // byte-coalesced 3 tasks (r13 flight sweep: 3 x 0.8 s CPU stages)
+      .repartition(Tables.scanPartitions(s), col("l_orderkey"))
     (0L until 3L).foreach { b =>
       val batchLines = li.filter(pmod(col("l_orderkey"), lit(3L)) === b)
       batchLines.alias("a")

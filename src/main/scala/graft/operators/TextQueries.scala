@@ -1044,7 +1044,7 @@ object TextQueries {
     */
   private[graft] def rakeFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = docs
+    val pos = graft.Tables.widen(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .withColumnRenamed("col", "w")
     val runs = pos
@@ -1546,6 +1546,10 @@ object TextQueries {
   private[graft] def rocchioFeaturesFrom(raw: DataFrame): (DataFrame, DataFrame) = {
     val docs = raw
       .select(col("doc_id"), col("text"))
+      // single-file fixture: the label HOF and the per-word hash below are
+      // CPU-heavy per-row work that otherwise serializes on the scan's one
+      // task (r13 flight sweep: c39/c40's feature stage at 1 task x 1.7 s)
+      .repartition(graft.Tables.scanPartitions(raw.sparkSession))
       .withColumn("y",
         when(expr("10 * size(filter(split(text, ' '), w -> w IN ('the', 'a', 'of', 'and')))") >=
           size(split(col("text"), " ")), 1L).otherwise(-1L))
@@ -1555,10 +1559,12 @@ object TextQueries {
       .select(col("doc_id"), col("y"), col("h"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("y"), col("h"), (expr(
-        "aggregate(transform(sequence(1, length(w)), ci -> CAST(ascii(substring(w, ci, 1)) AS LONG)), " +
-          "0L, (acc, ch) -> (acc * 31 + ch) % 1000000007)")
-        % RocchioDims).as("dim"))
+      // native Poly31 kernel: the aggregate(transform(sequence)) spelling
+      // is two nested interpreted lambdas with an O(n) substring per
+      // position; the oracle keeps the unrolled SQL (bit-equal values)
+      .select(col("doc_id"), col("y"), col("h"),
+        (graft.functions.TextFunctions.poly31(col("w"))
+          % RocchioDims).as("dim"))
     val cnt = words.groupBy(col("doc_id"), col("y"), col("h"), col("dim"))
       .agg(count(lit(1)).as("c"))
     val tot = words.groupBy(col("doc_id")).agg(count(lit(1)).as("tot"))

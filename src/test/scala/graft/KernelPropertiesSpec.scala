@@ -9,7 +9,7 @@ import org.scalacheck.Test.{check, Parameters}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{AdjacentPairs, CdcBoundaries, HashedShingles,
-  JaroWinkler, MinHashSignature, WinnowFingerprints, WordShingles}
+  JaroWinkler, MinHashSignature, Poly31, WinnowFingerprints, WordShingles}
 
 /** Generative properties of the native text kernels — the algebraic
   * guarantees each scaladoc advertises, checked on randomized inputs via
@@ -127,6 +127,20 @@ class KernelPropertiesSpec extends AnyFunSuite {
       kernel(xs) == ((refHs, refSafe))
     })
     assert(r.passed, s"hashed_shingles diverged from the reference: $r")
+  }
+
+  test("poly31: matches the per-codepoint fold the SQL spelling unrolls") {
+    def kernel(w: String): Long = Poly31(str(w)).eval(null).asInstanceOf[Long]
+    val gen = Gen.listOf(Gen.frequency(
+      9 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', 'ß', '中'))).map(_.mkString)
+    val r = check(params, Prop.forAll(gen) { w =>
+      // the reference the oracle keeps: fold (acc*31 + codepoint) % 1e9+7
+      // over the string's codepoints, starting from 0
+      var acc = 0L
+      w.codePoints().forEach(cp => acc = (acc * 31 + cp) % 1000000007L)
+      kernel(w) == acc
+    })
+    assert(r.passed, s"poly31 diverged from the reference fold: $r")
   }
 
   test("adjacent_pairs: matches the transform(sequence) + non-empty filter") {
