@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout instead of through sbt's
+// logger: the bench/verify JSON contract lines must reach the driver as
+// raw `{...}` lines, not `[info] {...}` (round 14 — every BENCH_r* tail
+// shows the logger prefix on the contract line, one plausible reason the
+// driver's parse failed 13 rounds running).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -129,10 +129,14 @@ object Bench {
     * primary contract is the timing line, not the adjudication block.
     */
   private def loadBaseline(): Map[String, Double] = {
+    // resolve via env override or the working directory only (round 14,
+    // ADVICE: a hardcoded absolute path made adjudication silently
+    // machine-specific); a missing baseline is LOGGED once on stderr so a
+    // no-op adjudication pass is visible, never silent
     val candidates = sys.env.get("SPARK_GRAFT_BASELINE").toSeq ++
-      Seq("BASELINE.md", "/root/repo/BASELINE.md")
+      Seq("BASELINE.md")
     val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|.*$""".r
-    candidates.iterator.flatMap { p =>
+    val found = candidates.iterator.flatMap { p =>
       try {
         val src = scala.io.Source.fromFile(p)
         try {
@@ -142,7 +146,11 @@ object Bench {
           if (m.nonEmpty) Some(m) else None
         } finally src.close()
       } catch { case _: Throwable => None }
-    }.nextOption().getOrElse(Map.empty)
+    }.nextOption()
+    if (found.isEmpty)
+      System.err.println(
+        s"[bench] no BASELINE.md rows found (tried: ${candidates.mkString(", ")}) — adjudication pass will not fire")
+    found.getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -386,6 +394,65 @@ object Bench {
       else Seq(xs.head, xs(xs.size / 2), xs.last)
         .map(v => f"$v%.3f").mkString("[", ",", "]")
     println(s"""{"metric":"total_compact","value":$total,"unit":"sec","n_queries":${medians.size},"n_errors":${errors.size},"first_touch_total":${f"$firstTouchTotal%.1f"},"build_total":${f"$buildTotal%.1f"},"sentinel_first_mid_last":${compact3(sentinel.toSeq)},"sentinel_multi_first_mid_last":${compact3(sentinelMulti.toSeq)},"env_start":$envStart,"env_end":$envEnd,"adjudicated_n":${adjudicated.size},"adjudicated_breaches":$adjBreaches,"adjudicated_top":$adjTop,"top10_build":$topBuild,"top10_slowest_min":$top10Min,"top10_slowest_jobs":$top10Jobs,"top10_slowest":$top10,"sf":"$sfDir"}""")
+    // Round-14 change (verdict item 1): the driver tail-truncates bench
+    // output, so the full `queries` map above (one ~12 KB line) has NEVER
+    // survived into a PERF artifact — BENCH_r01..r13 all carry
+    // parsed: null, which leaves the driver with no per-query table, no
+    // geomean and no scaling block. Measured retention: every BENCH_r*
+    // "tail" field is EXACTLY the last 2000 characters of stdout, ending
+    // with sbt's own `[success] Total time` line (~75 chars). The same
+    // medians are therefore ALSO emitted split across SIZE-BOUNDED lines
+    // (~800 payload chars, whole line ≲920 — two complete lines plus the
+    // sbt epilogue fit a 2000-char tail), one per query-name family
+    // (c/d/g/h/m/q/s/st/t; big families split into numbered parts). Each
+    // line is independently valid contract JSON —
+    // {"metric":"queries_<fam>","value":<RUN TOTAL>,"unit":"sec",
+    //  "queries":{...},"sf":...} — so a parser that keeps only one line
+    // still reads the correct run total, a parser over full stdout
+    // reconstructs all 449 entries by merging `queries` maps, and a
+    // tail-bounded parser retains the LAST complete lines: families print
+    // cheapest first / entries cheapest first within a family, and a
+    // final `queries_top` line (the globally slowest ~30, a subset repeat
+    // of per-family values, never new names) prints ABSOLUTE LAST so the
+    // entries that matter for regression detection are the ones a
+    // 2000-char tail is guaranteed to keep. The legacy full line and the
+    // compact line above are unchanged (old numbers kept, per the
+    // harness contract).
+    val chunkBudget = 800 // payload chars per line; whole line ≲920 < 2000-tail
+    def famOf(n: String) = n.takeWhile(_.isLetter)
+    def chunked(entries: Seq[String]): Seq[Seq[String]] = {
+      val chunks = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var len = 0
+      entries.foreach { e =>
+        if (len + e.length + 1 > chunkBudget && chunks.last.nonEmpty) {
+          chunks += scala.collection.mutable.ArrayBuffer.empty[String]
+          len = 0
+        }
+        chunks.last += e
+        len += e.length + 1
+      }
+      chunks.map(_.toSeq).toSeq
+    }
+    def qLine(metric: String, payload: Seq[String]): String =
+      s"""{"metric":"$metric","value":$total,"unit":"sec","n_queries":${medians.size},"queries":${payload.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val famLines = medians.toSeq.groupBy { case (k, _) => famOf(k) }.toSeq
+      .sortBy { case (_, xs) => xs.map(_._2).sum }
+      .flatMap { case (fam, xs) =>
+        val entries = xs.sortBy(_._2) // ascending: slowest entries print last
+          .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        val chunks = chunked(entries)
+        val n = chunks.size
+        chunks.zipWithIndex.map { case (c, i) =>
+          qLine(if (n == 1) s"queries_$fam"
+                else s"queries_${fam}_${i + 1}of$n", c)
+        }
+      }
+    famLines.foreach(println)
+    // the guaranteed-retained line: globally slowest queries, one chunk
+    val topPayload = chunked(medians.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }).head
+    println(qLine("queries_top", topPayload))
     spark.stop()
   }
 }

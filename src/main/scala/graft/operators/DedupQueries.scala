@@ -1541,7 +1541,7 @@ object DedupQueries {
     * rows) by construction at any corpus scale: the curve depends on the
     * config, never the data.
     */
-  private def sCurveSql: String = {
+  private[graft] def sCurveSql: String = {
     def chain(base: String, n: Int): String =
       Seq.fill(n)(base).mkString("(", " * ", ")")
     val rows = for {
@@ -1562,8 +1562,58 @@ object DedupQueries {
        |FROM curve c JOIN thr t ON t.bands = c.bands""".stripMargin
   }
 
+  /** The curve rows computed driver-side with the SAME IEEE arithmetic the
+    * SQL text unrolls (round 14, verdict item 6): the 45 UNION ALL
+    * branches of literal multiply-chains made the Spark wall
+    * planning/constant-folding-bound at ANY scale factor (4 jobs,
+    * sub-second executor time — the optimizer was evaluating exactly
+    * these constants, slowly). Each chain is a left-associated double
+    * fold, identical to Catalyst's ConstantFolding evaluation order, and
+    * the final round matches Spark's Round(double, 9):
+    * BigDecimal(x).setScale(9, HALF_UP).toDouble. The ORACLE keeps the
+    * unrolled sCurveSql text verbatim, so the hash gate proves the
+    * driver-side fold equals DuckDB's evaluation of the chains —
+    * R14RewritesSpec additionally pins it equal to Spark's own
+    * evaluation of the old text.
+    */
+  private[graft] def sCurveRows: Seq[(Int, Int, Long, Double)] =
+    for {
+      (b, r) <- Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16))
+      jpm <- 100 to 900 by 100
+    } yield {
+      val j = jpm.toDouble / 1000.0
+      var jr = j
+      for (_ <- 2 to r) jr *= j // chain(j, r), left-associated
+      val miss = 1.0 - jr
+      var mb = miss
+      for (_ <- 2 to b) mb *= miss // chain(miss, b), left-associated
+      val p = scala.math.BigDecimal(1.0 - mb)
+        .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      (b, r, jpm.toLong, p)
+    }
+
+  private val curveSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def withCurveView(s: SparkSession)(tail: String => String): DataFrame = {
+    val v = s"d25_curve_mat_${curveSeq.incrementAndGet()}"
+    s.createDataFrame(sCurveRows)
+      .toDF("bands", "rows_per_band", "j_pm", "p_collide")
+      .createOrReplaceTempView(v)
+    val out = s.sql(tail(v))
+    s.catalog.dropTempView(v)
+    out
+  }
+
   def d25_lsh_tuning_curve(s: SparkSession, d: String): DataFrame =
-    s.sql(sCurveSql)
+    withCurveView(s) { v =>
+      s"""WITH curve AS (SELECT * FROM $v),
+         |thr AS (
+         |  SELECT bands, min(j_pm) AS threshold_j_pm
+         |  FROM curve WHERE p_collide >= 0.5 GROUP BY bands)
+         |SELECT c.bands, c.rows_per_band, c.j_pm, c.p_collide,
+         |       t.threshold_j_pm
+         |FROM curve c JOIN thr t ON t.bands = c.bands""".stripMargin
+    }
 
   /** d36: LSH AUTO-TUNER — s34's close-the-calibration-loop pattern
     * applied to d25's S-curve: given the target similarity threshold
@@ -1576,7 +1626,7 @@ object DedupQueries {
     * identically, so the pick itself is hash-gated). Pure arithmetic,
     * one shared SQL text for both engines, d25's discipline.
     */
-  private def lshAutoTuneSql: String = {
+  private[graft] def lshAutoTuneSql: String = {
     // reuse sCurveSql's curve CTE verbatim (it is already margin-stripped)
     val curveWith = sCurveSql.substring(0, sCurveSql.indexOf("thr AS"))
     curveWith + """thr AS (
@@ -1593,7 +1643,20 @@ object DedupQueries {
   }
 
   def d36_lsh_auto_tune(s: SparkSession, d: String): DataFrame =
-    s.sql(lshAutoTuneSql)
+    withCurveView(s) { v =>
+      s"""WITH curve AS (SELECT * FROM $v),
+         |thr AS (
+         |  SELECT bands, rows_per_band, min(j_pm) AS threshold_j_pm
+         |  FROM curve WHERE p_collide >= 0.5 GROUP BY 1, 2),
+         |pick AS (
+         |  SELECT bands, rows_per_band, threshold_j_pm FROM thr
+         |  ORDER BY abs(threshold_j_pm - 700), bands DESC LIMIT 1)
+         |SELECT c.bands, c.rows_per_band, c.j_pm, c.p_collide,
+         |       p.threshold_j_pm
+         |FROM curve c JOIN pick p
+         |  ON c.bands = p.bands AND c.rows_per_band = p.rows_per_band"""
+        .stripMargin
+    }
 
   /** d26: FUZZY name linkage by Jaro-Winkler — d20's rule-score linkage
     * replayed with the string-similarity kernel production MDM systems

@@ -1391,12 +1391,26 @@ object SimilarityQueries {
     */
   def s36_bitext_margin(s: SparkSession, d: String): DataFrame = {
     val k = 4
+    // Round 14 (verdict item 4): the per-pair scorer ran THREE interpreted
+    // aggregate/zip_with folds per candidate pair — the dot product plus
+    // BOTH row norms, each norm recomputed once per pair although it is a
+    // per-ROW quantity. Now each side computes its norm ONCE per row at
+    // quantization time (same BIGINT fold, same cast-to-double-then-sqrt),
+    // pre-casts the quantized vector to ARRAY<DOUBLE>, and pairs are
+    // scored by the codegen'd dot_product kernel inside whole-stage
+    // codegen. Bit-identical arithmetic: every quantized value is an
+    // integer |q| <= 127, so dot and norm sums are exact integers far
+    // below 2^53 in either accumulation, and the floor/div sees the same
+    // doubles as the old spelling (pinned by SimilaritySpec).
     def quantized(df: DataFrame, vecCol: String, out: String): DataFrame =
       df.withColumn("__amax",
           expr(s"array_max(transform(CAST($vecCol AS ARRAY<DOUBLE>), v -> abs(v)))"))
-        .withColumn(out, expr(
+        .withColumn("__q", expr(
           s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(round(x * (127.0D / __amax)) AS BIGINT))"))
-        .drop("__amax", vecCol)
+        .withColumn(out, expr("transform(__q, v -> CAST(v AS DOUBLE))"))
+        .withColumn(s"${out}_nrm", expr(
+          "sqrt(CAST(aggregate(transform(__q, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE))"))
+        .drop("__amax", "__q", vecCol)
     val base = Tables.embeddings(s, d)
     val qa = quantized(
       base.filter(col("label") % 2 === 0 && col("vec_id") < 400)
@@ -1406,16 +1420,12 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding")), "embedding", "qv")
       // the mined side is the cross join's STREAM side and inherits the
       // single-file scan's one partition, serializing the per-pair
-      // integer dot products (flight-recorded: 1 task x 4.0 s = 80% of
-      // the wall; the aggregate/zip_with lambdas are interpreted-only,
-      // so width is the only lever) — spread it to cluster width first
+      // dot products — spread it to cluster width first
       .repartition(Tables.scanPartitions(s))
-    val simPm =
-      "CAST(floor(1000.0D * CAST(aggregate(zip_with(q_qv, qv, (a, b) -> a * b), 0L, (acc, v) -> acc + v) AS DOUBLE)" +
-        " / (sqrt(CAST(aggregate(transform(q_qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE))" +
-        " * sqrt(CAST(aggregate(transform(qv, v -> v * v), 0L, (acc, v) -> acc + v) AS DOUBLE)))) AS BIGINT)"
     val cand = qb.crossJoin(broadcast(qa))
-      .withColumn("sim_pm", expr(simPm))
+      .withColumn("sim_pm",
+        floor(lit(1000.0) * dot_product(col("q_qv"), col("qv"))
+          / (col("q_qv_nrm") * col("qv_nrm"))).cast("long"))
       .select(col("q_id"), col("vec_id"), col("sim_pm"))
       .localCheckpoint()
     val fwd = TopKPerGroup.topK(cand, Seq("q_id"),

@@ -1214,7 +1214,7 @@ object TextQueries {
     * vocabulary sliver (Heaps' law — vocab grows ~√corpus) and the
     * matrix is |sources|² rows. Exact integers → hash-green.
     */
-  private def t30Sql(div: String): String =
+  private[graft] def t30Sql(div: String): String =
     s"""WITH v AS (
        |  SELECT DISTINCT source, word
        |  FROM (SELECT source, $$SPLIT$$ AS word FROM documents) t),
@@ -1231,11 +1231,40 @@ object TextQueries {
        |JOIN sz sa ON sa.source = i.source_a
        |JOIN sz sb ON sb.source = i.source_b""".stripMargin
 
+  private val t30Seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   def t30_vocab_overlap(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .repartition(Tables.scanPartitions(s))
       .createOrReplaceTempView("documents")
-    s.sql(t30Sql("div").replace("$SPLIT$", "explode(split(text, ' '))"))
+    // Round 14 (verdict item 7): the `v` CTE (tokenize + distinct over the
+    // full corpus scan) is referenced THREE times (sz, inter a, inter b)
+    // and Spark's CTE inlining re-evaluated it per reference — 3 corpus
+    // tokenization passes per execution. Materialize the vocabulary once
+    // (vocab-sized — Heaps' law, ~√corpus) and run the unchanged tail over
+    // it; the oracle keeps the literal t30Sql text.
+    val vV = s"t30_v_mat_${t30Seq.incrementAndGet()}"
+    val v = s.sql(
+      """SELECT DISTINCT source, word
+        |FROM (SELECT source, explode(split(text, ' ')) AS word
+        |      FROM documents) t""".stripMargin).localCheckpoint()
+    v.createOrReplaceTempView(vV)
+    val out = s.sql(
+      s"""WITH v AS (SELECT source, word FROM $vV),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS vs FROM v GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM v a JOIN v b ON b.word = a.word AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, sa.vs AS vocab_a, sb.vs AS vocab_b,
+         |       i.n_shared,
+         |       (i.n_shared * 1000) div (sa.vs + sb.vs - i.n_shared) AS jaccard_pm
+         |FROM inter i
+         |JOIN sz sa ON sa.source = i.source_a
+         |JOIN sz sb ON sb.source = i.source_b""".stripMargin)
+    s.catalog.dropTempView(vV)
+    out
   }
 
   /** t31: term BURSTINESS (Church & Gale's cf/df dispersion) — the
@@ -1561,7 +1590,12 @@ object TextQueries {
       .filter(length(col("w")) > 0)
       // native Poly31 kernel: the aggregate(transform(sequence)) spelling
       // is two nested interpreted lambdas with an O(n) substring per
-      // position; the oracle keeps the unrolled SQL (bit-equal values)
+      // position; the oracle keeps the unrolled SQL. The kernel folds
+      // CODEPOINTS — matching the DuckDB oracle's ascii() (codepoint)
+      // semantics, and INTENTIONALLY diverging from the replaced Spark
+      // spelling's ascii() (first UTF-8 byte) on non-ASCII input (round
+      // 14, ADVICE: the fixture corpus is ASCII-only, where all three
+      // agree; the oracle gate is what pins the values)
       .select(col("doc_id"), col("y"), col("h"),
         (graft.functions.TextFunctions.poly31(col("w"))
           % RocchioDims).as("dim"))

@@ -43,8 +43,22 @@ import java.nio.file.{Files, Path}
   */
 final class ResumableHttpTransport(endpoint: String,
     chunkSize: Int = 64 * 1024, maxRetries: Int = 8,
-    credentials: () => Option[String] = () => None) extends SheetTransport {
+    credentials: () => Option[String] = () => None,
+    backoffBaseMs: Long = 100L) extends SheetTransport {
   require(chunkSize > 0)
+
+  /** Exponential backoff with full jitter before the `attempt`'th
+    * consecutive retry (round 14, ADVICE: the retry path re-requested
+    * immediately, so a rate-limiting server answering 429 got hammered
+    * `maxRetries` times back-to-back). Sleep is uniform in
+    * [0, base * 2^min(attempt,6)] — the standard full-jitter scheme; the
+    * cap bounds any single wait at base*64 ms (6.4 s at the default).
+    */
+  private def backoff(attempt: Int): Unit = {
+    val maxMs = backoffBaseMs << math.min(attempt, 6)
+    val ms = java.util.concurrent.ThreadLocalRandom.current().nextLong(maxMs + 1)
+    if (ms > 0) Thread.sleep(ms)
+  }
 
   /** visible for the spec: how many status probes (resume round-trips)
     * this transport issued.
@@ -95,6 +109,7 @@ final class ResumableHttpTransport(endpoint: String,
           retries += 1
           if (retries > maxRetries)
             throw new IOException(s"upload of $file gave up after $maxRetries retries", e)
+          backoff(retries)
           // never assume what the server kept: probe, then resume from its
           // confirmed prefix (loader.py's next_chunk() loop re-entering)
           offset = queryOffset(session, total)
@@ -252,7 +267,10 @@ final class ResumableHttpTransport(endpoint: String,
             // a file that shrank under us is not retriable either).
             // 408 (request timeout) and 429 (rate limit) are transient by
             // definition — they fall through to the retrying path below,
-            // matching the reference Drive client's backoff-and-retry.
+            // which waits with exponential backoff + jitter before
+            // re-requesting (the reference loader retries such statuses
+            // too, but with NO backoff of its own; the wait here is what
+            // keeps a rate-limiting server from being hammered).
             c.disconnect()
             throw new FatalTransportException(
               s"download of $name rejected: HTTP $other")
@@ -268,6 +286,7 @@ final class ResumableHttpTransport(endpoint: String,
           if (retries > maxRetries)
             throw new IOException(
               s"download of $name gave up after $maxRetries retries", e)
+          backoff(retries)
           downloadResumes += 1
           // off only ever counts fully-committed chunks — re-request from it
       }

@@ -208,6 +208,39 @@ object HeavyTailProbe {
         meter.resetStages()
       }
 
+      if (want("r14")) {
+        // Round-14 probe leg. (a) Verdict items 3/7: the g22/t30
+        // duplicated-CTE rewrites trade one checkpoint sync (~0.1 s, flat)
+        // for removing corpus-proportional re-evaluation — the OLD literal
+        // SQL spelling (still the oracle's text) is timed against the NEW
+        // registry path on the same session/dir so the gap's growth with
+        // the corpus is measured, not asserted. (b) Verdict item 9: the
+        // g19/g07/m18 floor rationales recorded in round 13 claim
+        // "compute-bound and linear at scale" — cold/steady at 1x and the
+        // deep leg makes that falsifiable. s36/d32 ride along as this
+        // round's investigated entries.
+        def coldSteady(q: String): Unit = {
+          val cold = time(s"$tag $q cold")(
+            graft.SparkEntry.queries(q)(spark, dir).count())
+          val warm = time(s"$tag $q steady")(
+            graft.SparkEntry.queries(q)(spark, dir).count())
+          println(f"[heavytail] $tag $q build=${cold - warm}%.1fs " +
+            f"steady=$warm%.1fs")
+        }
+        coldSteady("t30_vocab_overlap") // registers the documents view
+        time(s"$tag t30 OLD(3x tokenize)")(spark.sql(
+          graft.operators.TextQueries.t30Sql("div")
+            .replace("$SPLIT$", "explode(split(text, ' '))")).count())
+        coldSteady("g22_random_walks") // builds/refreshes the co store
+        graft.operators.CoGraph.registerPairsView(spark, dir)
+        time(s"$tag g22 OLD(4x adj)")(spark.sql(
+          graft.operators.GraphQueries.g22Sql(
+            graft.operators.GraphQueries.coStored)).count())
+        for (q <- Seq("g19_hits", "g07_ppr", "m18_media_clusters",
+            "s36_bitext_margin", "d32_allpairs_cosine"))
+          coldSteady(q)
+      }
+
       if (want("publish")) {
         // BENCH_r10's ten slowest steady entries, through the full
         // reference pipeline: discovery -> dispatch -> cell guard ->
