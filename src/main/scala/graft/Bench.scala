@@ -128,28 +128,56 @@ object Bench {
     * (adjudication simply doesn't fire), never an abort — the bench's
     * primary contract is the timing line, not the adjudication block.
     */
-  private def loadBaseline(): Map[String, Double] = {
-    // resolve via env override or the working directory only (round 14,
+  private[graft] def loadBaseline(): Map[String, Double] = {
+    // resolve via env override, the working directory, or the repo root
+    // found by walking up from the compiled-classes location (round 14,
     // ADVICE: a hardcoded absolute path made adjudication silently
-    // machine-specific); a missing baseline is LOGGED once on stderr so a
-    // no-op adjudication pass is visible, never silent
+    // machine-specific — the classpath walk works on ANY checkout, and
+    // covers forked JVMs whose user.dir is not the repo root, which this
+    // round's first bench run proved happens under sbt); a missing
+    // baseline is LOGGED once on stderr so a no-op adjudication pass is
+    // visible, never silent
+    val fromClasspath: Seq[String] =
+      scala.util.Try {
+        var dir = new java.io.File(getClass.getProtectionDomain
+          .getCodeSource.getLocation.toURI)
+        val found = scala.collection.mutable.ArrayBuffer.empty[String]
+        // 12 hops: sbt runs mains from a packaged jar under
+        // target/bg-jobs/sbt_*/job-*/target/*/*/name.jar — NINE levels
+        // below the repo root (measured by BaselineProbe), so 8 was short
+        var hops = 0
+        while (dir != null && hops < 12) {
+          val cand = new java.io.File(dir, "BASELINE.md")
+          if (cand.isFile) found += cand.getPath
+          dir = dir.getParentFile
+          hops += 1
+        }
+        found.toSeq
+      }.getOrElse(Nil)
     val candidates = sys.env.get("SPARK_GRAFT_BASELINE").toSeq ++
-      Seq("BASELINE.md")
+      Seq("BASELINE.md") ++ fromClasspath
     val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9]+\.?[0-9]*)\s*\|.*$""".r
     val found = candidates.iterator.flatMap { p =>
       try {
-        val src = scala.io.Source.fromFile(p)
-        try {
-          val m = src.getLines().collect {
-            case row(name, secs) => name -> secs.toDouble
-          }.toMap
-          if (m.nonEmpty) Some(m) else None
-        } finally src.close()
+        // explicit UTF-8 with malformed-byte REPLACEMENT (the String
+        // constructor never throws): Source.fromFile used the forked
+        // JVM's DEFAULT charset, which under sbt's fork is not UTF-8 on
+        // this container, so BASELINE.md's em-dashes threw
+        // MalformedInputException and the catch below silently disabled
+        // the adjudication pass EVERY round it has existed — including
+        // round 13, whose adjudicated_n:0 was this crash, not a clean
+        // pass (found by round 14's BaselineProbe).
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        val m = txt.linesIterator.collect {
+          case row(name, secs) => name -> secs.toDouble
+        }.toMap
+        if (m.nonEmpty) Some(m) else None
       } catch { case _: Throwable => None }
     }.nextOption()
     if (found.isEmpty)
       System.err.println(
-        s"[bench] no BASELINE.md rows found (tried: ${candidates.mkString(", ")}) — adjudication pass will not fire")
+        s"[bench] no BASELINE.md rows found (tried: ${candidates.mkString(", ")}; user.dir=${sys.props("user.dir")}) — adjudication pass will not fire")
     found.getOrElse(Map.empty)
   }
 
